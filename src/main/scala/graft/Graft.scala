@@ -1,0 +1,36 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** SparkSession factory tuned for the target deployment.
+  *
+  * Local testing runs `local[32]`; the settings below are the ones that
+  * matter identically on a 1000-executor cluster: AQE (runtime re-plan +
+  * skew-join splitting), a real broadcast threshold so dimension tables
+  * never shuffle, and partition counts sized to the data rather than
+  * Spark's 200 default.
+  */
+object Graft {
+  def session(
+      master: String = sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[32]"),
+      shufflePartitions: Int = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt,
+      appName: String = "graft"): SparkSession = {
+    val spark = SparkSession
+      .builder()
+      .master(master)
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.autoBroadcastJoinThreshold", (64 * 1024 * 1024).toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.filterPushdown", "true")
+      .config("spark.ui.enabled", "false")
+      .config("spark.driver.host", "localhost")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}

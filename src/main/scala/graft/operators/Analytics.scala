@@ -1,0 +1,114 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.Exact._
+
+/** Star-schema analytics over the TPC-H-ish tables.
+  *
+  * Design notes for scale: dimension tables (region/nation/customer/
+  * supplier/part) are broadcast — no shuffle of the fact side for those
+  * joins; fact filters sit directly on the scan (parquet pushdown); all
+  * aggregations are partial map-side first. AQE re-plans skew at runtime.
+  */
+object Analytics {
+
+  /** TPC-H Q1-style pricing summary: multi-aggregate groupBy over the
+    * biggest fact table. One shuffle on a low-cardinality key. */
+  def q1(lineitem: DataFrame): DataFrame =
+    lineitem
+      .where(col("l_shipdate") < lit("2000-01-01").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        moneySum(col("l_quantity")).as("sum_qty"),
+        moneySum(col("l_extendedprice")).as("sum_base_price"),
+        moneySum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_price"),
+        moneyAvg(col("l_quantity")).as("avg_qty"),
+        moneyAvg(col("l_extendedprice")).as("avg_price"),
+        count(lit(1)).as("count_order"))
+
+  /** TPC-H Q3-style: segment-filtered customer ⋈ orders ⋈ lineitem,
+    * revenue per order. customer is broadcast (small after the segment
+    * filter); orders⋈lineitem shuffles on orderkey only. */
+  def q3(spark: SparkSession, dir: String): DataFrame = {
+    val customer = Tables.customer(spark, dir).where(col("c_mktsegment") === "BUILDING")
+    val orders = Tables.orders(spark, dir)
+      .where(col("o_orderdate") < lit("1999-01-01").cast("timestamp"))
+    val lineitem = Tables.lineitem(spark, dir)
+      .where(col("l_shipdate") > lit("1998-06-30").cast("timestamp"))
+    lineitem
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("o_orderkey"), col("o_orderdate").cast("date").as("o_date"))
+      .agg(moneySum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+      .select(col("o_orderkey"), col("o_date"), col("revenue"))
+  }
+
+  /** TPC-H Q5-style: 6-way join region→nation→{customer,supplier}→orders→
+    * lineitem, revenue per nation. All dims broadcast; the only shuffles
+    * are lineitem⋈orders on orderkey and the final 25-row aggregate. */
+  def q5(spark: SparkSession, dir: String): DataFrame = {
+    val region = Tables.region(spark, dir).where(col("r_name") === "ASIA")
+    val nation = Tables.nation(spark, dir)
+    val customer = Tables.customer(spark, dir)
+    val supplier = Tables.supplier(spark, dir)
+    val orders = Tables.orders(spark, dir).where(
+      col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+    val lineitem = Tables.lineitem(spark, dir)
+    lineitem
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supplier),
+        col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(moneySum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+  }
+
+  /** Window functions: top-3 orders per customer by totalprice.
+    * One shuffle on custkey; row_number with a full tie-break so the
+    * result is a deterministic set. */
+  def topOrdersPerCustomer(orders: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window
+      .partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    orders
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        row_number().over(w).as("rnk"))
+      .where(col("rnk") <= k)
+  }
+
+  /** ROLLUP aggregate — hierarchical totals in one pass. */
+  def rollupSummary(lineitem: DataFrame): DataFrame =
+    lineitem
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(moneySum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("cnt"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("sum_qty"), col("cnt"))
+
+  /** Left-semi + left-anti in one result: customers tagged by whether
+    * they have orders. Broadcast the distinct custkeys of orders would
+    * invert the build side; Spark picks shuffled semi/anti with AQE. */
+  def customersByOrderPresence(customer: DataFrame, orders: DataFrame): DataFrame = {
+    val semi = customer
+      .join(orders, customer("c_custkey") === orders("o_custkey"), "left_semi")
+      .select(col("c_custkey"), lit("with_orders").as("tag"))
+    val anti = customer
+      .join(orders, customer("c_custkey") === orders("o_custkey"), "left_anti")
+      .select(col("c_custkey"), lit("no_orders").as("tag"))
+    semi.unionAll(anti)
+  }
+
+  /** Post-aggregation filter (HAVING). */
+  def bigCustomers(orders: DataFrame, minOrders: Long): DataFrame =
+    orders
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("order_cnt"), moneySum(col("o_totalprice")).as("total_spent"))
+      .where(col("order_cnt") > minOrders)
+}

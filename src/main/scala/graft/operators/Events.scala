@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.Exact._
+
+/** Event/time-series batch operators over the `events` table.
+  *
+  * All timestamp comparisons happen on `unix_micros` (integer µs) so the
+  * semantics are engine-exact regardless of sub-second precision, and all
+  * emitted timestamps are formatted strings — no tz/precision rendering
+  * drift at the comparison boundary.
+  */
+object Events {
+
+  /** 1-hour tumbling-window counts/sums per event type. Uses Spark's
+    * `window()` — at scale this is a single hash aggregate (window start
+    * is a derived column, not a blow-up). */
+  def tumblingHourly(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), moneySum(col("value")).as("sum_value"))
+      .select(
+        date_format(col("w.start"), "yyyy-MM-dd HH:mm").as("hour_start"),
+        col("event_type"), col("cnt"), col("sum_value"))
+
+  /** 30-minute-gap sessionization: lag + cumulative-sum session ids, then
+    * per-session stats. One shuffle on user_id; both windows share it. */
+  def sessionize(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    val gapMicros = gapMinutes * 60L * 1000000L
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("tsu"))
+    val withGap = events
+      .select(col("user_id"), col("value"), unix_micros(col("ts")).as("tsu"))
+      .withColumn("prev", lag(col("tsu"), 1).over(byUser))
+      .withColumn("is_new",
+        when(col("prev").isNull || col("tsu") - col("prev") > gapMicros, 1L).otherwise(0L))
+      .withColumn("session_id", sum(col("is_new")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    withGap
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        moneySum(col("value")).as("sum_value"),
+        (max(col("tsu")) - min(col("tsu"))).as("duration_us"))
+  }
+
+  /** Per-user activity stats. */
+  def userStats(events: DataFrame): DataFrame =
+    events
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(col("event_type")).as("n_types"),
+        moneySum(col("value")).as("sum_value"),
+        date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss").as("first_seen"))
+}

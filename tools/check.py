@@ -1,0 +1,61 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's correctness gate.
+
+Reads each <outDir>/<name> parquet (Verify.scala output), runs the
+matching oracle SQL from <outDir>/oracle_sql.json in DuckDB over the
+same sf dir, sorts columns by name + rows by value, and compares.
+"""
+import json, sys, glob, os
+import duckdb
+import pyarrow.parquet as pq
+
+sf_dir, out_dir = sys.argv[1], sys.argv[2]
+
+con = duckdb.connect()
+for t in ["region","nation","customer","supplier","part","orders",
+          "lineitem","events","documents","embeddings"]:
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+
+oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+
+def canon(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for r in rows:
+        out.append(tuple(repr(r[i]) for i in order))
+    out.sort()
+    return sorted(c for c in cols), out
+
+fails = 0
+for d in sorted(glob.glob(f"{out_dir}/*/")):
+    name = os.path.basename(d.rstrip("/"))
+    files = glob.glob(f"{d}/*.parquet")
+    tbl = pq.read_table(files[0]) if len(files) == 1 else pq.ParquetDataset(d).read()
+    scols = tbl.column_names
+    srows = [tuple(row[c] for c in scols) for row in tbl.to_pylist()]
+    if name not in oracle:
+        print(f"  {name}: rows-only ({len(srows)} rows)" + (" EMPTY!" if not srows else ""))
+        if not srows: fails += 1
+        continue
+    ocols = None
+    try:
+        res = con.execute(oracle[name])
+        ocols = [x[0] for x in res.description]
+        orows = res.fetchall()
+    except Exception as e:
+        print(f"  {name}: ORACLE SQL ERROR: {e}")
+        fails += 1
+        continue
+    sc, sr = canon(srows, scols)
+    oc, orr = canon(orows, ocols)
+    if sc != oc:
+        print(f"  {name}: SCHEMA MISMATCH spark={sc} oracle={oc}")
+        fails += 1
+    elif sr != orr:
+        diff = [(a, b) for a, b in zip(sr, orr) if a != b][:3]
+        print(f"  {name}: VALUE MISMATCH rows spark={len(sr)} oracle={len(orr)}; first diffs: {diff}")
+        fails += 1
+    else:
+        print(f"  {name}: OK ({len(sr)} rows, cols={sc})")
+print("FAILURES:", fails)
+sys.exit(1 if fails else 0)
