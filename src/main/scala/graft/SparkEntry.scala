@@ -33,6 +33,19 @@ object SparkEntry {
     "e_tumbling" -> ((s, d) => Events.tumblingHourly(Tables.events(s, d))),
     "e_sessionize" -> ((s, d) => Events.sessionize(Tables.events(s, d))),
     "e_user_stats" -> ((s, d) => Events.userStats(Tables.events(s, d))),
+    // D. LLM-training-data pipeline
+    "d_dedup_exact" -> ((s, d) => Dedup.exact(Tables.documents(s, d))),
+    "d_dedup_ngram" -> ((s, d) => Dedup.ngramJaccard(Tables.documents(s, d), 3, 0.5)),
+    "d_dedup_minhash" -> ((s, d) => Dedup.minhashLsh(Tables.documents(s, d), 3, 64, 16, 0.5)),
+    "d_dedup_simhash" -> ((s, d) => Dedup.simhashNearDup(Tables.documents(s, d), 3)),
+    "d_dedup_embed" -> ((s, d) => Dedup.embeddingNearDup(Tables.embeddings(s, d), 0.4)),
+    "s_ann_brute" -> ((s, d) => Similarity.bruteForceTopK(Tables.embeddings(s, d), 5, 10)),
+    "s_ann_lsh" -> ((s, d) => Similarity.lshAnn(Tables.embeddings(s, d), 5, 10)),
+    "t_token_count" -> ((s, d) => TextAnalysis.tokenCounts(Tables.documents(s, d))),
+    "t_quality" -> ((s, d) => TextAnalysis.quality(Tables.documents(s, d))),
+    "t_lang_id" -> ((s, d) => TextAnalysis.langId(Tables.documents(s, d))),
+    "t_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(Tables.documents(s, d))),
+    "m_meta" -> ((s, d) => Multimodal.metaExtract(Tables.documents(s, d))),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -136,5 +149,92 @@ object SparkEntry {
                 CAST(sum(CAST(round((value) * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_value,
                 strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS first_seen
          FROM events GROUP BY user_id""",
+    "d_dedup_exact" ->
+      """SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n_copies
+         FROM documents GROUP BY md5(text)""",
+    "d_dedup_ngram" -> ngramJaccardSql,
+    // minhash-LSH verifies candidates with exact Jaccard; on this corpus
+    // (planted near-dups at j≈0.98, 16 bands × 4 rows) it finds exactly
+    // the exact-Jaccard pair set, so the same oracle applies.
+    "d_dedup_minhash" -> ngramJaccardSql,
+    "d_dedup_embed" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e)
+         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cos
+         FROM n a JOIN n b ON a.vec_id < b.vec_id
+         WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.4""",
+    "s_ann_brute" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+         q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM n WHERE vec_id < 5),
+         scored AS (SELECT query_id, vec_id AS neighbor_id,
+                           list_dot_product(qv, v) / (qn * nrm) AS cos
+                    FROM n CROSS JOIN q WHERE vec_id <> query_id),
+         r AS (SELECT query_id, neighbor_id, cos,
+                      row_number() OVER (PARTITION BY query_id
+                                         ORDER BY cos DESC, neighbor_id) AS rnk
+               FROM scored)
+         SELECT query_id, neighbor_id, round(cos, 6) AS cos, rnk FROM r WHERE rnk <= 10""",
+    "t_token_count" ->
+      """SELECT doc_id,
+                len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS ws_tokens,
+                len(regexp_extract_all(text, '[a-z]+|[0-9]|[^a-z0-9 ]')) AS bpe_tokens
+         FROM documents""",
+    "t_quality" ->
+      """WITH b AS (
+           SELECT doc_id, length(text) AS n_chars_text,
+                  len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS n_words,
+                  length(regexp_replace(text, '[^a-z]', '', 'g')) AS n_alpha,
+                  length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS n_punct,
+                  len(list_filter(regexp_split_to_array(text, '\s+'),
+                      x -> x IN ('the','a','of','and','to','is','in','that','it','as'))) AS stop_hits
+           FROM documents)
+         SELECT doc_id, n_chars_text, n_words,
+                round(CAST(n_alpha AS DOUBLE) / greatest(n_words, 1), 6) AS avg_word_len,
+                round(CAST(n_punct AS DOUBLE) / greatest(n_chars_text, 1), 6) AS punct_ratio,
+                round(CAST(stop_hits AS DOUBLE) / greatest(n_words, 1), 6) AS stop_ratio,
+                round(CAST(stop_hits AS DOUBLE) / greatest(n_words, 1) * 0.4
+                      + least(CAST(n_alpha AS DOUBLE) / greatest(n_words, 1) / 10.0, 1.0) * 0.3
+                      + (1.0 - CAST(n_punct AS DOUBLE) / greatest(n_chars_text, 1)) * 0.3,
+                      6) AS quality_score
+         FROM b""",
+    "t_lang_id" ->
+      """WITH t AS (SELECT doc_id, lang AS declared_lang,
+                list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS w FROM documents),
+         h AS (SELECT doc_id, declared_lang,
+                 len(list_filter(w, x -> x IN ('the','a','of','and','to','is','in','that','it','as'))) AS h_en,
+                 len(list_filter(w, x -> x IN ('el','la','de','y','que','en','los','se','del','las'))) AS h_es,
+                 len(list_filter(w, x -> x IN ('le','la','de','et','les','des','un','une','du','que'))) AS h_fr,
+                 len(list_filter(w, x -> x IN ('der','die','das','und','ist','von','mit','den','im','ein'))) AS h_de,
+                 len(list_filter(w, x -> x IN ('的','是','在','了','和','有','我','他','这','中'))) AS h_zh
+               FROM t)
+         SELECT doc_id, declared_lang, h_en, h_es, h_fr, h_de, h_zh,
+                CASE WHEN h_en >= greatest(h_es, h_fr, h_de, h_zh) THEN 'en'
+                     WHEN h_es >= greatest(h_fr, h_de, h_zh) THEN 'es'
+                     WHEN h_fr >= greatest(h_de, h_zh) THEN 'fr'
+                     WHEN h_de >= h_zh THEN 'de'
+                     ELSE 'zh' END AS pred_lang
+         FROM h""",
+    "m_meta" ->
+      """SELECT doc_id, octet_length(encode(text)) AS byte_len, md5(text) AS h,
+                n_chars % 640 AS width, n_chars % 480 AS height
+         FROM documents""",
   )
+
+  /** Shared by d_dedup_ngram and d_dedup_minhash (see note above). */
+  private val ngramJaccardSql: String =
+    """WITH tok AS (SELECT doc_id,
+           list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS w FROM documents),
+       sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+              FROM tok CROSS JOIN unnest(generate_series(1, len(w) - 2)) AS t(i)
+              WHERE len(w) >= 3),
+       sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+       inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+                 FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                 GROUP BY 1, 2)
+       SELECT id_a, id_b,
+              round(CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter), 6) AS jaccard
+       FROM inter JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
+       WHERE CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter) >= 0.5"""
 }

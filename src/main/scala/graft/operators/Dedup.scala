@@ -1,0 +1,161 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions
+
+/** Deduplication family for training-data pipelines.
+  *
+  * Scale ladder (100 TB):
+  *  - exact: one hash-groupBy — fully linear, the default first pass.
+  *  - minhashLsh: the scale path for near-dup — O(n·k) signatures, band
+  *    bucketing makes candidate generation linear; only candidates pay
+  *    the exact-Jaccard verification.
+  *  - ngramJaccard: exact pairwise on shingle inverted index — quadratic
+  *    in bucket size; used standalone only at small scale, otherwise as
+  *    the verifier behind LSH candidates.
+  *  - simhash: 64-bit signature + 16-bit band self-join, hamming verify.
+  *  - embeddingNearDup: cosine threshold pairs; quadratic baseline, with
+  *    Similarity.lshAnn as the scale path.
+  */
+object Dedup {
+
+  /** Exact dedup: content hash → keeper (min doc_id) + multiplicity. */
+  def exact(docs: DataFrame): DataFrame =
+    docs
+      .groupBy(md5(encode(col("text"), "UTF-8")).as("h"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** Distinct word n-gram shingles per doc: (doc_id, shingle). */
+  def shingles(docs: DataFrame, n: Int): DataFrame = {
+    val w = TextAnalysis.tokens(col("text"))
+    val grams = transform(
+      sequence(lit(1), size(col("w")) - (n - 1)),
+      i => concat_ws(" ", (0 until n).map(o => element_at(col("w"), i + o)): _*))
+    docs
+      .select(col("doc_id"), w.as("w"))
+      .where(size(col("w")) >= n)
+      .select(col("doc_id"), explode(grams).as("shingle"))
+      .distinct()
+  }
+
+  /** Exact n-gram Jaccard near-dup pairs via a shingle inverted index.
+    * The self-join on shingle is the candidate generator; count/union
+    * arithmetic is all-integer so the Jaccard double is engine-exact. */
+  def ngramJaccard(docs: DataFrame, n: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val sh = shingles(docs, n)
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val inter = sh.as("a")
+      .join(sh.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.as("sa"), col("id_a") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("id_b") === col("sb.doc_id"))
+      .withColumn("jaccard",
+        col("n_inter").cast("double") / (col("sa.sz") + col("sb.sz") - col("n_inter")))
+      .where(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** MinHash + LSH banding near-dup detection — the 100 TB path.
+    *
+    * k seeded xxhash64 functions over the shingle set → k-wide signature;
+    * signatures are cut into `bands` bands whose hash is the LSH bucket
+    * key; docs sharing any band bucket become candidates; candidates are
+    * verified with exact Jaccard (array_intersect on collected shingle
+    * sets). Everything before verification is linear in corpus size.
+    */
+  def minhashLsh(
+      docs: DataFrame, n: Int = 3, numHashes: Int = 64, bands: Int = 16,
+      threshold: Double = 0.5): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    val sh = shingles(docs, n)
+
+    // signature: min over shingles of hash_i(shingle), i = 0..k-1
+    val sig = sh
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), lit(numHashes - 1)),
+          i => xxhash64(concat(i.cast("string"), lit("#"), col("shingle"))))).as(Seq("pos", "hv")))
+      .groupBy(col("doc_id"), col("pos"))
+      .agg(min(col("hv")).as("mh"))
+
+    // band key: hash of the band's minhash slice (order fixed by pos)
+    val banded = sig
+      .withColumn("band", (col("pos") / rowsPerBand).cast("int"))
+      .groupBy(col("doc_id"), col("band"))
+      .agg(sort_array(collect_list(struct(col("pos"), col("mh")))).as("slice"))
+      .select(col("doc_id"), col("band"),
+        xxhash64(concat_ws(",", transform(col("slice"), s => s.getField("mh").cast("string")))).as("bh"))
+
+    val candidates = banded.as("x")
+      .join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+      .distinct()
+
+    // exact-Jaccard verification, candidates only
+    val sets = sh.groupBy(col("doc_id")).agg(collect_set(col("shingle")).as("ss"))
+    candidates
+      .join(sets.as("sa"), col("id_a") === col("sa.doc_id"))
+      .join(sets.as("sb"), col("id_b") === col("sb.doc_id"))
+      .withColumn("n_inter", size(array_intersect(col("sa.ss"), col("sb.ss"))))
+      .withColumn("jaccard",
+        col("n_inter").cast("double") /
+          (size(col("sa.ss")) + size(col("sb.ss")) - col("n_inter")))
+      .where(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** 64-bit SimHash signature per doc. */
+  def simhashSignatures(docs: DataFrame): DataFrame = {
+    val tok = docs
+      .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("w"))
+      .withColumn("hv", xxhash64(col("w")))
+    val bitSums = (0 until 64).map(j =>
+      sum(when(shiftright(col("hv"), j).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"b$j"))
+    val sig = tok.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+    val fp = (0 until 64)
+      .map(j => when(col(s"b$j") > 0, lit(1L << j)).otherwise(0L))
+      .reduce(_ + _) // distinct powers of two: sum == bitwise OR
+    sig.select(col("doc_id"), fp.as("simhash"))
+  }
+
+  /** SimHash near-dup pairs: 4×16-bit band self-join (a pair within
+    * hamming distance 3 of 64 bits must agree exactly on ≥1 of the 4
+    * bands), then exact hamming verify. */
+  def simhashNearDup(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val sig = simhashSignatures(docs)
+    val chunked = sig.select(col("doc_id"), col("simhash"),
+      explode(array((0 until 4).map(c => struct(lit(c).as("c"),
+        shiftright(col("simhash"), 16 * c).bitwiseAND(lit(0xFFFFL)).as("ck"))): _*)).as("band"))
+      .select(col("doc_id"), col("simhash"), col("band.c"), col("band.ck"))
+    chunked.as("x")
+      .join(chunked.as("y"),
+        col("x.c") === col("y.c") && col("x.ck") === col("y.ck") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"),
+        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxHamming)
+  }
+
+  /** Embedding-cosine near-dup pairs above a threshold. Quadratic
+    * baseline (correct reference); at scale run Similarity.lshAnn to get
+    * candidates and verify with this cosine. */
+  def embeddingNearDup(embeddings: DataFrame, threshold: Double = 0.4): DataFrame = {
+    val e = embeddings.select(
+      col("vec_id"), VectorFunctions.toDouble(col("embedding")).as("v"))
+      .withColumn("nrm", VectorFunctions.norm(col("v")))
+    e.as("a")
+      .join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cos",
+        VectorFunctions.cosineWithNorms(
+          VectorFunctions.dot(col("a.v"), col("b.v")), col("a.nrm"), col("b.nrm")))
+      .where(col("cos") >= threshold)
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+        round(col("cos"), 6).as("cos"))
+  }
+}

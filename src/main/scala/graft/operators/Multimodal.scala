@@ -1,0 +1,58 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing: media as opaque `binary` columns with
+  * typed metadata structs.
+  *
+  * The decode step is a STUB — image/audio codecs are not available in
+  * this environment, so `media` is a deterministic fake (the UTF-8 bytes
+  * of the text column) and "decode" derives metadata arithmetically.
+  * Everything around the stub is real Spark plumbing: binary columns,
+  * metadata structs, slicing (resize), frame sampling into
+  * `array<binary>`, and content hashing — all native expressions, no
+  * UDFs, so a real decoder can later slot in as a Catalyst Expression
+  * or mapPartitions batch without changing any schema.
+  */
+object Multimodal {
+
+  /** Attach a fake media binary + typed metadata struct. */
+  def withMedia(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("media", encode(col("text"), "UTF-8"))
+      .withColumn("meta", struct(
+        octet_length(col("media")).as("byte_len"),
+        lit("fake/raw").as("format"),
+        (col("n_chars") % 640).cast("long").as("width"),
+        (col("n_chars") % 480).cast("long").as("height")))
+
+  /** Metadata + content-hash extraction (the "decode" stub's output). */
+  def metaExtract(docs: DataFrame): DataFrame =
+    withMedia(docs).select(
+      col("doc_id"),
+      col("meta.byte_len").as("byte_len"),
+      md5(col("media")).as("h"),
+      col("meta.width").as("width"),
+      col("meta.height").as("height"))
+
+  /** "Resize": proportional byte-slice of the media payload. A real
+    * implementation replaces the slice with a codec call; the schema and
+    * partition behavior stay identical. */
+  def resizeStub(docs: DataFrame, fraction: Double): DataFrame =
+    withMedia(docs).select(
+      col("doc_id"),
+      expr(s"substring(media, 1, CAST(octet_length(media) * $fraction AS INT))").as("media_small"))
+
+  /** "Frame sampling": split the payload into n equal byte slices, one
+    * row per (doc, frame). A real video pipeline swaps the byte slice
+    * for a codec frame grab; the explode shape and schema stay. */
+  def frameSample(docs: DataFrame, nFrames: Int): DataFrame =
+    withMedia(docs)
+      .withColumn("flen",
+        greatest((octet_length(col("media")) / nFrames).cast("int"), lit(1)))
+      .select(col("doc_id"), col("media"), col("flen"),
+        explode(sequence(lit(0), lit(nFrames - 1))).as("frame_no"))
+      .select(col("doc_id"), col("frame_no"),
+        expr("substring(media, frame_no * flen + 1, flen)").as("frame"))
+}

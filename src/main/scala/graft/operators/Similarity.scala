@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions._
+
+/** Approximate-nearest-neighbor search over an embedding column.
+  *
+  * bruteForce is the exact baseline (and the oracle for recall checks);
+  * lshAnn is the scale path: random-hyperplane signatures bucket the
+  * corpus so each query only scores its own bucket — at 100 TB the
+  * bucket join replaces the full cross product, and the hyperplanes are
+  * a tiny broadcast literal.
+  */
+object Similarity {
+
+  private def prepared(embeddings: DataFrame): DataFrame =
+    embeddings
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+      .withColumn("nrm", norm(col("v")))
+
+  /** Exact top-k cosine neighbors for each query vector (queries chosen
+    * by id predicate). The sort+limit per query is TakeOrdered — no
+    * global sort. */
+  def bruteForceTopK(embeddings: DataFrame, maxQueryId: Long, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = prepared(embeddings)
+    val q = e.where(col("vec_id") < maxQueryId)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val scored = e.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .withColumn("cos", cosineWithNorms(dot(col("qv"), col("v")), col("qn"), col("nrm")))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
+    scored
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("cos"),
+        row_number().over(w).as("rnk"))
+      .where(col("rnk") <= k)
+      .select(col("query_id"), col("neighbor_id"), round(col("cos"), 6).as("cos"), col("rnk"))
+  }
+
+  /** Deterministic pseudo-random unit hyperplanes (fixed seed) as a
+    * literal — broadcast-sized metadata, never shuffled. */
+  private def planes(nPlanes: Int, dim: Int): Array[Array[Double]] = {
+    val rng = new scala.util.Random(42)
+    Array.fill(nPlanes, dim)(rng.nextGaussian())
+  }
+
+  /** Sign-of-projection LSH bucket id for a double vector column. */
+  def lshBucket(v: Column, nPlanes: Int, dim: Int): Column = {
+    val ps = planes(nPlanes, dim)
+    (0 until nPlanes).map { p =>
+      val plane = lit(ps(p).head) +: (1 until dim).map(d => lit(ps(p)(d)))
+      val proj = (0 until dim)
+        .map(d => element_at(v, d + 1) * lit(ps(p)(d)))
+        .reduce(_ + _)
+      when(proj > 0, lit(1L << p)).otherwise(0L)
+    }.reduce(_ + _)
+  }
+
+  /** LSH-bucketed ANN: queries score only vectors in their own bucket.
+    * Approximate by construction (recall < 1 across bucket boundaries);
+    * nPlanes trades recall vs bucket size. */
+  def lshAnn(embeddings: DataFrame, maxQueryId: Long, k: Int, nPlanes: Int = 4,
+      dim: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = prepared(embeddings).withColumn("bucket", lshBucket(col("v"), nPlanes, dim))
+    val q = e.where(col("vec_id") < maxQueryId)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qn"), col("bucket").as("qbucket"))
+    val scored = e
+      .join(broadcast(q), col("bucket") === col("qbucket") && col("vec_id") =!= col("query_id"))
+      .withColumn("cos", cosineWithNorms(dot(col("qv"), col("v")), col("qn"), col("nrm")))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
+    scored
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("cos"),
+        row_number().over(w).as("rnk"))
+      .where(col("rnk") <= k)
+      .select(col("query_id"), col("neighbor_id"), round(col("cos"), 6).as("cos"), col("rnk"))
+  }
+}

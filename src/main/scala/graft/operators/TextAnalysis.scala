@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text analysis for training-data pipelines: token counting, quality
+  * scoring, language ID, fingerprinting. Everything is per-row (no
+  * shuffle at all — map-only over the corpus, which is the shape you
+  * want for a 100 TB text scan) and built from codegen'd native
+  * functions, no UDFs.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens, empty strings dropped. */
+  def tokens(c: Column): Column = filter(split(c, "\\s+"), x => x =!= "")
+
+  /** BPE-ish pre-tokenizer regex: letter runs, single digits, single
+    * punctuation. Plain character classes only, so Java regex and RE2
+    * agree. */
+  val BpePattern = "[a-z]+|[0-9]|[^a-z0-9 ]"
+
+  def tokenCounts(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      size(tokens(col("text"))).as("ws_tokens"),
+      size(regexp_extract_all(col("text"), lit(BpePattern), lit(0))).as("bpe_tokens"))
+
+  /** Quality scoring: length / punctuation / stopword / word-shape
+    * ratios plus a composite score. All ratios are exact-integer inputs
+    * divided once, so the doubles are engine-identical. */
+  def quality(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val nChars = length(col("text"))
+    val nWords = greatest(size(toks), lit(1))
+    val nAlpha = length(regexp_replace(col("text"), "[^a-z]", ""))
+    val nPunct = length(regexp_replace(col("text"), "[^.!?,;:]", ""))
+    val stopHits = size(filter(toks, t => t.isin(EnStopwords: _*)))
+    docs.select(
+      col("doc_id"),
+      nChars.as("n_chars_text"),
+      size(toks).as("n_words"),
+      round(nAlpha.cast("double") / nWords, 6).as("avg_word_len"),
+      round(nPunct.cast("double") / greatest(nChars, lit(1)), 6).as("punct_ratio"),
+      round(stopHits.cast("double") / nWords, 6).as("stop_ratio"),
+      round(
+        stopHits.cast("double") / nWords * 0.4
+          + least(nAlpha.cast("double") / nWords / 10.0, lit(1.0)) * 0.3
+          + (lit(1.0) - nPunct.cast("double") / greatest(nChars, lit(1))) * 0.3,
+        6).as("quality_score"))
+  }
+
+  val EnStopwords: Seq[String] =
+    Seq("the", "a", "of", "and", "to", "is", "in", "that", "it", "as")
+  val EsStopwords: Seq[String] =
+    Seq("el", "la", "de", "y", "que", "en", "los", "se", "del", "las")
+  val FrStopwords: Seq[String] =
+    Seq("le", "la", "de", "et", "les", "des", "un", "une", "du", "que")
+  val DeStopwords: Seq[String] =
+    Seq("der", "die", "das", "und", "ist", "von", "mit", "den", "im", "ein")
+  val ZhStopwords: Seq[String] =
+    Seq("的", "是", "在", "了", "和", "有", "我", "他", "这", "中")
+
+  /** Stopword-hit language ID. Deterministic argmax with a fixed
+    * preference cascade (en > es > fr > de > zh) on ties. */
+  def langId(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    def hits(ws: Seq[String]): Column = size(filter(toks, t => t.isin(ws: _*)))
+    val (hEn, hEs, hFr, hDe, hZh) =
+      (hits(EnStopwords), hits(EsStopwords), hits(FrStopwords), hits(DeStopwords), hits(ZhStopwords))
+    docs.select(
+      col("doc_id"), col("lang").as("declared_lang"),
+      hEn.as("h_en"), hEs.as("h_es"), hFr.as("h_fr"), hDe.as("h_de"), hZh.as("h_zh"),
+      when(hEn >= greatest(hEs, hFr, hDe, hZh), "en")
+        .when(hEs >= greatest(hFr, hDe, hZh), "es")
+        .when(hFr >= greatest(hDe, hZh), "fr")
+        .when(hDe >= hZh, "de")
+        .otherwise("zh").as("pred_lang"))
+  }
+
+  /** Polynomial rolling-hash document fingerprint over the token stream
+    * (order-sensitive, content-defined). Modular arithmetic keeps every
+    * intermediate well inside Long range (ANSI mode would reject wrapping
+    * overflow), and the fold order is the token order, so the fingerprint
+    * is stable across partitionings. */
+  def fingerprint(docs: DataFrame): DataFrame = {
+    val p = lit(1000000007L)
+    docs.select(
+      col("doc_id"),
+      aggregate(tokens(col("text")), lit(0L),
+        (acc, w) => pmod(acc * 31L + pmod(xxhash64(w), p), p)).as("fp"))
+  }
+}

@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators._
+
+class MapReduceOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("wordCount counts tokens, drops empties") {
+    val df = Seq((1L, "a b  a\tc"), (2L, "b a")).toDF("doc_id", "text")
+    val m = MapReduceOps.wordCount(df).as[(String, Long)].collect().toMap
+    assert(m == Map("a" -> 3L, "b" -> 2L, "c" -> 1L))
+  }
+
+  test("grep pushes filter, keeps matching docs only") {
+    val out = MapReduceOps.grep(Tables.documents(spark, sfDir), "data")
+    assert(out.count() > 0)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") || plan.contains("Filter"))
+  }
+
+  test("sortedTopN is globally ordered") {
+    val rows = MapReduceOps.sortedTopN(Tables.lineitem(spark, sfDir), 50)
+      .select("l_extendedprice").as[Double].collect()
+    assert(rows.length == 50)
+    assert(rows.sliding(2).forall(p => p(0) >= p(1)))
+  }
+
+  test("topKWords deterministic tie-break") {
+    val out = MapReduceOps.topKWords(Tables.documents(spark, sfDir), 5).collect()
+    assert(out.length == 5)
+  }
+
+  test("distinctKeys yields unique pairs") {
+    val out = MapReduceOps.distinctKeys(Tables.lineitem(spark, sfDir))
+    assert(out.count() == out.distinct().count())
+  }
+}
+
+class AnalyticsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("q1 groups by flag/status with positive sums") {
+    val rows = Analytics.q1(Tables.lineitem(spark, sfDir)).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getAs[Double]("sum_qty") > 0))
+  }
+
+  test("q5 uses broadcast joins for dimensions") {
+    val plan = Analytics.q5(spark, sfDir).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"))
+  }
+
+  test("window rank capped at k per customer") {
+    val out = Analytics.topOrdersPerCustomer(Tables.orders(spark, sfDir), 3)
+    val maxPer = out.groupBy("o_custkey").count().agg(max("count")).as[Long].head()
+    assert(maxPer <= 3)
+  }
+
+  test("semi+anti partition the customer set") {
+    val c = Tables.customer(spark, sfDir)
+    val out = Analytics.customersByOrderPresence(c, Tables.orders(spark, sfDir))
+    assert(out.count() == c.count())
+  }
+
+  test("rollup contains the grand total row") {
+    val out = Analytics.rollupSummary(Tables.lineitem(spark, sfDir))
+    assert(out.where($"returnflag" === "ALL" && $"linestatus" === "ALL").count() == 1)
+  }
+}
+
+class EventsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("sessionize splits on gap > 30min") {
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def at(min: Int) = new java.sql.Timestamp(base.getTime + min * 60000L)
+    val df = Seq(
+      (1L, at(0), 1.0), (1L, at(10), 1.0), (1L, at(50), 1.0), // gap 40 → new session
+      (2L, at(0), 1.0)
+    ).toDF("user_id", "ts", "value")
+    val sessions = Events.sessionize(df)
+    assert(sessions.where($"user_id" === 1L).count() == 2)
+    assert(sessions.where($"user_id" === 2L).count() == 1)
+  }
+
+  test("tumblingHourly aggregates per hour/type") {
+    val out = Events.tumblingHourly(Tables.events(spark, sfDir))
+    assert(out.count() > 0)
+    assert(out.columns.toSet == Set("hour_start", "event_type", "cnt", "sum_value"))
+  }
+}
+
+class ExactSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("moneySum is invariant under repartitioning") {
+    val df = Tables.lineitem(spark, sfDir)
+    def total(parts: Int) = df.repartition(parts)
+      .agg(graft.functions.Exact.moneySum($"l_extendedprice").as("s")).as[Double].head()
+    assert(total(1) == total(7)) // bit-identical, not approximately equal
+  }
+}
