@@ -46,6 +46,8 @@ object SparkEntry {
     "t_lang_id" -> ((s, d) => TextAnalysis.langId(Tables.documents(s, d))),
     "t_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(Tables.documents(s, d))),
     "m_meta" -> ((s, d) => Multimodal.metaExtract(Tables.documents(s, d))),
+    // E. storage engine introspection (DFS cluster-stats analog)
+    "fs_stats" -> ((s, d) => new graft.sources.Catalog(s, d).rowCounts()),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -220,6 +222,17 @@ object SparkEntry {
       """SELECT doc_id, octet_length(encode(text)) AS byte_len, md5(text) AS h,
                 n_chars % 640 AS width, n_chars % 480 AS height
          FROM documents""",
+    "fs_stats" ->
+      """SELECT 'customer' AS tbl, count(*) AS n_rows FROM customer
+         UNION ALL SELECT 'documents', count(*) FROM documents
+         UNION ALL SELECT 'embeddings', count(*) FROM embeddings
+         UNION ALL SELECT 'events', count(*) FROM events
+         UNION ALL SELECT 'lineitem', count(*) FROM lineitem
+         UNION ALL SELECT 'nation', count(*) FROM nation
+         UNION ALL SELECT 'orders', count(*) FROM orders
+         UNION ALL SELECT 'part', count(*) FROM part
+         UNION ALL SELECT 'region', count(*) FROM region
+         UNION ALL SELECT 'supplier', count(*) FROM supplier""",
   )
 
   /** Shared by d_dedup_ngram and d_dedup_minhash (see note above). */

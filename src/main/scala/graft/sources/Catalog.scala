@@ -1,0 +1,83 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Storage engine facade — the Spark-first re-expression of the
+  * reference DFS (reference: dfs/controller/fileIndex.go table index;
+  * dfs/client/{uploader,downloader,chunkinator}.go).
+  *
+  * The reference hand-rolls chunking, replication, and parallel
+  * retrieval; on Spark those jobs belong to the storage layer (HDFS/S3
+  * replication) and the parquet reader (splittable files, parallel
+  * scan). What remains engine-side is the useful surface: a table
+  * registry, format-agnostic IO, chunk-size-controlled writes, and
+  * cluster-stats-style introspection.
+  */
+class Catalog(spark: SparkSession, baseDir: String) {
+
+  /** `ls` — table names present in the base dir (file index analog). */
+  def list(): Seq[String] = {
+    val fs = new Path(baseDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val base = new Path(baseDir)
+    if (!fs.exists(base)) Seq.empty
+    else fs.listStatus(base).toSeq
+      .map(_.getPath.getName)
+      .filter(_.endsWith(".parquet"))
+      .map(_.stripSuffix(".parquet"))
+      .sorted
+  }
+
+  def table(name: String): DataFrame =
+    spark.read.parquet(s"$baseDir/$name.parquet")
+
+  def read(name: String, format: String = "parquet"): DataFrame = format match {
+    case "parquet" => table(name)
+    case "csv" => spark.read.option("header", "true").option("inferSchema", "true")
+      .csv(s"$baseDir/$name.csv")
+    case "json" => spark.read.json(s"$baseDir/$name.json")
+    case "text" => spark.read.text(s"$baseDir/$name.txt")
+    case other => throw new IllegalArgumentException(s"unsupported format: $other")
+  }
+
+  /** Register every table as a temp view so `spark.sql` works directly. */
+  def registerAll(): Unit =
+    list().foreach(n => table(n).createOrReplaceTempView(n))
+
+  /** Upload analog: write with bounded chunk size (chunkinator.go).
+    * `maxRecordsPerFile` bounds file size without an extra shuffle;
+    * `numChunks` forces an explicit chunk count via repartition (one
+    * shuffle) when downstream wants uniform chunks. */
+  def writeChunked(df: DataFrame, dest: String, maxRecordsPerFile: Long,
+      numChunks: Option[Int] = None): Unit = {
+    val out = numChunks.map(df.repartition(_)).getOrElse(df)
+    out.write
+      .mode(SaveMode.Overwrite)
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .parquet(dest)
+  }
+
+  /** Partitioned-by write — hive-style layout for partition pruning. */
+  def writePartitioned(df: DataFrame, dest: String, partitionCols: Seq[String]): Unit =
+    df.write.mode(SaveMode.Overwrite).partitionBy(partitionCols: _*).parquet(dest)
+
+  /** Cluster-stats analog (reference: dfs/storageNode/stats.go): rows +
+    * bytes per table. Row counts come from parquet footers (no scan). */
+  def stats(): DataFrame = {
+    val fs = new Path(baseDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val rows = list().map { n =>
+      val p = new Path(s"$baseDir/$n.parquet")
+      val bytes = fs.getContentSummary(p).getLength
+      (n, table(n).count(), bytes)
+    }
+    import spark.implicits._
+    rows.toDF("tbl", "n_rows", "bytes")
+  }
+
+  /** Oracle-friendly per-table row counts (no filesystem columns). */
+  def rowCounts(): DataFrame = {
+    import spark.implicits._
+    list().map(n => (n, table(n).count())).toDF("tbl", "n_rows")
+  }
+}

@@ -1,0 +1,91 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming pipelines over the events stream.
+  *
+  * The reference engine is batch-only; this is the streaming surface a
+  * Spark-native engine adds: file/kafka-shaped sources → watermarked
+  * event-time windows → sinks, plus custom session state via
+  * flatMapGroupsWithState. The batch operators in
+  * `graft.operators.Events` are the replayable batch equivalents (same
+  * semantics over historical data); these run incrementally with
+  * bounded state.
+  */
+object EventStream {
+
+  /** Typed event row for stateful processing (ts in epoch micros). */
+  case class Event(user_id: Long, tsu: Long, value: Double)
+
+  /** Emitted when a session closes (watermark passes its gap). */
+  case class SessionOut(user_id: Long, n_events: Long, start_us: Long, end_us: Long)
+
+  case class SessionState(n: Long, startUs: Long, endUs: Long)
+
+  /** Streaming file source over a parquet events directory. */
+  def readEvents(spark: SparkSession, dir: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", 4)
+      .parquet(dir)
+
+  /** Watermarked 1-hour tumbling counts per event type — the streaming
+    * twin of Events.tumblingHourly. State is bounded by the watermark:
+    * windows older than (max event time − delay) are finalized and
+    * dropped. */
+  def windowedCounts(events: DataFrame, watermarkDelay: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("hour_start"), col("event_type"),
+        col("cnt"), col("sum_value"))
+
+  /** Custom session state: 30-min-gap sessionization with
+    * flatMapGroupsWithState + event-time timeout — the streaming twin of
+    * Events.sessionize. Sessions close when the watermark passes the gap
+    * after their last event; state per user is O(1). */
+  def sessionize(events: Dataset[Event], gapMinutes: Int = 30)(
+      implicit spark: SparkSession): Dataset[SessionOut] = {
+    import spark.implicits._
+    val gapUs = gapMinutes * 60L * 1000000L
+
+    events
+      .withColumn("ts", timestamp_micros(col("tsu")))
+      .withWatermark("ts", "1 hour")
+      .as[(Long, Long, Double, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (userId, rows, state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(SessionOut(userId, s.n, s.startUs, s.endUs))
+          } else {
+            val sorted = rows.map(r => (r._2, r._3)).toSeq.sortBy(_._1)
+            var cur = state.getOption
+            val closed = Seq.newBuilder[SessionOut]
+            sorted.foreach { case (tsu, _) =>
+              cur match {
+                case Some(s) if tsu - s.endUs <= gapUs =>
+                  cur = Some(s.copy(n = s.n + 1, endUs = tsu))
+                case Some(s) =>
+                  closed += SessionOut(userId, s.n, s.startUs, s.endUs)
+                  cur = Some(SessionState(1, tsu, tsu))
+                case None =>
+                  cur = Some(SessionState(1, tsu, tsu))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.endUs / 1000L + gapMinutes * 60L * 1000L)
+            }
+            closed.result().iterator
+          }
+      }
+  }
+}

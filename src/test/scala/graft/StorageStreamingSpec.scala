@@ -1,0 +1,93 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.sources.Catalog
+import graft.streaming.EventStream
+
+class CatalogSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("list finds all tables (controller file-index analog)") {
+    val cat = new Catalog(spark, sfDir)
+    assert(cat.list().toSet == Tables.names.toSet)
+  }
+
+  test("registerAll makes tables SQL-visible") {
+    new Catalog(spark, sfDir).registerAll()
+    assert(spark.sql("SELECT count(*) FROM region").as[Long].head() == 5L)
+  }
+
+  test("writeChunked bounds records per file (chunkinator analog)") {
+    val dest = Files.createTempDirectory("graft-chunks").toString + "/li"
+    val cat = new Catalog(spark, sfDir)
+    cat.writeChunked(cat.table("lineitem"), dest, maxRecordsPerFile = 500,
+      numChunks = Some(4))
+    val back = spark.read.parquet(dest)
+    assert(back.count() == cat.table("lineitem").count())
+    val files = new java.io.File(dest).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(files >= back.count() / 500) // chunk bound respected
+  }
+
+  test("writePartitioned enables partition pruning") {
+    val dest = Files.createTempDirectory("graft-part").toString + "/orders"
+    val cat = new Catalog(spark, sfDir)
+    cat.writePartitioned(cat.table("orders"), dest, Seq("o_orderstatus"))
+    val pruned = spark.read.parquet(dest).where($"o_orderstatus" === "F")
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(pruned.count() > 0)
+    assert(!plan.contains("o_orderstatus") || plan.contains("PartitionFilters"))
+  }
+
+  test("stats reports rows and bytes per table (cluster-stats analog)") {
+    val st = new Catalog(spark, sfDir).stats().collect()
+    assert(st.length == Tables.names.length)
+    assert(st.forall(r => r.getAs[Long]("n_rows") > 0 && r.getAs[Long]("bytes") > 0))
+  }
+}
+
+class EventStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("windowedCounts over a streaming file source matches batch totals") {
+    val batch = Tables.events(spark, sfDir)
+    // stream from a re-written copy (normalized µs timestamps)
+    val srcDir = Files.createTempDirectory("graft-stream-src").toString
+    batch.write.mode("overwrite").parquet(srcDir)
+    val stream = EventStream.readEvents(spark, srcDir, batch.schema)
+    val q = EventStream.windowedCounts(stream)
+      .writeStream.format("memory").queryName("wc_out").outputMode("append")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    // append mode only emits watermark-closed windows; all but the last
+    // couple of hours of a bounded replay are closed.
+    val streamed = spark.table("wc_out")
+    val batchTotals = operators.Events.tumblingHourly(batch)
+    assert(streamed.count() > 0)
+    assert(streamed.count() <= batchTotals.count())
+    // every emitted (window, type, cnt) must agree with batch
+    val joined = streamed
+      .select(date_format($"hour_start", "yyyy-MM-dd HH:mm").as("hour_start"),
+        $"event_type", $"cnt".as("s_cnt"))
+      .join(batchTotals, Seq("hour_start", "event_type"))
+    assert(joined.where($"s_cnt" =!= $"cnt").count() == 0)
+  }
+
+  test("stateful sessionizer emits sessions closed by the watermark") {
+    val batch = Tables.events(spark, sfDir)
+      .select($"user_id", unix_micros($"ts").as("tsu"), $"value")
+    val srcDir = Files.createTempDirectory("graft-sess-src").toString
+    batch.write.mode("overwrite").parquet(srcDir)
+    implicit val s = spark
+    val events = spark.readStream.schema(batch.schema).parquet(srcDir)
+      .as[EventStream.Event]
+    val q = EventStream.sessionize(events)
+      .writeStream.format("memory").queryName("sess_out").outputMode("append")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val out = spark.table("sess_out")
+    assert(out.count() > 0)
+    assert(out.where($"n_events" <= 0).count() == 0)
+    assert(out.where($"end_us" < $"start_us").count() == 0)
+  }
+}
