@@ -73,21 +73,22 @@ object Dedup {
     val rowsPerBand = numHashes / bands
     val sh = shingles(docs, n)
 
-    // signature: min over shingles of hash_i(shingle), i = 0..k-1
-    val sig = sh
-      .select(col("doc_id"),
-        posexplode(transform(sequence(lit(0), lit(numHashes - 1)),
-          i => xxhash64(concat(i.cast("string"), lit("#"), col("shingle"))))).as(Seq("pos", "hv")))
-      .groupBy(col("doc_id"), col("pos"))
-      .agg(min(col("hv")).as("mh"))
+    // signature: k min-hash columns in ONE map-side-partial aggregation —
+    // no row explosion (a posexplode of k hashes per shingle would
+    // shuffle k× the shingle count; this shuffles one row per doc)
+    val minCols = (0 until numHashes).map(i =>
+      min(xxhash64(concat(lit(s"$i#"), col("shingle")))).as(s"mh$i"))
+    val sig = sh.groupBy(col("doc_id")).agg(minCols.head, minCols.tail: _*)
 
-    // band key: hash of the band's minhash slice (order fixed by pos)
+    // band key: hash of the band's minhash slice (column order is fixed)
+    val bandStructs = (0 until bands).map { b =>
+      val slice = (b * rowsPerBand until (b + 1) * rowsPerBand)
+        .map(i => col(s"mh$i").cast("string"))
+      struct(lit(b).as("band"), xxhash64(concat_ws(",", slice: _*)).as("bh"))
+    }
     val banded = sig
-      .withColumn("band", (col("pos") / rowsPerBand).cast("int"))
-      .groupBy(col("doc_id"), col("band"))
-      .agg(sort_array(collect_list(struct(col("pos"), col("mh")))).as("slice"))
-      .select(col("doc_id"), col("band"),
-        xxhash64(concat_ws(",", transform(col("slice"), s => s.getField("mh").cast("string")))).as("bh"))
+      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
 
     val candidates = banded.as("x")
       .join(banded.as("y"),
@@ -142,20 +143,58 @@ object Dedup {
       .where(col("hamming") <= maxHamming)
   }
 
-  /** Embedding-cosine near-dup pairs above a threshold. Quadratic
-    * baseline (correct reference); at scale run Similarity.lshAnn to get
-    * candidates and verify with this cosine. */
-  def embeddingNearDup(embeddings: DataFrame, threshold: Double = 0.4): DataFrame = {
-    val e = embeddings.select(
-      col("vec_id"), VectorFunctions.toDouble(col("embedding")).as("v"))
-      .withColumn("nrm", VectorFunctions.norm(col("v")))
-    e.as("a")
-      .join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
-      .withColumn("cos",
-        VectorFunctions.cosineWithNorms(
-          VectorFunctions.dot(col("a.v"), col("b.v")), col("a.nrm"), col("b.nrm")))
-      .where(col("cos") >= threshold)
-      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
-        round(col("cos"), 6).as("cos"))
+  /** Embedding-cosine near-dup pairs above a threshold — the exact
+    * quadratic baseline (at scale run Similarity.lshAnn for candidates
+    * and verify with this cosine).
+    *
+    * All-pairs scoring is genuine per-partition numeric kernel work, so
+    * this drops to mapPartitions over primitive double arrays with the
+    * full vector set broadcast (it must fit in memory for an exact
+    * all-pairs answer regardless of engine): each partition owns a slice
+    * of rows i and scans j > i at memory bandwidth instead of paying
+    * row-at-a-time expression evaluation per pair. The dot fold is
+    * left-to-right, matching the declarative variant bit-for-bit.
+    */
+  def embeddingNearDup(embeddings: DataFrame, threshold: Double = 0.4,
+      dim: Int = 64): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val vecs = embeddings
+      .select(col("vec_id"), VectorFunctions.toDouble(col("embedding")).as("v"))
+      .as[(Long, Array[Double])]
+      .collect()
+      .sortBy(_._1)
+    val ids = vecs.map(_._1)
+    val vs = vecs.map(_._2)
+    val norms = vs.map(v => math.sqrt(selfDot(v)))
+    val bcIds = spark.sparkContext.broadcast(ids)
+    val bcVs = spark.sparkContext.broadcast(vs)
+    val bcNorms = spark.sparkContext.broadcast(norms)
+    val n = vecs.length
+    val pairs = spark.range(0, n)
+      .repartition(spark.sparkContext.defaultParallelism) // spread the triangular workload
+      .as[Long]
+      .mapPartitions { it =>
+        val idArr = bcIds.value; val vArr = bcVs.value; val nrm = bcNorms.value
+        it.flatMap { i0 =>
+          val i = i0.toInt
+          val vi = vArr(i); val ni = nrm(i)
+          (i + 1 until n).iterator.flatMap { j =>
+            var s = 0.0; var k = 0
+            val vj = vArr(j)
+            while (k < vi.length) { s += vi(k) * vj(k); k += 1 }
+            val cos = s / (ni * nrm(j))
+            if (cos >= threshold) Iterator((idArr(i), idArr(j), cos)) else Iterator.empty
+          }
+        }
+      }
+      .toDF("id_a", "id_b", "cos")
+    pairs.select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
+  }
+
+  private def selfDot(v: Array[Double]): Double = {
+    var s = 0.0; var k = 0
+    while (k < v.length) { s += v(k) * v(k); k += 1 }
+    s
   }
 }

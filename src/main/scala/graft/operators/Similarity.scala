@@ -14,10 +14,12 @@ import graft.functions.VectorFunctions._
   */
 object Similarity {
 
+  val Dim = 64
+
   private def prepared(embeddings: DataFrame): DataFrame =
     embeddings
       .select(col("vec_id"), toDouble(col("embedding")).as("v"))
-      .withColumn("nrm", norm(col("v")))
+      .withColumn("nrm", normFixed(col("v"), Dim))
 
   /** Exact top-k cosine neighbors for each query vector (queries chosen
     * by id predicate). The sort+limit per query is TakeOrdered — no
@@ -28,7 +30,7 @@ object Similarity {
     val q = e.where(col("vec_id") < maxQueryId)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
     val scored = e.join(broadcast(q), col("vec_id") =!= col("query_id"))
-      .withColumn("cos", cosineWithNorms(dot(col("qv"), col("v")), col("qn"), col("nrm")))
+      .withColumn("cos", cosineWithNorms(dotFixed(col("qv"), col("v"), Dim), col("qn"), col("nrm")))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
     scored
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("cos"),
@@ -68,7 +70,7 @@ object Similarity {
         col("nrm").as("qn"), col("bucket").as("qbucket"))
     val scored = e
       .join(broadcast(q), col("bucket") === col("qbucket") && col("vec_id") =!= col("query_id"))
-      .withColumn("cos", cosineWithNorms(dot(col("qv"), col("v")), col("qn"), col("nrm")))
+      .withColumn("cos", cosineWithNorms(dotFixed(col("qv"), col("v"), Dim), col("qn"), col("nrm")))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
     scored
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("cos"),
