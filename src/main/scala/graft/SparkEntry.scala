@@ -29,10 +29,15 @@ object SparkEntry {
     "q_semi_anti" -> ((s, d) =>
       Analytics.customersByOrderPresence(Tables.customer(s, d), Tables.orders(s, d))),
     "q_having" -> ((s, d) => Analytics.bigCustomers(Tables.orders(s, d), 12)),
+    "q_cube" -> ((s, d) => Analytics.cubeSummary(Tables.lineitem(s, d))),
+    "q_setops" -> ((s, d) => Analytics.customerYearSets(Tables.orders(s, d))),
+    "q_distinct_count" -> ((s, d) => Analytics.distinctCounts(Tables.lineitem(s, d))),
+    "q_median" -> ((s, d) => Analytics.medianByStatus(Tables.orders(s, d))),
     // C. Events
     "e_tumbling" -> ((s, d) => Events.tumblingHourly(Tables.events(s, d))),
     "e_sessionize" -> ((s, d) => Events.sessionize(Tables.events(s, d))),
     "e_user_stats" -> ((s, d) => Events.userStats(Tables.events(s, d))),
+    "e_asof" -> ((s, d) => AsOfJoin.purchaseAttribution(Tables.events(s, d))),
     // D. LLM-training-data pipeline
     "d_dedup_exact" -> ((s, d) => Dedup.exact(Tables.documents(s, d))),
     "d_dedup_ngram" -> ((s, d) => Dedup.ngramJaccard(Tables.documents(s, d), 3, 0.5)),
@@ -123,6 +128,43 @@ object SparkEntry {
       """SELECT o_custkey, count(*) AS order_cnt,
                 CAST(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total_spent
          FROM orders GROUP BY o_custkey HAVING count(*) > 12""",
+    "q_cube" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+                coalesce(l_linestatus, 'ALL') AS linestatus,
+                CAST(sum(CAST(round((l_extendedprice) * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_price,
+                count(*) AS cnt
+         FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""",
+    "q_setops" ->
+      """WITH c96 AS (SELECT o_custkey FROM orders
+                      WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+                        AND o_orderdate < TIMESTAMP '1997-01-01'),
+              c97 AS (SELECT o_custkey FROM orders
+                      WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+                        AND o_orderdate < TIMESTAMP '1998-01-01')
+         SELECT 'both' AS tag, o_custkey FROM (SELECT o_custkey FROM c96 INTERSECT SELECT o_custkey FROM c97)
+         UNION ALL
+         SELECT 'only_1996' AS tag, o_custkey FROM (SELECT o_custkey FROM c96 EXCEPT SELECT o_custkey FROM c97)""",
+    "q_distinct_count" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
+                count(DISTINCT l_suppkey) AS n_supps, count(*) AS n_rows
+         FROM lineitem GROUP BY l_returnflag""",
+    "q_median" ->
+      """SELECT o_orderstatus, quantile_cont(o_totalprice, 0.5) AS median_price,
+                count(*) AS cnt
+         FROM orders GROUP BY o_orderstatus""",
+    "e_asof" ->
+      """WITH u AS (
+           SELECT user_id, epoch_us(ts) AS tsu,
+                  CASE WHEN event_type = 'view' THEN epoch_us(ts) END AS view_ts,
+                  CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_p,
+                  CASE WHEN event_type = 'view' THEN 0 ELSE 1 END AS ord
+           FROM events WHERE event_type IN ('view', 'purchase')),
+         w AS (
+           SELECT user_id, tsu, is_p,
+                  max(view_ts) OVER (PARTITION BY user_id ORDER BY tsu, ord
+                                     ROWS UNBOUNDED PRECEDING) AS last_view_us
+           FROM u)
+         SELECT user_id, tsu AS purchase_us, last_view_us FROM w WHERE is_p = 1""",
     "e_tumbling" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS hour_start,
                 event_type, count(*) AS cnt, CAST(sum(CAST(round((value) * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_value

@@ -105,6 +105,48 @@ object Analytics {
     semi.unionAll(anti)
   }
 
+  /** CUBE aggregate — all grouping-set combinations in one pass. */
+  def cubeSummary(lineitem: DataFrame): DataFrame =
+    lineitem
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(moneySum(col("l_extendedprice")).as("sum_price"), count(lit(1)).as("cnt"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("sum_price"), col("cnt"))
+
+  /** Set operations: customers ordering in both years (INTERSECT) vs
+    * only the first year (EXCEPT), tagged in one result. */
+  def customerYearSets(orders: DataFrame): DataFrame = {
+    def custsIn(y: String, y1: String) = orders
+      .where(col("o_orderdate") >= lit(y).cast("timestamp") &&
+        col("o_orderdate") < lit(y1).cast("timestamp"))
+      .select(col("o_custkey"))
+    val c96 = custsIn("1996-01-01", "1997-01-01")
+    val c97 = custsIn("1997-01-01", "1998-01-01")
+    c96.intersect(c97).select(lit("both").as("tag"), col("o_custkey"))
+      .unionAll(c96.except(c97).select(lit("only_1996").as("tag"), col("o_custkey")))
+  }
+
+  /** Exact distinct counts per group (the count-distinct shuffle shape;
+    * approx_count_distinct is the sketch alternative at scale). */
+  def distinctCounts(lineitem: DataFrame): DataFrame =
+    lineitem
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        count(lit(1)).as("n_rows"))
+
+  /** Exact interpolated median per group (percentile = full sort per
+    * group; at 100 TB prefer approx_percentile — this is the exact
+    * reference). */
+  def medianByStatus(orders: DataFrame): DataFrame =
+    orders
+      .groupBy(col("o_orderstatus"))
+      .agg(percentile(col("o_totalprice"), lit(0.5)).as("median_price"),
+        count(lit(1)).as("cnt"))
+
   /** Post-aggregation filter (HAVING). */
   def bigCustomers(orders: DataFrame, minOrders: Long): DataFrame =
     orders

@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of join: for each left row, the latest right row with the same key
+  * whose timestamp is at-or-before the left row's timestamp.
+  *
+  * Spark has no built-in as-of join; rather than a custom SparkPlan,
+  * this composes exchange-friendly primitives: tag and union both
+  * sides (cheap, no shuffle), then ONE window over (key, ts) carrying a
+  * running `max(struct(right_ts, payload))` — lexicographic struct max ==
+  * "latest right row so far". Total cost is a single shuffle on the key,
+  * the same lower bound a dedicated sort-merge as-of operator would pay,
+  * and it inherits AQE/skew handling for free.
+  */
+object AsOfJoin {
+
+  /** Left rows gain `asof_<payloadCol>` columns from the latest right row
+    * at-or-before their timestamp (per key). Right rows at exactly the
+    * left timestamp are included. */
+  def asOf(left: DataFrame, right: DataFrame, key: String,
+      leftTs: String, rightTs: String, payload: Seq[String]): DataFrame = {
+    val lTagged = left
+      .withColumn("__ts", col(leftTs))
+      .withColumn("__ord", lit(1))
+      .withColumn("__carry", lit(null).cast(carryType(right, rightTs, payload)))
+    val rTagged = right
+      .select((key +: rightTs +: payload).map(col): _*)
+      .withColumn("__ts", col(rightTs))
+      .withColumn("__ord", lit(0))
+      .withColumn("__carry", struct((rightTs +: payload).map(col): _*))
+    val unioned = lTagged.select(unionCols(left, key, payload): _*)
+      .unionByName(rTagged.select(unionCols(right, key, payload, rightOnly = true): _*),
+        allowMissingColumns = true)
+
+    val w = Window.partitionBy(col(key)).orderBy(col("__ts"), col("__ord"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = unioned.withColumn("__last", max(col("__carry")).over(w))
+    val out = carried
+      .where(col("__ord") === 1)
+      .drop("__ts", "__ord", "__carry")
+    payload.foldLeft(out) { (df, p) =>
+      df.withColumn(s"asof_$p", col("__last").getField(p))
+    }.drop("__last")
+  }
+
+  private def carryType(right: DataFrame, rightTs: String, payload: Seq[String]) =
+    org.apache.spark.sql.types.StructType(
+      (rightTs +: payload).map(c => right.schema(c)))
+
+  private def unionCols(df: DataFrame, key: String, payload: Seq[String],
+      rightOnly: Boolean = false): Seq[Column] =
+    if (rightOnly) Seq(col(key), col("__ts"), col("__ord"), col("__carry"))
+    else df.columns.filterNot(Set("__ts", "__ord", "__carry")).map(col).toSeq ++
+      Seq(col("__ts"), col("__ord"), col("__carry"))
+
+  /** Attribution query: each purchase event gets the timestamp of the
+    * user's most recent view at-or-before it (epoch µs; null when no
+    * prior view). One shuffle on user_id. */
+  def purchaseAttribution(events: DataFrame): DataFrame = {
+    val u = events
+      .where(col("event_type").isin("view", "purchase"))
+      .select(
+        col("user_id"),
+        unix_micros(col("ts")).as("tsu"),
+        when(col("event_type") === "view", unix_micros(col("ts"))).as("view_ts"),
+        when(col("event_type") === "purchase", 1).otherwise(0).as("is_p"),
+        when(col("event_type") === "view", 0).otherwise(1).as("ord"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("tsu"), col("ord"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    u.withColumn("last_view_us", max(col("view_ts")).over(w))
+      .where(col("is_p") === 1)
+      .select(col("user_id"), col("tsu").as("purchase_us"), col("last_view_us"))
+  }
+}

@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{CosineSimilarity, VectorFunctions}
+import graft.operators.{Analytics, AsOfJoin}
+
+class CosineSimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("native cosine_sim matches the composed functions version") {
+    val e = Tables.embeddings(spark, sfDir)
+      .select($"vec_id", VectorFunctions.toDouble($"embedding").as("v"))
+    val pairs = e.as("a").join(e.as("b"), $"a.vec_id" < $"b.vec_id").limit(2000)
+    val native = pairs.select(
+      round(CosineSimilarity.cosineSim($"a.v", $"b.v"), 9).as("c"))
+    val composed = pairs.select(
+      round(VectorFunctions.cosineWithNorms(
+        VectorFunctions.dotFixed($"a.v", $"b.v", 64),
+        VectorFunctions.normFixed($"a.v", 64),
+        VectorFunctions.normFixed($"b.v", 64)), 9).as("c"))
+    assert(native.as[Double].collect().sorted.toSeq ==
+      composed.as[Double].collect().sorted.toSeq)
+  }
+
+  test("cosine_sim is registered for SQL and self-similarity is 1") {
+    Tables.embeddings(spark, sfDir)
+      .select(VectorFunctions.toDouble($"embedding").as("v"))
+      .createOrReplaceTempView("emb_v")
+    val sims = spark.sql("SELECT cosine_sim(v, v) AS s FROM emb_v").as[Double].collect()
+    assert(sims.forall(s => math.abs(s - 1.0) < 1e-12))
+  }
+
+  test("cosine_sim participates in whole-stage codegen") {
+    val e = Tables.embeddings(spark, sfDir)
+      .select($"vec_id", VectorFunctions.toDouble($"embedding").as("v"))
+    val df = e.select(CosineSimilarity.cosineSim($"v", $"v"))
+    df.collect() // materialize so AQE finalizes the physical plan
+    val plan = df.queryExecution.executedPlan.toString
+    // the "*(n)" prefix marks a WholeStageCodegen stage in compact form
+    assert("""\*\(\d+\) Project \[cosinesimilarity""".r.findFirstIn(plan).isDefined)
+  }
+}
+
+class AsOfJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("asOf attaches latest right payload at-or-before left ts") {
+    val trades = Seq((1L, 10L, "t1"), (1L, 20L, "t2"), (2L, 15L, "t3"))
+      .toDF("k", "ts", "trade")
+    val quotes = Seq((1L, 5L, 100.0), (1L, 10L, 101.0), (1L, 18L, 102.0), (2L, 20L, 103.0))
+      .toDF("k", "qts", "px")
+    val out = AsOfJoin.asOf(trades, quotes, "k", "ts", "qts", Seq("px"))
+      .select($"trade", $"asof_px").as[(String, Option[Double])].collect().toMap
+    assert(out("t1").contains(101.0)) // quote at exactly ts=10 included
+    assert(out("t2").contains(102.0))
+    assert(out("t3").isEmpty)         // no quote at-or-before 15 for key 2
+  }
+
+  test("purchaseAttribution: every purchase's last view is at-or-before it") {
+    val out = AsOfJoin.purchaseAttribution(Tables.events(spark, sfDir))
+    assert(out.count() > 0)
+    assert(out.where($"last_view_us" > $"purchase_us").count() == 0)
+  }
+}
+
+class AnalyticsExtraSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("cube contains rollup rows plus per-linestatus slices") {
+    val out = Analytics.cubeSummary(Tables.lineitem(spark, sfDir))
+    assert(out.where($"returnflag" === "ALL" && $"linestatus" === "ALL").count() == 1)
+    assert(out.where($"returnflag" === "ALL" && $"linestatus" =!= "ALL").count() > 0)
+  }
+
+  test("setops tags are disjoint") {
+    val out = Analytics.customerYearSets(Tables.orders(spark, sfDir))
+    val both = out.where($"tag" === "both").select("o_custkey")
+    val only = out.where($"tag" === "only_1996").select("o_custkey")
+    assert(both.intersect(only).count() == 0)
+  }
+
+  test("median lies within group min/max") {
+    val med = Analytics.medianByStatus(Tables.orders(spark, sfDir))
+    val bounds = Tables.orders(spark, sfDir).groupBy($"o_orderstatus")
+      .agg(min($"o_totalprice").as("lo"), max($"o_totalprice").as("hi"))
+    val joined = med.join(bounds, "o_orderstatus")
+    assert(joined.where($"median_price" < $"lo" || $"median_price" > $"hi").count() == 0)
+  }
+}
