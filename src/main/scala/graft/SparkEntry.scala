@@ -33,6 +33,7 @@ object SparkEntry {
     "q_setops" -> ((s, d) => Analytics.customerYearSets(Tables.orders(s, d))),
     "q_distinct_count" -> ((s, d) => Analytics.distinctCounts(Tables.lineitem(s, d))),
     "q_median" -> ((s, d) => Analytics.medianByStatus(Tables.orders(s, d))),
+    "q_sketch" -> ((s, d) => Analytics.sketchSummary(Tables.lineitem(s, d))),
     // C. Events
     "e_tumbling" -> ((s, d) => Events.tumblingHourly(Tables.events(s, d))),
     "e_sessionize" -> ((s, d) => Events.sessionize(Tables.events(s, d))),

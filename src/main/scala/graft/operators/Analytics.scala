@@ -147,6 +147,19 @@ object Analytics {
       .agg(percentile(col("o_totalprice"), lit(0.5)).as("median_price"),
         count(lit(1)).as("cnt"))
 
+  /** Sketch aggregates — the 100 TB substitutes for exact distinct /
+    * percentile: HLL++ and KLL-style quantiles, constant memory per
+    * group, mergeable across partitions. Deterministic for fixed data
+    * (merges are commutative), but engine-specific — no cross-engine
+    * oracle, verified rows-only + by spec against exact counterparts. */
+  def sketchSummary(lineitem: DataFrame): DataFrame =
+    lineitem
+      .groupBy(col("l_returnflag"))
+      .agg(
+        approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        approx_count_distinct(col("l_suppkey")).as("approx_supps"),
+        percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("approx_median_price"))
+
   /** Post-aggregation filter (HAVING). */
   def bigCustomers(orders: DataFrame, minOrders: Long): DataFrame =
     orders

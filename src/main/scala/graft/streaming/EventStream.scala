@@ -44,6 +44,14 @@ object EventStream {
       .select(col("window.start").as("hour_start"), col("event_type"),
         col("cnt"), col("sum_value"))
 
+  /** Streaming exact dedup: drop duplicate event_ids within the
+    * watermark horizon — the incremental twin of Dedup.exact. State is
+    * one key per id, aged out once the watermark passes. */
+  def dedupStream(events: DataFrame, watermarkDelay: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .dropDuplicates("event_id")
+
   /** Custom session state: 30-min-gap sessionization with
     * flatMapGroupsWithState + event-time timeout — the streaming twin of
     * Events.sessionize. Sessions close when the watermark passes the gap

@@ -1,0 +1,56 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.operators.{Analytics, Skew}
+import graft.streaming.EventStream
+
+class SkewSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("saltedJoin returns exactly the rows of the plain join") {
+    val li = Tables.lineitem(spark, sfDir).select($"l_orderkey", $"l_quantity")
+    val o = Tables.orders(spark, sfDir)
+      .select($"o_orderkey".as("l_orderkey"), $"o_totalprice")
+    val plain = li.join(o, Seq("l_orderkey"))
+    val salted = Skew.saltedJoin(li, o, "l_orderkey", saltFactor = 8)
+    assert(salted.count() == plain.count())
+    assert(salted.agg(sum($"l_quantity")).as[Double].head() ==
+      plain.agg(sum($"l_quantity")).as[Double].head())
+  }
+}
+
+class SketchSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("sketches land within documented error of exact values") {
+    val approx = Analytics.sketchSummary(Tables.lineitem(spark, sfDir))
+    val exact = Analytics.distinctCounts(Tables.lineitem(spark, sfDir))
+    val joined = approx.join(exact, "l_returnflag").collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      val a = r.getAs[Long]("approx_parts").toDouble
+      val e = r.getAs[Long]("n_parts").toDouble
+      assert(math.abs(a - e) / e < 0.1, s"approx $a vs exact $e")
+    }
+  }
+}
+
+class DedupStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("streaming dedup drops duplicate event_ids within the watermark") {
+    val batch = Tables.events(spark, sfDir).limit(200)
+    val doubled = batch.unionAll(batch) // every id twice
+    val srcDir = Files.createTempDirectory("graft-dedup-src").toString
+    doubled.write.mode("overwrite").parquet(srcDir)
+    val stream = spark.readStream.schema(doubled.schema).parquet(srcDir)
+    val q = EventStream.dedupStream(stream)
+      .writeStream.format("memory").queryName("dedup_out").outputMode("append")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val out = spark.table("dedup_out")
+    assert(out.count() == batch.count())
+    assert(out.groupBy("event_id").count().where($"count" > 1).count() == 0)
+  }
+}
