@@ -47,6 +47,7 @@ object SparkEntry {
     "d_dedup_embed" -> ((s, d) => Dedup.embeddingNearDup(Tables.embeddings(s, d), 0.4)),
     "s_ann_brute" -> ((s, d) => Similarity.bruteForceTopK(Tables.embeddings(s, d), 5, 10)),
     "s_ann_lsh" -> ((s, d) => Similarity.lshAnn(Tables.embeddings(s, d), 5, 10)),
+    "s_ann_ivf" -> ((s, d) => Similarity.ivfAnn(Tables.embeddings(s, d), 5, 10)),
     "t_token_count" -> ((s, d) => TextAnalysis.tokenCounts(Tables.documents(s, d))),
     "t_quality" -> ((s, d) => TextAnalysis.quality(Tables.documents(s, d))),
     "t_lang_id" -> ((s, d) => TextAnalysis.langId(Tables.documents(s, d))),

@@ -62,6 +62,19 @@ class Catalog(spark: SparkSession, baseDir: String) {
   def writePartitioned(df: DataFrame, dest: String, partitionCols: Seq[String]): Unit =
     df.write.mode(SaveMode.Overwrite).partitionBy(partitionCols: _*).parquet(dest)
 
+  /** Bucketed managed table: co-locates rows by join key so repeated
+    * joins/aggregations on that key skip the exchange entirely — the
+    * bucketing IS the pre-shuffle, paid once at write time. The 100 TB
+    * pattern for fact-fact joins too big to broadcast. */
+  def writeBucketed(df: DataFrame, tableName: String, bucketCol: String,
+      numBuckets: Int): Unit =
+    df.write
+      .mode(SaveMode.Overwrite)
+      .bucketBy(numBuckets, bucketCol)
+      .sortBy(bucketCol)
+      .format("parquet")
+      .saveAsTable(tableName)
+
   /** Cluster-stats analog (reference: dfs/storageNode/stats.go): rows +
     * bytes per table. Row counts come from parquet footers (no scan). */
   def stats(): DataFrame = {

@@ -1,0 +1,79 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.operators.Similarity
+import graft.sources.Catalog
+
+class BucketedJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bucketed tables join without an exchange on either side") {
+    val cat = new Catalog(spark, sfDir)
+    cat.writeBucketed(
+      cat.table("lineitem").select($"l_orderkey", $"l_quantity"),
+      "li_bucketed", "l_orderkey", 8)
+    cat.writeBucketed(
+      cat.table("orders").select($"o_orderkey", $"o_totalprice"),
+      "o_bucketed", "o_orderkey", 8)
+    val joined = spark.table("li_bucketed")
+      .join(spark.table("o_bucketed"), $"l_orderkey" === $"o_orderkey")
+    joined.collect()
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"bucketed join should not shuffle:\n$plan")
+    assert(joined.count() == cat.table("lineitem").count())
+  }
+}
+
+class FormatRoundTripSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("csv and json round-trip through Catalog.read") {
+    val dir = Files.createTempDirectory("graft-fmt").toString
+    val cat = new Catalog(spark, dir)
+    val df = Tables.nation(spark, sfDir)
+    df.coalesce(1).write.option("header", "true").csv(s"$dir/nation.csv")
+    df.coalesce(1).write.json(s"$dir/nation.json")
+    val backCsv = cat.read("nation", "csv")
+    val backJson = cat.read("nation", "json")
+    assert(backCsv.count() == df.count())
+    assert(backJson.count() == df.count())
+    assert(backJson.select("n_name").as[String].collect().toSet ==
+      df.select("n_name").as[String].collect().toSet)
+  }
+
+  test("text format reads lines") {
+    val dir = Files.createTempDirectory("graft-txt").toString
+    val cat = new Catalog(spark, dir)
+    Tables.documents(spark, sfDir).select($"text")
+      .coalesce(1).write.text(s"$dir/docs.txt")
+    assert(cat.read("docs", "text").count() ==
+      Tables.documents(spark, sfDir).count())
+  }
+}
+
+class IvfAnnSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("ivfAnn returns ranked neighbors from probed cells only") {
+    val out = Similarity.ivfAnn(Tables.embeddings(spark, sfDir), 3, 5).collect()
+    assert(out.nonEmpty)
+    val byQuery = out.groupBy(_.getAs[Long]("query_id"))
+    byQuery.values.foreach { rows =>
+      assert(rows.length <= 5)
+      val sorted = rows.sortBy(_.getAs[Int]("rnk"))
+      assert(sorted.sliding(2).forall(p =>
+        p.length < 2 || p(0).getAs[Double]("cos") >= p(1).getAs[Double]("cos")))
+    }
+  }
+
+  test("ivfAnn recall against brute force is reasonable on probed cells") {
+    val brute = Similarity.bruteForceTopK(Tables.embeddings(spark, sfDir), 3, 5)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.ivfAnn(Tables.embeddings(spark, sfDir), 3, 5, nCells = 8, nProbe = 4)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (brute & ivf).size.toDouble / brute.size
+    assert(recall >= 0.2, s"recall $recall too low")
+  }
+}
