@@ -27,7 +27,10 @@ object Dedup {
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
 
   /** Distinct word n-gram shingles per doc: (doc_id, shingle). */
-  def shingles(docs: DataFrame, n: Int): DataFrame = {
+  def shingles(docs: DataFrame, n: Int): DataFrame =
+    rawShingles(docs, n).distinct()
+
+  private def rawShingles(docs: DataFrame, n: Int): DataFrame = {
     val w = TextAnalysis.tokens(col("text"))
     val grams = transform(
       sequence(lit(1), size(col("w")) - (n - 1)),
@@ -36,18 +39,26 @@ object Dedup {
       .select(col("doc_id"), w.as("w"))
       .where(size(col("w")) >= n)
       .select(col("doc_id"), explode(grams).as("shingle"))
-      .distinct()
   }
+
+  /** Non-distinct hashed shingles: (doc_id, h: Long). Downstream minhash /
+    * set aggregation is duplicate-insensitive, so the dedup shuffle a
+    * `.distinct()` would cost is skipped; all signature math runs on 64-bit
+    * longs instead of shingle strings (one xxhash64 per shingle total). */
+  def hashedShingles(docs: DataFrame, n: Int): DataFrame =
+    rawShingles(docs, n).select(col("doc_id"), xxhash64(col("shingle")).as("h"))
 
   /** Exact n-gram Jaccard near-dup pairs via a shingle inverted index.
     * The self-join on shingle is the candidate generator; count/union
     * arithmetic is all-integer so the Jaccard double is engine-exact. */
   def ngramJaccard(docs: DataFrame, n: Int = 3, threshold: Double = 0.5): DataFrame = {
-    val sh = shingles(docs, n)
+    // long-hash shingles: the inverted-index self-join shuffles 8-byte keys
+    // instead of n-word strings (same pair set modulo 64-bit collisions)
+    val sh = hashedShingles(docs, n).distinct()
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     val inter = sh.as("a")
       .join(sh.as("b"),
-        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .agg(count(lit(1)).as("n_inter"))
     inter
@@ -71,20 +82,22 @@ object Dedup {
       docs: DataFrame, n: Int = 3, numHashes: Int = 64, bands: Int = 16,
       threshold: Double = 0.5): DataFrame = {
     val rowsPerBand = numHashes / bands
-    val sh = shingles(docs, n)
+    val sh = hashedShingles(docs, n)
 
-    // signature: k min-hash columns in ONE map-side-partial aggregation —
-    // no row explosion (a posexplode of k hashes per shingle would
-    // shuffle k× the shingle count; this shuffles one row per doc)
-    val minCols = (0 until numHashes).map(i =>
-      min(xxhash64(concat(lit(s"$i#"), col("shingle")))).as(s"mh$i"))
-    val sig = sh.groupBy(col("doc_id")).agg(minCols.head, minCols.tail: _*)
+    // k hash functions as seeded re-hashes of the 8-byte base hash — pure
+    // long-to-long work, no per-hash string concat — and the k mins + the
+    // verification shingle-set in ONE aggregation: one scan, one map-side
+    // partial, one shuffle of a single row per doc.
+    val minCols = (0 until numHashes).map { i =>
+      min(xxhash64(col("h"), lit(i))).as(s"mh$i")
+    }
+    val aggCols = minCols.tail :+ collect_set(col("h")).as("ss")
+    val sig = sh.groupBy(col("doc_id")).agg(minCols.head, aggCols: _*)
 
     // band key: hash of the band's minhash slice (column order is fixed)
     val bandStructs = (0 until bands).map { b =>
-      val slice = (b * rowsPerBand until (b + 1) * rowsPerBand)
-        .map(i => col(s"mh$i").cast("string"))
-      struct(lit(b).as("band"), xxhash64(concat_ws(",", slice: _*)).as("bh"))
+      val slice = (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"mh$i"))
+      struct(lit(b).as("band"), xxhash64(slice: _*).as("bh"))
     }
     val banded = sig
       .select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
@@ -97,8 +110,10 @@ object Dedup {
       .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
       .distinct()
 
-    // exact-Jaccard verification, candidates only
-    val sets = sh.groupBy(col("doc_id")).agg(collect_set(col("shingle")).as("ss"))
+    // exact-Jaccard verification, candidates only (long-set intersection;
+    // the sets side is already hash-partitioned by doc_id from the
+    // signature aggregation — Catalyst reuses that exchange)
+    val sets = sig.select(col("doc_id"), col("ss"))
     candidates
       .join(sets.as("sa"), col("id_a") === col("sa.doc_id"))
       .join(sets.as("sb"), col("id_b") === col("sb.doc_id"))
@@ -115,11 +130,15 @@ object Dedup {
     val tok = docs
       .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("w"))
       .withColumn("hv", xxhash64(col("w")))
+    // per-bit one-counts as bare shift-and-mask sums (no branchy `when` in
+    // the per-token hot loop); bit j of the fingerprint is set iff ones
+    // outnumber zeros, i.e. 2·ones > n_tokens — the ±1-sum rule exactly
     val bitSums = (0 until 64).map(j =>
-      sum(when(shiftright(col("hv"), j).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"b$j"))
-    val sig = tok.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+      sum(shiftright(col("hv"), j).bitwiseAND(lit(1L))).as(s"b$j"))
+    val sig = tok.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tok"), bitSums: _*)
     val fp = (0 until 64)
-      .map(j => when(col(s"b$j") > 0, lit(1L << j)).otherwise(0L))
+      .map(j => when(col(s"b$j") * 2 > col("n_tok"), lit(1L << j)).otherwise(0L))
       .reduce(_ + _) // distinct powers of two: sum == bitwise OR
     sig.select(col("doc_id"), fp.as("simhash"))
   }

@@ -2,7 +2,8 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import graft.functions.VectorFunctions._
+import graft.functions.CosineSimilarity.{cosineSim, dotProduct}
+import graft.functions.VectorFunctions.toDouble
 
 /** Approximate-nearest-neighbor search over an embedding column.
   *
@@ -11,32 +12,41 @@ import graft.functions.VectorFunctions._
   * corpus so each query only scores its own bucket — at 100 TB the
   * bucket join replaces the full cross product, and the hyperplanes are
   * a tiny broadcast literal.
+  *
+  * All scoring goes through the native `cosine_sim` / `dot_product`
+  * Catalyst expressions: a tight generated loop per pair keeps the plan
+  * and its generated code small (a dim-unrolled expression tree at
+  * dim=64 made every scoring stage megabytes of Java — slow to compile,
+  * hostile to JIT), while the arithmetic stays the same left-to-right
+  * double accumulation the DuckDB oracle uses.
   */
 object Similarity {
 
   val Dim = 64
 
   private def prepared(embeddings: DataFrame): DataFrame =
-    embeddings
-      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
-      .withColumn("nrm", normFixed(col("v"), Dim))
+    embeddings.select(col("vec_id"), toDouble(col("embedding")).as("v"))
 
-  /** Exact top-k cosine neighbors for each query vector (queries chosen
-    * by id predicate). The sort+limit per query is TakeOrdered — no
-    * global sort. */
-  def bruteForceTopK(embeddings: DataFrame, maxQueryId: Long, k: Int): DataFrame = {
+  private def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val e = prepared(embeddings)
-    val q = e.where(col("vec_id") < maxQueryId)
-      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
-    val scored = e.join(broadcast(q), col("vec_id") =!= col("query_id"))
-      .withColumn("cos", cosineWithNorms(dotFixed(col("qv"), col("v"), Dim), col("qn"), col("nrm")))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
     scored
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("cos"),
         row_number().over(w).as("rnk"))
       .where(col("rnk") <= k)
       .select(col("query_id"), col("neighbor_id"), round(col("cos"), 6).as("cos"), col("rnk"))
+  }
+
+  /** Exact top-k cosine neighbors for each query vector (queries chosen
+    * by id predicate). The per-query top-k is a rank-filtered window — at
+    * scale the corpus side streams once past the broadcast query set. */
+  def bruteForceTopK(embeddings: DataFrame, maxQueryId: Long, k: Int): DataFrame = {
+    val e = prepared(embeddings)
+    val q = e.where(col("vec_id") < maxQueryId)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val scored = e.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .withColumn("cos", cosineSim(col("qv"), col("v")))
+    topKPerQuery(scored, k)
   }
 
   /** Deterministic pseudo-random unit hyperplanes (fixed seed) as a
@@ -46,59 +56,49 @@ object Similarity {
     Array.fill(nPlanes, dim)(rng.nextGaussian())
   }
 
-  /** Sign-of-projection LSH bucket id for a double vector column. */
+  /** Sign-of-projection LSH bucket id for a double vector column: one
+    * native dot_product per plane against an array literal. */
   def lshBucket(v: Column, nPlanes: Int, dim: Int): Column = {
     val ps = planes(nPlanes, dim)
     (0 until nPlanes).map { p =>
-      val plane = lit(ps(p).head) +: (1 until dim).map(d => lit(ps(p)(d)))
-      val proj = (0 until dim)
-        .map(d => element_at(v, d + 1) * lit(ps(p)(d)))
-        .reduce(_ + _)
-      when(proj > 0, lit(1L << p)).otherwise(0L)
+      when(dotProduct(v, lit(ps(p))) > 0, lit(1L << p)).otherwise(0L)
     }.reduce(_ + _)
   }
 
   /** IVF (inverted-file) ANN: a coarse quantizer of C centroids
     * partitions the corpus; queries probe only the nProbe nearest cells.
     *
-    * Centroids here are a deterministic sample (every (n/C)-th vector by
-    * id) — one k-means refinement pass would drop in as one extra
-    * aggregate without changing the plan shape. All stages are linear:
-    * assignment is a broadcast join against C centroids, search touches
-    * ~(nProbe/C) of the corpus per query. */
+    * Centroids are a deterministic hash-ordered sample (TakeOrdered —
+    * one reduction pass, no full count/shuffle); one k-means refinement
+    * pass would drop in as one extra aggregate without changing the plan
+    * shape. All stages are linear: assignment is a broadcast join
+    * against C centroids, search touches ~(nProbe/C) of the corpus per
+    * query. */
   def ivfAnn(embeddings: DataFrame, maxQueryId: Long, k: Int,
       nCells: Int = 16, nProbe: Int = 4): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val e = prepared(embeddings)
-    // deterministic coarse centroids: sample by id stride
-    val n = e.count()
-    val stride = math.max(n / nCells, 1L)
-    val centroids = e.where(pmod(col("vec_id"), lit(stride)) === 0)
+    val centroids = e
+      .orderBy(pmod(xxhash64(col("vec_id")), lit(1000003L)), col("vec_id"))
       .limit(nCells)
-      .select(col("vec_id").as("cell_id"), col("v").as("cv"), col("nrm").as("cn"))
+      .select(col("vec_id").as("cell_id"), col("v").as("cv"))
     // assign every vector to its nearest centroid (rank 1), queries to nProbe cells
     def assign(df: DataFrame, take: Int, idCol: String): DataFrame = {
       val w = Window.partitionBy(col(idCol)).orderBy(col("csim").desc, col("cell_id"))
       df.join(broadcast(centroids), lit(true))
-        .withColumn("csim", cosineWithNorms(dotFixed(col("v"), col("cv"), Dim), col("nrm"), col("cn")))
+        .withColumn("csim", cosineSim(col("v"), col("cv")))
         .withColumn("crnk", row_number().over(w))
         .where(col("crnk") <= take)
-        .drop("cv", "cn", "csim", "crnk")
+        .drop("cv", "csim", "crnk")
     }
     val corpus = assign(e, 1, "vec_id")
     val queries = assign(e.where(col("vec_id") < maxQueryId), nProbe, "vec_id")
-      .select(col("vec_id").as("query_id"), col("v").as("qv"),
-        col("nrm").as("qn"), col("cell_id"))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("cell_id"))
     val scored = corpus
       .join(broadcast(queries),
         corpus("cell_id") === queries("cell_id") && col("vec_id") =!= col("query_id"))
-      .withColumn("cos", cosineWithNorms(dotFixed(col("qv"), col("v"), Dim), col("qn"), col("nrm")))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
-    scored
-      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("cos"),
-        row_number().over(w).as("rnk"))
-      .where(col("rnk") <= k)
-      .select(col("query_id"), col("neighbor_id"), round(col("cos"), 6).as("cos"), col("rnk"))
+      .withColumn("cos", cosineSim(col("qv"), col("v")))
+    topKPerQuery(scored, k)
   }
 
   /** LSH-bucketed ANN: queries score only vectors in their own bucket.
@@ -106,19 +106,13 @@ object Similarity {
     * nPlanes trades recall vs bucket size. */
   def lshAnn(embeddings: DataFrame, maxQueryId: Long, k: Int, nPlanes: Int = 4,
       dim: Int = 64): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val e = prepared(embeddings).withColumn("bucket", lshBucket(col("v"), nPlanes, dim))
     val q = e.where(col("vec_id") < maxQueryId)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
-        col("nrm").as("qn"), col("bucket").as("qbucket"))
+        col("bucket").as("qbucket"))
     val scored = e
       .join(broadcast(q), col("bucket") === col("qbucket") && col("vec_id") =!= col("query_id"))
-      .withColumn("cos", cosineWithNorms(dotFixed(col("qv"), col("v"), Dim), col("qn"), col("nrm")))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
-    scored
-      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("cos"),
-        row_number().over(w).as("rnk"))
-      .where(col("rnk") <= k)
-      .select(col("query_id"), col("neighbor_id"), round(col("cos"), 6).as("cos"), col("rnk"))
+      .withColumn("cos", cosineSim(col("qv"), col("v")))
+    topKPerQuery(scored, k)
   }
 }

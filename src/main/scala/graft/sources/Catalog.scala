@@ -67,13 +67,20 @@ class Catalog(spark: SparkSession, baseDir: String) {
     * bucketing IS the pre-shuffle, paid once at write time. The 100 TB
     * pattern for fact-fact joins too big to broadcast. */
   def writeBucketed(df: DataFrame, tableName: String, bucketCol: String,
-      numBuckets: Int): Unit =
+      numBuckets: Int): Unit = {
+    // idempotent against a metastore/warehouse mismatch (e.g. a fresh
+    // metastore with a leftover table directory from an aborted run)
+    spark.sql(s"DROP TABLE IF EXISTS `$tableName`")
+    val loc = new Path(spark.conf.get("spark.sql.warehouse.dir") + s"/$tableName")
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
     df.write
       .mode(SaveMode.Overwrite)
       .bucketBy(numBuckets, bucketCol)
       .sortBy(bucketCol)
       .format("parquet")
       .saveAsTable(tableName)
+  }
 
   /** Cluster-stats analog (reference: dfs/storageNode/stats.go): rows +
     * bytes per table. Row counts come from parquet footers (no scan). */
@@ -88,9 +95,12 @@ class Catalog(spark: SparkSession, baseDir: String) {
     rows.toDF("tbl", "n_rows", "bytes")
   }
 
-  /** Oracle-friendly per-table row counts (no filesystem columns). */
-  def rowCounts(): DataFrame = {
-    import spark.implicits._
-    list().map(n => (n, table(n).count())).toDF("tbl", "n_rows")
-  }
+  /** Oracle-friendly per-table row counts (no filesystem columns).
+    * One unioned distributed plan — NOT a driver loop of `.count()` jobs;
+    * all table scans run as a single job with parallel stages. */
+  def rowCounts(): DataFrame =
+    list()
+      .map(n => table(n).groupBy().agg(count(lit(1)).as("n_rows"))
+        .select(lit(n).as("tbl"), col("n_rows")))
+      .reduce(_.unionAll(_))
 }
