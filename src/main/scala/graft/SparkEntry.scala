@@ -34,17 +34,22 @@ object SparkEntry {
     "q_distinct_count" -> ((s, d) => Analytics.distinctCounts(Tables.lineitem(s, d))),
     "q_median" -> ((s, d) => Analytics.medianByStatus(Tables.orders(s, d))),
     "q_sketch" -> ((s, d) => Analytics.sketchSummary(Tables.lineitem(s, d))),
+    "q_argmin" -> ((s, d) => Analytics.cheapestPartPerBrand(Tables.part(s, d))),
     // C. Events
     "e_tumbling" -> ((s, d) => Events.tumblingHourly(Tables.events(s, d))),
     "e_sessionize" -> ((s, d) => Events.sessionize(Tables.events(s, d))),
     "e_user_stats" -> ((s, d) => Events.userStats(Tables.events(s, d))),
     "e_asof" -> ((s, d) => AsOfJoin.purchaseAttribution(Tables.events(s, d))),
+    "e_range_join" -> ((s, d) => Events.purchaseViewsWithin(Tables.events(s, d))),
     // D. LLM-training-data pipeline
     "d_dedup_exact" -> ((s, d) => Dedup.exact(Tables.documents(s, d))),
     "d_dedup_ngram" -> ((s, d) => Dedup.ngramJaccard(Tables.documents(s, d), 3, 0.5)),
     "d_dedup_minhash" -> ((s, d) => Dedup.minhashLsh(Tables.documents(s, d), 3, 64, 16, 0.5)),
     "d_dedup_simhash" -> ((s, d) => Dedup.simhashNearDup(Tables.documents(s, d), 3)),
     "d_dedup_embed" -> ((s, d) => Dedup.embeddingNearDup(Tables.embeddings(s, d), 0.4)),
+    "d_boilerplate" -> ((s, d) => Dedup.boilerplate(Tables.documents(s, d), 3, 3)),
+    "p_split" -> ((s, d) => Sampling.hashSplit(Tables.documents(s, d))),
+    "p_sample" -> ((s, d) => Sampling.stratifiedSample(Tables.documents(s, d))),
     "s_ann_brute" -> ((s, d) => Similarity.bruteForceTopK(Tables.embeddings(s, d), 5, 10)),
     "s_ann_lsh" -> ((s, d) => Similarity.lshAnn(Tables.embeddings(s, d), 5, 10)),
     "s_ann_ivf" -> ((s, d) => Similarity.ivfAnn(Tables.embeddings(s, d), 5, 10)),
@@ -52,6 +57,7 @@ object SparkEntry {
     "t_quality" -> ((s, d) => TextAnalysis.quality(Tables.documents(s, d))),
     "t_lang_id" -> ((s, d) => TextAnalysis.langId(Tables.documents(s, d))),
     "t_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(Tables.documents(s, d))),
+    "t_normalize" -> ((s, d) => TextAnalysis.normalize(Tables.documents(s, d))),
     "m_meta" -> ((s, d) => Multimodal.metaExtract(Tables.documents(s, d))),
     // E. storage engine introspection (DFS cluster-stats analog)
     "fs_stats" -> ((s, d) => new graft.sources.Catalog(s, d).rowCounts()),
@@ -265,6 +271,43 @@ object SparkEntry {
     "m_meta" ->
       """SELECT doc_id, octet_length(encode(text)) AS byte_len, md5(text) AS h,
                 n_chars % 640 AS width, n_chars % 480 AS height
+         FROM documents""",
+    "q_argmin" ->
+      """SELECT p.p_brand, p.p_partkey, p.p_retailprice AS min_price
+         FROM part p
+         JOIN (SELECT p_brand, min(p_retailprice) AS mp FROM part GROUP BY p_brand) m
+           ON p.p_brand = m.p_brand AND p.p_retailprice = m.mp""",
+    "e_range_join" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS tsu FROM events),
+         p AS (SELECT user_id, tsu AS purchase_us FROM e WHERE event_type = 'purchase'),
+         v AS (SELECT user_id AS v_user, tsu AS view_us FROM e WHERE event_type = 'view')
+         SELECT user_id, purchase_us, count(view_us) AS n_views
+         FROM p LEFT JOIN v
+           ON user_id = v_user
+          AND view_us >= purchase_us - 600000000
+          AND view_us < purchase_us
+         GROUP BY user_id, purchase_us""",
+    "d_boilerplate" ->
+      """WITH tok AS (SELECT doc_id,
+             list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS w FROM documents),
+         sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+                FROM tok CROSS JOIN unnest(generate_series(1, len(w) - 2)) AS t(i)
+                WHERE len(w) >= 3)
+         SELECT shingle, count(*) AS n_docs FROM sh GROUP BY shingle
+         HAVING count(*) >= 3""",
+    "p_split" ->
+      """SELECT doc_id,
+                CASE WHEN substr(md5(CAST(doc_id AS VARCHAR) || ':split'), 1, 2) < 'cc' THEN 'train'
+                     WHEN substr(md5(CAST(doc_id AS VARCHAR) || ':split'), 1, 2) < 'e6' THEN 'val'
+                     ELSE 'test' END AS split
+         FROM documents""",
+    "p_sample" ->
+      """SELECT doc_id, lang FROM documents
+         WHERE substr(md5(CAST(doc_id AS VARCHAR) || ':sample:' || lang), 1, 1) < '4'""",
+    "t_normalize" ->
+      """SELECT doc_id,
+                md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS norm_hash,
+                length(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS n_chars_norm
          FROM documents""",
     "fs_stats" ->
       """SELECT 'customer' AS tbl, count(*) AS n_rows FROM customer

@@ -160,6 +160,18 @@ object Analytics {
         approx_count_distinct(col("l_suppkey")).as("approx_supps"),
         percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("approx_median_price"))
 
+  /** Argmin join-back: the cheapest part(s) within each brand. The
+    * per-group min is a tiny aggregate (one row per brand) broadcast back
+    * against the full table — no shuffle of the fact side. Equality on
+    * the double is safe: min selects an existing value, no arithmetic. */
+  def cheapestPartPerBrand(part: DataFrame): DataFrame = {
+    val mins = part.groupBy(col("p_brand").as("m_brand"))
+      .agg(min(col("p_retailprice")).as("min_price"))
+    part.join(broadcast(mins),
+        col("p_brand") === col("m_brand") && col("p_retailprice") === col("min_price"))
+      .select(col("p_brand"), col("p_partkey"), col("min_price"))
+  }
+
   /** Post-aggregation filter (HAVING). */
   def bigCustomers(orders: DataFrame, minOrders: Long): DataFrame =
     orders

@@ -125,6 +125,17 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** Boilerplate phrase mining: n-gram phrases appearing in at least
+    * `minDocs` distinct documents, with their document frequency (the
+    * removal pass is then a join of shingle matches against this set).
+    * `shingles` is distinct per doc, so a plain count IS the document
+    * frequency — no count-distinct shuffle. */
+  def boilerplate(docs: DataFrame, n: Int = 3, minDocs: Long = 3): DataFrame =
+    shingles(docs, n)
+      .groupBy(col("shingle"))
+      .agg(count(lit(1)).as("n_docs"))
+      .where(col("n_docs") >= minDocs)
+
   /** 64-bit SimHash signature per doc. */
   def simhashSignatures(docs: DataFrame): DataFrame = {
     val tok = docs

@@ -45,6 +45,25 @@ object Events {
         (max(col("tsu")) - min(col("tsu"))).as("duration_us"))
   }
 
+  /** Range join: per purchase, the number of views by the same user in
+    * the preceding `windowSec` seconds. The equality key (user_id) keeps
+    * this a hash/sort-merge join at scale — the time range is a post-join
+    * filter over co-partitioned rows, never a nested-loop cross product. */
+  def purchaseViewsWithin(events: DataFrame, windowSec: Long = 600): DataFrame = {
+    val e = events.select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("tsu"))
+    val p = e.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("tsu").as("purchase_us"))
+    val v = e.where(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("tsu").as("view_us"))
+    p.join(v,
+        col("user_id") === col("v_user") &&
+          col("view_us") >= col("purchase_us") - lit(windowSec * 1000000L) &&
+          col("view_us") < col("purchase_us"),
+        "left")
+      .groupBy(col("user_id"), col("purchase_us"))
+      .agg(count(col("view_us")).as("n_views"))
+  }
+
   /** Per-user activity stats. */
   def userStats(events: DataFrame): DataFrame =
     events

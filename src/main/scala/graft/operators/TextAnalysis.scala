@@ -77,6 +77,18 @@ object TextAnalysis {
         .otherwise("zh").as("pred_lang"))
   }
 
+  /** Normalization pass: lowercase, trim, collapse runs of whitespace.
+    * Emits the md5 of the normalized text (a portable content
+    * fingerprint — the natural key for a downstream exact-dedup pass)
+    * plus the normalized length. Map-only, no shuffle. */
+  def normalize(docs: DataFrame): DataFrame = {
+    val norm = regexp_replace(trim(lower(col("text"))), "\\s+", " ")
+    docs.select(
+      col("doc_id"),
+      md5(norm).as("norm_hash"),
+      length(norm).as("n_chars_norm"))
+  }
+
   /** Polynomial rolling-hash document fingerprint over the token stream
     * (order-sensitive, content-defined). Modular arithmetic keeps every
     * intermediate well inside Long range (ANSI mode would reject wrapping

@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Analytics, Dedup, Events, Sampling, TextAnalysis}
+
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("hashSplit covers every doc once with roughly 80/10/10 proportions") {
+    val docs = Tables.documents(spark, sfDir)
+    val out = Sampling.hashSplit(docs)
+    assert(out.count() == docs.count())
+    val frac = out.groupBy($"split").count().as[(String, Long)].collect().toMap
+      .view.mapValues(_.toDouble / docs.count()).toMap
+    assert(frac("train") > 0.6 && frac("train") < 0.95)
+    assert(frac.getOrElse("val", 0.0) + frac.getOrElse("test", 0.0) < 0.4)
+  }
+
+  test("hashSplit is deterministic across invocations") {
+    val docs = Tables.documents(spark, sfDir)
+    val a = Sampling.hashSplit(docs).as[(Long, String)].collect().toSet
+    val b = Sampling.hashSplit(docs).as[(Long, String)].collect().toSet
+    assert(a == b)
+  }
+
+  test("stratifiedSample keeps a bounded fraction of every stratum") {
+    val docs = Tables.documents(spark, sfDir)
+    val totals = docs.groupBy($"lang").count().as[(String, Long)].collect().toMap
+    val kept = Sampling.stratifiedSample(docs).groupBy($"lang").count()
+      .as[(String, Long)].collect().toMap
+    kept.foreach { case (lang, n) =>
+      assert(n <= totals(lang), s"$lang sampled more than exists")
+    }
+    val overall = kept.values.sum.toDouble / totals.values.sum
+    assert(overall > 0.05 && overall < 0.5, s"overall fraction $overall far from 0.25")
+  }
+}
+
+class BoilerplateSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("boilerplate phrases have doc frequency >= threshold") {
+    val out = Dedup.boilerplate(Tables.documents(spark, sfDir), 3, 2)
+      .as[(String, Long)].collect()
+    assert(out.nonEmpty, "corpus with planted near-dups must share 3-grams")
+    assert(out.forall(_._2 >= 2))
+  }
+}
+
+class NormalizeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("normalize is idempotent and whitespace-insensitive") {
+    val base = Seq((1L, "Hello   world"), (2L, "hello world"), (3L, " hello world "))
+      .toDF("doc_id", "text")
+    val hashes = TextAnalysis.normalize(base)
+      .select($"norm_hash").as[String].collect().toSet
+    assert(hashes.size == 1, "all three variants normalize to the same content hash")
+  }
+}
+
+class ArgminSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("cheapestPartPerBrand returns the true min per brand") {
+    val part = Tables.part(spark, sfDir)
+    val out = Analytics.cheapestPartPerBrand(part)
+    val expect = part.groupBy($"p_brand").agg(min($"p_retailprice").as("mp"))
+      .as[(String, Double)].collect().toMap
+    val got = out.select($"p_brand", $"min_price").as[(String, Double)].collect()
+    assert(got.nonEmpty)
+    got.foreach { case (b, p) => assert(p == expect(b)) }
+    assert(got.map(_._1).toSet == expect.keySet)
+  }
+}
+
+class RangeJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("purchaseViewsWithin counts only prior views inside the window") {
+    val out = Events.purchaseViewsWithin(Tables.events(spark, sfDir), 600)
+    val purchases = Tables.events(spark, sfDir).where($"event_type" === "purchase")
+    // one output row per distinct (user, purchase timestamp)
+    assert(out.count() ==
+      purchases.select($"user_id", $"ts").distinct().count())
+    assert(out.where($"n_views" < 0).count() == 0)
+  }
+}
