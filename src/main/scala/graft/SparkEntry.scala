@@ -20,6 +20,20 @@ object SparkEntry {
     "q_sort" -> ((s, d) => MapReduceOps.sortedTopN(Tables.lineitem(s, d), 1000)),
     "q_top_k" -> ((s, d) => MapReduceOps.topKWords(Tables.documents(s, d), 20)),
     "q_distinct" -> ((s, d) => MapReduceOps.distinctKeys(Tables.lineitem(s, d))),
+    // generic pluggable-job API (reference plugin ports), typed Dataset path
+    "mr_word_count" -> ((s, d) => {
+      import s.implicits._
+      MapReduceJob.wordCountJob(Tables.documents(s, d).select("text").as[String])
+        .toDF("word", "cnt")
+    }),
+    "mr_avg_by_key" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.functions.{concat_ws, col}
+      val lines = Tables.part(s, d)
+        .select(concat_ws(",", col("p_brand"), col("p_retailprice")).as("line"))
+        .as[String]
+      MapReduceJob.avgByKeyJob(lines).toDF("p_brand", "avg_val")
+    }),
     // B. Analytics
     "q1_agg" -> ((s, d) => Analytics.q1(Tables.lineitem(s, d))),
     "q3_join" -> ((s, d) => Analytics.q3(s, d)),
@@ -74,6 +88,14 @@ object SparkEntry {
       "SELECT p_brand, CAST(sum(CAST(round((p_retailprice) * 100) AS BIGINT)) AS DOUBLE) / 100.0 / count(*) AS avg_val FROM part GROUP BY p_brand",
     "q_grep" ->
       "SELECT doc_id, lang, n_chars FROM documents WHERE text LIKE '%data%'",
+    // the generic-job ports compute the same results as their declarative
+    // twins, so the same oracles apply
+    "mr_word_count" ->
+      """SELECT word, count(*) AS cnt
+         FROM (SELECT unnest(regexp_split_to_array(text, '\s+')) AS word FROM documents)
+         WHERE word <> '' GROUP BY word""",
+    "mr_avg_by_key" ->
+      "SELECT p_brand, CAST(sum(CAST(round((p_retailprice) * 100) AS BIGINT)) AS DOUBLE) / 100.0 / count(*) AS avg_val FROM part GROUP BY p_brand",
     "q_sort" ->
       """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
          ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 1000""",

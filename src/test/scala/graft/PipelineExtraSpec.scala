@@ -36,6 +36,40 @@ class SamplingSpec extends SparkSpec {
   }
 }
 
+class MapReduceJobSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.operators.{MapReduceJob, MapReduceOps}
+
+  test("generic wordCountJob matches the declarative wordCount") {
+    val docs = Tables.documents(spark, sfDir)
+    val generic = MapReduceJob.wordCountJob(docs.select("text").as[String])
+      .collect().toMap
+    val declarative = MapReduceOps.wordCount(docs)
+      .as[(String, Long)].collect().toMap
+    assert(generic == declarative)
+  }
+
+  test("generic avgByKeyJob matches the declarative avgByKey") {
+    val part = Tables.part(spark, sfDir)
+    val lines = part
+      .select(concat_ws(",", $"p_brand", $"p_retailprice").as("line")).as[String]
+    val generic = MapReduceJob.avgByKeyJob(lines).collect().toMap
+    val declarative = MapReduceOps.avgByKey(part, "p_brand", "p_retailprice")
+      .as[(String, Double)].collect().toMap
+    assert(generic.keySet == declarative.keySet)
+    generic.foreach { case (k, v) => assert(math.abs(v - declarative(k)) < 1e-9) }
+  }
+
+  test("fully-general run supports holistic reducers (max per key)") {
+    val lines = Seq("a\t3", "a\t9", "b\t4").toDS()
+    val out = MapReduceJob.run(MapReduceJob.numberedLines(lines))(
+      (_, l) => { val p = l.split("\t"); Iterator(p(0) -> p(1).toInt) })(
+      (_, vs) => vs.max)
+      .collect().toMap
+    assert(out == Map("a" -> 9, "b" -> 4))
+  }
+}
+
 class BoilerplateSpec extends SparkSpec {
   import spark.implicits._
 
