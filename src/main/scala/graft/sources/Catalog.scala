@@ -82,14 +82,46 @@ class Catalog(spark: SparkSession, baseDir: String) {
       .saveAsTable(tableName)
   }
 
+  /** Delete analog (reference: dfs/client delete → controller drops the
+    * index entry and storage nodes drop chunks). Returns whether the
+    * table existed. */
+  def delete(name: String): Boolean = {
+    val p = new Path(s"$baseDir/$name.parquet")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(p, true)
+  }
+
+  /** Download analog (reference: dfs/client/downloader.go — parallel
+    * chunk fetch + single-file reassembly): parallel distributed read,
+    * then a single reassembled output file. The coalesce(1) sink is a
+    * deliberate 1-task bottleneck — only for taking a table OUT of the
+    * cluster; cluster-to-cluster copies should stay chunked. */
+  def download(name: String, destDir: String): Unit =
+    table(name).coalesce(1).write.mode(SaveMode.Overwrite).parquet(destDir)
+
   /** Cluster-stats analog (reference: dfs/storageNode/stats.go): rows +
-    * bytes per table. Row counts come from parquet footers (no scan). */
+    * bytes per table, from parquet footers ONLY — a pure metadata
+    * operation like the reference's controller index lookup; no data
+    * scan regardless of table size. */
   def stats(): DataFrame = {
-    val fs = new Path(baseDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new Path(baseDir).getFileSystem(conf)
+    def parquetFiles(p: Path): Seq[Path] = {
+      val st = fs.getFileStatus(p)
+      if (st.isDirectory)
+        fs.listStatus(p).toSeq.map(_.getPath)
+          .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_"))
+      else Seq(p)
+    }
     val rows = list().map { n =>
       val p = new Path(s"$baseDir/$n.parquet")
       val bytes = fs.getContentSummary(p).getLength
-      (n, table(n).count(), bytes)
+      val nRows = parquetFiles(p).map { f =>
+        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f, conf))
+        try reader.getRecordCount finally reader.close()
+      }.sum
+      (n, nRows, bytes)
     }
     import spark.implicits._
     rows.toDF("tbl", "n_rows", "bytes")

@@ -53,6 +53,36 @@ class FormatRoundTripSpec extends SparkSpec {
   }
 }
 
+class CatalogVerbsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("delete removes a table from the listing; download reassembles one file") {
+    val dir = Files.createTempDirectory("graft-verbs").toString
+    val cat = new Catalog(spark, dir)
+    Tables.nation(spark, sfDir).write.parquet(s"$dir/nation.parquet")
+    Tables.region(spark, sfDir).write.parquet(s"$dir/region.parquet")
+    assert(cat.list() == Seq("nation", "region"))
+
+    val dl = s"$dir/downloaded"
+    cat.download("nation", dl)
+    val files = new java.io.File(dl).listFiles().filter(_.getName.endsWith(".parquet"))
+    assert(files.length == 1, "download must reassemble into a single file")
+    assert(spark.read.parquet(dl).count() == Tables.nation(spark, sfDir).count())
+
+    assert(cat.delete("region"))
+    assert(cat.list() == Seq("nation"))
+    assert(!cat.delete("region"), "second delete reports absence")
+  }
+
+  test("stats reads row counts from footers, matching actual counts") {
+    val dir = Files.createTempDirectory("graft-stats").toString
+    val cat = new Catalog(spark, dir)
+    Tables.nation(spark, sfDir).write.parquet(s"$dir/nation.parquet")
+    assert(cat.stats().where($"tbl" === "nation").select($"n_rows").as[Long].head() ==
+      Tables.nation(spark, sfDir).count())
+  }
+}
+
 class IvfAnnSpec extends SparkSpec {
   import spark.implicits._
 
