@@ -49,6 +49,8 @@ object SparkEntry {
     "q_median" -> ((s, d) => Analytics.medianByStatus(Tables.orders(s, d))),
     "q_sketch" -> ((s, d) => Analytics.sketchSummary(Tables.lineitem(s, d))),
     "q_argmin" -> ((s, d) => Analytics.cheapestPartPerBrand(Tables.part(s, d))),
+    "q17_small_qty" -> ((s, d) => Analytics.smallQuantityOrders(Tables.lineitem(s, d))),
+    "q_pivot" -> ((s, d) => Analytics.eventTypePivot(Tables.events(s, d))),
     // C. Events
     "e_tumbling" -> ((s, d) => Events.tumblingHourly(Tables.events(s, d))),
     "e_sessionize" -> ((s, d) => Events.sessionize(Tables.events(s, d))),
@@ -299,6 +301,21 @@ object SparkEntry {
          FROM part p
          JOIN (SELECT p_brand, min(p_retailprice) AS mp FROM part GROUP BY p_brand) m
            ON p.p_brand = m.p_brand AND p.p_retailprice = m.mp""",
+    "q17_small_qty" ->
+      """WITH a AS (SELECT l_partkey AS ap,
+                CAST(sum(CAST(round((l_quantity) * 100) AS BIGINT)) AS DOUBLE) / 100.0 / count(*) AS avg_qty
+              FROM lineitem GROUP BY l_partkey)
+         SELECT count(*) AS n_small,
+                CAST(sum(CAST(round((l_extendedprice) * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_price
+         FROM lineitem JOIN a ON l_partkey = ap AND l_quantity < 0.2 * avg_qty""",
+    "q_pivot" ->
+      """SELECT user_id,
+                sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click,
+                sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error,
+                sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
+                sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS signup,
+                sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view
+         FROM events GROUP BY user_id""",
     "e_range_join" ->
       """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS tsu FROM events),
          p AS (SELECT user_id, tsu AS purchase_us FROM e WHERE event_type = 'purchase'),

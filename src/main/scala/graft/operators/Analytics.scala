@@ -172,6 +172,31 @@ object Analytics {
       .select(col("p_brand"), col("p_partkey"), col("min_price"))
   }
 
+  /** Correlated-scalar-subquery shape (TPC-H Q17): lineitems whose
+    * quantity is below 20% of their part's average quantity. Expressed
+    * decorrelated — per-part averages as one aggregate joined back — the
+    * plan Catalyst's decorrelation would produce anyway; the average is
+    * integer-cents exact so the 0.2× threshold compares identically on
+    * any engine. */
+  def smallQuantityOrders(lineitem: DataFrame): DataFrame = {
+    val avgQ = lineitem.groupBy(col("l_partkey").as("ap"))
+      .agg(moneyAvg(col("l_quantity")).as("avg_qty"))
+    lineitem
+      .join(avgQ, col("l_partkey") === col("ap") &&
+        col("l_quantity") < lit(0.2) * col("avg_qty"))
+      .agg(count(lit(1)).as("n_small"),
+        moneySum(col("l_extendedprice")).as("sum_price"))
+  }
+
+  /** Pivot: per-user event counts, one column per event type (fixed
+    * column set so the plan is static — no driver-side distinct pass). */
+  def eventTypePivot(events: DataFrame): DataFrame =
+    events
+      .groupBy(col("user_id"))
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+
   /** Post-aggregation filter (HAVING). */
   def bigCustomers(orders: DataFrame, minOrders: Long): DataFrame =
     orders

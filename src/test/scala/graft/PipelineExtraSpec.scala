@@ -108,6 +108,25 @@ class ArgminSpec extends SparkSpec {
   }
 }
 
+class DecorrelatedPivotSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("smallQuantityOrders yields one summary row with non-negative counts") {
+    val out = Analytics.smallQuantityOrders(Tables.lineitem(spark, sfDir)).collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[Long]("n_small") >= 0)
+  }
+
+  test("eventTypePivot row sums equal per-user event counts") {
+    val events = Tables.events(spark, sfDir)
+    val out = Analytics.eventTypePivot(events)
+    val colSum = Seq("click", "error", "purchase", "signup", "view")
+      .map(c => col(c)).reduce(_ + _)
+    val fromPivot = out.select(sum(colSum)).as[Long].head()
+    assert(fromPivot == events.count())
+  }
+}
+
 class RangeJoinSpec extends SparkSpec {
   import spark.implicits._
 
