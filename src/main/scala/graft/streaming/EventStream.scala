@@ -52,6 +52,25 @@ object EventStream {
       .withWatermark("ts", watermarkDelay)
       .dropDuplicates("event_id")
 
+  /** Stream-static enrichment: micro-batches hash-join against a static
+    * dimension snapshot. The static side obeys the usual broadcast rules
+    * (small dim → BroadcastHashJoin per batch, no stream-side shuffle);
+    * state-free, so unbounded streams run with O(1) memory. */
+  def enriched(events: DataFrame, dim: DataFrame, eventKey: String,
+      dimKey: String): DataFrame =
+    events.join(dim, col(eventKey) === col(dimKey), "left")
+
+  /** Exactly-once parquet sink: file sink + checkpoint (offsets + file
+    * manifest) — restart-safe without manual bookkeeping. */
+  def writeParquet(df: DataFrame, dest: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .format("parquet")
+      .option("path", dest)
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append())
+      .start()
+
   /** Custom session state: 30-min-gap sessionization with
     * flatMapGroupsWithState + event-time timeout — the streaming twin of
     * Events.sessionize. Sessions close when the watermark passes the gap

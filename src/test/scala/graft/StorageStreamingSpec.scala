@@ -91,3 +91,31 @@ class EventStreamSpec extends SparkSpec {
     assert(out.where($"end_us" < $"start_us").count() == 0)
   }
 }
+
+class StreamEnrichSinkSpec extends SparkSpec {
+  import spark.implicits._
+  import java.nio.file.Files
+
+  test("stream-static enrichment matches the batch join, exactly-once to parquet") {
+    val batch = Tables.events(spark, sfDir)
+    val dim = Tables.customer(spark, sfDir)
+      .select($"c_custkey", $"c_mktsegment")
+    val srcDir = Files.createTempDirectory("graft-enrich-src").toString
+    batch.write.mode("overwrite").parquet(srcDir)
+
+    val stream = EventStream.readEvents(spark, srcDir, batch.schema)
+    val enriched = EventStream.enriched(stream, dim, "user_id", "c_custkey")
+      .select($"event_id", $"user_id", $"c_mktsegment")
+
+    val outDir = Files.createTempDirectory("graft-enrich-out").toString + "/data"
+    val ckpt = Files.createTempDirectory("graft-enrich-ckpt").toString
+    val q = EventStream.writeParquet(enriched, outDir, ckpt)
+    try q.processAllAvailable() finally q.stop()
+
+    val streamed = spark.read.parquet(outDir)
+    val expected = batch.join(dim, $"user_id" === $"c_custkey", "left")
+    assert(streamed.count() == expected.count())
+    assert(streamed.where($"c_mktsegment".isNull).count() ==
+      expected.where($"c_mktsegment".isNull).count())
+  }
+}
