@@ -36,6 +36,35 @@ object Multimodal {
       col("meta.width").as("width"),
       col("meta.height").as("height"))
 
+  /** Batched decode integration point — the Scala analog of a batched
+    * pandas UDF: mapPartitions hands the decoder a whole partition
+    * iterator, so expensive per-task init (codec context, model weights)
+    * is paid once per partition, not per row, and rows stream through
+    * without materializing the partition. The default decoder is the
+    * deterministic stub (`???`-equivalent: byte-length arithmetic in
+    * place of a real codec); a real decoder replaces the function
+    * without touching schema or partitioning. */
+  def decodeBatched(docs: DataFrame,
+      decode: Array[Byte] => (Long, Long) = stubDecode): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    withMedia(docs)
+      .select(col("doc_id"), col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        // per-partition init happens HERE (once), before the row loop
+        it.map { case (id, bytes) =>
+          val (w, h) = decode(bytes)
+          (id, w, h)
+        }
+      }
+      .toDF("doc_id", "dec_width", "dec_height")
+  }
+
+  /** Stand-in for a codec: derives dimensions from the payload bytes. */
+  private def stubDecode(bytes: Array[Byte]): (Long, Long) =
+    (bytes.length.toLong % 640, bytes.length.toLong % 480)
+
   /** "Resize": proportional byte-slice of the media payload. A real
     * implementation replaces the slice with a codec call; the schema and
     * partition behavior stay identical. */

@@ -130,4 +130,14 @@ class MultimodalSpec extends SparkSpec {
     val b = Multimodal.resizeStub(docs, 0.5).select("media_small").as[Array[Byte]].head()
     assert(b.length == 5)
   }
+
+  test("decodeBatched runs the pluggable decoder once per row, batched by partition") {
+    val docs = Tables.documents(spark, sfDir)
+    val out = Multimodal.decodeBatched(docs)
+    assert(out.count() == docs.count())
+    assert(out.where($"dec_width" >= 640 || $"dec_height" >= 480).count() == 0)
+    // custom decoder slots in without schema changes
+    val custom = Multimodal.decodeBatched(docs, bytes => (1L, 2L))
+    assert(custom.where($"dec_width" =!= 1L || $"dec_height" =!= 2L).count() == 0)
+  }
 }
