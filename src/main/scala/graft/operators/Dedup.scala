@@ -177,54 +177,22 @@ object Dedup {
     * quadratic baseline (at scale run Similarity.lshAnn for candidates
     * and verify with this cosine).
     *
-    * All-pairs scoring is genuine per-partition numeric kernel work, so
-    * this drops to mapPartitions over primitive double arrays with the
-    * full vector set broadcast (it must fit in memory for an exact
-    * all-pairs answer regardless of engine): each partition owns a slice
-    * of rows i and scans j > i at memory bandwidth instead of paying
-    * row-at-a-time expression evaluation per pair. The dot fold is
-    * left-to-right, matching the declarative variant bit-for-bit.
+    * Declarative: a broadcast self-join on `id_a < id_b` scored by the
+    * native single-pass `cosine_sim` expression. The triangular cross
+    * product stays fully distributed (each partition streams its slice
+    * past the broadcast side inside whole-stage codegen) — no driver
+    * collect, no per-pair expression-tree overhead.
     */
   def embeddingNearDup(embeddings: DataFrame, threshold: Double = 0.4,
       dim: Int = 64): DataFrame = {
-    val spark = embeddings.sparkSession
-    import spark.implicits._
-    val vecs = embeddings
+    import graft.functions.CosineSimilarity.cosineSim
+    val e = embeddings
       .select(col("vec_id"), VectorFunctions.toDouble(col("embedding")).as("v"))
-      .as[(Long, Array[Double])]
-      .collect()
-      .sortBy(_._1)
-    val ids = vecs.map(_._1)
-    val vs = vecs.map(_._2)
-    val norms = vs.map(v => math.sqrt(selfDot(v)))
-    val bcIds = spark.sparkContext.broadcast(ids)
-    val bcVs = spark.sparkContext.broadcast(vs)
-    val bcNorms = spark.sparkContext.broadcast(norms)
-    val n = vecs.length
-    val pairs = spark.range(0, n)
-      .repartition(spark.sparkContext.defaultParallelism) // spread the triangular workload
-      .as[Long]
-      .mapPartitions { it =>
-        val idArr = bcIds.value; val vArr = bcVs.value; val nrm = bcNorms.value
-        it.flatMap { i0 =>
-          val i = i0.toInt
-          val vi = vArr(i); val ni = nrm(i)
-          (i + 1 until n).iterator.flatMap { j =>
-            var s = 0.0; var k = 0
-            val vj = vArr(j)
-            while (k < vi.length) { s += vi(k) * vj(k); k += 1 }
-            val cos = s / (ni * nrm(j))
-            if (cos >= threshold) Iterator((idArr(i), idArr(j), cos)) else Iterator.empty
-          }
-        }
-      }
-      .toDF("id_a", "id_b", "cos")
+    val pairs = e.select(col("vec_id").as("id_a"), col("v").as("va"))
+      .join(broadcast(e.select(col("vec_id").as("id_b"), col("v").as("vb"))),
+        col("id_a") < col("id_b"))
+      .withColumn("cos", cosineSim(col("va"), col("vb")))
+      .where(col("cos") >= threshold)
     pairs.select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
-  }
-
-  private def selfDot(v: Array[Double]): Double = {
-    var s = 0.0; var k = 0
-    while (k < v.length) { s += v(k) * v(k); k += 1 }
-    s
   }
 }
