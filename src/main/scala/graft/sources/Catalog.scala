@@ -128,11 +128,7 @@ class Catalog(spark: SparkSession, baseDir: String) {
   }
 
   /** Oracle-friendly per-table row counts (no filesystem columns).
-    * One unioned distributed plan — NOT a driver loop of `.count()` jobs;
-    * all table scans run as a single job with parallel stages. */
-  def rowCounts(): DataFrame =
-    list()
-      .map(n => table(n).groupBy().agg(count(lit(1)).as("n_rows"))
-        .select(lit(n).as("tbl"), col("n_rows")))
-      .reduce(_.unionAll(_))
+    * Footer metadata via [[stats]] — exact counts with zero data scanned,
+    * like the reference controller answering `ls` from its index. */
+  def rowCounts(): DataFrame = stats().select(col("tbl"), col("n_rows"))
 }
