@@ -128,13 +128,26 @@ object Dedup {
   /** Boilerplate phrase mining: n-gram phrases appearing in at least
     * `minDocs` distinct documents, with their document frequency (the
     * removal pass is then a join of shingle matches against this set).
-    * `shingles` is distinct per doc, so a plain count IS the document
-    * frequency — no count-distinct shuffle. */
-  def boilerplate(docs: DataFrame, n: Int = 3, minDocs: Long = 3): DataFrame =
-    shingles(docs, n)
-      .groupBy(col("shingle"))
+    *
+    * Two passes so phrase STRINGS never ride a wide shuffle: pass 1
+    * counts document frequency over 8-byte shingle hashes (per-doc
+    * distinct and the frequency count are both hash-only exchanges);
+    * pass 2 re-derives shingles map-side and joins the surviving hash
+    * set — broadcast-sized by construction, boilerplate is rare — to
+    * attach each frequent hash's phrase text. The corpus is scanned
+    * twice, but scan is the cheap resource at 100 TB; shuffled bytes are
+    * the expensive one. */
+  def boilerplate(docs: DataFrame, n: Int = 3, minDocs: Long = 3): DataFrame = {
+    val freq = hashedShingles(docs, n).distinct()
+      .groupBy(col("h"))
       .agg(count(lit(1)).as("n_docs"))
       .where(col("n_docs") >= minDocs)
+    rawShingles(docs, n)
+      .select(col("shingle"), xxhash64(col("shingle")).as("h"))
+      .join(broadcast(freq), "h")
+      .groupBy(col("shingle"))
+      .agg(first(col("n_docs")).as("n_docs"))
+  }
 
   /** 64-bit SimHash signature per doc. */
   def simhashSignatures(docs: DataFrame): DataFrame = {
