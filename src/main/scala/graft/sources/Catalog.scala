@@ -99,32 +99,55 @@ class Catalog(spark: SparkSession, baseDir: String) {
   def download(name: String, destDir: String): Unit =
     table(name).coalesce(1).write.mode(SaveMode.Overwrite).parquet(destDir)
 
+  private def parquetFiles(p: Path): Seq[Path] = {
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val st = fs.getFileStatus(p)
+    if (st.isDirectory)
+      fs.listStatus(p).toSeq.map(_.getPath)
+        .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_"))
+    else Seq(p)
+  }
+
+  /** Exact row count from parquet footers — no data scan. */
+  def footerRowCount(p: Path): Long = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    parquetFiles(p).map { f =>
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f, conf))
+      try reader.getRecordCount finally reader.close()
+    }.sum
+  }
+
   /** Cluster-stats analog (reference: dfs/storageNode/stats.go): rows +
     * bytes per table, from parquet footers ONLY — a pure metadata
     * operation like the reference's controller index lookup; no data
     * scan regardless of table size. */
   def stats(): DataFrame = {
-    val conf = spark.sparkContext.hadoopConfiguration
-    val fs = new Path(baseDir).getFileSystem(conf)
-    def parquetFiles(p: Path): Seq[Path] = {
-      val st = fs.getFileStatus(p)
-      if (st.isDirectory)
-        fs.listStatus(p).toSeq.map(_.getPath)
-          .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_"))
-      else Seq(p)
-    }
+    val fs = new Path(baseDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val rows = list().map { n =>
       val p = new Path(s"$baseDir/$n.parquet")
-      val bytes = fs.getContentSummary(p).getLength
-      val nRows = parquetFiles(p).map { f =>
-        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
-          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f, conf))
-        try reader.getRecordCount finally reader.close()
-      }.sum
-      (n, nRows, bytes)
+      (n, footerRowCount(p), fs.getContentSummary(p).getLength)
     }
     import spark.implicits._
     rows.toDF("tbl", "n_rows", "bytes")
+  }
+
+  /** Small-file compaction — the operational inverse of the chunkinator:
+    * long-lived tables accrete many small files (streaming sinks,
+    * incremental appends), and file-open overhead eventually dominates
+    * scans. Target file count comes from footer metadata (no scan) and
+    * the rewrite uses coalesce — a narrow dependency, NO shuffle: each
+    * output task concatenates a set of input partitions. Returns the
+    * output file count. */
+  def compact(src: String, dest: String, targetRecordsPerFile: Long): Int = {
+    val rows = footerRowCount(new Path(src))
+    val nFiles = math.max(1L, (rows + targetRecordsPerFile - 1) / targetRecordsPerFile).toInt
+    spark.read.parquet(src)
+      .coalesce(nFiles)
+      .write.mode(SaveMode.Overwrite)
+      .option("maxRecordsPerFile", targetRecordsPerFile)
+      .parquet(dest)
+    nFiles
   }
 
   /** Oracle-friendly per-table row counts (no filesystem columns).

@@ -83,6 +83,25 @@ class CatalogVerbsSpec extends SparkSpec {
   }
 }
 
+class CompactionSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("compact merges many small files without losing rows") {
+    val dir = Files.createTempDirectory("graft-compact").toString
+    val cat = new Catalog(spark, dir)
+    val events = Tables.events(spark, sfDir)
+    events.repartition(16).write.parquet(s"$dir/frag")
+    def fileCount(d: String) =
+      new java.io.File(d).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(fileCount(s"$dir/frag") == 16)
+
+    val n = cat.compact(s"$dir/frag", s"$dir/compacted", events.count() + 1)
+    assert(n == 1)
+    assert(fileCount(s"$dir/compacted") == 1)
+    assert(spark.read.parquet(s"$dir/compacted").count() == events.count())
+  }
+}
+
 class IvfAnnSpec extends SparkSpec {
   import spark.implicits._
 
