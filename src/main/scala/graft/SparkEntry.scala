@@ -64,6 +64,7 @@ object SparkEntry {
     "d_dedup_simhash" -> ((s, d) => Dedup.simhashNearDup(Tables.documents(s, d), 3)),
     "d_dedup_embed" -> ((s, d) => Dedup.embeddingNearDup(Tables.embeddings(s, d), 0.4)),
     "d_boilerplate" -> ((s, d) => Dedup.boilerplate(Tables.documents(s, d), 3, 3)),
+    "d_dedup_semantic" -> ((s, d) => Similarity.semanticDedup(Tables.embeddings(s, d), 0.4)),
     "p_split" -> ((s, d) => Sampling.hashSplit(Tables.documents(s, d))),
     "p_sample" -> ((s, d) => Sampling.stratifiedSample(Tables.documents(s, d))),
     "s_ann_brute" -> ((s, d) => Similarity.bruteForceTopK(Tables.embeddings(s, d), 5, 10)),

@@ -101,6 +101,39 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
+  /** SemDeDup-style semantic dedup: cluster by coarse centroid, then
+    * find cosine-near-dup pairs ONLY within each cell. Bounds the
+    * quadratic pair scoring to cell populations (expected n/C per cell),
+    * which is what makes embedding dedup tractable at corpus scale; the
+    * price is missed pairs that straddle a cell boundary (raise nCells'
+    * inverse or probe neighbors to trade recall vs cost). Every emitted
+    * pair carries its exact cosine, so results are a subset of
+    * Dedup.embeddingNearDup at the same threshold. */
+  def semanticDedup(embeddings: DataFrame, threshold: Double = 0.4,
+      nCells: Int = 16): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = prepared(embeddings)
+    val centroids = e
+      .orderBy(pmod(xxhash64(col("vec_id")), lit(1000003L)), col("vec_id"))
+      .limit(nCells)
+      .select(col("vec_id").as("cell_id"), col("v").as("cv"))
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("cell_id"))
+    val assigned = e.join(broadcast(centroids), lit(true))
+      .withColumn("csim", cosineSim(col("v"), col("cv")))
+      .withColumn("crnk", row_number().over(w))
+      .where(col("crnk") === 1)
+      .select(col("vec_id"), col("v"), col("cell_id"))
+    // intra-cell pair scoring: the self-join key is the cell, so the
+    // cross product never leaves a cell
+    assigned.as("a")
+      .join(assigned.as("b"),
+        col("a.cell_id") === col("b.cell_id") && col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cos", cosineSim(col("a.v"), col("b.v")))
+      .where(col("cos") >= threshold)
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+        round(col("cos"), 6).as("cos"))
+  }
+
   /** LSH-bucketed ANN: queries score only vectors in their own bucket.
     * Approximate by construction (recall < 1 across bucket boundaries);
     * nPlanes trades recall vs bucket size. */

@@ -127,6 +127,21 @@ class DecorrelatedPivotSpec extends SparkSpec {
   }
 }
 
+class SemanticDedupSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.operators.Similarity
+
+  test("semanticDedup pairs are a subset of exact embedding near-dups") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val exact = Dedup.embeddingNearDup(emb, 0.3)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    val sem = Similarity.semanticDedup(emb, 0.3, nCells = 8)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(sem.nonEmpty, "planted near-dup vectors should share a cell")
+    assert(sem.subsetOf(exact), "cell-bounded pairs must also pass the exact threshold")
+  }
+}
+
 class RangeJoinSpec extends SparkSpec {
   import spark.implicits._
 
