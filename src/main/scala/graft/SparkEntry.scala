@@ -51,6 +51,15 @@ object SparkEntry {
     "q_argmin" -> ((s, d) => Analytics.cheapestPartPerBrand(Tables.part(s, d))),
     "q17_small_qty" -> ((s, d) => Analytics.smallQuantityOrders(Tables.lineitem(s, d))),
     "q_pivot" -> ((s, d) => Analytics.eventTypePivot(Tables.events(s, d))),
+    // bounded-buffer top-k aggregate: O(groups·k) shuffle, vs the window
+    // route's O(rows) — exploded to rows so DuckDB can verify the values
+    "q_topk_agg" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{col, explode}
+      Tables.orders(s, d)
+        .groupBy(col("o_custkey"))
+        .agg(graft.functions.TopKAggregate.topk(col("o_totalprice"), 3).as("top"))
+        .select(col("o_custkey"), explode(col("top")).as("price"))
+    }),
     // C. Events
     "e_tumbling" -> ((s, d) => Events.tumblingHourly(Tables.events(s, d))),
     "e_sessionize" -> ((s, d) => Events.sessionize(Tables.events(s, d))),
@@ -302,6 +311,14 @@ object SparkEntry {
          FROM part p
          JOIN (SELECT p_brand, min(p_retailprice) AS mp FROM part GROUP BY p_brand) m
            ON p.p_brand = m.p_brand AND p.p_retailprice = m.mp""",
+    // top-3 VALUES per group are a well-defined multiset even under ties,
+    // and the compare is row-multiset-based, so row_number is a safe oracle
+    "q_topk_agg" ->
+      """SELECT o_custkey, o_totalprice AS price FROM (
+           SELECT o_custkey, o_totalprice,
+                  row_number() OVER (PARTITION BY o_custkey
+                                     ORDER BY o_totalprice DESC) AS rnk
+           FROM orders) WHERE rnk <= 3""",
     "q17_small_qty" ->
       """WITH a AS (SELECT l_partkey AS ap,
                 CAST(sum(CAST(round((l_quantity) * 100) AS BIGINT)) AS DOUBLE) / 100.0 / count(*) AS avg_qty
