@@ -16,10 +16,20 @@ object Bench {
     val spark = Graft.session(master = s"local[$cpus]", shufflePartitions = cpus,
       appName = "graft-bench")
 
-    // untimed warmup: initialize codegen, shuffle, and the noop sink once
-    // so the alphabetically-first query doesn't absorb session startup
+    // untimed warmup: initialize codegen, shuffle, the parquet reader
+    // stack, and the noop sink once so the alphabetically-first query
+    // doesn't absorb session startup
     spark.range(1 << 20).selectExpr("sum(id) as s")
       .write.format("noop").mode("overwrite").save()
+    locally {
+      import org.apache.spark.sql.functions._
+      val r = spark.read.parquet(s"$sfDir/region.parquet")
+      r.join(broadcast(r.select(col("r_regionkey").as("k"))),
+          col("r_regionkey") === col("k"))
+        .select(explode(split(col("r_name"), "")).as("c"))
+        .groupBy(col("c")).count()
+        .write.format("noop").mode("overwrite").save()
+    }
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
