@@ -247,7 +247,7 @@ object SparkEntry {
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
          n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e)
          SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-                round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cos
+                floor(list_dot_product(a.v, b.v) / (a.nrm * b.nrm) * 1000000 + 0.5) / 1000000 AS cos
          FROM n a JOIN n b ON a.vec_id < b.vec_id
          WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.4""",
     "s_ann_brute" ->
@@ -261,7 +261,7 @@ object SparkEntry {
                       row_number() OVER (PARTITION BY query_id
                                          ORDER BY cos DESC, neighbor_id) AS rnk
                FROM scored)
-         SELECT query_id, neighbor_id, round(cos, 6) AS cos, rnk FROM r WHERE rnk <= 10""",
+         SELECT query_id, neighbor_id, floor(cos * 1000000 + 0.5) / 1000000 AS cos, rnk FROM r WHERE rnk <= 10""",
     "t_token_count" ->
       """SELECT doc_id,
                 len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS ws_tokens,
@@ -277,13 +277,13 @@ object SparkEntry {
                       x -> x IN ('the','a','of','and','to','is','in','that','it','as'))) AS stop_hits
            FROM documents)
          SELECT doc_id, n_chars_text, n_words,
-                round(CAST(n_alpha AS DOUBLE) / greatest(n_words, 1), 6) AS avg_word_len,
-                round(CAST(n_punct AS DOUBLE) / greatest(n_chars_text, 1), 6) AS punct_ratio,
-                round(CAST(stop_hits AS DOUBLE) / greatest(n_words, 1), 6) AS stop_ratio,
-                round(CAST(stop_hits AS DOUBLE) / greatest(n_words, 1) * 0.4
+                floor(CAST(n_alpha AS DOUBLE) / greatest(n_words, 1) * 1000000 + 0.5) / 1000000 AS avg_word_len,
+                floor(CAST(n_punct AS DOUBLE) / greatest(n_chars_text, 1) * 1000000 + 0.5) / 1000000 AS punct_ratio,
+                floor(CAST(stop_hits AS DOUBLE) / greatest(n_words, 1) * 1000000 + 0.5) / 1000000 AS stop_ratio,
+                floor((CAST(stop_hits AS DOUBLE) / greatest(n_words, 1) * 0.4
                       + least(CAST(n_alpha AS DOUBLE) / greatest(n_words, 1) / 10.0, 1.0) * 0.3
-                      + (1.0 - CAST(n_punct AS DOUBLE) / greatest(n_chars_text, 1)) * 0.3,
-                      6) AS quality_score
+                      + (1.0 - CAST(n_punct AS DOUBLE) / greatest(n_chars_text, 1)) * 0.3)
+                      * 1000000 + 0.5) / 1000000 AS quality_score
          FROM b""",
     "t_lang_id" ->
       """WITH t AS (SELECT doc_id, lang AS declared_lang,
@@ -391,7 +391,7 @@ object SparkEntry {
                  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
                  GROUP BY 1, 2)
        SELECT id_a, id_b,
-              round(CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter), 6) AS jaccard
+              floor(CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter) * 1000000 + 0.5) / 1000000 AS jaccard
        FROM inter JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
        WHERE CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter) >= 0.5"""
 }

@@ -24,4 +24,14 @@ object Exact {
   /** Order-independent average, as double. */
   def moneyAvg(c: Column): Column =
     sum(cents(c)).cast("double") / 100.0 / count(lit(1))
+
+  /** Engine-portable 6-decimal rounding: floor(x·10⁶ + 0.5)/10⁶.
+    * `round()` is NOT portable — Spark rounds via the decimal string
+    * (BigDecimal HALF_UP) while DuckDB rounds the scaled binary double,
+    * and a score landing exactly on a half-boundary (x·10⁶ == N.5, which
+    * synthetic dyadic ratios hit systematically) flips between them.
+    * Scaled-floor is a pure function of the input double, so two engines
+    * that computed the same double emit the same 6-decimal value. SQL
+    * mirror: `floor(x * 1000000 + 0.5) / 1000000`. */
+  def round6(c: Column): Column = floor(c * 1000000.0 + 0.5) / 1000000.0
 }

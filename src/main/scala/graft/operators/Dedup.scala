@@ -67,7 +67,7 @@ object Dedup {
       .withColumn("jaccard",
         col("n_inter").cast("double") / (col("sa.sz") + col("sb.sz") - col("n_inter")))
       .where(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+      .select(col("id_a"), col("id_b"), graft.functions.Exact.round6(col("jaccard")).as("jaccard"))
   }
 
   /** MinHash + LSH banding near-dup detection — the 100 TB path.
@@ -122,7 +122,7 @@ object Dedup {
         col("n_inter").cast("double") /
           (size(col("sa.ss")) + size(col("sb.ss")) - col("n_inter")))
       .where(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+      .select(col("id_a"), col("id_b"), graft.functions.Exact.round6(col("jaccard")).as("jaccard"))
   }
 
   /** Boilerplate phrase mining: n-gram phrases appearing in at least
@@ -206,6 +206,6 @@ object Dedup {
         col("id_a") < col("id_b"))
       .withColumn("cos", cosineSim(col("va"), col("vb")))
       .where(col("cos") >= threshold)
-    pairs.select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
+    pairs.select(col("id_a"), col("id_b"), graft.functions.Exact.round6(col("cos")).as("cos"))
   }
 }

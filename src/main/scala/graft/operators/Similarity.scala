@@ -34,7 +34,7 @@ object Similarity {
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("cos"),
         row_number().over(w).as("rnk"))
       .where(col("rnk") <= k)
-      .select(col("query_id"), col("neighbor_id"), round(col("cos"), 6).as("cos"), col("rnk"))
+      .select(col("query_id"), col("neighbor_id"), graft.functions.Exact.round6(col("cos")).as("cos"), col("rnk"))
   }
 
   /** Exact top-k cosine neighbors for each query vector (queries chosen
@@ -131,7 +131,7 @@ object Similarity {
       .withColumn("cos", cosineSim(col("a.v"), col("b.v")))
       .where(col("cos") >= threshold)
       .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
-        round(col("cos"), 6).as("cos"))
+        graft.functions.Exact.round6(col("cos")).as("cos"))
   }
 
   /** LSH-bucketed ANN: queries score only vectors in their own bucket.

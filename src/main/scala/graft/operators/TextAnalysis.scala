@@ -29,6 +29,7 @@ object TextAnalysis {
     * ratios plus a composite score. All ratios are exact-integer inputs
     * divided once, so the doubles are engine-identical. */
   def quality(docs: DataFrame): DataFrame = {
+    import graft.functions.Exact.round6
     val toks = tokens(col("text"))
     val nChars = length(col("text"))
     val nWords = greatest(size(toks), lit(1))
@@ -39,14 +40,14 @@ object TextAnalysis {
       col("doc_id"),
       nChars.as("n_chars_text"),
       size(toks).as("n_words"),
-      round(nAlpha.cast("double") / nWords, 6).as("avg_word_len"),
-      round(nPunct.cast("double") / greatest(nChars, lit(1)), 6).as("punct_ratio"),
-      round(stopHits.cast("double") / nWords, 6).as("stop_ratio"),
-      round(
+      round6(nAlpha.cast("double") / nWords).as("avg_word_len"),
+      round6(nPunct.cast("double") / greatest(nChars, lit(1))).as("punct_ratio"),
+      round6(stopHits.cast("double") / nWords).as("stop_ratio"),
+      round6(
         stopHits.cast("double") / nWords * 0.4
           + least(nAlpha.cast("double") / nWords / 10.0, lit(1.0)) * 0.3
-          + (lit(1.0) - nPunct.cast("double") / greatest(nChars, lit(1))) * 0.3,
-        6).as("quality_score"))
+          + (lit(1.0) - nPunct.cast("double") / greatest(nChars, lit(1))) * 0.3
+      ).as("quality_score"))
   }
 
   val EnStopwords: Seq[String] =
