@@ -51,6 +51,7 @@ object SparkEntry {
     "q_argmin" -> ((s, d) => Analytics.cheapestPartPerBrand(Tables.part(s, d))),
     "q17_small_qty" -> ((s, d) => Analytics.smallQuantityOrders(Tables.lineitem(s, d))),
     "q_pivot" -> ((s, d) => Analytics.eventTypePivot(Tables.events(s, d))),
+    "q_moving_avg" -> ((s, d) => Analytics.movingAvgDailyRevenue(Tables.orders(s, d))),
     // bounded-buffer top-k aggregate: O(groups·k) shuffle, vs the window
     // route's O(rows) — exploded to rows so DuckDB can verify the values
     "q_topk_agg" -> ((s, d) => {
@@ -311,6 +312,14 @@ object SparkEntry {
          FROM part p
          JOIN (SELECT p_brand, min(p_retailprice) AS mp FROM part GROUP BY p_brand) m
            ON p.p_brand = m.p_brand AND p.p_retailprice = m.mp""",
+    "q_moving_avg" ->
+      """WITH d AS (SELECT CAST(o_orderdate AS DATE) AS day,
+                sum(CAST(round((o_totalprice) * 100) AS BIGINT)) AS cents
+              FROM orders GROUP BY 1)
+         SELECT strftime(day, '%Y-%m-%d') AS day,
+                CAST(cents AS DOUBLE) / 100.0 AS revenue,
+                CAST(sum(cents) OVER w AS DOUBLE) / 100.0 / (count(*) OVER w) AS mov_avg7
+         FROM d WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)""",
     // top-3 VALUES per group are a well-defined multiset even under ties,
     // and the compare is row-multiset-based, so row_number is a safe oracle
     "q_topk_agg" ->

@@ -197,6 +197,26 @@ object Analytics {
       .agg(count(lit(1)))
       .na.fill(0L)
 
+  /** 7-row moving average of daily revenue — a sliding ROWS frame over
+    * an ordered window. The unpartitioned window is safe here because
+    * its input is already reduced to one row per day (thousands of rows
+    * at any corpus size); the heavy lifting happened in the prior
+    * distributed aggregate. Sums stay in integer cents inside the frame
+    * so the average is engine-exact. */
+  def movingAvgDailyRevenue(orders: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.Exact.cents
+    val daily = orders
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(cents(col("o_totalprice"))).as("cents"))
+    val w = Window.orderBy(col("day")).rowsBetween(-6, Window.currentRow)
+    daily.select(
+      date_format(col("day"), "yyyy-MM-dd").as("day"),
+      (col("cents").cast("double") / 100.0).as("revenue"),
+      (sum(col("cents")).over(w).cast("double") / 100.0 /
+        count(lit(1)).over(w)).as("mov_avg7"))
+  }
+
   /** Post-aggregation filter (HAVING). */
   def bigCustomers(orders: DataFrame, minOrders: Long): DataFrame =
     orders
