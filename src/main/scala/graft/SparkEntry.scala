@@ -85,6 +85,7 @@ object SparkEntry {
     "t_lang_id" -> ((s, d) => TextAnalysis.langId(Tables.documents(s, d))),
     "t_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(Tables.documents(s, d))),
     "t_normalize" -> ((s, d) => TextAnalysis.normalize(Tables.documents(s, d))),
+    "t_tfidf" -> ((s, d) => TextAnalysis.tfidf(Tables.documents(s, d))),
     "m_meta" -> ((s, d) => Multimodal.metaExtract(Tables.documents(s, d))),
     // E. storage engine introspection (DFS cluster-stats analog)
     "fs_stats" -> ((s, d) => new graft.sources.Catalog(s, d).rowCounts()),
@@ -370,6 +371,16 @@ object SparkEntry {
     "p_sample" ->
       """SELECT doc_id, lang FROM documents
          WHERE substr(md5(CAST(doc_id AS VARCHAR) || ':sample:' || lang), 1, 1) < '4'""",
+    "t_tfidf" ->
+      """WITH tok AS (SELECT doc_id,
+             unnest(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS word
+           FROM documents),
+         tf AS (SELECT doc_id, word, count(*) AS tf FROM tok GROUP BY 1, 2),
+         df AS (SELECT word, count(*) AS df FROM tf GROUP BY 1),
+         n AS (SELECT count(*) AS n_docs FROM documents)
+         SELECT doc_id, word, tf, df,
+                floor(tf * (CAST(n_docs AS DOUBLE) / df) * 1000000 + 0.5) / 1000000 AS tfidf_lin
+         FROM tf JOIN df USING (word) CROSS JOIN n""",
     "t_normalize" ->
       """SELECT doc_id,
                 md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS norm_hash,

@@ -78,6 +78,24 @@ object TextAnalysis {
         .otherwise("zh").as("pred_lang"))
   }
 
+  /** TF-IDF keyword weighting (linear-idf variant): per (doc, word) the
+    * term frequency, document frequency, and tf·(N/df) score. Linear idf
+    * instead of log keeps every value a single exact division — `ln` is
+    * a libm call whose last ulp differs across engines. Three hash
+    * aggregates + a broadcast of the 1-row corpus count; the (doc, word)
+    * exchange is the only wide shuffle. */
+  def tfidf(docs: DataFrame): DataFrame = {
+    import graft.functions.Exact.round6
+    val tok = docs.select(col("doc_id"), explode(tokens(col("text"))).as("word"))
+    val tf = tok.groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    tf.join(df, "word")
+      .crossJoin(broadcast(n))
+      .select(col("doc_id"), col("word"), col("tf"), col("df"),
+        round6(col("tf") * (col("n_docs").cast("double") / col("df"))).as("tfidf_lin"))
+  }
+
   /** Normalization pass: lowercase, trim, collapse runs of whitespace.
     * Emits the md5 of the normalized text (a portable content
     * fingerprint — the natural key for a downstream exact-dedup pass)
