@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Diagnostic: replicate the sf0.1 corpus 20× (documents) / 10× (events)
+  * into /tmp and time the heavy operators — an empirical check that
+  * their cost curves stay near-linear when the input grows, i.e. that no
+  * hidden quadratic or skew blow-up is waiting past the bench SF.
+  * Usage: runMain graft.ScaleSmoke
+  */
+object ScaleSmoke {
+  def main(args: Array[String]): Unit = {
+    val spark = Graft.session(appName = "graft-scale-smoke")
+    val docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+    (0 until 20).map(i => docs.withColumn("doc_id", col("doc_id") + lit(i * 1000000L)))
+      .reduce(_ unionAll _)
+      .write.mode("overwrite").parquet("/tmp/graft_bigdocs.parquet")
+    val events = Tables.events(spark, "/root/testdata/sf0.1")
+    (0 until 10).map(i => events.withColumn("user_id", col("user_id") + lit(i * 1000000L)))
+      .reduce(_ unionAll _)
+      .write.mode("overwrite").parquet("/tmp/graft_bigevents.parquet")
+
+    val bd = spark.read.parquet("/tmp/graft_bigdocs.parquet")
+    val be = spark.read.parquet("/tmp/graft_bigevents.parquet")
+    def time(name: String)(f: => Unit): Unit = {
+      val t0 = System.nanoTime(); f
+      println(f"[scale] $name%-18s ${(System.nanoTime() - t0) / 1e9}%8.2fs")
+    }
+    println(s"[scale] docs=${bd.count()} events=${be.count()}")
+    // raw minhash on a corpus that is 95% exact duplicates is the LSH
+    // worst case (quadratic inside dup-cluster buckets) — the realistic
+    // ladder collapses exact dups first, then near-dups the keepers;
+    // the bucket cap is the safety valve for clusters that survive
+    time("minhash_capped") {
+      operators.Dedup.minhashLsh(bd, 3, 64, 16, 0.5, maxBucket = 100)
+        .write.format("noop").mode("overwrite").save()
+    }
+    time("exact_then_minhash") {
+      val keepers = operators.Dedup.exact(bd).select(col("keep_id").as("doc_id"))
+      operators.Dedup.minhashLsh(bd.join(keepers, "doc_id"), 3, 64, 16, 0.5)
+        .write.format("noop").mode("overwrite").save()
+    }
+    time("boilerplate_100k") {
+      operators.Dedup.boilerplate(bd, 3, 3)
+        .write.format("noop").mode("overwrite").save()
+    }
+    time("exact_100k") {
+      operators.Dedup.exact(bd).write.format("noop").mode("overwrite").save()
+    }
+    time("simhash_100k") {
+      operators.Dedup.simhashNearDup(bd, 3)
+        .write.format("noop").mode("overwrite").save()
+    }
+    time("sessionize_1m") {
+      operators.Events.sessionize(be).write.format("noop").mode("overwrite").save()
+    }
+    time("wordcount_100k") {
+      operators.MapReduceOps.wordCount(bd)
+        .write.format("noop").mode("overwrite").save()
+    }
+    spark.stop()
+  }
+}

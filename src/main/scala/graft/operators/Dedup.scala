@@ -78,9 +78,17 @@ object Dedup {
     * verified with exact Jaccard (array_intersect on collected shingle
     * sets). Everything before verification is linear in corpus size.
     */
+  /** @param maxBucket when > 0, LSH buckets larger than this are dropped
+    *   before the candidate self-join. A bucket of b docs contributes
+    *   O(b²) candidate pairs, and at corpus scale the heavy tail of
+    *   near-identical clusters (the thing exact dedup removes) turns one
+    *   hot bucket into the whole job's runtime. Oversized buckets are by
+    *   construction exact-dup clusters — run [[exact]] first and near-dup
+    *   only the keepers (the documented scale ladder), with the cap as
+    *   the safety valve against clusters that survive. */
   def minhashLsh(
       docs: DataFrame, n: Int = 3, numHashes: Int = 64, bands: Int = 16,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5, maxBucket: Int = 0): DataFrame = {
     val rowsPerBand = numHashes / bands
     val sh = hashedShingles(docs, n)
 
@@ -99,9 +107,21 @@ object Dedup {
       val slice = (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"mh$i"))
       struct(lit(b).as("band"), xxhash64(slice: _*).as("bh"))
     }
-    val banded = sig
+    val bandedAll = sig
       .select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+    // the bucket-size window partitions exactly like the self-join below,
+    // so the cap costs no extra exchange (ReuseExchange)
+    val banded =
+      if (maxBucket <= 0) bandedAll
+      else {
+        import org.apache.spark.sql.expressions.Window
+        bandedAll
+          .withColumn("bsz",
+            count(lit(1)).over(Window.partitionBy(col("band"), col("bh"))))
+          .where(col("bsz") <= maxBucket)
+          .drop("bsz")
+      }
 
     val candidates = banded.as("x")
       .join(banded.as("y"),

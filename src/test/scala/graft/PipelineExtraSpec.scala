@@ -127,6 +127,37 @@ class DecorrelatedPivotSpec extends SparkSpec {
   }
 }
 
+class BucketCapSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("maxBucket drops giant dup-cluster buckets but keeps normal pairs") {
+    val base = Tables.documents(spark, sfDir)
+    // 30 exact copies of one doc → every band bucket for it has ≥30 members
+    val clones = (1 to 30).map(i =>
+      base.where($"doc_id" === 0).withColumn("doc_id", lit(1000000L + i)))
+      .reduce(_ unionAll _)
+    val corpus = base.unionAll(clones)
+    val uncapped = Dedup.minhashLsh(corpus, 3, 64, 16, 0.5)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    val capped = Dedup.minhashLsh(corpus, 3, 64, 16, 0.5, maxBucket = 20)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(capped.subsetOf(uncapped))
+    // the 30-clone cluster's pairs are gone...
+    assert(!capped.exists { case (a, b) => a >= 1000000L && b >= 1000000L })
+    // ...and so may pairs whose buckets the clones polluted (doc 0's own
+    // near-dups) — but pairs fully outside the cluster's reach survive
+    val affected = uncapped.collect {
+      case (0L, b) => b
+      case (a, 0L) => a
+    } + 0L
+    def clean(p: (Long, Long)) =
+      p._1 < 1000000L && p._2 < 1000000L &&
+        !affected.contains(p._1) && !affected.contains(p._2)
+    assert(uncapped.filter(clean) == capped.filter(clean))
+    assert(capped.filter(clean).nonEmpty)
+  }
+}
+
 class SemanticDedupSpec extends SparkSpec {
   import spark.implicits._
   import graft.operators.Similarity
