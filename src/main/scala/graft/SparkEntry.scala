@@ -67,6 +67,7 @@ object SparkEntry {
     "e_user_stats" -> ((s, d) => Events.userStats(Tables.events(s, d))),
     "e_asof" -> ((s, d) => AsOfJoin.purchaseAttribution(Tables.events(s, d))),
     "e_range_join" -> ((s, d) => Events.purchaseViewsWithin(Tables.events(s, d))),
+    "e_json" -> ((s, d) => Events.propsHistogram(Tables.events(s, d))),
     // D. LLM-training-data pipeline
     "d_dedup_exact" -> ((s, d) => Dedup.exact(Tables.documents(s, d))),
     "d_dedup_ngram" -> ((s, d) => Dedup.ngramJaccard(Tables.documents(s, d), 3, 0.5)),
@@ -75,6 +76,7 @@ object SparkEntry {
     "d_dedup_embed" -> ((s, d) => Dedup.embeddingNearDup(Tables.embeddings(s, d), 0.4)),
     "d_boilerplate" -> ((s, d) => Dedup.boilerplate(Tables.documents(s, d), 3, 3)),
     "d_dedup_semantic" -> ((s, d) => Similarity.semanticDedup(Tables.embeddings(s, d), 0.4)),
+    "d_dedup_pipeline" -> ((s, d) => Dedup.nearDupPipeline(Tables.documents(s, d))),
     "p_split" -> ((s, d) => Sampling.hashSplit(Tables.documents(s, d))),
     "p_sample" -> ((s, d) => Sampling.stratifiedSample(Tables.documents(s, d))),
     "s_ann_brute" -> ((s, d) => Similarity.bruteForceTopK(Tables.embeddings(s, d), 5, 10)),
@@ -240,6 +242,29 @@ object SparkEntry {
     "d_dedup_exact" ->
       """SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n_copies
          FROM documents GROUP BY md5(text)""",
+    "e_json" ->
+      """SELECT CAST(json_extract(props, '$.k') AS BIGINT) AS k,
+                count(*) AS cnt,
+                CAST(sum(CAST(round((value) * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_value
+         FROM events GROUP BY 1""",
+    // exact-first pipeline: same n-gram Jaccard oracle, restricted to the
+    // exact-dedup keepers (min doc_id per content hash)
+    "d_dedup_pipeline" ->
+      """WITH keep AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+         docs2 AS (SELECT d.doc_id, d.text FROM documents d JOIN keep USING (doc_id)),
+         tok AS (SELECT doc_id,
+             list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS w FROM docs2),
+         sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+                FROM tok CROSS JOIN unnest(generate_series(1, len(w) - 2)) AS t(i)
+                WHERE len(w) >= 3),
+         sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+         inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+                   FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2)
+         SELECT id_a, id_b,
+                floor(CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter) * 1000000 + 0.5) / 1000000 AS jaccard
+         FROM inter JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
+         WHERE CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter) >= 0.5""",
     "d_dedup_ngram" -> ngramJaccardSql,
     // minhash-LSH verifies candidates with exact Jaccard; on this corpus
     // (planted near-dups at j≈0.98, 16 bands × 4 rows) it finds exactly

@@ -145,6 +145,18 @@ object Dedup {
       .select(col("id_a"), col("id_b"), graft.functions.Exact.round6(col("jaccard")).as("jaccard"))
   }
 
+  /** The production near-dup pipeline: collapse exact duplicates first,
+    * then minhash-LSH near-dup over the unique keepers. On dup-heavy
+    * corpora this is the difference between feasible and not — raw LSH
+    * pays O(cluster²) candidate pairs inside every clone bucket, while
+    * keepers-only LSH sees each cluster once (measured 30× on a 95%-dup
+    * corpus; see PLANS.md scale smoke). Pairs are over keeper ids. */
+  def nearDupPipeline(docs: DataFrame, n: Int = 3, numHashes: Int = 64,
+      bands: Int = 16, threshold: Double = 0.5, maxBucket: Int = 0): DataFrame = {
+    val keepers = exact(docs).select(col("keep_id").as("doc_id"))
+    minhashLsh(docs.join(keepers, "doc_id"), n, numHashes, bands, threshold, maxBucket)
+  }
+
   /** Boilerplate phrase mining: n-gram phrases appearing in at least
     * `minDocs` distinct documents, with their document frequency (the
     * removal pass is then a join of shingle matches against this set).

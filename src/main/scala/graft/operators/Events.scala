@@ -64,6 +64,17 @@ object Events {
       .agg(count(col("view_us")).as("n_views"))
   }
 
+  /** Semi-structured extraction: pull a typed field out of the JSON
+    * `props` column and aggregate on it. `get_json_object` is a native
+    * codegen'd expression — the JSON parse happens inside the scan
+    * projection, map-only until the final aggregate. */
+  def propsHistogram(events: DataFrame): DataFrame =
+    events
+      .select(get_json_object(col("props"), "$.k").cast("long").as("k"),
+        col("value"))
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("cnt"), moneySum(col("value")).as("sum_value"))
+
   /** Per-user activity stats. */
   def userStats(events: DataFrame): DataFrame =
     events
