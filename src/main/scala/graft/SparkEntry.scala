@@ -47,6 +47,7 @@ object SparkEntry {
     "q_setops" -> ((s, d) => Analytics.customerYearSets(Tables.orders(s, d))),
     "q_distinct_count" -> ((s, d) => Analytics.distinctCounts(Tables.lineitem(s, d))),
     "q_median" -> ((s, d) => Analytics.medianByStatus(Tables.orders(s, d))),
+    "q_quantiles" -> ((s, d) => Analytics.quantileProfile(Tables.orders(s, d))),
     "q_sketch" -> ((s, d) => Analytics.sketchSummary(Tables.lineitem(s, d))),
     "q_argmin" -> ((s, d) => Analytics.cheapestPartPerBrand(Tables.part(s, d))),
     "q17_small_qty" -> ((s, d) => Analytics.smallQuantityOrders(Tables.lineitem(s, d))),
@@ -338,6 +339,14 @@ object SparkEntry {
          FROM part p
          JOIN (SELECT p_brand, min(p_retailprice) AS mp FROM part GROUP BY p_brand) m
            ON p.p_brand = m.p_brand AND p.p_retailprice = m.mp""",
+    "q_quantiles" ->
+      """SELECT o_orderstatus,
+                quantile_cont(o_totalprice, 0.25) AS p25,
+                quantile_cont(o_totalprice, 0.5) AS p50,
+                quantile_cont(o_totalprice, 0.75) AS p75,
+                quantile_cont(o_totalprice, 0.95) AS p95,
+                count(*) AS cnt
+         FROM orders GROUP BY o_orderstatus""",
     "q_moving_avg" ->
       """WITH d AS (SELECT CAST(o_orderdate AS DATE) AS day,
                 sum(CAST(round((o_totalprice) * 100) AS BIGINT)) AS cents

@@ -147,6 +147,20 @@ object Analytics {
       .agg(percentile(col("o_totalprice"), lit(0.5)).as("median_price"),
         count(lit(1)).as("cnt"))
 
+  /** Multi-quantile profile per group — exact interpolated percentiles
+    * at the standard cut points. One pass, one shuffle; at 100 TB swap
+    * in percentile_approx (see [[sketchSummary]] / ApproximateRewrite)
+    * since exact percentiles must materialize each group's values. */
+  def quantileProfile(orders: DataFrame): DataFrame =
+    orders
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        percentile(col("o_totalprice"), lit(0.25)).as("p25"),
+        percentile(col("o_totalprice"), lit(0.5)).as("p50"),
+        percentile(col("o_totalprice"), lit(0.75)).as("p75"),
+        percentile(col("o_totalprice"), lit(0.95)).as("p95"),
+        count(lit(1)).as("cnt"))
+
   /** Sketch aggregates — the 100 TB substitutes for exact distinct /
     * percentile: HLL++ and KLL-style quantiles, constant memory per
     * group, mergeable across partitions. Deterministic for fixed data
