@@ -185,3 +185,22 @@ class RangeJoinSpec extends SparkSpec {
     assert(out.where($"n_views" < 0).count() == 0)
   }
 }
+
+class DriverContractSpec extends SparkSpec {
+  test("entry returns rows (driver smoke contract)") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every oracleSql key has a queries entry") {
+    val qs = SparkEntry.queries.keySet
+    val orphans = SparkEntry.oracleSql.keySet -- qs
+    assert(orphans.isEmpty, s"oracle entries without a query: $orphans")
+  }
+
+  test("every query runs and yields a non-empty result at sf0.001") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val n = fn(spark, sfDir).count()
+      assert(n > 0, s"$name returned 0 rows at sf0.001")
+    }
+  }
+}
