@@ -119,3 +119,34 @@ class StreamEnrichSinkSpec extends SparkSpec {
       expected.where($"c_mktsegment".isNull).count())
   }
 }
+
+class StreamRestartSpec extends SparkSpec {
+  import spark.implicits._
+  import java.nio.file.Files
+
+  test("restart from checkpoint resumes exactly-once (no loss, no dup)") {
+    val batch = Tables.events(spark, sfDir).select($"event_id", $"user_id", $"value")
+    val srcDir = Files.createTempDirectory("graft-restart-src").toString
+    val outDir = Files.createTempDirectory("graft-restart-out").toString + "/data"
+    val ckpt = Files.createTempDirectory("graft-restart-ckpt").toString
+
+    // first half of the input arrives
+    val Array(h1, h2) = batch.randomSplit(Array(0.5, 0.5), seed = 7)
+    h1.write.mode("append").parquet(srcDir)
+    def start() = EventStream.writeParquet(
+      spark.readStream.schema(batch.schema).parquet(srcDir), outDir, ckpt)
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    val afterFirst = spark.read.parquet(outDir).count()
+    assert(afterFirst == h1.count())
+
+    // more input lands while the query is DOWN; restart from the checkpoint
+    h2.write.mode("append").parquet(srcDir)
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+
+    val ids = spark.read.parquet(outDir).select($"event_id").as[Long].collect()
+    assert(ids.length == batch.count(), "no event lost, none duplicated")
+    assert(ids.toSet.size == ids.length)
+  }
+}
