@@ -48,6 +48,7 @@ object SparkEntry {
     "q_distinct_count" -> ((s, d) => Analytics.distinctCounts(Tables.lineitem(s, d))),
     "q_median" -> ((s, d) => Analytics.medianByStatus(Tables.orders(s, d))),
     "q_quantiles" -> ((s, d) => Analytics.quantileProfile(Tables.orders(s, d))),
+    "q_ntile" -> ((s, d) => Analytics.orderQuartiles(Tables.orders(s, d))),
     "q_sketch" -> ((s, d) => Analytics.sketchSummary(Tables.lineitem(s, d))),
     "q_argmin" -> ((s, d) => Analytics.cheapestPartPerBrand(Tables.part(s, d))),
     "q17_small_qty" -> ((s, d) => Analytics.smallQuantityOrders(Tables.lineitem(s, d))),
@@ -339,6 +340,11 @@ object SparkEntry {
          FROM part p
          JOIN (SELECT p_brand, min(p_retailprice) AS mp FROM part GROUP BY p_brand) m
            ON p.p_brand = m.p_brand AND p.p_retailprice = m.mp""",
+    "q_ntile" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+                ntile(4) OVER (PARTITION BY o_custkey
+                               ORDER BY o_totalprice DESC, o_orderkey) AS quartile
+         FROM orders""",
     "q_quantiles" ->
       """SELECT o_orderstatus,
                 quantile_cont(o_totalprice, 0.25) AS p25,

@@ -147,6 +147,16 @@ object Analytics {
       .agg(percentile(col("o_totalprice"), lit(0.5)).as("median_price"),
         count(lit(1)).as("cnt"))
 
+  /** ntile quartile assignment within each customer's orders by price —
+    * the bucketing window shape (ntile) with a deterministic tie-break. */
+  def orderQuartiles(orders: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    orders.select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+      ntile(4).over(w).as("quartile"))
+  }
+
   /** Multi-quantile profile per group — exact interpolated percentiles
     * at the standard cut points. One pass, one shuffle; at 100 TB swap
     * in percentile_approx (see [[sketchSummary]] / ApproximateRewrite)
