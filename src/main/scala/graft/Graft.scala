@@ -25,6 +25,11 @@ object Graft {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", (64 * 1024 * 1024).toString)
+      // runtime Bloom-filter join pruning: when a selective filter sits on
+      // one join side, inject a bloom filter into the other side's scan —
+      // at 100 TB this skips fact row-groups that can't match (off by
+      // default in Spark; costs one small aggregate on the build side)
+      .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.parquet.filterPushdown", "true")

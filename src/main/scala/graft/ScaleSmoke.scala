@@ -58,6 +58,28 @@ object ScaleSmoke {
       operators.MapReduceOps.wordCount(bd)
         .write.format("noop").mode("overwrite").save()
     }
+
+    // ANN ladder at 50× the bench vector count (100k vectors): brute
+    // force scans the whole corpus per query; LSH/IVF touch one bucket /
+    // nProbe cells — the gap is the scale argument
+    val emb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    (0 until 50).map(i => emb.withColumn("vec_id", col("vec_id") + lit(i * 1000000L)))
+      .reduce(_ unionAll _)
+      .write.mode("overwrite").parquet("/tmp/graft_bigemb.parquet")
+    val bigEmb = spark.read.parquet("/tmp/graft_bigemb.parquet")
+    println(s"[scale] vectors=${bigEmb.count()}")
+    time("ann_brute_100k") {
+      operators.Similarity.bruteForceTopK(bigEmb, 5, 10)
+        .write.format("noop").mode("overwrite").save()
+    }
+    time("ann_lsh_100k") {
+      operators.Similarity.lshAnn(bigEmb, 5, 10, nPlanes = 8)
+        .write.format("noop").mode("overwrite").save()
+    }
+    time("ann_ivf_100k") {
+      operators.Similarity.ivfAnn(bigEmb, 5, 10, nCells = 64, nProbe = 4)
+        .write.format("noop").mode("overwrite").save()
+    }
     spark.stop()
   }
 }

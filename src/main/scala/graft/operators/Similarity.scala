@@ -101,6 +101,53 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
+  /** One-time IVF index build: every vector assigned to its nearest
+    * coarse centroid (cells are named by their centroid's vec_id, so the
+    * centroid set is recoverable from the index itself). Persist this
+    * once — ideally `Catalog.writeBucketed(..., "cell_id", …)` so probe
+    * joins are exchange-free — and answer every future query batch with
+    * [[ivfSearch]]. Rebuilding the assignment per query batch (what a
+    * monolithic IVF call does) costs more than brute force until the
+    * query count is large; the index is what makes IVF pay at scale. */
+  def buildIvfIndex(embeddings: DataFrame, nCells: Int = 16): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = prepared(embeddings)
+    val centroids = e
+      .orderBy(pmod(xxhash64(col("vec_id")), lit(1000003L)), col("vec_id"))
+      .limit(nCells)
+      .select(col("vec_id").as("cell_id"), col("v").as("cv"))
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("cell_id"))
+    e.join(broadcast(centroids), lit(true))
+      .withColumn("csim", cosineSim(col("v"), col("cv")))
+      .withColumn("crnk", row_number().over(w))
+      .where(col("crnk") === 1)
+      .select(col("vec_id"), col("v"), col("cell_id"))
+  }
+
+  /** Probe-only IVF search against a prebuilt index: queries are scored
+    * against the (tiny, broadcast) centroid set to pick nProbe cells,
+    * then join only those cells' vectors. The corpus is never re-scored.
+    * `queries` needs (query_id, qv: array<double>). */
+  def ivfSearch(index: DataFrame, queries: DataFrame, k: Int,
+      nProbe: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val centroids = index.where(col("vec_id") === col("cell_id"))
+      .select(col("cell_id"), col("v").as("cv"))
+    val qw = Window.partitionBy(col("query_id")).orderBy(col("csim").desc, col("cell_id"))
+    // rename the probe-side cell key: queries may themselves derive from
+    // the index (self-join lineage), so qualified names must differ
+    val probed = queries.join(broadcast(centroids), lit(true))
+      .withColumn("csim", cosineSim(col("qv"), col("cv")))
+      .withColumn("crnk", row_number().over(qw))
+      .where(col("crnk") <= nProbe)
+      .select(col("query_id"), col("qv"), col("cell_id").as("probe_cell"))
+    val scored = index
+      .join(broadcast(probed),
+        col("cell_id") === col("probe_cell") && col("vec_id") =!= col("query_id"))
+      .withColumn("cos", cosineSim(col("qv"), col("v")))
+    topKPerQuery(scored, k)
+  }
+
   /** SemDeDup-style semantic dedup: cluster by coarse centroid, then
     * find cosine-near-dup pairs ONLY within each cell. Bounds the
     * quadratic pair scoring to cell populations (expected n/C per cell),

@@ -117,6 +117,18 @@ class IvfAnnSpec extends SparkSpec {
     }
   }
 
+  test("prebuilt-index ivfSearch matches the monolithic ivfAnn") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val index = Similarity.buildIvfIndex(emb, nCells = 16)
+    val queries = index.where($"vec_id" < 5)
+      .select($"vec_id".as("query_id"), $"v".as("qv"))
+    val indexed = Similarity.ivfSearch(index, queries, k = 10, nProbe = 4)
+      .select($"query_id", $"neighbor_id", $"rnk").as[(Long, Long, Int)].collect().toSet
+    val monolithic = Similarity.ivfAnn(emb, 5, 10, nCells = 16, nProbe = 4)
+      .select($"query_id", $"neighbor_id", $"rnk").as[(Long, Long, Int)].collect().toSet
+    assert(indexed == monolithic)
+  }
+
   test("ivfAnn recall against brute force is reasonable on probed cells") {
     val brute = Similarity.bruteForceTopK(Tables.embeddings(spark, sfDir), 3, 5)
       .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
