@@ -7,16 +7,20 @@ import graft.functions.VectorFunctions
 /** Deduplication family for training-data pipelines.
   *
   * Scale ladder (100 TB):
-  *  - exact: one hash-groupBy — fully linear, the default first pass.
+  *  - exact: one hash-groupBy — fully linear, ALWAYS the first pass
+  *    (clone clusters otherwise turn LSH buckets quadratic: measured
+  *    30× on a 95%-dup corpus, see PLANS.md scale smoke).
+  *  - nearDupPipeline: the production composition — exact, then
+  *    minhashLsh over the keepers.
   *  - minhashLsh: the scale path for near-dup — O(n·k) signatures, band
   *    bucketing makes candidate generation linear; only candidates pay
-  *    the exact-Jaccard verification.
+  *    the exact-Jaccard verification; `maxBucket` caps hot buckets.
   *  - ngramJaccard: exact pairwise on shingle inverted index — quadratic
   *    in bucket size; used standalone only at small scale, otherwise as
   *    the verifier behind LSH candidates.
   *  - simhash: 64-bit signature + 16-bit band self-join, hamming verify.
   *  - embeddingNearDup: cosine threshold pairs; quadratic baseline, with
-  *    Similarity.lshAnn as the scale path.
+  *    Similarity.semanticDedup (cell-bounded) as the scale path.
   */
 object Dedup {
 
