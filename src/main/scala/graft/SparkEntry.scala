@@ -49,6 +49,8 @@ object SparkEntry {
     "q_median" -> ((s, d) => Analytics.medianByStatus(Tables.orders(s, d))),
     "q_quantiles" -> ((s, d) => Analytics.quantileProfile(Tables.orders(s, d))),
     "q_ntile" -> ((s, d) => Analytics.orderQuartiles(Tables.orders(s, d))),
+    "q_grouping_sets" -> ((s, d) => Analytics.marginalSummary(Tables.lineitem(s, d))),
+    "q_string_agg" -> ((s, d) => Analytics.statusRollcall(Tables.lineitem(s, d))),
     "q_sketch" -> ((s, d) => Analytics.sketchSummary(Tables.lineitem(s, d))),
     "q_argmin" -> ((s, d) => Analytics.cheapestPartPerBrand(Tables.part(s, d))),
     "q17_small_qty" -> ((s, d) => Analytics.smallQuantityOrders(Tables.lineitem(s, d))),
@@ -340,6 +342,18 @@ object SparkEntry {
          FROM part p
          JOIN (SELECT p_brand, min(p_retailprice) AS mp FROM part GROUP BY p_brand) m
            ON p.p_brand = m.p_brand AND p.p_retailprice = m.mp""",
+    "q_grouping_sets" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+                coalesce(l_linestatus, 'ALL') AS linestatus,
+                count(*) AS cnt,
+                CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_qty
+         FROM lineitem
+         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""",
+    "q_string_agg" ->
+      """SELECT l_returnflag,
+                string_agg(DISTINCT l_linestatus, ',' ORDER BY l_linestatus) AS statuses,
+                count(*) AS cnt
+         FROM lineitem GROUP BY l_returnflag""",
     "q_ntile" ->
       """SELECT o_custkey, o_orderkey, o_totalprice,
                 ntile(4) OVER (PARTITION BY o_custkey

@@ -147,6 +147,31 @@ object Analytics {
       .agg(percentile(col("o_totalprice"), lit(0.5)).as("median_price"),
         count(lit(1)).as("cnt"))
 
+  /** Explicit GROUPING SETS — the general form rollup/cube specialize:
+    * here each single-dimension marginal plus the grand total, WITHOUT
+    * the pairwise cells a cube would add. */
+  def marginalSummary(lineitem: DataFrame): DataFrame = {
+    val spark = lineitem.sparkSession
+    lineitem.createOrReplaceTempView("graft_li_gs")
+    spark.sql(
+      """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+                coalesce(l_linestatus, 'ALL') AS linestatus,
+                count(*) AS cnt,
+                CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_qty
+         FROM graft_li_gs
+         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""")
+  }
+
+  /** Ordered string aggregation: the set of line statuses per return
+    * flag as one comma-joined sorted string (listagg semantics made
+    * deterministic by sorting — collect_set order is partition-dependent,
+    * sort_array fixes it). */
+  def statusRollcall(lineitem: DataFrame): DataFrame =
+    lineitem
+      .groupBy(col("l_returnflag"))
+      .agg(concat_ws(",", sort_array(collect_set(col("l_linestatus")))).as("statuses"),
+        count(lit(1)).as("cnt"))
+
   /** ntile quartile assignment within each customer's orders by price —
     * the bucketing window shape (ntile) with a deterministic tie-break. */
   def orderQuartiles(orders: DataFrame): DataFrame = {

@@ -204,3 +204,24 @@ class DriverContractSpec extends SparkSpec {
     }
   }
 }
+
+class EmptyInputSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("operators tolerate empty inputs (0 rows, same schema)") {
+    val noDocs = Tables.documents(spark, sfDir).limit(0)
+    val noEvents = Tables.events(spark, sfDir).limit(0)
+    val noEmb = Tables.embeddings(spark, sfDir).limit(0)
+    assert(Dedup.exact(noDocs).count() == 0)
+    assert(Dedup.minhashLsh(noDocs).count() == 0)
+    assert(Dedup.nearDupPipeline(noDocs).count() == 0)
+    assert(Dedup.boilerplate(noDocs).count() == 0)
+    assert(Dedup.embeddingNearDup(noEmb).count() == 0)
+    assert(TextAnalysis.quality(noDocs).count() == 0)
+    assert(TextAnalysis.tfidf(noDocs).count() == 0)
+    assert(Events.sessionize(noEvents).count() == 0)
+    assert(Events.purchaseViewsWithin(noEvents).count() == 0)
+    assert(Sampling.hashSplit(noDocs).count() == 0)
+    assert(graft.operators.Similarity.bruteForceTopK(noEmb, 5, 10).count() == 0)
+  }
+}
