@@ -50,6 +50,8 @@ object SparkEntry {
     "q_quantiles" -> ((s, d) => Analytics.quantileProfile(Tables.orders(s, d))),
     "q_ntile" -> ((s, d) => Analytics.orderQuartiles(Tables.orders(s, d))),
     "q_grouping_sets" -> ((s, d) => Analytics.marginalSummary(Tables.lineitem(s, d))),
+    "q_outer_join" -> ((s, d) =>
+      Analytics.nationCoverage(Tables.customer(s, d), Tables.supplier(s, d))),
     "q_string_agg" -> ((s, d) => Analytics.statusRollcall(Tables.lineitem(s, d))),
     "q_sketch" -> ((s, d) => Analytics.sketchSummary(Tables.lineitem(s, d))),
     "q_argmin" -> ((s, d) => Analytics.cheapestPartPerBrand(Tables.part(s, d))),
@@ -342,6 +344,13 @@ object SparkEntry {
          FROM part p
          JOIN (SELECT p_brand, min(p_retailprice) AS mp FROM part GROUP BY p_brand) m
            ON p.p_brand = m.p_brand AND p.p_retailprice = m.mp""",
+    "q_outer_join" ->
+      """WITH c AS (SELECT c_nationkey AS ck, count(*) AS n_cust FROM customer GROUP BY 1),
+         s AS (SELECT s_nationkey AS sk, count(*) AS n_supp FROM supplier GROUP BY 1)
+         SELECT coalesce(ck, sk) AS nationkey,
+                coalesce(n_cust, 0) AS n_cust,
+                coalesce(n_supp, 0) AS n_supp
+         FROM c FULL OUTER JOIN s ON ck = sk""",
     "q_grouping_sets" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
                 coalesce(l_linestatus, 'ALL') AS linestatus,

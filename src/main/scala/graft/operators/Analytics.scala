@@ -147,6 +147,19 @@ object Analytics {
       .agg(percentile(col("o_totalprice"), lit(0.5)).as("median_price"),
         count(lit(1)).as("cnt"))
 
+  /** Full outer join of two per-nation aggregates — rows survive from
+    * BOTH sides when the other has no match (coalesced keys, zeroed
+    * counts). Aggregate-then-join keeps the outer join tiny (one row per
+    * nation) regardless of fact size. */
+  def nationCoverage(customer: DataFrame, supplier: DataFrame): DataFrame = {
+    val c = customer.groupBy(col("c_nationkey").as("ck")).agg(count(lit(1)).as("n_cust"))
+    val s = supplier.groupBy(col("s_nationkey").as("sk")).agg(count(lit(1)).as("n_supp"))
+    c.join(s, col("ck") === col("sk"), "full_outer")
+      .select(coalesce(col("ck"), col("sk")).as("nationkey"),
+        coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+        coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+  }
+
   /** Explicit GROUPING SETS — the general form rollup/cube specialize:
     * here each single-dimension marginal plus the grand total, WITHOUT
     * the pairwise cells a cube would add. */
