@@ -87,3 +87,17 @@ class AnalyticsExtraSpec extends SparkSpec {
     assert(joined.where($"median_price" < $"lo" || $"median_price" > $"hi").count() == 0)
   }
 }
+
+class Round6Spec extends SparkSpec {
+  import spark.implicits._
+  import graft.functions.Exact.round6
+
+  test("round6 is deterministic on half-boundary doubles (cross-engine bug)") {
+    // 0.49093749999999997 * 1e6 rounds to exactly 490937.5 in double —
+    // BigDecimal-style rounding says 0.490937, scaled-floor says 0.490938;
+    // what matters is that we pick ONE rule expressible identically in SQL
+    val df = Seq(0.49093749999999997, 0.0625, -0.3, 1.0).toDF("x")
+    val out = df.select(round6($"x")).as[Double].collect().toSeq
+    assert(out == Seq(0.490938, 0.0625, -0.3, 1.0))
+  }
+}
