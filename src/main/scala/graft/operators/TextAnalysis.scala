@@ -30,23 +30,32 @@ object TextAnalysis {
     * divided once, so the doubles are engine-identical. */
   def quality(docs: DataFrame): DataFrame = {
     import graft.functions.Exact.round6
+    // two-stage projection: each regex / token filter is evaluated ONCE
+    // into a named column, then the ratio stage reuses the columns —
+    // a single flat select would re-evaluate the non-cheap expressions
+    // per output column (CollapseProject refuses to inline them, but
+    // only if they're already split into stages)
     val toks = tokens(col("text"))
-    val nChars = length(col("text"))
-    val nWords = greatest(size(toks), lit(1))
-    val nAlpha = length(regexp_replace(col("text"), "[^a-z]", ""))
-    val nPunct = length(regexp_replace(col("text"), "[^.!?,;:]", ""))
-    val stopHits = size(filter(toks, t => t.isin(EnStopwords: _*)))
-    docs.select(
+    val base = docs.select(
       col("doc_id"),
-      nChars.as("n_chars_text"),
-      size(toks).as("n_words"),
-      round6(nAlpha.cast("double") / nWords).as("avg_word_len"),
-      round6(nPunct.cast("double") / greatest(nChars, lit(1))).as("punct_ratio"),
-      round6(stopHits.cast("double") / nWords).as("stop_ratio"),
+      length(col("text")).as("nc"),
+      size(toks).as("nw_raw"),
+      length(regexp_replace(col("text"), "[^a-z]", "")).as("na"),
+      length(regexp_replace(col("text"), "[^.!?,;:]", "")).as("np"),
+      size(filter(toks, t => t.isin(EnStopwords: _*))).as("sh"))
+    val nWords = greatest(col("nw_raw"), lit(1))
+    val nChars = greatest(col("nc"), lit(1))
+    base.select(
+      col("doc_id"),
+      col("nc").as("n_chars_text"),
+      col("nw_raw").as("n_words"),
+      round6(col("na").cast("double") / nWords).as("avg_word_len"),
+      round6(col("np").cast("double") / nChars).as("punct_ratio"),
+      round6(col("sh").cast("double") / nWords).as("stop_ratio"),
       round6(
-        stopHits.cast("double") / nWords * 0.4
-          + least(nAlpha.cast("double") / nWords / 10.0, lit(1.0)) * 0.3
-          + (lit(1.0) - nPunct.cast("double") / greatest(nChars, lit(1))) * 0.3
+        col("sh").cast("double") / nWords * 0.4
+          + least(col("na").cast("double") / nWords / 10.0, lit(1.0)) * 0.3
+          + (lit(1.0) - col("np").cast("double") / nChars) * 0.3
       ).as("quality_score"))
   }
 
@@ -66,15 +75,20 @@ object TextAnalysis {
   def langId(docs: DataFrame): DataFrame = {
     val toks = tokens(col("text"))
     def hits(ws: Seq[String]): Column = size(filter(toks, t => t.isin(ws: _*)))
-    val (hEn, hEs, hFr, hDe, hZh) =
-      (hits(EnStopwords), hits(EsStopwords), hits(FrStopwords), hits(DeStopwords), hits(ZhStopwords))
-    docs.select(
+    // stage 1 evaluates each stopword filter once; the argmax cascade
+    // then reads plain columns (see quality for the CollapseProject note)
+    val base = docs.select(
       col("doc_id"), col("lang").as("declared_lang"),
-      hEn.as("h_en"), hEs.as("h_es"), hFr.as("h_fr"), hDe.as("h_de"), hZh.as("h_zh"),
-      when(hEn >= greatest(hEs, hFr, hDe, hZh), "en")
-        .when(hEs >= greatest(hFr, hDe, hZh), "es")
-        .when(hFr >= greatest(hDe, hZh), "fr")
-        .when(hDe >= hZh, "de")
+      hits(EnStopwords).as("h_en"), hits(EsStopwords).as("h_es"),
+      hits(FrStopwords).as("h_fr"), hits(DeStopwords).as("h_de"),
+      hits(ZhStopwords).as("h_zh"))
+    base.select(
+      col("doc_id"), col("declared_lang"),
+      col("h_en"), col("h_es"), col("h_fr"), col("h_de"), col("h_zh"),
+      when(col("h_en") >= greatest(col("h_es"), col("h_fr"), col("h_de"), col("h_zh")), "en")
+        .when(col("h_es") >= greatest(col("h_fr"), col("h_de"), col("h_zh")), "es")
+        .when(col("h_fr") >= greatest(col("h_de"), col("h_zh")), "fr")
+        .when(col("h_de") >= col("h_zh"), "de")
         .otherwise("zh").as("pred_lang"))
   }
 
@@ -100,13 +114,12 @@ object TextAnalysis {
     * Emits the md5 of the normalized text (a portable content
     * fingerprint — the natural key for a downstream exact-dedup pass)
     * plus the normalized length. Map-only, no shuffle. */
-  def normalize(docs: DataFrame): DataFrame = {
-    val norm = regexp_replace(trim(lower(col("text"))), "\\s+", " ")
-    docs.select(
-      col("doc_id"),
-      md5(norm).as("norm_hash"),
-      length(norm).as("n_chars_norm"))
-  }
+  def normalize(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"),
+        regexp_replace(trim(lower(col("text"))), "\\s+", " ").as("n"))
+      .select(col("doc_id"), md5(col("n")).as("norm_hash"),
+        length(col("n")).as("n_chars_norm"))
 
   /** Polynomial rolling-hash document fingerprint over the token stream
     * (order-sensitive, content-defined). Modular arithmetic keeps every
