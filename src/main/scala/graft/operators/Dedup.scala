@@ -149,6 +149,15 @@ object Dedup {
       .select(col("id_a"), col("id_b"), graft.functions.Exact.round6(col("jaccard")).as("jaccard"))
   }
 
+  /** Apply a near-dup pair set to a corpus: keep one representative per
+    * connected pair (drop every doc that appears as the GREATER id of a
+    * pair — with `id_a < id_b` emitted by every dedup operator here, the
+    * smallest doc of each dup chain survives). A left-anti join: one
+    * shuffle of (small) pair ids against the corpus. */
+  def applyDedup(docs: DataFrame, pairs: DataFrame): DataFrame =
+    docs.join(pairs.select(col("id_b").as("doc_id")).distinct(),
+      Seq("doc_id"), "left_anti")
+
   /** The production near-dup pipeline: collapse exact duplicates first,
     * then minhash-LSH near-dup over the unique keepers. On dup-heavy
     * corpora this is the difference between feasible and not — raw LSH

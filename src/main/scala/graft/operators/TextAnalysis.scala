@@ -35,14 +35,15 @@ object TextAnalysis {
     // a single flat select would re-evaluate the non-cheap expressions
     // per output column (CollapseProject refuses to inline them, but
     // only if they're already split into stages)
-    val toks = tokens(col("text"))
-    val base = docs.select(
-      col("doc_id"),
-      length(col("text")).as("nc"),
-      size(toks).as("nw_raw"),
-      length(regexp_replace(col("text"), "[^a-z]", "")).as("na"),
-      length(regexp_replace(col("text"), "[^.!?,;:]", "")).as("np"),
-      size(filter(toks, t => t.isin(EnStopwords: _*))).as("sh"))
+    val base = docs
+      .select(col("doc_id"), col("text"), tokens(col("text")).as("tk"))
+      .select(
+        col("doc_id"),
+        length(col("text")).as("nc"),
+        size(col("tk")).as("nw_raw"),
+        length(regexp_replace(col("text"), "[^a-z]", "")).as("na"),
+        length(regexp_replace(col("text"), "[^.!?,;:]", "")).as("np"),
+        size(filter(col("tk"), t => t.isin(EnStopwords: _*))).as("sh"))
     val nWords = greatest(col("nw_raw"), lit(1))
     val nChars = greatest(col("nc"), lit(1))
     base.select(

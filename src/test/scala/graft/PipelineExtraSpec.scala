@@ -205,6 +205,23 @@ class DriverContractSpec extends SparkSpec {
   }
 }
 
+class ApplyDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("applyDedup leaves a corpus with no remaining near-dup pairs") {
+    val docs = Tables.documents(spark, sfDir)
+    val pairs = Dedup.ngramJaccard(docs, 3, 0.5)
+    val cleaned = Dedup.applyDedup(docs, pairs)
+    assert(cleaned.count() < docs.count())
+    // re-running detection on the cleaned corpus finds nothing
+    assert(Dedup.ngramJaccard(cleaned, 3, 0.5).count() == 0)
+    // every dup chain kept its smallest member
+    val dropped = pairs.select($"id_b").as[Long].collect().toSet
+    val kept = cleaned.select($"doc_id").as[Long].collect().toSet
+    assert(kept.intersect(dropped).isEmpty)
+  }
+}
+
 class EmptyInputSpec extends SparkSpec {
   import spark.implicits._
 
