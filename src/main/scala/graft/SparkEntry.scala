@@ -74,6 +74,7 @@ object SparkEntry {
     "e_asof" -> ((s, d) => AsOfJoin.purchaseAttribution(Tables.events(s, d))),
     "e_range_join" -> ((s, d) => Events.purchaseViewsWithin(Tables.events(s, d))),
     "e_json" -> ((s, d) => Events.propsHistogram(Tables.events(s, d))),
+    "e_interval_join" -> ((s, d) => Events.maintenanceWindowCounts(Tables.events(s, d))),
     // D. LLM-training-data pipeline
     "d_dedup_exact" -> ((s, d) => Dedup.exact(Tables.documents(s, d))),
     "d_dedup_ngram" -> ((s, d) => Dedup.ngramJaccard(Tables.documents(s, d), 3, 0.5)),
@@ -248,6 +249,15 @@ object SparkEntry {
     "d_dedup_exact" ->
       """SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n_copies
          FROM documents GROUP BY md5(text)""",
+    "e_interval_join" ->
+      """WITH e AS (SELECT event_id, epoch_us(ts) AS tsu FROM events),
+         h AS (SELECT DISTINCT tsu // 3600000000 AS h FROM e
+               WHERE (tsu // 3600000000) % 7 = 0),
+         iv AS (SELECT h AS interval_id, h * 3600000000 AS s,
+                       h * 3600000000 + 900000000 AS en FROM h)
+         SELECT interval_id, count(*) AS n_events
+         FROM iv JOIN e ON tsu >= s AND tsu < en
+         GROUP BY interval_id""",
     "e_json" ->
       """SELECT CAST(json_extract(props, '$.k') AS BIGINT) AS k,
                 count(*) AS cnt,

@@ -15,7 +15,10 @@ import org.apache.spark.sql.functions._
   * `CAST(sum(c) AS DOUBLE) / 100.0`.
   */
 object Exact {
-  /** Per-row integer hundredths. */
+  /** Per-row integer hundredths. Safe whenever the source value carries
+    * at most 2 decimals (money columns): x*100 then sits on an integer
+    * ± 1 ulp, far from the .5 boundary where Spark's decimal-string
+    * rounding and a binary-rounding engine can disagree (see round6). */
   def cents(c: Column): Column = round(c * 100).cast("long")
 
   /** Order-independent sum of a money/measure column, as double. */

@@ -64,6 +64,41 @@ object Events {
       .agg(count(col("view_us")).as("n_views"))
   }
 
+  /** Interval join WITHOUT an equality key — the shape Spark can only
+    * plan as a nested loop. Bucketing makes it an equi-join: event time
+    * maps to a coarse cell, each interval explodes into every cell it
+    * overlaps, the join key is the cell, and the exact range predicate
+    * filters co-partitioned rows. Shuffle is O(events + Σ span/bucket);
+    * no nested loop at any scale. `intervals` needs
+    * (interval_id, start_us, end_us); events join on `tsu` (epoch µs). */
+  def intervalJoin(events: DataFrame, intervals: DataFrame,
+      bucketUs: Long): DataFrame = {
+    val ev = events.withColumn("cell", expr(s"tsu div $bucketUs"))
+    val iv = intervals
+      .withColumn("cell",
+        explode(sequence(expr(s"start_us div $bucketUs"), expr(s"end_us div $bucketUs"))))
+    ev.join(iv, Seq("cell"))
+      .where(col("tsu") >= col("start_us") && col("tsu") < col("end_us"))
+      .drop("cell")
+  }
+
+  /** Events inside deterministic "maintenance windows" (first 15 min of
+    * every 7th hour) counted per window — exercises [[intervalJoin]]
+    * end-to-end with intervals derived from the data itself. */
+  def maintenanceWindowCounts(events: DataFrame,
+      bucketUs: Long = 900000000L): DataFrame = {
+    val e = events.select(col("event_id"), unix_micros(col("ts")).as("tsu"))
+    val intervals = e
+      .select(expr("tsu div 3600000000").as("h")).distinct()
+      .where(pmod(col("h"), lit(7)) === 0)
+      .select(col("h").as("interval_id"),
+        (col("h") * 3600000000L).as("start_us"),
+        (col("h") * 3600000000L + 900000000L).as("end_us"))
+    intervalJoin(e, intervals, bucketUs)
+      .groupBy(col("interval_id"))
+      .agg(count(lit(1)).as("n_events"))
+  }
+
   /** Semi-structured extraction: pull a typed field out of the JSON
     * `props` column and aggregate on it. `get_json_object` is a native
     * codegen'd expression — the JSON parse happens inside the scan

@@ -242,3 +242,27 @@ class EmptyInputSpec extends SparkSpec {
     assert(graft.operators.Similarity.bruteForceTopK(noEmb, 5, 10).count() == 0)
   }
 }
+
+class IntervalJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bucketed interval join matches the naive range join, without a nested loop") {
+    val e = Tables.events(spark, sfDir)
+      .select($"event_id", unix_micros($"ts").as("tsu"))
+    val iv = e.select(expr("tsu div 3600000000").as("h")).distinct()
+      .where(pmod($"h", lit(5)) === 0)
+      .select($"h".as("interval_id"),
+        ($"h" * 3600000000L).as("start_us"),
+        ($"h" * 3600000000L + 1800000000L).as("end_us"))
+    val bucketed = Events.intervalJoin(e, iv, 900000000L)
+      .select($"event_id", $"interval_id").as[(Long, Long)].collect().toSet
+    val naive = e.join(iv, $"tsu" >= $"start_us" && $"tsu" < $"end_us")
+      .select($"event_id", $"interval_id").as[(Long, Long)].collect().toSet
+    assert(bucketed == naive)
+    assert(bucketed.nonEmpty)
+    val plan = Events.intervalJoin(e, iv, 900000000L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"bucketed interval join must not nested-loop:\n$plan")
+  }
+}
