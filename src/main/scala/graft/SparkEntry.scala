@@ -52,6 +52,7 @@ object SparkEntry {
     "q_grouping_sets" -> ((s, d) => Analytics.marginalSummary(Tables.lineitem(s, d))),
     "q_outer_join" -> ((s, d) =>
       Analytics.nationCoverage(Tables.customer(s, d), Tables.supplier(s, d))),
+    "q_histogram" -> ((s, d) => Analytics.priceHistogram(Tables.orders(s, d))),
     "q_string_agg" -> ((s, d) => Analytics.statusRollcall(Tables.lineitem(s, d))),
     "q_sketch" -> ((s, d) => Analytics.sketchSummary(Tables.lineitem(s, d))),
     "q_argmin" -> ((s, d) => Analytics.cheapestPartPerBrand(Tables.part(s, d))),
@@ -354,6 +355,10 @@ object SparkEntry {
          FROM part p
          JOIN (SELECT p_brand, min(p_retailprice) AS mp FROM part GROUP BY p_brand) m
            ON p.p_brand = m.p_brand AND p.p_retailprice = m.mp""",
+    "q_histogram" ->
+      """SELECT floor(o_totalprice / 10000.0) * CAST(10000.0 AS DOUBLE) AS bin_low,
+                count(*) AS cnt
+         FROM orders GROUP BY 1""",
     "q_outer_join" ->
       """WITH c AS (SELECT c_nationkey AS ck, count(*) AS n_cust FROM customer GROUP BY 1),
          s AS (SELECT s_nationkey AS sk, count(*) AS n_supp FROM supplier GROUP BY 1)

@@ -147,6 +147,16 @@ object Analytics {
       .agg(percentile(col("o_totalprice"), lit(0.5)).as("median_price"),
         count(lit(1)).as("cnt"))
 
+  /** Fixed-width numeric histogram: floor-division binning (engine-exact
+    * — one double division + floor, no rounding boundary) then a count
+    * per bin. The binning is a map-only projection; one aggregate. */
+  def priceHistogram(orders: DataFrame, binWidth: Double = 10000.0): DataFrame =
+    orders
+      .select(floor(col("o_totalprice") / binWidth).cast("long").as("bin"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("cnt"))
+      .select((col("bin") * binWidth).as("bin_low"), col("cnt"))
+
   /** Full outer join of two per-nation aggregates — rows survive from
     * BOTH sides when the other has no match (coalesced keys, zeroed
     * counts). Aggregate-then-join keeps the outer join tiny (one row per
