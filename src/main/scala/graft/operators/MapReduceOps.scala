@@ -65,4 +65,15 @@ object MapReduceOps {
   /** Distinct keys — the dedup shuffle. */
   def distinctKeys(lineitem: DataFrame): DataFrame =
     lineitem.select(col("l_returnflag"), col("l_linestatus")).distinct()
+
+  /** Secondary sort — the reference reducer's contract (each reducer
+    * reads its keys' records in sorted order; reference:
+    * dfs/external_sort/extsort.go feeding compute_engine.go RunReducer):
+    * hash-partition by key, then sort WITHIN partitions by (key,
+    * ordering cols). One exchange + a spill-aware per-partition sort —
+    * no global total order is materialized, which is exactly why the
+    * pattern scales: reducers never coordinate. */
+  def secondarySort(df: DataFrame, key: String, order: String*): DataFrame =
+    df.repartition(col(key))
+      .sortWithinPartitions(col(key) +: order.map(col): _*)
 }

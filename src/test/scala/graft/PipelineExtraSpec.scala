@@ -266,3 +266,25 @@ class IntervalJoinSpec extends SparkSpec {
       s"bucketed interval join must not nested-loop:\n$plan")
   }
 }
+
+class SecondarySortSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.operators.MapReduceOps
+
+  test("secondarySort delivers each partition's rows key-grouped and ordered") {
+    val e = Tables.events(spark, sfDir)
+      .select($"user_id", unix_micros($"ts").as("tsu"))
+    val sorted = MapReduceOps.secondarySort(e, "user_id", "tsu")
+    val perPartitionOrdered = sorted.as[(Long, Long)]
+      .mapPartitions { it =>
+        val rows = it.toVector
+        Iterator(rows == rows.sortBy(r => (r._1, r._2)))
+      }
+      .collect()
+    assert(perPartitionOrdered.forall(identity))
+    // co-partitioned: a user's rows never span two partitions
+    val spans = sorted.select($"user_id", spark_partition_id().as("p"))
+      .distinct().groupBy($"user_id").count()
+    assert(spans.where($"count" > 1).count() == 0)
+  }
+}
