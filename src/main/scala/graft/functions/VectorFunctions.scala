@@ -17,14 +17,17 @@ object VectorFunctions {
   def toDouble(v: Column): Column = transform(v, x => x.cast("double"))
 
   /** Dot product of two double vectors (sequential fold). Works for any
-    * dimension; prefer [[dotFixed]] in hot pair-joins. */
+    * dimension. In hot pair-joins prefer the native expressions
+    * (`CosineSimilarity.dotProduct` / `cosineSim`) — same arithmetic, a
+    * tight generated loop instead of a per-row array allocation or a
+    * dim-sized expression tree. */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
   /** Dot product unrolled for a known dimension: plain codegen'd
-    * GetArrayItem/multiply/add chain — ~10× the throughput of the
-    * higher-order-function fold (no per-row array allocation), with the
-    * same left-to-right addition order. */
+    * GetArrayItem/multiply/add chain. Faster than the HOF fold, but the
+    * expression tree grows with dim (slow codegen compile at dim ≥ 64) —
+    * the native `dot_product` expression supersedes it in hot paths. */
   def dotFixed(a: Column, b: Column, dim: Int): Column =
     (0 until dim)
       .map(i => element_at(a, i + 1) * element_at(b, i + 1))
