@@ -58,6 +58,19 @@ class Catalog(spark: SparkSession, baseDir: String) {
       .parquet(dest)
   }
 
+  /** Globally-sorted write (reference: MapReduce jobs store their
+    * externally-sorted output back to the DFS): range-repartition on the
+    * sort keys + per-partition sort, so file part-N holds keys ≤ every
+    * key in part-N+1 and each file is internally sorted — a distributed
+    * external sort whose merge step is just reading files in order.
+    * Range boundaries come from reservoir sampling (one extra pass),
+    * after which no worker ever holds more than its slice. */
+  def writeSorted(df: DataFrame, dest: String, numFiles: Int,
+      sortCols: String*): Unit =
+    df.repartitionByRange(numFiles, sortCols.map(col): _*)
+      .sortWithinPartitions(sortCols.map(col): _*)
+      .write.mode(SaveMode.Overwrite).parquet(dest)
+
   /** Partitioned-by write — hive-style layout for partition pruning. */
   def writePartitioned(df: DataFrame, dest: String, partitionCols: Seq[String]): Unit =
     df.write.mode(SaveMode.Overwrite).partitionBy(partitionCols: _*).parquet(dest)

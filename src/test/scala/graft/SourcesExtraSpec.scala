@@ -138,3 +138,28 @@ class IvfAnnSpec extends SparkSpec {
     assert(recall >= 0.2, s"recall $recall too low")
   }
 }
+
+class SortedWriteSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("writeSorted produces range-ordered, internally-sorted files") {
+    val dir = Files.createTempDirectory("graft-sorted").toString + "/li"
+    val cat = new Catalog(spark, sfDir)
+    cat.writeSorted(
+      cat.table("lineitem").select($"l_extendedprice", $"l_orderkey"),
+      dir, 4, "l_extendedprice")
+    val files = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.toString).sorted
+    assert(files.length == 4)
+    val ranges = files.map { f =>
+      val vals = spark.read.parquet(f).select($"l_extendedprice").as[Double].collect()
+      assert(vals.sameElements(vals.sorted), s"file $f not internally sorted")
+      (vals.head, vals.last)
+    }
+    ranges.sliding(2).foreach {
+      case Array((_, hi), (lo, _)) => assert(hi <= lo, "files not globally range-ordered")
+      case _ =>
+    }
+    assert(spark.read.parquet(dir).count() == cat.table("lineitem").count())
+  }
+}
