@@ -85,6 +85,11 @@ object SparkEntry {
     "d_boilerplate" -> ((s, d) => Dedup.boilerplate(Tables.documents(s, d), 3, 3)),
     "d_dedup_semantic" -> ((s, d) => Similarity.semanticDedup(Tables.embeddings(s, d), 0.4)),
     "d_dedup_pipeline" -> ((s, d) => Dedup.nearDupPipeline(Tables.documents(s, d))),
+    "d_contamination" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val docs = Tables.documents(s, d)
+      Dedup.contamination(docs.where(col("doc_id") >= 20), docs.where(col("doc_id") < 20))
+    }),
     "p_split" -> ((s, d) => Sampling.hashSplit(Tables.documents(s, d))),
     "p_sample" -> ((s, d) => Sampling.stratifiedSample(Tables.documents(s, d))),
     "s_ann_brute" -> ((s, d) => Similarity.bruteForceTopK(Tables.embeddings(s, d), 5, 10)),
@@ -264,6 +269,18 @@ object SparkEntry {
                 count(*) AS cnt,
                 CAST(sum(CAST(round((value) * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_value
          FROM events GROUP BY 1""",
+    "d_contamination" ->
+      """WITH tok AS (SELECT doc_id,
+             list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS w FROM documents),
+         sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+                FROM tok CROSS JOIN unnest(generate_series(1, len(w) - 2)) AS t(i)
+                WHERE len(w) >= 3),
+         c AS (SELECT * FROM sh WHERE doc_id >= 20),
+         b AS (SELECT doc_id AS bench_id, shingle FROM sh WHERE doc_id < 20)
+         SELECT c.doc_id, b.bench_id, count(*) AS n_shared
+         FROM c JOIN b USING (shingle)
+         GROUP BY c.doc_id, b.bench_id
+         HAVING count(*) >= 3""",
     // exact-first pipeline: same n-gram Jaccard oracle, restricted to the
     // exact-dedup keepers (min doc_id per content hash)
     "d_dedup_pipeline" ->

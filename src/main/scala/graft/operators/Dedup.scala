@@ -170,6 +170,23 @@ object Dedup {
     minhashLsh(docs.join(keepers, "doc_id"), n, numHashes, bands, threshold, maxBucket)
   }
 
+  /** Benchmark decontamination: corpus documents sharing at least
+    * `minShared` distinct n-grams with any benchmark document (flag —
+    * the removal is [[applyDedup]]-shaped). The benchmark side is tiny
+    * by nature, so its hashed shingle set broadcasts and the corpus
+    * streams map-only past it; the only exchange is the per-(doc, bench)
+    * overlap count. */
+  def contamination(corpus: DataFrame, benchmark: DataFrame, n: Int = 3,
+      minShared: Long = 3): DataFrame = {
+    val c = hashedShingles(corpus, n).distinct()
+    val b = hashedShingles(benchmark, n).distinct()
+      .select(col("h"), col("doc_id").as("bench_id"))
+    c.join(broadcast(b), "h")
+      .groupBy(col("doc_id"), col("bench_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+  }
+
   /** Boilerplate phrase mining: n-gram phrases appearing in at least
     * `minDocs` distinct documents, with their document frequency (the
     * removal pass is then a join of shingle matches against this set).
