@@ -239,8 +239,8 @@ object SparkEntry {
            FROM g),
          t AS (
            SELECT user_id, value, tsu,
-                  sum(is_new) OVER (PARTITION BY user_id ORDER BY tsu
-                                    ROWS UNBOUNDED PRECEDING) AS session_id
+                  CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY tsu
+                                         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
            FROM s)
          SELECT user_id, session_id, count(*) AS n_events,
                 CAST(sum(CAST(round((value) * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_value,
@@ -431,13 +431,16 @@ object SparkEntry {
          SELECT count(*) AS n_small,
                 CAST(sum(CAST(round((l_extendedprice) * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_price
          FROM lineitem JOIN a ON l_partkey = ap AND l_quantity < 0.2 * avg_qty""",
+    // DuckDB sum() over integers yields HUGEINT, which pandas-based harnesses
+    // render as float ("5.0" vs Spark's LONG "5") — every integer sum must be
+    // CAST(... AS BIGINT). Same constraint applies to e_sessionize's session_id.
     "q_pivot" ->
       """SELECT user_id,
-                sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click,
-                sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error,
-                sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
-                sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS signup,
-                sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view
+                CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+                CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+                CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+                CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+                CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
          FROM events GROUP BY user_id""",
     "e_range_join" ->
       """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS tsu FROM events),

@@ -18,11 +18,27 @@ for t in ["region","nation","customer","supplier","part","orders",
 
 oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
 
+import datetime as _dt
+import pandas as _pd
+
+def _norm(v):
+    # Spark DATE reads back as datetime.date; DuckDB DATE through .df() is a
+    # midnight Timestamp — the driver's hash treats them as equal, so do we
+    if isinstance(v, _pd.Timestamp):
+        v = v.to_pydatetime()
+    if isinstance(v, _dt.datetime):
+        if v.hour == v.minute == v.second == 0 and v.microsecond == 0:
+            return v.date().isoformat()
+        return v.isoformat()
+    if isinstance(v, _dt.date):
+        return v.isoformat()
+    return repr(v)
+
 def canon(rows, cols):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     out = []
     for r in rows:
-        out.append(tuple(repr(r[i]) for i in order))
+        out.append(tuple(_norm(r[i]) for i in order))
     out.sort()
     return sorted(c for c in cols), out
 
@@ -32,7 +48,9 @@ for d in sorted(glob.glob(f"{out_dir}/*/")):
     files = glob.glob(f"{d}/*.parquet")
     tbl = pq.read_table(files[0]) if len(files) == 1 else pq.ParquetDataset(d).read()
     scols = tbl.column_names
-    srows = [tuple(row[c] for c in scols) for row in tbl.to_pylist()]
+    sdf = tbl.to_pandas()
+    srows = [tuple(v.item() if hasattr(v, "item") else v for v in row)
+             for row in sdf.itertuples(index=False, name=None)]
     if name not in oracle:
         print(f"  {name}: rows-only ({len(srows)} rows)" + (" EMPTY!" if not srows else ""))
         if not srows: fails += 1
@@ -41,7 +59,12 @@ for d in sorted(glob.glob(f"{out_dir}/*/")):
     try:
         res = con.execute(oracle[name])
         ocols = [x[0] for x in res.description]
-        orows = res.fetchall()
+        # go through pandas like the driver's harness does: DuckDB HUGEINT
+        # (bare sum() of integers) becomes float64 here, so an uncast oracle
+        # sum hashes as "5.0" against Spark's "5" — fetchall() would hide that
+        odf = res.df()
+        orows = [tuple(v.item() if hasattr(v, "item") else v for v in row)
+                 for row in odf.itertuples(index=False, name=None)]
     except Exception as e:
         print(f"  {name}: ORACLE SQL ERROR: {e}")
         fails += 1
