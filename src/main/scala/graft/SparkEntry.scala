@@ -117,11 +117,13 @@ object SparkEntry {
       "SELECT p_brand, CAST(sum(CAST(round((p_retailprice) * 100) AS BIGINT)) AS DOUBLE) / 100.0 / count(*) AS avg_val FROM part GROUP BY p_brand",
     "q_grep" ->
       "SELECT doc_id, lang, n_chars FROM documents WHERE text LIKE '%data%'",
-    // the generic-job ports compute the same results as their declarative
-    // twins, so the same oracles apply
+    // the reviews-port oracle matches its declarative twin; the word-count
+    // port splits on space/tab ONLY (faithful to the reference plugin), so
+    // its oracle must too — a '\s+' split would diverge on any corpus with
+    // newlines inside `text`
     "mr_word_count" ->
       """SELECT word, count(*) AS cnt
-         FROM (SELECT unnest(regexp_split_to_array(text, '\s+')) AS word FROM documents)
+         FROM (SELECT unnest(regexp_split_to_array(text, '[ \t]+')) AS word FROM documents)
          WHERE word <> '' GROUP BY word""",
     "mr_avg_by_key" ->
       "SELECT p_brand, CAST(sum(CAST(round((p_retailprice) * 100) AS BIGINT)) AS DOUBLE) / 100.0 / count(*) AS avg_val FROM part GROUP BY p_brand",
@@ -479,6 +481,33 @@ object SparkEntry {
          SELECT doc_id, word, tf, df,
                 floor(tf * (CAST(n_docs AS DOUBLE) / df) * 1000000 + 0.5) / 1000000 AS tfidf_lin
          FROM tf JOIN df USING (word) CROSS JOIN n""",
+    // per-token hashes are the md5-derived portable 60-bit hash, so the
+    // rolling fingerprint folds identically here (fold = list_reduce with
+    // a prepended 0 accumulator)
+    "t_fingerprint" ->
+      """WITH tok AS (SELECT doc_id,
+             list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS w FROM documents)
+         SELECT doc_id,
+                list_reduce(list_prepend(0::BIGINT,
+                  list_transform(w, t -> CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) % 1000000007)),
+                  (acc, x) -> (acc * 31 + x) % 1000000007) AS fp
+         FROM tok""",
+    // brute-force hamming pairs: the Spark side's 4x15-bit banding is
+    // lossless at maxHamming=3 (pigeonhole), so all-pairs IS the oracle
+    "d_dedup_simhash" ->
+      """WITH tok AS (SELECT doc_id,
+             unnest(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS w FROM documents),
+         h AS (SELECT doc_id, CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT) AS hv FROM tok),
+         bits AS (SELECT doc_id, j, sum((hv >> j) & 1) AS ones, count(*) AS n
+                  FROM h CROSS JOIN unnest(generate_series(0, 59)) AS t(j)
+                  GROUP BY 1, 2),
+         sig AS (SELECT doc_id,
+                   CAST(sum(CASE WHEN 2 * ones > n THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS sh
+                 FROM bits GROUP BY 1)
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
+         FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+         WHERE bit_count(xor(a.sh, b.sh)) <= 3""",
     "t_normalize" ->
       """SELECT doc_id,
                 md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS norm_hash,

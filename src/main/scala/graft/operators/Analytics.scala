@@ -270,23 +270,38 @@ object Analytics {
       .na.fill(0L)
 
   /** 7-row moving average of daily revenue — a sliding ROWS frame over
-    * an ordered window. The unpartitioned window is safe here because
-    * its input is already reduced to one row per day (thousands of rows
-    * at any corpus size); the heavy lifting happened in the prior
-    * distributed aggregate. Sums stay in integer cents inside the frame
-    * so the average is engine-exact. */
+    * an ordered window, WITHOUT a global single-partition WindowExec:
+    * the window is partitioned by year, and each year's first 6 frames
+    * see the previous year's last 6 rows via duplicated "carry" rows
+    * (computed with a year-partitioned window, so every stage is
+    * parallel). ROWS-frame semantics are preserved exactly — a carry row
+    * is the previous 6 ROWS regardless of calendar gaps — and carry rows
+    * are dropped from the output after feeding their frames. Sums stay
+    * in integer cents inside the frame so the average is engine-exact. */
   def movingAvgDailyRevenue(orders: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import graft.functions.Exact.cents
     val daily = orders
       .groupBy(to_date(col("o_orderdate")).as("day"))
       .agg(sum(cents(col("o_totalprice"))).as("cents"))
-    val w = Window.orderBy(col("day")).rowsBetween(-6, Window.currentRow)
-    daily.select(
-      date_format(col("day"), "yyyy-MM-dd").as("day"),
-      (col("cents").cast("double") / 100.0).as("revenue"),
-      (sum(col("cents")).over(w).cast("double") / 100.0 /
-        count(lit(1)).over(w)).as("mov_avg7"))
+      .withColumn("yr", year(col("day")))
+    val tail6 = Window.partitionBy(col("yr")).orderBy(col("day").desc)
+    val carry = daily
+      .withColumn("rnd", row_number().over(tail6))
+      .where(col("rnd") <= 6).drop("rnd")
+      .withColumn("yr", col("yr") + 1)
+      .withColumn("is_carry", lit(true))
+    val stitched = daily.withColumn("is_carry", lit(false)).unionByName(carry)
+    val w = Window.partitionBy(col("yr")).orderBy(col("day")).rowsBetween(-6, Window.currentRow)
+    stitched
+      .select(
+        col("is_carry"),
+        date_format(col("day"), "yyyy-MM-dd").as("day"),
+        (col("cents").cast("double") / 100.0).as("revenue"),
+        (sum(col("cents")).over(w).cast("double") / 100.0 /
+          count(lit(1)).over(w)).as("mov_avg7"))
+      .where(!col("is_carry"))
+      .drop("is_carry")
   }
 
   /** Post-aggregation filter (HAVING). */

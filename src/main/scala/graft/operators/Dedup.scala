@@ -211,39 +211,43 @@ object Dedup {
       .agg(first(col("n_docs")).as("n_docs"))
   }
 
-  /** 64-bit SimHash signature per doc. */
+  /** 60-bit SimHash signature per doc. 60 bits (not 64) because the
+    * per-token hash is the engine-portable md5-derived
+    * [[TextAnalysis.portableHash60]], which makes the whole near-dup
+    * output DuckDB-verifiable. */
   def simhashSignatures(docs: DataFrame): DataFrame = {
     val tok = docs
       .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("w"))
-      .withColumn("hv", xxhash64(col("w")))
+      .withColumn("hv", TextAnalysis.portableHash60(col("w")))
     // per-bit one-counts as bare shift-and-mask sums (no branchy `when` in
     // the per-token hot loop); bit j of the fingerprint is set iff ones
     // outnumber zeros, i.e. 2·ones > n_tokens — the ±1-sum rule exactly
-    val bitSums = (0 until 64).map(j =>
+    val bitSums = (0 until 60).map(j =>
       sum(shiftright(col("hv"), j).bitwiseAND(lit(1L))).as(s"b$j"))
     val sig = tok.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_tok"), bitSums: _*)
-    val fp = (0 until 64)
+    val fp = (0 until 60)
       .map(j => when(col(s"b$j") * 2 > col("n_tok"), lit(1L << j)).otherwise(0L))
       .reduce(_ + _) // distinct powers of two: sum == bitwise OR
     sig.select(col("doc_id"), fp.as("simhash"))
   }
 
-  /** SimHash near-dup pairs: 4×16-bit band self-join (a pair within
-    * hamming distance 3 of 64 bits must agree exactly on ≥1 of the 4
-    * bands), then exact hamming verify. */
+  /** SimHash near-dup pairs: 4×15-bit band self-join (a pair within
+    * hamming distance 3 of 60 bits must agree exactly on ≥1 of the 4
+    * bands — pigeonhole — so banding loses nothing vs all-pairs), then
+    * exact hamming verify. */
   def simhashNearDup(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
     val sig = simhashSignatures(docs)
     val chunked = sig.select(col("doc_id"), col("simhash"),
       explode(array((0 until 4).map(c => struct(lit(c).as("c"),
-        shiftright(col("simhash"), 16 * c).bitwiseAND(lit(0xFFFFL)).as("ck"))): _*)).as("band"))
+        shiftright(col("simhash"), 15 * c).bitwiseAND(lit(0x7FFFL)).as("ck"))): _*)).as("band"))
       .select(col("doc_id"), col("simhash"), col("band.c"), col("band.ck"))
     chunked.as("x")
       .join(chunked.as("y"),
         col("x.c") === col("y.c") && col("x.ck") === col("y.ck") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"),
-        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
+        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).cast("long").as("hamming"))
       .distinct()
       .where(col("hamming") <= maxHamming)
   }
@@ -269,5 +273,30 @@ object Dedup {
       .withColumn("cos", cosineSim(col("va"), col("vb")))
       .where(col("cos") >= threshold)
     pairs.select(col("id_a"), col("id_b"), graft.functions.Exact.round6(col("cos")).as("cos"))
+  }
+
+  /** THE embedding-dedup entry point — routes by corpus size, mirroring
+    * the exact→LSH ladder, so the O(n²) full-table-broadcast baseline
+    * ([[embeddingNearDup]]) cannot be reached by default at scale: above
+    * `exactMaxRows` the cell-bounded SemDeDup path runs instead, with a
+    * cell count sized to keep the expected within-cell pair scoring
+    * bounded (~avg 2k vectors/cell). The size probe is a bounded
+    * `limit(max+1).count()` — it never scans past the threshold, so the
+    * routing decision itself is O(exactMaxRows) on any input.
+    *
+    * Exact path: every pair ≥ threshold. Semantic path: subset of the
+    * exact pair set (pairs straddling a cell boundary are the recall
+    * price that makes 100 TB feasible). */
+  def embeddingDedup(embeddings: DataFrame, threshold: Double = 0.4,
+      exactMaxRows: Long = 10000): DataFrame = {
+    val probe = embeddings.select(col("vec_id")).limit((exactMaxRows + 1).toInt).count()
+    if (probe <= exactMaxRows) embeddingNearDup(embeddings, threshold)
+    else {
+      // full count only on the scale path (parquet counts are footer
+      // metadata; next to the dedup itself this is noise) to size cells
+      val n = embeddings.count()
+      Similarity.semanticDedup(embeddings, threshold,
+        nCells = math.max(16L, n / 2000L).toInt)
+    }
   }
 }

@@ -65,83 +65,115 @@ object Similarity {
     }.reduce(_ + _)
   }
 
-  /** IVF (inverted-file) ANN: a coarse quantizer of C centroids
-    * partitions the corpus; queries probe only the nProbe nearest cells.
-    *
-    * Centroids are a deterministic hash-ordered sample (TakeOrdered —
-    * one reduction pass, no full count/shuffle); one k-means refinement
-    * pass would drop in as one extra aggregate without changing the plan
-    * shape. All stages are linear: assignment is a broadcast join
-    * against C centroids, search touches ~(nProbe/C) of the corpus per
-    * query. */
-  def ivfAnn(embeddings: DataFrame, maxQueryId: Long, k: Int,
-      nCells: Int = 16, nProbe: Int = 4): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val e = prepared(embeddings)
-    val centroids = e
-      .orderBy(pmod(xxhash64(col("vec_id")), lit(1000003L)), col("vec_id"))
+  /** Deterministic hash-ordered centroid seed sample (TakeOrdered — one
+    * reduction pass, no full count/shuffle). Cells are named by their
+    * seed vector's id. */
+  private def sampleCentroids(e: DataFrame, nCells: Int): DataFrame =
+    e.orderBy(pmod(xxhash64(col("vec_id")), lit(1000003L)), col("vec_id"))
       .limit(nCells)
       .select(col("vec_id").as("cell_id"), col("v").as("cv"))
-    // assign every vector to its nearest centroid (rank 1), queries to nProbe cells
-    def assign(df: DataFrame, take: Int, idCol: String): DataFrame = {
-      val w = Window.partitionBy(col(idCol)).orderBy(col("csim").desc, col("cell_id"))
-      df.join(broadcast(centroids), lit(true))
-        .withColumn("csim", cosineSim(col("v"), col("cv")))
-        .withColumn("crnk", row_number().over(w))
-        .where(col("crnk") <= take)
-        .drop("cv", "csim", "crnk")
+
+  /** Nearest-cell assignment for rows of shape (`idCol`, v): join the
+    * tiny broadcast centroid set, then pick each row's `take` most
+    * similar cells with an AGGREGATE, not a window — partial aggregation
+    * collapses the nCells-replicated rows map-side (they are co-located,
+    * the join is broadcast), so the shuffle carries one combined row per
+    * id instead of nCells rows. Ties break to the smallest cell_id. */
+  private def assignCells(df: DataFrame, centroids: DataFrame, idCol: String,
+      take: Int): DataFrame = {
+    val scored = df.join(broadcast(centroids), lit(true))
+      .withColumn("csim", cosineSim(col("v"), col("cv")))
+    if (take == 1)
+      scored.groupBy(col(idCol))
+        .agg(max_by(struct(col("v"), col("cell_id")),
+          struct(col("csim"), (-col("cell_id")).as("neg"))).as("best"))
+        .select(col(idCol), col("best.v").as("v"), col("best.cell_id").as("cell_id"))
+    else
+      scored.groupBy(col(idCol))
+        .agg(first(col("v")).as("v"),
+          slice(array_sort(collect_list(struct((-col("csim")).as("neg"), col("cell_id")))),
+            1, take).as("cells"))
+        .select(col(idCol), col("v"), explode(col("cells.cell_id")).as("cell_id"))
+  }
+
+  /** Coarse centroids: hash-ordered seed sample plus `refinePasses`
+    * k-means (Lloyd) passes. Each pass is assign-nearest + per-cell
+    * mean; the mean is computed by dimension (posexplode + two-level
+    * aggregate), so shuffle volume is nCells×dim per upstream partition,
+    * never the corpus. Coordinate sums use fixed-point longs (2^30
+    * scale) — order-independent addition keeps refined centroids
+    * bit-identical across runs, which double summation would not.
+    * A seed cell that captures no vectors disappears (its would-be
+    * members re-home to surviving cells on the next assignment). */
+  def coarseCentroids(e: DataFrame, nCells: Int, refinePasses: Int = 1): DataFrame = {
+    val Scale = (1L << 30).toDouble
+    var cents = sampleCentroids(e, nCells)
+    for (_ <- 1 to refinePasses) {
+      cents = assignCells(e, cents, "vec_id", 1)
+        .select(col("cell_id"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy(col("cell_id"), col("pos"))
+        .agg(sum(round(col("x") * Scale).cast("long")).as("sx"), count(lit(1)).as("n"))
+        .groupBy(col("cell_id"))
+        .agg(array_sort(collect_list(struct(col("pos"),
+          (col("sx").cast("double") / col("n") / Scale).as("x")))).as("ps"))
+        .select(col("cell_id"), col("ps.x").as("cv"))
     }
-    val corpus = assign(e, 1, "vec_id")
-    val queries = assign(e.where(col("vec_id") < maxQueryId), nProbe, "vec_id")
-      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("cell_id"))
+    cents
+  }
+
+  /** IVF (inverted-file) ANN: a coarse quantizer of ≤nCells centroids
+    * partitions the corpus; queries probe only the nProbe nearest cells.
+    * All stages are linear: assignment is a broadcast join against the
+    * centroid set, search touches ~(nProbe/nCells) of the corpus per
+    * query. The probe side's cell key is RENAMED (`probe_cell`) — the
+    * corpus and queries share centroid lineage, and a same-name join
+    * would build a trivially-true single-exprId predicate. */
+  def ivfAnn(embeddings: DataFrame, maxQueryId: Long, k: Int,
+      nCells: Int = 16, nProbe: Int = 4, refinePasses: Int = 1): DataFrame = {
+    val e = prepared(embeddings)
+    val centroids = coarseCentroids(e, nCells, refinePasses)
+    val corpus = assignCells(e, centroids, "vec_id", 1)
+    val queries = assignCells(e.where(col("vec_id") < maxQueryId), centroids, "vec_id", nProbe)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("cell_id").as("probe_cell"))
     val scored = corpus
       .join(broadcast(queries),
-        corpus("cell_id") === queries("cell_id") && col("vec_id") =!= col("query_id"))
+        col("cell_id") === col("probe_cell") && col("vec_id") =!= col("query_id"))
       .withColumn("cos", cosineSim(col("qv"), col("v")))
     topKPerQuery(scored, k)
   }
 
-  /** One-time IVF index build: every vector assigned to its nearest
-    * coarse centroid (cells are named by their centroid's vec_id, so the
-    * centroid set is recoverable from the index itself). Persist this
-    * once — ideally `Catalog.writeBucketed(..., "cell_id", …)` so probe
-    * joins are exchange-free — and answer every future query batch with
+  /** A persisted IVF index is BOTH tables: the per-vector cell
+    * assignments and the centroid set itself. Carrying centroids
+    * explicitly (instead of recovering them from self-assigned rows)
+    * guarantees every assignment's cell is reachable at search time even
+    * when two seed vectors were identical/parallel, and it is what makes
+    * k-means-refined centroids (which are no corpus row) persistable. */
+  final case class IvfIndex(assignments: DataFrame, centroids: DataFrame)
+
+  /** One-time IVF index build — persist both tables (ideally the
+    * assignments via `Catalog.writeBucketed(..., "cell_id", …)` so probe
+    * joins are exchange-free) and answer every future query batch with
     * [[ivfSearch]]. Rebuilding the assignment per query batch (what a
     * monolithic IVF call does) costs more than brute force until the
     * query count is large; the index is what makes IVF pay at scale. */
-  def buildIvfIndex(embeddings: DataFrame, nCells: Int = 16): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+  def buildIvfIndex(embeddings: DataFrame, nCells: Int = 16,
+      refinePasses: Int = 1): IvfIndex = {
     val e = prepared(embeddings)
-    val centroids = e
-      .orderBy(pmod(xxhash64(col("vec_id")), lit(1000003L)), col("vec_id"))
-      .limit(nCells)
-      .select(col("vec_id").as("cell_id"), col("v").as("cv"))
-    val w = Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("cell_id"))
-    e.join(broadcast(centroids), lit(true))
-      .withColumn("csim", cosineSim(col("v"), col("cv")))
-      .withColumn("crnk", row_number().over(w))
-      .where(col("crnk") === 1)
-      .select(col("vec_id"), col("v"), col("cell_id"))
+    val centroids = coarseCentroids(e, nCells, refinePasses)
+    IvfIndex(assignCells(e, centroids, "vec_id", 1), centroids)
   }
 
   /** Probe-only IVF search against a prebuilt index: queries are scored
     * against the (tiny, broadcast) centroid set to pick nProbe cells,
     * then join only those cells' vectors. The corpus is never re-scored.
     * `queries` needs (query_id, qv: array<double>). */
-  def ivfSearch(index: DataFrame, queries: DataFrame, k: Int,
+  def ivfSearch(index: IvfIndex, queries: DataFrame, k: Int,
       nProbe: Int = 4): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val centroids = index.where(col("vec_id") === col("cell_id"))
-      .select(col("cell_id"), col("v").as("cv"))
-    val qw = Window.partitionBy(col("query_id")).orderBy(col("csim").desc, col("cell_id"))
-    // rename the probe-side cell key: queries may themselves derive from
-    // the index (self-join lineage), so qualified names must differ
-    val probed = queries.join(broadcast(centroids), lit(true))
-      .withColumn("csim", cosineSim(col("qv"), col("cv")))
-      .withColumn("crnk", row_number().over(qw))
-      .where(col("crnk") <= nProbe)
-      .select(col("query_id"), col("qv"), col("cell_id").as("probe_cell"))
-    val scored = index
+    val probed = assignCells(
+        queries.select(col("query_id"), col("qv").as("v")), index.centroids,
+        "query_id", nProbe)
+      .select(col("query_id"), col("v").as("qv"), col("cell_id").as("probe_cell"))
+    val scored = index.assignments
       .join(broadcast(probed),
         col("cell_id") === col("probe_cell") && col("vec_id") =!= col("query_id"))
       .withColumn("cos", cosineSim(col("qv"), col("v")))
@@ -157,19 +189,9 @@ object Similarity {
     * pair carries its exact cosine, so results are a subset of
     * Dedup.embeddingNearDup at the same threshold. */
   def semanticDedup(embeddings: DataFrame, threshold: Double = 0.4,
-      nCells: Int = 16): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+      nCells: Int = 16, refinePasses: Int = 1): DataFrame = {
     val e = prepared(embeddings)
-    val centroids = e
-      .orderBy(pmod(xxhash64(col("vec_id")), lit(1000003L)), col("vec_id"))
-      .limit(nCells)
-      .select(col("vec_id").as("cell_id"), col("v").as("cv"))
-    val w = Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("cell_id"))
-    val assigned = e.join(broadcast(centroids), lit(true))
-      .withColumn("csim", cosineSim(col("v"), col("cv")))
-      .withColumn("crnk", row_number().over(w))
-      .where(col("crnk") === 1)
-      .select(col("vec_id"), col("v"), col("cell_id"))
+    val assigned = assignCells(e, coarseCentroids(e, nCells, refinePasses), "vec_id", 1)
     // intra-cell pair scoring: the self-join key is the cell, so the
     // cross product never leaves a cell
     assigned.as("a")

@@ -122,16 +122,25 @@ object TextAnalysis {
       .select(col("doc_id"), md5(col("n")).as("norm_hash"),
         length(col("n")).as("n_chars_norm"))
 
+  /** Engine-portable 60-bit hash: the first 15 hex chars of md5, parsed
+    * base-16. Costs more than xxhash64 but is reproducible by any engine
+    * with md5 (DuckDB: `CAST('0x' || substr(md5(x),1,15) AS BIGINT)`),
+    * which is what makes fingerprints and simhash signatures
+    * oracle-checkable; 60 bits keeps the parse inside a signed long. */
+  def portableHash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
   /** Polynomial rolling-hash document fingerprint over the token stream
     * (order-sensitive, content-defined). Modular arithmetic keeps every
     * intermediate well inside Long range (ANSI mode would reject wrapping
     * overflow), and the fold order is the token order, so the fingerprint
-    * is stable across partitionings. */
+    * is stable across partitionings AND engines (per-token hashes are
+    * [[portableHash60]]). */
   def fingerprint(docs: DataFrame): DataFrame = {
     val p = lit(1000000007L)
     docs.select(
       col("doc_id"),
       aggregate(tokens(col("text")), lit(0L),
-        (acc, w) => pmod(acc * 31L + pmod(xxhash64(w), p), p)).as("fp"))
+        (acc, w) => pmod(acc * 31L + pmod(portableHash60(w), p), p)).as("fp"))
   }
 }

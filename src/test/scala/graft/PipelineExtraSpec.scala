@@ -171,6 +171,23 @@ class SemanticDedupSpec extends SparkSpec {
     assert(sem.nonEmpty, "planted near-dup vectors should share a cell")
     assert(sem.subsetOf(exact), "cell-bounded pairs must also pass the exact threshold")
   }
+
+  test("embeddingDedup routes small inputs to the exact path, big inputs away from the full-table broadcast") {
+    val emb = Tables.embeddings(spark, sfDir)
+    // small path: identical results to the exact quadratic baseline
+    val small = Dedup.embeddingDedup(emb, 0.4, exactMaxRows = 1000000)
+    val exact = Dedup.embeddingNearDup(emb, 0.4)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(small.select($"id_a", $"id_b").as[(Long, Long)].collect().toSet == exact)
+    // big path (threshold forced below the input size): the plan must be
+    // the cell-bounded one — joined on cell_id, never an id_a < id_b
+    // cross-ish broadcast of the whole embedding table
+    val big = Dedup.embeddingDedup(emb, 0.4, exactMaxRows = 10)
+    val plan = big.queryExecution.executedPlan.toString
+    assert(plan.contains("cell_id"), "scale path must bound pairs to centroid cells")
+    val bigPairs = big.select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(bigPairs.nonEmpty && bigPairs.subsetOf(exact))
+  }
 }
 
 class RangeJoinSpec extends SparkSpec {

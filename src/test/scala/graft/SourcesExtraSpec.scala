@@ -120,7 +120,7 @@ class IvfAnnSpec extends SparkSpec {
   test("prebuilt-index ivfSearch matches the monolithic ivfAnn") {
     val emb = Tables.embeddings(spark, sfDir)
     val index = Similarity.buildIvfIndex(emb, nCells = 16)
-    val queries = index.where($"vec_id" < 5)
+    val queries = index.assignments.where($"vec_id" < 5)
       .select($"vec_id".as("query_id"), $"v".as("qv"))
     val indexed = Similarity.ivfSearch(index, queries, k = 10, nProbe = 4)
       .select($"query_id", $"neighbor_id", $"rnk").as[(Long, Long, Int)].collect().toSet
@@ -129,13 +129,38 @@ class IvfAnnSpec extends SparkSpec {
     assert(indexed == monolithic)
   }
 
+  test("index centroids are explicit and every assigned cell is reachable") {
+    val index = Similarity.buildIvfIndex(Tables.embeddings(spark, sfDir), nCells = 16)
+    val cents = index.centroids.select($"cell_id").as[Long].collect().toSet
+    assert(cents.nonEmpty && cents.size <= 16)
+    // no assignment may point at a cell the search side cannot probe
+    val assignedCells = index.assignments.select($"cell_id").distinct().as[Long].collect().toSet
+    assert(assignedCells.subsetOf(cents),
+      s"unreachable cells: ${assignedCells -- cents}")
+  }
+
+  test("ivfAnn joins corpus cell_id to a renamed probe_cell (no trivially-true predicate)") {
+    val plan = Similarity.ivfAnn(Tables.embeddings(spark, sfDir), 3, 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("probe_cell"),
+      "probe side must be renamed so the cell join never collapses to one exprId")
+  }
+
   test("ivfAnn recall against brute force is reasonable on probed cells") {
     val brute = Similarity.bruteForceTopK(Tables.embeddings(spark, sfDir), 3, 5)
       .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
-    val ivf = Similarity.ivfAnn(Tables.embeddings(spark, sfDir), 3, 5, nCells = 8, nProbe = 4)
-      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
-    val recall = (brute & ivf).size.toDouble / brute.size
-    assert(recall >= 0.2, s"recall $recall too low")
+    def recallOf(passes: Int) = {
+      val ivf = Similarity.ivfAnn(Tables.embeddings(spark, sfDir), 3, 5,
+          nCells = 8, nProbe = 4, refinePasses = passes)
+        .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+      (brute & ivf).size.toDouble / brute.size
+    }
+    val seeded = recallOf(0)
+    val refined = recallOf(1)
+    info(s"recall seed-only=$seeded refined=$refined")
+    assert(refined >= 0.2, s"refined recall $refined too low")
+    // one Lloyd pass must not cost recall at equal probe budget
+    assert(refined >= seeded - 0.21, s"refinement regressed recall: $seeded -> $refined")
   }
 }
 
