@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal column plumbing: media as opaque `binary` columns with
@@ -16,6 +16,28 @@ import org.apache.spark.sql.functions._
   * or mapPartitions batch without changing any schema.
   */
 object Multimodal {
+
+  /** Real file ingest: a directory of media files through Spark's
+    * `binaryFile` source into the SAME media/meta schema the stub
+    * pipeline uses, so [[decodeBatched]] / [[metaExtract]]-style
+    * consumers run unchanged on actual files. The source gives
+    * distributed reads, partition pruning on path, and
+    * `pathGlobFilter` format selection for free; width/height stay null
+    * until a decoder fills them (codecs are not available here).
+    * doc_id is the path hash — deterministic across re-ingests. */
+  def ingestBinary(spark: SparkSession, dir: String, glob: String = "*"): DataFrame =
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", glob)
+      .load(dir)
+      .select(
+        xxhash64(col("path")).as("doc_id"),
+        col("path"),
+        col("content").as("media"),
+        struct(
+          col("length").as("byte_len"),
+          regexp_extract(col("path"), "\\.([^.]+)$", 1).as("format"),
+          lit(null).cast("long").as("width"),
+          lit(null).cast("long").as("height")).as("meta"))
 
   /** Attach a fake media binary + typed metadata struct. */
   def withMedia(docs: DataFrame): DataFrame =
@@ -48,7 +70,10 @@ object Multimodal {
       decode: Array[Byte] => (Long, Long) = stubDecode): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    withMedia(docs)
+    // accept both shapes: already-ingested media (binaryFile path) or
+    // raw documents that still need the stub attachment
+    val withM = if (docs.columns.contains("media")) docs else withMedia(docs)
+    withM
       .select(col("doc_id"), col("media"))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>

@@ -82,9 +82,18 @@ class Catalog(spark: SparkSession, baseDir: String) {
   def writeBucketed(df: DataFrame, tableName: String, bucketCol: String,
       numBuckets: Int): Unit = {
     // idempotent against a metastore/warehouse mismatch (e.g. a fresh
-    // metastore with a leftover table directory from an aborted run)
+    // metastore with a leftover table directory from an aborted run).
+    // The stale path is resolved FROM the metastore (actual location if
+    // the table exists, its would-be default path otherwise) — a
+    // name-concatenated warehouse path would miss non-default databases,
+    // case-normalized names, and external tables.
+    val ident = spark.sessionState.sqlParser.parseTableIdentifier(tableName)
+    val staleLoc: java.net.URI =
+      if (spark.catalog.tableExists(tableName))
+        spark.sessionState.catalog.getTableMetadata(ident).location
+      else spark.sessionState.catalog.defaultTablePath(ident)
     spark.sql(s"DROP TABLE IF EXISTS `$tableName`")
-    val loc = new Path(spark.conf.get("spark.sql.warehouse.dir") + s"/$tableName")
+    val loc = new Path(staleLoc)
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(loc)) fs.delete(loc, true)
     df.write
@@ -112,12 +121,19 @@ class Catalog(spark: SparkSession, baseDir: String) {
   def download(name: String, destDir: String): Unit =
     table(name).coalesce(1).write.mode(SaveMode.Overwrite).parquet(destDir)
 
+  /** All parquet data files under `p`, recursing into subdirectories so
+    * hive-partitioned (nested) layouts count correctly instead of
+    * silently yielding zero files. */
   private def parquetFiles(p: Path): Seq[Path] = {
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val st = fs.getFileStatus(p)
     if (st.isDirectory)
-      fs.listStatus(p).toSeq.map(_.getPath)
-        .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_"))
+      fs.listStatus(p).toSeq
+        .filterNot(_.getPath.getName.startsWith("_"))
+        .flatMap { s =>
+          if (s.isDirectory) parquetFiles(s.getPath)
+          else Seq(s.getPath).filter(_.getName.endsWith(".parquet"))
+        }
     else Seq(p)
   }
 
@@ -151,7 +167,9 @@ class Catalog(spark: SparkSession, baseDir: String) {
     * scans. Target file count comes from footer metadata (no scan) and
     * the rewrite uses coalesce — a narrow dependency, NO shuffle: each
     * output task concatenates a set of input partitions. Returns the
-    * output file count. */
+    * file count actually written (listed from dest — coalesce gives
+    * uneven partitions and maxRecordsPerFile can split an oversized
+    * task, so the pre-computed target is only a target). */
   def compact(src: String, dest: String, targetRecordsPerFile: Long): Int = {
     val rows = footerRowCount(new Path(src))
     val nFiles = math.max(1L, (rows + targetRecordsPerFile - 1) / targetRecordsPerFile).toInt
@@ -160,7 +178,7 @@ class Catalog(spark: SparkSession, baseDir: String) {
       .write.mode(SaveMode.Overwrite)
       .option("maxRecordsPerFile", targetRecordsPerFile)
       .parquet(dest)
-    nFiles
+    parquetFiles(new Path(dest)).length
   }
 
   /** Oracle-friendly per-table row counts (no filesystem columns).
