@@ -36,9 +36,10 @@ object Shell {
         line.split("\\s+").toList match {
           case ("exit" | "quit") :: Nil => running = false
           case "help" :: Nil =>
-            println("ls | stats | download <tbl> <dir> | delete <tbl> | exit | <sql>")
+            println("ls | stats | nodes | download <tbl> <dir> | delete <tbl> | exit | <sql>")
           case "ls" :: Nil => cat.list().foreach(println)
           case "stats" :: Nil => cat.stats().show(100, truncate = false)
+          case "nodes" :: Nil => cat.executorStats().show(100, truncate = false)
           case "download" :: tbl :: dest :: Nil =>
             cat.download(tbl, dest); println(s"downloaded $tbl -> $dest")
           case "delete" :: tbl :: Nil =>

@@ -153,10 +153,70 @@ object Dedup {
     * connected pair (drop every doc that appears as the GREATER id of a
     * pair — with `id_a < id_b` emitted by every dedup operator here, the
     * smallest doc of each dup chain survives). A left-anti join: one
-    * shuffle of (small) pair ids against the corpus. */
+    * shuffle of (small) pair ids against the corpus.
+    *
+    * CORRECT ONLY for transitively-closed pair sets (what the
+    * verification-complete operators here emit on their candidates). A
+    * pair set where A~C and B~C were found but A~B was not (e.g. LSH
+    * candidates that straddle a band boundary) keeps BOTH A and B — use
+    * [[applyDedupTransitive]] there. */
   def applyDedup(docs: DataFrame, pairs: DataFrame): DataFrame =
     docs.join(pairs.select(col("id_b").as("doc_id")).distinct(),
       Seq("doc_id"), "left_anti")
+
+  /** Connected components over a pair set (id_a, id_b) → (id, component)
+    * with component = the smallest id reachable from `id`.
+    *
+    * Iterative min-label propagation: each round every node takes the
+    * minimum label among itself and its neighbors (one hash join + one
+    * aggregate over the edge list), then a pointer-jump round
+    * (label ← label's label) doubles the propagation distance, so a
+    * chain of length d converges in ~log₂(d) rounds, not d. Lineage is
+    * truncated every round (localCheckpoint) — without it the plan tree
+    * doubles per iteration. Edge/label state is O(pairs), never the
+    * corpus; this is the published large-scale CC recipe (hash-to-min,
+    * cf. Rastogi et al. 2013) expressed as DataFrame joins. */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .localCheckpoint(true)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint(true)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val nbrMin = edges
+        .join(labels.select(col("id").as("dst"), col("label").as("dlabel")), "dst")
+        .groupBy(col("src").as("id")).agg(min(col("dlabel")).as("nmin"))
+      val propagated = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"), least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+      val jumped = propagated.as("u")
+        .join(propagated.select(col("id").as("jid"), col("label").as("jlabel")),
+          col("u.label") === col("jid"), "left")
+        .select(col("u.id").as("id"), coalesce(col("jlabel"), col("u.label")).as("label"))
+        .localCheckpoint(true)
+      val changed = jumped.as("n")
+        .join(labels.select(col("id"), col("label").as("old")), "id")
+        .where(col("n.label") =!= col("old")).count()
+      labels = jumped
+      converged = changed == 0
+      i += 1
+    }
+    labels.select(col("id"), col("label").as("component"))
+  }
+
+  /** [[applyDedup]] for pair sets that are NOT transitively closed:
+    * resolve components first, keep exactly each component's minimum id
+    * (plus every unpaired doc). The component table is O(paired docs) —
+    * tiny next to the corpus — so the final anti-join is one broadcast-
+    * sized pass over the corpus. */
+  def applyDedupTransitive(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    val comp = connectedComponents(pairs)
+    val drop = comp.where(col("id") =!= col("component"))
+      .select(col("id").as("doc_id"))
+    docs.join(drop, Seq("doc_id"), "left_anti")
+  }
 
   /** The production near-dup pipeline: collapse exact duplicates first,
     * then minhash-LSH near-dup over the unique keepers. On dup-heavy

@@ -14,6 +14,14 @@ import org.apache.spark.sql.functions._
   * scan). What remains engine-side is the useful surface: a table
   * registry, format-agnostic IO, chunk-size-controlled writes, and
   * cluster-stats-style introspection.
+  *
+  * Replication factor (the reference's hardcoded 3-way placement,
+  * client/chunkinator.go + controller): delegated to the filesystem. A
+  * deployment sets it per-cluster via `dfs.replication` in
+  * hdfs-site.xml, or per-job with
+  * `spark.hadoop.dfs.replication=3` on submit — every write this class
+  * does then inherits it; object stores (S3/GCS) replicate internally
+  * and ignore it. Nothing engine-side to schedule.
   */
 class Catalog(spark: SparkSession, baseDir: String) {
 
@@ -185,4 +193,21 @@ class Catalog(spark: SparkSession, baseDir: String) {
     * Footer metadata via [[stats]] — exact counts with zero data scanned,
     * like the reference controller answering `ls` from its index. */
   def rowCounts(): DataFrame = stats().select(col("tbl"), col("n_rows"))
+
+  /** Per-NODE operational stats (reference: dfs/storageNode/stats.go —
+    * per-node free space and request counters). On Spark the executors
+    * are the storage/compute nodes; the status tracker answers the same
+    * questions: where my workers are, what they are running, and how
+    * much block-storage memory each holds. Pure driver-side metadata —
+    * identical API on local[n] and a 1000-executor cluster. */
+  def executorStats(): DataFrame = {
+    import spark.implicits._
+    spark.sparkContext.statusTracker.getExecutorInfos.toSeq
+      .map { e =>
+        (e.host, e.port, e.numRunningTasks,
+          e.usedOnHeapStorageMemory + e.usedOffHeapStorageMemory,
+          e.totalOnHeapStorageMemory + e.totalOffHeapStorageMemory)
+      }
+      .toDF("host", "port", "running_tasks", "used_storage_bytes", "total_storage_bytes")
+  }
 }

@@ -237,6 +237,32 @@ class ApplyDedupSpec extends SparkSpec {
     val kept = cleaned.select($"doc_id").as[Long].collect().toSet
     assert(kept.intersect(dropped).isEmpty)
   }
+
+  test("connectedComponents resolves chains the pairwise rule cannot") {
+    // A~C and B~C found, A~B missed (a real LSH candidate-set shape):
+    // naive drop-greater-id keeps both 1 and 2; transitively they are
+    // one cluster and only 1 may survive
+    val pairs = Seq((1L, 3L), (2L, 3L)).toDF("id_a", "id_b")
+    val docs = Seq(1L, 2L, 3L, 9L).toDF("doc_id")
+    val naive = Dedup.applyDedup(docs, pairs).as[Long].collect().toSet
+    assert(naive == Set(1L, 2L, 9L), "naive rule under-drops here by design")
+    val resolved = Dedup.applyDedupTransitive(docs, pairs).as[Long].collect().toSet
+    assert(resolved == Set(1L, 9L))
+    val comp = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("connectedComponents converges on long chains and keeps components separate") {
+    // one 41-node path (worst case for plain propagation — pointer
+    // jumping needs ~log2(41) rounds) + one disjoint triangle
+    val chain = (0 until 40).map(i => (i.toLong, i + 1L))
+    val tri = Seq((100L, 101L), (101L, 102L), (100L, 102L))
+    val comp = Dedup.connectedComponents((chain ++ tri).toDF("id_a", "id_b"))
+      .as[(Long, Long)].collect().toMap
+    assert((0 to 40).forall(i => comp(i.toLong) == 0L))
+    assert((100 to 102).forall(i => comp(i.toLong) == 100L))
+  }
 }
 
 class EmptyInputSpec extends SparkSpec {

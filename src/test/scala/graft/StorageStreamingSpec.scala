@@ -44,6 +44,16 @@ class CatalogSpec extends SparkSpec {
     assert(st.length == Tables.names.length)
     assert(st.forall(r => r.getAs[Long]("n_rows") > 0 && r.getAs[Long]("bytes") > 0))
   }
+
+  test("executorStats reports per-node capacity (storage-node stats analog)") {
+    val rows = new Catalog(spark, sfDir).executorStats().collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[String]("host").nonEmpty)
+      assert(r.getAs[Long]("total_storage_bytes") > 0)
+      assert(r.getAs[Long]("used_storage_bytes") >= 0)
+    }
+  }
 }
 
 class EventStreamSpec extends SparkSpec {
