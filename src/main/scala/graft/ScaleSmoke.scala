@@ -58,6 +58,17 @@ object ScaleSmoke {
       operators.MapReduceOps.wordCount(bd)
         .write.format("noop").mode("overwrite").save()
     }
+    // dup-chain resolution over ~95k star-shaped clone pairs (the shape
+    // exact dedup emits) — label propagation should converge in ~2 rounds
+    time("components_95k_pairs") {
+      val groups = operators.Dedup.exact(bd)
+      val pairs = bd.select(col("doc_id"), md5(encode(col("text"), "UTF-8")).as("h"))
+        .join(groups.where(col("n_copies") > 1), "h")
+        .where(col("doc_id") =!= col("keep_id"))
+        .select(col("keep_id").as("id_a"), col("doc_id").as("id_b"))
+      operators.Dedup.connectedComponents(pairs)
+        .write.format("noop").mode("overwrite").save()
+    }
 
     // ANN ladder at 50× the bench vector count (100k vectors): brute
     // force scans the whole corpus per query; LSH/IVF touch one bucket /
@@ -78,6 +89,29 @@ object ScaleSmoke {
     }
     time("ann_ivf_100k") {
       operators.Similarity.ivfAnn(bigEmb, 5, 10, nCells = 64, nProbe = 4)
+        .write.format("noop").mode("overwrite").save()
+    }
+    // the index split: build once (includes one k-means pass), then
+    // probe-only search — the amortized shape a query service runs
+    locally {
+      val t0 = System.nanoTime()
+      val index = operators.Similarity.buildIvfIndex(bigEmb, nCells = 64)
+      index.assignments.write.mode("overwrite").parquet("/tmp/graft_ivf_idx.parquet")
+      index.centroids.write.mode("overwrite").parquet("/tmp/graft_ivf_cents.parquet")
+      println(f"[scale] ivf_build_100k     ${(System.nanoTime() - t0) / 1e9}%8.2fs")
+      val persisted = operators.Similarity.IvfIndex(
+        spark.read.parquet("/tmp/graft_ivf_idx.parquet"),
+        spark.read.parquet("/tmp/graft_ivf_cents.parquet"))
+      val queries = persisted.assignments.where(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"))
+      time("ivf_search_100k") {
+        operators.Similarity.ivfSearch(persisted, queries, 10, nProbe = 4)
+          .write.format("noop").mode("overwrite").save()
+      }
+    }
+    // cell-bounded semantic dedup at 100k vectors (the SemDeDup scale path)
+    time("semantic_100k") {
+      operators.Similarity.semanticDedup(bigEmb, 0.4, nCells = 64)
         .write.format("noop").mode("overwrite").save()
     }
     spark.stop()

@@ -118,7 +118,13 @@ object Similarity {
           (col("sx").cast("double") / col("n") / Scale).as("x")))).as("ps"))
         .select(col("cell_id"), col("ps.x").as("cv"))
     }
-    cents
+    // materialize eagerly: the result is ≤nCells rows, but its LINEAGE
+    // holds a full-corpus assignment per refinement pass — and a consumer
+    // references centroids from several broadcast exchanges (corpus
+    // assign, query assign), each of which would re-execute that corpus
+    // scan. Measured on 100k vectors: monolithic ivfAnn 175s lazy vs
+    // ~35s materialized. Cost: one job at construction time.
+    cents.localCheckpoint(true)
   }
 
   /** IVF (inverted-file) ANN: a coarse quantizer of ≤nCells centroids
