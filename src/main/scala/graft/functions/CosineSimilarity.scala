@@ -149,6 +149,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("dot_product"),
       new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
       (exprs: Seq[Expression]) => DotProduct(exprs(0), exprs(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("nearest_cells"),
+      new ExpressionInfo(classOf[NearestCells].getName, "nearest_cells"),
+      (exprs: Seq[Expression]) => NearestCells(exprs)))
     ext.injectOptimizerRule(session => graft.plans.ApproximateRewrite(session))
   }
 }

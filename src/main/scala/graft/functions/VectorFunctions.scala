@@ -13,8 +13,12 @@ import org.apache.spark.sql.functions._
   */
 object VectorFunctions {
 
-  /** Exact widening float → double per element. */
-  def toDouble(v: Column): Column = transform(v, x => x.cast("double"))
+  /** Exact widening float → double per element. A plain array cast, NOT
+    * `transform(v, _.cast)`: higher-order functions are CodegenFallback
+    * in Spark, and one interpreted expression in a projection ejects the
+    * WHOLE stage from whole-stage codegen — the cast keeps every
+    * embedding scan fully generated. */
+  def toDouble(v: Column): Column = v.cast("array<double>")
 
   /** Dot product of two double vectors (sequential fold). Works for any
     * dimension. In hot pair-joins prefer the native expressions

@@ -189,17 +189,19 @@ object Dedup {
       val nbrMin = edges
         .join(labels.select(col("id").as("dst"), col("label").as("dlabel")), "dst")
         .groupBy(col("src").as("id")).agg(min(col("dlabel")).as("nmin"))
+      // carry the pre-round label through the pipeline so convergence is
+      // one count on the checkpointed result, not an extra join per round
       val propagated = labels.join(nbrMin, Seq("id"), "left")
-        .select(col("id"), least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+        .select(col("id"), col("label").as("old"),
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
       val jumped = propagated.as("u")
         .join(propagated.select(col("id").as("jid"), col("label").as("jlabel")),
           col("u.label") === col("jid"), "left")
-        .select(col("u.id").as("id"), coalesce(col("jlabel"), col("u.label")).as("label"))
+        .select(col("u.id").as("id"), col("u.old").as("old"),
+          coalesce(col("jlabel"), col("u.label")).as("label"))
         .localCheckpoint(true)
-      val changed = jumped.as("n")
-        .join(labels.select(col("id"), col("label").as("old")), "id")
-        .where(col("n.label") =!= col("old")).count()
-      labels = jumped
+      val changed = jumped.where(col("label") =!= col("old")).count()
+      labels = jumped.select(col("id"), col("label"))
       converged = changed == 0
       i += 1
     }

@@ -73,27 +73,25 @@ object Similarity {
       .limit(nCells)
       .select(col("vec_id").as("cell_id"), col("v").as("cv"))
 
-  /** Nearest-cell assignment for rows of shape (`idCol`, v): join the
-    * tiny broadcast centroid set, then pick each row's `take` most
-    * similar cells with an AGGREGATE, not a window — partial aggregation
-    * collapses the nCells-replicated rows map-side (they are co-located,
-    * the join is broadcast), so the shuffle carries one combined row per
-    * id instead of nCells rows. Ties break to the smallest cell_id. */
+  /** Nearest-cell assignment for rows of shape (`idCol`, v): a MAP-ONLY
+    * projection — the centroid set (bounded metadata by design, same
+    * class as the LSH hyperplanes) is collected once and baked into the
+    * native `nearest_cells` expression, so assignment is one codegen'd
+    * scan with zero shuffle and zero join. Ties break to the smallest
+    * cell_id. The collect reads ≤nCells rows from an already
+    * materialized table (see [[coarseCentroids]]), not a corpus scan. */
   private def assignCells(df: DataFrame, centroids: DataFrame, idCol: String,
       take: Int): DataFrame = {
-    val scored = df.join(broadcast(centroids), lit(true))
-      .withColumn("csim", cosineSim(col("v"), col("cv")))
+    import graft.functions.NearestCells.nearestCells
+    val rows = centroids.select(col("cell_id"), col("cv")).collect()
+    require(rows.nonEmpty, "empty centroid set")
+    val ids = rows.map(_.getLong(0))
+    val cvs = rows.map(_.getSeq[Double](1).toArray)
+    val cells = nearestCells(col("v"), ids, cvs, take)
     if (take == 1)
-      scored.groupBy(col(idCol))
-        .agg(max_by(struct(col("v"), col("cell_id")),
-          struct(col("csim"), (-col("cell_id")).as("neg"))).as("best"))
-        .select(col(idCol), col("best.v").as("v"), col("best.cell_id").as("cell_id"))
+      df.select(col(idCol), col("v"), element_at(cells, 1).as("cell_id"))
     else
-      scored.groupBy(col(idCol))
-        .agg(first(col("v")).as("v"),
-          slice(array_sort(collect_list(struct((-col("csim")).as("neg"), col("cell_id")))),
-            1, take).as("cells"))
-        .select(col(idCol), col("v"), explode(col("cells.cell_id")).as("cell_id"))
+      df.select(col(idCol), col("v"), explode(cells).as("cell_id"))
   }
 
   /** Coarse centroids: hash-ordered seed sample plus `refinePasses`

@@ -41,6 +41,61 @@ class CosineSimilaritySpec extends SparkSpec {
   }
 }
 
+class NearestCellsSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.functions.NearestCells.nearestCells
+
+  private val cents = Array(
+    Array(1.0, 0.0, 0.0),
+    Array(0.0, 1.0, 0.0),
+    Array(0.7, 0.7, 0.0))
+  private val ids = Array(10L, 20L, 30L)
+
+  test("nearest_cells returns centroids in cosine order with smallest-id tie-break") {
+    val df = Seq(
+      (1L, Seq(1.0, 0.0, 0.0)),   // exact match of cell 10; 30 second
+      (2L, Seq(0.0, 2.0, 0.0)),   // cell 20 first
+      (3L, Seq(1.0, 1.0, 0.0)))   // ties cells 10 and 20 (cos .707) → 30 first, then 10
+      .toDF("vec_id", "v")
+    val out = df.select($"vec_id", nearestCells($"v", ids, cents, 2).as("c"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(out(1L) == Seq(10L, 30L))
+    assert(out(2L) == Seq(20L, 30L))
+    assert(out(3L) == Seq(30L, 10L))
+  }
+
+  test("nearest_cells matches per-row brute force on real embeddings") {
+    val e = Tables.embeddings(spark, sfDir)
+      .select($"vec_id", graft.functions.VectorFunctions.toDouble($"embedding").as("v"))
+    val rows = e.limit(64).collect()
+    val cids = rows.map(_.getLong(0))
+    val cvs = rows.map(_.getSeq[Double](1).toArray)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val got = e.select($"vec_id", element_at(nearestCells($"v", cids, cvs, 1), 1).as("c"))
+      .as[(Long, Long)].collect().toMap
+    e.collect().foreach { r =>
+      val v = r.getSeq[Double](1).toArray
+      val want = cids.zip(cvs).map { case (id, cv) => (id, cos(v, cv)) }
+        .minBy { case (id, s) => (-s, id) }._1
+      assert(got(r.getLong(0)) == want, s"vec ${r.getLong(0)}")
+    }
+  }
+
+  test("nearest_cells assignment is a map-only codegen projection") {
+    val df = Tables.embeddings(spark, sfDir)
+      .select($"vec_id", graft.functions.VectorFunctions.toDouble($"embedding").as("v"))
+      .select($"vec_id", element_at(nearestCells($"v", ids, cents, 1), 1).as("cell_id"))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), "assignment must not shuffle")
+    assert("""\*\(\d+\) Project""".r.findFirstIn(plan).isDefined,
+      "assignment must run inside whole-stage codegen")
+  }
+}
+
 class AsOfJoinSpec extends SparkSpec {
   import spark.implicits._
 

@@ -137,6 +137,10 @@ class IvfAnnSpec extends SparkSpec {
     val assignedCells = index.assignments.select($"cell_id").distinct().as[Long].collect().toSet
     assert(assignedCells.subsetOf(cents),
       s"unreachable cells: ${assignedCells -- cents}")
+    // the build's assignment stage is a pure scan+project — centroids are
+    // baked into the native expression, so there is NO shuffle and no join
+    val plan = index.assignments.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), "index build assignment must be map-only")
   }
 
   test("ivfAnn joins corpus cell_id to a renamed probe_cell (no trivially-true predicate)") {
