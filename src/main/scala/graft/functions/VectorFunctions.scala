@@ -5,11 +5,14 @@ import org.apache.spark.sql.functions._
 
 /** Vector math over `array<float>` embedding columns.
   *
-  * Built from codegen'd higher-order functions (`zip_with`/`aggregate`)
-  * — no UDF serialization in the hot path. Floats are widened to double
-  * BEFORE any arithmetic so accumulation error is engine-portable (the
-  * fold is sequential left-to-right in both Spark and DuckDB's
-  * list_dot_product, giving bit-identical sums on identical inputs).
+  * NOTE: the `zip_with`/`aggregate` variants here are HOFs — correct
+  * and UDF-free, but CodegenFallback (interpreted). They exist as the
+  * readable reference implementations; every hot path uses the native
+  * expressions (`cosine_sim`/`dot_product`/`nearest_cells`) instead.
+  * Floats are widened to double BEFORE any arithmetic so accumulation
+  * error is engine-portable (the fold is sequential left-to-right in
+  * both Spark and DuckDB's list_dot_product, giving bit-identical sums
+  * on identical inputs).
   */
 object VectorFunctions {
 

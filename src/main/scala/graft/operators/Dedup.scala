@@ -34,16 +34,20 @@ object Dedup {
   def shingles(docs: DataFrame, n: Int): DataFrame =
     rawShingles(docs, n).distinct()
 
-  private def rawShingles(docs: DataFrame, n: Int): DataFrame = {
-    val w = TextAnalysis.tokens(col("text"))
-    val grams = transform(
-      sequence(lit(1), size(col("w")) - (n - 1)),
-      i => concat_ws(" ", (0 until n).map(o => element_at(col("w"), i + o)): _*))
+  /** Explode shingle POSITIONS first, then assemble each gram with
+    * element_at/concat_ws — every expression here codegens. The
+    * alternative (a `transform` lambda building the gram list, then
+    * explode) is a higher-order function: CodegenFallback, which would
+    * interpret the scan stage of the whole dedup family. */
+  private def rawShingles(docs: DataFrame, n: Int): DataFrame =
     docs
-      .select(col("doc_id"), w.as("w"))
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("w"))
       .where(size(col("w")) >= n)
-      .select(col("doc_id"), explode(grams).as("shingle"))
-  }
+      .select(col("doc_id"), col("w"),
+        explode(sequence(lit(1), size(col("w")) - (n - 1))).as("i"))
+      .select(col("doc_id"),
+        concat_ws(" ", (0 until n).map(o => element_at(col("w"), col("i") + o)): _*)
+          .as("shingle"))
 
   /** Non-distinct hashed shingles: (doc_id, h: Long). Downstream minhash /
     * set aggregation is duplicate-insensitive, so the dedup shuffle a

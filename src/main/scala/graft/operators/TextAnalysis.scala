@@ -11,13 +11,26 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
-  /** Whitespace tokens, empty strings dropped. */
-  def tokens(c: Column): Column = filter(split(c, "\\s+"), x => x =!= "")
+  /** Whitespace tokens, empty strings dropped. `array_remove`, not a
+    * `filter(...)` lambda: higher-order functions are CodegenFallback,
+    * and tokens() sits in the scan projection of every text operator —
+    * one interpreted expression would eject the whole stage from
+    * whole-stage codegen. Identical semantics (split never yields
+    * nulls; array_remove drops every "" occurrence). */
+  def tokens(c: Column): Column = array_remove(split(c, "\\s+"), "")
 
   /** BPE-ish pre-tokenizer regex: letter runs, single digits, single
     * punctuation. Plain character classes only, so Java regex and RE2
     * agree. */
   val BpePattern = "[a-z]+|[0-9]|[^a-z0-9 ]"
+
+  /** Occurrence count (multiplicity included) of `words` inside a token
+    * array: Σ_w (size(tk) - size(array_remove(tk, w))). Same total
+    * comparison count as one filter-with-isin pass, but array_remove is
+    * a regular codegen'd expression while a filter lambda is
+    * CodegenFallback and would interpret the whole projection. */
+  def hitCount(tk: Column, words: Seq[String]): Column =
+    words.map(w => size(tk) - size(array_remove(tk, w))).reduce(_ + _)
 
   def tokenCounts(docs: DataFrame): DataFrame =
     docs.select(
@@ -43,7 +56,7 @@ object TextAnalysis {
         size(col("tk")).as("nw_raw"),
         length(regexp_replace(col("text"), "[^a-z]", "")).as("na"),
         length(regexp_replace(col("text"), "[^.!?,;:]", "")).as("np"),
-        size(filter(col("tk"), t => t.isin(EnStopwords: _*))).as("sh"))
+        hitCount(col("tk"), EnStopwords).as("sh"))
     val nWords = greatest(col("nw_raw"), lit(1))
     val nChars = greatest(col("nc"), lit(1))
     base.select(
@@ -74,15 +87,19 @@ object TextAnalysis {
   /** Stopword-hit language ID. Deterministic argmax with a fixed
     * preference cascade (en > es > fr > de > zh) on ties. */
   def langId(docs: DataFrame): DataFrame = {
-    val toks = tokens(col("text"))
-    def hits(ws: Seq[String]): Column = size(filter(toks, t => t.isin(ws: _*)))
-    // stage 1 evaluates each stopword filter once; the argmax cascade
-    // then reads plain columns (see quality for the CollapseProject note)
-    val base = docs.select(
-      col("doc_id"), col("lang").as("declared_lang"),
-      hits(EnStopwords).as("h_en"), hits(EsStopwords).as("h_es"),
-      hits(FrStopwords).as("h_fr"), hits(DeStopwords).as("h_de"),
-      hits(ZhStopwords).as("h_zh"))
+    // stage 1 tokenizes ONCE and counts each language's stopword hits
+    // (codegen'd, see hitCount); the argmax cascade then reads plain
+    // columns (see quality for the CollapseProject note)
+    val base = docs
+      .select(col("doc_id"), col("lang").as("declared_lang"),
+        tokens(col("text")).as("tk"))
+      .select(
+        col("doc_id"), col("declared_lang"),
+        hitCount(col("tk"), EnStopwords).as("h_en"),
+        hitCount(col("tk"), EsStopwords).as("h_es"),
+        hitCount(col("tk"), FrStopwords).as("h_fr"),
+        hitCount(col("tk"), DeStopwords).as("h_de"),
+        hitCount(col("tk"), ZhStopwords).as("h_zh"))
     base.select(
       col("doc_id"), col("declared_lang"),
       col("h_en"), col("h_es"), col("h_fr"), col("h_de"), col("h_zh"),
