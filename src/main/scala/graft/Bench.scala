@@ -31,16 +31,24 @@ object Bench {
         .write.format("noop").mode("overwrite").save()
     }
 
-    // median of n>=3 runs per query: a single environmental stall (page
-    // cache miss, JIT, GC) must not distort the round's headline metric
+    // median of n>=3 runs per query, with the runs INTERLEAVED (full
+    // passes over all queries, then per-query medians across passes):
+    // environmental stalls on this class of machine come in multi-minute
+    // phases, and back-to-back repeats of one query would put all its
+    // samples inside the same phase — interleaving spreads each query's
+    // samples across the whole bench window
     val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = Seq.fill(iters) {
+    val names = SparkEntry.queries.toSeq.sortBy(_._1)
+    val passes = Seq.fill(iters) {
+      names.map { case (name, fn) =>
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }
         (System.nanoTime() - t0) / 1e9
-      }.sorted
+      }
+    }
+    val results = names.zipWithIndex.map { case ((name, _), i) =>
+      val times = passes.map(_(i)).sorted
       name -> times(times.length / 2)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
