@@ -60,6 +60,29 @@ object EventStream {
       dimKey: String): DataFrame =
     events.join(dim, col(eventKey) === col(dimKey), "left")
 
+  /** Watermarked STREAM-STREAM join: purchases matched to the same
+    * user's views in the preceding `windowSec` seconds — the streaming
+    * twin of Events.purchaseViewsWithin. Both sides carry watermarks and
+    * the join predicate bounds event-time distance, so each side's
+    * buffered state is evicted as the watermark advances: unbounded
+    * streams, bounded state. Matches are emitted as soon as both sides
+    * arrive (inner join), no watermark wait. */
+  def purchaseViewJoin(events: DataFrame, windowSec: Long = 600,
+      watermarkDelay: String = "1 hour"): DataFrame = {
+    val purchases = events.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", watermarkDelay)
+    val views = events.where(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("event_id").as("view_id"), col("ts").as("v_ts"))
+      .withWatermark("v_ts", watermarkDelay)
+    purchases.join(views,
+        col("user_id") === col("v_user") &&
+          col("v_ts") >= col("p_ts") - expr(s"INTERVAL $windowSec SECONDS") &&
+          col("v_ts") < col("p_ts"))
+      .select(col("user_id"), col("purchase_id"), col("view_id"),
+        col("p_ts"), col("v_ts"))
+  }
+
   /** Exactly-once parquet sink: file sink + checkpoint (offsets + file
     * manifest) — restart-safe without manual bookkeeping. */
   def writeParquet(df: DataFrame, dest: String,

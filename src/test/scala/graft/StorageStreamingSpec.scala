@@ -100,6 +100,33 @@ class EventStreamSpec extends SparkSpec {
     assert(out.where($"n_events" <= 0).count() == 0)
     assert(out.where($"end_us" < $"start_us").count() == 0)
   }
+
+  test("stream-stream purchase-view join matches the batch pair set") {
+    val batch = Tables.events(spark, sfDir)
+    val srcDir = Files.createTempDirectory("graft-ssjoin-src").toString
+    batch.write.mode("overwrite").parquet(srcDir)
+    val replay = spark.read.parquet(srcDir)
+
+    val stream = EventStream.readEvents(spark, srcDir, replay.schema)
+    val q = EventStream.purchaseViewJoin(stream, 600)
+      .writeStream.format("memory").queryName("ssj_out").outputMode("append")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("ssj_out")
+      .select($"purchase_id", $"view_id").as[(Long, Long)].collect().toSet
+
+    // batch truth: same inner-join predicate over the same replayed data
+    val p = replay.where($"event_type" === "purchase")
+      .select($"user_id", $"event_id".as("purchase_id"), $"ts".as("p_ts"))
+    val v = replay.where($"event_type" === "view")
+      .select($"user_id".as("v_user"), $"event_id".as("view_id"), $"ts".as("v_ts"))
+    val expected = p.join(v,
+        $"user_id" === $"v_user" &&
+          $"v_ts" >= $"p_ts" - expr("INTERVAL 600 SECONDS") && $"v_ts" < $"p_ts")
+      .select($"purchase_id", $"view_id").as[(Long, Long)].collect().toSet
+    assert(streamed == expected)
+    assert(streamed.nonEmpty)
+  }
 }
 
 class StreamEnrichSinkSpec extends SparkSpec {
