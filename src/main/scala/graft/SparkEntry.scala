@@ -87,6 +87,19 @@ object SparkEntry {
     "d_dedup_pipeline" -> ((s, d) => Dedup.nearDupPipeline(Tables.documents(s, d))),
     "d_components" -> ((s, d) =>
       Dedup.connectedComponents(Dedup.ngramJaccard(Tables.documents(s, d), 3, 0.5))),
+    // the full corpus-prep composition end-to-end: signals → quality/lang
+    // filter → exact dedup → LSH near-dup → transitive resolution →
+    // decontamination → split
+    "d_corpus_prep" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val docs = Tables.documents(s, d)
+      val res = CorpusPipeline.prepare(
+        docs.where(col("doc_id") >= 20), Some(docs.where(col("doc_id") < 20)),
+        CorpusPipeline.Config(minQuality = 0.2))
+      res.corpus.select(col("doc_id"),
+        graft.functions.Exact.round6(col("quality_score")).as("quality_score"),
+        col("pred_lang"), col("split"))
+    }),
     "d_contamination" -> ((s, d) => {
       import org.apache.spark.sql.functions.col
       val docs = Tables.documents(s, d)
@@ -304,6 +317,71 @@ object SparkEntry {
          FROM inter JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
          WHERE CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter) >= 0.5""",
     "d_dedup_ngram" -> ngramJaccardSql,
+    // the corpus-prep composition verified END-TO-END: each stage reuses
+    // the already-verified oracle fragment (quality/lang signals, exact
+    // dedup, ngram-Jaccard pairs [== LSH candidates on this corpus],
+    // recursive-CTE components, shared-shingle decontamination, md5
+    // split); raw-double quality comparisons agree because both engines
+    // evaluate the identical integer-input expression shape
+    "d_corpus_prep" ->
+      """WITH RECURSIVE
+         corpus AS (SELECT doc_id, text FROM documents WHERE doc_id >= 20),
+         sig AS (
+           SELECT doc_id, text,
+                  len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS nw,
+                  length(text) AS nc,
+                  length(regexp_replace(text, '[^a-z]', '', 'g')) AS na,
+                  length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS np,
+                  len(list_filter(regexp_split_to_array(text, '\s+'), x -> x IN ('the','a','of','and','to','is','in','that','it','as'))) AS h_en,
+                  len(list_filter(regexp_split_to_array(text, '\s+'), x -> x IN ('el','la','de','y','que','en','los','se','del','las'))) AS h_es,
+                  len(list_filter(regexp_split_to_array(text, '\s+'), x -> x IN ('le','la','de','et','les','des','un','une','du','que'))) AS h_fr,
+                  len(list_filter(regexp_split_to_array(text, '\s+'), x -> x IN ('der','die','das','und','ist','von','mit','den','im','ein'))) AS h_de,
+                  len(list_filter(regexp_split_to_array(text, '\s+'), x -> x IN ('的','是','在','了','和','有','我','他','这','中'))) AS h_zh
+           FROM corpus),
+         scored AS (
+           SELECT doc_id, text,
+                  CAST(h_en AS DOUBLE) / greatest(nw, 1) * 0.4
+                    + least(CAST(na AS DOUBLE) / greatest(nw, 1) / 10.0, 1.0) * 0.3
+                    + (1.0 - CAST(np AS DOUBLE) / greatest(nc, 1)) * 0.3 AS qs,
+                  CASE WHEN h_en >= greatest(h_es, h_fr, h_de, h_zh) THEN 'en'
+                       WHEN h_es >= greatest(h_fr, h_de, h_zh) THEN 'es'
+                       WHEN h_fr >= greatest(h_de, h_zh) THEN 'fr'
+                       WHEN h_de >= h_zh THEN 'de' ELSE 'zh' END AS pred_lang
+           FROM sig),
+         filt AS (SELECT * FROM scored WHERE qs >= 0.2),
+         keep AS (SELECT min(doc_id) AS doc_id FROM filt GROUP BY md5(text)),
+         uniq AS (SELECT f.doc_id, f.text, f.qs, f.pred_lang FROM filt f JOIN keep USING (doc_id)),
+         tok AS (SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS w FROM uniq),
+         sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+                FROM tok CROSS JOIN unnest(generate_series(1, len(w) - 2)) AS t(i) WHERE len(w) >= 3),
+         sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+         inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+                   FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id GROUP BY 1, 2),
+         pairs AS (SELECT id_a, id_b FROM inter JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
+                   WHERE CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter) >= 0.5),
+         edges AS (SELECT id_a AS src, id_b AS dst FROM pairs UNION ALL SELECT id_b, id_a FROM pairs),
+         reach AS (SELECT src AS id, src AS r FROM edges
+                   UNION SELECT reach.id, edges.dst FROM reach JOIN edges ON reach.r = edges.src),
+         dropping AS (SELECT id AS doc_id FROM (SELECT id, min(r) AS component FROM reach GROUP BY id) WHERE id <> component),
+         ded AS (SELECT u.doc_id, u.text, u.qs, u.pred_lang FROM uniq u ANTI JOIN dropping dr ON u.doc_id = dr.doc_id),
+         bsh AS (SELECT DISTINCT doc_id AS bench_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+                 FROM (SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS w
+                       FROM documents WHERE doc_id < 20)
+                 CROSS JOIN unnest(generate_series(1, len(w) - 2)) AS t(i) WHERE len(w) >= 3),
+         dsh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+                 FROM (SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS w FROM ded)
+                 CROSS JOIN unnest(generate_series(1, len(w) - 2)) AS t(i) WHERE len(w) >= 3),
+         flagged AS (SELECT DISTINCT doc_id FROM (
+                       SELECT d.doc_id, b.bench_id FROM dsh d JOIN bsh b USING (shingle)
+                       GROUP BY d.doc_id, b.bench_id HAVING count(*) >= 3)),
+         final AS (SELECT ded.doc_id, ded.qs, ded.pred_lang FROM ded ANTI JOIN flagged fl ON ded.doc_id = fl.doc_id)
+         SELECT doc_id,
+                floor(qs * 1000000 + 0.5) / 1000000 AS quality_score,
+                pred_lang,
+                CASE WHEN substr(md5(CAST(doc_id AS VARCHAR) || ':split'), 1, 2) < 'cc' THEN 'train'
+                     WHEN substr(md5(CAST(doc_id AS VARCHAR) || ':split'), 1, 2) < 'e6' THEN 'val'
+                     ELSE 'test' END AS split
+         FROM final""",
     // connected components over the ngram near-dup pairs, as a recursive
     // CTE: reach(id, r) enumerates every reachable node (UNION dedups →
     // termination), component = min reachable id — same label rule as the

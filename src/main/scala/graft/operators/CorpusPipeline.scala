@@ -1,0 +1,110 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** End-to-end training-corpus preparation — the composition a
+  * training-data owner actually runs, built only from this library's
+  * individually-verified operators:
+  *
+  *   1. signal pass: quality score + language ID in ONE map-only scan
+  *      (expressions fused so the corpus is read once, not per signal)
+  *   2. filter: quality floor + language allowlist (map-only)
+  *   3. dedup ladder: exact (hash groupBy) → MinHash-LSH near-dup over
+  *      the keepers → transitive chain resolution (connected
+  *      components), keeping each dup cluster's smallest doc
+  *   4. benchmark decontamination: drop docs sharing ≥ k shingles with
+  *      any benchmark doc (benchmark side broadcasts)
+  *   5. deterministic train/val/test split (salted-hash, map-only)
+  *
+  * Every stage is a declarative plan; the only wide shuffles are the
+  * ones the algorithms require (dedup signature aggregation, candidate
+  * join, component propagation over the pair set). The optional audit
+  * recounts each stage — each count is an action that re-executes its
+  * lineage, so it defaults OFF and belongs in validation runs, not the
+  * 100 TB production pass.
+  */
+object CorpusPipeline {
+
+  case class Config(
+      minQuality: Double = 0.3,
+      langs: Set[String] = Set.empty, // empty = keep every language
+      shingleN: Int = 3,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      jaccard: Double = 0.5,
+      maxBucket: Int = 0,
+      minSharedShingles: Long = 3)
+
+  case class Result(corpus: DataFrame, audit: Seq[(String, Long)])
+
+  /** Quality + language signals fused into one scan: the same
+    * expressions as TextAnalysis.quality / langId (which stay separate
+    * because each is an oracle-verified query), evaluated together so
+    * the corpus is read once. */
+  def signals(docs: DataFrame): DataFrame = {
+    import TextAnalysis._
+    val base = docs
+      .select(col("doc_id"), col("text"), tokens(col("text")).as("tk"))
+      .select(col("doc_id"), col("text"), col("tk"),
+        length(col("text")).as("nc"),
+        size(col("tk")).as("nw_raw"),
+        length(regexp_replace(col("text"), "[^a-z]", "")).as("na"),
+        length(regexp_replace(col("text"), "[^.!?,;:]", "")).as("np"),
+        hitCount(col("tk"), EnStopwords).as("h_en"),
+        hitCount(col("tk"), EsStopwords).as("h_es"),
+        hitCount(col("tk"), FrStopwords).as("h_fr"),
+        hitCount(col("tk"), DeStopwords).as("h_de"),
+        hitCount(col("tk"), ZhStopwords).as("h_zh"))
+    val nWords = greatest(col("nw_raw"), lit(1))
+    val nChars = greatest(col("nc"), lit(1))
+    base.select(
+      col("doc_id"), col("text"),
+      (col("h_en").cast("double") / nWords * 0.4
+        + least(col("na").cast("double") / nWords / 10.0, lit(1.0)) * 0.3
+        + (lit(1.0) - col("np").cast("double") / nChars) * 0.3).as("quality_score"),
+      when(col("h_en") >= greatest(col("h_es"), col("h_fr"), col("h_de"), col("h_zh")), "en")
+        .when(col("h_es") >= greatest(col("h_fr"), col("h_de"), col("h_zh")), "es")
+        .when(col("h_fr") >= greatest(col("h_de"), col("h_zh")), "fr")
+        .when(col("h_de") >= col("h_zh"), "de")
+        .otherwise("zh").as("pred_lang"))
+  }
+
+  /** Run the full preparation. `benchmark` is the eval set to
+    * decontaminate against (None skips the stage). */
+  def prepare(docs: DataFrame, benchmark: Option[DataFrame] = None,
+      cfg: Config = Config(), audit: Boolean = false): Result = {
+    val steps = Seq.newBuilder[(String, Long)]
+    def note(name: String, df: DataFrame): DataFrame = {
+      if (audit) steps += name -> df.count()
+      df
+    }
+
+    note("input", docs)
+    val scored = signals(docs)
+    val filtered = note("after_quality_lang",
+      scored.where(col("quality_score") >= cfg.minQuality &&
+        (if (cfg.langs.isEmpty) lit(true) else col("pred_lang").isin(cfg.langs.toSeq: _*))))
+
+    // dedup ladder: exact keepers first (clone clusters would turn LSH
+    // buckets quadratic), then near-dup pairs over keepers, then
+    // transitive resolution so chains A~B~C keep exactly one doc
+    val keepers = Dedup.exact(filtered).select(col("keep_id").as("doc_id"))
+    val unique = note("after_exact_dedup", filtered.join(keepers, "doc_id"))
+    val pairs = Dedup.minhashLsh(unique, cfg.shingleN, cfg.numHashes,
+      cfg.bands, cfg.jaccard, cfg.maxBucket)
+    val deduped = note("after_near_dedup", Dedup.applyDedupTransitive(unique, pairs))
+
+    val clean = benchmark match {
+      case Some(bench) =>
+        val flagged = Dedup.contamination(deduped, bench, cfg.shingleN, cfg.minSharedShingles)
+          .select(col("doc_id")).distinct()
+        note("after_decontamination", deduped.join(flagged, Seq("doc_id"), "left_anti"))
+      case None => deduped
+    }
+
+    // split assignment is a pure column — no join, stays map-only
+    val split = clean.withColumn("split", Sampling.splitColumn(col("doc_id")))
+    Result(split, steps.result())
+  }
+}

@@ -18,13 +18,17 @@ object Sampling {
   private def saltedHex(id: Column, salt: Column, width: Int): Column =
     substring(md5(concat(id.cast("string"), salt)), 1, width)
 
-  /** train/val/test ≈ 80/10/10 by hashed id ('cc'/256 = 0.797,
-    * 'e6'/256 = 0.898). */
-  def hashSplit(docs: DataFrame): DataFrame = {
-    val b = saltedHex(col("doc_id"), lit(":split"), 2)
-    docs.select(col("doc_id"),
-      when(b < "cc", "train").when(b < "e6", "val").otherwise("test").as("split"))
+  /** train/val/test ≈ 80/10/10 assignment ('cc'/256 = 0.797,
+    * 'e6'/256 = 0.898) as a plain column — usable as a map-only
+    * `withColumn` with no join. */
+  def splitColumn(id: Column): Column = {
+    val b = saltedHex(id, lit(":split"), 2)
+    when(b < "cc", "train").when(b < "e6", "val").otherwise("test")
   }
+
+  /** train/val/test hash split of a docs table. */
+  def hashSplit(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), splitColumn(col("doc_id")).as("split"))
 
   /** Deterministic 25% sample within each stratum ('4'/16 = 0.25); the
     * stratum is part of the salt so strata sample independently. */

@@ -283,6 +283,10 @@ class EmptyInputSpec extends SparkSpec {
     assert(Events.purchaseViewsWithin(noEvents).count() == 0)
     assert(Sampling.hashSplit(noDocs).count() == 0)
     assert(graft.operators.Similarity.bruteForceTopK(noEmb, 5, 10).count() == 0)
+    val noPairs = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(Dedup.connectedComponents(noPairs).count() == 0)
+    assert(Dedup.applyDedupTransitive(noDocs, noPairs).count() == 0)
+    assert(Dedup.embeddingDedup(noEmb).count() == 0)
   }
 }
 
