@@ -153,6 +153,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("nearest_cells"),
       new ExpressionInfo(classOf[NearestCells].getName, "nearest_cells"),
       (exprs: Seq[Expression]) => NearestCells(exprs)))
+    ext.injectFunction((
+      new FunctionIdentifier("hit_count"),
+      new ExpressionInfo(classOf[HitCount].getName, "hit_count"),
+      (exprs: Seq[Expression]) => HitCount(exprs)))
     ext.injectOptimizerRule(session => graft.plans.ApproximateRewrite(session))
   }
 }

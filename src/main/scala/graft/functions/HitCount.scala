@@ -1,0 +1,95 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.functions.{call_function, lit}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+
+/** Native occurrence counter: how many elements of a string array are
+  * members of a CONSTANT word set (multiplicity included — each
+  * occurrence counts).
+  *
+  * One loop over the tokens with a hash-set membership test, zero
+  * allocation, inside whole-stage codegen. This replaced two losing
+  * formulations: a `filter(_.isin(...))` lambda (HOF → CodegenFallback,
+  * ejects the whole projection from codegen) and
+  * Σ size(tk)-size(array_remove(tk,w)) per word (codegen'd but
+  * allocates |words| intermediate arrays PER ROW — measured 4× slower
+  * on the language-ID scan at 50 words).
+  *
+  * Registered as SQL `hit_count(tokens, words)` via [[GraftExtensions]].
+  */
+case class HitCount(children: Seq[Expression]) extends Expression {
+
+  private def tkChild = children(0)
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = tkChild.nullable
+  override def foldable: Boolean = children.forall(_.foldable)
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def fail(msg: String) = TypeCheckResult.TypeCheckFailure(msg)
+    if (children.length != 2) fail("hit_count expects (tokens, words)")
+    else if (!children(1).foldable) fail("words must be a literal")
+    else (tkChild.dataType, children(1).dataType) match {
+      case (ArrayType(StringType, _), ArrayType(StringType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => fail(s"expected (array<string>, array<string>), got $other")
+    }
+  }
+
+  /** Constant word set, unpacked once per task from the literal child.
+    * Elements are UTF8String — comparisons need no conversion. */
+  @transient private lazy val words: java.util.HashSet[Any] = {
+    val arr = children(1).eval().asInstanceOf[ArrayData]
+    val s = new java.util.HashSet[Any](arr.numElements() * 2)
+    var i = 0
+    while (i < arr.numElements()) { s.add(arr.get(i, StringType)); i += 1 }
+    s
+  }
+
+  def count(a: ArrayData): Long = {
+    var n = 0L
+    var i = 0
+    val len = a.numElements()
+    while (i < len) {
+      if (words.contains(a.get(i, StringType))) n += 1
+      i += 1
+    }
+    n
+  }
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val a = tkChild.eval(input)
+    if (a == null) null else count(a.asInstanceOf[ArrayData])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = org.apache.spark.sql.catalyst.expressions.codegen.JavaCode.global(
+      ctx.addReferenceObj("hitCount", this, classOf[HitCount].getName),
+      org.apache.spark.sql.types.ObjectType(classOf[HitCount]))
+    val child = tkChild.genCode(ctx)
+    ev.copy(code =
+      code"""
+        ${child.code}
+        boolean ${ev.isNull} = ${child.isNull};
+        long ${ev.value} = 0L;
+        if (!${ev.isNull}) {
+          ${ev.value} = $self.count(${child.value});
+        }
+      """)
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression = copy(children = newChildren)
+}
+
+object HitCount {
+  /** Column entry point; the word set rides as a literal. */
+  def hitCount(tokens: Column, words: Seq[String]): Column =
+    call_function("hit_count", tokens, lit(words.toArray))
+}

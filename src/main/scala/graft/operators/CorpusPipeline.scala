@@ -71,14 +71,26 @@ object CorpusPipeline {
   }
 
   /** Run the full preparation. `benchmark` is the eval set to
-    * decontaminate against (None skips the stage). */
+    * decontaminate against (None skips the stage).
+    *
+    * `persistIntermediates` caches the two fan-out points (`unique`
+    * feeds the LSH pair mining AND the cleanup anti-join; `deduped`
+    * feeds decontamination AND the result) with evictable
+    * MEMORY_AND_DISK storage — without it each consumer re-runs the
+    * signal scan + dedup join. A 100 TB deployment should instead
+    * write those stage outputs to storage (Catalog.writeChunked) and
+    * read them back; the in-session persist is for single-run use. */
   def prepare(docs: DataFrame, benchmark: Option[DataFrame] = None,
-      cfg: Config = Config(), audit: Boolean = false): Result = {
+      cfg: Config = Config(), audit: Boolean = false,
+      persistIntermediates: Boolean = true): Result = {
+    import org.apache.spark.storage.StorageLevel
     val steps = Seq.newBuilder[(String, Long)]
     def note(name: String, df: DataFrame): DataFrame = {
       if (audit) steps += name -> df.count()
       df
     }
+    def pin(df: DataFrame): DataFrame =
+      if (persistIntermediates) df.persist(StorageLevel.MEMORY_AND_DISK) else df
 
     note("input", docs)
     val scored = signals(docs)
@@ -90,10 +102,10 @@ object CorpusPipeline {
     // buckets quadratic), then near-dup pairs over keepers, then
     // transitive resolution so chains A~B~C keep exactly one doc
     val keepers = Dedup.exact(filtered).select(col("keep_id").as("doc_id"))
-    val unique = note("after_exact_dedup", filtered.join(keepers, "doc_id"))
+    val unique = note("after_exact_dedup", pin(filtered.join(keepers, "doc_id")))
     val pairs = Dedup.minhashLsh(unique, cfg.shingleN, cfg.numHashes,
       cfg.bands, cfg.jaccard, cfg.maxBucket)
-    val deduped = note("after_near_dedup", Dedup.applyDedupTransitive(unique, pairs))
+    val deduped = note("after_near_dedup", pin(Dedup.applyDedupTransitive(unique, pairs)))
 
     val clean = benchmark match {
       case Some(bench) =>

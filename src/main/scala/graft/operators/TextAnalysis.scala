@@ -25,12 +25,12 @@ object TextAnalysis {
   val BpePattern = "[a-z]+|[0-9]|[^a-z0-9 ]"
 
   /** Occurrence count (multiplicity included) of `words` inside a token
-    * array: Σ_w (size(tk) - size(array_remove(tk, w))). Same total
-    * comparison count as one filter-with-isin pass, but array_remove is
-    * a regular codegen'd expression while a filter lambda is
-    * CodegenFallback and would interpret the whole projection. */
+    * array — the native `hit_count` expression: one codegen'd loop with
+    * a constant hash-set membership test, no per-row allocation. (A
+    * filter lambda is CodegenFallback; an array_remove formulation
+    * allocates |words| arrays per row — both measured slower.) */
   def hitCount(tk: Column, words: Seq[String]): Column =
-    words.map(w => size(tk) - size(array_remove(tk, w))).reduce(_ + _)
+    graft.functions.HitCount.hitCount(tk, words)
 
   def tokenCounts(docs: DataFrame): DataFrame =
     docs.select(
