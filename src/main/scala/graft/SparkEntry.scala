@@ -107,6 +107,8 @@ object SparkEntry {
     }),
     "p_split" -> ((s, d) => Sampling.hashSplit(Tables.documents(s, d))),
     "p_sample" -> ((s, d) => Sampling.stratifiedSample(Tables.documents(s, d))),
+    "p_pack" -> ((s, d) => Sampling.packSequences(Tables.documents(s, d))),
+    "p_shuffle" -> ((s, d) => Sampling.shuffleOrder(Tables.documents(s, d))),
     "s_ann_brute" -> ((s, d) => Similarity.bruteForceTopK(Tables.embeddings(s, d), 5, 10)),
     "s_ann_lsh" -> ((s, d) => Similarity.lshAnn(Tables.embeddings(s, d), 5, 10)),
     "s_ann_ivf" -> ((s, d) => Similarity.ivfAnn(Tables.embeddings(s, d), 5, 10)),
@@ -116,6 +118,8 @@ object SparkEntry {
     "t_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(Tables.documents(s, d))),
     "t_normalize" -> ((s, d) => TextAnalysis.normalize(Tables.documents(s, d))),
     "t_tfidf" -> ((s, d) => TextAnalysis.tfidf(Tables.documents(s, d))),
+    "t_redact" -> ((s, d) => TextAnalysis.redact(Tables.events(s, d), "event_id", "props")),
+    "t_repetition" -> ((s, d) => TextAnalysis.repetition(Tables.documents(s, d))),
     "m_meta" -> ((s, d) => Multimodal.metaExtract(Tables.documents(s, d))),
     // E. storage engine introspection (DFS cluster-stats analog)
     "fs_stats" -> ((s, d) => new graft.sources.Catalog(s, d).rowCounts()),
@@ -574,6 +578,61 @@ object SparkEntry {
     "p_sample" ->
       """SELECT doc_id, lang FROM documents
          WHERE substr(md5(CAST(doc_id AS VARCHAR) || ':sample:' || lang), 1, 1) < '4'""",
+    // window sums over BIGINT are HUGEINT in DuckDB → CAST (see q_pivot note)
+    "p_pack" ->
+      """WITH s AS (
+           SELECT doc_id,
+                  CAST(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS BIGINT) AS n_tokens,
+                  CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':pack'), 1, 15) AS BIGINT) AS h
+           FROM documents),
+         c AS (
+           SELECT doc_id, n_tokens,
+                  CAST(sum(n_tokens) OVER (ORDER BY h, doc_id
+                                           ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT) AS global_start
+           FROM s)
+         SELECT doc_id, n_tokens, global_start,
+                CAST(global_start // 2048 AS BIGINT) AS seq_id
+         FROM c""",
+    "p_shuffle" ->
+      """WITH s AS (
+           SELECT doc_id,
+                  CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':shuffle'), 1, 15) AS BIGINT) AS h
+           FROM documents)
+         SELECT doc_id,
+                CAST(row_number() OVER (ORDER BY h, doc_id) - 1 AS BIGINT) AS pos,
+                CAST((row_number() OVER (ORDER BY h, doc_id) - 1) // 1000 AS BIGINT) AS shard
+         FROM s""",
+    "t_redact" ->
+      """WITH r AS (
+           SELECT event_id,
+                  regexp_replace(regexp_replace(regexp_replace(regexp_replace(props,
+                    '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+                    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g'),
+                    '\+?[0-9][0-9() -]{6,}[0-9]', '<PHONE>', 'g'),
+                    '[0-9]+', '<NUM>', 'g') AS redacted
+           FROM events)
+         SELECT event_id, redacted,
+                CAST(len(regexp_extract_all(redacted, '<[A-Z]+>')) AS BIGINT) AS n_redactions
+         FROM r""",
+    "t_repetition" ->
+      """WITH tok AS (SELECT doc_id,
+             list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS w FROM documents),
+         wtf AS (SELECT doc_id, g, count(*) AS tf
+                 FROM (SELECT doc_id, unnest(w) AS g FROM tok) GROUP BY doc_id, g),
+         ws AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+                       count(*) AS d, max(tf) AS top
+                FROM wtf GROUP BY doc_id),
+         bg AS (SELECT doc_id, list_extract(w, i) || ' ' || list_extract(w, i + 1) AS g
+                FROM tok CROSS JOIN unnest(generate_series(1, len(w) - 1)) AS t(i)
+                WHERE len(w) >= 2),
+         btf AS (SELECT doc_id, g, count(*) AS tf FROM bg GROUP BY doc_id, g),
+         bs AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n2, max(tf) AS top2
+                FROM btf GROUP BY doc_id)
+         SELECT ws.doc_id, ws.n_tokens,
+                floor(CAST(d AS DOUBLE) / n_tokens * 1000000 + 0.5) / 1000000 AS ttr,
+                floor(CAST(top AS DOUBLE) / n_tokens * 1000000 + 0.5) / 1000000 AS top_word_frac,
+                COALESCE(floor(CAST(top2 AS DOUBLE) / n2 * 1000000 + 0.5) / 1000000, 0.0) AS top_2gram_frac
+         FROM ws LEFT JOIN bs ON ws.doc_id = bs.doc_id""",
     "t_tfidf" ->
       """WITH tok AS (SELECT doc_id,
              unnest(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS word

@@ -36,4 +36,68 @@ object Sampling {
     docs
       .where(saltedHex(col("doc_id"), concat(lit(":sample:"), col(stratum)), 1) < "4")
       .select(col("doc_id"), col(stratum))
+
+  /** Engine-portable 60-bit order hash (15 hex chars of salted md5 —
+    * same construction as [[graft.operators.TextAnalysis.portableHash60]]
+    * but salted, so each consumer draws an independent order). */
+  private def orderHash(id: Column, salt: String): Column =
+    conv(substring(md5(concat(id.cast("string"), lit(salt))), 1, 15), 16, 10)
+      .cast("long")
+
+  /** Distributed global prefix sum of `n` over the deterministic
+    * (hash, id) total order — WITHOUT a single-partition window over
+    * the corpus.
+    *
+    * Two-level scan: the top 7 bits of the 60-bit order hash are a
+    * bucket that is MONOTONE in the hash, so (bucket, hash, id) order
+    * equals global (hash, id) order by construction (no sampled range
+    * boundaries, no skew surprises — md5 buckets are uniform).
+    * Per-bucket running sums are 128-way parallel windows; bucket
+    * offsets are one 128-row aggregate cumsum (bounded metadata — the
+    * only unpartitioned window, never the corpus) broadcast back.
+    * At 1000 executors the corpus is touched by exactly one shuffle
+    * (the bucket exchange) and one tiny broadcast. */
+  private def prefixSum(df: DataFrame, id: String, n: String, salt: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df
+      .withColumn("h", orderHash(col(id), salt))
+      .withColumn("b", shiftright(col("h"), 53))
+    val inBucket = Window.partitionBy(col("b")).orderBy(col("h"), col(id))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val offsets = base.groupBy(col("b")).agg(sum(col(n)).as("bt"))
+      .withColumn("b_off", coalesce(sum(col("bt")).over(
+        Window.orderBy(col("b")).rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("b"), col("b_off"))
+    base
+      .withColumn("cum_in", sum(col(n)).over(inBucket))
+      .join(broadcast(offsets), "b")
+      .withColumn("global_start", col("b_off") + col("cum_in") - col(n))
+  }
+
+  /** Sequence packing: assign each document to a fixed-token-budget
+    * training sequence by its global token offset in a deterministic
+    * shuffled order — the distributed form of "concatenate the shuffled
+    * corpus and cut every `budget` tokens". seq_id = offset div budget;
+    * consecutive seq_ids are contiguous token ranges, so a writer can
+    * partition by seq_id and stream sequences out. */
+  def packSequences(docs: DataFrame, budget: Long = 2048,
+      salt: String = ":pack"): DataFrame = {
+    val sized = docs.select(col("doc_id"),
+      size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"))
+    prefixSum(sized, "doc_id", "n_tokens", salt)
+      .select(col("doc_id"), col("n_tokens"), col("global_start"),
+        expr(s"global_start div $budget").as("seq_id"))
+  }
+
+  /** Deterministic seeded global shuffle for training order: a dense
+    * 0-based position in md5(id+salt) order, plus the shard it lands
+    * in at `shardSize` rows per shard. Same two-level prefix-sum —
+    * no single-partition row_number over the corpus. */
+  def shuffleOrder(docs: DataFrame, shardSize: Long = 1000,
+      salt: String = ":shuffle"): DataFrame = {
+    val ones = docs.select(col("doc_id"), lit(1L).as("one"))
+    prefixSum(ones, "doc_id", "one", salt)
+      .select(col("doc_id"), col("global_start").as("pos"),
+        expr(s"global_start div $shardSize").as("shard"))
+  }
 }

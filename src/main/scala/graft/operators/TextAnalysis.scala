@@ -147,6 +147,70 @@ object TextAnalysis {
   def portableHash60(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
+  /** PII redaction rules: (RE2-compatible pattern, replacement tag).
+    * Plain character classes and bounded repetition only — no
+    * lookarounds — so Java regex and RE2 (DuckDB, Go, Rust engines)
+    * match identically and the pass is verifiable cross-engine.
+    * Order matters: specific shapes (email, ip, phone) before the
+    * generic number rule so a phone isn't first shredded into digits. */
+  val PiiRules: Seq[(String, String)] = Seq(
+    "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}" -> "<EMAIL>",
+    "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b" -> "<IP>",
+    "\\+?[0-9][0-9() -]{6,}[0-9]" -> "<PHONE>",
+    "[0-9]+" -> "<NUM>")
+
+  /** Apply redaction rules in order — one chained, codegen'd
+    * regexp_replace pipeline, map-only over the corpus. */
+  def redactColumn(c: Column, rules: Seq[(String, String)] = PiiRules): Column =
+    rules.foldLeft(c) { case (acc, (pat, tag)) => regexp_replace(acc, pat, tag) }
+
+  /** Redaction pass over a keyed text column: redacted text plus the
+    * redaction count (tags emitted), the audit number a compliance
+    * pipeline wants per document. No shuffle. */
+  def redact(df: DataFrame, id: String, text: String,
+      rules: Seq[(String, String)] = PiiRules): DataFrame = {
+    val red = redactColumn(col(text), rules)
+    df.select(col(id), red.as("redacted"),
+      size(regexp_extract_all(red, lit("<[A-Z]+>"), lit(0))).cast("long")
+        .as("n_redactions"))
+  }
+
+  /** Gopher/RefinedWeb-style repetition signals per document:
+    * type-token ratio, most-frequent-word fraction, most-frequent-
+    * bigram fraction. High top-fraction or low TTR marks boilerplate
+    * and generator loops that length/stopword scores miss.
+    *
+    * Shape at scale: explode to (doc, gram) → hash-aggregate counts →
+    * per-doc max/sum — the tfidf shuffle pattern, carrying one long
+    * count per distinct gram, never the text. Ratios are single exact
+    * divisions (see [[quality]]). */
+  def repetition(docs: DataFrame): DataFrame = {
+    import graft.functions.Exact.round6
+    def topFrac(grams: DataFrame, out: String): DataFrame =
+      grams
+        .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("tf"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("tf")).as("n"), countDistinct(col("g")).as("d"),
+          max(col("tf")).as("top"))
+        .select(col("doc_id"), col("n"), col("d"),
+          round6(col("top").cast("double") / col("n")).as(out))
+    val words = topFrac(
+      docs.select(col("doc_id"), explode(tokens(col("text"))).as("g")), "top_word_frac")
+      .select(col("doc_id"), col("n").as("n_tokens"),
+        round6(col("d").cast("double") / col("n")).as("ttr"), col("top_word_frac"))
+    val bigramTok = docs
+      .select(col("doc_id"), tokens(col("text")).as("w"))
+      .where(size(col("w")) >= 2)
+      .select(col("doc_id"), col("w"),
+        explode(sequence(lit(1), size(col("w")) - 1)).as("i"))
+      .select(col("doc_id"), concat_ws(" ",
+        element_at(col("w"), col("i")), element_at(col("w"), col("i") + 1)).as("g"))
+    val bigrams = topFrac(bigramTok, "top_2gram_frac")
+      .select(col("doc_id"), col("top_2gram_frac"))
+    words.join(bigrams, Seq("doc_id"), "left")
+      .na.fill(0.0, Seq("top_2gram_frac"))
+  }
+
   /** Polynomial rolling-hash document fingerprint over the token stream
     * (order-sensitive, content-defined). Modular arithmetic keeps every
     * intermediate well inside Long range (ANSI mode would reject wrapping

@@ -1,0 +1,111 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Sampling, TextAnalysis}
+
+class RedactSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("redact replaces planted PII with typed tags, specific rules first") {
+    val df = Seq(
+      (1L, "mail bob.smith+x@corp.example.org end"),
+      (2L, "server at 10.0.255.3 port"),
+      (3L, "call +1 (555) 123-4567 now"),
+      (4L, "version 2 build 17"),
+      (5L, "clean text only")).toDF("event_id", "props")
+    val out = TextAnalysis.redact(df, "event_id", "props")
+      .as[(Long, String, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(1L) == ("mail <EMAIL> end", 1L))
+    assert(out(2L) == ("server at <IP> port", 1L))
+    // the phone rule wins over the number rule — digits are not shredded
+    assert(out(3L) == ("call <PHONE> now", 1L))
+    assert(out(4L) == ("version <NUM> build <NUM>", 2L))
+    assert(out(5L) == ("clean text only", 0L))
+  }
+
+  test("redaction is map-only: no exchange in the plan") {
+    val df = TextAnalysis.redact(Tables.events(spark, sfDir), "event_id", "props")
+    assert(!df.queryExecution.executedPlan.toString.contains("Exchange"))
+  }
+}
+
+class RepetitionSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("repetition signals match hand-computed ratios") {
+    val df = Seq(
+      (1L, "a a a a"),        // 4 tokens, 1 distinct, top word 4/4, top bigram "a a" 3/3
+      (2L, "a b c d"),        // all distinct, top word 1/4, each bigram once 1/3
+      (3L, "x y x y x")       // 5 tokens, 2 distinct; bigrams: "x y"x2,"y x"x2 → 2/4
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.repetition(df)
+      .select($"doc_id", $"n_tokens", $"ttr", $"top_word_frac", $"top_2gram_frac")
+      .as[(Long, Long, Double, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out(1L) == ((1L, 4L, 0.25, 1.0, 1.0)))
+    assert(out(2L) == ((2L, 4L, 1.0, 0.25, 0.333333)))
+    assert(out(3L) == ((3L, 5L, 0.4, 0.6, 0.5)))
+  }
+
+  test("boilerplate-heavy doc ranks above varied doc on top_word_frac") {
+    val docs = Tables.documents(spark, sfDir)
+    val out = TextAnalysis.repetition(docs)
+    assert(out.count() == docs.count())
+    assert(out.where($"top_word_frac" > 1.0 || $"ttr" > 1.0).count() == 0)
+  }
+}
+
+class PackSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("distributed prefix-sum equals the single-window formulation") {
+    val docs = Tables.documents(spark, sfDir)
+    val got = Sampling.packSequences(docs, budget = 256)
+      .select($"doc_id", $"n_tokens", $"global_start", $"seq_id")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    // naive reference: global cumsum in (h, doc_id) order, computed driver-side
+    val h = conv(substring(md5(concat($"doc_id".cast("string"), lit(":pack"))), 1, 15), 16, 10)
+      .cast("long")
+    val rows = docs
+      .select($"doc_id", size(TextAnalysis.tokens($"text")).cast("long").as("n"), h.as("h"))
+      .as[(Long, Long, Long)].collect().sortBy(r => (r._3, r._1))
+    var off = 0L
+    val want = rows.map { case (id, n, _) =>
+      val start = off; off += n; (id, n, start, start / 256)
+    }.sortBy(_._1)
+    assert(got.toSeq == want.toSeq)
+  }
+
+  test("packing covers the token stream with no gaps or overlaps") {
+    val out = Sampling.packSequences(Tables.documents(spark, sfDir), budget = 512)
+    val rows = out.select($"global_start", $"n_tokens").as[(Long, Long)]
+      .collect().sortBy(_._1)
+    assert(rows.head._1 == 0L)
+    rows.sliding(2).foreach {
+      case Array((s1, n1), (s2, _)) => assert(s1 + n1 == s2)
+      case _ =>
+    }
+  }
+
+  test("shuffleOrder emits a dense 0-based permutation with full shards") {
+    val out = Sampling.shuffleOrder(Tables.documents(spark, sfDir), shardSize = 64)
+    val pos = out.select($"pos").as[Long].collect().sorted
+    assert(pos.toSeq == pos.indices.map(_.toLong))
+    val shardSizes = out.groupBy($"shard").count()
+      .orderBy($"shard").select($"count").as[Long].collect()
+    assert(shardSizes.init.forall(_ == 64L))
+  }
+
+  test("the corpus-side window is bucket-partitioned, not single-partition") {
+    val out = Sampling.packSequences(Tables.documents(spark, sfDir))
+    val plan = out.queryExecution.optimizedPlan.toString
+    // every Window over the corpus must carry a partition spec on b;
+    // the only unpartitioned window is the <=128-row bucket-offset cumsum
+    val windows = "windowspecdefinition\\(([^)]*)\\)".r
+      .findAllMatchIn(plan).map(_.group(1)).toSeq
+    assert(windows.nonEmpty)
+    val unpartitioned = windows.filterNot(_.split(",").exists(_.trim.startsWith("b#")))
+    assert(unpartitioned.size <= 1,
+      s"expected at most the bucket-offset window unpartitioned, got: $unpartitioned")
+  }
+}
