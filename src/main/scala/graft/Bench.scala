@@ -44,7 +44,13 @@ object Bench {
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }
-        (System.nanoTime() - t0) / 1e9
+        val t = (System.nanoTime() - t0) / 1e9
+        // cache hygiene OUTSIDE the timed region: composite queries
+        // (corpus_prep) persist intermediates; left pinned, those blocks
+        // squeeze every later query's shuffle/cache memory — measured as
+        // d_dedup_minhash inflating 1.5 s → 12 s across a bench run
+        spark.catalog.clearCache()
+        t
       }
     }
     val results = names.zipWithIndex.map { case ((name, _), i) =>

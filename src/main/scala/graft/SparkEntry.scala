@@ -55,6 +55,7 @@ object SparkEntry {
     "q_histogram" -> ((s, d) => Analytics.priceHistogram(Tables.orders(s, d))),
     "q_string_agg" -> ((s, d) => Analytics.statusRollcall(Tables.lineitem(s, d))),
     "q_sketch" -> ((s, d) => Analytics.sketchSummary(Tables.lineitem(s, d))),
+    "q_kmv" -> ((s, d) => Analytics.kmvSummary(Tables.lineitem(s, d))),
     "q_argmin" -> ((s, d) => Analytics.cheapestPartPerBrand(Tables.part(s, d))),
     "q17_small_qty" -> ((s, d) => Analytics.smallQuantityOrders(Tables.lineitem(s, d))),
     "q_pivot" -> ((s, d) => Analytics.eventTypePivot(Tables.events(s, d))),
@@ -551,6 +552,36 @@ object SparkEntry {
                 CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
                 CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
          FROM events GROUP BY user_id""",
+    // KMV sketch mirror: k-th smallest distinct portable hash per group.
+    // 2^60 is a power of two (double-exact); the arithmetic shape matches
+    // the Spark side verbatim so the IEEE result is bit-identical.
+    "q_kmv" ->
+      """WITH hp AS (SELECT DISTINCT l_returnflag,
+             CAST('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 15) AS BIGINT) AS h
+           FROM lineitem),
+         rp AS (SELECT l_returnflag, h,
+                row_number() OVER (PARTITION BY l_returnflag ORDER BY h) AS rn,
+                count(*) OVER (PARTITION BY l_returnflag) AS d FROM hp),
+         p AS (SELECT l_returnflag,
+               CAST(max(CASE WHEN rn = 64 THEN h END) AS BIGINT) AS hk_parts,
+               CASE WHEN max(d) < 64 THEN CAST(max(d) AS DOUBLE)
+                    ELSE 63.0 * CAST(1152921504606846976 AS DOUBLE)
+                         / CAST(max(CASE WHEN rn = 64 THEN h END) AS DOUBLE) END AS est_parts
+           FROM rp GROUP BY l_returnflag),
+         hs AS (SELECT DISTINCT l_returnflag,
+             CAST('0x' || substr(md5(CAST(l_suppkey AS VARCHAR)), 1, 15) AS BIGINT) AS h
+           FROM lineitem),
+         rs AS (SELECT l_returnflag, h,
+                row_number() OVER (PARTITION BY l_returnflag ORDER BY h) AS rn,
+                count(*) OVER (PARTITION BY l_returnflag) AS d FROM hs),
+         s AS (SELECT l_returnflag,
+               CAST(max(CASE WHEN rn = 64 THEN h END) AS BIGINT) AS hk_supps,
+               CASE WHEN max(d) < 64 THEN CAST(max(d) AS DOUBLE)
+                    ELSE 63.0 * CAST(1152921504606846976 AS DOUBLE)
+                         / CAST(max(CASE WHEN rn = 64 THEN h END) AS DOUBLE) END AS est_supps
+           FROM rs GROUP BY l_returnflag)
+         SELECT p.l_returnflag, hk_parts, est_parts, hk_supps, est_supps
+         FROM p JOIN s ON p.l_returnflag = s.l_returnflag""",
     "e_range_join" ->
       """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS tsu FROM events),
          p AS (SELECT user_id, tsu AS purchase_us FROM e WHERE event_type = 'purchase'),

@@ -232,6 +232,28 @@ object Analytics {
         approx_count_distinct(col("l_suppkey")).as("approx_supps"),
         percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("approx_median_price"))
 
+  /** KMV distinct-count sketch summary — the oracle-CHECKABLE sketch
+    * (vs [[sketchSummary]]'s HLL, whose bucket layout is engine-private
+    * and can only ever be rows-only verified). Same bounded-buffer
+    * map-side shape: the shuffle carries ≤ k longs per group per task.
+    * Emits the k-th smallest hash (the sketch's whole state boundary)
+    * and the estimate, both value-verified against a DuckDB window
+    * mirror. */
+  def kmvSummary(lineitem: DataFrame, k: Int = 64): DataFrame = {
+    import graft.functions.KmvSketch._
+    import TextAnalysis.portableHash60
+    lineitem
+      .groupBy(col("l_returnflag"))
+      .agg(
+        kmv(portableHash60(col("l_partkey").cast("string")), k).as("bp"),
+        kmv(portableHash60(col("l_suppkey").cast("string")), k).as("bs"))
+      .select(col("l_returnflag"),
+        kthHash(col("bp"), k).as("hk_parts"),
+        estimate(col("bp"), k).as("est_parts"),
+        kthHash(col("bs"), k).as("hk_supps"),
+        estimate(col("bs"), k).as("est_supps"))
+  }
+
   /** Argmin join-back: the cheapest part(s) within each brand. The
     * per-group min is a tiny aggregate (one row per brand) broadcast back
     * against the full table — no shuffle of the fact side. Equality on
