@@ -433,6 +433,109 @@ object SparkEntry {
                                          ORDER BY cos DESC, neighbor_id) AS rnk
                FROM scored)
          SELECT query_id, neighbor_id, floor(cos * 1000000 + 0.5) / 1000000 AS cos, rnk FROM r WHERE rnk <= 10""",
+    // LSH mirror: the 4 hyperplanes ride into the SQL as double literals
+    // (shortest-round-trip strings parse back to identical IEEE doubles),
+    // so bucketing + in-bucket scoring replays exactly in DuckDB.
+    "s_ann_lsh" -> {
+      val ps = Similarity.planesLiteralSql(4, 64)
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         b AS (SELECT vec_id, v,
+                 (CASE WHEN list_dot_product(v, ${ps(0)}) > 0 THEN 1 ELSE 0 END
+                + CASE WHEN list_dot_product(v, ${ps(1)}) > 0 THEN 2 ELSE 0 END
+                + CASE WHEN list_dot_product(v, ${ps(2)}) > 0 THEN 4 ELSE 0 END
+                + CASE WHEN list_dot_product(v, ${ps(3)}) > 0 THEN 8 ELSE 0 END) AS bucket
+               FROM e),
+         q AS (SELECT vec_id AS query_id, v AS qv, bucket AS qbucket FROM b WHERE vec_id < 5),
+         scored AS (SELECT q.query_id, b.vec_id AS neighbor_id,
+                           list_dot_product(q.qv, b.v)
+                             / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(b.v, b.v))) AS cos
+                    FROM b JOIN q ON b.bucket = q.qbucket AND b.vec_id <> q.query_id),
+         r AS (SELECT query_id, neighbor_id, cos,
+                      row_number() OVER (PARTITION BY query_id
+                                         ORDER BY cos DESC, neighbor_id) AS rnk
+               FROM scored)
+         SELECT query_id, neighbor_id, floor(cos * 1000000 + 0.5) / 1000000 AS cos, rnk FROM r WHERE rnk <= 10"""
+    },
+    // Full IVF mirror: portable-hash seed sample -> one Lloyd pass
+    // (fixed-point 2^30 coordinate sums) -> nearest-cell assignment ->
+    // probe-join -> top-k. Every stage uses the same arithmetic shape as
+    // the Spark side (dot / (sqrt(dot)*sqrt(dot)), scaled-long means),
+    // so even the ANN index is value-verified, not rows-only.
+    "s_ann_ivf" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         seeds AS (SELECT vec_id AS cell_id, v AS cv FROM e
+                   ORDER BY CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15) AS BIGINT), vec_id
+                   LIMIT 16),
+         a1 AS (SELECT vec_id, v, cell_id FROM (
+                  SELECT e.vec_id, e.v, s.cell_id,
+                         row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                           list_dot_product(e.v, s.cv)
+                             / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(s.cv, s.cv))) DESC,
+                           s.cell_id) AS rn
+                  FROM e CROSS JOIN seeds s) WHERE rn = 1),
+         m AS (SELECT cell_id, i AS pos,
+                      sum(CAST(round(list_extract(v, i) * 1073741824.0) AS BIGINT)) AS sx,
+                      count(*) AS n
+               FROM a1 CROSS JOIN unnest(generate_series(1, len(v))) AS t(i)
+               GROUP BY cell_id, i),
+         cents AS (SELECT cell_id, list(CAST(sx AS DOUBLE) / n / 1073741824.0 ORDER BY pos) AS cv
+                   FROM m GROUP BY cell_id),
+         a2 AS (SELECT vec_id, v, cell_id FROM (
+                  SELECT e.vec_id, e.v, c.cell_id,
+                         row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                           list_dot_product(e.v, c.cv)
+                             / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+                           c.cell_id) AS rn
+                  FROM e CROSS JOIN cents c) WHERE rn = 1),
+         q AS (SELECT vec_id AS query_id, v AS qv, cell_id AS probe_cell FROM (
+                 SELECT e.vec_id, e.v, c.cell_id,
+                        row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                          list_dot_product(e.v, c.cv)
+                            / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+                          c.cell_id) AS rn
+                 FROM e CROSS JOIN cents c WHERE e.vec_id < 5) WHERE rn <= 4),
+         scored AS (SELECT q.query_id, a2.vec_id AS neighbor_id,
+                           list_dot_product(q.qv, a2.v)
+                             / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(a2.v, a2.v))) AS cos
+                    FROM a2 JOIN q ON a2.cell_id = q.probe_cell AND a2.vec_id <> q.query_id),
+         r AS (SELECT query_id, neighbor_id, cos,
+                      row_number() OVER (PARTITION BY query_id
+                                         ORDER BY cos DESC, neighbor_id) AS rnk
+               FROM scored)
+         SELECT query_id, neighbor_id, floor(cos * 1000000 + 0.5) / 1000000 AS cos, rnk FROM r WHERE rnk <= 10""",
+    // SemDeDup mirror: same centroid pipeline, intra-cell pair scoring
+    "d_dedup_semantic" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         seeds AS (SELECT vec_id AS cell_id, v AS cv FROM e
+                   ORDER BY CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15) AS BIGINT), vec_id
+                   LIMIT 16),
+         a1 AS (SELECT vec_id, v, cell_id FROM (
+                  SELECT e.vec_id, e.v, s.cell_id,
+                         row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                           list_dot_product(e.v, s.cv)
+                             / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(s.cv, s.cv))) DESC,
+                           s.cell_id) AS rn
+                  FROM e CROSS JOIN seeds s) WHERE rn = 1),
+         m AS (SELECT cell_id, i AS pos,
+                      sum(CAST(round(list_extract(v, i) * 1073741824.0) AS BIGINT)) AS sx,
+                      count(*) AS n
+               FROM a1 CROSS JOIN unnest(generate_series(1, len(v))) AS t(i)
+               GROUP BY cell_id, i),
+         cents AS (SELECT cell_id, list(CAST(sx AS DOUBLE) / n / 1073741824.0 ORDER BY pos) AS cv
+                   FROM m GROUP BY cell_id),
+         a2 AS (SELECT vec_id, v, cell_id FROM (
+                  SELECT e.vec_id, e.v, c.cell_id,
+                         row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                           list_dot_product(e.v, c.cv)
+                             / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+                           c.cell_id) AS rn
+                  FROM e CROSS JOIN cents c) WHERE rn = 1),
+         pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                          list_dot_product(a.v, b.v)
+                            / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS cos
+                   FROM a2 a JOIN a2 b ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id)
+         SELECT id_a, id_b, floor(cos * 1000000 + 0.5) / 1000000 AS cos
+         FROM pairs WHERE cos >= 0.4""",
     "t_token_count" ->
       """SELECT doc_id,
                 len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS ws_tokens,

@@ -56,6 +56,12 @@ object Similarity {
     Array.fill(nPlanes, dim)(rng.nextGaussian())
   }
 
+  /** The hyperplane constants as SQL list literals (shortest-round-trip
+    * double strings parse back to the identical IEEE value in any
+    * engine), so the LSH bucketing itself is oracle-expressible. */
+  def planesLiteralSql(nPlanes: Int, dim: Int): Seq[String] =
+    planes(nPlanes, dim).toSeq.map(_.mkString("[", ", ", "]"))
+
   /** Sign-of-projection LSH bucket id for a double vector column: one
     * native dot_product per plane against an array literal. */
   def lshBucket(v: Column, nPlanes: Int, dim: Int): Column = {
@@ -67,9 +73,12 @@ object Similarity {
 
   /** Deterministic hash-ordered centroid seed sample (TakeOrdered — one
     * reduction pass, no full count/shuffle). Cells are named by their
-    * seed vector's id. */
+    * seed vector's id. The order hash is the engine-portable md5 hash
+    * (not xxhash64) so the ENTIRE centroid construction — and therefore
+    * IVF assignment and SemDeDup clustering — can be value-verified by
+    * an external SQL engine. */
   private def sampleCentroids(e: DataFrame, nCells: Int): DataFrame =
-    e.orderBy(pmod(xxhash64(col("vec_id")), lit(1000003L)), col("vec_id"))
+    e.orderBy(TextAnalysis.portableHash60(col("vec_id").cast("string")), col("vec_id"))
       .limit(nCells)
       .select(col("vec_id").as("cell_id"), col("v").as("cv"))
 
