@@ -16,7 +16,9 @@ object Profile {
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
         q(spark, sfDir).write.format("noop").mode("overwrite").save()
-        (System.nanoTime() - t0) / 1e9
+        val t = (System.nanoTime() - t0) / 1e9
+        spark.catalog.clearCache() // measure execution, not pin interplay
+        t
       }
       println(f"[profile] $n%-18s cold=${times(0)}%7.2fs warm=${times(1)}%7.2fs")
     }

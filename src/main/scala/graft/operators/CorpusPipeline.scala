@@ -36,7 +36,13 @@ object CorpusPipeline {
       maxBucket: Int = 0,
       minSharedShingles: Long = 3)
 
-  case class Result(corpus: DataFrame, audit: Seq[(String, Long)])
+  /** `release()` unpersists the pinned intermediates — call it once the
+    * corpus has been written out (or fully consumed). Without it a
+    * session that runs prepare() repeatedly accumulates pins. */
+  case class Result(corpus: DataFrame, audit: Seq[(String, Long)],
+      pinned: Seq[DataFrame] = Nil) {
+    def release(): Unit = pinned.foreach(_.unpersist(false))
+  }
 
   /** Quality + language signals fused into one scan: the same
     * expressions as TextAnalysis.quality / langId (which stay separate
@@ -89,8 +95,10 @@ object CorpusPipeline {
       if (audit) steps += name -> df.count()
       df
     }
+    val pins = Seq.newBuilder[DataFrame]
     def pin(df: DataFrame): DataFrame =
-      if (persistIntermediates) df.persist(StorageLevel.MEMORY_AND_DISK) else df
+      if (persistIntermediates) { pins += df; df.persist(StorageLevel.MEMORY_AND_DISK) }
+      else df
 
     note("input", docs)
     val scored = signals(docs)
@@ -117,6 +125,6 @@ object CorpusPipeline {
 
     // split assignment is a pure column — no join, stays map-only
     val split = clean.withColumn("split", Sampling.splitColumn(col("doc_id")))
-    Result(split, steps.result())
+    Result(split, steps.result(), pins.result())
   }
 }

@@ -180,6 +180,18 @@ object Dedup {
     * doubles per iteration. Edge/label state is O(pairs), never the
     * corpus; this is the published large-scale CC recipe (hash-to-min,
     * cf. Rastogi et al. 2013) expressed as DataFrame joins. */
+  /** Release the blocks behind a localCheckpoint'd dataset. Checkpointed
+    * RDDs are NOT tracked by the CacheManager, so `clearCache()` never
+    * frees them — an iterative operator that checkpoints per round MUST
+    * release superseded rounds itself or it leaks one full state table
+    * per iteration (measured: a re-run of the corpus pipeline in one
+    * JVM went 10.8 s → 34.9 s from the accumulated pins). */
+  private def releaseCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collectLeaves().foreach {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(false)
+      case _ =>
+    }
+
   def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
@@ -205,10 +217,12 @@ object Dedup {
           coalesce(col("jlabel"), col("u.label")).as("label"))
         .localCheckpoint(true)
       val changed = jumped.where(col("label") =!= col("old")).count()
+      releaseCheckpoint(labels) // superseded round — jumped is materialized
       labels = jumped.select(col("id"), col("label"))
       converged = changed == 0
       i += 1
     }
+    releaseCheckpoint(edges) // labels is materialized; edges are done
     labels.select(col("id"), col("label").as("component"))
   }
 
