@@ -58,6 +58,25 @@ object ScaleSmoke {
       operators.MapReduceOps.wordCount(bd)
         .write.format("noop").mode("overwrite").save()
     }
+    // prefix-sum packing: must scale with the corpus scan (the only
+    // unpartitioned window is the 128-row bucket-offset table)
+    time("pack_1m_docs") {
+      operators.Sampling.packSequences(bd)
+        .write.format("noop").mode("overwrite").save()
+    }
+    time("repetition_100k") {
+      operators.TextAnalysis.repetition(bd)
+        .write.format("noop").mode("overwrite").save()
+    }
+    time("redact_1m_events") {
+      operators.TextAnalysis.redact(be, "event_id", "props")
+        .write.format("noop").mode("overwrite").save()
+    }
+    time("kmv_6m_rows") {
+      operators.Analytics.kmvSummary(
+          spark.read.parquet("/root/testdata/sf0.1/lineitem.parquet"))
+        .write.format("noop").mode("overwrite").save()
+    }
     // dup-chain resolution over ~95k star-shaped clone pairs (the shape
     // exact dedup emits) — label propagation should converge in ~2 rounds
     time("components_95k_pairs") {

@@ -56,6 +56,7 @@ object SparkEntry {
     "q_string_agg" -> ((s, d) => Analytics.statusRollcall(Tables.lineitem(s, d))),
     "q_sketch" -> ((s, d) => Analytics.sketchSummary(Tables.lineitem(s, d))),
     "q_kmv" -> ((s, d) => Analytics.kmvSummary(Tables.lineitem(s, d))),
+    "q_qsketch" -> ((s, d) => Analytics.quantileSketch(Tables.lineitem(s, d))),
     "q_argmin" -> ((s, d) => Analytics.cheapestPartPerBrand(Tables.part(s, d))),
     "q17_small_qty" -> ((s, d) => Analytics.smallQuantityOrders(Tables.lineitem(s, d))),
     "q_pivot" -> ((s, d) => Analytics.eventTypePivot(Tables.events(s, d))),
@@ -72,6 +73,7 @@ object SparkEntry {
     // C. Events
     "e_tumbling" -> ((s, d) => Events.tumblingHourly(Tables.events(s, d))),
     "e_sessionize" -> ((s, d) => Events.sessionize(Tables.events(s, d))),
+    "e_resample" -> ((s, d) => Events.resampleHourly(Tables.events(s, d))),
     "e_user_stats" -> ((s, d) => Events.userStats(Tables.events(s, d))),
     "e_asof" -> ((s, d) => AsOfJoin.purchaseAttribution(Tables.events(s, d))),
     "e_range_join" -> ((s, d) => Events.purchaseViewsWithin(Tables.events(s, d))),
@@ -655,6 +657,47 @@ object SparkEntry {
                 CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
                 CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
          FROM events GROUP BY user_id""",
+    // bottom-k sample mirror: hash-ordered rank <= k is the sample;
+    // min(val) per hash first so a hash collision resolves identically
+    // in both engines; type-7 interpolation with matching expression shape
+    "q_qsketch" ->
+      """WITH hx AS (SELECT l_returnflag,
+                     CAST('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR)), 1, 15) AS BIGINT) AS hsh,
+                     l_extendedprice AS val
+              FROM lineitem),
+         d AS (SELECT l_returnflag, hsh, min(val) AS val FROM hx GROUP BY l_returnflag, hsh),
+         r AS (SELECT l_returnflag, val,
+                      row_number() OVER (PARTITION BY l_returnflag ORDER BY hsh) AS rn
+               FROM d),
+         s AS (SELECT l_returnflag, list(val ORDER BY val) AS vals, CAST(count(*) AS BIGINT) AS n_sample
+               FROM r WHERE rn <= 256 GROUP BY l_returnflag),
+         q AS (SELECT l_returnflag, vals, n_sample,
+                      0.5 * (CAST(n_sample AS DOUBLE) - 1.0) AS h50,
+                      0.95 * (CAST(n_sample AS DOUBLE) - 1.0) AS h95
+               FROM s),
+         q2 AS (SELECT l_returnflag, vals, n_sample, h50, h95,
+                       CAST(floor(h50) AS BIGINT) AS lo50,
+                       least(CAST(floor(h50) AS BIGINT) + 1, n_sample - 1) AS hi50,
+                       CAST(floor(h95) AS BIGINT) AS lo95,
+                       least(CAST(floor(h95) AS BIGINT) + 1, n_sample - 1) AS hi95
+                FROM q)
+         SELECT l_returnflag, n_sample,
+                floor((list_extract(vals, lo50 + 1)
+                       + (h50 - lo50) * (list_extract(vals, hi50 + 1) - list_extract(vals, lo50 + 1)))
+                      * 1000000 + 0.5) / 1000000 AS p50_est,
+                floor((list_extract(vals, lo95 + 1)
+                       + (h95 - lo95) * (list_extract(vals, hi95 + 1) - list_extract(vals, lo95 + 1)))
+                      * 1000000 + 0.5) / 1000000 AS p95_est
+         FROM q2""",
+    // dense per-user hour grid via generate_series; zero-filled left join
+    "e_resample" ->
+      """WITH c AS (SELECT user_id, epoch_us(ts) // 3600000000 AS hr, count(*) AS cnt
+                    FROM events GROUP BY user_id, epoch_us(ts) // 3600000000),
+         g AS (SELECT user_id, unnest(generate_series(min(hr), max(hr))) AS hr
+               FROM c GROUP BY user_id)
+         SELECT g.user_id, CAST(g.hr AS BIGINT) AS hr,
+                CAST(COALESCE(c.cnt, 0) AS BIGINT) AS cnt
+         FROM g LEFT JOIN c ON g.user_id = c.user_id AND g.hr = c.hr""",
     // KMV sketch mirror: k-th smallest distinct portable hash per group.
     // 2^60 is a power of two (double-exact); the arithmetic shape matches
     // the Spark side verbatim so the IEEE result is bit-identical.

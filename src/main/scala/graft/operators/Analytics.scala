@@ -254,6 +254,27 @@ object Analytics {
         estimate(col("bs"), k).as("est_supps"))
   }
 
+  /** Bottom-k-sample quantile sketch — the oracle-checkable counterpart
+    * of [[sketchSummary]]'s percentile_approx (KLL compaction is
+    * engine-private; a hash-ordered bottom-k sample is a window
+    * function). ≤k (hash, value) pairs per group per task ride the
+    * shuffle; quantiles are type-7 interpolation over the sample with
+    * the arithmetic shape mirrored verbatim in the oracle. */
+  def quantileSketch(lineitem: DataFrame, k: Int = 256): DataFrame = {
+    import graft.functions.BottomKSample._
+    import graft.functions.Exact.round6
+    import TextAnalysis.portableHash60
+    val h = portableHash60(concat(col("l_orderkey").cast("string"), lit("-"),
+      col("l_linenumber").cast("string")))
+    lineitem
+      .groupBy(col("l_returnflag"))
+      .agg(bottomK(h, col("l_extendedprice"), k).as("b"))
+      .select(col("l_returnflag"),
+        size(col("b")).cast("long").as("n_sample"),
+        round6(sampleQuantile(col("b"), 0.5)).as("p50_est"),
+        round6(sampleQuantile(col("b"), 0.95)).as("p95_est"))
+  }
+
   /** Argmin join-back: the cheapest part(s) within each brand. The
     * per-group min is a tiny aggregate (one row per brand) broadcast back
     * against the full table — no shuffle of the fact side. Equality on

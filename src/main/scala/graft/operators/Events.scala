@@ -45,6 +45,26 @@ object Events {
         (max(col("tsu")) - min(col("tsu"))).as("duration_us"))
   }
 
+  /** Hourly resample with gap fill: per user, a dense hour grid from
+    * their first to last event with zero counts for silent hours — the
+    * time-series regularization step before any windowed model sees the
+    * data. The grid is generated per user (`sequence` + explode: span ×
+    * users rows, never a global calendar cross join) and the fill is a
+    * left join on (user, hour) — both shuffles key on user_id, so at
+    * scale this is two co-partitioned exchanges over the grid, with the
+    * raw corpus touched once by the pre-aggregation. Hour ids are µs
+    * integer-division buckets (engine-exact; no tz/DST rendering). */
+  def resampleHourly(events: DataFrame): DataFrame = {
+    val hr = expr("unix_micros(ts) div 3600000000").as("hr")
+    val counts = events.select(col("user_id"), hr)
+      .groupBy(col("user_id"), col("hr")).agg(count(lit(1)).as("cnt"))
+    val grid = counts.groupBy(col("user_id"))
+      .agg(min(col("hr")).as("mn"), max(col("hr")).as("mx"))
+      .select(col("user_id"), explode(sequence(col("mn"), col("mx"))).as("hr"))
+    grid.join(counts, Seq("user_id", "hr"), "left")
+      .select(col("user_id"), col("hr"), coalesce(col("cnt"), lit(0L)).as("cnt"))
+  }
+
   /** Range join: per purchase, the number of views by the same user in
     * the preceding `windowSec` seconds. The equality key (user_id) keeps
     * this a hash/sort-merge join at scale — the time range is a post-join
