@@ -37,6 +37,13 @@ object Graft {
       .config("spark.driver.host", "localhost")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // aggregate sketches for SQL users (scalar natives — cosine_sim,
+    // dot_product, nearest_cells, hit_count — register via
+    // GraftExtensions; udaf-backed aggregates go through the UDF registry)
+    import org.apache.spark.sql.functions.udaf
+    spark.udf.register("topk", udaf(functions.TopKAggregate.TopK(3)))
+    spark.udf.register("kmv64", udaf(functions.KmvSketch.Kmv(64)))
+    spark.udf.register("bottomk256", udaf(functions.BottomKSample.BottomK(256)))
     spark
   }
 }

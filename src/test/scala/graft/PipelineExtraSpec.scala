@@ -287,6 +287,13 @@ class EmptyInputSpec extends SparkSpec {
     assert(Dedup.connectedComponents(noPairs).count() == 0)
     assert(Dedup.applyDedupTransitive(noDocs, noPairs).count() == 0)
     assert(Dedup.embeddingDedup(noEmb).count() == 0)
+    assert(Sampling.packSequences(noDocs).count() == 0)
+    assert(Sampling.shuffleOrder(noDocs).count() == 0)
+    assert(TextAnalysis.repetition(noDocs).count() == 0)
+    assert(TextAnalysis.redact(noEvents, "event_id", "props").count() == 0)
+    assert(Events.resampleHourly(noEvents).count() == 0)
+    assert(Analytics.kmvSummary(Tables.lineitem(spark, sfDir).limit(0)).count() == 0)
+    assert(Analytics.quantileSketch(Tables.lineitem(spark, sfDir).limit(0)).count() == 0)
   }
 }
 
