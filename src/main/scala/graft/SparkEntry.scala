@@ -124,8 +124,15 @@ object SparkEntry {
     "t_redact" -> ((s, d) => TextAnalysis.redact(Tables.events(s, d), "event_id", "props")),
     "t_repetition" -> ((s, d) => TextAnalysis.repetition(Tables.documents(s, d))),
     "m_meta" -> ((s, d) => Multimodal.metaExtract(Tables.documents(s, d))),
+    "q_salted_agg" -> ((s, d) =>
+      Skew.saltedAgg(Tables.lineitem(s, d), "l_returnflag", "l_extendedprice")),
     // E. storage engine introspection (DFS cluster-stats analog)
     "fs_stats" -> ((s, d) => new graft.sources.Catalog(s, d).rowCounts()),
+    "fs_zorder" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      Tables.lineitem(s, d).select(col("l_orderkey"), col("l_linenumber"),
+        graft.sources.Catalog.zValue(col("l_partkey"), col("l_suppkey")).as("z"))
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -863,6 +870,19 @@ object SparkEntry {
          UNION ALL SELECT 'part', count(*) FROM part
          UNION ALL SELECT 'region', count(*) FROM region
          UNION ALL SELECT 'supplier', count(*) FROM supplier""",
+    // salted two-stage aggregate must equal the plain GROUP BY exactly
+    // (counts and integer-cents sums combine associatively)
+    "q_salted_agg" ->
+      """SELECT l_returnflag, count(*) AS cnt,
+                CAST(sum(CAST(round((l_extendedprice) * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_value
+         FROM lineitem GROUP BY l_returnflag""",
+    // Morton interleave is pure bit arithmetic — identical in any engine
+    "fs_zorder" -> {
+      val terms = (0 until 16).flatMap(i => Seq(
+        s"(((l_partkey >> $i) & 1) << ${2 * i})",
+        s"(((l_suppkey >> $i) & 1) << ${2 * i + 1})")).mkString(" + ")
+      s"SELECT l_orderkey, l_linenumber, CAST($terms AS BIGINT) AS z FROM lineitem"
+    },
   )
 
   /** Shared by d_dedup_ngram and d_dedup_minhash (see note above). */

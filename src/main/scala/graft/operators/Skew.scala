@@ -30,4 +30,25 @@ object Skew {
       .join(replicated, Seq(key, "__salt"))
       .drop("__salt")
   }
+
+  /** Two-stage salted aggregation for skewed group keys: stage 1
+    * aggregates (key, salt) partials so a hot key's rows spread over
+    * `saltFactor` reducers; stage 2 combines the ≤ saltFactor partials
+    * per key. Count and integer-cents sum combine exactly, so the
+    * result is identical to the unsalted aggregate under any salt —
+    * which is what its oracle (a plain GROUP BY) verifies. Spark's own
+    * partial aggregation usually makes this unnecessary; the explicit
+    * form is for skew that survives map-side combine (many partitions
+    * all feeding one hot reducer key). */
+  def saltedAgg(df: DataFrame, key: String, valueCol: String,
+      saltFactor: Int = 8): DataFrame = {
+    import graft.functions.Exact.cents
+    df.withColumn("__salt",
+        pmod(xxhash64(struct(df.columns.map(col).toSeq: _*)), lit(saltFactor)))
+      .groupBy(col(key), col("__salt"))
+      .agg(count(lit(1)).as("pc"), sum(cents(col(valueCol))).as("ps"))
+      .groupBy(col(key))
+      .agg(sum(col("pc")).as("cnt"),
+        (sum(col("ps")).cast("double") / 100.0).as("sum_value"))
+  }
 }
