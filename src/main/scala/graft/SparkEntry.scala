@@ -111,6 +111,7 @@ object SparkEntry {
     "p_split" -> ((s, d) => Sampling.hashSplit(Tables.documents(s, d))),
     "p_sample" -> ((s, d) => Sampling.stratifiedSample(Tables.documents(s, d))),
     "p_pack" -> ((s, d) => Sampling.packSequences(Tables.documents(s, d))),
+    "p_wsample" -> ((s, d) => Sampling.weightedSample(Tables.documents(s, d), "n_chars")),
     "p_shuffle" -> ((s, d) => Sampling.shuffleOrder(Tables.documents(s, d))),
     "s_ann_brute" -> ((s, d) => Similarity.bruteForceTopK(Tables.embeddings(s, d), 5, 10)),
     "s_ann_lsh" -> ((s, d) => Similarity.lshAnn(Tables.embeddings(s, d), 5, 10)),
@@ -762,6 +763,11 @@ object SparkEntry {
     "p_sample" ->
       """SELECT doc_id, lang FROM documents
          WHERE substr(md5(CAST(doc_id AS VARCHAR) || ':sample:' || lang), 1, 1) < '4'""",
+    "p_wsample" ->
+      """WITH m AS (SELECT max(n_chars) AS mw FROM documents)
+         SELECT doc_id, n_chars FROM documents, m
+         WHERE CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':wsample'), 1, 15) AS BIGINT) AS DOUBLE)
+               < CAST(n_chars AS DOUBLE) / CAST(mw AS DOUBLE) * 1152921504606846976.0""",
     // window sums over BIGINT are HUGEINT in DuckDB → CAST (see q_pivot note)
     "p_pack" ->
       """WITH s AS (

@@ -37,6 +37,24 @@ object Sampling {
       .where(saltedHex(col("doc_id"), concat(lit(":sample:"), col(stratum)), 1) < "4")
       .select(col("doc_id"), col(stratum))
 
+  /** Weighted Bernoulli sample: keep each row with probability
+    * weight/max(weight) — the "sample good documents more" primitive
+    * (weight = quality score, length, source trust). Deterministic and
+    * engine-portable: the row's salted 60-bit hash is its uniform draw,
+    * and the keep test `hash < (w / wMax) · 2⁶⁰` is plain double
+    * arithmetic with one shape on both engines. The max is a 1-row
+    * broadcast; the pass itself is map-only. */
+  def weightedSample(docs: DataFrame, weightCol: String): DataFrame = {
+    val wMax = docs.agg(max(col(weightCol)).as("mw"))
+    val h = conv(substring(md5(concat(col("doc_id").cast("string"),
+      lit(":wsample"))), 1, 15), 16, 10).cast("long")
+    docs.select(col("doc_id"), col(weightCol))
+      .crossJoin(broadcast(wMax))
+      .where(h.cast("double") <
+        col(weightCol).cast("double") / col("mw").cast("double") * lit(1152921504606846976.0))
+      .select(col("doc_id"), col(weightCol))
+  }
+
   /** Engine-portable 60-bit order hash (15 hex chars of salted md5 —
     * same construction as [[graft.operators.TextAnalysis.portableHash60]]
     * but salted, so each consumer draws an independent order). */

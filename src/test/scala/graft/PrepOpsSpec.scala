@@ -55,6 +55,31 @@ class RepetitionSpec extends SparkSpec {
   }
 }
 
+class WeightedSampleSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("inclusion rate grows with weight and is partition-invariant") {
+    val docs = Tables.documents(spark, sfDir)
+    val kept = Sampling.weightedSample(docs, "n_chars")
+    val keptIds = kept.select($"doc_id").as[Long].collect().toSet
+    // partition invariance
+    val again = Sampling.weightedSample(docs.repartition(7), "n_chars")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(keptIds == again)
+    // rate in the top length quartile must beat the bottom quartile
+    val q = docs.stat.approxQuantile("n_chars", Array(0.25, 0.75), 0.0)
+    val lo = docs.where($"n_chars" <= q(0))
+    val hi = docs.where($"n_chars" >= q(1))
+    def rate(df: org.apache.spark.sql.DataFrame) =
+      df.where($"doc_id".isin(keptIds.toSeq: _*)).count().toDouble / df.count()
+    assert(rate(hi) > rate(lo), s"hi=${rate(hi)} lo=${rate(lo)}")
+    // the max-weight rows are always kept (p = 1)
+    val mx = docs.agg(max($"n_chars")).as[Long].head()
+    assert(docs.where($"n_chars" === mx).select($"doc_id").as[Long]
+      .collect().forall(keptIds.contains))
+  }
+}
+
 class PackSpec extends SparkSpec {
   import spark.implicits._
 
