@@ -44,6 +44,26 @@ object EventStream {
       .select(col("window.start").as("hour_start"), col("event_type"),
         col("cnt"), col("sum_value"))
 
+  /** Watermarked per-window approximate distinct users — the KMV sketch
+    * as streaming aggregation state. A mergeable bounded buffer is
+    * exactly what incremental execution needs: each micro-batch folds
+    * its rows into ≤k longs per window, state size is k·windows, and
+    * the final estimate is identical to the batch sketch over the same
+    * data (the buffer is a pure function of the input set — the
+    * streaming-equals-batch spec asserts bit equality). */
+  def windowedDistinctUsers(events: DataFrame,
+      watermarkDelay: String = "2 hours", k: Int = 64): DataFrame = {
+    import graft.functions.KmvSketch
+    import graft.operators.TextAnalysis.portableHash60
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(udaf(KmvSketch.Kmv(k)).apply(
+        portableHash60(col("user_id").cast("string"))).as("b"))
+      .select(col("window.start").as("hour_start"),
+        KmvSketch.estimate(col("b"), k).as("approx_users"))
+  }
+
   /** Streaming exact dedup: drop duplicate event_ids within the
     * watermark horizon — the incremental twin of Dedup.exact. State is
     * one key per id, aged out once the watermark passes. */

@@ -1,0 +1,40 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.streaming.EventStream
+
+class StreamKmvSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("streaming windowed KMV equals the batch sketch bit-for-bit") {
+    val batch = Tables.events(spark, sfDir)
+    val srcDir = Files.createTempDirectory("graft-kmv-src").toString
+    batch.write.mode("overwrite").parquet(srcDir)
+
+    val stream = spark.readStream.schema(batch.schema)
+      .option("maxFilesPerTrigger", 2).parquet(srcDir)
+    val q = EventStream.windowedDistinctUsers(stream)
+      .writeStream.format("memory").queryName("kmv_out").outputMode("append")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    // append mode emits only watermark-closed windows; compare those
+    val streamed = spark.table("kmv_out")
+      .as[(java.sql.Timestamp, Double)].collect().toMap
+    assert(streamed.nonEmpty, "no windows closed — watermark never advanced")
+
+    val batched = {
+      import graft.functions.KmvSketch
+      import graft.operators.TextAnalysis.portableHash60
+      batch.groupBy(window(col("ts"), "1 hour"))
+        .agg(udaf(KmvSketch.Kmv(64)).apply(
+          portableHash60(col("user_id").cast("string"))).as("b"))
+        .select(col("window.start").as("hour_start"),
+          KmvSketch.estimate(col("b"), 64).as("approx_users"))
+        .as[(java.sql.Timestamp, Double)].collect().toMap
+    }
+    streamed.foreach { case (hr, est) =>
+      assert(batched(hr) == est, s"window $hr: streamed $est vs batch ${batched(hr)}")
+    }
+  }
+}
