@@ -84,6 +84,12 @@ object SparkEntry {
     "d_dedup_ngram" -> ((s, d) => Dedup.ngramJaccard(Tables.documents(s, d), 3, 0.5)),
     "d_dedup_minhash" -> ((s, d) => Dedup.minhashLsh(Tables.documents(s, d), 3, 64, 16, 0.5)),
     "d_dedup_simhash" -> ((s, d) => Dedup.simhashNearDup(Tables.documents(s, d), 3)),
+    "d_dedup_incr" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val docs = Tables.documents(s, d)
+      Dedup.dedupAgainst(docs.where(col("doc_id") % 2 === 0),
+        docs.where(col("doc_id") % 2 === 1))
+    }),
     "d_dedup_embed" -> ((s, d) => Dedup.embeddingNearDup(Tables.embeddings(s, d), 0.4)),
     "d_boilerplate" -> ((s, d) => Dedup.boilerplate(Tables.documents(s, d), 3, 3)),
     "d_dedup_semantic" -> ((s, d) => Similarity.semanticDedup(Tables.embeddings(s, d), 0.4)),
@@ -763,6 +769,24 @@ object SparkEntry {
     "p_sample" ->
       """SELECT doc_id, lang FROM documents
          WHERE substr(md5(CAST(doc_id AS VARCHAR) || ':sample:' || lang), 1, 1) < '4'""",
+    // cross-set exact Jaccard (even-id corpus vs odd-id batch): the
+    // banded candidates, once verified, must reproduce it exactly —
+    // same equivalence the full-set d_dedup_minhash oracle asserts
+    "d_dedup_incr" ->
+      """WITH tok AS (SELECT doc_id,
+             list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS w FROM documents),
+         sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+                FROM tok CROSS JOIN unnest(generate_series(1, len(w) - 2)) AS t(i)
+                WHERE len(w) >= 3),
+         sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+         inter AS (SELECT a.doc_id AS corpus_id, b.doc_id AS new_id, count(*) AS n_inter
+                   FROM sh a JOIN sh b ON a.shingle = b.shingle
+                    AND a.doc_id % 2 = 0 AND b.doc_id % 2 = 1
+                   GROUP BY 1, 2)
+         SELECT corpus_id, new_id,
+                floor(CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter) * 1000000 + 0.5) / 1000000 AS jaccard
+         FROM inter JOIN sizes sa ON corpus_id = sa.doc_id JOIN sizes sb ON new_id = sb.doc_id
+         WHERE CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter) >= 0.5""",
     "p_wsample" ->
       """WITH m AS (SELECT max(n_chars) AS mw FROM documents)
          SELECT doc_id, n_chars FROM documents, m

@@ -94,30 +94,40 @@ object Dedup {
     *   construction exact-dup clusters — run [[exact]] first and near-dup
     *   only the keepers (the documented scale ladder), with the cap as
     *   the safety valve against clusters that survive. */
-  def minhashLsh(
-      docs: DataFrame, n: Int = 3, numHashes: Int = 64, bands: Int = 16,
-      threshold: Double = 0.5, maxBucket: Int = 0): DataFrame = {
-    val rowsPerBand = numHashes / bands
+  /** MinHash signature table: doc_id, mh0..mh{k-1}, ss (verification
+    * shingle-hash set). k hash functions as seeded re-hashes of the
+    * 8-byte base hash — pure long-to-long work, no per-hash string
+    * concat — and the k mins + the verification set in ONE aggregation:
+    * one scan, one map-side partial, one shuffle of a single row per
+    * doc. In an incremental deployment this table is the INDEX: persist
+    * it once (e.g. Catalog.writeBucketed on doc_id) and only new
+    * batches are ever re-signed. */
+  private def signatures(docs: DataFrame, n: Int, numHashes: Int): DataFrame = {
     val sh = hashedShingles(docs, n)
-
-    // k hash functions as seeded re-hashes of the 8-byte base hash — pure
-    // long-to-long work, no per-hash string concat — and the k mins + the
-    // verification shingle-set in ONE aggregation: one scan, one map-side
-    // partial, one shuffle of a single row per doc.
     val minCols = (0 until numHashes).map { i =>
       min(xxhash64(col("h"), lit(i))).as(s"mh$i")
     }
     val aggCols = minCols.tail :+ collect_set(col("h")).as("ss")
-    val sig = sh.groupBy(col("doc_id")).agg(minCols.head, aggCols: _*)
+    sh.groupBy(col("doc_id")).agg(minCols.head, aggCols: _*)
+  }
 
-    // band key: hash of the band's minhash slice (column order is fixed)
+  /** Band keys: (doc_id, band, bh) — one hash of each band's minhash
+    * slice (column order is fixed). */
+  private def bandKeys(sig: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
     val bandStructs = (0 until bands).map { b =>
       val slice = (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"mh$i"))
       struct(lit(b).as("band"), xxhash64(slice: _*).as("bh"))
     }
-    val bandedAll = sig
-      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
+    sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+  }
+
+  def minhashLsh(
+      docs: DataFrame, n: Int = 3, numHashes: Int = 64, bands: Int = 16,
+      threshold: Double = 0.5, maxBucket: Int = 0): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    val sig = signatures(docs, n, numHashes)
+    val bandedAll = bandKeys(sig, bands, rowsPerBand)
     // the bucket-size window partitions exactly like the self-join below,
     // so the cap costs no extra exchange (ReuseExchange)
     val banded =
@@ -151,6 +161,36 @@ object Dedup {
           (size(col("sa.ss")) + size(col("sb.ss")) - col("n_inter")))
       .where(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), graft.functions.Exact.round6(col("jaccard")).as("jaccard"))
+  }
+
+  /** Incremental near-dup: verified pairs BETWEEN a new batch and an
+    * existing corpus — the daily-ingest shape. Corpus-side signatures
+    * are the persisted index in production (see [[signatures]]); only
+    * the new batch is signed per run, the band join touches only
+    * buckets the new batch lands in, and no corpus-corpus pair is ever
+    * scored. Emits (corpus_id, new_id, jaccard ≥ threshold); feed
+    * new_ids into an anti-join to admit only novel documents. */
+  def dedupAgainst(corpus: DataFrame, newDocs: DataFrame, n: Int = 3,
+      numHashes: Int = 64, bands: Int = 16, threshold: Double = 0.5): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    val sigC = signatures(corpus, n, numHashes)
+    val sigN = signatures(newDocs, n, numHashes)
+    val bN = bandKeys(sigN, bands, rowsPerBand)
+      .select(col("doc_id").as("new_id"), col("band"), col("bh"))
+    val candidates = bandKeys(sigC, bands, rowsPerBand)
+      .join(bN, Seq("band", "bh"))
+      .select(col("doc_id").as("corpus_id"), col("new_id")).distinct()
+    candidates
+      .join(sigC.select(col("doc_id"), col("ss").as("sa")),
+        col("corpus_id") === col("doc_id")).drop("doc_id")
+      .join(sigN.select(col("doc_id"), col("ss").as("sb")),
+        col("new_id") === col("doc_id")).drop("doc_id")
+      .withColumn("n_inter", size(array_intersect(col("sa"), col("sb"))))
+      .withColumn("jaccard", col("n_inter").cast("double") /
+        (size(col("sa")) + size(col("sb")) - col("n_inter")))
+      .where(col("jaccard") >= threshold)
+      .select(col("corpus_id"), col("new_id"),
+        graft.functions.Exact.round6(col("jaccard")).as("jaccard"))
   }
 
   /** Apply a near-dup pair set to a corpus: keep one representative per

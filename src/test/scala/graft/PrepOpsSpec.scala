@@ -55,6 +55,27 @@ class RepetitionSpec extends SparkSpec {
   }
 }
 
+class DedupAgainstSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.operators.Dedup
+
+  test("cross-set pairs + within-set pairs partition the full pair set") {
+    val docs = Tables.documents(spark, sfDir)
+    val even = docs.where($"doc_id" % 2 === 0)
+    val odd = docs.where($"doc_id" % 2 === 1)
+    def pairSet(df: org.apache.spark.sql.DataFrame, a: String, b: String) =
+      df.select(least(col(a), col(b)), greatest(col(a), col(b)))
+        .as[(Long, Long)].collect().toSet
+    val full = pairSet(Dedup.minhashLsh(docs), "id_a", "id_b")
+    val cross = pairSet(Dedup.dedupAgainst(even, odd), "corpus_id", "new_id")
+    val within = pairSet(Dedup.minhashLsh(even), "id_a", "id_b") ++
+      pairSet(Dedup.minhashLsh(odd), "id_a", "id_b")
+    assert(cross.nonEmpty, "no cross-set near-dups in this corpus — vacuous test")
+    assert((cross ++ within) == full)
+    assert(cross.intersect(within).isEmpty)
+  }
+}
+
 class WeightedSampleSpec extends SparkSpec {
   import spark.implicits._
 
