@@ -130,6 +130,7 @@ object SparkEntry {
     "t_tfidf" -> ((s, d) => TextAnalysis.tfidf(Tables.documents(s, d))),
     "t_redact" -> ((s, d) => TextAnalysis.redact(Tables.events(s, d), "event_id", "props")),
     "t_repetition" -> ((s, d) => TextAnalysis.repetition(Tables.documents(s, d))),
+    "t_chunk" -> ((s, d) => TextAnalysis.chunk(Tables.documents(s, d))),
     "m_meta" -> ((s, d) => Multimodal.metaExtract(Tables.documents(s, d))),
     "q_salted_agg" -> ((s, d) =>
       Skew.saltedAgg(Tables.lineitem(s, d), "l_returnflag", "l_extendedprice")),
@@ -769,6 +770,19 @@ object SparkEntry {
     "p_sample" ->
       """SELECT doc_id, lang FROM documents
          WHERE substr(md5(CAST(doc_id AS VARCHAR) || ':sample:' || lang), 1, 1) < '4'""",
+    // integer chunk count (n-16+47)//48; DuckDB list slice is inclusive
+    // 1-based, Spark slice(start, length) — end = start+63 matches
+    "t_chunk" ->
+      """WITH tok AS (SELECT doc_id,
+             list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS w FROM documents),
+         t AS (SELECT doc_id, w, len(w) AS n FROM tok WHERE len(w) > 0),
+         c AS (SELECT doc_id, w, n,
+                      unnest(generate_series(0, greatest((n - 16 + 47) // 48, 1) - 1)) AS chunk_id
+               FROM t)
+         SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+                CAST(len(w[(chunk_id * 48 + 1):(chunk_id * 48 + 64)]) AS BIGINT) AS n_chunk_tokens,
+                md5(array_to_string(w[(chunk_id * 48 + 1):(chunk_id * 48 + 64)], ' ')) AS chunk_hash
+         FROM c""",
     // cross-set exact Jaccard (even-id corpus vs odd-id batch): the
     // banded candidates, once verified, must reproduce it exactly —
     // same equivalence the full-set d_dedup_minhash oracle asserts

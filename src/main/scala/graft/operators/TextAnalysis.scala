@@ -211,6 +211,28 @@ object TextAnalysis {
       .na.fill(0.0, Seq("top_2gram_frac"))
   }
 
+  /** Fixed-size token chunking with overlap — the long-document
+    * splitter feeding a fixed-context trainer (stride = size −
+    * overlap; a chunk starts only if it contributes unseen tokens).
+    * Map-only: tokenize once, explode integer chunk ids (pure integer
+    * arithmetic — no float chunk counts), slice the token array per
+    * chunk. Emits the chunk's token count and content hash; sliced
+    * text never rides a shuffle. */
+  def chunk(docs: DataFrame, chunkSize: Int = 64, overlap: Int = 16): DataFrame = {
+    val stride = chunkSize - overlap
+    require(stride > 0, "overlap must be smaller than chunkSize")
+    docs.select(col("doc_id"), tokens(col("text")).as("tk"))
+      .withColumn("n", size(col("tk")))
+      .where(col("n") > 0)
+      .withColumn("chunk_id", explode(sequence(lit(0L),
+        greatest(expr(s"CAST((n - $overlap + $stride - 1) div $stride AS BIGINT)"),
+          lit(1L)) - 1)))
+      .withColumn("ck", slice(col("tk"), col("chunk_id") * stride + 1, lit(chunkSize)))
+      .select(col("doc_id"), col("chunk_id"),
+        size(col("ck")).cast("long").as("n_chunk_tokens"),
+        md5(concat_ws(" ", col("ck"))).as("chunk_hash"))
+  }
+
   /** Polynomial rolling-hash document fingerprint over the token stream
     * (order-sensitive, content-defined). Modular arithmetic keeps every
     * intermediate well inside Long range (ANSI mode would reject wrapping

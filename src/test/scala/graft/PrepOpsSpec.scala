@@ -55,6 +55,40 @@ class RepetitionSpec extends SparkSpec {
   }
 }
 
+class ChunkSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.operators.TextAnalysis
+
+  test("chunking covers every token with the configured overlap") {
+    // 100 tokens, size 64, stride 48 -> chunks [1..64], [49..100]
+    val doc = Seq((1L, (1 to 100).map(i => s"t$i").mkString(" "))).toDF("doc_id", "text")
+    val out = TextAnalysis.chunk(doc).orderBy($"chunk_id")
+      .as[(Long, Long, Long, String)].collect()
+    assert(out.map(r => (r._2, r._3)).toSeq == Seq((0L, 64L), (1L, 52L)))
+    // 64 tokens exactly -> one chunk; 10 tokens -> one short chunk
+    val small = Seq((1L, (1 to 64).map(i => s"t$i").mkString(" ")),
+      (2L, (1 to 10).map(i => s"t$i").mkString(" "))).toDF("doc_id", "text")
+    val outS = TextAnalysis.chunk(small).select($"doc_id", $"n_chunk_tokens")
+      .as[(Long, Long)].collect().toMap
+    assert(outS == Map(1L -> 64L, 2L -> 10L))
+  }
+
+  test("every corpus token lands in a chunk: sums reconcile with overlap") {
+    val docs = Tables.documents(spark, sfDir)
+    val per = TextAnalysis.chunk(docs).groupBy($"doc_id")
+      .agg(sum($"n_chunk_tokens").as("s"), count(lit(1)).as("nc"),
+        max($"chunk_id").as("mx"))
+    val n = docs.select($"doc_id",
+      size(TextAnalysis.tokens($"text")).cast("long").as("n"))
+    // each chunk after the first re-reads exactly `overlap` tokens,
+    // except a truncated tail reads fewer — so s - n <= 16*(nc-1), and
+    // chunk ids are dense 0..nc-1
+    val j = per.join(n, "doc_id")
+    assert(j.where($"mx" =!= $"nc" - 1).count() == 0)
+    assert(j.where($"s" < $"n" || $"s" > $"n" + ($"nc" - 1) * 16).count() == 0)
+  }
+}
+
 class DedupAgainstSpec extends SparkSpec {
   import spark.implicits._
   import graft.operators.Dedup
