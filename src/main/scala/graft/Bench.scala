@@ -31,36 +31,41 @@ object Bench {
         .write.format("noop").mode("overwrite").save()
     }
 
-    // median of n>=3 runs per query, with the runs INTERLEAVED (full
-    // passes over all queries, then per-query medians across passes):
-    // environmental stalls on this class of machine come in multi-minute
-    // phases, and back-to-back repeats of one query would put all its
-    // samples inside the same phase — interleaving spreads each query's
-    // samples across the whole bench window
+    // n>=3 runs per query, INTERLEAVED (full passes over all queries,
+    // then a per-query statistic across passes): environmental stalls on
+    // this class of machine come in multi-minute phases, and
+    // back-to-back repeats of one query would put all its samples inside
+    // the same phase — interleaving spreads each query's samples across
+    // the whole bench window
     val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
     val passes = Seq.fill(iters) {
       names.map { case (name, fn) =>
         val t0 = System.nanoTime()
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }
+        val ok =
+          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+          catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e"); false }
         val t = (System.nanoTime() - t0) / 1e9
         // cache hygiene OUTSIDE the timed region: composite queries
         // (corpus_prep) persist intermediates; left pinned, those blocks
         // squeeze every later query's shuffle/cache memory — measured as
         // d_dedup_minhash inflating 1.5 s → 12 s across a bench run
         spark.catalog.clearCache()
-        t
+        (t, ok)
       }
     }
-    // per-query MIN across passes, not median: this machine's noise is
-    // strictly additive and comes in multi-minute phases (external page
-    // cache drops / IO stalls measured at 4-14× on identical code), so
-    // with 3 samples the median still lands inside a phase for some
-    // queries every run. The minimum is the clean-machine time — the
-    // number that reproduces.
+    // per-query MIN across SUCCESSFUL passes, not median: this machine's
+    // noise is strictly additive and comes in multi-minute phases
+    // (external page cache drops / IO stalls measured at 4-14× on
+    // identical code), so with 3 samples the median still lands inside a
+    // phase for some queries every run. The minimum is the clean-machine
+    // time — the number that reproduces. A failed pass must never win
+    // the min (a fast failure would fabricate a speedup); if every pass
+    // failed, report the slowest attempt so the total stays honest.
     val results = names.zipWithIndex.map { case ((name, _), i) =>
-      name -> passes.map(_(i)).min
+      val samples = passes.map(_(i))
+      val good = samples.filter(_._2).map(_._1)
+      name -> (if (good.nonEmpty) good.min else samples.map(_._1).max)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -73,8 +73,14 @@ object ScaleSmoke {
         .write.format("noop").mode("overwrite").save()
     }
     time("kmv_6m_rows") {
-      operators.Analytics.kmvSummary(
-          spark.read.parquet("/root/testdata/sf0.1/lineitem.parquet"))
+      // replicate like the other smokes — same-size input can't reveal
+      // super-linear growth (keys shifted so distinct counts scale too)
+      val li = spark.read.parquet("/root/testdata/sf0.1/lineitem.parquet")
+      val big = (0 until 10).map(i =>
+          li.withColumn("l_partkey", col("l_partkey") + lit(i * 10000000L))
+            .withColumn("l_suppkey", col("l_suppkey") + lit(i * 10000000L)))
+        .reduce(_ unionAll _)
+      operators.Analytics.kmvSummary(big)
         .write.format("noop").mode("overwrite").save()
     }
     // dup-chain resolution over ~95k star-shaped clone pairs (the shape

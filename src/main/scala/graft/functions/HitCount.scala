@@ -37,7 +37,10 @@ case class HitCount(children: Seq[Expression]) extends Expression {
     else if (!children(1).foldable) fail("words must be a literal")
     else (tkChild.dataType, children(1).dataType) match {
       case (ArrayType(StringType, _), ArrayType(StringType, _)) =>
-        TypeCheckResult.TypeCheckSuccess
+        // reject at analysis time what would otherwise NPE per-task in
+        // the lazy `words` unpack (e.g. CAST(NULL AS ARRAY<STRING>))
+        if (children(1).eval() == null) fail("words must not be null")
+        else TypeCheckResult.TypeCheckSuccess
       case other => fail(s"expected (array<string>, array<string>), got $other")
     }
   }

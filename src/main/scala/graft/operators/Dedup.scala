@@ -171,13 +171,28 @@ object Dedup {
     * scored. Emits (corpus_id, new_id, jaccard ≥ threshold); feed
     * new_ids into an anti-join to admit only novel documents. */
   def dedupAgainst(corpus: DataFrame, newDocs: DataFrame, n: Int = 3,
-      numHashes: Int = 64, bands: Int = 16, threshold: Double = 0.5): DataFrame = {
+      numHashes: Int = 64, bands: Int = 16, threshold: Double = 0.5,
+      maxBucket: Int = 0): DataFrame = {
     val rowsPerBand = numHashes / bands
     val sigC = signatures(corpus, n, numHashes)
     val sigN = signatures(newDocs, n, numHashes)
     val bN = bandKeys(sigN, bands, rowsPerBand)
       .select(col("doc_id").as("new_id"), col("band"), col("bh"))
-    val candidates = bandKeys(sigC, bands, rowsPerBand)
+    // same safety valve as minhashLsh: a surviving dup cluster of B
+    // corpus docs × b matching batch docs is a B·b candidate blow-up
+    // per band without the cap
+    val bCAll = bandKeys(sigC, bands, rowsPerBand)
+    val bC =
+      if (maxBucket <= 0) bCAll
+      else {
+        import org.apache.spark.sql.expressions.Window
+        bCAll
+          .withColumn("bsz",
+            count(lit(1)).over(Window.partitionBy(col("band"), col("bh"))))
+          .where(col("bsz") <= maxBucket)
+          .drop("bsz")
+      }
+    val candidates = bC
       .join(bN, Seq("band", "bh"))
       .select(col("doc_id").as("corpus_id"), col("new_id")).distinct()
     candidates

@@ -55,7 +55,11 @@ object Events {
     * raw corpus touched once by the pre-aggregation. Hour ids are µs
     * integer-division buckets (engine-exact; no tz/DST rendering). */
   def resampleHourly(events: DataFrame): DataFrame = {
-    val hr = expr("unix_micros(ts) div 3600000000").as("hr")
+    // FLOOR division (pmod is always non-negative), not `div`: Spark div
+    // truncates toward zero, so a pre-1970 event would share bucket 0
+    // with the first post-epoch hour and diverge from the oracle's `//`
+    val hr = expr(
+      "(unix_micros(ts) - pmod(unix_micros(ts), 3600000000)) div 3600000000").as("hr")
     val counts = events.select(col("user_id"), hr)
       .groupBy(col("user_id"), col("hr")).agg(count(lit(1)).as("cnt"))
     val grid = counts.groupBy(col("user_id"))

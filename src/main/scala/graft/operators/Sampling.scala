@@ -46,8 +46,7 @@ object Sampling {
     * broadcast; the pass itself is map-only. */
   def weightedSample(docs: DataFrame, weightCol: String): DataFrame = {
     val wMax = docs.agg(max(col(weightCol)).as("mw"))
-    val h = conv(substring(md5(concat(col("doc_id").cast("string"),
-      lit(":wsample"))), 1, 15), 16, 10).cast("long")
+    val h = orderHash(col("doc_id"), ":wsample")
     docs.select(col("doc_id"), col(weightCol))
       .crossJoin(broadcast(wMax))
       .where(h.cast("double") <

@@ -190,7 +190,10 @@ object TextAnalysis {
       grams
         .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("tf"))
         .groupBy(col("doc_id"))
-        .agg(sum(col("tf")).as("n"), countDistinct(col("g")).as("d"),
+        // count(*), NOT countDistinct: input is one row per (doc, g)
+        // already, and a distinct aggregate would force an Expand plan
+        // that doubles the stage's shuffle volume for identical results
+        .agg(sum(col("tf")).as("n"), count(lit(1)).as("d"),
           max(col("tf")).as("top"))
         .select(col("doc_id"), col("n"), col("d"),
           round6(col("top").cast("double") / col("n")).as(out))

@@ -235,9 +235,14 @@ object Catalog {
     * portable to any engine — and the disjoint bit positions make `+`
     * equal to OR, so the whole value is one codegen'd arithmetic
     * expression. */
-  def zValue(x: Column, y: Column, bits: Int = 16): Column =
+  def zValue(x: Column, y: Column, bits: Int = 16): Column = {
+    // widen to long FIRST: with IntegerType inputs, y's bit 15 would
+    // shift to bit position 31 and wrap an Int negative, breaking the
+    // contiguous-Z-range property for y >= 32768
+    val (xl, yl) = (x.cast("long"), y.cast("long"))
     (0 until bits).map { i =>
-      shiftleft(shiftright(x, i).bitwiseAND(1), 2 * i) +
-        shiftleft(shiftright(y, i).bitwiseAND(1), 2 * i + 1)
+      shiftleft(shiftright(xl, i).bitwiseAND(1), 2 * i) +
+        shiftleft(shiftright(yl, i).bitwiseAND(1), 2 * i + 1)
     }.reduce(_ + _)
+  }
 }
