@@ -46,6 +46,38 @@ object AsOfJoin {
     }.drop("__last")
   }
 
+  /** Forward as-of: the EARLIEST right row at-or-after each left row's
+    * timestamp (per key) — "next event" attribution. Same tagged-union
+    * single-shuffle shape as [[asOf]], scanning descending with a
+    * running lexicographic struct MIN (earliest right row so far from
+    * the future side); right rows at exactly the left timestamp are
+    * included. Columns arrive as `asofnext_<payload>`. */
+  def asOfForward(left: DataFrame, right: DataFrame, key: String,
+      leftTs: String, rightTs: String, payload: Seq[String]): DataFrame = {
+    val lTagged = left
+      .withColumn("__ts", col(leftTs))
+      .withColumn("__ord", lit(1))
+      .withColumn("__carry", lit(null).cast(carryType(right, rightTs, payload)))
+    val rTagged = right
+      .select((key +: rightTs +: payload).map(col): _*)
+      .withColumn("__ts", col(rightTs))
+      .withColumn("__ord", lit(0))
+      .withColumn("__carry", struct((rightTs +: payload).map(col): _*))
+    val unioned = lTagged.select(unionCols(left, key, payload): _*)
+      .unionByName(rTagged.select(unionCols(right, key, payload, rightOnly = true): _*),
+        allowMissingColumns = true)
+
+    val w = Window.partitionBy(col(key)).orderBy(col("__ts").desc, col("__ord"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = unioned.withColumn("__next", min(col("__carry")).over(w))
+    val out = carried
+      .where(col("__ord") === 1)
+      .drop("__ts", "__ord", "__carry")
+    payload.foldLeft(out) { (df, p) =>
+      df.withColumn(s"asofnext_$p", col("__next").getField(p))
+    }.drop("__next")
+  }
+
   private def carryType(right: DataFrame, rightTs: String, payload: Seq[String]) =
     org.apache.spark.sql.types.StructType(
       (rightTs +: payload).map(c => right.schema(c)))
@@ -73,5 +105,24 @@ object AsOfJoin {
     u.withColumn("last_view_us", max(col("view_ts")).over(w))
       .where(col("is_p") === 1)
       .select(col("user_id"), col("tsu").as("purchase_us"), col("last_view_us"))
+  }
+
+  /** Forward attribution: each view gets the timestamp of the user's
+    * NEXT purchase at-or-after it (time-to-conversion's raw material).
+    * Descending scan + running min — still one shuffle on user_id. */
+  def viewNextPurchase(events: DataFrame): DataFrame = {
+    val u = events
+      .where(col("event_type").isin("view", "purchase"))
+      .select(
+        col("user_id"),
+        unix_micros(col("ts")).as("tsu"),
+        when(col("event_type") === "purchase", unix_micros(col("ts"))).as("p_ts"),
+        when(col("event_type") === "view", 1).otherwise(0).as("is_v"),
+        when(col("event_type") === "purchase", 0).otherwise(1).as("ord"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("tsu").desc, col("ord"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    u.withColumn("next_purchase_us", min(col("p_ts")).over(w))
+      .where(col("is_v") === 1)
+      .select(col("user_id"), col("tsu").as("view_us"), col("next_purchase_us"))
   }
 }

@@ -116,6 +116,24 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out.count() > 0)
     assert(out.where($"last_view_us" > $"purchase_us").count() == 0)
   }
+
+  test("asOfForward attaches earliest right payload at-or-after left ts") {
+    val trades = Seq((1L, 10L, "t1"), (1L, 20L, "t2"), (2L, 15L, "t3"))
+      .toDF("k", "ts", "trade")
+    val quotes = Seq((1L, 5L, 100.0), (1L, 10L, 101.0), (1L, 18L, 102.0), (2L, 9L, 103.0))
+      .toDF("k", "qts", "px")
+    val out = AsOfJoin.asOfForward(trades, quotes, "k", "ts", "qts", Seq("px"))
+      .select($"trade", $"asofnext_px").as[(String, Option[Double])].collect().toMap
+    assert(out("t1").contains(101.0)) // quote at exactly ts=10 included
+    assert(out("t2").isEmpty)         // no quote at-or-after ts=20 for key 1
+    assert(out("t3").isEmpty)         // key 2's only quote is before 15
+  }
+
+  test("viewNextPurchase: every view's next purchase is at-or-after it") {
+    val out = AsOfJoin.viewNextPurchase(Tables.events(spark, sfDir))
+    assert(out.count() > 0)
+    assert(out.where($"next_purchase_us" < $"view_us").count() == 0)
+  }
 }
 
 class AnalyticsExtraSpec extends SparkSpec {
