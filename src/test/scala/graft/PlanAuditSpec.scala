@@ -1,0 +1,37 @@
+package graft
+
+/** Whole-surface plan audit: every driver query is planned (not run)
+  * and checked for the silent scale-killers. Catches a regression the
+  * per-operator specs can't: an innocent-looking change that degrades
+  * a join into a cross product plans fine, runs fine at sf0.001, and
+  * dies at 100 TB.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  test("no query plans a CartesianProduct") {
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val plan = fn(spark, sfDir).queryExecution.sparkPlan.toString
+      if (plan.contains("CartesianProduct")) Some(name) else None
+    }
+    assert(offenders.isEmpty, s"cartesian products in: $offenders")
+  }
+
+  test("BroadcastNestedLoopJoin appears only under a broadcast of bounded metadata") {
+    // a BNLJ is legitimate ONLY where documented:
+    //  - 1-row-aggregate cross joins (tfidf's corpus count, wsample's
+    //    max weight, corpus_prep's composition of both)
+    //  - s_ann_brute: keyless by nature — the corpus streams once past
+    //    a broadcast query set bounded by maxQueryId
+    //  - d_dedup_embed: the documented O(n²) exact baseline;
+    //    Dedup.embeddingDedup routes to semanticDedup above the size
+    //    threshold so this plan is unreachable by default at scale
+    // anywhere else it means an equi-join lost its keys
+    val allowed = Set("t_tfidf", "p_wsample", "d_corpus_prep",
+      "s_ann_brute", "d_dedup_embed")
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val plan = fn(spark, sfDir).queryExecution.sparkPlan.toString
+      if (plan.contains("BroadcastNestedLoopJoin") && !allowed(name)) Some(name) else None
+    }
+    assert(offenders.isEmpty, s"unexpected nested-loop joins in: $offenders")
+  }
+}
