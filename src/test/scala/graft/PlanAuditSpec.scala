@@ -34,4 +34,20 @@ class PlanAuditSpec extends SparkSpec {
     }
     assert(offenders.isEmpty, s"unexpected nested-loop joins in: $offenders")
   }
+
+  test("every window over corpus data carries a partition spec") {
+    // an unpartitioned window moves ALL data to one task; allowed only
+    // for the 128-row bucket-offset cumsum in the prefix-sum operators
+    val allowed = Set("p_pack", "p_shuffle")
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val plan = fn(spark, sfDir).queryExecution.optimizedPlan.toString
+      val specs = "windowspecdefinition\\(([^)]*)\\)".r
+        .findAllMatchIn(plan).map(_.group(1)).toSeq
+      // partition expressions precede the sort orders; a spec whose
+      // FIRST argument is already a sort order has no partition at all
+      val unpartitioned = specs.exists(_.split(",").head.trim.matches(".*\\b(ASC|DESC)\\b.*"))
+      if (unpartitioned && !allowed(name)) Some(name) else None
+    }
+    assert(offenders.isEmpty, s"unpartitioned windows in: $offenders")
+  }
 }
