@@ -46,6 +46,7 @@ class Catalog(spark: SparkSession, baseDir: String) {
       .csv(s"$baseDir/$name.csv")
     case "json" => spark.read.json(s"$baseDir/$name.json")
     case "text" => spark.read.text(s"$baseDir/$name.txt")
+    case "orc" => spark.read.orc(s"$baseDir/$name.orc")
     case other => throw new IllegalArgumentException(s"unsupported format: $other")
   }
 

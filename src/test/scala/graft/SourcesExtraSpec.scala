@@ -29,18 +29,23 @@ class BucketedJoinSpec extends SparkSpec {
 class FormatRoundTripSpec extends SparkSpec {
   import spark.implicits._
 
-  test("csv and json round-trip through Catalog.read") {
+  test("csv, json, and orc round-trip through Catalog.read") {
     val dir = Files.createTempDirectory("graft-fmt").toString
     val cat = new Catalog(spark, dir)
     val df = Tables.nation(spark, sfDir)
     df.coalesce(1).write.option("header", "true").csv(s"$dir/nation.csv")
     df.coalesce(1).write.json(s"$dir/nation.json")
+    df.coalesce(1).write.orc(s"$dir/nation.orc")
     val backCsv = cat.read("nation", "csv")
     val backJson = cat.read("nation", "json")
+    val backOrc = cat.read("nation", "orc")
     assert(backCsv.count() == df.count())
     assert(backJson.count() == df.count())
+    assert(backOrc.count() == df.count())
     assert(backJson.select("n_name").as[String].collect().toSet ==
       df.select("n_name").as[String].collect().toSet)
+    // orc preserves the full typed schema, not just values
+    assert(backOrc.schema == df.schema)
   }
 
   test("text format reads lines") {
