@@ -127,4 +127,49 @@ object CorpusPipeline {
     val split = clean.withColumn("split", Sampling.splitColumn(col("doc_id")))
     Result(split, steps.result(), pins.result())
   }
+
+  /** Storage-checkpointed, RESUMABLE preparation — the 100 TB shape.
+    * Each stage's output is written to `stageDir/<stage>` and a stage
+    * is skipped (read back instead of recomputed) when its `_SUCCESS`
+    * marker exists, so a failure at stage N restarts at stage N, not at
+    * the raw corpus. The in-session [[prepare]] is for single-run use;
+    * this variant is what a scheduler retries. Stage outputs are plain
+    * parquet — inspectable, and a natural audit trail. */
+  def prepareStaged(spark: org.apache.spark.sql.SparkSession, docs: DataFrame,
+      stageDir: String, benchmark: Option[DataFrame] = None,
+      cfg: Config = Config()): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val conf = spark.sparkContext.hadoopConfiguration
+    def done(p: String): Boolean = {
+      val m = new Path(s"$p/_SUCCESS")
+      m.getFileSystem(conf).exists(m)
+    }
+    def stage(name: String)(build: => DataFrame): DataFrame = {
+      val p = s"$stageDir/$name"
+      if (!done(p)) build.write.mode("overwrite").parquet(p)
+      spark.read.parquet(p)
+    }
+
+    val unique = stage("unique") {
+      val filtered = signals(docs)
+        .where(col("quality_score") >= cfg.minQuality &&
+          (if (cfg.langs.isEmpty) lit(true) else col("pred_lang").isin(cfg.langs.toSeq: _*)))
+      val keepers = Dedup.exact(filtered).select(col("keep_id").as("doc_id"))
+      filtered.join(keepers, "doc_id")
+    }
+    val deduped = stage("deduped") {
+      val pairs = Dedup.minhashLsh(unique, cfg.shingleN, cfg.numHashes,
+        cfg.bands, cfg.jaccard, cfg.maxBucket)
+      Dedup.applyDedupTransitive(unique, pairs)
+    }
+    val clean = benchmark match {
+      case Some(bench) => stage("clean") {
+        val flagged = Dedup.contamination(deduped, bench, cfg.shingleN, cfg.minSharedShingles)
+          .select(col("doc_id")).distinct()
+        deduped.join(flagged, Seq("doc_id"), "left_anti")
+      }
+      case None => deduped
+    }
+    clean.withColumn("split", Sampling.splitColumn(col("doc_id")))
+  }
 }

@@ -2,6 +2,36 @@ package graft
 
 import graft.operators.{CorpusPipeline, Dedup, Sampling, TextAnalysis}
 
+class StagedPipelineSpec extends SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions.col
+  import graft.operators.CorpusPipeline
+
+  test("staged pipeline matches in-session prepare and resumes from completed stages") {
+    val docs = Tables.documents(spark, sfDir)
+    val bench = Some(docs.where(col("doc_id") < 20))
+    val input = docs.where(col("doc_id") >= 20)
+    val dir = java.nio.file.Files.createTempDirectory("graft-stage").toString
+    val cfg = CorpusPipeline.Config(minQuality = 0.2)
+
+    val staged = CorpusPipeline.prepareStaged(spark, input, dir, bench, cfg)
+      .select($"doc_id", $"split").as[(Long, String)].collect().toSet
+    val inMem = CorpusPipeline.prepare(input, bench, cfg).corpus
+      .select($"doc_id", $"split").as[(Long, String)].collect().toSet
+    assert(staged == inMem)
+
+    // resume: completed stage outputs are read back, not rewritten —
+    // their files' mtimes must survive a re-run untouched
+    val uniqFile = new java.io.File(s"$dir/unique").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val mtime = uniqFile.lastModified()
+    val again = CorpusPipeline.prepareStaged(spark, input, dir, bench, cfg)
+      .select($"doc_id", $"split").as[(Long, String)].collect().toSet
+    assert(again == inMem)
+    assert(uniqFile.lastModified() == mtime, "completed stage was recomputed on resume")
+  }
+}
+
 class CorpusPipelineSpec extends SparkSpec {
   import spark.implicits._
 
