@@ -60,6 +60,7 @@ object SparkEntry {
     "q_argmin" -> ((s, d) => Analytics.cheapestPartPerBrand(Tables.part(s, d))),
     "q17_small_qty" -> ((s, d) => Analytics.smallQuantityOrders(Tables.lineitem(s, d))),
     "q_pivot" -> ((s, d) => Analytics.eventTypePivot(Tables.events(s, d))),
+    "q_unpivot" -> ((s, d) => Analytics.eventTypeUnpivot(Tables.events(s, d))),
     "q_moving_avg" -> ((s, d) => Analytics.movingAvgDailyRevenue(Tables.orders(s, d))),
     // bounded-buffer top-k aggregate: O(groups·k) shuffle, vs the window
     // route's O(rows) — exploded to rows so DuckDB can verify the values
@@ -727,6 +728,19 @@ object SparkEntry {
          SELECT g.user_id, CAST(g.hr AS BIGINT) AS hr,
                 CAST(COALESCE(c.cnt, 0) AS BIGINT) AS cnt
          FROM g LEFT JOIN c ON g.user_id = c.user_id AND g.hr = c.hr""",
+    "q_unpivot" ->
+      """WITH p AS (SELECT user_id,
+                CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+                CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+                CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+                CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+                CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
+           FROM events GROUP BY user_id)
+         SELECT user_id, 'click' AS event_type, click AS cnt FROM p
+         UNION ALL SELECT user_id, 'error', error FROM p
+         UNION ALL SELECT user_id, 'purchase', purchase FROM p
+         UNION ALL SELECT user_id, 'signup', signup FROM p
+         UNION ALL SELECT user_id, 'view', view FROM p""",
     // KMV sketch mirror: k-th smallest distinct portable hash per group.
     // 2^60 is a power of two (double-exact); the arithmetic shape matches
     // the Spark side verbatim so the IEEE result is bit-identical.

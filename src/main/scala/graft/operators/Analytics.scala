@@ -312,6 +312,16 @@ object Analytics {
       .agg(count(lit(1)))
       .na.fill(0L)
 
+  /** Unpivot (melt): the wide per-user event-count table back to long
+    * (user, event_type, cnt) rows — zero-count cells included, which is
+    * what distinguishes melt from a plain groupBy. Spark's native
+    * `unpivot` (no UDF, no explode-of-struct hand-rolling). */
+  def eventTypeUnpivot(events: DataFrame): DataFrame =
+    eventTypePivot(events).unpivot(
+      Array(col("user_id")),
+      Array(col("click"), col("error"), col("purchase"), col("signup"), col("view")),
+      "event_type", "cnt")
+
   /** 7-row moving average of daily revenue — a sliding ROWS frame over
     * an ordered window, WITHOUT a global single-partition WindowExec:
     * the window is partitioned by year, and each year's first 6 frames
