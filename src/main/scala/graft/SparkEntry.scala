@@ -75,6 +75,7 @@ object SparkEntry {
     "e_tumbling" -> ((s, d) => Events.tumblingHourly(Tables.events(s, d))),
     "e_sessionize" -> ((s, d) => Events.sessionize(Tables.events(s, d))),
     "e_resample" -> ((s, d) => Events.resampleHourly(Tables.events(s, d))),
+    "e_lead_lag" -> ((s, d) => Events.interEventGaps(Tables.events(s, d))),
     "e_user_stats" -> ((s, d) => Events.userStats(Tables.events(s, d))),
     "e_asof" -> ((s, d) => AsOfJoin.purchaseAttribution(Tables.events(s, d))),
     "e_asof_fwd" -> ((s, d) => AsOfJoin.viewNextPurchase(Tables.events(s, d))),
@@ -719,6 +720,12 @@ object SparkEntry {
                        + (h95 - lo95) * (list_extract(vals, hi95 + 1) - list_extract(vals, lo95 + 1)))
                       * 1000000 + 0.5) / 1000000 AS p95_est
          FROM q2""",
+    "e_lead_lag" ->
+      """WITH u AS (SELECT user_id, event_id, epoch_us(ts) AS tsu FROM events)
+         SELECT user_id, event_id,
+                CAST(tsu - lag(tsu) OVER (PARTITION BY user_id ORDER BY tsu, event_id) AS BIGINT) AS gap_prev_us,
+                CAST(lead(tsu) OVER (PARTITION BY user_id ORDER BY tsu, event_id) - tsu AS BIGINT) AS gap_next_us
+         FROM u""",
     // dense per-user hour grid via generate_series; zero-filled left join
     "e_resample" ->
       """WITH c AS (SELECT user_id, epoch_us(ts) // 3600000000 AS hr, count(*) AS cnt

@@ -69,6 +69,18 @@ object Events {
       .select(col("user_id"), col("hr"), coalesce(col("cnt"), lit(0L)).as("cnt"))
   }
 
+  /** Lead/lag profile: per event, the µs gap to the user's previous and
+    * next events — inter-arrival times, the raw material of activity
+    * modeling. One shuffle on user_id; both offsets share the window. */
+  def interEventGaps(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("tsu"), col("event_id"))
+    events
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("tsu"))
+      .select(col("user_id"), col("event_id"),
+        (col("tsu") - lag(col("tsu"), 1).over(w)).as("gap_prev_us"),
+        (lead(col("tsu"), 1).over(w) - col("tsu")).as("gap_next_us"))
+  }
+
   /** Range join: per purchase, the number of views by the same user in
     * the preceding `windowSec` seconds. The equality key (user_id) keeps
     * this a hash/sort-merge join at scale — the time range is a post-join
