@@ -214,6 +214,15 @@ class DriverContractSpec extends SparkSpec {
     assert(orphans.isEmpty, s"oracle entries without a query: $orphans")
   }
 
+  test("the rows-only set is exactly the documented engine-private sketch") {
+    // adding a query without an oracle should be a DELIBERATE act:
+    // q_sketch's HLL/KLL state is engine-private by construction (its
+    // checkable counterparts are q_kmv / q_qsketch); everything else
+    // must carry a DuckDB mirror
+    val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(rowsOnly == Set("q_sketch"), s"undocumented rows-only queries: $rowsOnly")
+  }
+
   test("every query runs and yields a non-empty result at sf0.001") {
     SparkEntry.queries.foreach { case (name, fn) =>
       val n = fn(spark, sfDir).count()
