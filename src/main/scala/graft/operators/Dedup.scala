@@ -170,12 +170,33 @@ object Dedup {
     * buckets the new batch lands in, and no corpus-corpus pair is ever
     * scored. Emits (corpus_id, new_id, jaccard ≥ threshold); feed
     * new_ids into an anti-join to admit only novel documents. */
+  /** One-time MinHash signature index over a corpus — the text-dedup
+    * analog of [[Similarity.buildIvfIndex]]: sign the corpus ONCE,
+    * persist the result (`Catalog.writeChunked`, or bucketed by doc_id),
+    * and run every future batch through [[dedupAgainstIndex]] without
+    * ever re-reading corpus text. Schema: doc_id, mh0..mh{k-1}, ss. */
+  def buildMinhashIndex(corpus: DataFrame, n: Int = 3,
+      numHashes: Int = 64): DataFrame = signatures(corpus, n, numHashes)
+
+  /** [[dedupAgainst]] probing a PREBUILT signature index: the corpus
+    * text is never touched — only the new batch is signed. `n`,
+    * `numHashes`, and `bands` must match the index build. */
+  def dedupAgainstIndex(sigIndex: DataFrame, newDocs: DataFrame, n: Int = 3,
+      numHashes: Int = 64, bands: Int = 16, threshold: Double = 0.5,
+      maxBucket: Int = 0): DataFrame =
+    crossSetPairs(sigIndex, signatures(newDocs, n, numHashes),
+      numHashes, bands, threshold, maxBucket)
+
   def dedupAgainst(corpus: DataFrame, newDocs: DataFrame, n: Int = 3,
       numHashes: Int = 64, bands: Int = 16, threshold: Double = 0.5,
-      maxBucket: Int = 0): DataFrame = {
+      maxBucket: Int = 0): DataFrame =
+    crossSetPairs(signatures(corpus, n, numHashes),
+      signatures(newDocs, n, numHashes), numHashes, bands, threshold, maxBucket)
+
+  private def crossSetPairs(sigC: DataFrame, sigN: DataFrame,
+      numHashes: Int, bands: Int, threshold: Double,
+      maxBucket: Int): DataFrame = {
     val rowsPerBand = numHashes / bands
-    val sigC = signatures(corpus, n, numHashes)
-    val sigN = signatures(newDocs, n, numHashes)
     val bN = bandKeys(sigN, bands, rowsPerBand)
       .select(col("doc_id").as("new_id"), col("band"), col("bh"))
     // same safety valve as minhashLsh: a surviving dup cluster of B

@@ -64,6 +64,24 @@ object EventStream {
         KmvSketch.estimate(col("b"), k).as("approx_users"))
   }
 
+  /** Watermarked per-window value quantiles — the bottom-k sample as
+    * streaming aggregation state (see [[windowedDistinctUsers]]; same
+    * bounded-mergeable-buffer argument, so streaming output equals the
+    * batch sketch bit-for-bit). */
+  def windowedValueQuantiles(events: DataFrame,
+      watermarkDelay: String = "2 hours", k: Int = 256): DataFrame = {
+    import graft.functions.BottomKSample
+    import graft.functions.Exact.round6
+    import graft.operators.TextAnalysis.portableHash60
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(udaf(BottomKSample.BottomK(k)).apply(
+        portableHash60(col("event_id").cast("string")), col("value")).as("b"))
+      .select(col("window.start").as("hour_start"),
+        round6(BottomKSample.sampleQuantile(col("b"), 0.5)).as("p50_value"))
+  }
+
   /** Streaming exact dedup: drop duplicate event_ids within the
     * watermark horizon — the incremental twin of Dedup.exact. State is
     * one key per id, aged out once the watermark passes. */

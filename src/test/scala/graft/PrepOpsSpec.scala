@@ -108,6 +108,18 @@ class DedupAgainstSpec extends SparkSpec {
     assert((cross ++ within) == full)
     assert(cross.intersect(within).isEmpty)
   }
+
+  test("probing a prebuilt signature index equals the monolithic cross-set dedup") {
+    val docs = Tables.documents(spark, sfDir)
+    val even = docs.where($"doc_id" % 2 === 0)
+    val odd = docs.where($"doc_id" % 2 === 1)
+    val index = Dedup.buildMinhashIndex(even)
+    val viaIndex = Dedup.dedupAgainstIndex(index, odd)
+      .as[(Long, Long, Double)].collect().sortBy(r => (r._1, r._2)).toSeq
+    val monolithic = Dedup.dedupAgainst(even, odd)
+      .as[(Long, Long, Double)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(viaIndex == monolithic && viaIndex.nonEmpty)
+  }
 }
 
 class WeightedSampleSpec extends SparkSpec {

@@ -37,4 +37,32 @@ class StreamKmvSpec extends SparkSpec {
       assert(batched(hr) == est, s"window $hr: streamed $est vs batch ${batched(hr)}")
     }
   }
+
+  test("streaming windowed quantile equals the batch sketch bit-for-bit") {
+    val batch = Tables.events(spark, sfDir)
+    val srcDir = Files.createTempDirectory("graft-qs-src").toString
+    batch.write.mode("overwrite").parquet(srcDir)
+    val stream = spark.readStream.schema(batch.schema)
+      .option("maxFilesPerTrigger", 2).parquet(srcDir)
+    val q = EventStream.windowedValueQuantiles(stream)
+      .writeStream.format("memory").queryName("qs_out").outputMode("append")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("qs_out")
+      .as[(java.sql.Timestamp, Double)].collect().toMap
+    assert(streamed.nonEmpty)
+    val batched = {
+      import graft.functions.{BottomKSample, Exact}
+      import graft.operators.TextAnalysis.portableHash60
+      batch.groupBy(window(col("ts"), "1 hour"))
+        .agg(udaf(BottomKSample.BottomK(256)).apply(
+          portableHash60(col("event_id").cast("string")), col("value")).as("b"))
+        .select(col("window.start").as("hour_start"),
+          Exact.round6(BottomKSample.sampleQuantile(col("b"), 0.5)).as("p50_value"))
+        .as[(java.sql.Timestamp, Double)].collect().toMap
+    }
+    streamed.foreach { case (hr, est) =>
+      assert(batched(hr) == est, s"window $hr: streamed $est vs batch ${batched(hr)}")
+    }
+  }
 }
