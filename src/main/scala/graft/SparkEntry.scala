@@ -134,6 +134,7 @@ object SparkEntry {
     "t_redact" -> ((s, d) => TextAnalysis.redact(Tables.events(s, d), "event_id", "props")),
     "t_repetition" -> ((s, d) => TextAnalysis.repetition(Tables.documents(s, d))),
     "t_chunk" -> ((s, d) => TextAnalysis.chunk(Tables.documents(s, d))),
+    "t_bigram_lm" -> ((s, d) => TextAnalysis.bigramLm(Tables.documents(s, d))),
     "m_meta" -> ((s, d) => Multimodal.metaExtract(Tables.documents(s, d))),
     "q_salted_agg" -> ((s, d) =>
       Skew.saltedAgg(Tables.lineitem(s, d), "l_returnflag", "l_extendedprice")),
@@ -805,6 +806,18 @@ object SparkEntry {
     "p_sample" ->
       """SELECT doc_id, lang FROM documents
          WHERE substr(md5(CAST(doc_id AS VARCHAR) || ':sample:' || lang), 1, 1) < '4'""",
+    "t_bigram_lm" ->
+      """WITH tok AS (SELECT list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS w
+                      FROM documents),
+         bg AS (SELECT list_extract(w, i) AS w1, list_extract(w, i + 1) AS w2
+                FROM tok CROSS JOIN unnest(generate_series(1, len(w) - 1)) AS t(i)
+                WHERE len(w) >= 2),
+         pair AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS n12 FROM bg GROUP BY w1, w2),
+         head AS (SELECT w1, CAST(sum(n12) AS BIGINT) AS n1 FROM pair GROUP BY w1)
+         SELECT pair.w1, w2, n12, n1,
+                floor(CAST(n12 AS DOUBLE) / n1 * 1000000 + 0.5) / 1000000 AS p_cond
+         FROM pair JOIN head ON pair.w1 = head.w1
+         WHERE n12 >= 2""",
     // integer chunk count (n-16+47)//48; DuckDB list slice is inclusive
     // 1-based, Spark slice(start, length) — end = start+63 matches
     "t_chunk" ->

@@ -214,6 +214,30 @@ object TextAnalysis {
       .na.fill(0.0, Seq("top_2gram_frac"))
   }
 
+  /** Corpus bigram language-model estimation: P(w2 | w1) as exact count
+    * ratios — the statistical table behind fluency scoring and
+    * next-token baselines. Same shuffle shape as [[tfidf]] (counts
+    * only ride the exchanges); the probability is one exact division
+    * (linear, no log — ln's last ulp differs across engines). */
+  def bigramLm(docs: DataFrame, minCount: Long = 2): DataFrame = {
+    import graft.functions.Exact.round6
+    val bigrams = docs
+      .select(tokens(col("text")).as("w"))
+      .where(size(col("w")) >= 2)
+      .select(col("w"), explode(sequence(lit(1), size(col("w")) - 1)).as("i"))
+      .select(element_at(col("w"), col("i")).as("w1"),
+        element_at(col("w"), col("i") + 1).as("w2"))
+    val pair = bigrams.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n12"))
+    // P(w2|w1) denominator: occurrences of w1 AS A BIGRAM HEAD, i.e. the
+    // sum of n12 over w2 — derivable from the pair counts, no second
+    // corpus scan
+    val head = pair.groupBy(col("w1")).agg(sum(col("n12")).as("n1"))
+    pair.join(head, "w1")
+      .where(col("n12") >= minCount)
+      .select(col("w1"), col("w2"), col("n12"), col("n1"),
+        round6(col("n12").cast("double") / col("n1")).as("p_cond"))
+  }
+
   /** Fixed-size token chunking with overlap — the long-document
     * splitter feeding a fixed-context trainer (stride = size −
     * overlap; a chunk starts only if it contributes unseen tokens).
