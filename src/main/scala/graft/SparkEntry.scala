@@ -61,6 +61,7 @@ object SparkEntry {
     "q17_small_qty" -> ((s, d) => Analytics.smallQuantityOrders(Tables.lineitem(s, d))),
     "q_pivot" -> ((s, d) => Analytics.eventTypePivot(Tables.events(s, d))),
     "q_unpivot" -> ((s, d) => Analytics.eventTypeUnpivot(Tables.events(s, d))),
+    "q_running_total" -> ((s, d) => Analytics.runningRevenue(Tables.orders(s, d))),
     "q_moving_avg" -> ((s, d) => Analytics.movingAvgDailyRevenue(Tables.orders(s, d))),
     // bounded-buffer top-k aggregate: O(groups·k) shuffle, vs the window
     // route's O(rows) — exploded to rows so DuckDB can verify the values
@@ -806,6 +807,12 @@ object SparkEntry {
     "p_sample" ->
       """SELECT doc_id, lang FROM documents
          WHERE substr(md5(CAST(doc_id AS VARCHAR) || ':sample:' || lang), 1, 1) < '4'""",
+    "q_running_total" ->
+      """SELECT o_custkey, o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS day,
+                CAST(sum(CAST(round((o_totalprice) * 100) AS BIGINT))
+                     OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                           ROWS UNBOUNDED PRECEDING) AS DOUBLE) / 100.0 AS running_rev
+         FROM orders""",
     "t_bigram_lm" ->
       """WITH tok AS (SELECT list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS w
                       FROM documents),

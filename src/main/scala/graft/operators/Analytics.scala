@@ -312,6 +312,22 @@ object Analytics {
       .agg(count(lit(1)))
       .na.fill(0L)
 
+  /** Running total: cumulative revenue per customer in order-date order
+    * — the canonical growing-frame window. Integer-cents accumulation
+    * (an exact prefix of longs), divided once per row, so every prefix
+    * is engine-identical; ties broken by order key for a total order. */
+  def runningRevenue(orders: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.Exact.cents
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    orders.select(col("o_custkey"), col("o_orderkey"),
+      date_format(col("o_orderdate"), "yyyy-MM-dd").as("day"),
+      (sum(cents(col("o_totalprice"))).over(w).cast("double") / 100.0)
+        .as("running_rev"))
+  }
+
   /** Unpivot (melt): the wide per-user event-count table back to long
     * (user, event_type, cnt) rows — zero-count cells included, which is
     * what distinguishes melt from a plain groupBy. Spark's native
