@@ -100,6 +100,8 @@ object SparkEntry {
     "d_dedup_pipeline" -> ((s, d) => Dedup.nearDupPipeline(Tables.documents(s, d))),
     "d_components" -> ((s, d) =>
       Dedup.connectedComponents(Dedup.ngramJaccard(Tables.documents(s, d), 3, 0.5))),
+    "d_cluster_sizes" -> ((s, d) =>
+      Dedup.clusterSizes(Dedup.ngramJaccard(Tables.documents(s, d), 3, 0.5))),
     // the full corpus-prep composition end-to-end: signals → quality/lang
     // filter → exact dedup → LSH near-dup → transitive resolution →
     // decontamination → split
@@ -445,6 +447,30 @@ object SparkEntry {
                    UNION
                    SELECT reach.id, edges.dst FROM reach JOIN edges ON reach.r = edges.src)
          SELECT id, min(r) AS component FROM reach GROUP BY id""",
+    // same recursive closure, rolled up to the cluster-size histogram
+    "d_cluster_sizes" ->
+      """WITH RECURSIVE tok AS (SELECT doc_id,
+             list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS w FROM documents),
+         sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+                FROM tok CROSS JOIN unnest(generate_series(1, len(w) - 2)) AS t(i)
+                WHERE len(w) >= 3),
+         sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+         inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+                   FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2),
+         pairs AS (SELECT id_a, id_b
+                   FROM inter JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
+                   WHERE CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter) >= 0.5),
+         edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                   UNION ALL SELECT id_b, id_a FROM pairs),
+         reach AS (SELECT src AS id, src AS r FROM edges
+                   UNION
+                   SELECT reach.id, edges.dst FROM reach JOIN edges ON reach.r = edges.src),
+         comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+         cs AS (SELECT component, CAST(count(*) AS BIGINT) AS sz FROM comp GROUP BY component)
+         SELECT sz, CAST(count(*) AS BIGINT) AS n_clusters,
+                CAST(sum(sz) - count(*) AS BIGINT) AS docs_removed
+         FROM cs GROUP BY sz""",
     // minhash-LSH verifies candidates with exact Jaccard; on this corpus
     // (planted near-dups at j≈0.98, 16 bands × 4 rows) it finds exactly
     // the exact-Jaccard pair set, so the same oracle applies.

@@ -229,6 +229,17 @@ object Dedup {
         graft.functions.Exact.round6(col("jaccard")).as("jaccard"))
   }
 
+  /** Dup-cluster size distribution — the audit view of a dedup run:
+    * how many clusters of each size exist and how many docs each size
+    * class would remove. Input is any pair set; components are resolved
+    * first, so chains count as ONE cluster. O(paired docs) throughout. */
+  def clusterSizes(pairs: DataFrame): DataFrame =
+    connectedComponents(pairs)
+      .groupBy(col("component")).agg(count(lit(1)).as("sz"))
+      .groupBy(col("sz")).agg(
+        count(lit(1)).as("n_clusters"),
+        (sum(col("sz")) - count(lit(1))).as("docs_removed"))
+
   /** Apply a near-dup pair set to a corpus: keep one representative per
     * connected pair (drop every doc that appears as the GREATER id of a
     * pair — with `id_a < id_b` emitted by every dedup operator here, the
