@@ -81,7 +81,12 @@ case class NearestCells(children: Seq[Expression]) extends Expression {
       var dot = 0.0
       var j = 0
       while (j < m) { dot += v(j) * cv(j); j += 1 }
-      val sim = dot / (vNorm * centNorms(c))
+      // zero-norm vector or centroid: cosine is undefined; use -1.0
+      // (a finite floor) so insertion still runs and such vectors land
+      // deterministically in the smallest-id cells instead of the
+      // Long.MaxValue sentinel a NaN comparison chain would leave
+      val den = vNorm * centNorms(c)
+      val sim = if (den == 0.0) -1.0 else dot / den
       val id = ids(c)
       // insertion position: strictly better sim, or equal sim + smaller id
       var at = n

@@ -346,7 +346,15 @@ object Analytics {
     * parallel). ROWS-frame semantics are preserved exactly — a carry row
     * is the previous 6 ROWS regardless of calendar gaps — and carry rows
     * are dropped from the output after feeding their frames. Sums stay
-    * in integer cents inside the frame so the average is engine-exact. */
+    * in integer cents inside the frame so the average is engine-exact.
+    *
+    * Carry selection is exact for ANY year distribution (empty calendar
+    * years, years with fewer than 6 days): the candidate set is each
+    * year's last ≤6 rows — the global previous-6 of any year is always
+    * contained in that union — and each target year picks its true
+    * previous 6 from all EARLIER candidates, not just `yr-1`. The
+    * candidate table is ≤ 6·#years rows, so the year×candidate join
+    * broadcasts and every window stays partitioned. */
   def movingAvgDailyRevenue(orders: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import graft.functions.Exact.cents
@@ -355,10 +363,20 @@ object Analytics {
       .agg(sum(cents(col("o_totalprice"))).as("cents"))
       .withColumn("yr", year(col("day")))
     val tail6 = Window.partitionBy(col("yr")).orderBy(col("day").desc)
-    val carry = daily
+    // last ≤6 rows of every year — the only rows that can ever be part
+    // of a later year's previous-6 frame prefix
+    val tails = daily
       .withColumn("rnd", row_number().over(tail6))
       .where(col("rnd") <= 6).drop("rnd")
-      .withColumn("yr", col("yr") + 1)
+    val years = daily.select(col("yr").as("tgt")).distinct()
+    // for each present year: the 6 most recent candidate rows strictly
+    // before it (candidates are tiny → broadcast; window is per-target)
+    val perTarget = Window.partitionBy(col("tgt")).orderBy(col("day").desc)
+    val carry = years
+      .join(broadcast(tails.withColumnRenamed("yr", "src")), col("src") < col("tgt"))
+      .withColumn("rnd", row_number().over(perTarget))
+      .where(col("rnd") <= 6)
+      .select(col("day"), col("cents"), col("tgt").as("yr"))
       .withColumn("is_carry", lit(true))
     val stitched = daily.withColumn("is_carry", lit(false)).unionByName(carry)
     val w = Window.partitionBy(col("yr")).orderBy(col("day")).rowsBetween(-6, Window.currentRow)

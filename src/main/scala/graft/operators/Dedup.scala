@@ -197,22 +197,22 @@ object Dedup {
       numHashes: Int, bands: Int, threshold: Double,
       maxBucket: Int): DataFrame = {
     val rowsPerBand = numHashes / bands
-    val bN = bandKeys(sigN, bands, rowsPerBand)
-      .select(col("doc_id").as("new_id"), col("band"), col("bh"))
     // same safety valve as minhashLsh: a surviving dup cluster of B
     // corpus docs × b matching batch docs is a B·b candidate blow-up
-    // per band without the cap
-    val bCAll = bandKeys(sigC, bands, rowsPerBand)
-    val bC =
-      if (maxBucket <= 0) bCAll
+    // per band without the cap — applied to BOTH sides, because a dup
+    // cluster concentrated in the new batch blows up just the same
+    def capBuckets(bk: DataFrame): DataFrame =
+      if (maxBucket <= 0) bk
       else {
         import org.apache.spark.sql.expressions.Window
-        bCAll
-          .withColumn("bsz",
+        bk.withColumn("bsz",
             count(lit(1)).over(Window.partitionBy(col("band"), col("bh"))))
           .where(col("bsz") <= maxBucket)
           .drop("bsz")
       }
+    val bN = capBuckets(bandKeys(sigN, bands, rowsPerBand))
+      .select(col("doc_id").as("new_id"), col("band"), col("bh"))
+    val bC = capBuckets(bandKeys(sigC, bands, rowsPerBand))
     val candidates = bC
       .join(bN, Seq("band", "bh"))
       .select(col("doc_id").as("corpus_id"), col("new_id")).distinct()
@@ -456,7 +456,11 @@ object Dedup {
     * price that makes 100 TB feasible). */
   def embeddingDedup(embeddings: DataFrame, threshold: Double = 0.4,
       exactMaxRows: Long = 10000): DataFrame = {
-    val probe = embeddings.select(col("vec_id")).limit((exactMaxRows + 1).toInt).count()
+    // clamp: exactMaxRows near/above Int.MaxValue must not wrap the
+    // limit() argument negative; a threshold that high means the caller
+    // explicitly wants the exact path regardless
+    val probeCap = math.min(exactMaxRows, (Int.MaxValue - 1).toLong).toInt + 1
+    val probe = embeddings.select(col("vec_id")).limit(probeCap).count()
     if (probe <= exactMaxRows) embeddingNearDup(embeddings, threshold)
     else {
       // full count only on the scale path (parquet counts are footer

@@ -14,16 +14,27 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
-  /** Salted inner equi-join: the left (large, skewed) side gets a random-
-    * but-deterministic salt derived from row content; the right side is
+  /** The spreading salt: derived from row POSITION (partition id ×
+    * per-partition counter via monotonically_increasing_id), never row
+    * content. A content hash looks natural but defeats the whole point
+    * on the commonest hot-key shape — fully identical duplicate rows
+    * all hash to ONE salt and still funnel into a single reducer. The
+    * position salt cycles 0..saltFactor-1 within every partition, so
+    * even a partition of identical rows spreads evenly. Results never
+    * depend on salt values (they're aggregated away / joined against a
+    * fully-replicated side), so nondeterminism across runs is fine. */
+  private[graft] def saltColumn(saltFactor: Int) =
+    pmod(monotonically_increasing_id(), lit(saltFactor.toLong))
+
+  /** Salted inner equi-join: the left (large, skewed) side gets a
+    * position-derived salt ([[saltColumn]]); the right side is
     * replicated `saltFactor` ways so every (key, salt) bucket finds its
     * match. Hot keys spread over `saltFactor` reducers at the cost of
     * replicating the right side — use when right is small-ish but too big
     * to broadcast. */
   def saltedJoin(left: DataFrame, right: DataFrame, key: String,
       saltFactor: Int): DataFrame = {
-    val salted = left.withColumn("__salt",
-      pmod(xxhash64(struct(left.columns.map(col).toSeq: _*)), lit(saltFactor)))
+    val salted = left.withColumn("__salt", saltColumn(saltFactor))
     val replicated = right
       .withColumn("__salt", explode(sequence(lit(0L), lit(saltFactor - 1L))))
     salted
@@ -43,8 +54,7 @@ object Skew {
   def saltedAgg(df: DataFrame, key: String, valueCol: String,
       saltFactor: Int = 8): DataFrame = {
     import graft.functions.Exact.cents
-    df.withColumn("__salt",
-        pmod(xxhash64(struct(df.columns.map(col).toSeq: _*)), lit(saltFactor)))
+    df.withColumn("__salt", saltColumn(saltFactor))
       .groupBy(col(key), col("__salt"))
       .agg(count(lit(1)).as("pc"), sum(cents(col(valueCol))).as("ps"))
       .groupBy(col(key))

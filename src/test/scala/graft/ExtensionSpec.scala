@@ -64,6 +64,24 @@ class NearestCellsSpec extends SparkSpec {
     assert(out(3L) == Seq(30L, 10L))
   }
 
+  test("zero-norm vectors land deterministically in the smallest-id cells, never the sentinel") {
+    // cosine is undefined at norm 0: the guard floors sim at -1.0 so
+    // the insertion loop still runs — without it every comparison is
+    // false (NaN) and the Long.MaxValue sentinel leaks out
+    val df = Seq((1L, Seq(0.0, 0.0, 0.0))).toDF("vec_id", "v")
+    val out = df.select(nearestCells($"v", ids, cents, 2).as("c"))
+      .as[Seq[Long]].head()
+    assert(out == Seq(10L, 20L))
+  }
+
+  test("a zero-norm centroid ranks below every real match") {
+    val zc = Array(Array(1.0, 0.0, 0.0), Array(0.0, 0.0, 0.0))
+    val zids = Array(5L, 1L)
+    val out = Seq((1L, Seq(1.0, 0.2, 0.0))).toDF("vec_id", "v")
+      .select(nearestCells($"v", zids, zc, 2).as("c")).as[Seq[Long]].head()
+    assert(out == Seq(5L, 1L))
+  }
+
   test("nearest_cells matches per-row brute force on real embeddings") {
     val e = Tables.embeddings(spark, sfDir)
       .select($"vec_id", graft.functions.VectorFunctions.toDouble($"embedding").as("v"))

@@ -67,6 +67,30 @@ class AnalyticsSpec extends SparkSpec {
     val out = Analytics.rollupSummary(Tables.lineitem(spark, sfDir))
     assert(out.where($"returnflag" === "ALL" && $"linestatus" === "ALL").count() == 1)
   }
+
+  test("movingAvg ROWS frame survives empty years and short years") {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.Exact.cents
+    // 1994: 5 days; 1995: only 3 days (shorter than the frame, so
+    // 1997's first frames must reach back THROUGH 1995 into 1994);
+    // 1996: empty; 1997: 10 days
+    val days =
+      (1 to 5).map(d => (f"1994-06-0$d", 100.0 + d)) ++
+      (1 to 3).map(d => (f"1995-03-0$d", 200.0 + d)) ++
+      (1 to 10).map(d => (f"1997-01-$d%02d", 300.0 + d))
+    val orders = days.toDF("o_orderdate", "o_totalprice")
+    val got = Analytics.movingAvgDailyRevenue(orders)
+      .select($"day", $"mov_avg7").as[(String, Double)].collect().toMap
+    // reference: the plain unpartitioned ROWS window (fine on 18 rows)
+    val daily = orders.groupBy(to_date($"o_orderdate").as("day"))
+      .agg(sum(cents($"o_totalprice")).as("cents"))
+    val w = Window.orderBy($"day").rowsBetween(-6, Window.currentRow)
+    val want = daily.select(date_format($"day", "yyyy-MM-dd").as("day"),
+        (sum($"cents").over(w).cast("double") / 100.0 /
+          count(lit(1)).over(w)).as("mov_avg7"))
+      .as[(String, Double)].collect().toMap
+    assert(got == want)
+  }
 }
 
 class EventsSpec extends SparkSpec {

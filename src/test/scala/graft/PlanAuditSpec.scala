@@ -25,9 +25,11 @@ class PlanAuditSpec extends SparkSpec {
     //  - d_dedup_embed: the documented O(n²) exact baseline;
     //    Dedup.embeddingDedup routes to semanticDedup above the size
     //    threshold so this plan is unreachable by default at scale
+    //  - q_moving_avg: the year→carry-candidate range join — the
+    //    broadcast side is the per-year tail table (≤ 6·#years rows)
     // anywhere else it means an equi-join lost its keys
     val allowed = Set("t_tfidf", "p_wsample", "d_corpus_prep",
-      "s_ann_brute", "d_dedup_embed")
+      "s_ann_brute", "d_dedup_embed", "q_moving_avg")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val plan = fn(spark, sfDir).queryExecution.sparkPlan.toString
       if (plan.contains("BroadcastNestedLoopJoin") && !allowed(name)) Some(name) else None

@@ -109,6 +109,18 @@ class DedupAgainstSpec extends SparkSpec {
     assert(cross.intersect(within).isEmpty)
   }
 
+  test("maxBucket caps hot buckets on BOTH sides of a cross-set dedup") {
+    // a dup cluster concentrated in the NEW batch: every new-side band
+    // bucket holds 50 rows. With maxBucket=10 the cap must drop them
+    // (previously only the corpus side was capped → 50 candidates
+    // slipped through); uncapped, all 50 exact-dup pairs surface.
+    val text = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val corpus = Seq((0L, text)).toDF("doc_id", "text")
+    val batch = (1L to 50L).map(i => (i, text)).toDF("doc_id", "text")
+    assert(Dedup.dedupAgainst(corpus, batch, maxBucket = 10).count() == 0)
+    assert(Dedup.dedupAgainst(corpus, batch).count() == 50)
+  }
+
   test("probing a prebuilt signature index equals the monolithic cross-set dedup") {
     val docs = Tables.documents(spark, sfDir)
     val even = docs.where($"doc_id" % 2 === 0)

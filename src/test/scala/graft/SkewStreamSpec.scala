@@ -18,6 +18,21 @@ class SkewSpec extends SparkSpec {
     assert(salted.agg(sum($"l_quantity")).as[Double].head() ==
       plain.agg(sum($"l_quantity")).as[Double].head())
   }
+
+  test("saltColumn spreads fully identical duplicate rows across salts") {
+    // the commonest hot-key shape: a partition full of IDENTICAL rows.
+    // A content-hash salt maps them all to one salt (defeating the
+    // spread); the position salt must not.
+    val dups = spark.range(1000)
+      .select(lit("hot").as("k"), lit(1.0).as("v")).repartition(4)
+    val nSalts = dups.withColumn("s", Skew.saltColumn(8))
+      .select($"s").distinct().count()
+    assert(nSalts > 1, "identical rows funneled into a single salt")
+    // and the salted aggregate still equals the plain one exactly
+    val out = Skew.saltedAgg(dups, "k", "v").collect().head
+    assert(out.getAs[Long]("cnt") == 1000L)
+    assert(out.getAs[Double]("sum_value") == 1000.0)
+  }
 }
 
 class SketchSpec extends SparkSpec {
