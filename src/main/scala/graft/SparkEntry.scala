@@ -63,6 +63,12 @@ object SparkEntry {
     "q_unpivot" -> ((s, d) => Analytics.eventTypeUnpivot(Tables.events(s, d))),
     "q_running_total" -> ((s, d) => Analytics.runningRevenue(Tables.orders(s, d))),
     "q_moving_avg" -> ((s, d) => Analytics.movingAvgDailyRevenue(Tables.orders(s, d))),
+    "q4_exists" -> ((s, d) =>
+      Analytics.latePriorityCounts(Tables.orders(s, d), Tables.lineitem(s, d))),
+    "q13_custdist" -> ((s, d) =>
+      Analytics.custDist(Tables.customer(s, d), Tables.orders(s, d))),
+    "q22_idle" -> ((s, d) =>
+      Analytics.idleRichCustomers(Tables.customer(s, d), Tables.orders(s, d))),
     // bounded-buffer top-k aggregate: O(groups·k) shuffle, vs the window
     // route's O(rows) — exploded to rows so DuckDB can verify the values
     "q_topk_agg" -> ((s, d) => {
@@ -83,6 +89,8 @@ object SparkEntry {
     "e_range_join" -> ((s, d) => Events.purchaseViewsWithin(Tables.events(s, d))),
     "e_json" -> ((s, d) => Events.propsHistogram(Tables.events(s, d))),
     "e_interval_join" -> ((s, d) => Events.maintenanceWindowCounts(Tables.events(s, d))),
+    "e_funnel" -> ((s, d) => Events.funnel(Tables.events(s, d))),
+    "e_retention" -> ((s, d) => Events.retention(Tables.events(s, d))),
     // D. LLM-training-data pipeline
     "d_dedup_exact" -> ((s, d) => Dedup.exact(Tables.documents(s, d))),
     "d_dedup_ngram" -> ((s, d) => Dedup.ngramJaccard(Tables.documents(s, d), 3, 0.5)),
@@ -138,6 +146,19 @@ object SparkEntry {
     "t_repetition" -> ((s, d) => TextAnalysis.repetition(Tables.documents(s, d))),
     "t_chunk" -> ((s, d) => TextAnalysis.chunk(Tables.documents(s, d))),
     "t_bigram_lm" -> ((s, d) => TextAnalysis.bigramLm(Tables.documents(s, d))),
+    "d_lm_score" -> ((s, d) => TextAnalysis.lmScore(Tables.documents(s, d))),
+    "d_span_dedup" -> ((s, d) => Dedup.spanDedup(Tables.documents(s, d))),
+    "p_mix" -> ((s, d) => Sampling.mixtureSample(Tables.documents(s, d),
+      Map("src0" -> 0.1, "src1" -> 0.25, "src2" -> 0.5, "src3" -> 0.75), defaultRate = 0.9)),
+    // MERGE/upsert: a simulated edit batch (every 7th doc, re-measured
+    // n_chars) replaces its corpus rows; everything else passes through
+    "fs_upsert" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val base = Tables.documents(s, d).select(col("doc_id"), col("source"), col("n_chars"))
+      val updates = base.where(col("doc_id") % 7 === 0)
+        .withColumn("n_chars", col("n_chars") + 1000L)
+      graft.sources.Catalog.upsert(base, updates, "doc_id")
+    }),
     "m_meta" -> ((s, d) => Multimodal.metaExtract(Tables.documents(s, d))),
     "q_salted_agg" -> ((s, d) =>
       Skew.saltedAgg(Tables.lineitem(s, d), "l_returnflag", "l_extendedprice")),
@@ -1008,6 +1029,90 @@ object SparkEntry {
         s"(((l_suppkey >> $i) & 1) << ${2 * i + 1})")).mkString(" + ")
       s"SELECT l_orderkey, l_linenumber, CAST($terms AS BIGINT) AS z FROM lineitem"
     },
+    // strict-sequence funnel: each stage's min is taken only over events
+    // strictly after the previous stage's min
+    "e_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS tsu FROM events),
+         s1 AS (SELECT user_id, min(tsu) AS t1 FROM e WHERE event_type = 'view' GROUP BY 1),
+         s2 AS (SELECT e.user_id, min(tsu) AS t2 FROM e JOIN s1 USING (user_id)
+                WHERE event_type = 'click' AND tsu > t1 GROUP BY 1),
+         s3 AS (SELECT e.user_id, min(tsu) AS t3 FROM e JOIN s2 USING (user_id)
+                WHERE event_type = 'purchase' AND tsu > t2 GROUP BY 1)
+         SELECT s1.user_id, t1 AS first_view, t2 AS first_click, t3 AS first_purchase
+         FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)""",
+    "e_retention" ->
+      """WITH a AS (SELECT DISTINCT user_id, epoch_us(ts) // 604800000000 AS wk FROM events),
+         c AS (SELECT user_id, min(wk) AS cw FROM a GROUP BY 1)
+         SELECT cw AS cohort_week, wk - cw AS week_offset, count(*) AS n_users
+         FROM a JOIN c USING (user_id) GROUP BY 1, 2""",
+    "q4_exists" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+         FROM orders o
+         WHERE EXISTS (SELECT 1 FROM lineitem l
+                       WHERE l.l_orderkey = o.o_orderkey
+                         AND epoch_us(l.l_shipdate) > epoch_us(o.o_orderdate) + 2592000000000)
+         GROUP BY 1""",
+    "q13_custdist" ->
+      """SELECT c_count, count(*) AS custdist FROM (
+           SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+           FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+           GROUP BY 1)
+         GROUP BY 1""",
+    // the above-average threshold is cross-multiplied in integer cents
+    // on both engines, so no double average is ever compared
+    "q22_idle" ->
+      """WITH pos AS (SELECT sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS pos_cents,
+                             count(*) AS pos_n
+                      FROM customer WHERE c_acctbal > 0)
+         SELECT c_nationkey, count(*) AS numcust,
+                CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS totacctbal
+         FROM customer, pos
+         WHERE CAST(round(c_acctbal * 100) AS BIGINT) * pos_n > pos_cents
+           AND NOT EXISTS (SELECT 1 FROM orders
+                           WHERE o_custkey = c_custkey
+                             AND o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
+         GROUP BY 1""",
+    // span-level dedup: first occurrence = min packed (doc_id, span_id)
+    "d_span_dedup" ->
+      """WITH tok AS (SELECT doc_id,
+             list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS w FROM documents),
+         t AS (SELECT doc_id, w, len(w) AS n FROM tok WHERE len(w) > 0),
+         s AS (SELECT doc_id, w, unnest(generate_series(0, (n + 7) // 8 - 1)) AS span_id FROM t),
+         h AS (SELECT doc_id, span_id, doc_id * 1000000 + span_id AS ord,
+                      CAST('0x' || substr(md5(array_to_string(w[(span_id * 8 + 1):(span_id * 8 + 8)], ' ')), 1, 15) AS BIGINT) AS hsh
+               FROM s),
+         f AS (SELECT hsh, min(ord) AS first_ord FROM h GROUP BY 1)
+         SELECT doc_id, count(*) AS n_spans,
+                CAST(sum(CASE WHEN ord <> first_ord THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans,
+                floor(CAST(sum(CASE WHEN ord <> first_ord THEN 1 ELSE 0 END) AS DOUBLE)
+                      / count(*) * 1000000 + 0.5) / 1000000 AS dup_frac
+         FROM h JOIN f USING (hsh) GROUP BY 1""",
+    // LM fluency score: scaled-integer probability sums (see lmScore)
+    "d_lm_score" ->
+      """WITH tok AS (SELECT doc_id,
+             list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS w FROM documents),
+         bi AS (SELECT doc_id, w[i] AS w1, w[i + 1] AS w2
+                FROM tok CROSS JOIN unnest(generate_series(1, len(w) - 1)) AS t(i)
+                WHERE len(w) >= 2),
+         pair AS (SELECT w1, w2, count(*) AS n12 FROM bi GROUP BY 1, 2),
+         head AS (SELECT w1, CAST(sum(n12) AS BIGINT) AS n1 FROM pair GROUP BY 1),
+         lm AS (SELECT w1, w2, (n12 * 1000000) // n1 AS p_scaled
+                FROM pair JOIN head USING (w1) WHERE n12 >= 2)
+         SELECT doc_id, count(*) AS n_bigrams,
+                floor(CAST(sum(coalesce(p_scaled, 0)) AS DOUBLE) / 1000000.0
+                      / count(*) * 1000000 + 0.5) / 1000000 AS lm_score
+         FROM bi LEFT JOIN lm USING (w1, w2) GROUP BY 1""",
+    "p_mix" ->
+      """SELECT doc_id, source FROM documents
+         WHERE CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':mix'), 1, 15) AS BIGINT) AS DOUBLE)
+               / 1152921504606846976.0
+               < CASE source WHEN 'src0' THEN 0.1 WHEN 'src1' THEN 0.25
+                             WHEN 'src2' THEN 0.5 WHEN 'src3' THEN 0.75 ELSE 0.9 END""",
+    "fs_upsert" ->
+      """SELECT doc_id, source, n_chars + 1000 AS n_chars
+         FROM documents WHERE doc_id % 7 = 0
+         UNION ALL
+         SELECT doc_id, source, n_chars FROM documents WHERE doc_id % 7 <> 0""",
   )
 
   /** Shared by d_dedup_ngram and d_dedup_minhash (see note above). */

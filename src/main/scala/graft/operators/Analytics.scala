@@ -397,4 +397,68 @@ object Analytics {
       .groupBy(col("o_custkey"))
       .agg(count(lit(1)).as("order_cnt"), moneySum(col("o_totalprice")).as("total_spent"))
       .where(col("order_cnt") > minOrders)
+
+  /** EXISTS-subquery shape (TPC-H Q4): orders counted by priority when
+    * at least one of their lineitems shipped more than `lateDays` after
+    * the order date. The EXISTS decorrelates to a LEFT-SEMI hash join
+    * on the order key (the date predicate rides the join as a
+    * co-partitioned filter, µs-integer comparison) — per order the semi
+    * join emits at most one row, so the aggregate input is bounded by
+    * the order count at any scale. */
+  def latePriorityCounts(orders: DataFrame, lineitem: DataFrame,
+      lateDays: Int = 30): DataFrame = {
+    val lateUs = lateDays * 86400000000L
+    // date columns are parquet TIMESTAMP_NTZ; unix_micros needs an
+    // instant — the NTZ→LTZ cast interprets the wall clock in the
+    // session zone (pinned UTC), exactly DuckDB's epoch_us on a naive
+    // timestamp
+    val li = lineitem.select(col("l_orderkey"),
+      unix_micros(col("l_shipdate").cast("timestamp_ltz")).as("ship_us"))
+    orders
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        unix_micros(col("o_orderdate").cast("timestamp_ltz")).as("order_us"))
+      .join(li, col("l_orderkey") === col("o_orderkey") &&
+        col("ship_us") > col("order_us") + lit(lateUs), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+  }
+
+  /** Customer-order-count distribution (TPC-H Q13): how many customers
+    * placed exactly k orders, INCLUDING k=0 (the left outer join is the
+    * point — an inner join silently drops the idle majority). Two
+    * aggregates: per-customer counts (shuffle on custkey), then the
+    * tiny distribution rollup. */
+  def custDist(customer: DataFrame, orders: DataFrame): DataFrame =
+    customer.select(col("c_custkey"))
+      .join(orders.select(col("o_custkey").as("c_custkey"), col("o_orderkey")),
+        Seq("c_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+
+  /** Scalar-subquery + anti-join shape (TPC-H Q22): per-nation count
+    * and total balance of customers whose balance is strictly above the
+    * average positive balance and who placed no order since `cutoff`
+    * (lapsed high-value accounts). The average is never materialized as
+    * a double: the comparison is cross-multiplied in integer cents
+    * (bal·n > Σbal) so the threshold is engine-exact. The 1-row
+    * aggregate broadcasts; the anti join is a hash join on custkey with
+    * the date filter pushed into the orders scan. */
+  def idleRichCustomers(customer: DataFrame, orders: DataFrame,
+      cutoff: String = "1999-01-01 00:00:00"): DataFrame = {
+    val posStats = customer.where(col("c_acctbal") > 0)
+      .agg(sum(cents(col("c_acctbal"))).as("pos_cents"),
+        count(lit(1)).as("pos_n"))
+    val recent = orders
+      .where(col("o_orderdate") >= lit(cutoff).cast("timestamp_ntz"))
+      .select(col("o_custkey").as("c_custkey"))
+    customer
+      .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"))
+      .crossJoin(broadcast(posStats))
+      .where(cents(col("c_acctbal")) * col("pos_n") > col("pos_cents"))
+      .join(recent, Seq("c_custkey"), "left_anti")
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("numcust"), moneySum(col("c_acctbal")).as("totacctbal"))
+  }
 }

@@ -102,9 +102,11 @@ object CorpusPipeline {
 
     note("input", docs)
     val scored = signals(docs)
+    // pin the signal scan: it feeds BOTH sides of the exact-dedup join
+    // (the keeper aggregate and the probe), so unpinned it runs twice
     val filtered = note("after_quality_lang",
-      scored.where(col("quality_score") >= cfg.minQuality &&
-        (if (cfg.langs.isEmpty) lit(true) else col("pred_lang").isin(cfg.langs.toSeq: _*))))
+      pin(scored.where(col("quality_score") >= cfg.minQuality &&
+        (if (cfg.langs.isEmpty) lit(true) else col("pred_lang").isin(cfg.langs.toSeq: _*)))))
 
     // dedup ladder: exact keepers first (clone clusters would turn LSH
     // buckets quadratic), then near-dup pairs over keepers, then

@@ -266,7 +266,14 @@ object Dedup {
     * truncated every round (localCheckpoint) — without it the plan tree
     * doubles per iteration. Edge/label state is O(pairs), never the
     * corpus; this is the published large-scale CC recipe (hash-to-min,
-    * cf. Rastogi et al. 2013) expressed as DataFrame joins. */
+    * cf. Rastogi et al. 2013) expressed as DataFrame joins.
+    *
+    * Below `localMaxPairs` the components are resolved by a driver-side
+    * union-find instead (one collect of the already-checkpointed edge
+    * list — two longs per edge, never text): the dup graph is
+    * O(duplicates), vastly smaller than the corpus, and for the common
+    * case the iterative loop's per-round jobs cost more than the whole
+    * graph. Same ladder shape as [[embeddingDedup]]. */
   /** Release the blocks behind a localCheckpoint'd dataset. Checkpointed
     * RDDs are NOT tracked by the CacheManager, so `clearCache()` never
     * frees them — an iterative operator that checkpoints per round MUST
@@ -279,10 +286,52 @@ object Dedup {
       case _ =>
     }
 
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 25,
+      localMaxPairs: Long = 1000000L): DataFrame = {
+    // symmetric expansion via explode, NOT unionAll of two selects: a
+    // union executes the (potentially expensive — minhashLsh) pair DAG
+    // twice inside the one checkpoint job; the explode reads it once
+    val edges = pairs
+      .select(explode(array(
+        struct(col("id_a").as("src"), col("id_b").as("dst")),
+        struct(col("id_b").as("src"), col("id_a").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .localCheckpoint(true)
+
+    // SIZE-ROUTED, like the exact→LSH and exact→semantic ladders: the
+    // dup-pair GRAPH is orders of magnitude smaller than the corpus
+    // (it is O(duplicates), carries two longs per edge, and is already
+    // materialized by the checkpoint — the count is free). Below
+    // `localMaxPairs` (~16 MB of edges) a driver-side union-find
+    // resolves components in one collect + O(p·α) instead of
+    // 2·log₂(chain) distributed jobs — this is NOT a corpus collect,
+    // and the distributed loop below remains the path for genuinely
+    // huge dup graphs.
+    val nEdges = edges.count()
+    if (nEdges <= 2 * localMaxPairs) {
+      val spark = pairs.sparkSession
+      import spark.implicits._
+      val parent = scala.collection.mutable.LongMap.empty[Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x // path compression
+        while (parent.getOrElse(c, c) != r) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      val es = edges.select(col("src"), col("dst")).as[(Long, Long)].collect()
+      releaseCheckpoint(edges)
+      es.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        // attach the larger root under the smaller → a root can only
+        // ever decrease, so each set's final root IS its minimum id
+        if (ra < rb) parent(rb) = ra else if (rb < ra) parent(ra) = rb
+      }
+      val ids = es.iterator.map(_._1).toArray.distinct // symmetric: src covers all nodes
+      return spark.createDataset(ids.toSeq.map(id => (id, find(id))))
+        .toDF("id", "component")
+    }
+
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
       .localCheckpoint(true)
@@ -469,5 +518,44 @@ object Dedup {
       Similarity.semanticDedup(embeddings, threshold,
         nCells = math.max(16L, n / 2000L).toInt)
     }
+  }
+
+  /** Span-level (sub-document) exact dedup — the C4-style pass that
+    * document-level dedup misses: fixed `spanTokens`-token windows
+    * (stride = span, no overlap) are hashed, the global first
+    * occurrence of each span hash is the lexicographically smallest
+    * (doc_id, span_id), and every later occurrence counts as a
+    * duplicate. Output is the per-document audit a cleaning pipeline
+    * filters on: span count, duplicated-span count, duplicated
+    * fraction.
+    *
+    * Scale shape: span TEXT never shuffles — spans collapse to a
+    * 60-bit portable hash in the scan projection, the one wide
+    * exchange carries (hash, doc_id, span_id) triples, first
+    * occurrence is a min-struct aggregate, and the dup flags come from
+    * re-joining on the hash (co-partitioned with the aggregate). Both
+    * sides of the verdict stay O(total spans), never O(text). */
+  def spanDedup(docs: DataFrame, spanTokens: Int = 8): DataFrame = {
+    // (doc_id, span_id) order packed into one BIGINT so "first
+    // occurrence" is a plain min() on any engine (span_id is bounded by
+    // the per-doc token count; 10⁶ spans/doc is a generous ceiling)
+    val spans = docs
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("tk"))
+      .withColumn("n", size(col("tk")))
+      .where(col("n") > 0)
+      .withColumn("span_id", explode(sequence(lit(0L),
+        expr(s"CAST((n + $spanTokens - 1) div $spanTokens AS BIGINT)") - 1)))
+      .select(col("doc_id"), col("span_id"),
+        (col("doc_id") * 1000000L + col("span_id")).as("ord"),
+        TextAnalysis.portableHash60(
+          concat_ws(" ", slice(col("tk"), (col("span_id") * spanTokens + 1).cast("int"), lit(spanTokens))))
+          .as("h"))
+    val firstSeen = spans.groupBy(col("h")).agg(min(col("ord")).as("first_ord"))
+    spans.join(firstSeen, "h")
+      .withColumn("is_dup", (col("ord") =!= col("first_ord")).cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"), sum(col("is_dup")).as("n_dup_spans"))
+      .withColumn("dup_frac", graft.functions.Exact.round6(
+        col("n_dup_spans").cast("double") / col("n_spans")))
   }
 }

@@ -155,4 +155,51 @@ object Events {
         countDistinct(col("event_type")).as("n_types"),
         moneySum(col("value")).as("sum_value"),
         date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss").as("first_seen"))
+
+  /** Ordered conversion funnel: per user, the FIRST step-1 event, the
+    * first step-2 event strictly AFTER it, and the first step-3 event
+    * strictly after that — the strict-sequence semantics ("a click only
+    * counts if it followed the view that preceded it") that a naive
+    * per-type min gets wrong. Three per-user aggregates chained by
+    * equi-joins on user_id: after the first shuffle everything is
+    * co-partitioned, and each stage's state is one row per user — at
+    * 100 TB the width of this query is the user count, not the event
+    * count. Users who never reach step 1 are absent; later nulls mean
+    * the funnel stopped there. */
+  def funnel(events: DataFrame,
+      steps: Seq[String] = Seq("view", "click", "purchase")): DataFrame = {
+    require(steps.length == 3, "funnel is three-step")
+    val e = events.select(col("user_id"), col("event_type"),
+      unix_micros(col("ts")).as("tsu"))
+    val s1 = e.where(col("event_type") === steps(0))
+      .groupBy(col("user_id")).agg(min(col("tsu")).as("t1"))
+    val s2 = e.where(col("event_type") === steps(1))
+      .join(s1, "user_id").where(col("tsu") > col("t1"))
+      .groupBy(col("user_id")).agg(min(col("tsu")).as("t2"))
+    val s3 = e.where(col("event_type") === steps(2))
+      .join(s2, "user_id").where(col("tsu") > col("t2"))
+      .groupBy(col("user_id")).agg(min(col("tsu")).as("t3"))
+    s1.join(s2, Seq("user_id"), "left")
+      .join(s3, Seq("user_id"), "left")
+      .select(col("user_id"), col("t1").as("first_view"),
+        col("t2").as("first_click"), col("t3").as("first_purchase"))
+  }
+
+  /** Weekly cohort retention: users grouped by their first-activity
+    * week; n_users counts the cohort's members still active
+    * `week_offset` weeks later. Two aggregates and one co-partitioned
+    * join, all keyed on user_id then (cohort, offset) — the output is
+    * bounded by weeks², independent of event volume. Week ids are
+    * FLOOR-division µs buckets (same idiom as [[resampleHourly]]) so
+    * the bucketing is engine-exact. */
+  def retention(events: DataFrame): DataFrame = {
+    val weekUs = 604800000000L
+    val wk = expr(
+      s"(unix_micros(ts) - pmod(unix_micros(ts), $weekUs)) div $weekUs").as("wk")
+    val active = events.select(col("user_id"), wk).distinct()
+    val cohort = active.groupBy(col("user_id")).agg(min(col("wk")).as("cw"))
+    active.join(cohort, "user_id")
+      .groupBy(col("cw").as("cohort_week"), (col("wk") - col("cw")).as("week_offset"))
+      .agg(count(lit(1)).as("n_users"))
+  }
 }

@@ -61,6 +61,27 @@ object Sampling {
     conv(substring(md5(concat(id.cast("string"), lit(salt))), 1, 15), 16, 10)
       .cast("long")
 
+  /** Data-mixture sampling: each source (domain, crawl, provenance
+    * bucket) keeps a CONFIGURED fraction of its rows — the knob that
+    * turns "we have 40% low-grade web and 2% reference text" into the
+    * mixture the training run actually wants. Deterministic per-row
+    * hash draw against the source's rate (same salted-md5 uniform as
+    * [[weightedSample]]), so re-runs, engine swaps, and incremental
+    * batches keep identical rows. Map-only: rates compile into the
+    * plan as a literal CASE — no join, no shuffle, and the scan
+    * prunes to (id, source). Sources absent from `rates` keep
+    * `defaultRate`. */
+  def mixtureSample(docs: DataFrame, rates: Map[String, Double],
+      sourceCol: String = "source", defaultRate: Double = 1.0): DataFrame = {
+    val rate = rates.foldLeft(lit(defaultRate)) { case (acc, (src, r)) =>
+      when(col(sourceCol) === src, lit(r)).otherwise(acc)
+    }
+    val draw = orderHash(col("doc_id"), ":mix").cast("double") /
+      lit(1152921504606846976.0)
+    docs.select(col("doc_id"), col(sourceCol))
+      .where(draw < rate)
+  }
+
   /** Distributed global prefix sum of `n` over the deterministic
     * (hash, id) total order — WITHOUT a single-partition window over
     * the corpus.

@@ -273,4 +273,38 @@ object TextAnalysis {
       aggregate(tokens(col("text")), lit(0L),
         (acc, w) => pmod(acc * 31L + pmod(portableHash60(w), p), p)).as("fp"))
   }
+
+  /** Language-model fluency score per document — the perplexity-filter
+    * shape ("drop documents the corpus LM finds improbable") with
+    * engine-exact arithmetic: each document's bigram instances are
+    * scored by the CORPUS bigram LM ([[bigramLm]] counts) and averaged.
+    *
+    * Portability: probabilities are summed as SCALED INTEGERS —
+    * `⌊n12·10⁶ / n1⌋` per instance — so the per-doc sum is exact long
+    * arithmetic (a raw double Σ(n12/n1) would hash differently across
+    * partition orders and engines); the single final division is
+    * deterministic. Bigrams the LM pruned (below `minCount`) score 0,
+    * exactly how an unknown-token penalty behaves. Shuffle shape: the
+    * doc→bigram explode carries (doc_id, w1, w2) only — no text — and
+    * the LM join keys on (w1, w2), the same tfidf-style exchange. */
+  def lmScore(docs: DataFrame, minCount: Long = 2): DataFrame = {
+    val inst = docs
+      .select(col("doc_id"), tokens(col("text")).as("w"))
+      .where(size(col("w")) >= 2)
+      .select(col("doc_id"), col("w"),
+        explode(sequence(lit(1), size(col("w")) - 1)).as("i"))
+      .select(col("doc_id"),
+        element_at(col("w"), col("i")).as("w1"),
+        element_at(col("w"), col("i") + 1).as("w2"))
+    val lm = bigramLm(docs, minCount)
+      .select(col("w1"), col("w2"),
+        expr("(n12 * 1000000) div n1").as("p_scaled"))
+    inst.join(lm, Seq("w1", "w2"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(coalesce(col("p_scaled"), lit(0L))).as("p_sum"))
+      .select(col("doc_id"), col("n_bigrams"),
+        graft.functions.Exact.round6(
+          col("p_sum").cast("double") / 1e6 / col("n_bigrams")).as("lm_score"))
+  }
 }

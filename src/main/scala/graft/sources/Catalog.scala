@@ -246,4 +246,15 @@ object Catalog {
         shiftleft(shiftright(yl, i).bitwiseAND(1), 2 * i + 1)
     }.reduce(_ + _)
   }
+
+  /** MERGE/upsert (latest-wins): rows of `updates` replace same-key
+    * rows of `base`; unmatched update rows insert. One anti join on the
+    * key — hash-partitioned both sides, no full-table rewrite logic on
+    * the compute side (the storage rewrite is the caller's
+    * `writeChunked`/`writePartitioned`, which at scale should target
+    * only the partitions the update keys touch). Schemas must match by
+    * name (`unionByName`). */
+  def upsert(base: DataFrame, updates: DataFrame, key: String): DataFrame =
+    updates.unionByName(
+      base.join(updates.select(col(key)), Seq(key), "left_anti"))
 }

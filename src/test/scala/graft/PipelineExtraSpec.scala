@@ -272,6 +272,18 @@ class ApplyDedupSpec extends SparkSpec {
     assert((0 to 40).forall(i => comp(i.toLong) == 0L))
     assert((100 to 102).forall(i => comp(i.toLong) == 100L))
   }
+
+  test("CC local union-find path equals the distributed loop exactly") {
+    // random-ish pair soup with chains, stars, and singleton pairs
+    val pairs = ((0 until 40).map(i => (i.toLong, i + 1L)) ++
+      (0 until 30).map(i => (200L, 200L + i)) ++
+      Seq((500L, 501L), (600L, 700L), (700L, 650L))).toDF("id_a", "id_b")
+    val local = Dedup.connectedComponents(pairs) // default: takes the local path
+      .as[(Long, Long)].collect().toMap
+    val dist = Dedup.connectedComponents(pairs, localMaxPairs = 0) // force the loop
+      .as[(Long, Long)].collect().toMap
+    assert(local == dist && local.nonEmpty)
+  }
 }
 
 class EmptyInputSpec extends SparkSpec {

@@ -27,9 +27,11 @@ class PlanAuditSpec extends SparkSpec {
     //    threshold so this plan is unreachable by default at scale
     //  - q_moving_avg: the year→carry-candidate range join — the
     //    broadcast side is the per-year tail table (≤ 6·#years rows)
+    //  - q22_idle: the 1-row positive-balance aggregate (the scalar
+    //    subquery) cross-joined into the customer scan
     // anywhere else it means an equi-join lost its keys
     val allowed = Set("t_tfidf", "p_wsample", "d_corpus_prep",
-      "s_ann_brute", "d_dedup_embed", "q_moving_avg")
+      "s_ann_brute", "d_dedup_embed", "q_moving_avg", "q22_idle")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val plan = fn(spark, sfDir).queryExecution.sparkPlan.toString
       if (plan.contains("BroadcastNestedLoopJoin") && !allowed(name)) Some(name) else None

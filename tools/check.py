@@ -43,6 +43,13 @@ def canon(rows, cols):
     return sorted(c for c in cols), out
 
 fails = 0
+# a query that THREW in Verify leaves no output dir — that must be a
+# failure, not a silent skip (this is exactly how a broken query once
+# slipped past as "FAILURES: 0")
+present = {os.path.basename(d.rstrip("/")) for d in glob.glob(f"{out_dir}/*/")}
+for name in sorted(set(oracle) - present):
+    print(f"  {name}: NO VERIFY OUTPUT (query failed?)")
+    fails += 1
 for d in sorted(glob.glob(f"{out_dir}/*/")):
     name = os.path.basename(d.rstrip("/"))
     files = glob.glob(f"{d}/*.parquet")
