@@ -69,6 +69,7 @@ object SparkEntry {
       Analytics.custDist(Tables.customer(s, d), Tables.orders(s, d))),
     "q22_idle" -> ((s, d) =>
       Analytics.idleRichCustomers(Tables.customer(s, d), Tables.orders(s, d))),
+    "q_regression" -> ((s, d) => Analytics.regressionByFlag(Tables.lineitem(s, d))),
     // bounded-buffer top-k aggregate: O(groups·k) shuffle, vs the window
     // route's O(rows) — exploded to rows so DuckDB can verify the values
     "q_topk_agg" -> ((s, d) => {
@@ -91,6 +92,7 @@ object SparkEntry {
     "e_interval_join" -> ((s, d) => Events.maintenanceWindowCounts(Tables.events(s, d))),
     "e_funnel" -> ((s, d) => Events.funnel(Tables.events(s, d))),
     "e_retention" -> ((s, d) => Events.retention(Tables.events(s, d))),
+    "e_anomaly" -> ((s, d) => Events.anomalies(Tables.events(s, d))),
     // D. LLM-training-data pipeline
     "d_dedup_exact" -> ((s, d) => Dedup.exact(Tables.documents(s, d))),
     "d_dedup_ngram" -> ((s, d) => Dedup.ngramJaccard(Tables.documents(s, d), 3, 0.5)),
@@ -1113,6 +1115,30 @@ object SparkEntry {
          FROM documents WHERE doc_id % 7 = 0
          UNION ALL
          SELECT doc_id, source, n_chars FROM documents WHERE doc_id % 7 <> 0""",
+    // regression from exact integer moments; only the slope divides
+    "q_regression" ->
+      """WITH c AS (SELECT l_returnflag,
+             CAST(round(l_quantity * 100) AS BIGINT) AS x,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS y FROM lineitem),
+         s AS (SELECT l_returnflag, count(*) AS n,
+                      CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+                      CAST(sum(x * y) AS BIGINT) AS sxy, CAST(sum(x * x) AS BIGINT) AS sxx
+               FROM c GROUP BY 1)
+         SELECT l_returnflag, n, sx, sy, sxy, sxx,
+                floor((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) /
+                      (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                      * 1000000 + 0.5) / 1000000 AS slope
+         FROM s""",
+    // z² > k² as pure integer arithmetic: (n·v − S)² > k²·(n·Q − S²)
+    "e_anomaly" ->
+      """WITH e AS (SELECT user_id, event_id,
+             CAST(round(value * 100) AS BIGINT) AS v FROM events),
+         s AS (SELECT user_id, count(*) AS n, CAST(sum(v) AS BIGINT) AS sv,
+                      CAST(sum(v * v) AS BIGINT) AS q
+               FROM e GROUP BY 1)
+         SELECT e.user_id, event_id, CAST(v AS DOUBLE) / 100.0 AS value
+         FROM e JOIN s USING (user_id)
+         WHERE (n * v - sv) * (n * v - sv) > 9 * (n * q - sv * sv)""",
   )
 
   /** Shared by d_dedup_ngram and d_dedup_minhash (see note above). */

@@ -398,6 +398,28 @@ object Analytics {
       .agg(count(lit(1)).as("order_cnt"), moneySum(col("o_totalprice")).as("total_spent"))
       .where(col("order_cnt") > minOrders)
 
+  /** Per-group simple linear regression (y = slope·x + b) from exact
+    * integer moment sums — the distributed-statistics shape done
+    * engine-exactly: n, Σx, Σy, Σxy, Σx² are integer-cents sums (one
+    * map-side-combined aggregate, order-independent), and only the
+    * final slope divides as double (identical IEEE expression on both
+    * engines). Emitting the moments alongside the slope makes the
+    * aggregate mergeable: partial moment rows combine by addition, so
+    * this runs as one partial+final aggregate at any scale. Moment
+    * magnitudes bound the exactness: Σxy stays below 2⁶³ for
+    * cents-scale columns up to ~10¹² rows per group. */
+  def regressionByFlag(lineitem: DataFrame): DataFrame =
+    lineitem
+      .select(col("l_returnflag"),
+        cents(col("l_quantity")).as("x"), cents(col("l_extendedprice")).as("y"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+      .select(col("l_returnflag"), col("n"), col("sx"), col("sy"), col("sxy"), col("sxx"),
+        round6((col("n").cast("double") * col("sxy") - col("sx").cast("double") * col("sy")) /
+          (col("n").cast("double") * col("sxx") - col("sx").cast("double") * col("sx")))
+          .as("slope"))
+
   /** EXISTS-subquery shape (TPC-H Q4): orders counted by priority when
     * at least one of their lineitems shipped more than `lateDays` after
     * the order date. The EXISTS decorrelates to a LEFT-SEMI hash join

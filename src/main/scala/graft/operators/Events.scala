@@ -185,6 +185,29 @@ object Events {
         col("t2").as("first_click"), col("t3").as("first_purchase"))
   }
 
+  /** Per-user z-score outliers WITHOUT a square root or any double in
+    * the decision: z² > k² rewritten as the integer comparison
+    *   (n·x − S)² > k²·(n·Q − S²)
+    * over cents-scaled value moments (S = Σv, Q = Σv²) — exact under
+    * any partition order, and the same literal arithmetic on any
+    * engine. One aggregate (user moments, bounded one row per user)
+    * plus one co-partitioned join back to the events. Zero-variance
+    * users flag nothing (both sides 0). Exactness bound: n·max(v)
+    * must stay below 2³¹·√2 cents-scale — fine for per-user event
+    * streams; use a windowed variant per (user, day) if a single key
+    * can accumulate billions of rows. */
+  def anomalies(events: DataFrame, k: Int = 3): DataFrame = {
+    val e = events.select(col("user_id"), col("event_id"), cents(col("value")).as("v"))
+    val stats = e.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"),
+        sum(col("v") * col("v")).as("q"))
+    e.join(stats, "user_id")
+      .where((col("n") * col("v") - col("sv")) * (col("n") * col("v") - col("sv")) >
+        lit(k.toLong * k) * (col("n") * col("q") - col("sv") * col("sv")))
+      .select(col("user_id"), col("event_id"),
+        (col("v").cast("double") / 100.0).as("value"))
+  }
+
   /** Weekly cohort retention: users grouped by their first-activity
     * week; n_users counts the cohort's members still active
     * `week_offset` weeks later. Two aggregates and one co-partitioned

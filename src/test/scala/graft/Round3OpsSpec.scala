@@ -92,6 +92,44 @@ class TpchShapesSpec extends SparkSpec {
   }
 }
 
+class ExactStatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("regression slope recovers a planted linear relation exactly") {
+    // y = 3x + 10 exactly, in cents-representable values
+    val li = (1 to 50).map(i => ("A", i.toDouble, 3.0 * i + 10.0))
+      .toDF("l_returnflag", "l_quantity", "l_extendedprice")
+    val r = Analytics.regressionByFlag(li).collect().head
+    assert(r.getAs[Double]("slope") == 3.0)
+    assert(r.getAs[Long]("n") == 50L)
+  }
+
+  test("regression moments are repartition-invariant (exact integer sums)") {
+    val li = Tables.lineitem(spark, sfDir)
+    val a = Analytics.regressionByFlag(li).collect()
+      .map(r => r.getString(0) -> r.toSeq.drop(1)).toMap
+    val b = Analytics.regressionByFlag(li.repartition(13)).collect()
+      .map(r => r.getString(0) -> r.toSeq.drop(1)).toMap
+    assert(a == b && a.nonEmpty)
+  }
+
+  test("anomalies flags exactly the >3-sigma points, no sqrt involved") {
+    // 20 values at 10.0 and one at 1000.0: the spike is far beyond 3σ
+    val vals = Seq.fill(20)(10.0) :+ 1000.0
+    val e = vals.zipWithIndex.map { case (v, i) => (1L, i.toLong, v) }
+      .toDF("user_id", "event_id", "value")
+    val out = Events.anomalies(e).collect()
+    assert(out.map(_.getLong(1)).toSeq == Seq(20L))
+    assert(out.head.getDouble(2) == 1000.0)
+  }
+
+  test("anomalies: zero-variance users flag nothing") {
+    val e = (0 until 10).map(i => (7L, i.toLong, 5.0))
+      .toDF("user_id", "event_id", "value")
+    assert(Events.anomalies(e).count() == 0)
+  }
+}
+
 class SpanDedupSpec extends SparkSpec {
   import spark.implicits._
 
