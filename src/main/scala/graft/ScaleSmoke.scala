@@ -84,14 +84,39 @@ object ScaleSmoke {
         .write.format("noop").mode("overwrite").save()
     }
     // dup-chain resolution over ~95k star-shaped clone pairs (the shape
-    // exact dedup emits) — label propagation should converge in ~2 rounds
-    time("components_95k_pairs") {
+    // exact dedup emits) — BOTH ladder rungs: the driver union-find
+    // (default route at this size) and the distributed hash-to-min loop
+    // (forced, the 100 TB path — label propagation converges in ~2
+    // rounds on stars)
+    def clonePairs = {
       val groups = operators.Dedup.exact(bd)
-      val pairs = bd.select(col("doc_id"), md5(encode(col("text"), "UTF-8")).as("h"))
+      bd.select(col("doc_id"), md5(encode(col("text"), "UTF-8")).as("h"))
         .join(groups.where(col("n_copies") > 1), "h")
         .where(col("doc_id") =!= col("keep_id"))
         .select(col("keep_id").as("id_a"), col("doc_id").as("id_b"))
-      operators.Dedup.connectedComponents(pairs)
+    }
+    time("components_95k_local") {
+      operators.Dedup.connectedComponents(clonePairs)
+        .write.format("noop").mode("overwrite").save()
+    }
+    time("components_95k_dist") {
+      operators.Dedup.connectedComponents(clonePairs, localMaxPairs = 0)
+        .write.format("noop").mode("overwrite").save()
+    }
+    time("span_dedup_100k") {
+      operators.Dedup.spanDedup(bd)
+        .write.format("noop").mode("overwrite").save()
+    }
+    time("lm_score_100k") {
+      operators.TextAnalysis.lmScore(bd)
+        .write.format("noop").mode("overwrite").save()
+    }
+    time("funnel_1m_events") {
+      operators.Events.funnel(be)
+        .write.format("noop").mode("overwrite").save()
+    }
+    time("anomaly_1m_events") {
+      operators.Events.anomalies(be)
         .write.format("noop").mode("overwrite").save()
     }
 

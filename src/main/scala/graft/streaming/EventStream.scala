@@ -132,6 +132,42 @@ object EventStream {
       .outputMode(OutputMode.Append())
       .start()
 
+  /** Emitted when an incoming value fails the online z-test. */
+  case class AnomalyOut(user_id: Long, tsu: Long, value: Double)
+
+  case class MomentState(n: Long, s: Long, q: Long)
+
+  /** ONLINE per-user anomaly detection — the streaming twin of
+    * `Events.anomalies`, with the same no-sqrt integer decision: each
+    * arriving value is tested as z² > k² ⟺ (n·v − S)² > k²·(n·Q − S²)
+    * against the moments of everything seen SO FAR for that user (the
+    * one-pass semantics a stream can have — batch tests against the
+    * full corpus moments), then folded into the state. State per user
+    * is three longs, forever — no watermark needed for boundedness.
+    * `minN` suppresses flags until the baseline has enough mass. */
+  def anomalyStream(events: Dataset[Event], k: Int = 3, minN: Long = 10)(
+      implicit spark: SparkSession): Dataset[AnomalyOut] = {
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[MomentState, AnomalyOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (userId, rows, state: GroupState[MomentState]) =>
+          var st = state.getOption.getOrElse(MomentState(0L, 0L, 0L))
+          val out = Seq.newBuilder[AnomalyOut]
+          rows.toSeq.sortBy(_.tsu).foreach { e =>
+            val v = math.round(e.value * 100)
+            val dev = st.n * v - st.s
+            if (st.n >= minN &&
+                dev * dev > k.toLong * k * (st.n * st.q - st.s * st.s))
+              out += AnomalyOut(userId, e.tsu, e.value)
+            st = MomentState(st.n + 1, st.s + v, st.q + v * v)
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
   /** Custom session state: 30-min-gap sessionization with
     * flatMapGroupsWithState + event-time timeout — the streaming twin of
     * Events.sessionize. Sessions close when the watermark passes the gap
