@@ -157,6 +157,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("hit_count"),
       new ExpressionInfo(classOf[HitCount].getName, "hit_count"),
       (exprs: Seq[Expression]) => HitCount(exprs)))
+    ext.injectFunction((
+      new FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
+      (exprs: Seq[Expression]) => MinHashSig(exprs)))
     ext.injectOptimizerRule(session => graft.plans.ApproximateRewrite(session))
   }
 }

@@ -95,14 +95,32 @@ object Dedup {
     *   only the keepers (the documented scale ladder), with the cap as
     *   the safety valve against clusters that survive. */
   /** MinHash signature table: doc_id, mh0..mh{k-1}, ss (verification
-    * shingle-hash set). k hash functions as seeded re-hashes of the
-    * 8-byte base hash — pure long-to-long work, no per-hash string
-    * concat — and the k mins + the verification set in ONE aggregation:
-    * one scan, one map-side partial, one shuffle of a single row per
-    * doc. In an incremental deployment this table is the INDEX: persist
-    * it once (e.g. Catalog.writeBucketed on doc_id) and only new
-    * batches are ever re-signed. */
+    * shingle-hash set). Computed ROW-LOCALLY by the native codegen'd
+    * `minhash_sig` expression ([[graft.functions.MinHashSig]]): the
+    * whole signing stage is a map-only projection of the corpus scan —
+    * ZERO shuffle (the aggregate formulation this replaced shuffled
+    * every shingle hash of the corpus into a groupBy(doc_id); at 100 TB
+    * that exchange was the signature build's entire cost). Row-local
+    * signing is also what lets a Structured Streaming ingest gate sign
+    * documents mid-stream ([[graft.streaming.EventStream]]). In an
+    * incremental deployment this table is the INDEX: persist it once
+    * (e.g. Catalog.writeBucketed on doc_id) and only new batches are
+    * ever re-signed. */
   private def signatures(docs: DataFrame, n: Int, numHashes: Int): DataFrame = {
+    val sig = docs
+      .select(col("doc_id"), graft.functions.MinHashSig.minhashSig(
+        TextAnalysis.tokens(col("text")), n, numHashes).as("s"))
+      .where(col("s").isNotNull)
+    sig.select(col("doc_id") +:
+      (0 until numHashes).map(i => element_at(col("s.mh"), i + 1).as(s"mh$i")) :+
+      col("s.ss").as("ss"): _*)
+  }
+
+  /** The aggregate formulation [[signatures]] replaced — exploded
+    * shingles, groupBy(doc_id), k min() aggregates + collect_set. Kept
+    * (test-only) as the independent reference the row-local signer is
+    * asserted bit-identical against. */
+  private[graft] def aggSignatures(docs: DataFrame, n: Int, numHashes: Int): DataFrame = {
     val sh = hashedShingles(docs, n)
     val minCols = (0 until numHashes).map { i =>
       min(xxhash64(col("h"), lit(i))).as(s"mh$i")

@@ -1,0 +1,99 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
+import org.apache.spark.sql.Row
+
+/** Structured Streaming over the DOCUMENT ingest path — the streaming
+  * face of the dedup family. Everything here is enabled by the
+  * row-local `minhash_sig` expression ([[graft.functions.MinHashSig]]):
+  * signing a document is a map-only projection, so a stream can sign,
+  * band, and probe without any mid-stream aggregation (which append
+  * mode could not express without watermark gymnastics).
+  *
+  * The production shape: an existing corpus has a persisted signature
+  * index ([[graft.operators.Dedup.buildMinhashIndex]] →
+  * `Catalog.writeChunked`); new documents arrive as a stream; each
+  * micro-batch is signed row-locally and probed against the static
+  * index; flagged near-dups are diverted and novel docs appended — and
+  * their signatures appended to the index, keeping it current without
+  * ever re-reading corpus text.
+  */
+object DocStream {
+
+  /** Map-only streaming signer: (doc_id, mh0..mh{k-1}, ss) per arriving
+    * doc with ≥ n tokens — the INCREMENTAL INDEX BUILDER, emitting
+    * exactly [[graft.operators.Dedup.buildMinhashIndex]]'s schema so the
+    * stream appends straight onto the persisted index. Pure projection
+    * (no state, no watermark); writing with a checkpoint gives
+    * exactly-once incremental index maintenance. Signatures are
+    * bit-identical to the batch signer on the same text (the expression
+    * is shared). */
+  def signStream(docs: DataFrame, n: Int = 3, numHashes: Int = 64): DataFrame = {
+    val sig = docs
+      .select(col("doc_id"), graft.functions.MinHashSig.minhashSig(
+        graft.operators.TextAnalysis.tokens(col("text")), n, numHashes).as("s"))
+      .where(col("s").isNotNull)
+    sig.select(col("doc_id") +:
+      (0 until numHashes).map(i => element_at(col("s.mh"), i + 1).as(s"mh$i")) :+
+      col("s.ss").as("ss"): _*)
+  }
+
+  /** Streaming near-dup ingest gate, PURE-STREAM form: each arriving
+    * document's band keys probe the static signature index
+    * (stream-static equi-join on (band, bh)), candidates are verified
+    * with exact Jaccard against the index's shingle sets, and flagged
+    * pairs are emitted in append mode — no watermark, no stream state.
+    *
+    * Emits (new_id, corpus_id, jaccard) AT LEAST once per flagged pair:
+    * a pair sharing several LSH bands is emitted once per matching band
+    * (deduplicating inside the stream would need stateful distinct; a
+    * gate only needs "was flagged at least once", and the exact-parity
+    * variant [[gateExactWriter]] dedups per micro-batch). `sigIndex`
+    * must come from `buildMinhashIndex` with the same n/numHashes.
+    */
+  def nearDupGate(newDocs: DataFrame, sigIndex: DataFrame, n: Int = 3,
+      numHashes: Int = 64, bands: Int = 16, threshold: Double = 0.5): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    def bandStructs = (0 until bands).map { b =>
+      val slice = (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"mh$i"))
+      struct(lit(b).as("band"), xxhash64(slice: _*).as("bh"))
+    }
+    val probes = signStream(newDocs, n, numHashes)
+      .select(col("doc_id").as("new_id"), col("ss").as("nss"),
+        explode(array(bandStructs: _*)).as("bb"))
+      .select(col("new_id"), col("nss"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+
+    // static side: the index's band keys (re-planned per batch from the
+    // static relation) + its verification sets
+    val corpusBands = sigIndex
+      .select(col("doc_id").as("corpus_id"), col("ss").as("css"),
+        explode(array(bandStructs: _*)).as("bb"))
+      .select(col("corpus_id"), col("css"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+
+    probes.join(corpusBands, Seq("band", "bh"))
+      .withColumn("n_inter", size(array_intersect(col("nss"), col("css"))))
+      .withColumn("jaccard", col("n_inter").cast("double") /
+        (size(col("nss")) + size(col("css")) - col("n_inter")))
+      .where(col("jaccard") >= threshold)
+      .select(col("new_id"), col("corpus_id"),
+        graft.functions.Exact.round6(col("jaccard")).as("jaccard"))
+  }
+
+  /** Exact-parity gate: `foreachBatch` runs the BATCH
+    * [[graft.operators.Dedup.dedupAgainstIndex]] on each micro-batch,
+    * so every batch's flags equal the batch operator's output on the
+    * same rows exactly (deduplicated candidates, one row per flagged
+    * pair) — the standard production pattern when a stream step wants
+    * full batch semantics. `handle` receives (flags, batchId). */
+  def gateExactWriter(newDocs: DataFrame, sigIndex: DataFrame,
+      handle: (DataFrame, Long) => Unit, n: Int = 3, numHashes: Int = 64,
+      bands: Int = 16, threshold: Double = 0.5): DataStreamWriter[Row] =
+    newDocs.writeStream
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        handle(graft.operators.Dedup.dedupAgainstIndex(
+          sigIndex, batch, n, numHashes, bands, threshold), id)
+      }
+}

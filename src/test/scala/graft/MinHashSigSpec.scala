@@ -1,0 +1,146 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Dedup
+import graft.streaming.DocStream
+
+/** The native row-local MinHash signer and the streaming ingest surface
+  * it enables. The load-bearing assertion is bit-identity with the
+  * independent aggregate formulation (explode → groupBy → k mins +
+  * collect_set) it replaced — same mh columns, same ss set — because
+  * every minhash consumer (LSH, incremental dedup, the corpus pipeline)
+  * inherits its correctness from that equality.
+  */
+class MinHashSigSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Tables.documents(spark, sfDir).limit(200)
+
+  test("row-local signatures are bit-identical to the aggregate formulation") {
+    val k = 16
+    val rowSig = Dedup.buildMinhashIndex(docs, 3, k)
+    val aggSig = Dedup.aggSignatures(docs, 3, k)
+    val mhCols = (0 until k).map(i => col(s"mh$i"))
+    // mh columns: exact equality, row for row
+    val joined = rowSig.as("r").join(aggSig.as("a"), "doc_id")
+    assert(joined.count() == rowSig.count() && rowSig.count() == aggSig.count(),
+      "same doc set signed")
+    val mhDiff = joined.where(
+      (0 until k).map(i => col(s"r.mh$i") =!= col(s"a.mh$i")).reduce(_ || _)).count()
+    assert(mhDiff == 0, "every minhash slot identical")
+    // ss: same SET (aggregate collect_set order is nondeterministic,
+    // the native signer emits sorted — compare sorted)
+    val ssDiff = joined.where(
+      sort_array(col("r.ss")) =!= sort_array(col("a.ss"))).count()
+    assert(ssDiff == 0, "verification shingle sets identical")
+  }
+
+  test("signer matches the column-expression hash chain exactly") {
+    // independent derivation of mh0/mh1 for one doc via Spark's own
+    // xxhash64 column function over exploded shingles
+    val d = docs.limit(5)
+    val sh = d
+      .select(col("doc_id"), operators.TextAnalysis.tokens(col("text")).as("w"))
+      .where(size(col("w")) >= 3)
+      .select(col("doc_id"), explode(sequence(lit(1), size(col("w")) - 2)).as("i"),
+        col("w"))
+      .select(col("doc_id"), xxhash64(concat_ws(" ",
+        element_at(col("w"), col("i")), element_at(col("w"), col("i") + 1),
+        element_at(col("w"), col("i") + 2))).as("h"))
+      .groupBy(col("doc_id"))
+      .agg(min(xxhash64(col("h"), lit(0))).as("e0"), min(xxhash64(col("h"), lit(1))).as("e1"))
+    val got = Dedup.buildMinhashIndex(d, 3, 2)
+    val bad = got.join(sh, "doc_id")
+      .where(col("mh0") =!= col("e0") || col("mh1") =!= col("e1")).count()
+    assert(bad == 0)
+  }
+
+  test("docs shorter than one shingle produce no signature row") {
+    val tiny = Seq((1L, "only two"), (2L, "three word doc"), (3L, "")).toDF("doc_id", "text")
+    val sig = Dedup.buildMinhashIndex(tiny, 3, 4)
+    assert(sig.select("doc_id").as[Long].collect().toSet == Set(2L))
+  }
+
+  test("signing stage plans no exchange (map-only scan shape)") {
+    // full table (no limit — a GlobalLimit would add its own exchange)
+    val plan = Dedup.buildMinhashIndex(Tables.documents(spark, sfDir), 3, 8)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"signature build must not shuffle:\n$plan")
+  }
+
+  test("minhashLsh on the row-local signer reproduces the exact-Jaccard pair set") {
+    // same oracle shape as the driver gate: verified LSH pairs == exact
+    // inverted-index Jaccard pairs at this threshold
+    val d = Tables.documents(spark, sfDir)
+    val lsh = Dedup.minhashLsh(d, 3, 64, 16, 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val exact = Dedup.ngramJaccard(d, 3, 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(lsh == exact)
+  }
+}
+
+class DocStreamSpec extends SparkSpec {
+  import spark.implicits._
+  import java.nio.file.Files
+
+  private def writeStreamSrc(df: org.apache.spark.sql.DataFrame): String = {
+    val dir = Files.createTempDirectory("graft-docstream").toString
+    df.coalesce(1).write.mode("overwrite").parquet(dir)
+    dir
+  }
+
+  test("streamed signatures equal batch index rows (incremental index build)") {
+    val d = Tables.documents(spark, sfDir).limit(50).select("doc_id", "text")
+    val src = writeStreamSrc(d)
+    val stream = spark.readStream.schema(d.schema).parquet(src)
+    val q = DocStream.signStream(stream, 3, 8)
+      .writeStream.format("memory").queryName("sig_stream").outputMode("append")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("sig_stream")
+      .select(col("doc_id"), col("mh0"), col("mh7"), sort_array(col("ss")).as("ss"))
+    val batch = Dedup.buildMinhashIndex(d, 3, 8)
+      .select(col("doc_id"), col("mh0"), col("mh7"), sort_array(col("ss")).as("ss"))
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
+  test("pure-stream near-dup gate flags the batch pair set (per-band at-least-once)") {
+    val d = Tables.documents(spark, sfDir)
+    val corpus = d.where(col("doc_id") % 2 === 0)
+    val batchNew = d.where(col("doc_id") % 2 === 1).select("doc_id", "text")
+    val index = Dedup.buildMinhashIndex(corpus).persist()
+    val src = writeStreamSrc(batchNew)
+    val stream = spark.readStream.schema(batchNew.schema).parquet(src)
+    val q = DocStream.nearDupGate(stream, index)
+      .writeStream.format("memory").queryName("gate_out").outputMode("append")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val flagged = spark.table("gate_out")
+      .select(col("corpus_id"), col("new_id")).distinct()
+      .as[(Long, Long)].collect().toSet
+    val expected = Dedup.dedupAgainst(corpus, batchNew)
+      .select(col("corpus_id"), col("new_id")).as[(Long, Long)].collect().toSet
+    index.unpersist()
+    assert(flagged == expected)
+  }
+
+  test("foreachBatch exact gate equals the batch operator per micro-batch") {
+    val d = Tables.documents(spark, sfDir)
+    val corpus = d.where(col("doc_id") % 2 === 0)
+    val batchNew = d.where(col("doc_id") % 2 === 1).select("doc_id", "text")
+    val index = Dedup.buildMinhashIndex(corpus).persist()
+    val src = writeStreamSrc(batchNew)
+    val stream = spark.readStream.schema(batchNew.schema).parquet(src)
+    val got = scala.collection.mutable.Set.empty[(Long, Long, Double)]
+    val q = DocStream.gateExactWriter(stream, index, (flags, _) =>
+      got.synchronized { got ++= flags.select("corpus_id", "new_id", "jaccard")
+        .as[(Long, Long, Double)].collect() })
+      .start()
+    try q.awaitTermination(120000) finally if (q.isActive) q.stop()
+    val expected = Dedup.dedupAgainstIndex(index, batchNew)
+      .select("corpus_id", "new_id", "jaccard").as[(Long, Long, Double)].collect().toSet
+    index.unpersist()
+    assert(got.toSet == expected)
+  }
+}
