@@ -90,12 +90,14 @@ object SparkEntry {
     "e_range_join" -> ((s, d) => Events.purchaseViewsWithin(Tables.events(s, d))),
     "e_json" -> ((s, d) => Events.propsHistogram(Tables.events(s, d))),
     "e_interval_join" -> ((s, d) => Events.maintenanceWindowCounts(Tables.events(s, d))),
+    "e_interval_auto" -> ((s, d) => Events.maintenanceWindowCountsAuto(Tables.events(s, d))),
     "e_funnel" -> ((s, d) => Events.funnel(Tables.events(s, d))),
     "e_retention" -> ((s, d) => Events.retention(Tables.events(s, d))),
     "e_anomaly" -> ((s, d) => Events.anomalies(Tables.events(s, d))),
     // D. LLM-training-data pipeline
     "d_dedup_exact" -> ((s, d) => Dedup.exact(Tables.documents(s, d))),
     "d_dedup_ngram" -> ((s, d) => Dedup.ngramJaccard(Tables.documents(s, d), 3, 0.5)),
+    "d_containment" -> ((s, d) => Dedup.containmentPairs(Tables.documents(s, d), 3, 0.6)),
     "d_dedup_minhash" -> ((s, d) => Dedup.minhashLsh(Tables.documents(s, d), 3, 64, 16, 0.5)),
     "d_dedup_simhash" -> ((s, d) => Dedup.simhashNearDup(Tables.documents(s, d), 3)),
     "d_dedup_incr" -> ((s, d) => {
@@ -346,6 +348,16 @@ object SparkEntry {
          SELECT interval_id, count(*) AS n_events
          FROM iv JOIN e ON tsu >= s AND tsu < en
          GROUP BY interval_id""",
+    // the auto-rewritten naive range join computes the same thing
+    "e_interval_auto" ->
+      """WITH e AS (SELECT event_id, epoch_us(ts) AS tsu FROM events),
+         h AS (SELECT DISTINCT tsu // 3600000000 AS h FROM e
+               WHERE (tsu // 3600000000) % 7 = 0),
+         iv AS (SELECT h AS interval_id, h * 3600000000 AS s,
+                       h * 3600000000 + 900000000 AS en FROM h)
+         SELECT interval_id, count(*) AS n_events
+         FROM iv JOIN e ON tsu >= s AND tsu < en
+         GROUP BY interval_id""",
     "e_json" ->
       """SELECT CAST(json_extract(props, '$.k') AS BIGINT) AS k,
                 count(*) AS cnt,
@@ -382,6 +394,21 @@ object SparkEntry {
          FROM inter JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
          WHERE CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter) >= 0.5""",
     "d_dedup_ngram" -> ngramJaccardSql,
+    // containment mirror: same inverted index, min-size denominator
+    "d_containment" ->
+      """WITH tok AS (SELECT doc_id,
+             list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS w FROM documents),
+         sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+                FROM tok CROSS JOIN unnest(generate_series(1, len(w) - 2)) AS t(i)
+                WHERE len(w) >= 3),
+         sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+         inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+                   FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2)
+         SELECT id_a, id_b,
+                floor(CAST(n_inter AS DOUBLE) / least(sa.sz, sb.sz) * 1000000 + 0.5) / 1000000 AS containment
+         FROM inter JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
+         WHERE CAST(n_inter AS DOUBLE) / least(sa.sz, sb.sz) >= 0.6""",
     // the corpus-prep composition verified END-TO-END: each stage reuses
     // the already-verified oracle fragment (quality/lang signals, exact
     // dedup, ngram-Jaccard pairs [== LSH candidates on this corpus],

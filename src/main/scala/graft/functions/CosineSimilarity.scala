@@ -162,5 +162,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
       (exprs: Seq[Expression]) => MinHashSig(exprs)))
     ext.injectOptimizerRule(session => graft.plans.ApproximateRewrite(session))
+    ext.injectOptimizerRule(session => graft.plans.RangeJoinRewrite(session))
   }
 }

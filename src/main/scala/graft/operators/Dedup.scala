@@ -78,6 +78,36 @@ object Dedup {
       .select(col("id_a"), col("id_b"), graft.functions.Exact.round6(col("jaccard")).as("jaccard"))
   }
 
+  /** Containment near-dup pairs: |A∩B| / min(|A|,|B|) ≥ threshold over
+    * shingle sets. Containment catches the asymmetric shape symmetric
+    * Jaccard structurally misses — a short document embedded verbatim
+    * in a much longer one has Jaccard ≈ |small|/|big| (arbitrarily low)
+    * but containment ≈ 1. The quote/boilerplate/wrapped-repost pass of
+    * a training-data pipeline filters on this, not Jaccard.
+    *
+    * Same inverted-index shape (and scale class) as [[ngramJaccard]]:
+    * quadratic per shingle bucket, so it is the verifier / small-scale
+    * path; at corpus scale generate candidates first (LSH over the
+    * small side's shingles, or [[exact]] ladder) and verify with this
+    * formula — the arithmetic is all-integer either way. */
+  def containmentPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.6): DataFrame = {
+    val sh = hashedShingles(docs, n).distinct()
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val inter = sh.as("a")
+      .join(sh.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.as("sa"), col("id_a") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("id_b") === col("sb.doc_id"))
+      .withColumn("containment",
+        col("n_inter").cast("double") / least(col("sa.sz"), col("sb.sz")))
+      .where(col("containment") >= threshold)
+      .select(col("id_a"), col("id_b"),
+        graft.functions.Exact.round6(col("containment")).as("containment"))
+  }
+
   /** MinHash + LSH banding near-dup detection — the 100 TB path.
     *
     * k seeded xxhash64 functions over the shingle set → k-wide signature;

@@ -118,6 +118,27 @@ object Events {
       .drop("cell")
   }
 
+  /** [[maintenanceWindowCounts]] written as the NAIVE point-in-interval
+    * theta join — no equi key, the shape Spark alone can only plan as a
+    * nested loop — and optimized by
+    * [[graft.plans.RangeJoinRewrite]] (conf set here): the DECLARED
+    * plan stays the obvious one, the EXECUTED plan is the binned
+    * equi-join. Same results as the hand-binned operator, same oracle. */
+  def maintenanceWindowCountsAuto(events: DataFrame,
+      bucketUs: Long = 900000000L): DataFrame = {
+    events.sparkSession.conf.set("spark.graft.rangeJoin.bucket", bucketUs.toString)
+    val e = events.select(col("event_id"), unix_micros(col("ts")).as("tsu"))
+    val intervals = e
+      .select(expr("tsu div 3600000000").as("h")).distinct()
+      .where(pmod(col("h"), lit(7)) === 0)
+      .select(col("h").as("interval_id"),
+        (col("h") * 3600000000L).as("start_us"),
+        (col("h") * 3600000000L + 900000000L).as("end_us"))
+    e.join(intervals, col("tsu") >= col("start_us") && col("tsu") < col("end_us"))
+      .groupBy(col("interval_id"))
+      .agg(count(lit(1)).as("n_events"))
+  }
+
   /** Events inside deterministic "maintenance windows" (first 15 min of
     * every 7th hour) counted per window — exercises [[intervalJoin]]
     * end-to-end with intervals derived from the data itself. */
