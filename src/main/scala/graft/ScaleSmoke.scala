@@ -115,6 +115,25 @@ object ScaleSmoke {
       operators.Events.funnel(be)
         .write.format("noop").mode("overwrite").save()
     }
+    // 1M points × 7k intervals as the NAIVE theta join: without the
+    // RangeJoinRewrite rule this is a 7-billion-comparison nested loop
+    // (not runnable here); with the rule it's a binned equi-join that
+    // finishes with the scan-bound operators above
+    time("range_join_auto_1m") {
+      operators.Events.maintenanceWindowCountsAuto(be)
+        .write.format("noop").mode("overwrite").save()
+    }
+    time("signatures_100k") {
+      operators.Dedup.buildMinhashIndex(bd)
+        .write.format("noop").mode("overwrite").save()
+    }
+    time("containment_100k") {
+      // quadratic verifier by design — run on the exact-dedup keepers
+      // (the documented ladder), not the 95%-clone corpus
+      val keepers = operators.Dedup.exact(bd).select(col("keep_id").as("doc_id"))
+      operators.Dedup.containmentPairs(bd.join(keepers, "doc_id"), 3, 0.6)
+        .write.format("noop").mode("overwrite").save()
+    }
     time("anomaly_1m_events") {
       operators.Events.anomalies(be)
         .write.format("noop").mode("overwrite").save()

@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Re-run a handful of scale-smoke entries standalone (assumes
+  * /tmp/graft_bigdocs.parquet + /tmp/graft_bigevents.parquet exist). */
+object SmokeOne {
+  def main(args: Array[String]): Unit = {
+    val spark = Graft.session(appName = "graft-smoke-one")
+    val bd = spark.read.parquet("/tmp/graft_bigdocs.parquet")
+    val be = spark.read.parquet("/tmp/graft_bigevents.parquet")
+    def time(name: String)(f: => Unit): Unit = {
+      val t0 = System.nanoTime(); f
+      println(f"[smoke1] $name%-18s ${(System.nanoTime() - t0) / 1e9}%8.2fs")
+    }
+    for (a <- args) a match {
+      case "redact" => time("redact_1m_events") {
+        operators.TextAnalysis.redact(be, "event_id", "props")
+          .write.format("noop").mode("overwrite").save()
+      }
+      case "minhash" => time("exact_then_minhash") {
+        val keepers = operators.Dedup.exact(bd).select(col("keep_id").as("doc_id"))
+        operators.Dedup.minhashLsh(bd.join(keepers, "doc_id"), 3, 64, 16, 0.5)
+          .write.format("noop").mode("overwrite").save()
+      }
+      case "kmv" => time("kmv_6m_rows") {
+        val li = spark.read.parquet("/root/testdata/sf0.1/lineitem.parquet")
+        val big = (0 until 10).map(i =>
+            li.withColumn("l_partkey", col("l_partkey") + lit(i * 10000000L))
+              .withColumn("l_suppkey", col("l_suppkey") + lit(i * 10000000L)))
+          .reduce(_ unionAll _)
+        operators.Analytics.kmvSummary(big)
+          .write.format("noop").mode("overwrite").save()
+      }
+      case "repetition" => time("repetition_100k") {
+        operators.TextAnalysis.repetition(bd)
+          .write.format("noop").mode("overwrite").save()
+      }
+    }
+    spark.stop()
+  }
+}

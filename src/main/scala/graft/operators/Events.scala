@@ -45,6 +45,16 @@ object Events {
         (max(col("tsu")) - min(col("tsu"))).as("duration_us"))
   }
 
+  /** Top-k sessions by spend: [[sessionize]] → global top-k. The
+    * sort+limit plans as TakeOrderedAndProject — a bounded heap per
+    * partition merged on the driver (k·partitions rows), never a global
+    * sort, at any scale. Ties break on (user_id, session_id) so the
+    * selected set is a total order both engines agree on. */
+  def topSessions(events: DataFrame, k: Int = 20): DataFrame =
+    sessionize(events)
+      .orderBy(col("sum_value").desc, col("user_id"), col("session_id"))
+      .limit(k)
+
   /** Hourly resample with gap fill: per user, a dense hour grid from
     * their first to last event with zero counts for silent hours — the
     * time-series regularization step before any windowed model sees the
