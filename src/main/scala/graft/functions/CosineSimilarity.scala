@@ -158,10 +158,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[HitCount].getName, "hit_count"),
       (exprs: Seq[Expression]) => HitCount(exprs)))
     ext.injectFunction((
+      new FunctionIdentifier("simhash_sig"),
+      new ExpressionInfo(classOf[SimHashSig].getName, "simhash_sig"),
+      (exprs: Seq[Expression]) => SimHashSig(exprs)))
+    ext.injectFunction((
       new FunctionIdentifier("minhash_sig"),
       new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
       (exprs: Seq[Expression]) => MinHashSig(exprs)))
     ext.injectOptimizerRule(session => graft.plans.ApproximateRewrite(session))
     ext.injectOptimizerRule(session => graft.plans.RangeJoinRewrite(session))
+    ext.injectPlannerStrategy(session => new graft.plans.AsOfJoinStrategy(session))
   }
 }

@@ -78,6 +78,55 @@ object AsOfJoin {
     }.drop("__next")
   }
 
+  /** [[asOf]] planned as the FIRST-CLASS physical operator
+    * ([[graft.plans.AsOfJoinExec]]): same semantics, same single
+    * co-partitioning exchange, but the merge is a single streaming pass
+    * per partition instead of a window carry — no per-row struct max,
+    * no window frame state. Requires integral key/timestamp columns.
+    * Output: left columns + `asof_<payloadCol>` columns. */
+  def asOfExec(left: DataFrame, right: DataFrame, key: String,
+      leftTs: String, rightTs: String, payload: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    val integral = Set[org.apache.spark.sql.types.DataType](
+      org.apache.spark.sql.types.ByteType, org.apache.spark.sql.types.ShortType,
+      org.apache.spark.sql.types.IntegerType, org.apache.spark.sql.types.LongType)
+    require(integral.contains(left.schema(key).dataType) &&
+      integral.contains(left.schema(leftTs).dataType) &&
+      integral.contains(right.schema(rightTs).dataType),
+      "asOfExec needs integral key and timestamp columns (epoch micros)")
+    val lPlan = Bridge.analyzed(left)
+    // re-alias every right column: aliases mint fresh exprIds, so a
+    // right side sharing lineage with the left (the self-join shape —
+    // built-in joins get DeduplicateRelations for this, custom nodes
+    // don't) can never collide with left attribute ids
+    val rPlan = Bridge.analyzed(
+      right.select(right.columns.map(c => right.col(c).as(c)).toIndexedSeq: _*))
+    def attr(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+        name: String) = p.output.find(_.name == name).getOrElse(
+      throw new IllegalArgumentException(s"as-of column '$name' not found"))
+    val rPayload = payload.map(attr(rPlan, _))
+    val asofOut = rPayload.map(a =>
+      org.apache.spark.sql.catalyst.expressions.AttributeReference(
+        s"asof_${a.name}", a.dataType, nullable = true)())
+    Bridge.ofRows(left.sparkSession,
+      graft.plans.AsOfJoinNode(lPlan, rPlan,
+        attr(lPlan, key), attr(rPlan, key), attr(lPlan, leftTs),
+        attr(rPlan, rightTs), rPayload, asofOut))
+  }
+
+  /** [[purchaseAttribution]] computed by the custom physical as-of
+    * operator — same output schema and oracle. */
+  def purchaseAttributionExec(events: DataFrame): DataFrame = {
+    val e = events.select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("tsu"))
+    val purchases = e.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("tsu").as("purchase_us"))
+    val views = e.where(col("event_type") === "view")
+      .select(col("user_id"), col("tsu").as("view_us"))
+    asOfExec(purchases, views, "user_id", "purchase_us", "view_us", Seq("view_us"))
+      .select(col("user_id"), col("purchase_us"),
+        col("asof_view_us").as("last_view_us"))
+  }
+
   private def carryType(right: DataFrame, rightTs: String, payload: Seq[String]) =
     org.apache.spark.sql.types.StructType(
       (rightTs +: payload).map(c => right.schema(c)))

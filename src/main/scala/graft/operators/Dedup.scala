@@ -475,17 +475,26 @@ object Dedup {
       .agg(first(col("n_docs")).as("n_docs"))
   }
 
-  /** 60-bit SimHash signature per doc. 60 bits (not 64) because the
-    * per-token hash is the engine-portable md5-derived
-    * [[TextAnalysis.portableHash60]], which makes the whole near-dup
-    * output DuckDB-verifiable. */
-  def simhashSignatures(docs: DataFrame): DataFrame = {
+  /** 60-bit SimHash signature per doc, computed ROW-LOCALLY by the
+    * native `simhash_sig` expression ([[graft.functions.SimHashSig]]):
+    * map-only, zero exchanges — the explode-tokens → 60-bit-sum groupBy
+    * it replaced shuffled every token hash of the corpus. 60 bits (not
+    * 64) because the per-token hash is the engine-portable md5-derived
+    * [[TextAnalysis.portableHash60]], which keeps the near-dup output
+    * DuckDB-verifiable. */
+  def simhashSignatures(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), graft.functions.SimHashSig.simhashSig(
+        TextAnalysis.tokens(col("text"))).as("simhash"))
+      .where(col("simhash").isNotNull)
+
+  /** The aggregate formulation [[simhashSignatures]] replaced (explode →
+    * per-bit shift-mask sums → majority vote); kept test-only as the
+    * independent reference for the bit-identity spec. */
+  private[graft] def aggSimhashSignatures(docs: DataFrame): DataFrame = {
     val tok = docs
       .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("w"))
       .withColumn("hv", TextAnalysis.portableHash60(col("w")))
-    // per-bit one-counts as bare shift-and-mask sums (no branchy `when` in
-    // the per-token hot loop); bit j of the fingerprint is set iff ones
-    // outnumber zeros, i.e. 2·ones > n_tokens — the ±1-sum rule exactly
     val bitSums = (0 until 60).map(j =>
       sum(shiftright(col("hv"), j).bitwiseAND(lit(1L))).as(s"b$j"))
     val sig = tok.groupBy(col("doc_id"))

@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.AsOfJoin
+
+/** The custom physical as-of operator. Ground truth is the composed
+  * (tagged-union + running-struct-max) operator, which is itself
+  * oracle-verified — equality on real event data plus adversarial
+  * shapes (ties, no-match keys, multi-payload) is the gate.
+  */
+class AsOfJoinExecSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("exec operator equals the composed asOf on real events") {
+    val events = Tables.events(spark, sfDir)
+    val exec = AsOfJoin.purchaseAttributionExec(events)
+      .as[(Long, Long, Option[Long])].collect().toSet
+    val composed = AsOfJoin.purchaseAttribution(events)
+      .as[(Long, Long, Option[Long])].collect().toSet
+    assert(exec == composed && exec.nonEmpty)
+  }
+
+  test("physical plan is the custom exec with one co-partitioning exchange per side") {
+    val events = Tables.events(spark, sfDir)
+    val plan = AsOfJoin.purchaseAttributionExec(events)
+      .queryExecution.executedPlan.toString
+    // physical nodes print with the Exec suffix stripped; a leading
+    // `!` would mark unresolved/missing-input nodes
+    assert(plan.contains("AsOfJoin"), s"expected custom exec:\n$plan")
+    assert(!plan.contains("!AsOfJoin"), s"exec node must be valid:\n$plan")
+    assert(!plan.contains("Window"), "no window buffering in the exec path")
+  }
+
+  test("ties, missing matches, and multi-payload match the composed operator") {
+    val left = Seq(
+      (1L, 100L, "a"), (1L, 200L, "b"), (2L, 50L, "c"), (3L, 10L, "d"))
+      .toDF("k", "lts", "ltag")
+    // key 1: two right rows at the SAME ts 100 (payload tie → greater
+    // payload wins); key 2: only future rows (no match); key 3: none
+    val right = Seq(
+      (1L, 100L, 7L), (1L, 100L, 9L), (1L, 150L, 5L), (2L, 60L, 1L))
+      .toDF("k", "rts", "pay")
+    val exec = AsOfJoin.asOfExec(left, right, "k", "lts", "rts", Seq("pay"))
+      .select($"k", $"lts", $"asof_pay").as[(Long, Long, Option[Long])]
+      .collect().toSet
+    val composed = AsOfJoin.asOf(left, right, "k", "lts", "rts", Seq("pay"))
+      .select($"k", $"lts", $"asof_pay").as[(Long, Long, Option[Long])]
+      .collect().toSet
+    assert(exec == composed)
+    assert(exec == Set((1L, 100L, Some(9L)), (1L, 200L, Some(5L)),
+      (2L, 50L, None), (3L, 10L, None)))
+  }
+
+  test("randomized equivalence with the composed operator") {
+    val rnd = new scala.util.Random(7)
+    val left = Seq.fill(500)((rnd.nextInt(20).toLong, rnd.nextInt(100).toLong))
+      .toDF("k", "lts")
+    val right = Seq.fill(500)(
+      (rnd.nextInt(20).toLong, rnd.nextInt(100).toLong, rnd.nextInt(1000).toLong))
+      .toDF("k", "rts", "pay")
+    val exec = AsOfJoin.asOfExec(left, right, "k", "lts", "rts", Seq("pay"))
+      .groupBy($"k", $"lts", $"asof_pay").count()
+      .as[(Long, Long, Option[Long], Long)].collect().toSet
+    val composed = AsOfJoin.asOf(left, right, "k", "lts", "rts", Seq("pay"))
+      .groupBy($"k", $"lts", $"asof_pay").count()
+      .as[(Long, Long, Option[Long], Long)].collect().toSet
+    assert(exec == composed)
+  }
+}

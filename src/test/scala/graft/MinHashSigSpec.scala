@@ -144,3 +144,34 @@ class DocStreamSpec extends SparkSpec {
     assert(got.toSet == expected)
   }
 }
+
+class SimHashSigSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("row-local simhash is bit-identical to the aggregate formulation") {
+    val docs = Tables.documents(spark, sfDir)
+    val row = Dedup.simhashSignatures(docs)
+    val agg = Dedup.aggSimhashSignatures(docs)
+    assert(row.count() == agg.count())
+    val diff = row.as("r").join(agg.as("a"), "doc_id")
+      .where(col("r.simhash") =!= col("a.simhash")).count()
+    assert(diff == 0)
+  }
+
+  test("per-token hash matches portableHash60 exactly") {
+    // single-token docs: fingerprint == the token's portable hash
+    val d = Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma")).toDF("doc_id", "text")
+    val got = Dedup.simhashSignatures(d)
+    val expect = d.select(col("doc_id"),
+      operators.TextAnalysis.portableHash60(col("text")).as("simhash"))
+    assert(got.exceptAll(expect).isEmpty && expect.exceptAll(got).isEmpty)
+  }
+
+  test("empty docs produce no signature row; signing plans no exchange") {
+    val d = Seq((1L, ""), (2L, "a b c")).toDF("doc_id", "text")
+    assert(Dedup.simhashSignatures(d).select("doc_id").as[Long].collect().toSet == Set(2L))
+    val plan = Dedup.simhashSignatures(Tables.documents(spark, sfDir))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"simhash signing must not shuffle:\n$plan")
+  }
+}
