@@ -89,6 +89,7 @@ object SparkEntry {
     "e_asof" -> ((s, d) => AsOfJoin.purchaseAttribution(Tables.events(s, d))),
     "e_asof_exec" -> ((s, d) => AsOfJoin.purchaseAttributionExec(Tables.events(s, d))),
     "e_asof_fwd" -> ((s, d) => AsOfJoin.viewNextPurchase(Tables.events(s, d))),
+    "e_asof_fwd_exec" -> ((s, d) => AsOfJoin.viewNextPurchaseExec(Tables.events(s, d))),
     "e_range_join" -> ((s, d) => Events.purchaseViewsWithin(Tables.events(s, d))),
     "e_json" -> ((s, d) => Events.propsHistogram(Tables.events(s, d))),
     "e_interval_join" -> ((s, d) => Events.maintenanceWindowCounts(Tables.events(s, d))),
@@ -289,6 +290,20 @@ object SparkEntry {
                 count(*) AS cnt
          FROM orders GROUP BY o_orderstatus""",
     "e_asof_fwd" ->
+      """WITH u AS (
+           SELECT user_id, epoch_us(ts) AS tsu,
+                  CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END AS p_ts,
+                  CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS is_v,
+                  CASE WHEN event_type = 'purchase' THEN 0 ELSE 1 END AS ord
+           FROM events WHERE event_type IN ('view', 'purchase')),
+         w AS (
+           SELECT user_id, tsu, is_v,
+                  min(p_ts) OVER (PARTITION BY user_id ORDER BY tsu DESC, ord
+                                  ROWS UNBOUNDED PRECEDING) AS next_purchase_us
+           FROM u)
+         SELECT user_id, tsu AS view_us, next_purchase_us FROM w WHERE is_v = 1""",
+    // the forward-mode custom physical operator: identical result
+    "e_asof_fwd_exec" ->
       """WITH u AS (
            SELECT user_id, epoch_us(ts) AS tsu,
                   CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END AS p_ts,

@@ -85,7 +85,19 @@ object AsOfJoin {
     * no window frame state. Requires integral key/timestamp columns.
     * Output: left columns + `asof_<payloadCol>` columns. */
   def asOfExec(left: DataFrame, right: DataFrame, key: String,
-      leftTs: String, rightTs: String, payload: Seq[String]): DataFrame = {
+      leftTs: String, rightTs: String, payload: Seq[String]): DataFrame =
+    execJoin(left, right, key, leftTs, rightTs, payload, forward = false)
+
+  /** [[asOfForward]] planned as the custom physical operator: earliest
+    * right row at-or-after each left timestamp; columns arrive as
+    * `asofnext_<payload>`. */
+  def asOfExecForward(left: DataFrame, right: DataFrame, key: String,
+      leftTs: String, rightTs: String, payload: Seq[String]): DataFrame =
+    execJoin(left, right, key, leftTs, rightTs, payload, forward = true)
+
+  private def execJoin(left: DataFrame, right: DataFrame, key: String,
+      leftTs: String, rightTs: String, payload: Seq[String],
+      forward: Boolean): DataFrame = {
     import org.apache.spark.sql.graftbridge.Bridge
     val integral = Set[org.apache.spark.sql.types.DataType](
       org.apache.spark.sql.types.ByteType, org.apache.spark.sql.types.ShortType,
@@ -105,13 +117,14 @@ object AsOfJoin {
         name: String) = p.output.find(_.name == name).getOrElse(
       throw new IllegalArgumentException(s"as-of column '$name' not found"))
     val rPayload = payload.map(attr(rPlan, _))
+    val prefix = if (forward) "asofnext_" else "asof_"
     val asofOut = rPayload.map(a =>
       org.apache.spark.sql.catalyst.expressions.AttributeReference(
-        s"asof_${a.name}", a.dataType, nullable = true)())
+        s"$prefix${a.name}", a.dataType, nullable = true)())
     Bridge.ofRows(left.sparkSession,
       graft.plans.AsOfJoinNode(lPlan, rPlan,
         attr(lPlan, key), attr(rPlan, key), attr(lPlan, leftTs),
-        attr(rPlan, rightTs), rPayload, asofOut))
+        attr(rPlan, rightTs), rPayload, asofOut, forward))
   }
 
   /** [[purchaseAttribution]] computed by the custom physical as-of
@@ -125,6 +138,19 @@ object AsOfJoin {
     asOfExec(purchases, views, "user_id", "purchase_us", "view_us", Seq("view_us"))
       .select(col("user_id"), col("purchase_us"),
         col("asof_view_us").as("last_view_us"))
+  }
+
+  /** [[viewNextPurchase]] computed by the custom physical operator in
+    * FORWARD mode — same output schema and oracle. */
+  def viewNextPurchaseExec(events: DataFrame): DataFrame = {
+    val e = events.select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("tsu"))
+    val views = e.where(col("event_type") === "view")
+      .select(col("user_id"), col("tsu").as("view_us"))
+    val purchases = e.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("tsu").as("p_us"))
+    asOfExecForward(views, purchases, "user_id", "view_us", "p_us", Seq("p_us"))
+      .select(col("user_id"), col("view_us"),
+        col("asofnext_p_us").as("next_purchase_us"))
   }
 
   private def carryType(right: DataFrame, rightTs: String, payload: Seq[String]) =

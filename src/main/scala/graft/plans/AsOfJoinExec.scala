@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, AttributeReference, Cast, Expression, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, AttributeReference, Cast, Descending, Expression, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection}
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
@@ -44,7 +44,8 @@ import org.apache.spark.sql.types.LongType
   * precisely those columns alive. */
 case class AsOfJoinNode(left: LogicalPlan, right: LogicalPlan,
     lKey: Attribute, rKey: Attribute, lTs: Attribute, rTs: Attribute,
-    rPayload: Seq[Attribute], asofOutput: Seq[Attribute])
+    rPayload: Seq[Attribute], asofOutput: Seq[Attribute],
+    forward: Boolean = false)
   extends BinaryNode {
 
   override def output: Seq[Attribute] = left.output ++ asofOutput
@@ -68,14 +69,15 @@ class AsOfJoinStrategy(spark: SparkSession) extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case n: AsOfJoinNode =>
       AsOfJoinExec(planLater(n.left), planLater(n.right),
-        n.lKey, n.rKey, n.lTs, n.rTs, n.rPayload, n.asofOutput) :: Nil
+        n.lKey, n.rKey, n.lTs, n.rTs, n.rPayload, n.asofOutput, n.forward) :: Nil
     case _ => Nil
   }
 }
 
 case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
     lKey: Attribute, rKey: Attribute, lTs: Attribute, rTs: Attribute,
-    rPayload: Seq[Attribute], asofOutput: Seq[Attribute])
+    rPayload: Seq[Attribute], asofOutput: Seq[Attribute],
+    forward: Boolean = false)
   extends BinaryExecNode {
 
   override def output: Seq[Attribute] = left.output ++ asofOutput
@@ -88,10 +90,16 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
 
   // ordering on (key, ts, payload...) — the payload tail makes the
   // "last qualifying row wins" rule equal the composed operator's
-  // lexicographic struct max under timestamp ties
+  // lexicographic struct extremum under timestamp ties: backward scans
+  // ascending and keeps max(struct); FORWARD scans ts+payload DESCENDING
+  // (key still ascending) so the last qualifying row is the EARLIEST
+  // right row at-or-after, min payload on ties — exactly asOfForward's
+  // running min(struct)
+  private def dir = if (forward) Descending else Ascending
   override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
-    Seq(SortOrder(lKey, Ascending), SortOrder(lTs, Ascending)),
-    (Seq(rKey, rTs) ++ rPayload).map(a => SortOrder(a, Ascending)))
+    Seq(SortOrder(lKey, Ascending), SortOrder(lTs, dir)),
+    SortOrder(rKey, Ascending) +:
+      (rTs +: rPayload).map(a => SortOrder(a, dir)))
 
   override protected def doExecute(): RDD[InternalRow] = {
     val carried = rTs +: rPayload // what the merge carries off the right side
@@ -118,13 +126,14 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
         val lk = lKeyProj(lRow)
         val k = lk.getLong(0)
         val t = lk.getLong(1)
-        // advance the right side to the last row with key == k, ts <= t
+        // advance the right side to the last row with key == k and
+        // ts <= t (backward) / ts >= t (forward — descending scan)
         var advance = true
         while (advance && rBuf.hasNext) {
           val peek = rKeyProj(rBuf.head)
           val rk = peek.getLong(0)
           val rt = peek.getLong(1)
-          if (rk < k || (rk == k && rt <= t)) {
+          if (rk < k || (rk == k && (if (forward) rt >= t else rt <= t))) {
             val row = rBuf.next()
             if (rk == k) { best = rCarryProj(row).copy(); bestKey = k }
           } else advance = false

@@ -67,3 +67,49 @@ class AsOfJoinExecSpec extends SparkSpec {
     assert(exec == composed)
   }
 }
+
+class AsOfJoinExecForwardSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.operators.AsOfJoin
+
+  test("forward exec equals the composed asOfForward on real events") {
+    val events = Tables.events(spark, sfDir)
+    val exec = AsOfJoin.viewNextPurchaseExec(events)
+      .as[(Long, Long, Option[Long])].collect().toSet
+    val composed = AsOfJoin.viewNextPurchase(events)
+      .as[(Long, Long, Option[Long])].collect().toSet
+    assert(exec == composed && exec.nonEmpty)
+  }
+
+  test("forward ties pick the MIN payload (struct-min parity)") {
+    val left = Seq((1L, 100L), (2L, 500L)).toDF("k", "lts")
+    // key 1: two right rows at the same future ts (min payload must
+    // win); a nearer row at 150 beats both; key 2: only past rows
+    val right = Seq((1L, 200L, 9L), (1L, 200L, 7L), (1L, 150L, 5L), (2L, 400L, 1L))
+      .toDF("k", "rts", "pay")
+    val exec = AsOfJoin.asOfExecForward(left, right, "k", "lts", "rts", Seq("pay"))
+      .select($"k", $"lts", $"asofnext_pay").as[(Long, Long, Option[Long])]
+      .collect().toSet
+    val composed = AsOfJoin.asOfForward(left, right, "k", "lts", "rts", Seq("pay"))
+      .select($"k", $"lts", $"asofnext_pay").as[(Long, Long, Option[Long])]
+      .collect().toSet
+    assert(exec == composed)
+    assert(exec == Set((1L, 100L, Some(5L)), (2L, 500L, None)))
+  }
+
+  test("randomized forward equivalence") {
+    val rnd = new scala.util.Random(11)
+    val left = Seq.fill(400)((rnd.nextInt(15).toLong, rnd.nextInt(80).toLong))
+      .toDF("k", "lts")
+    val right = Seq.fill(400)(
+      (rnd.nextInt(15).toLong, rnd.nextInt(80).toLong, rnd.nextInt(100).toLong))
+      .toDF("k", "rts", "pay")
+    val exec = AsOfJoin.asOfExecForward(left, right, "k", "lts", "rts", Seq("pay"))
+      .groupBy($"k", $"lts", $"asofnext_pay").count()
+      .as[(Long, Long, Option[Long], Long)].collect().toSet
+    val composed = AsOfJoin.asOfForward(left, right, "k", "lts", "rts", Seq("pay"))
+      .groupBy($"k", $"lts", $"asofnext_pay").count()
+      .as[(Long, Long, Option[Long], Long)].collect().toSet
+    assert(exec == composed)
+  }
+}
