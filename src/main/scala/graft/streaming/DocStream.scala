@@ -81,6 +81,25 @@ object DocStream {
         graft.functions.Exact.round6(col("jaccard")).as("jaccard"))
   }
 
+  /** The map-only FRONT of corpus preparation on a stream: the same
+    * fused quality+language signal expressions, quality/language
+    * filter, and deterministic split assignment that
+    * [[graft.operators.CorpusPipeline.prepare]] runs in batch — all
+    * pure projections, so they run UNCHANGED on a streaming frame with
+    * no watermark or state. This is the ingest-time filter gate; the
+    * stateful stages (dedup, components, decontamination) stay in the
+    * batch/index path ([[nearDupGate]] covers near-dup at ingest).
+    * Output equals the batch pipeline's pre-dedup stage exactly
+    * (spec-asserted). */
+  def prepStream(docs: DataFrame, minQuality: Double = 0.3,
+      langs: Set[String] = Set.empty): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    graft.operators.CorpusPipeline.signals(docs)
+      .where(col("quality_score") >= minQuality &&
+        (if (langs.isEmpty) lit(true) else col("pred_lang").isin(langs.toSeq: _*)))
+      .withColumn("split", graft.operators.Sampling.splitColumn(col("doc_id")))
+  }
+
   /** Exact-parity gate: `foreachBatch` runs the BATCH
     * [[graft.operators.Dedup.dedupAgainstIndex]] on each micro-batch,
     * so every batch's flags equal the batch operator's output on the

@@ -175,3 +175,28 @@ class SimHashSigSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), s"simhash signing must not shuffle:\n$plan")
   }
 }
+
+class PrepStreamSpec extends SparkSpec {
+  import spark.implicits._
+  import java.nio.file.Files
+  import graft.streaming.DocStream
+
+  test("streaming prep front-end equals the batch signals+filter+split stage") {
+    val d = Tables.documents(spark, sfDir).select("doc_id", "text")
+    val dir = Files.createTempDirectory("graft-prepstream").toString
+    d.coalesce(1).write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(d.schema).parquet(dir)
+    val q = DocStream.prepStream(stream, 0.2)
+      .writeStream.format("memory").queryName("prep_stream").outputMode("append")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("prep_stream")
+      .select($"doc_id", functions.Exact.round6($"quality_score").as("q"),
+        $"pred_lang", $"split")
+    val batch = DocStream.prepStream(d, 0.2)
+      .select($"doc_id", functions.Exact.round6($"quality_score").as("q"),
+        $"pred_lang", $"split")
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+    assert(batch.count() > 0)
+  }
+}
