@@ -49,12 +49,18 @@ object Dedup {
         concat_ws(" ", (0 until n).map(o => element_at(col("w"), col("i") + o)): _*)
           .as("shingle"))
 
-  /** Non-distinct hashed shingles: (doc_id, h: Long). Downstream minhash /
-    * set aggregation is duplicate-insensitive, so the dedup shuffle a
-    * `.distinct()` would cost is skipped; all signature math runs on 64-bit
-    * longs instead of shingle strings (one xxhash64 per shingle total). */
+  /** Non-distinct hashed shingles: (doc_id, h: Long), via the native
+    * row-local `shingle_hashes` expression — the scan emits one
+    * array<long> per doc and only 8-byte hashes fan out of the explode.
+    * The string-building formulation this replaced exploded the shingle
+    * INDEX first, so Generate copied the full token array once per
+    * shingle: O(tokens²) bytes through the scan stage per document.
+    * Hash values are identical (same XXH64 kernel over the same
+    * space-joined gram bytes), so every downstream oracle is untouched. */
   def hashedShingles(docs: DataFrame, n: Int): DataFrame =
-    rawShingles(docs, n).select(col("doc_id"), xxhash64(col("shingle")).as("h"))
+    docs
+      .select(col("doc_id"), explode(graft.functions.ShingleHashes.shingleHashes(
+        TextAnalysis.tokens(col("text")), n)).as("h"))
 
   /** Exact n-gram Jaccard near-dup pairs via a shingle inverted index.
     * The self-join on shingle is the candidate generator; count/union

@@ -200,3 +200,31 @@ class PrepStreamSpec extends SparkSpec {
     assert(batch.count() > 0)
   }
 }
+
+class ShingleHashesSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.operators.TextAnalysis
+
+  test("native shingle hashes equal the explode+concat_ws formulation (multiset)") {
+    val docs = Tables.documents(spark, sfDir)
+    val native = Dedup.hashedShingles(docs, 3)
+      .groupBy($"doc_id", $"h").count()
+    val legacy = docs
+      .select($"doc_id", TextAnalysis.tokens($"text").as("w"))
+      .where(size($"w") >= 3)
+      .select($"doc_id", explode(sequence(lit(1), size($"w") - 2)).as("i"), $"w")
+      .select($"doc_id", xxhash64(concat_ws(" ",
+        element_at($"w", $"i"), element_at($"w", $"i" + 1),
+        element_at($"w", $"i" + 2))).as("h"))
+      .groupBy($"doc_id", $"h").count()
+    assert(native.exceptAll(legacy).isEmpty && legacy.exceptAll(native).isEmpty)
+    assert(native.count() > 0)
+  }
+
+  test("short docs emit no hashes; scan stage has no pre-explode shuffle") {
+    val tiny = Seq((1L, "just two"), (2L, "one two three four")).toDF("doc_id", "text")
+    val hs = Dedup.hashedShingles(tiny, 3)
+    assert(hs.select("doc_id").as[Long].collect().toSet == Set(2L))
+    assert(hs.where($"doc_id" === 2L).count() == 2) // 4 tokens -> 2 trigrams
+  }
+}
