@@ -158,6 +158,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[HitCount].getName, "hit_count"),
       (exprs: Seq[Expression]) => HitCount(exprs)))
     ext.injectFunction((
+      new FunctionIdentifier("repetition_stats"),
+      new ExpressionInfo(classOf[RepetitionStats].getName, "repetition_stats"),
+      (exprs: Seq[Expression]) => RepetitionStats(exprs)))
+    ext.injectFunction((
       new FunctionIdentifier("shingle_hashes"),
       new ExpressionInfo(classOf[ShingleHashes].getName, "shingle_hashes"),
       (exprs: Seq[Expression]) => ShingleHashes(exprs)))

@@ -180,11 +180,27 @@ object TextAnalysis {
     * bigram fraction. High top-fraction or low TTR marks boilerplate
     * and generator loops that length/stopword scores miss.
     *
-    * Shape at scale: explode to (doc, gram) → hash-aggregate counts →
-    * per-doc max/sum — the tfidf shuffle pattern, carrying one long
-    * count per distinct gram, never the text. Ratios are single exact
-    * divisions (see [[quality]]). */
-  def repetition(docs: DataFrame): DataFrame = {
+    * Shape at scale: these statistics are strictly per-document, so
+    * they are computed ROW-LOCALLY by the native `repetition_stats`
+    * expression ([[graft.functions.RepetitionStats]]) — the whole
+    * operator is a map-only scan projection, zero exchanges (the
+    * aggregate formulation paid two corpus-wide gram shuffles for
+    * per-doc numbers). Ratios are the same single exact divisions and
+    * floor-rounding, so the DuckDB oracle is untouched. */
+  def repetition(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), graft.functions.RepetitionStats.repetitionStats(
+        tokens(col("text"))).as("r"))
+      .where(col("r").isNotNull)
+      .select(col("doc_id"), col("r.n_tokens").as("n_tokens"),
+        col("r.ttr").as("ttr"), col("r.top_word_frac").as("top_word_frac"),
+        col("r.top_2gram_frac").as("top_2gram_frac"))
+
+  /** The two-shuffle aggregate formulation [[repetition]] replaced;
+    * kept test-only as the independent reference for the equality
+    * spec (these stats are per-document, so the corpus-wide gram
+    * shuffles it pays are pure overhead). */
+  private[graft] def aggRepetition(docs: DataFrame): DataFrame = {
     import graft.functions.Exact.round6
     def topFrac(grams: DataFrame, out: String): DataFrame =
       grams

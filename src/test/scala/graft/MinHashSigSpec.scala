@@ -228,3 +228,30 @@ class ShingleHashesSpec extends SparkSpec {
     assert(hs.where($"doc_id" === 2L).count() == 2) // 4 tokens -> 2 trigrams
   }
 }
+
+class RepetitionStatsSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.operators.TextAnalysis
+
+  test("row-local repetition stats equal the aggregate formulation exactly") {
+    val docs = Tables.documents(spark, sfDir)
+    val row = TextAnalysis.repetition(docs)
+    val agg = TextAnalysis.aggRepetition(docs)
+    assert(row.count() == agg.count() && row.count() > 0)
+    assert(row.exceptAll(agg).isEmpty && agg.exceptAll(row).isEmpty)
+  }
+
+  test("edge docs: empty absent, single-token doc has zero bigram frac; map-only plan") {
+    val d = Seq((1L, ""), (2L, "word"), (3L, "a a b")).toDF("doc_id", "text")
+    val out = TextAnalysis.repetition(d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    assert(out.keySet == Set(2L, 3L))
+    assert(out(2L) == ((1L, 1.0, 1.0, 0.0)))
+    // doc 3: n=3, d=2 -> ttr=0.666667; top word 'a' 2/3; bigrams: "a a","a b" -> 1/2
+    assert(out(3L) == ((3L, 0.666667, 0.666667, 0.5)))
+    val plan = TextAnalysis.repetition(Tables.documents(spark, sfDir))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"repetition must not shuffle:\n$plan")
+  }
+}
