@@ -158,6 +158,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[HitCount].getName, "hit_count"),
       (exprs: Seq[Expression]) => HitCount(exprs)))
     ext.injectFunction((
+      new FunctionIdentifier("portable_hash60"),
+      new ExpressionInfo(classOf[PortableHash60].getName, "portable_hash60"),
+      (exprs: Seq[Expression]) => PortableHash60(exprs)))
+    ext.injectFunction((
       new FunctionIdentifier("repetition_stats"),
       new ExpressionInfo(classOf[RepetitionStats].getName, "repetition_stats"),
       (exprs: Seq[Expression]) => RepetitionStats(exprs)))

@@ -41,24 +41,9 @@ case class SimHashSig(children: Seq[Expression]) extends Expression {
     }
   }
 
-  /** MD5 instances are stateful; one per thread. */
-  @transient private lazy val digest =
-    ThreadLocal.withInitial[java.security.MessageDigest](() =>
-      java.security.MessageDigest.getInstance("MD5"))
-
   /** First 15 hex chars of md5(bytes) parsed base-16 — exactly
-    * `conv(substring(md5(x),1,15),16,10)`: 15 nibbles = the top 7.5
-    * bytes of the digest. */
-  private def hash60(bytes: Array[Byte]): Long = {
-    val md = digest.get()
-    md.reset()
-    val d = md.digest(bytes)
-    // 15 nibbles: bytes 0..6 fully, high nibble of byte 7
-    var h = 0L
-    var i = 0
-    while (i < 7) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
-    (h << 4) | ((d(7) & 0xf0L) >> 4)
-  }
+    * `conv(substring(md5(x),1,15),16,10)` (shared digest kernel). */
+  private def hash60(bytes: Array[Byte]): Long = PortableHash60.hash60(bytes)
 
   def sign(a: ArrayData): Any = {
     val n = a.numElements()

@@ -143,8 +143,16 @@ object TextAnalysis {
     * base-16. Costs more than xxhash64 but is reproducible by any engine
     * with md5 (DuckDB: `CAST('0x' || substr(md5(x),1,15) AS BIGINT)`),
     * which is what makes fingerprints and simhash signatures
-    * oracle-checkable; 60 bits keeps the parse inside a signed long. */
+    * oracle-checkable; 60 bits keeps the parse inside a signed long.
+    * Computed by the native `portable_hash60` expression — same value,
+    * straight from the digest bytes, no hex render + re-parse per row
+    * (the column composition it replaced is pinned in the spec). */
   def portableHash60(c: Column): Column =
+    graft.functions.PortableHash60.portableHash60(c)
+
+  /** The column composition `portable_hash60` replaced; test-only
+    * reference for the bit-identity spec. */
+  private[graft] def legacyPortableHash60(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
   /** PII redaction rules: (RE2-compatible pattern, replacement tag).

@@ -255,3 +255,26 @@ class RepetitionStatsSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), s"repetition must not shuffle:\n$plan")
   }
 }
+
+class PortableHash60Spec extends SparkSpec {
+  import spark.implicits._
+  import graft.operators.TextAnalysis
+
+  test("native hash is bit-identical to conv(substring(md5)) on corpus text + edge strings") {
+    val docs = Tables.documents(spark, sfDir)
+      .select($"text".as("s"))
+      .unionAll(Seq("", " ", "a", "é中文 mixed ☃", "0123456789abcdef").toDF("s"))
+    val diff = docs.select(
+      TextAnalysis.portableHash60($"s").as("n"),
+      TextAnalysis.legacyPortableHash60($"s").as("l"))
+      .where($"n" =!= $"l" || $"n".isNull =!= $"l".isNull)
+    assert(diff.count() == 0)
+  }
+
+  test("null propagates") {
+    val out = Seq(Option("x"), None).toDF("s")
+      .select(TextAnalysis.portableHash60($"s").as("h"))
+      .as[Option[Long]].collect()
+    assert(out.count(_.isEmpty) == 1 && out.count(_.nonEmpty) == 1)
+  }
+}
