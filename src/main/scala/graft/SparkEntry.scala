@@ -139,6 +139,14 @@ object SparkEntry {
       val docs = Tables.documents(s, d)
       Dedup.contamination(docs.where(col("doc_id") >= 20), docs.where(col("doc_id") < 20))
     }),
+    // the "where did my data go" attrition report over the same prep run
+    "d_prep_attrition" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val docs = Tables.documents(s, d)
+      CorpusPipeline.attrition(
+        docs.where(col("doc_id") >= 20), Some(docs.where(col("doc_id") < 20)),
+        CorpusPipeline.Config(minQuality = 0.2))
+    }),
     "p_split" -> ((s, d) => Sampling.hashSplit(Tables.documents(s, d))),
     "p_sample" -> ((s, d) => Sampling.stratifiedSample(Tables.documents(s, d))),
     "p_pack" -> ((s, d) => Sampling.packSequences(Tables.documents(s, d))),
@@ -467,6 +475,57 @@ object SparkEntry {
                 floor(CAST(n_inter AS DOUBLE) / least(sa.sz, sb.sz) * 1000000 + 0.5) / 1000000 AS containment
          FROM inter JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
          WHERE CAST(n_inter AS DOUBLE) / least(sa.sz, sb.sz) >= 0.6""",
+    // attrition mirror: the same CTE chain as d_corpus_prep, emitting
+    // the surviving count after each stage
+    "d_prep_attrition" ->
+      """WITH RECURSIVE
+         corpus AS (SELECT doc_id, text FROM documents WHERE doc_id >= 20),
+         sig AS (
+           SELECT doc_id, text,
+                  len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS nw,
+                  length(text) AS nc,
+                  length(regexp_replace(text, '[^a-z]', '', 'g')) AS na,
+                  length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS np,
+                  len(list_filter(regexp_split_to_array(text, '\s+'), x -> x IN ('the','a','of','and','to','is','in','that','it','as'))) AS h_en
+           FROM corpus),
+         scored AS (
+           SELECT doc_id, text,
+                  CAST(h_en AS DOUBLE) / greatest(nw, 1) * 0.4
+                    + least(CAST(na AS DOUBLE) / greatest(nw, 1) / 10.0, 1.0) * 0.3
+                    + (1.0 - CAST(np AS DOUBLE) / greatest(nc, 1)) * 0.3 AS qs
+           FROM sig),
+         filt AS (SELECT * FROM scored WHERE qs >= 0.2),
+         keep AS (SELECT min(doc_id) AS doc_id FROM filt GROUP BY md5(text)),
+         uniq AS (SELECT f.doc_id, f.text FROM filt f JOIN keep USING (doc_id)),
+         tok AS (SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS w FROM uniq),
+         sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+                FROM tok CROSS JOIN unnest(generate_series(1, len(w) - 2)) AS t(i) WHERE len(w) >= 3),
+         sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+         inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+                   FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id GROUP BY 1, 2),
+         pairs AS (SELECT id_a, id_b FROM inter JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
+                   WHERE CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter) >= 0.5),
+         edges AS (SELECT id_a AS src, id_b AS dst FROM pairs UNION ALL SELECT id_b, id_a FROM pairs),
+         reach AS (SELECT src AS id, src AS r FROM edges
+                   UNION SELECT reach.id, edges.dst FROM reach JOIN edges ON reach.r = edges.src),
+         dropping AS (SELECT id AS doc_id FROM (SELECT id, min(r) AS component FROM reach GROUP BY id) WHERE id <> component),
+         ded AS (SELECT u.doc_id, u.text FROM uniq u ANTI JOIN dropping dr ON u.doc_id = dr.doc_id),
+         bsh AS (SELECT DISTINCT doc_id AS bench_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+                 FROM (SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS w
+                       FROM documents WHERE doc_id < 20)
+                 CROSS JOIN unnest(generate_series(1, len(w) - 2)) AS t(i) WHERE len(w) >= 3),
+         dsh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+                 FROM (SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS w FROM ded)
+                 CROSS JOIN unnest(generate_series(1, len(w) - 2)) AS t(i) WHERE len(w) >= 3),
+         flagged AS (SELECT DISTINCT doc_id FROM (
+                       SELECT d.doc_id, b.bench_id FROM dsh d JOIN bsh b USING (shingle)
+                       GROUP BY d.doc_id, b.bench_id HAVING count(*) >= 3)),
+         final AS (SELECT ded.doc_id FROM ded ANTI JOIN flagged fl ON ded.doc_id = fl.doc_id)
+         SELECT 'input' AS stage, count(*) AS n_docs FROM corpus
+         UNION ALL SELECT 'quality_lang', count(*) FROM filt
+         UNION ALL SELECT 'exact_dedup', count(*) FROM uniq
+         UNION ALL SELECT 'near_dedup', count(*) FROM ded
+         UNION ALL SELECT 'decontaminated', count(*) FROM final""",
     // the corpus-prep composition verified END-TO-END: each stage reuses
     // the already-verified oracle fragment (quality/lang signals, exact
     // dedup, ngram-Jaccard pairs [== LSH candidates on this corpus],

@@ -38,9 +38,13 @@ object CorpusPipeline {
 
   /** `release()` unpersists the pinned intermediates — call it once the
     * corpus has been written out (or fully consumed). Without it a
-    * session that runs prepare() repeatedly accumulates pins. */
+    * session that runs prepare() repeatedly accumulates pins.
+    * `stages` carries each stage's surviving frame (input → … → clean)
+    * for attrition reporting — the same objects the pipeline composed,
+    * so counting them reuses the pins. */
   case class Result(corpus: DataFrame, audit: Seq[(String, Long)],
-      pinned: Seq[DataFrame] = Nil) {
+      pinned: Seq[DataFrame] = Nil,
+      stages: Seq[(String, DataFrame)] = Nil) {
     def release(): Unit = pinned.foreach(_.unpersist(false))
   }
 
@@ -127,7 +131,24 @@ object CorpusPipeline {
 
     // split assignment is a pure column — no join, stays map-only
     val split = clean.withColumn("split", Sampling.splitColumn(col("doc_id")))
-    Result(split, steps.result(), pins.result())
+    Result(split, steps.result(), pins.result(), Seq(
+      "input" -> docs, "quality_lang" -> filtered, "exact_dedup" -> unique,
+      "near_dedup" -> deduped, "decontaminated" -> clean))
+  }
+
+  /** Attrition report — "where did my data go": surviving document
+    * count after each stage, as ONE composed plan (a union of stage
+    * aggregates over [[prepare]]'s pinned intermediates, so each stage
+    * is computed once and the counts read the cache). The per-stage
+    * DROP is the difference of consecutive rows; cumulative survivor
+    * counts are emitted because they are what both engines can state
+    * exactly. */
+  def attrition(docs: DataFrame, benchmark: Option[DataFrame] = None,
+      cfg: Config = Config()): DataFrame = {
+    val r = prepare(docs, benchmark, cfg)
+    r.stages.map { case (name, df) =>
+      df.agg(count(lit(1)).as("n_docs")).select(lit(name).as("stage"), col("n_docs"))
+    }.reduce(_ unionByName _)
   }
 
   /** Storage-checkpointed, RESUMABLE preparation — the 100 TB shape.
