@@ -83,6 +83,7 @@ object SparkEntry {
     "e_tumbling" -> ((s, d) => Events.tumblingHourly(Tables.events(s, d))),
     "e_sessionize" -> ((s, d) => Events.sessionize(Tables.events(s, d))),
     "e_top_sessions" -> ((s, d) => Events.topSessions(Tables.events(s, d))),
+    "e_session_builtin" -> ((s, d) => Events.sessionizeBuiltin(Tables.events(s, d))),
     "e_resample" -> ((s, d) => Events.resampleHourly(Tables.events(s, d))),
     "e_lead_lag" -> ((s, d) => Events.interEventGaps(Tables.events(s, d))),
     "e_user_stats" -> ((s, d) => Events.userStats(Tables.events(s, d))),
@@ -378,6 +379,26 @@ object SparkEntry {
            FROM t GROUP BY user_id, session_id)
          SELECT * FROM sess
          ORDER BY sum_value DESC, user_id, session_id LIMIT 20""",
+    // native session_window mirror: same session stats, no ordinal;
+    // the built-in's boundary is AT-or-after gap (>=), encoded here
+    "e_session_builtin" ->
+      """WITH g AS (
+           SELECT user_id, value, epoch_us(ts) AS tsu,
+                  lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)) AS prev
+           FROM events),
+         s AS (
+           SELECT user_id, value, tsu,
+                  CASE WHEN prev IS NULL OR tsu - prev >= 1800000000 THEN 1 ELSE 0 END AS is_new
+           FROM g),
+         t AS (
+           SELECT user_id, value, tsu,
+                  CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY tsu
+                                         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+           FROM s)
+         SELECT user_id, count(*) AS n_events,
+                CAST(sum(CAST(round((value) * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_value,
+                max(tsu) - min(tsu) AS duration_us
+         FROM t GROUP BY user_id, session_id""",
     "e_sessionize" ->
       """WITH g AS (
            SELECT user_id, value, epoch_us(ts) AS tsu,

@@ -45,6 +45,23 @@ object Events {
         (max(col("tsu")) - min(col("tsu"))).as("duration_us"))
   }
 
+  /** Gap sessionization via Spark's NATIVE `session_window` — the
+    * built-in path beside the lag+cumsum composition ([[sessionize]]),
+    * cross-validated against the same oracle shape. One boundary
+    * difference, encoded in the oracle: the built-in closes a session
+    * when the next event is AT or after gap (window end is exclusive),
+    * where the composition uses strictly-greater. Emits per-session
+    * stats without a session ordinal (window identity replaces it). */
+  def sessionizeBuiltin(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    import graft.functions.Exact.moneySum
+    events
+      .select(col("user_id"), col("ts"), col("value"), unix_micros(col("ts")).as("tsu"))
+      .groupBy(col("user_id"), session_window(col("ts"), s"$gapMinutes minutes"))
+      .agg(count(lit(1)).as("n_events"), moneySum(col("value")).as("sum_value"),
+        (max(col("tsu")) - min(col("tsu"))).as("duration_us"))
+      .select(col("user_id"), col("n_events"), col("sum_value"), col("duration_us"))
+  }
+
   /** Top-k sessions by spend: [[sessionize]] → global top-k. The
     * sort+limit plans as TakeOrderedAndProject — a bounded heap per
     * partition merged on the driver (k·partitions rows), never a global

@@ -278,3 +278,25 @@ class PortableHash60Spec extends SparkSpec {
     assert(out.count(_.isEmpty) == 1 && out.count(_.nonEmpty) == 1)
   }
 }
+
+class AttritionSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.operators.CorpusPipeline
+
+  test("attrition counts are monotone and bracket the pipeline output") {
+    val d = Tables.documents(spark, sfDir)
+    val corpus = d.where(col("doc_id") >= 20)
+    val bench = Some(d.where(col("doc_id") < 20))
+    val cfg = CorpusPipeline.Config(minQuality = 0.2)
+    val rows = CorpusPipeline.attrition(corpus, bench, cfg)
+      .as[(String, Long)].collect().toMap
+    val order = Seq("input", "quality_lang", "exact_dedup", "near_dedup", "decontaminated")
+    assert(rows.keySet == order.toSet)
+    val counts = order.map(rows)
+    assert(counts.zip(counts.tail).forall { case (a, b) => a >= b },
+      s"stage survivors must be monotone non-increasing: $counts")
+    assert(counts.head == corpus.count())
+    val r = CorpusPipeline.prepare(corpus, bench, cfg)
+    try assert(counts.last == r.corpus.count()) finally r.release()
+  }
+}
