@@ -32,6 +32,17 @@ object SmokeOne {
         operators.Analytics.kmvSummary(big)
           .write.format("noop").mode("overwrite").save()
       }
+      case "simhash" => time("simhash_100k") {
+        operators.Dedup.simhashNearDup(bd, 3)
+          .write.format("noop").mode("overwrite").save()
+      }
+      case "exact" => time("exact_100k") {
+        operators.Dedup.exact(bd).write.format("noop").mode("overwrite").save()
+      }
+      case "pack" => time("pack_1m_docs") {
+        operators.Sampling.packSequences(bd)
+          .write.format("noop").mode("overwrite").save()
+      }
       case "repetition" => time("repetition_100k") {
         operators.TextAnalysis.repetition(bd)
           .write.format("noop").mode("overwrite").save()

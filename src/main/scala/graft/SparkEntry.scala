@@ -1245,7 +1245,7 @@ object SparkEntry {
              list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS w FROM documents),
          t AS (SELECT doc_id, w, len(w) AS n FROM tok WHERE len(w) > 0),
          s AS (SELECT doc_id, w, unnest(generate_series(0, (n + 7) // 8 - 1)) AS span_id FROM t),
-         h AS (SELECT doc_id, span_id, doc_id * 1000000 + span_id AS ord,
+         h AS (SELECT doc_id, span_id, doc_id * 1000000000 + span_id AS ord,
                       CAST('0x' || substr(md5(array_to_string(w[(span_id * 8 + 1):(span_id * 8 + 8)], ' ')), 1, 15) AS BIGINT) AS hsh
                FROM s),
          f AS (SELECT hsh, min(ord) AS first_ord FROM h GROUP BY 1)

@@ -51,11 +51,17 @@ case class SimHashSig(children: Seq[Expression]) extends Expression {
     val ones = new Array[Int](60)
     var i = 0
     while (i < n) {
-      val h = hash60(a.getUTF8String(i).getBytes)
-      var j = 0
-      while (j < 60) {
-        ones(j) += ((h >>> j) & 1L).toInt
-        j += 1
+      // null tokens count toward n (the aggregate path's count(*) did)
+      // but contribute no bits (its per-token hash was null, and sum()
+      // skips nulls) — and must not NPE
+      val s = a.getUTF8String(i)
+      if (s != null) {
+        val h = hash60(s.getBytes)
+        var j = 0
+        while (j < 60) {
+          ones(j) += ((h >>> j) & 1L).toInt
+          j += 1
+        }
       }
       i += 1
     }

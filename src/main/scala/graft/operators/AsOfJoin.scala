@@ -106,13 +106,25 @@ object AsOfJoin {
       integral.contains(left.schema(leftTs).dataType) &&
       integral.contains(right.schema(rightTs).dataType),
       "asOfExec needs integral key and timestamp columns (epoch micros)")
-    val lPlan = Bridge.analyzed(left)
+    // the key must be the SAME type on both sides: hash partitioning is
+    // type-sensitive (hashInt(5) != hashLong(5)), so an Int/Long pair
+    // would co-partition nothing and silently emit all-null matches
+    require(left.schema(key).dataType == right.schema(key).dataType,
+      s"asOfExec key '$key' must have the same type on both sides " +
+        s"(${left.schema(key).dataType} vs ${right.schema(key).dataType})")
+    // null keys/timestamps are dropped from both sides (documented
+    // divergence from the window composition, which groups null==null):
+    // a null timestamp cannot satisfy any as-of bound, and null keys
+    // joining each other is never the analytic intent
+    val lPlan = Bridge.analyzed(
+      left.where(left.col(key).isNotNull && left.col(leftTs).isNotNull))
     // re-alias every right column: aliases mint fresh exprIds, so a
     // right side sharing lineage with the left (the self-join shape —
     // built-in joins get DeduplicateRelations for this, custom nodes
     // don't) can never collide with left attribute ids
     val rPlan = Bridge.analyzed(
-      right.select(right.columns.map(c => right.col(c).as(c)).toIndexedSeq: _*))
+      right.where(right.col(key).isNotNull && right.col(rightTs).isNotNull)
+        .select(right.columns.map(c => right.col(c).as(c)).toIndexedSeq: _*))
     def attr(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
         name: String) = p.output.find(_.name == name).getOrElse(
       throw new IllegalArgumentException(s"as-of column '$name' not found"))

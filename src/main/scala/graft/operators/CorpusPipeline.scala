@@ -137,18 +137,23 @@ object CorpusPipeline {
   }
 
   /** Attrition report — "where did my data go": surviving document
-    * count after each stage, as ONE composed plan (a union of stage
-    * aggregates over [[prepare]]'s pinned intermediates, so each stage
-    * is computed once and the counts read the cache). The per-stage
-    * DROP is the difference of consecutive rows; cumulative survivor
-    * counts are emitted because they are what both engines can state
-    * exactly. */
+    * count after each stage. The counts run EAGERLY against
+    * [[prepare]]'s pinned intermediates (each stage computed once, the
+    * later counts read the cache) and the pins are released before the
+    * 5-literal-row result escapes — a lazily-composed union would hold
+    * the pins forever, because no caller could ever reach `release()`.
+    * The per-stage DROP is the difference of consecutive rows;
+    * cumulative survivor counts are emitted because they are what both
+    * engines can state exactly. */
   def attrition(docs: DataFrame, benchmark: Option[DataFrame] = None,
       cfg: Config = Config()): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
     val r = prepare(docs, benchmark, cfg)
-    r.stages.map { case (name, df) =>
-      df.agg(count(lit(1)).as("n_docs")).select(lit(name).as("stage"), col("n_docs"))
-    }.reduce(_ unionByName _)
+    try {
+      r.stages.map { case (name, df) => (name, df.count()) }
+        .toDF("stage", "n_docs")
+    } finally r.release()
   }
 
   /** Storage-checkpointed, RESUMABLE preparation — the 100 TB shape.

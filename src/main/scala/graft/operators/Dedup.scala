@@ -601,7 +601,8 @@ object Dedup {
   def spanDedup(docs: DataFrame, spanTokens: Int = 8): DataFrame = {
     // (doc_id, span_id) order packed into one BIGINT so "first
     // occurrence" is a plain min() on any engine (span_id is bounded by
-    // the per-doc token count; 10⁶ spans/doc is a generous ceiling)
+    // the per-doc token count; 10⁹ slots/doc means no real document can
+    // collide into a neighboring doc's range)
     val spans = docs
       .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("tk"))
       .withColumn("n", size(col("tk")))
@@ -609,7 +610,10 @@ object Dedup {
       .withColumn("span_id", explode(sequence(lit(0L),
         expr(s"CAST((n + $spanTokens - 1) div $spanTokens AS BIGINT)") - 1)))
       .select(col("doc_id"), col("span_id"),
-        (col("doc_id") * 1000000L + col("span_id")).as("ord"),
+        // 1e9 span slots per doc (8e9 tokens at the default span width)
+        // — wide enough that no real document can collide into the next
+        // doc_id's ord range; doc_ids stay safe below ~9.2e9
+        (col("doc_id") * 1000000000L + col("span_id")).as("ord"),
         TextAnalysis.portableHash60(
           concat_ws(" ", slice(col("tk"), (col("span_id") * spanTokens + 1).cast("int"), lit(spanTokens))))
           .as("h"))

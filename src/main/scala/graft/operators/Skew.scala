@@ -22,7 +22,12 @@ object Skew {
     * position salt cycles 0..saltFactor-1 within every partition, so
     * even a partition of identical rows spreads evenly. Results never
     * depend on salt values (they're aggregated away / joined against a
-    * fully-replicated side), so nondeterminism across runs is fine. */
+    * fully-replicated side), so nondeterminism across runs — and across
+    * task RETRIES — is fine: a recomputed map partition may deal
+    * different salts, but every row still lands in exactly one (key,
+    * salt) bucket and stage 2 / the replicated join side is salt-
+    * complete, so totals are attempt-independent (Spark additionally
+    * resubmits whole indeterminate stages on fetch failure). */
   private[graft] def saltColumn(saltFactor: Int) =
     pmod(monotonically_increasing_id(), lit(saltFactor.toLong))
 

@@ -38,8 +38,20 @@ import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
   */
 case class RangeJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
 
+  // malformed conf = disabled, not a NumberFormatException from inside
+  // the optimizer on EVERY query in the session
   private def bucket: Long =
-    spark.conf.getOption("spark.graft.rangeJoin.bucket").map(_.toLong).getOrElse(0L)
+    spark.conf.getOption("spark.graft.rangeJoin.bucket")
+      .flatMap(v => scala.util.Try(v.toLong).toOption).getOrElse(0L)
+
+  /** Hard ceiling on cells per interval: an interval spanning more than
+    * this many buckets raises a clear error at execution instead of
+    * materializing a multi-gigabyte per-row array (mis-sized width vs
+    * the data's time scale — e.g. width 1 µs under day-long intervals —
+    * is a configuration bug, and a silent OOM would hide it). */
+  private def maxCells: Long =
+    spark.conf.getOption("spark.graft.rangeJoin.maxCellsPerInterval")
+      .flatMap(v => scala.util.Try(v.toLong).toOption).getOrElse(4096L)
 
   private val integral = Set[org.apache.spark.sql.types.DataType](
     ByteType, ShortType, IntegerType, LongType)
@@ -127,8 +139,19 @@ case class RangeJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
 
     // Sequence is TimeZoneAwareExpression: without an explicit zone it
     // reports unresolved (the analyzer pass that fills it has already
-    // run by optimization time), so set it here
-    val seq = new Sequence(cellOf(lo, width), cellOf(hi, width), None)
+    // run by optimization time), so set it here. The stop expression
+    // raises a descriptive error when one interval would cover more
+    // than maxCells buckets (see [[maxCells]]) — RaiseError throws
+    // before the Cast returns, so the Long branch type is only formal.
+    val cellLo = cellOf(lo, width)
+    val cellHi = cellOf(hi, width)
+    val guardedHi = If(GreaterThan(Subtract(cellHi, cellLo), Literal(maxCells)),
+      Cast(new RaiseError(Literal(
+        s"graft range-join: interval spans more than $maxCells cells at bucket width " +
+          s"$width — raise spark.graft.rangeJoin.bucket (or maxCellsPerInterval)")),
+        LongType),
+      cellHi)
+    val seq = new Sequence(cellLo, guardedHi, None)
       .withTimeZone(org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone)
     val iCellAttr = AttributeReference("__graft_icell", LongType, nullable = false)()
     val intervalSide = Generate(Explode(seq), unrequiredChildIndex = Nil,

@@ -253,7 +253,11 @@ object Catalog {
     * the compute side (the storage rewrite is the caller's
     * `writeChunked`/`writePartitioned`, which at scale should target
     * only the partitions the update keys touch). Schemas must match by
-    * name (`unionByName`). */
+    * name (`unionByName`). PRECONDITION: update keys must be non-null
+    * and unique within the batch — a null key never anti-matches (both
+    * the stale base row and the update row would survive), and two
+    * updates for one key both land (no within-batch ordering exists to
+    * pick a winner; dedupe upstream where one is defined). */
   def upsert(base: DataFrame, updates: DataFrame, key: String): DataFrame =
     updates.unionByName(
       base.join(updates.select(col(key)), Seq(key), "left_anti"))

@@ -113,3 +113,29 @@ class AsOfJoinExecForwardSpec extends SparkSpec {
     assert(exec == composed)
   }
 }
+
+class AsOfJoinExecGuardSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.operators.AsOfJoin
+
+  test("mismatched key types are rejected (hash partitioning is type-sensitive)") {
+    val left = Seq((1, 10L)).toDF("k", "lts")          // k: Int
+    val right = Seq((1L, 5L, 7L)).toDF("k", "rts", "pay") // k: Long
+    val e = intercept[IllegalArgumentException] {
+      AsOfJoin.asOfExec(left, right, "k", "lts", "rts", Seq("pay"))
+    }
+    assert(e.getMessage.contains("same type"))
+  }
+
+  test("null keys and timestamps are dropped, not matched as zero") {
+    val left = Seq((Some(0L), Some(10L), "zero-key"), (None, Some(10L), "null-key"),
+      (Some(1L), None, "null-ts")).toDF("k", "lts", "tag")
+    val right = Seq((Some(0L), Some(5L), Some(77L)), (None, Some(5L), Some(99L)))
+      .toDF("k", "rts", "pay")
+    val out = AsOfJoin.asOfExec(left, right, "k", "lts", "rts", Seq("pay"))
+      .select($"tag", $"asof_pay").as[(String, Option[Long])].collect().toMap
+    // null-key/null-ts LEFT rows are dropped entirely; the zero-key row
+    // must match only the zero-key right row, never the null-key one
+    assert(out == Map("zero-key" -> Some(77L)))
+  }
+}

@@ -300,3 +300,21 @@ class AttritionSpec extends SparkSpec {
     try assert(counts.last == r.corpus.count()) finally r.release()
   }
 }
+
+class SimHashNullTokenSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("null tokens count toward n but contribute no bits (no NPE)") {
+    import org.apache.spark.sql.functions.expr
+    // array('a', NULL): aggregate path counted the null in n_tok but
+    // summed no bits for it
+    val got = spark.range(1)
+      .select(expr("simhash_sig(array('a', CAST(NULL AS STRING)))").as("fp"))
+      .as[Long].head()
+    // n=2, only 'a' votes: bit set iff 2*ones > 2 -> ones must be 2 -> none
+    assert(got == 0L)
+    val single = spark.range(1)
+      .select(expr("simhash_sig(array('a'))").as("fp")).as[Long].head()
+    assert(single != 0L)
+  }
+}

@@ -92,3 +92,30 @@ class RangeJoinRewriteSpec extends SparkSpec {
     assert(!plan.contains("Generate"))
   }
 }
+
+class RangeJoinGuardSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("interval wider than maxCellsPerInterval raises a descriptive error") {
+    spark.conf.set("spark.graft.rangeJoin.bucket", "1")
+    try {
+      val p = Seq((1L, 5L)).toDF("pid", "t")
+      val iv = Seq((1L, 0L, 100000L)).toDF("iid", "lo", "hi")
+      val e = intercept[Exception] {
+        p.join(iv, $"t" >= $"lo" && $"t" < $"hi").count()
+      }
+      assert(e.getMessage.contains("graft range-join"), e.getMessage)
+    } finally spark.conf.unset("spark.graft.rangeJoin.bucket")
+  }
+
+  test("malformed bucket conf disables the rule instead of failing every query") {
+    spark.conf.set("spark.graft.rangeJoin.bucket", "15m")
+    try {
+      val p = Seq((1L, 5L)).toDF("pid", "t")
+      val iv = Seq((1L, 0L, 10L)).toDF("iid", "lo", "hi")
+      val j = p.join(iv, $"t" >= $"lo" && $"t" < $"hi")
+      assert(!j.queryExecution.executedPlan.toString.contains("Generate"))
+      assert(j.count() == 1)
+    } finally spark.conf.unset("spark.graft.rangeJoin.bucket")
+  }
+}
