@@ -140,6 +140,14 @@ object SparkEntry {
       val docs = Tables.documents(s, d)
       Dedup.contamination(docs.where(col("doc_id") >= 20), docs.where(col("doc_id") < 20))
     }),
+    // survivorship policy: near-dup clusters keep the LONGEST doc
+    "d_dedup_keep_best" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val docs = Tables.documents(s, d)
+      Dedup.applyDedupKeepBest(docs,
+          Dedup.minhashLsh(docs, 3, 64, 16, 0.5), col("n_chars"))
+        .select(col("doc_id"), col("n_chars"))
+    }),
     // the "where did my data go" attrition report over the same prep run
     "d_prep_attrition" -> ((s, d) => {
       import org.apache.spark.sql.functions.col
@@ -496,6 +504,31 @@ object SparkEntry {
                 floor(CAST(n_inter AS DOUBLE) / least(sa.sz, sb.sz) * 1000000 + 0.5) / 1000000 AS containment
          FROM inter JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
          WHERE CAST(n_inter AS DOUBLE) / least(sa.sz, sb.sz) >= 0.6""",
+    // survivorship mirror: components via recursive CTE, winner per
+    // component = max n_chars then min doc_id; unpaired docs pass
+    "d_dedup_keep_best" ->
+      """WITH RECURSIVE tok AS (SELECT doc_id,
+             list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS w FROM documents),
+         sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+                FROM tok CROSS JOIN unnest(generate_series(1, len(w) - 2)) AS t(i)
+                WHERE len(w) >= 3),
+         sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+         inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+                   FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2),
+         pairs AS (SELECT id_a, id_b
+                   FROM inter JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
+                   WHERE CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter) >= 0.5),
+         edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                   UNION ALL SELECT id_b, id_a FROM pairs),
+         reach AS (SELECT src AS id, src AS r FROM edges
+                   UNION SELECT reach.id, edges.dst FROM reach JOIN edges ON reach.r = edges.src),
+         comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+         ranked AS (SELECT c.id, row_number() OVER (PARTITION BY c.component
+                        ORDER BY d.n_chars DESC, c.id) AS rnk
+                    FROM comp c JOIN documents d ON c.id = d.doc_id),
+         losers AS (SELECT id AS doc_id FROM ranked WHERE rnk > 1)
+         SELECT doc_id, n_chars FROM documents ANTI JOIN losers USING (doc_id)""",
     // attrition mirror: the same CTE chain as d_corpus_prep, emitting
     // the surviving count after each stage
     "d_prep_attrition" ->

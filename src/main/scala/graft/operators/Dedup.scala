@@ -428,6 +428,33 @@ object Dedup {
     docs.join(drop, Seq("doc_id"), "left_anti")
   }
 
+  /** [[applyDedupTransitive]] with a SURVIVORSHIP POLICY: each dup
+    * cluster keeps its best document by `metric` (descending; ties →
+    * smaller doc_id) instead of the smallest id. This is what
+    * production cleaning actually wants — of a near-dup cluster, keep
+    * the longest / highest-quality copy, not an arbitrary ordinal.
+    *
+    * Same scale shape as the min-id variant: components over the pair
+    * set (O(duplicates)), then the winner per component via one
+    * max-struct aggregate over PAIRED docs only — the metric values of
+    * unpaired docs never shuffle — and one anti-join pass over the
+    * corpus. */
+  def applyDedupKeepBest(docs: DataFrame, pairs: DataFrame,
+      metric: Column): DataFrame = {
+    val comp = connectedComponents(pairs)
+    val scored = docs.join(comp.withColumnRenamed("id", "doc_id"), "doc_id")
+      .select(col("component"), col("doc_id"), metric.as("__m"))
+    // lexicographic struct max == (max metric, then SMALLEST id): negate
+    // the id so the struct max prefers smaller ids on metric ties
+    val winners = scored
+      .groupBy(col("component"))
+      .agg(max(struct(col("__m"), (-col("doc_id")).as("nid"))).as("w"))
+      .select((-col("w.nid")).as("keep_id"))
+    val losers = comp.select(col("id").as("doc_id"))
+      .join(winners, col("doc_id") === col("keep_id"), "left_anti")
+    docs.join(losers, Seq("doc_id"), "left_anti")
+  }
+
   /** The production near-dup pipeline: collapse exact duplicates first,
     * then minhash-LSH near-dup over the unique keepers. On dup-heavy
     * corpora this is the difference between feasible and not — raw LSH

@@ -318,3 +318,30 @@ class SimHashNullTokenSpec extends SparkSpec {
     assert(single != 0L)
   }
 }
+
+class KeepBestSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("survivorship keeps the longest doc per cluster, min id on ties; unpaired pass") {
+    val docs = Seq(
+      (1L, "short", 5L), (2L, "longest doc", 11L), (3L, "mid", 8L), // cluster A
+      (4L, "tie", 7L), (5L, "tie2", 7L),                            // cluster B (tied metric)
+      (9L, "alone", 99L))                                           // unpaired
+      .toDF("doc_id", "text", "n_chars")
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("id_a", "id_b")
+    val kept = Dedup.applyDedupKeepBest(docs, pairs, col("n_chars"))
+      .select("doc_id").as[Long].collect().toSet
+    // cluster A -> 2 (longest); cluster B -> 4 (tie, smaller id); 9 unpaired
+    assert(kept == Set(2L, 4L, 9L))
+  }
+
+  test("keep-best with metric=-doc_id degenerates to the min-id policy") {
+    val d = Tables.documents(spark, sfDir)
+    val pairs = Dedup.ngramJaccard(d, 3, 0.5)
+    val best = Dedup.applyDedupKeepBest(d, pairs, -col("doc_id"))
+      .select("doc_id").as[Long].collect().toSet
+    val minId = Dedup.applyDedupTransitive(d, pairs)
+      .select("doc_id").as[Long].collect().toSet
+    assert(best == minId)
+  }
+}
