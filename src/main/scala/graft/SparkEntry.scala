@@ -56,6 +56,8 @@ object SparkEntry {
     "q_string_agg" -> ((s, d) => Analytics.statusRollcall(Tables.lineitem(s, d))),
     "q_sketch" -> ((s, d) => Analytics.sketchSummary(Tables.lineitem(s, d))),
     "q_kmv" -> ((s, d) => Analytics.kmvSummary(Tables.lineitem(s, d))),
+    "q_kmv_join" -> ((s, d) => Analytics.kmvJoinEstimate(
+      Tables.lineitem(s, d), "l_partkey", Tables.part(s, d), "p_partkey")),
     "q_qsketch" -> ((s, d) => Analytics.quantileSketch(Tables.lineitem(s, d))),
     "q_argmin" -> ((s, d) => Analytics.cheapestPartPerBrand(Tables.part(s, d))),
     "q17_small_qty" -> ((s, d) => Analytics.smallQuantityOrders(Tables.lineitem(s, d))),
@@ -998,6 +1000,30 @@ object SparkEntry {
          UNION ALL SELECT user_id, 'signup', signup FROM p
          UNION ALL SELECT user_id, 'view', view FROM p""",
     // KMV sketch mirror: k-th smallest distinct portable hash per group.
+    // KMV set algebra: union sketch = k smallest of merged buffers;
+    // Jaccard = fraction of union k-mins in BOTH sides; |A∩B| = J·|A∪B|.
+    // Deterministic hashes → the whole estimator replays exactly.
+    "q_kmv_join" ->
+      """WITH ha AS (SELECT DISTINCT CAST('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 15) AS BIGINT) AS h FROM lineitem),
+         ka AS (SELECT h FROM ha ORDER BY h LIMIT 256),
+         hb AS (SELECT DISTINCT CAST('0x' || substr(md5(CAST(p_partkey AS VARCHAR)), 1, 15) AS BIGINT) AS h FROM part),
+         kb AS (SELECT h FROM hb ORDER BY h LIMIT 256),
+         un AS (SELECT h FROM (SELECT h FROM ka UNION SELECT h FROM kb) ORDER BY h LIMIT 256),
+         sa AS (SELECT count(*) AS n, max(h) AS hk FROM ka),
+         sb AS (SELECT count(*) AS n, max(h) AS hk FROM kb),
+         su AS (SELECT count(*) AS n, max(h) AS hk FROM un),
+         nb AS (SELECT count(*) AS n FROM un
+                WHERE h IN (SELECT h FROM ka) AND h IN (SELECT h FROM kb))
+         SELECT
+           floor((CASE WHEN sa.n < 256 THEN CAST(sa.n AS DOUBLE)
+                       ELSE 255.0 * CAST(1152921504606846976 AS DOUBLE) / CAST(sa.hk AS DOUBLE) END) * 1000000 + 0.5) / 1000000 AS est_left,
+           floor((CASE WHEN sb.n < 256 THEN CAST(sb.n AS DOUBLE)
+                       ELSE 255.0 * CAST(1152921504606846976 AS DOUBLE) / CAST(sb.hk AS DOUBLE) END) * 1000000 + 0.5) / 1000000 AS est_right,
+           floor((CAST(nb.n AS DOUBLE) / su.n) * 1000000 + 0.5) / 1000000 AS est_jaccard,
+           floor(((CAST(nb.n AS DOUBLE) / su.n) *
+                  (CASE WHEN su.n < 256 THEN CAST(su.n AS DOUBLE)
+                        ELSE 255.0 * CAST(1152921504606846976 AS DOUBLE) / CAST(su.hk AS DOUBLE) END)) * 1000000 + 0.5) / 1000000 AS est_intersection
+         FROM sa, sb, su, nb""",
     // 2^60 is a power of two (double-exact); the arithmetic shape matches
     // the Spark side verbatim so the IEEE result is bit-identical.
     "q_kmv" ->

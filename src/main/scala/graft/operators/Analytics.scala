@@ -254,6 +254,40 @@ object Analytics {
         estimate(col("bs"), k).as("est_supps"))
   }
 
+  /** KMV SET ALGEBRA for join planning: distinct-count, Jaccard, and
+    * intersection estimates between two key sets from their sketches
+    * alone — the "how selective is this join" question answered in one
+    * cheap pass per side, no join executed. The union sketch is the
+    * k smallest of the merged buffers; Jaccard is estimated as the
+    * fraction of union k-mins present in BOTH sides (the standard KMV
+    * coincidence estimator), and |A∩B| ≈ J·|A∪B|. Every number is a
+    * pure function of the deterministic portable hashes, so the whole
+    * estimator is value-verifiable cross-engine — unlike HLL
+    * intersections, which are engine-private state.
+    *
+    * Scale shape: two bounded-buffer aggregations (≤k longs per task
+    * ride each shuffle) + a 1×1 join of two single-row frames. */
+  def kmvJoinEstimate(left: DataFrame, leftKey: String,
+      right: DataFrame, rightKey: String, k: Int = 256): DataFrame = {
+    import graft.functions.KmvSketch._
+    import graft.functions.Exact.round6
+    import TextAnalysis.portableHash60
+    val ba = left.agg(kmv(portableHash60(col(leftKey).cast("string")), k).as("ba"))
+    val bb = right.agg(kmv(portableHash60(col(rightKey).cast("string")), k).as("bb"))
+    ba.join(bb)
+      .withColumn("bu", slice(array_sort(array_union(col("ba"), col("bb"))), 1, k))
+      .withColumn("n_both",
+        size(array_intersect(array_intersect(col("bu"), col("ba")), col("bb"))))
+      .select(
+        round6(estimate(col("ba"), k)).as("est_left"),
+        round6(estimate(col("bb"), k)).as("est_right"),
+        round6(col("n_both").cast("double") / least(size(col("bu")), lit(k)))
+          .as("est_jaccard"),
+        round6((col("n_both").cast("double") / least(size(col("bu")), lit(k))) *
+          estimate(slice(array_sort(array_union(col("ba"), col("bb"))), 1, k), k))
+          .as("est_intersection"))
+  }
+
   /** Bottom-k-sample quantile sketch — the oracle-checkable counterpart
     * of [[sketchSummary]]'s percentile_approx (KLL compaction is
     * engine-private; a hash-ordered bottom-k sample is a window

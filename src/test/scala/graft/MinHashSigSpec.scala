@@ -345,3 +345,29 @@ class KeepBestSpec extends SparkSpec {
     assert(best == minId)
   }
 }
+
+class KmvJoinEstimateSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.operators.Analytics
+
+  test("overlap estimates land near truth on a known 50% overlap") {
+    // A = 0..1999, B = 1000..2999: |A|=|B|=2000, |A∩B|=1000, J=1/3
+    val a = (0L until 2000L).toDF("k")
+    val b = (1000L until 3000L).toDF("k")
+    val r = Analytics.kmvJoinEstimate(a, "k", b, "k", 256).collect().head
+    val (el, er, ej, ei) = (r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))
+    assert(math.abs(el - 2000) / 2000.0 < 0.2, s"est_left $el")
+    assert(math.abs(er - 2000) / 2000.0 < 0.2, s"est_right $er")
+    assert(math.abs(ej - 1.0 / 3) < 0.1, s"est_jaccard $ej")
+    assert(math.abs(ei - 1000) / 1000.0 < 0.3, s"est_intersection $ei")
+  }
+
+  test("disjoint sets estimate zero intersection; identical sets estimate J=1") {
+    val a = (0L until 500L).toDF("k")
+    val b = (10000L until 10500L).toDF("k")
+    val r0 = Analytics.kmvJoinEstimate(a, "k", b, "k", 256).collect().head
+    assert(r0.getDouble(2) == 0.0 && r0.getDouble(3) == 0.0)
+    val r1 = Analytics.kmvJoinEstimate(a, "k", a, "k", 256).collect().head
+    assert(r1.getDouble(2) == 1.0)
+  }
+}
