@@ -61,6 +61,9 @@ object SparkEntry {
     "q_qsketch" -> ((s, d) => Analytics.quantileSketch(Tables.lineitem(s, d))),
     "q_argmin" -> ((s, d) => Analytics.cheapestPartPerBrand(Tables.part(s, d))),
     "q17_small_qty" -> ((s, d) => Analytics.smallQuantityOrders(Tables.lineitem(s, d))),
+    "q6_forecast" -> ((s, d) => Analytics.forecastRevenue(Tables.lineitem(s, d))),
+    "q12_late_priority" -> ((s, d) =>
+      Analytics.latePriority(Tables.lineitem(s, d), Tables.orders(s, d))),
     "q_pivot" -> ((s, d) => Analytics.eventTypePivot(Tables.events(s, d))),
     "q_unpivot" -> ((s, d) => Analytics.eventTypeUnpivot(Tables.events(s, d))),
     "q_running_total" -> ((s, d) => Analytics.runningRevenue(Tables.orders(s, d))),
@@ -921,6 +924,22 @@ object SparkEntry {
                   row_number() OVER (PARTITION BY o_custkey
                                      ORDER BY o_totalprice DESC) AS rnk
            FROM orders) WHERE rnk <= 3""",
+    // Q6 shape: cents×cents integer product sum, one division at the end
+    "q6_forecast" ->
+      """SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                          * CAST(round(l_discount * 100) AS BIGINT)) AS DOUBLE) / 10000.0 AS revenue,
+                count(*) AS n_lines
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1999-01-01'
+           AND l_discount >= 0.02 AND l_discount <= 0.09 AND l_quantity < 30""",
+    // Q12 shape over this schema: late shipments split by order priority
+    "q12_late_priority" ->
+      """SELECT l_returnflag,
+                CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+                CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+         GROUP BY l_returnflag""",
     "q17_small_qty" ->
       """WITH a AS (SELECT l_partkey AS ap,
                 CAST(sum(CAST(round((l_quantity) * 100) AS BIGINT)) AS DOUBLE) / 100.0 / count(*) AS avg_qty

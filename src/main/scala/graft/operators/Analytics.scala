@@ -321,6 +321,39 @@ object Analytics {
       .select(col("p_brand"), col("p_partkey"), col("min_price"))
   }
 
+  /** Forecast-revenue filter (TPC-H Q6 shape): revenue that would be
+    * gained by dropping discounts in a band for a shipping window —
+    * one pushed-filter scan, one aggregate, no join. The
+    * price×discount product is summed as cents×cents integer units
+    * (exact: both columns carry 2 decimals), divided once at the end. */
+  def forecastRevenue(lineitem: DataFrame): DataFrame = {
+    import graft.functions.Exact.cents
+    lineitem
+      .where(col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1999-01-01").cast("timestamp") &&
+        col("l_discount") >= 0.02 && col("l_discount") <= 0.09 &&
+        col("l_quantity") < 30)
+      .agg((sum(cents(col("l_extendedprice")) * cents(col("l_discount")))
+        .cast("double") / 10000.0).as("revenue"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  /** Late-shipment priority split (TPC-H Q12 shape, adapted to the
+    * columns this schema carries): among lineitems shipped more than
+    * 60 days after their order date, how many belong to high-priority
+    * orders vs the rest, per return flag. Fact-fact equi-join on the
+    * order key; the priority CASE rides the aggregate. */
+  def latePriority(lineitem: DataFrame, orders: DataFrame): DataFrame =
+    lineitem
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .where(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L).otherwise(0L))
+          .as("high_line_count"),
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0L).otherwise(1L))
+          .as("low_line_count"))
+
   /** Correlated-scalar-subquery shape (TPC-H Q17): lineitems whose
     * quantity is below 20% of their part's average quantity. Expressed
     * decorrelated — per-part averages as one aggregate joined back — the
