@@ -62,6 +62,10 @@ object SparkEntry {
     "q_argmin" -> ((s, d) => Analytics.cheapestPartPerBrand(Tables.part(s, d))),
     "q17_small_qty" -> ((s, d) => Analytics.smallQuantityOrders(Tables.lineitem(s, d))),
     "q6_forecast" -> ((s, d) => Analytics.forecastRevenue(Tables.lineitem(s, d))),
+    "q14_promo" -> ((s, d) =>
+      Analytics.promoRevenue(Tables.lineitem(s, d), Tables.part(s, d))),
+    "q10_returns" -> ((s, d) => Analytics.returnedTopCustomers(
+      Tables.lineitem(s, d), Tables.orders(s, d), Tables.customer(s, d))),
     "q12_late_priority" -> ((s, d) =>
       Analytics.latePriority(Tables.lineitem(s, d), Tables.orders(s, d))),
     "q_pivot" -> ((s, d) => Analytics.eventTypePivot(Tables.events(s, d))),
@@ -932,6 +936,26 @@ object SparkEntry {
          FROM lineitem
          WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1999-01-01'
            AND l_discount >= 0.02 AND l_discount <= 0.09 AND l_quantity < 30""",
+    // Q14 shape: promo share of discounted revenue (cents sums, one division)
+    "q14_promo" ->
+      """SELECT floor((CAST(sum(CASE WHEN p_type = 'PROMO'
+                                     THEN CAST(round((l_extendedprice * (1 - l_discount)) * 100) AS BIGINT)
+                                     ELSE 0 END) AS DOUBLE) * 100.0
+                       / CAST(sum(CAST(round((l_extendedprice * (1 - l_discount)) * 100) AS BIGINT)) AS DOUBLE)) * 1000000 + 0.5) / 1000000 AS promo_pct,
+                count(*) AS n_lines
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'""",
+    // Q10 shape: returned-item revenue per customer, deterministic top 20
+    "q10_returns" ->
+      """WITH r AS (
+           SELECT c_custkey, c_name, c_mktsegment,
+                  CAST(sum(CAST(round((l_extendedprice * (1 - l_discount)) * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS revenue
+           FROM lineitem
+           JOIN orders ON l_orderkey = o_orderkey
+           JOIN customer ON o_custkey = c_custkey
+           WHERE l_returnflag = 'R'
+           GROUP BY c_custkey, c_name, c_mktsegment)
+         SELECT * FROM r ORDER BY revenue DESC, c_custkey LIMIT 20""",
     // Q12 shape over this schema: late shipments split by order priority
     "q12_late_priority" ->
       """SELECT l_returnflag,

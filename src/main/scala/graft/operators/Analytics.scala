@@ -354,6 +354,42 @@ object Analytics {
         sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0L).otherwise(1L))
           .as("low_line_count"))
 
+  /** Promo revenue share (TPC-H Q14 shape): the percentage of revenue
+    * in a shipping window coming from promotional parts. Dimension
+    * broadcast join + one aggregate; both sums are integer cents of the
+    * discounted price, so the final ratio is one double division with
+    * the identical shape on both engines. */
+  def promoRevenue(lineitem: DataFrame, part: DataFrame): DataFrame = {
+    import graft.functions.Exact.{cents, round6}
+    val disc = cents(col("l_extendedprice") * (lit(1) - col("l_discount")))
+    lineitem
+      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .where(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .agg(round6(
+        sum(when(col("p_type") === "PROMO", disc).otherwise(0L)).cast("double") * 100.0 /
+          sum(disc).cast("double")).as("promo_pct"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  /** Returned-item top customers (TPC-H Q10 shape): revenue lost to
+    * returns per customer, top 20. Fact-fact equi-join on the order
+    * key, customer dimension broadcast, exact-cents revenue, and the
+    * global top-k plans as TakeOrderedAndProject (bounded heaps) with a
+    * total-order tiebreak on the key. */
+  def returnedTopCustomers(lineitem: DataFrame, orders: DataFrame,
+      customer: DataFrame, k: Int = 20): DataFrame = {
+    import graft.functions.Exact.cents
+    lineitem.where(col("l_returnflag") === "R")
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      .agg((sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+        .cast("double") / 100.0).as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(k)
+  }
+
   /** Correlated-scalar-subquery shape (TPC-H Q17): lineitems whose
     * quantity is below 20% of their part's average quantity. Expressed
     * decorrelated — per-part averages as one aggregate joined back — the
