@@ -176,6 +176,7 @@ object SparkEntry {
     "t_token_count" -> ((s, d) => TextAnalysis.tokenCounts(Tables.documents(s, d))),
     "t_quality" -> ((s, d) => TextAnalysis.quality(Tables.documents(s, d))),
     "t_lang_id" -> ((s, d) => TextAnalysis.langId(Tables.documents(s, d))),
+    "t_lang_confusion" -> ((s, d) => TextAnalysis.langConfusion(Tables.documents(s, d))),
     "t_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(Tables.documents(s, d))),
     "t_normalize" -> ((s, d) => TextAnalysis.normalize(Tables.documents(s, d))),
     "t_tfidf" -> ((s, d) => TextAnalysis.tfidf(Tables.documents(s, d))),
@@ -867,6 +868,26 @@ object SparkEntry {
                      WHEN h_de >= h_zh THEN 'de'
                      ELSE 'zh' END AS pred_lang
          FROM h""",
+    // confusion-matrix rollup of the same prediction CTE
+    "t_lang_confusion" ->
+      """WITH t AS (SELECT doc_id, lang AS declared_lang,
+                list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS w FROM documents),
+         h AS (SELECT doc_id, declared_lang,
+                 len(list_filter(w, x -> x IN ('the','a','of','and','to','is','in','that','it','as'))) AS h_en,
+                 len(list_filter(w, x -> x IN ('el','la','de','y','que','en','los','se','del','las'))) AS h_es,
+                 len(list_filter(w, x -> x IN ('le','la','de','et','les','des','un','une','du','que'))) AS h_fr,
+                 len(list_filter(w, x -> x IN ('der','die','das','und','ist','von','mit','den','im','ein'))) AS h_de,
+                 len(list_filter(w, x -> x IN ('的','是','在','了','和','有','我','他','这','中'))) AS h_zh
+               FROM t),
+         p AS (SELECT declared_lang,
+                CASE WHEN h_en >= greatest(h_es, h_fr, h_de, h_zh) THEN 'en'
+                     WHEN h_es >= greatest(h_fr, h_de, h_zh) THEN 'es'
+                     WHEN h_fr >= greatest(h_de, h_zh) THEN 'fr'
+                     WHEN h_de >= h_zh THEN 'de'
+                     ELSE 'zh' END AS pred_lang
+               FROM h)
+         SELECT declared_lang, pred_lang, count(*) AS n_docs
+         FROM p GROUP BY declared_lang, pred_lang""",
     "m_meta" ->
       """SELECT doc_id, octet_length(encode(text)) AS byte_len, md5(text) AS h,
                 n_chars % 640 AS width, n_chars % 480 AS height

@@ -110,6 +110,16 @@ object TextAnalysis {
         .otherwise("zh").as("pred_lang"))
   }
 
+  /** Language-ID CONFUSION MATRIX — the quality eval of [[langId]]
+    * against the corpus's declared labels: (declared, predicted,
+    * n_docs) cells. This is the monitoring view a production filter
+    * ships with (per-language precision/recall derive from the rows);
+    * cost is the langId scan + one tiny aggregate (≤ langs² rows). */
+  def langConfusion(docs: DataFrame): DataFrame =
+    langId(docs)
+      .groupBy(col("declared_lang"), col("pred_lang"))
+      .agg(count(lit(1)).as("n_docs"))
+
   /** TF-IDF keyword weighting (linear-idf variant): per (doc, word) the
     * term frequency, document frequency, and tf·(N/df) score. Linear idf
     * instead of log keeps every value a single exact division — `ln` is
