@@ -29,9 +29,12 @@ class PlanAuditSpec extends SparkSpec {
     //    broadcast side is the per-year tail table (≤ 6·#years rows)
     //  - q22_idle: the 1-row positive-balance aggregate (the scalar
     //    subquery) cross-joined into the customer scan
+    //  - q_kmv_join: the 1×1 join of the two single-row sketch
+    //    aggregates (the whole point — estimates without a real join)
     // anywhere else it means an equi-join lost its keys
     val allowed = Set("t_tfidf", "p_wsample", "d_corpus_prep",
-      "s_ann_brute", "d_dedup_embed", "q_moving_avg", "q22_idle")
+      "s_ann_brute", "d_dedup_embed", "q_moving_avg", "q22_idle",
+      "q_kmv_join")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val plan = fn(spark, sfDir).queryExecution.sparkPlan.toString
       if (plan.contains("BroadcastNestedLoopJoin") && !allowed(name)) Some(name) else None
