@@ -82,6 +82,22 @@ object EventStream {
         round6(BottomKSample.sampleQuantile(col("b"), 0.5)).as("p50_value"))
   }
 
+  /** Watermarked per-window top-k values — the third mergeable buffer
+    * doubling as streaming state (after KMV distinct-count and the
+    * bottom-k quantile sample): ≤k doubles per window per task, and the
+    * emitted array equals the batch `topk` over the same window's rows
+    * BIT-FOR-BIT (the buffer is a pure function of the input multiset;
+    * spec-asserted). */
+  def windowedTopValues(events: DataFrame,
+      watermarkDelay: String = "2 hours", k: Int = 5): DataFrame = {
+    import graft.functions.TopKAggregate
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(TopKAggregate.topk(col("value"), k).as("top_values"))
+      .select(col("window.start").as("hour_start"), col("top_values"))
+  }
+
   /** Streaming exact dedup: drop duplicate event_ids within the
     * watermark horizon — the incremental twin of Dedup.exact. State is
     * one key per id, aged out once the watermark passes. */

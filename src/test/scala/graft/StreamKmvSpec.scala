@@ -66,3 +66,34 @@ class StreamKmvSpec extends SparkSpec {
     }
   }
 }
+
+class StreamTopKSpec extends SparkSpec {
+  import spark.implicits._
+  import java.nio.file.Files
+  import graft.streaming.EventStream
+
+  test("streaming windowed top-k equals the batch aggregate bit-for-bit") {
+    val batch = Tables.events(spark, sfDir)
+    val srcDir = Files.createTempDirectory("graft-topk-src").toString
+    batch.write.mode("overwrite").parquet(srcDir)
+    val stream = spark.readStream.schema(batch.schema)
+      .option("maxFilesPerTrigger", 2).parquet(srcDir)
+    val q = EventStream.windowedTopValues(stream)
+      .writeStream.format("memory").queryName("topk_out").outputMode("append")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("topk_out")
+      .as[(java.sql.Timestamp, Seq[Double])].collect().toMap
+    assert(streamed.nonEmpty, "no windows closed — watermark never advanced")
+    val batched = {
+      import graft.functions.TopKAggregate
+      batch.groupBy(window(col("ts"), "1 hour"))
+        .agg(TopKAggregate.topk(col("value"), 5).as("top_values"))
+        .select(col("window.start").as("hour_start"), col("top_values"))
+        .as[(java.sql.Timestamp, Seq[Double])].collect().toMap
+    }
+    streamed.foreach { case (hr, top) =>
+      assert(batched(hr) == top, s"window $hr: streamed $top vs batch ${batched(hr)}")
+    }
+  }
+}
