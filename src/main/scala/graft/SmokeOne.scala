@@ -23,6 +23,19 @@ object SmokeOne {
         operators.Dedup.minhashLsh(bd.join(keepers, "doc_id"), 3, 64, 16, 0.5)
           .write.format("noop").mode("overwrite").save()
       }
+      case "kmvjoin" => time("kmv_join_6m") {
+        // 6M-row left vs 2M-row right: selectivity estimate without the join
+        val li = spark.read.parquet("/root/testdata/sf0.1/lineitem.parquet")
+        val big = (0 until 10).map(i =>
+            li.withColumn("l_partkey", col("l_partkey") + lit(i * 2000L)))
+          .reduce(_ unionAll _)
+        val pt = spark.read.parquet("/root/testdata/sf0.1/part.parquet")
+        val bigp = (0 until 10).map(i =>
+            pt.withColumn("p_partkey", col("p_partkey") + lit(i * 4000L)))
+          .reduce(_ unionAll _)
+        operators.Analytics.kmvJoinEstimate(big, "l_partkey", bigp, "p_partkey")
+          .write.format("noop").mode("overwrite").save()
+      }
       case "kmv" => time("kmv_6m_rows") {
         val li = spark.read.parquet("/root/testdata/sf0.1/lineitem.parquet")
         val big = (0 until 10).map(i =>
