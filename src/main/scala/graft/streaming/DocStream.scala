@@ -100,6 +100,70 @@ object DocStream {
       .withColumn("split", graft.operators.Sampling.splitColumn(col("doc_id")))
   }
 
+  /** A document held in a band bucket's state: id + verification set. */
+  case class BucketDoc(doc_id: Long, ss: Seq[Long])
+
+  /** Flagged near-dup pair (id_a < id_b). */
+  case class MutualFlag(id_a: Long, id_b: Long, jaccard: Double)
+
+  /** MUTUAL in-stream near-dup: arrivals are checked against EACH OTHER
+    * (not a static index) — the missing half of the ingest gate. Each
+    * LSH band bucket is a stateful group (`flatMapGroupsWithState`):
+    * state holds the ≤`maxBucket` (doc_id, shingle-set) pairs seen in
+    * that bucket, every arrival is exact-Jaccard-verified against them,
+    * and flagged pairs are emitted in append mode.
+    *
+    * The DISTINCT flagged pair set equals the batch
+    * [[graft.operators.Dedup.minhashLsh]] pair set over the same
+    * documents regardless of arrival order or batching (spec-asserted):
+    * any pair sharing a band meets in that band's group — whichever
+    * doc arrives second finds the first in state (or earlier in the
+    * same batch's iterator). Pairs sharing several bands are emitted
+    * once per band, like [[nearDupGate]].
+    *
+    * State is bounded by `maxBucket` docs per bucket — the same safety
+    * valve as the batch miner's bucket cap (oversized buckets are
+    * exact-dup clusters; collapse those upstream). No watermark: dedup
+    * history is the product, not transient state; cap the horizon by
+    * restarting from a fresh checkpoint per corpus epoch. */
+  def mutualNearDupStream(docs: DataFrame, n: Int = 3, numHashes: Int = 64,
+      bands: Int = 16, threshold: Double = 0.5, maxBucket: Int = 64)(
+      implicit spark: SparkSession): org.apache.spark.sql.Dataset[MutualFlag] = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val rowsPerBand = numHashes / bands
+    val bandStructs = (0 until bands).map { b =>
+      val slice = (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"mh$i"))
+      struct(lit(b).as("band"), xxhash64(slice: _*).as("bh"))
+    }
+    signStream(docs, n, numHashes)
+      .select(col("doc_id"), col("ss"), explode(array(bandStructs: _*)).as("bb"))
+      .select(col("doc_id"), col("ss"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+      .as[(Long, Seq[Long], Int, Long)]
+      .groupByKey { case (_, _, band, bh) => (band, bh) }
+      .flatMapGroupsWithState[List[BucketDoc], MutualFlag](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (_, rows, state) =>
+          var st = state.getOption.getOrElse(Nil)
+          val out = List.newBuilder[MutualFlag]
+          rows.foreach { case (id, ss, _, _) =>
+            val sset = ss.toSet
+            st.foreach { prev =>
+              if (prev.doc_id != id) {
+                val inter = prev.ss.count(sset.contains)
+                val j = inter.toDouble / (prev.ss.size + sset.size - inter)
+                if (j >= threshold)
+                  out += MutualFlag(math.min(prev.doc_id, id), math.max(prev.doc_id, id),
+                    math.floor(j * 1000000.0 + 0.5) / 1000000.0)
+              }
+            }
+            if (st.size < maxBucket) st = BucketDoc(id, ss) :: st
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
   /** Exact-parity gate: `foreachBatch` runs the BATCH
     * [[graft.operators.Dedup.dedupAgainstIndex]] on each micro-batch,
     * so every batch's flags equal the batch operator's output on the

@@ -371,3 +371,30 @@ class KmvJoinEstimateSpec extends SparkSpec {
     assert(r1.getDouble(2) == 1.0)
   }
 }
+
+class MutualNearDupStreamSpec extends SparkSpec {
+  import spark.implicits._
+  import java.nio.file.Files
+  import graft.streaming.DocStream
+
+  test("in-stream mutual near-dup flags the batch LSH pair set across micro-batches") {
+    val d = Tables.documents(spark, sfDir).select("doc_id", "text")
+    val dir = Files.createTempDirectory("graft-mutual").toString
+    // several files so the stream processes multiple micro-batches and
+    // pairs must meet across batch boundaries via state
+    d.repartition(4).write.mode("overwrite").parquet(dir)
+    implicit val s = spark
+    val stream = spark.readStream.schema(d.schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    val q = DocStream.mutualNearDupStream(stream)
+      .writeStream.format("memory").queryName("mutual_out").outputMode("append")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val flagged = spark.table("mutual_out")
+      .select("id_a", "id_b", "jaccard").distinct()
+      .as[(Long, Long, Double)].collect().toSet
+    val expected = graft.operators.Dedup.minhashLsh(d)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(flagged == expected && expected.nonEmpty)
+  }
+}
