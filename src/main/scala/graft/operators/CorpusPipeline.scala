@@ -156,6 +156,75 @@ object CorpusPipeline {
     } finally r.release()
   }
 
+  /** INCREMENTAL preparation — the daily-batch shape: a new batch is
+    * prepared against an IMMUTABLE existing corpus represented only by
+    * its signature index ([[graft.operators.Dedup.buildMinhashIndex]]
+    * over the FULL pre-dedup corpus — dropped docs included, so chains
+    * through them are seen). Corpus text is never re-read; corpus
+    * membership never changes.
+    *
+    *   1. signal pass + quality/language filter (map-only, batch only)
+    *   2. exact dedup WITHIN the batch
+    *   3. near-dup pairs within the batch (LSH over keepers)
+    *   4. cross flags: batch keepers sharing an LSH-verified pair with
+    *      ANY corpus signature ([[Dedup.dedupAgainstIndex]])
+    *   5. component resolution with corpus priority: a batch component
+    *      touching the corpus is dropped ENTIRELY (its representative
+    *      already lives in the corpus); a batch-only component keeps
+    *      its min id
+    *   6. decontamination + split, as in [[prepare]]
+    *
+    * When batch ids are newer than all corpus ids (the production
+    * invariant), the admitted set EQUALS the batch rows of a monolithic
+    * [[prepare]] over corpus ∪ batch (spec-asserted) — at a fraction of
+    * the cost, since the corpus side is only probed through the index.
+    * Sign the admitted docs ([[Dedup.buildMinhashIndex]]) and append to
+    * the index to absorb the batch. */
+  def prepareIncrement(newDocs: DataFrame, corpusIndex: DataFrame,
+      benchmark: Option[DataFrame] = None, cfg: Config = Config(),
+      persistIntermediates: Boolean = true): Result = {
+    import org.apache.spark.storage.StorageLevel
+    val pins = Seq.newBuilder[DataFrame]
+    def pin(df: DataFrame): DataFrame =
+      if (persistIntermediates) { pins += df; df.persist(StorageLevel.MEMORY_AND_DISK) }
+      else df
+
+    val filtered = pin(signals(newDocs)
+      .where(col("quality_score") >= cfg.minQuality &&
+        (if (cfg.langs.isEmpty) lit(true) else col("pred_lang").isin(cfg.langs.toSeq: _*))))
+    val keepers = Dedup.exact(filtered).select(col("keep_id").as("doc_id"))
+    val unique = pin(filtered.join(keepers, "doc_id"))
+    val pairs = Dedup.minhashLsh(unique, cfg.shingleN, cfg.numHashes,
+      cfg.bands, cfg.jaccard, cfg.maxBucket)
+    val crossIds = Dedup.dedupAgainstIndex(corpusIndex, unique, cfg.shingleN,
+      cfg.numHashes, cfg.bands, cfg.jaccard, cfg.maxBucket)
+      .select(col("new_id").as("doc_id")).distinct()
+
+    // batch components (unpaired docs are their own component), then
+    // corpus priority: kill whole components that touch the corpus
+    val comp = Dedup.connectedComponents(pairs)
+    val compAll = unique.select(col("doc_id"))
+      .join(comp.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("component"), col("doc_id")).as("component"))
+    val corpusComps = compAll.join(crossIds, "doc_id")
+      .select(col("component")).distinct()
+    val keepIds = compAll
+      .join(corpusComps, Seq("component"), "left_anti")
+      .groupBy(col("component")).agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    val admitted = unique.join(keepIds, "doc_id")
+
+    val clean = benchmark match {
+      case Some(bench) =>
+        val flagged = Dedup.contamination(admitted, bench, cfg.shingleN, cfg.minSharedShingles)
+          .select(col("doc_id")).distinct()
+        admitted.join(flagged, Seq("doc_id"), "left_anti")
+      case None => admitted
+    }
+    val split = clean.withColumn("split", Sampling.splitColumn(col("doc_id")))
+    Result(split, Nil, pins.result())
+  }
+
   /** Storage-checkpointed, RESUMABLE preparation — the 100 TB shape.
     * Each stage's output is written to `stageDir/<stage>` and a stage
     * is skipped (read back instead of recomputed) when its `_SUCCESS`

@@ -398,3 +398,39 @@ class MutualNearDupStreamSpec extends SparkSpec {
     assert(flagged == expected && expected.nonEmpty)
   }
 }
+
+class PrepareIncrementSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.operators.{CorpusPipeline, Dedup}
+
+  test("incremental admission equals the monolithic pipeline's batch rows") {
+    val d = Tables.documents(spark, sfDir)
+    val bench = d.where(col("doc_id") < 20)
+    val all = d.where(col("doc_id") >= 20)
+    // corpus = older ids, batch = newer ids (the production invariant)
+    val cut = 300L
+    val corpus = all.where(col("doc_id") < cut)
+    val batch = all.where(col("doc_id") >= cut)
+    val cfg = CorpusPipeline.Config(minQuality = 0.2)
+
+    // the index covers the FULL pre-dedup corpus (quality-filtered),
+    // so chains through corpus-dropped docs are still seen
+    val corpusFiltered = CorpusPipeline.signals(corpus)
+      .where(col("quality_score") >= cfg.minQuality)
+    val index = Dedup.buildMinhashIndex(corpusFiltered,
+      cfg.shingleN, cfg.numHashes).persist()
+
+    val inc = CorpusPipeline.prepareIncrement(batch, index, Some(bench), cfg)
+    val incIds = inc.corpus.select("doc_id").as[Long].collect().toSet
+    inc.release()
+    index.unpersist()
+
+    val mono = CorpusPipeline.prepare(all, Some(bench), cfg)
+    val monoBatchIds = mono.corpus.select("doc_id").as[Long]
+      .collect().toSet.filter(_ >= cut)
+    mono.release()
+
+    assert(incIds == monoBatchIds, s"inc-only=${incIds -- monoBatchIds} mono-only=${monoBatchIds -- incIds}")
+    assert(incIds.nonEmpty)
+  }
+}
