@@ -25,6 +25,15 @@ object ScaleSmoke {
     def time(name: String)(f: => Unit): Unit = {
       val t0 = System.nanoTime(); f
       println(f"[scale] $name%-18s ${(System.nanoTime() - t0) / 1e9}%8.2fs")
+      // cache hygiene BETWEEN entries (outside the timed region): some
+      // operators persist intermediates (centroid tables, pipeline
+      // pins); left pinned across 25 entries they squeeze later
+      // entries' shuffle memory and skew the attribution — the same
+      // lesson Bench.scala learned in round 2. Full-run numbers on this
+      // machine remain noisy regardless (multi-minute stall phases hit
+      // arbitrary entries, different ones each run); treat fresh-JVM
+      // SmokeOne minima as the real figures.
+      spark.catalog.clearCache()
     }
     println(s"[scale] docs=${bd.count()} events=${be.count()}")
     // raw minhash on a corpus that is 95% exact duplicates is the LSH
