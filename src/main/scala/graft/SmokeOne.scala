@@ -45,6 +45,19 @@ object SmokeOne {
         operators.Analytics.kmvSummary(big)
           .write.format("noop").mode("overwrite").save()
       }
+      case "semantic" => time("semantic_100k") {
+        val bv = spark.read.parquet("/tmp/graft_bigemb.parquet")
+        operators.Similarity.semanticDedup(bv, 0.4, nCells = 64)
+          .write.format("noop").mode("overwrite").save()
+      }
+      case "ivfsearch" => time("ivf_search_100k") {
+        val bv = spark.read.parquet("/tmp/graft_bigemb.parquet")
+        val idx = operators.Similarity.buildIvfIndex(bv, nCells = 64)
+        val qs = bv.limit(100).selectExpr("vec_id AS query_id",
+          "transform(embedding, x -> CAST(x AS DOUBLE)) AS qv")
+        operators.Similarity.ivfSearch(idx, qs, 10)
+          .write.format("noop").mode("overwrite").save()
+      }
       case "simhash" => time("simhash_100k") {
         operators.Dedup.simhashNearDup(bd, 3)
           .write.format("noop").mode("overwrite").save()
