@@ -177,6 +177,7 @@ object SparkEntry {
     "t_quality" -> ((s, d) => TextAnalysis.quality(Tables.documents(s, d))),
     "t_lang_id" -> ((s, d) => TextAnalysis.langId(Tables.documents(s, d))),
     "t_lang_confusion" -> ((s, d) => TextAnalysis.langConfusion(Tables.documents(s, d))),
+    "d_source_stats" -> ((s, d) => TextAnalysis.sourceStats(Tables.documents(s, d))),
     "t_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(Tables.documents(s, d))),
     "t_normalize" -> ((s, d) => TextAnalysis.normalize(Tables.documents(s, d))),
     "t_tfidf" -> ((s, d) => TextAnalysis.tfidf(Tables.documents(s, d))),
@@ -868,6 +869,34 @@ object SparkEntry {
                      WHEN h_de >= h_zh THEN 'de'
                      ELSE 'zh' END AS pred_lang
          FROM h""",
+    // per-source dashboard: same signal CTE + md5 dup grouping
+    "d_source_stats" ->
+      """WITH sig AS (
+           SELECT doc_id, source, n_chars, text,
+                  len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS nw,
+                  length(text) AS nc,
+                  length(regexp_replace(text, '[^a-z]', '', 'g')) AS na,
+                  length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS np,
+                  len(list_filter(regexp_split_to_array(text, '\s+'), x -> x IN ('the','a','of','and','to','is','in','that','it','as'))) AS h_en
+           FROM documents),
+         scored AS (
+           SELECT doc_id, source, n_chars,
+                  CAST(h_en AS DOUBLE) / greatest(nw, 1) * 0.4
+                    + least(CAST(na AS DOUBLE) / greatest(nw, 1) / 10.0, 1.0) * 0.3
+                    + (1.0 - CAST(np AS DOUBLE) / greatest(nc, 1)) * 0.3 AS qs
+           FROM sig),
+         dup AS (SELECT source, CAST(sum(n) - count(*) AS BIGINT) AS n_dups FROM (
+                   SELECT source, md5(text) AS h, count(*) AS n FROM documents GROUP BY 1, 2)
+                 GROUP BY source),
+         agg AS (
+           SELECT source, count(*) AS n_docs,
+                  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+                  floor((CAST(sum(CAST(floor(qs * 1000000 + 0.5) AS BIGINT)) AS DOUBLE)
+                         / 1000000.0 / count(*)) * 1000000 + 0.5) / 1000000 AS mean_quality
+           FROM scored GROUP BY source)
+         SELECT a.source, a.n_docs, a.total_chars, a.mean_quality, d.n_dups,
+                floor((CAST(d.n_dups AS DOUBLE) / a.n_docs) * 1000000 + 0.5) / 1000000 AS dup_rate
+         FROM agg a JOIN dup d ON a.source = d.source""",
     // confusion-matrix rollup of the same prediction CTE
     "t_lang_confusion" ->
       """WITH t AS (SELECT doc_id, lang AS declared_lang,

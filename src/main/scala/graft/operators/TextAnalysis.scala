@@ -110,6 +110,33 @@ object TextAnalysis {
         .otherwise("zh").as("pred_lang"))
   }
 
+  /** Per-SOURCE corpus statistics — the ingest dashboard: document
+    * count, total characters, exact mean quality score (scaled-integer
+    * sum over the same fused signal expressions corpus prep uses), and
+    * exact-duplicate rate within each source. One signal scan + two
+    * small aggregates; the dup rate reuses the md5 grouping of
+    * [[graft.operators.Dedup.exact]] per source. */
+  def sourceStats(docs: DataFrame): DataFrame = {
+    import graft.functions.Exact.round6
+    val scored = CorpusPipeline.signals(
+      docs.select(col("doc_id"), col("source"), col("text")))
+      .join(docs.select(col("doc_id"), col("source"), col("n_chars")), "doc_id")
+    val dupes = docs
+      .groupBy(col("source"), md5(encode(col("text"), "UTF-8")).as("h"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("source"))
+      .agg((sum(col("n")) - count(lit(1))).as("n_dups"))
+    scored
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        // micro-scaled integer sum → one division: order-independent
+        round6(sum(floor(col("quality_score") * 1000000.0 + 0.5).cast("long"))
+          .cast("double") / 1000000.0 / count(lit(1))).as("mean_quality"))
+      .join(dupes, "source")
+      .withColumn("dup_rate", round6(col("n_dups").cast("double") / col("n_docs")))
+  }
+
   /** Language-ID CONFUSION MATRIX — the quality eval of [[langId]]
     * against the corpus's declared labels: (declared, predicted,
     * n_docs) cells. This is the monitoring view a production filter
