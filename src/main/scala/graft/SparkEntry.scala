@@ -1446,12 +1446,15 @@ object SparkEntry {
                       (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
                       * 1000000 + 0.5) / 1000000 AS slope
          FROM s""",
-    // z² > k² as pure integer arithmetic: (n·v − S)² > k²·(n·Q − S²)
+    // z² > k² as pure integer arithmetic: (n·v − S)² > k²·(n·Q − S²),
+    // in HUGEINT (int128) to mirror the Spark side's Decimal(38,0) —
+    // both engines exact at every magnitude, no silent int64 wrap
     "e_anomaly" ->
       """WITH e AS (SELECT user_id, event_id,
              CAST(round(value * 100) AS BIGINT) AS v FROM events),
-         s AS (SELECT user_id, count(*) AS n, CAST(sum(v) AS BIGINT) AS sv,
-                      CAST(sum(v * v) AS BIGINT) AS q
+         s AS (SELECT user_id, CAST(count(*) AS HUGEINT) AS n,
+                      sum(CAST(v AS HUGEINT)) AS sv,
+                      sum(CAST(v AS HUGEINT) * v) AS q
                FROM e GROUP BY 1)
          SELECT e.user_id, event_id, CAST(v AS DOUBLE) / 100.0 AS value
          FROM e JOIN s USING (user_id)

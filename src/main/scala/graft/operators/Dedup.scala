@@ -67,8 +67,14 @@ object Dedup {
     * arithmetic is all-integer so the Jaccard double is engine-exact. */
   def ngramJaccard(docs: DataFrame, n: Int = 3, threshold: Double = 0.5): DataFrame = {
     // long-hash shingles: the inverted-index self-join shuffles 8-byte keys
-    // instead of n-word strings (same pair set modulo 64-bit collisions)
-    val sh = hashedShingles(docs, n).distinct()
+    // instead of n-word strings (same pair set modulo 64-bit collisions).
+    // The distinct-shingle frame fans out three ways (sizes aggregate +
+    // both sides of the self-join); localCheckpoint pins it once so the
+    // tokenize+shingle+hash+distinct lineage runs once, not three times —
+    // the same fan-out pinning CorpusPipeline does, in the eager
+    // lineage-truncating form a lazily-returned DataFrame needs (blocks
+    // are freed by the context cleaner when the frame is dropped).
+    val sh = hashedShingles(docs, n).distinct().localCheckpoint()
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     val inter = sh.as("a")
       .join(sh.as("b"),
@@ -97,7 +103,8 @@ object Dedup {
     * small side's shingles, or [[exact]] ladder) and verify with this
     * formula — the arithmetic is all-integer either way. */
   def containmentPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.6): DataFrame = {
-    val sh = hashedShingles(docs, n).distinct()
+    // pinned once for the three-way fan-out — see [[ngramJaccard]]
+    val sh = hashedShingles(docs, n).distinct().localCheckpoint()
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     val inter = sh.as("a")
       .join(sh.as("b"),

@@ -148,12 +148,21 @@ object Events {
   /** [[maintenanceWindowCounts]] written as the NAIVE point-in-interval
     * theta join — no equi key, the shape Spark alone can only plan as a
     * nested loop — and optimized by
-    * [[graft.plans.RangeJoinRewrite]] (conf set here): the DECLARED
-    * plan stays the obvious one, the EXECUTED plan is the binned
-    * equi-join. Same results as the hand-binned operator, same oracle. */
+    * [[graft.plans.RangeJoinRewrite]]: the DECLARED plan stays the
+    * obvious one, the EXECUTED plan is the binned equi-join. Same
+    * results as the hand-binned operator, same oracle.
+    *
+    * The enabling conf (`spark.graft.rangeJoin.bucket`) is SCOPED to
+    * this call, not left on the session: the rule reads conf at
+    * optimization time, so we set it, force optimization eagerly, put
+    * the previous value back in a finally, and return the already-
+    * rewritten logical plan (re-optimizing a rewritten plan is a no-op
+    * for this rule — the binned join carries an equality conjunct, which
+    * the rule skips). A session-level leak here would silently re-plan
+    * (or, via the maxCells guard, fail) every later wide theta join in
+    * the session just because this operator ran once. */
   def maintenanceWindowCountsAuto(events: DataFrame,
       bucketUs: Long = 900000000L): DataFrame = {
-    events.sparkSession.conf.set("spark.graft.rangeJoin.bucket", bucketUs.toString)
     val e = events.select(col("event_id"), unix_micros(col("ts")).as("tsu"))
     val intervals = e
       .select(expr("tsu div 3600000000").as("h")).distinct()
@@ -161,9 +170,21 @@ object Events {
       .select(col("h").as("interval_id"),
         (col("h") * 3600000000L).as("start_us"),
         (col("h") * 3600000000L + 900000000L).as("end_us"))
-    e.join(intervals, col("tsu") >= col("start_us") && col("tsu") < col("end_us"))
+    val naive = e
+      .join(intervals, col("tsu") >= col("start_us") && col("tsu") < col("end_us"))
       .groupBy(col("interval_id"))
       .agg(count(lit(1)).as("n_events"))
+    val spark = events.sparkSession
+    val confKey = "spark.graft.rangeJoin.bucket"
+    val previous = spark.conf.getOption(confKey)
+    spark.conf.set(confKey, bucketUs.toString)
+    val optimized =
+      try naive.queryExecution.optimizedPlan
+      finally previous match {
+        case Some(v) => spark.conf.set(confKey, v)
+        case None => spark.conf.unset(confKey)
+      }
+    org.apache.spark.sql.graftbridge.Bridge.ofRows(spark, optimized)
   }
 
   /** Events inside deterministic "maintenance windows" (first 15 min of
@@ -240,17 +261,22 @@ object Events {
     * any partition order, and the same literal arithmetic on any
     * engine. One aggregate (user moments, bounded one row per user)
     * plus one co-partitioned join back to the events. Zero-variance
-    * users flag nothing (both sides 0). Exactness bound: n·max(v)
-    * must stay below 2³¹·√2 cents-scale — fine for per-user event
-    * streams; use a windowed variant per (user, day) if a single key
-    * can accumulate billions of rows. */
+    * users flag nothing (both sides 0). Moments and the comparison run
+    * in Decimal(38,0) — exact 128-bit integers, no silent int64 wrap:
+    * the decision stays exact up to |n·v − S| < 10¹⁹ (vs int64's
+    * ~3·10⁹), i.e. beyond any per-user event stream; the DuckDB oracle
+    * mirrors this with HUGEINT so both engines agree at every
+    * magnitude instead of one wrapping while the other raises. */
   def anomalies(events: DataFrame, k: Int = 3): DataFrame = {
     val e = events.select(col("user_id"), col("event_id"), cents(col("value")).as("v"))
+    val vD = col("v").cast("decimal(38,0)")
     val stats = e.groupBy(col("user_id"))
-      .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"),
-        sum(col("v") * col("v")).as("q"))
+      .agg(count(lit(1)).cast("decimal(38,0)").as("n"),
+        sum(vD).cast("decimal(38,0)").as("sv"),
+        sum(vD * vD).cast("decimal(38,0)").as("q"))
+    val dev = col("n") * vD - col("sv")
     e.join(stats, "user_id")
-      .where((col("n") * col("v") - col("sv")) * (col("n") * col("v") - col("sv")) >
+      .where(dev * dev >
         lit(k.toLong * k) * (col("n") * col("q") - col("sv") * col("sv")))
       .select(col("user_id"), col("event_id"),
         (col("v").cast("double") / 100.0).as("value"))

@@ -78,8 +78,15 @@ case class RangeJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       else if (e.references.subsetOf(j.right.outputSet)) Some(false)
       else None
     // an existing cross-side equality conjunct → already an equi-join
+    // (EqualNullSafe counts too: Spark extracts <=> as a hash-join key,
+    // so rewriting such a join would add a pointless interval explode
+    // and forfeit AQE skew handling)
     val hasEqui = conjuncts.exists {
       case EqualTo(a, bb) => (sided(a), sided(bb)) match {
+        case (Some(x), Some(y)) => x != y
+        case _ => false
+      }
+      case EqualNullSafe(a, bb) => (sided(a), sided(bb)) match {
         case (Some(x), Some(y)) => x != y
         case _ => false
       }
@@ -143,6 +150,12 @@ case class RangeJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     // raises a descriptive error when one interval would cover more
     // than maxCells buckets (see [[maxCells]]) — RaiseError throws
     // before the Cast returns, so the Long branch type is only formal.
+    // A REVERSED interval (lo > hi, corrupt data) would otherwise make
+    // step-less Sequence default to step -1 and generate the full
+    // DESCENDING range — an arbitrarily large per-row array the maxCells
+    // guard (which only checks hi - lo) never sees. The predicate
+    // `point >= lo AND point <= hi` is unsatisfiable for such a row, so
+    // it maps to the EMPTY cell array: zero join rows, zero memory.
     val cellLo = cellOf(lo, width)
     val cellHi = cellOf(hi, width)
     val guardedHi = If(GreaterThan(Subtract(cellHi, cellLo), Literal(maxCells)),
@@ -151,8 +164,11 @@ case class RangeJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
           s"$width — raise spark.graft.rangeJoin.bucket (or maxCellsPerInterval)")),
         LongType),
       cellHi)
-    val seq = new Sequence(cellLo, guardedHi, None)
-      .withTimeZone(org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone)
+    val seq = If(GreaterThan(cellLo, cellHi),
+      Literal.create(Array.empty[Long],
+        org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)),
+      new Sequence(cellLo, guardedHi, None)
+        .withTimeZone(org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone))
     val iCellAttr = AttributeReference("__graft_icell", LongType, nullable = false)()
     val intervalSide = Generate(Explode(seq), unrequiredChildIndex = Nil,
       outer = false, qualifier = None, generatorOutput = Seq(iCellAttr), intervalPlan)

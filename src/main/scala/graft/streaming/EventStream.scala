@@ -151,7 +151,10 @@ object EventStream {
   /** Emitted when an incoming value fails the online z-test. */
   case class AnomalyOut(user_id: Long, tsu: Long, value: Double)
 
-  case class MomentState(n: Long, s: Long, q: Long)
+  /** Per-user moments. s/q are BigInt (encoded as Decimal(38,0)) so the
+    * z-test below stays exact at every magnitude — Σv² in int64 wraps
+    * at ~9·10¹⁸, reachable for a heavy user with large cents values. */
+  case class MomentState(n: Long, s: BigInt, q: BigInt)
 
   /** ONLINE per-user anomaly detection — the streaming twin of
     * `Events.anomalies`, with the same no-sqrt integer decision: each
@@ -169,15 +172,17 @@ object EventStream {
       .flatMapGroupsWithState[MomentState, AnomalyOut](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         case (userId, rows, state: GroupState[MomentState]) =>
-          var st = state.getOption.getOrElse(MomentState(0L, 0L, 0L))
+          var st = state.getOption.getOrElse(MomentState(0L, BigInt(0), BigInt(0)))
           val out = Seq.newBuilder[AnomalyOut]
           rows.toSeq.sortBy(_.tsu).foreach { e =>
             val v = math.round(e.value * 100)
-            val dev = st.n * v - st.s
+            // exact 128-bit-class arithmetic, mirroring the batch
+            // operator's Decimal(38,0) decision — no silent wrap
+            val dev = BigInt(st.n) * v - st.s
             if (st.n >= minN &&
-                dev * dev > k.toLong * k * (st.n * st.q - st.s * st.s))
+                dev * dev > BigInt(k.toLong * k) * (BigInt(st.n) * st.q - st.s * st.s))
               out += AnomalyOut(userId, e.tsu, e.value)
-            st = MomentState(st.n + 1, st.s + v, st.q + v * v)
+            st = MomentState(st.n + 1, st.s + v, st.q + BigInt(v) * v)
           }
           state.update(st)
           out.result().iterator

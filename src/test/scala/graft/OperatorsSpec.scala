@@ -113,6 +113,19 @@ class EventsSpec extends SparkSpec {
     assert(out.count() > 0)
     assert(out.columns.toSet == Set("hour_start", "event_type", "cnt", "sum_value"))
   }
+
+  test("anomalies decision stays exact past the int64 bound (Decimal moments)") {
+    // v = 10¹⁰ cents ⇒ Q = Σv² = 10²⁰, past int64's 9.2·10¹⁸ — the old
+    // long arithmetic wrapped here and flagged garbage. Exact math
+    // (BigInt, mirrored by the operator's Decimal(38,0)): n=21, S=10¹⁰,
+    // outlier dev = 21·10¹⁰ − 10¹⁰ = 2·10¹¹, dev² = 4·10²² >
+    // 9·(21·10²⁰ − 10²⁰) = 1.8·10²² → only the outlier flags; each
+    // zero row has dev² = 10²⁰ < 1.8·10²² → silent.
+    val rows = (1L to 20L).map(i => (7L, i, 0.0)) :+ ((7L, 21L, 1.0e8))
+    val df = rows.toDF("user_id", "event_id", "value")
+    val flagged = Events.anomalies(df).select($"event_id").as[Long].collect().toSet
+    assert(flagged == Set(21L))
+  }
 }
 
 class ExactSpec extends SparkSpec {

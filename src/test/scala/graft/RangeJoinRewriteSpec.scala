@@ -77,6 +77,20 @@ class RangeJoinRewriteSpec extends SparkSpec {
     }
   }
 
+  test("joins with a null-safe equi key (<=>) are left alone") {
+    // Spark extracts <=> as a hash-join key just like ===, so the
+    // rewrite would only add a pointless explode and forfeit AQE skew
+    // handling
+    val p2 = points.withColumn("k", $"pid" % 7)
+    val iv2 = intervals.withColumn("k", $"iid" % 7)
+    withBucket(16L) {
+      val j = p2.join(iv2, p2("k") <=> iv2("k") && $"t" >= $"lo" && $"t" < $"hi")
+      val plan = j.queryExecution.executedPlan.toString
+      assert(!plan.contains("Generate"),
+        s"null-safe equi-join must not be rewritten:\n$plan")
+    }
+  }
+
   test("one-sided inequalities (triangular self-joins) are left alone") {
     val e = Seq((1L, 10L), (2L, 20L)).toDF("id", "v")
     withBucket(16L) {
@@ -108,6 +122,23 @@ class RangeJoinGuardSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.rangeJoin.bucket")
   }
 
+  test("reversed intervals (lo > hi) match nothing instead of materializing the descending range") {
+    // a corrupt row with lo > hi would make step-less Sequence default
+    // to step -1 and generate 20M cells DESCENDING — the one-sided
+    // maxCells guard (hi - lo > max) never fires on a negative span.
+    // The predicate is unsatisfiable for such a row, so the rewrite
+    // maps it to the empty cell array: zero join rows, zero memory.
+    spark.conf.set("spark.graft.rangeJoin.bucket", "1")
+    try {
+      val p = Seq((1L, 5L), (2L, 15L)).toDF("pid", "t")
+      val iv = Seq((1L, 0L, 10L), (2L, 20000000L, 0L)).toDF("iid", "lo", "hi")
+      val j = p.join(iv, $"t" >= $"lo" && $"t" < $"hi")
+      assert(j.queryExecution.executedPlan.toString.contains("Generate"))
+      val rows = j.select($"pid", $"iid").as[(Long, Long)].collect().toSet
+      assert(rows == Set((1L, 1L)))
+    } finally spark.conf.unset("spark.graft.rangeJoin.bucket")
+  }
+
   test("malformed bucket conf disables the rule instead of failing every query") {
     spark.conf.set("spark.graft.rangeJoin.bucket", "15m")
     try {
@@ -117,5 +148,45 @@ class RangeJoinGuardSpec extends SparkSpec {
       assert(!j.queryExecution.executedPlan.toString.contains("Generate"))
       assert(j.count() == 1)
     } finally spark.conf.unset("spark.graft.rangeJoin.bucket")
+  }
+}
+
+/** The auto-rewritten maintenance-window operator must not leak its
+  * enabling conf into the session: the rule reads session conf at
+  * optimization time, so a leak would re-plan (or, via the maxCells
+  * guard, fail) every later wide theta join just because this operator
+  * ran once. */
+class RangeJoinConfScopeSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.operators.Events
+
+  test("maintenanceWindowCountsAuto scopes the rewrite conf to the call") {
+    val key = "spark.graft.rangeJoin.bucket"
+    assert(spark.conf.getOption(key).isEmpty)
+    val events = Tables.events(spark, sfDir)
+    val auto = Events.maintenanceWindowCountsAuto(events)
+    // restored immediately — BEFORE any action on the result
+    assert(spark.conf.getOption(key).isEmpty)
+    // the returned frame already carries the binned equi-join plan
+    val plan = auto.queryExecution.executedPlan.toString
+    assert(plan.contains("Generate") && !plan.contains("NestedLoop") &&
+      !plan.contains("Cartesian"), s"expected pre-rewritten binned plan:\n$plan")
+    // same rows as the hand-binned operator
+    val manual = Events.maintenanceWindowCounts(events).collect().map(_.toSeq).toSet
+    assert(auto.collect().map(_.toSeq).toSet == manual)
+    // an unrelated later theta join is NOT rewritten — no session leak
+    val p = Seq((1L, 5L)).toDF("pid", "t")
+    val iv = Seq((1L, 0L, 10L)).toDF("iid", "lo", "hi")
+    val later = p.join(iv, $"t" >= $"lo" && $"t" < $"hi")
+    assert(!later.queryExecution.executedPlan.toString.contains("Generate"))
+  }
+
+  test("maintenanceWindowCountsAuto restores a pre-existing conf value") {
+    val key = "spark.graft.rangeJoin.bucket"
+    spark.conf.set(key, "123456")
+    try {
+      Events.maintenanceWindowCountsAuto(Tables.events(spark, sfDir))
+      assert(spark.conf.get(key) == "123456")
+    } finally spark.conf.unset(key)
   }
 }
