@@ -67,10 +67,21 @@ object Bench {
       val good = samples.filter(_._2).map(_._1)
       name -> (if (good.nonEmpty) good.min else samples.map(_._1).max)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // 4-decimal seconds (0.1 ms resolution): the full-precision doubles
+    // made the line long enough that log-tail capture truncated it to
+    // ~76 of 106 per-query entries in past rounds — shorter line first,
+    // and a file copy as the always-complete record either way
+    def fmt(v: Double): String = f"$v%.4f"
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(out),
+      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case e: Exception => System.err.println(s"[bench] file write failed: $e") }
     spark.stop()
   }
 }

@@ -206,18 +206,61 @@ object Analytics {
   }
 
   /** Multi-quantile profile per group — exact interpolated percentiles
-    * at the standard cut points. One pass, one shuffle; at 100 TB swap
-    * in percentile_approx (see [[sketchSummary]] / ApproximateRewrite)
-    * since exact percentiles must materialize each group's values. */
-  def quantileProfile(orders: DataFrame): DataFrame =
-    orders
-      .groupBy(col("o_orderstatus"))
-      .agg(
-        percentile(col("o_totalprice"), lit(0.25)).as("p25"),
-        percentile(col("o_totalprice"), lit(0.5)).as("p50"),
-        percentile(col("o_totalprice"), lit(0.75)).as("p75"),
-        percentile(col("o_totalprice"), lit(0.95)).as("p95"),
-        count(lit(1)).as("cnt"))
+    * at the standard cut points, as a DISTRIBUTED SELECTION rather than
+    * the built-in `percentile` aggregate. The built-in materializes
+    * every group value in one non-spillable aggregation buffer
+    * (an in-memory value→count map per group) — with three groups over
+    * 100 TB of orders that is billions of entries on a single buffer.
+    * Here the heavy lifting is a value-frequency aggregate (hash
+    * shuffle keyed on DISTINCT (group, cents) pairs, map-side combined,
+    * O(1) buffer) followed by a running cumulative-count window over
+    * the distinct values — a streaming frame WindowExec evaluates
+    * incrementally over a SPILLABLE buffer, so memory stays bounded at
+    * any group size; the quantile ranks are then picked with O(1)
+    * conditional aggregates and interpolated with the exact arithmetic
+    * the built-in uses ((hi−pos)·lo + (pos−lo)·hi over the recovered
+    * doubles), so results are bit-identical to `percentile` and to the
+    * DuckDB `quantile_cont` oracle. Money rides integer cents through
+    * the rank machinery (cents↔double round-trips exactly), keeping
+    * ranks engine-exact. */
+  def quantileProfile(orders: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val qs = Seq(0.25 -> "p25", 0.5 -> "p50", 0.75 -> "p75", 0.95 -> "p95")
+    val vc = orders
+      .groupBy(col("o_orderstatus"), cents(col("o_totalprice")).as("v"))
+      .agg(count(lit(1)).as("c"))
+    // running (unbounded-preceding → current) cumulative frame over
+    // distinct values: rank span of value v is [cum−c, cum−1], 0-based
+    val w = Window.partitionBy(col("o_orderstatus")).orderBy(col("v"))
+    val cum = vc.withColumn("cum", sum(col("c")).over(w))
+    val totals = orders.groupBy(col("o_orderstatus")).agg(count(lit(1)).as("cnt"))
+    val ranked = cum.join(broadcast(totals), "o_orderstatus")
+    // per quantile: position = q·(n−1); the rows covering floor/ceil of
+    // the position supply the lower/higher values (exactly one row each
+    // satisfies the span predicate, min() just extracts it)
+    val pickAggs = qs.flatMap { case (q, nm) =>
+      val pos = lit(q) * (col("cnt") - 1).cast("double")
+      val loR = floor(pos)
+      val hiR = ceil(pos)
+      Seq(
+        min(when(col("cum") - col("c") <= loR && loR < col("cum"), col("v")))
+          .as(s"__lo_$nm"),
+        min(when(col("cum") - col("c") <= hiR && hiR < col("cum"), col("v")))
+          .as(s"__hi_$nm"))
+    }
+    val picked = ranked.groupBy(col("o_orderstatus"), col("cnt"))
+      .agg(pickAggs.head, pickAggs.tail: _*)
+    val outCols = col("o_orderstatus") +: qs.map { case (q, nm) =>
+      val pos = lit(q) * (col("cnt") - 1).cast("double")
+      val loD = col(s"__lo_$nm").cast("double") / 100.0
+      val hiD = col(s"__hi_$nm").cast("double") / 100.0
+      // the built-in Percentile's interpolation, operand for operand
+      when(floor(pos) === ceil(pos), loD)
+        .otherwise((ceil(pos) - pos) * loD + (pos - floor(pos)) * hiD)
+        .as(nm)
+    } :+ col("cnt")
+    picked.select(outCols: _*)
+  }
 
   /** Sketch aggregates — the 100 TB substitutes for exact distinct /
     * percentile: HLL++ and KLL-style quantiles, constant memory per
@@ -245,8 +288,8 @@ object Analytics {
     lineitem
       .groupBy(col("l_returnflag"))
       .agg(
-        kmv(portableHash60(col("l_partkey").cast("string")), k).as("bp"),
-        kmv(portableHash60(col("l_suppkey").cast("string")), k).as("bs"))
+        kmv(portableHash60(col("l_partkey")), k).as("bp"),
+        kmv(portableHash60(col("l_suppkey")), k).as("bs"))
       .select(col("l_returnflag"),
         kthHash(col("bp"), k).as("hk_parts"),
         estimate(col("bp"), k).as("est_parts"),
@@ -272,8 +315,8 @@ object Analytics {
     import graft.functions.KmvSketch._
     import graft.functions.Exact.round6
     import TextAnalysis.portableHash60
-    val ba = left.agg(kmv(portableHash60(col(leftKey).cast("string")), k).as("ba"))
-    val bb = right.agg(kmv(portableHash60(col(rightKey).cast("string")), k).as("bb"))
+    val ba = left.agg(kmv(portableHash60(col(leftKey)), k).as("ba"))
+    val bb = right.agg(kmv(portableHash60(col(rightKey)), k).as("bb"))
     ba.join(bb)
       .withColumn("bu", slice(array_sort(array_union(col("ba"), col("bb"))), 1, k))
       .withColumn("n_both",
@@ -298,8 +341,9 @@ object Analytics {
     import graft.functions.BottomKSample._
     import graft.functions.Exact.round6
     import TextAnalysis.portableHash60
-    val h = portableHash60(concat(col("l_orderkey").cast("string"), lit("-"),
-      col("l_linenumber").cast("string")))
+    // varargs kernel: digits + separator feed the digest directly — no
+    // per-row casts, no concat allocation
+    val h = portableHash60(col("l_orderkey"), lit("-"), col("l_linenumber"))
     lineitem
       .groupBy(col("l_returnflag"))
       .agg(bottomK(h, col("l_extendedprice"), k).as("b"))

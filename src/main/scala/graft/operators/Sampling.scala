@@ -56,10 +56,12 @@ object Sampling {
 
   /** Engine-portable 60-bit order hash (15 hex chars of salted md5 —
     * same construction as [[graft.operators.TextAnalysis.portableHash60]]
-    * but salted, so each consumer draws an independent order). */
+    * but salted, so each consumer draws an independent order). Computed
+    * by the native varargs `portable_hash60(id, salt)` kernel — same
+    * value (spec-pinned), none of the per-row cast → concat → 32-char
+    * hex render → base-16 parse chain this column composition paid. */
   private def orderHash(id: Column, salt: String): Column =
-    conv(substring(md5(concat(id.cast("string"), lit(salt))), 1, 15), 16, 10)
-      .cast("long")
+    graft.functions.PortableHash60.portableHash60(id, lit(salt))
 
   /** Data-mixture sampling: each source (domain, crawl, provenance
     * bucket) keeps a CONFIGURED fraction of its rows — the knob that

@@ -78,7 +78,7 @@ object Similarity {
     * IVF assignment and SemDeDup clustering — can be value-verified by
     * an external SQL engine. */
   private def sampleCentroids(e: DataFrame, nCells: Int): DataFrame =
-    e.orderBy(TextAnalysis.portableHash60(col("vec_id").cast("string")), col("vec_id"))
+    e.orderBy(TextAnalysis.portableHash60(col("vec_id")), col("vec_id"))
       .limit(nCells)
       .select(col("vec_id").as("cell_id"), col("v").as("cv"))
 

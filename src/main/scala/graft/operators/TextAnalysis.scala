@@ -183,9 +183,12 @@ object TextAnalysis {
     * oracle-checkable; 60 bits keeps the parse inside a signed long.
     * Computed by the native `portable_hash60` expression — same value,
     * straight from the digest bytes, no hex render + re-parse per row
-    * (the column composition it replaced is pinned in the spec). */
-  def portableHash60(c: Column): Column =
-    graft.functions.PortableHash60.portableHash60(c)
+    * (the column composition it replaced is pinned in the spec).
+    * Varargs = hash of the concatenated string renderings; integral
+    * columns render natively (no per-row Cast/concat — see
+    * [[graft.functions.PortableHash60]]). */
+  def portableHash60(cs: Column*): Column =
+    graft.functions.PortableHash60.portableHash60(cs: _*)
 
   /** The column composition `portable_hash60` replaced; test-only
     * reference for the bit-identity spec. */

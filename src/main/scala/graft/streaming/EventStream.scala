@@ -59,7 +59,7 @@ object EventStream {
       .withWatermark("ts", watermarkDelay)
       .groupBy(window(col("ts"), "1 hour"))
       .agg(udaf(KmvSketch.Kmv(k)).apply(
-        portableHash60(col("user_id").cast("string"))).as("b"))
+        portableHash60(col("user_id"))).as("b"))
       .select(col("window.start").as("hour_start"),
         KmvSketch.estimate(col("b"), k).as("approx_users"))
   }
@@ -77,7 +77,7 @@ object EventStream {
       .withWatermark("ts", watermarkDelay)
       .groupBy(window(col("ts"), "1 hour"))
       .agg(udaf(BottomKSample.BottomK(k)).apply(
-        portableHash60(col("event_id").cast("string")), col("value")).as("b"))
+        portableHash60(col("event_id")), col("value")).as("b"))
       .select(col("window.start").as("hour_start"),
         round6(BottomKSample.sampleQuantile(col("b"), 0.5)).as("p50_value"))
   }

@@ -99,4 +99,58 @@ class NativeExprPropertySpec extends AnyFunSuite {
       assert(PortableHash60.hash60(bytes) == java.lang.Long.parseLong(hex, 16), s"s=$s")
     }
   }
+
+}
+
+/** DataFrame-level (codegen-path) bit-identity of the varargs
+  * `portable_hash60` batch kernel against the cast+concat+hex column
+  * composition it replaces. */
+class PortableHash60VarargsSpec extends SparkSpec {
+  private val rng = new scala.util.Random(4321)
+
+  test("varargs portable_hash60 over integrals is bit-identical to the cast+concat composition") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.operators.TextAnalysis.{legacyPortableHash60, portableHash60}
+    // codegen path over a DataFrame; edge longs included (negative, 0,
+    // Long.MinValue where -x overflows, Long.MaxValue)
+    val edge = Seq(0L, -1L, 1L, Long.MinValue, Long.MaxValue, -999999999999L)
+    val longs = edge ++ Seq.fill(500)(rng.nextLong())
+    val df = longs.zipWithIndex.map { case (a, i) => (a, i.toLong - 250L) }.toDF("a", "b")
+    val out = df.select(
+      portableHash60($"a").as("k1"),
+      legacyPortableHash60($"a".cast("string")).as("r1"),
+      portableHash60($"a", lit("-"), $"b").as("k2"),
+      legacyPortableHash60(concat($"a".cast("string"), lit("-"), $"b".cast("string"))).as("r2"),
+      portableHash60($"a", lit(":salt")).as("k3"),
+      legacyPortableHash60(concat($"a".cast("string"), lit(":salt"))).as("r3"))
+      .collect()
+    out.foreach { r =>
+      assert(r.getLong(0) == r.getLong(1), s"single-long mismatch: $r")
+      assert(r.getLong(2) == r.getLong(3), s"pair mismatch: $r")
+      assert(r.getLong(4) == r.getLong(5), s"salted mismatch: $r")
+    }
+  }
+
+  test("varargs portable_hash60 mixes strings and integrals; null anywhere nulls the hash") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.operators.TextAnalysis.{legacyPortableHash60, portableHash60}
+    val df = Seq(
+      (Some("héllo wörld"), Some(42L)),
+      (Some(""), Some(-7L)),
+      (None: Option[String], Some(1L)),
+      (Some("x"), None: Option[Long])
+    ).toDF("s", "n")
+    val rows = df.select(
+      portableHash60($"s", lit("|"), $"n").as("k"),
+      legacyPortableHash60(concat($"s", lit("|"), $"n".cast("string"))).as("r"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.isNullAt(0) == r.isNullAt(1), s"null-shape mismatch: $r")
+      if (!r.isNullAt(0)) assert(r.getLong(0) == r.getLong(1), s"value mismatch: $r")
+    }
+    // the two all-present rows hash; the two null-bearing rows are null
+    assert(rows.count(_.isNullAt(0)) == 2)
+  }
 }

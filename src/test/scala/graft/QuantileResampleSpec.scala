@@ -3,6 +3,56 @@ package graft
 import org.apache.spark.sql.functions._
 import graft.operators.{Analytics, Events}
 
+/** The distributed-selection quantile profile must be bit-identical to
+  * the built-in `percentile` aggregate it replaced (which buffers every
+  * group value in one non-spillable map — the 100 TB cliff this
+  * operator removes) AND keep a scale-safe plan: the only per-group
+  * state is the running cumulative window over DISTINCT values. */
+class QuantileSelectionSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("quantileProfile is bit-identical to the built-in percentile aggregate") {
+    val orders = Tables.orders(spark, sfDir)
+    val got = Analytics.quantileProfile(orders)
+      .orderBy($"o_orderstatus").collect().map(_.toSeq).toSeq
+    val builtin = orders.groupBy($"o_orderstatus")
+      .agg(percentile($"o_totalprice", lit(0.25)).as("p25"),
+        percentile($"o_totalprice", lit(0.5)).as("p50"),
+        percentile($"o_totalprice", lit(0.75)).as("p75"),
+        percentile($"o_totalprice", lit(0.95)).as("p95"),
+        count(lit(1)).as("cnt"))
+      .orderBy($"o_orderstatus").collect().map(_.toSeq).toSeq
+    assert(got == builtin)
+  }
+
+  test("quantileProfile handles tiny and single-row groups exactly") {
+    // n=1 (all ranks collapse), n=2 (every cut point interpolates), and
+    // a heavy-tie group (rank spans wider than 1)
+    val df = Seq(
+      ("A", 10.0),
+      ("B", 10.0), ("B", 20.0),
+      ("C", 5.0), ("C", 5.0), ("C", 5.0), ("C", 50.0)
+    ).toDF("o_orderstatus", "o_totalprice")
+    val got = Analytics.quantileProfile(df)
+      .orderBy($"o_orderstatus").collect().map(_.toSeq).toSeq
+    val builtin = df.groupBy($"o_orderstatus")
+      .agg(percentile($"o_totalprice", lit(0.25)).as("p25"),
+        percentile($"o_totalprice", lit(0.5)).as("p50"),
+        percentile($"o_totalprice", lit(0.75)).as("p75"),
+        percentile($"o_totalprice", lit(0.95)).as("p95"),
+        count(lit(1)).as("cnt"))
+      .orderBy($"o_orderstatus").collect().map(_.toSeq).toSeq
+    assert(got == builtin)
+  }
+
+  test("quantileProfile plan carries no Percentile buffer — only hash aggregates and a running window") {
+    val plan = Analytics.quantileProfile(Tables.orders(spark, sfDir))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("percentile("), s"built-in percentile crept back in:\n$plan")
+    assert(plan.contains("Window"), "expected the running cumulative window")
+  }
+}
+
 class QuantileSketchSpec extends SparkSpec {
   import spark.implicits._
 
