@@ -119,7 +119,15 @@ object SparkEntry {
       Dedup.dedupAgainst(docs.where(col("doc_id") % 2 === 0),
         docs.where(col("doc_id") % 2 === 1))
     }),
-    "d_dedup_embed" -> ((s, d) => Dedup.embeddingNearDup(Tables.embeddings(s, d), 0.4)),
+    // ROUTED entries: the auto-ladder entry points, not the raw
+    // quadratic baselines — at driver scale the probe takes the exact
+    // arm, so the oracles are the existing exact mirrors; past
+    // exactMaxRows the same calls walk the LSH/capped ladders instead
+    // (spec-pinned), which is what retires "the O(n²) form is the
+    // reachable default"
+    "d_dedup_embed" -> ((s, d) => Dedup.embeddingDedup(Tables.embeddings(s, d), 0.4)),
+    "d_dedup_auto" -> ((s, d) => Dedup.nearDupAuto(Tables.documents(s, d), 3, 0.5)),
+    "d_containment_auto" -> ((s, d) => Dedup.containmentAuto(Tables.documents(s, d), 3, 0.6)),
     "d_boilerplate" -> ((s, d) => Dedup.boilerplate(Tables.documents(s, d), 3, 3)),
     "d_dedup_semantic" -> ((s, d) => Similarity.semanticDedup(Tables.embeddings(s, d), 0.4)),
     "d_dedup_pipeline" -> ((s, d) => Dedup.nearDupPipeline(Tables.documents(s, d))),
@@ -500,21 +508,12 @@ object SparkEntry {
          FROM inter JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
          WHERE CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter) >= 0.5""",
     "d_dedup_ngram" -> ngramJaccardSql,
+    // the routed entries take their exact arms at driver scale, so the
+    // exact mirrors apply verbatim
+    "d_dedup_auto" -> ngramJaccardSql,
     // containment mirror: same inverted index, min-size denominator
-    "d_containment" ->
-      """WITH tok AS (SELECT doc_id,
-             list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS w FROM documents),
-         sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
-                FROM tok CROSS JOIN unnest(generate_series(1, len(w) - 2)) AS t(i)
-                WHERE len(w) >= 3),
-         sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
-         inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
-                   FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-                   GROUP BY 1, 2)
-         SELECT id_a, id_b,
-                floor(CAST(n_inter AS DOUBLE) / least(sa.sz, sb.sz) * 1000000 + 0.5) / 1000000 AS containment
-         FROM inter JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
-         WHERE CAST(n_inter AS DOUBLE) / least(sa.sz, sb.sz) >= 0.6""",
+    "d_containment" -> containmentSql,
+    "d_containment_auto" -> containmentSql,
     // survivorship mirror: components via recursive CTE, winner per
     // component = max n_chars then min doc_id; unpaired docs pass
     "d_dedup_keep_best" ->
@@ -1460,6 +1459,23 @@ object SparkEntry {
          FROM e JOIN s USING (user_id)
          WHERE (n * v - sv) * (n * v - sv) > 9 * (n * q - sv * sv)""",
   )
+
+  /** Shared by d_containment and d_containment_auto (the routed entry
+    * takes the exact arm at driver scale). */
+  private val containmentSql: String =
+    """WITH tok AS (SELECT doc_id,
+           list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS w FROM documents),
+       sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+              FROM tok CROSS JOIN unnest(generate_series(1, len(w) - 2)) AS t(i)
+              WHERE len(w) >= 3),
+       sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+       inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+                 FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                 GROUP BY 1, 2)
+       SELECT id_a, id_b,
+              floor(CAST(n_inter AS DOUBLE) / least(sa.sz, sb.sz) * 1000000 + 0.5) / 1000000 AS containment
+       FROM inter JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
+       WHERE CAST(n_inter AS DOUBLE) / least(sa.sz, sb.sz) >= 0.6"""
 
   /** Shared by d_dedup_ngram and d_dedup_minhash (see note above). */
   private val ngramJaccardSql: String =

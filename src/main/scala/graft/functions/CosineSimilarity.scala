@@ -177,8 +177,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("minhash_sig"),
       new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
       (exprs: Seq[Expression]) => MinHashSig(exprs)))
+    ext.injectFunction((
+      new FunctionIdentifier("vector_lsh_bands"),
+      new ExpressionInfo(classOf[VectorLshBands].getName, "vector_lsh_bands"),
+      (exprs: Seq[Expression]) => VectorLshBands(exprs)))
     ext.injectOptimizerRule(session => graft.plans.ApproximateRewrite(session))
     ext.injectOptimizerRule(session => graft.plans.RangeJoinRewrite(session))
+    ext.injectOptimizerRule(session => graft.plans.AutoLadderRewrite(session))
     ext.injectPlannerStrategy(session => new graft.plans.AsOfJoinStrategy(session))
   }
 }

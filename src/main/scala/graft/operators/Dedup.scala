@@ -102,12 +102,32 @@ object Dedup {
     * path; at corpus scale generate candidates first (LSH over the
     * small side's shingles, or [[exact]] ladder) and verify with this
     * formula — the arithmetic is all-integer either way. */
-  def containmentPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.6): DataFrame = {
+  def containmentPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.6): DataFrame =
+    containmentPairsImpl(docs, n, threshold, maxBucket = 0)
+
+  private def containmentPairsImpl(docs: DataFrame, n: Int, threshold: Double,
+      maxBucket: Int): DataFrame = {
     // pinned once for the three-way fan-out — see [[ngramJaccard]]
     val sh = hashedShingles(docs, n).distinct().localCheckpoint()
+    // TRUE set sizes from the uncapped frame — the cap below only trims
+    // candidate generation, never a kept pair's denominator
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-    val inter = sh.as("a")
-      .join(sh.as("b"),
+    // optional hot-shingle cap: a shingle shared by B docs contributes
+    // O(B²) candidate pairs; at corpus scale boilerplate grams turn one
+    // hot posting list into the whole job. Dropping lists larger than
+    // maxBucket under-counts intersections that RELY on hot grams (the
+    // documented recall trade of the capped ladder) — pairs sharing any
+    // uncapped gram still verify with their full true sizes.
+    val posting =
+      if (maxBucket <= 0) sh
+      else {
+        import org.apache.spark.sql.expressions.Window
+        sh.withColumn("bsz", count(lit(1)).over(Window.partitionBy(col("h"))))
+          .where(col("bsz") <= maxBucket)
+          .drop("bsz")
+      }
+    val inter = posting.as("a")
+      .join(posting.as("b"),
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .agg(count(lit(1)).as("n_inter"))
@@ -120,6 +140,38 @@ object Dedup {
       .select(col("id_a"), col("id_b"),
         graft.functions.Exact.round6(col("containment")).as("containment"))
   }
+
+  /** Bounded size probe shared by the auto-ladder entry points: counts
+    * at most `maxRows + 1` ids, so the routing decision is O(maxRows)
+    * on any input — it never scans a 100 TB corpus to decide. */
+  private def atMost(df: DataFrame, idCol: String, maxRows: Long): Boolean = {
+    val probeCap = math.min(maxRows, (Int.MaxValue - 1).toLong).toInt + 1
+    df.select(col(idCol)).limit(probeCap).count() <= maxRows
+  }
+
+  /** THE text near-dup entry point — routes by corpus size, mirroring
+    * [[embeddingDedup]]: at or below `exactMaxRows` the exact
+    * inverted-index [[ngramJaccard]] runs (every pair, engine-exact
+    * arithmetic); above it the [[minhashLsh]] ladder runs instead —
+    * map-only native signing, banded candidates under a hot-bucket cap,
+    * exact-Jaccard verification — so the per-shingle quadratic
+    * candidate blow-up cannot be reached by default at scale. Same
+    * output schema either way (id_a, id_b, jaccard ≥ threshold); the
+    * LSH arm's recall is the quantified trade
+    * ([[graft.MinhashRecallSpec]] pins it in the hard regime). */
+  def nearDupAuto(docs: DataFrame, n: Int = 3, threshold: Double = 0.5,
+      exactMaxRows: Long = 10000, maxBucket: Int = 1000): DataFrame =
+    if (atMost(docs, "doc_id", exactMaxRows)) ngramJaccard(docs, n, threshold)
+    else minhashLsh(docs, n, numHashes = 64, bands = 16,
+      threshold = threshold, maxBucket = maxBucket)
+
+  /** Containment twin of [[nearDupAuto]]: exact [[containmentPairs]]
+    * below `exactMaxRows`, the capped-posting-list form above it (see
+    * [[containmentPairsImpl]] for the recall contract). */
+  def containmentAuto(docs: DataFrame, n: Int = 3, threshold: Double = 0.6,
+      exactMaxRows: Long = 10000, maxBucket: Int = 1000): DataFrame =
+    if (atMost(docs, "doc_id", exactMaxRows)) containmentPairs(docs, n, threshold)
+    else containmentPairsImpl(docs, n, threshold, maxBucket)
 
   /** MinHash + LSH banding near-dup detection — the 100 TB path.
     *
