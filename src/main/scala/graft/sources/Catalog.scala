@@ -89,7 +89,14 @@ class Catalog(spark: SparkSession, baseDir: String) {
     * fact tables with two independent filter dimensions. */
   def writeZOrdered(df: DataFrame, dest: String, numFiles: Int,
       xCol: String, yCol: String): Unit =
-    df.withColumn("_z", Catalog.zValue(col(xCol), col(yCol)))
+    writeZOrderedN(df, dest, numFiles, Seq(xCol, yCol))
+
+  /** N-column Z-ordered write (see [[Catalog.zValueN]]): each file gets
+    * a contiguous Z range, so min/max footer pruning works on every one
+    * of the `zCols`, not just a leading sort column. */
+  def writeZOrderedN(df: DataFrame, dest: String, numFiles: Int,
+      zCols: Seq[String]): Unit =
+    df.withColumn("_z", Catalog.zValueN(zCols.map(col)))
       .repartitionByRange(numFiles, col("_z"))
       .sortWithinPartitions(col("_z"))
       .drop("_z")
@@ -236,15 +243,33 @@ object Catalog {
     * portable to any engine — and the disjoint bit positions make `+`
     * equal to OR, so the whole value is one codegen'd arithmetic
     * expression. */
-  def zValue(x: Column, y: Column, bits: Int = 16): Column = {
-    // widen to long FIRST: with IntegerType inputs, y's bit 15 would
-    // shift to bit position 31 and wrap an Int negative, breaking the
-    // contiguous-Z-range property for y >= 32768
-    val (xl, yl) = (x.cast("long"), y.cast("long"))
-    (0 until bits).map { i =>
-      shiftleft(shiftright(xl, i).bitwiseAND(1), 2 * i) +
-        shiftleft(shiftright(yl, i).bitwiseAND(1), 2 * i + 1)
-    }.reduce(_ + _)
+  def zValue(x: Column, y: Column, bits: Int = 16): Column =
+    zValueN(Seq(x, y), bits)
+
+  /** N-column Morton/Z-value: bit `i` of column `j` lands at position
+    * `i·N + j`, the round-robin interleave that generalizes the 2-dim
+    * layout above (j = 0 even positions, j = 1 odd). Same portability
+    * arguments; `bits · N` must fit a signed long. With the low `bits`
+    * bits of every column riding the value, a range-partitioned sort on
+    * it gives every file a contiguous Z range — a hyper-rectangle-ish
+    * region of the N-dim key space — so a filter on ANY of the N
+    * columns prunes most files from parquet min/max footers alone,
+    * which a lexicographic sort only provides for its leading column.
+    * More dimensions dilute per-dimension locality (each column's bits
+    * are N positions apart), so keep N to the 2–4 filter dimensions
+    * that matter. */
+  def zValueN(cols: Seq[Column], bits: Int = 16): Column = {
+    val n = cols.length
+    require(n >= 1, "zValueN needs at least one column")
+    require(bits * n <= 63, s"bits ($bits) × columns ($n) must fit a signed long")
+    // widen to long FIRST: with IntegerType inputs, a high bit would
+    // shift past bit 31 and wrap an Int negative, breaking the
+    // contiguous-Z-range property
+    val longs = cols.map(_.cast("long"))
+    (for {
+      i <- 0 until bits
+      (c, j) <- longs.zipWithIndex
+    } yield shiftleft(shiftright(c, i).bitwiseAND(1), i * n + j)).reduce(_ + _)
   }
 
   /** MERGE/upsert (latest-wins): rows of `updates` replace same-key

@@ -49,6 +49,44 @@ class SketchSpec extends SparkSpec {
       assert(math.abs(a - e) / e < 0.1, s"approx $a vs exact $e")
     }
   }
+
+  /** q_sketch's BOUNDED-ERROR verification at the driver's bench scale
+    * (sf0.1) — the published-accuracy contract that stands in for the
+    * cross-engine oracle HLL/KLL state can never have. HLL++ runs at
+    * relativeSD 0.05, so 4σ = 20% relative error is the
+    * essentially-never band (and the check is deterministic for fixed
+    * data — it either holds or the implementation is wrong);
+    * percentile_approx at accuracy 1000 guarantees rank error ≤
+    * 1/1000, checked with 4× margin against the exact quantiles at
+    * ranks 0.5 ± 0.004. */
+  test("q_sketch estimates respect published error bounds vs exact counterparts at sf0.1") {
+    val dir = "/root/testdata/sf0.1"
+    assume(new java.io.File(dir).isDirectory)
+    val li = Tables.lineitem(spark, dir)
+    val approx = Analytics.sketchSummary(li)
+    val exactCd = Analytics.distinctCounts(li)
+    val rsd = 0.05
+    approx.join(exactCd, "l_returnflag").collect().foreach { r =>
+      for ((a, e) <- Seq(("approx_parts", "n_parts"), ("approx_supps", "n_supps"))) {
+        val av = r.getAs[Long](a).toDouble
+        val ev = r.getAs[Long](e).toDouble
+        assert(math.abs(av - ev) / ev <= 4 * rsd,
+          s"$a=$av outside 4·rsd of $e=$ev for ${r.getAs[String]("l_returnflag")}")
+      }
+    }
+    val rankMargin = 4.0 / 1000.0
+    val exactQ = li.groupBy($"l_returnflag").agg(
+      percentile($"l_extendedprice", lit(0.5 - rankMargin)).as("qlo"),
+      percentile($"l_extendedprice", lit(0.5 + rankMargin)).as("qhi"))
+    approx.join(exactQ, "l_returnflag").collect().foreach { r =>
+      val m = r.getAs[Double]("approx_median_price")
+      val lo = r.getAs[Double]("qlo")
+      val hi = r.getAs[Double]("qhi")
+      assert(m >= lo && m <= hi,
+        s"approx median $m outside exact rank band [$lo, $hi] " +
+          s"for ${r.getAs[String]("l_returnflag")}")
+    }
+  }
 }
 
 class DedupStreamSpec extends SparkSpec {
