@@ -189,6 +189,102 @@ object EventStream {
       }
   }
 
+  /** Tagged row for [[asOfStream]]: side 0 = right ("quotes"), 1 = left
+    * ("trades" — the side that receives the as-of columns). */
+  case class AsOfEvent(user_id: Long, tsu: Long, side: Int, value: Double)
+  case class AsOfBuffered(tsu: Long, side: Int, value: Double)
+  /** Per-key as-of state: events newer than the watermark (bounded by
+    * the watermark horizon) plus ONE carried latest-finalized-right —
+    * O(horizon) while a key is active, O(1) forever after. */
+  case class AsOfState(buf: Seq[AsOfBuffered], bestTs: Long, bestValue: Double,
+      hasBest: Boolean)
+  case class AsOfJoined(user_id: Long, left_us: Long, left_value: Double,
+      asof_right_us: Option[Long], asof_right_value: Option[Double])
+
+  /** STREAM-STREAM AS-OF JOIN — the watermarked twin of
+    * [[graft.operators.AsOfJoin.asOf]]/`AsOfJoinExec`: each left event
+    * is joined to the same key's LATEST right event at-or-before its
+    * timestamp. Structured Streaming's built-in stream-stream join can
+    * only bound the match by a time interval; "the latest prior" needs
+    * ordered state, so this is flatMapGroupsWithState:
+    *
+    *  - both streams are tagged and unioned (one watermark, one
+    *    shuffle on the key — the same single-exchange lower bound the
+    *    batch operator pays);
+    *  - events at-or-below the watermark are FINAL: they are processed
+    *    in (event time, side) order — rights fold into a running
+    *    lexicographic (ts, value) max, exactly the batch operator's
+    *    struct-max carry, and each left emits once with the carry at
+    *    its timestamp;
+    *  - newer events wait in the per-key buffer (bounded by the
+    *    watermark horizon) with an event-time timeout at the earliest
+    *    buffered timestamp, so finalization happens as the watermark
+    *    passes each event even if the key goes quiet.
+    *
+    * Emission is therefore exactly-once per left event and BATCHING-
+    * INVARIANT: any arrival order the watermark contract admits yields
+    * the batch operator's pair set (spec-asserted under several
+    * batchings). Ties mirror batch: rights at the left's own timestamp
+    * are included; equal-timestamp rights resolve to the (ts, value)
+    * maximum. */
+  def asOfStream(left: Dataset[Event], right: Dataset[Event],
+      watermarkDelay: String = "1 hour")(
+      implicit spark: SparkSession): Dataset[AsOfJoined] = {
+    import spark.implicits._
+    val tagged = left.map(e => AsOfEvent(e.user_id, e.tsu, 1, e.value))
+      .union(right.map(e => AsOfEvent(e.user_id, e.tsu, 0, e.value)))
+    tagged
+      .withColumn("ts", timestamp_micros(col("tsu")))
+      .withWatermark("ts", watermarkDelay)
+      .as[(Long, Long, Int, Double, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[AsOfState, AsOfJoined](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (userId, rows, state: GroupState[AsOfState]) =>
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val st = state.getOption.getOrElse(AsOfState(Nil, 0L, 0.0, hasBest = false))
+          val all = st.buf ++ rows.map(r => AsOfBuffered(r._2, r._3, r._4))
+          val (ripe, hold) = all.partition(_.tsu <= wmUs)
+          var bestTs = st.bestTs
+          var bestVal = st.bestValue
+          var hasBest = st.hasBest
+          val out = Seq.newBuilder[AsOfJoined]
+          ripe.sortBy(e => (e.tsu, e.side)).foreach { e =>
+            if (e.side == 0) {
+              if (!hasBest || e.tsu > bestTs ||
+                  (e.tsu == bestTs && e.value > bestVal)) {
+                bestTs = e.tsu; bestVal = e.value; hasBest = true
+              }
+            } else {
+              out += AsOfJoined(userId, e.tsu, e.value,
+                if (hasBest) Some(bestTs) else None,
+                if (hasBest) Some(bestVal) else None)
+            }
+          }
+          state.update(AsOfState(hold, bestTs, bestVal, hasBest))
+          if (hold.nonEmpty) {
+            // fire when the watermark passes the earliest held event
+            // (must be strictly future-of-watermark per the API)
+            state.setTimeoutTimestamp(
+              math.max(hold.map(_.tsu).min / 1000L,
+                state.getCurrentWatermarkMs() + 1L))
+          }
+          out.result().iterator
+      }
+  }
+
+  /** [[graft.operators.AsOfJoin.purchaseAttribution]] as a stream:
+    * purchases joined to the user's latest prior view. */
+  def purchaseAttributionStream(events: DataFrame,
+      watermarkDelay: String = "1 hour")(
+      implicit spark: SparkSession): Dataset[AsOfJoined] = {
+    import spark.implicits._
+    def side(t: String) = events
+      .where(col("event_type") === t)
+      .select(col("user_id"), col("tsu"), col("value")).as[Event]
+    asOfStream(side("purchase"), side("view"), watermarkDelay)
+  }
+
   /** Custom session state: 30-min-gap sessionization with
     * flatMapGroupsWithState + event-time timeout — the streaming twin of
     * Events.sessionize. Sessions close when the watermark passes the gap

@@ -129,6 +129,109 @@ class EventStreamSpec extends SparkSpec {
   }
 }
 
+/** Stream-stream as-of join parity: under ANY batching the watermark
+  * contract admits, the emitted set must equal the batch operator's
+  * pair set exactly — the as-of semantics, not the time-bounded-join
+  * approximation. Driven as: replay real events with a long watermark
+  * delay (nothing finalizes mid-replay), then drop a far-future
+  * sentinel file so the watermark passes every real event and the
+  * per-key buffers flush through the same sorted finalization path any
+  * incremental schedule uses. Multiset comparison — a duplicate or
+  * dropped emission fails even if the set looks right. */
+class AsOfStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def normalized = Tables.events(spark, sfDir)
+    .select($"user_id", unix_micros($"ts").as("tsu"), $"value", $"event_type")
+
+  private def runScenario(name: String, files: Int, perTrigger: Int): Seq[(Long, Long, Option[Long])] = {
+    implicit val s = spark
+    val batch = normalized
+    val srcDir = java.nio.file.Files.createTempDirectory(s"graft-asof-$name").toString
+    batch.repartition(files).write.mode("overwrite").parquet(srcDir)
+    val stream = spark.readStream.schema(batch.schema)
+      .option("maxFilesPerTrigger", perTrigger).parquet(srcDir)
+    val q = streaming.EventStream.purchaseAttributionStream(stream, "720 hours")
+      .writeStream.format("memory").queryName(s"asof_$name").outputMode("append")
+      .start()
+    try {
+      q.processAllAvailable()
+      // deferred sentinel: a lone far-future view pushes the watermark
+      // past every real event; its own rows stay buffered (excluded key)
+      val maxTsu = batch.agg(max($"tsu")).as[Long].head()
+      Seq((999999999L, maxTsu + 722L * 3600L * 1000000L, 0.0, "view"))
+        .toDF("user_id", "tsu", "value", "event_type")
+        .write.mode("append").parquet(srcDir)
+      q.processAllAvailable()
+    } finally q.stop()
+    spark.table(s"asof_$name")
+      .where($"user_id" =!= 999999999L)
+      .select($"user_id", $"left_us", $"asof_right_us")
+      .as[(Long, Long, Option[Long])].collect().toSeq
+  }
+
+  test("as-of emits incrementally as the watermark passes events, still matching batch") {
+    implicit val s = spark
+    val batch = normalized
+    val cuts = batch.stat.approxQuantile("tsu", Array(0.25, 0.5, 0.75), 0.0)
+    val bounds = (Seq(Long.MinValue) ++ cuts.map(_.toLong) :+ Long.MaxValue).sliding(2).toSeq
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-asof-incr").toString
+    // empty seed so the stream can start before the first chunk lands
+    batch.limit(0).write.mode("overwrite").parquet(srcDir)
+    val stream = spark.readStream.schema(batch.schema)
+      .option("maxFilesPerTrigger", 4).parquet(srcDir)
+    val q = streaming.EventStream.purchaseAttributionStream(stream, "1 hour")
+      .writeStream.format("memory").queryName("asof_incr").outputMode("append")
+      .start()
+    val countsAfterChunk = Seq.newBuilder[Long]
+    try {
+      // time-ordered chunks: each write only ADVANCES event time, so no
+      // real event is ever late and finalization happens chunk by chunk
+      bounds.foreach { case Seq(lo, hi) =>
+        batch.where($"tsu" > lo && $"tsu" <= hi)
+          .write.mode("append").parquet(srcDir)
+        q.processAllAvailable()
+        countsAfterChunk += spark.table("asof_incr").count()
+      }
+      val maxTsu = batch.agg(max($"tsu")).as[Long].head()
+      Seq((999999999L, maxTsu + 2L * 3600L * 1000000L, 0.0, "view"))
+        .toDF("user_id", "tsu", "value", "event_type")
+        .write.mode("append").parquet(srcDir)
+      q.processAllAvailable()
+    } finally q.stop()
+    val mid = countsAfterChunk.result()
+    assert(mid.last > 0 && mid.exists(c => c > 0 && c < mid.last),
+      s"no incremental emission observed: $mid")
+    val got = spark.table("asof_incr")
+      .where($"user_id" =!= 999999999L)
+      .select($"user_id", $"left_us", $"asof_right_us")
+      .as[(Long, Long, Option[Long])].collect().toSeq
+      .sorted(Ordering.by((t: (Long, Long, Option[Long])) => (t._1, t._2, t._3.getOrElse(-1L))))
+    val expected = operators.AsOfJoin.purchaseAttribution(Tables.events(spark, sfDir))
+      .select($"user_id", $"purchase_us", $"last_view_us")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2))))
+      .toSeq.sorted(Ordering.by((t: (Long, Long, Option[Long])) => (t._1, t._2, t._3.getOrElse(-1L))))
+    assert(got == expected)
+  }
+
+  test("streaming as-of equals the batch pair set under any batching") {
+    val expected = operators.AsOfJoin.purchaseAttribution(Tables.events(spark, sfDir))
+      .select($"user_id", $"purchase_us", $"last_view_us")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2))))
+      .toSeq.sorted(Ordering.by((t: (Long, Long, Option[Long])) => (t._1, t._2, t._3.getOrElse(-1L))))
+    assert(expected.nonEmpty)
+    for ((files, per, nm) <- Seq((1, 4, "one"), (8, 1, "single"), (8, 4, "quad"))) {
+      val got = runScenario(nm, files, per)
+        .sorted(Ordering.by((t: (Long, Long, Option[Long])) => (t._1, t._2, t._3.getOrElse(-1L))))
+      assert(got == expected, s"batching $nm diverged: ${got.length} vs ${expected.length} rows")
+    }
+  }
+}
+
 class StreamEnrichSinkSpec extends SparkSpec {
   import spark.implicits._
   import java.nio.file.Files
