@@ -1,17 +1,35 @@
 package graft
 
 import scala.io.StdIn
+import org.apache.spark.sql.SparkSession
+import graft.operators.{CorpusPipeline, Dedup}
 import graft.sources.Catalog
 
 /** Interactive client shell — the analog of the reference DFS CLI
   * (reference: dfs/client/cli.go ls/upload/download/stats loop), with
-  * SQL as the query surface instead of job submission.
+  * SQL as the query surface instead of job submission, plus
+  * PROCEDURE-STYLE verbs for the production data-prep ladder (the
+  * analog of the reference CLI's job submission): an operator a SQL
+  * string can't express — multi-stage, stateful, writes a table — runs
+  * as one shell verb over registered tables and lands back in the
+  * catalog as a registered table.
   *
   * Commands:
   *   ls                      list tables in the data dir
   *   stats                   per-table rows + bytes (footer metadata)
+  *   nodes                   executor stats
   *   download <tbl> <dir>    reassemble a table to one local file
   *   delete <tbl>            drop a table's files
+  *   prep <src> <dest>       full corpus preparation (quality/lang →
+  *                           exact dedup → near-dup → split) of table
+  *                           <src>, written + registered as <dest>
+  *   index <src> <dest>      MinHash signature index over <src>
+  *   prep_incr <new> <index> <dest>
+  *                           incremental prep of batch <new> against
+  *                           signature index <index>
+  *   neardup <src> [t]       near-dup pairs of <src> at threshold t
+  *                           (default 0.5) via the size-routed ladder,
+  *                           registered as view <src>_neardups
   *   help                    this text
   *   exit | quit             leave
   *   anything else           executed as Spark SQL over the registered tables
@@ -19,6 +37,50 @@ import graft.sources.Catalog
   * Usage: runMain graft.Shell [dataDir]
   */
 object Shell {
+
+  /** One command; returns false when the session should end. Extracted
+    * from the REPL loop so the verb surface is drivable end-to-end in
+    * specs (and by scripts piping stdin). */
+  def execute(line: String, spark: SparkSession, cat: Catalog, dir: String): Boolean = {
+    def register(df: org.apache.spark.sql.DataFrame, dest: String): Unit = {
+      cat.writeChunked(df, s"$dir/$dest.parquet", maxRecordsPerFile = 1000000L)
+      cat.table(dest).createOrReplaceTempView(dest)
+    }
+    line.split("\\s+").toList match {
+      case ("exit" | "quit") :: Nil => return false
+      case "help" :: Nil =>
+        println("ls | stats | nodes | download <tbl> <dir> | delete <tbl> | " +
+          "prep <src> <dest> | index <src> <dest> | prep_incr <new> <index> <dest> | " +
+          "neardup <src> [t] | exit | <sql>")
+      case "ls" :: Nil => cat.list().foreach(println)
+      case "stats" :: Nil => cat.stats().show(100, truncate = false)
+      case "nodes" :: Nil => cat.executorStats().show(100, truncate = false)
+      case "download" :: tbl :: dest :: Nil =>
+        cat.download(tbl, dest); println(s"downloaded $tbl -> $dest")
+      case "delete" :: tbl :: Nil =>
+        println(if (cat.delete(tbl)) s"deleted $tbl" else s"no such table: $tbl")
+      case "prep" :: src :: dest :: Nil =>
+        val r = CorpusPipeline.prepare(cat.table(src))
+        try register(r.corpus, dest) finally r.release()
+        println(s"prepared $src -> $dest (${cat.table(dest).count()} docs)")
+      case "index" :: src :: dest :: Nil =>
+        register(Dedup.buildMinhashIndex(cat.table(src)), dest)
+        println(s"indexed $src -> $dest")
+      case "prep_incr" :: newTbl :: idx :: dest :: Nil =>
+        val r = CorpusPipeline.prepareIncrement(cat.table(newTbl), cat.table(idx))
+        try register(r.corpus, dest) finally r.release()
+        println(s"prepared increment $newTbl (vs $idx) -> $dest " +
+          s"(${cat.table(dest).count()} docs)")
+      case "neardup" :: src :: rest if rest.length <= 1 =>
+        val t = rest.headOption.map(_.toDouble).getOrElse(0.5)
+        val view = s"${src}_neardups"
+        Dedup.nearDupAuto(cat.table(src), threshold = t).createOrReplaceTempView(view)
+        println(s"registered $view (${spark.table(view).count()} pairs at >= $t)")
+      case _ => spark.sql(line).show(50, truncate = false)
+    }
+    true
+  }
+
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val spark = Graft.session(master = "local[*]", appName = "graft-shell")
@@ -33,19 +95,7 @@ object Shell {
       val line = Option(StdIn.readLine()).map(_.trim).orNull
       if (line == null) running = false
       else if (line.nonEmpty) try {
-        line.split("\\s+").toList match {
-          case ("exit" | "quit") :: Nil => running = false
-          case "help" :: Nil =>
-            println("ls | stats | nodes | download <tbl> <dir> | delete <tbl> | exit | <sql>")
-          case "ls" :: Nil => cat.list().foreach(println)
-          case "stats" :: Nil => cat.stats().show(100, truncate = false)
-          case "nodes" :: Nil => cat.executorStats().show(100, truncate = false)
-          case "download" :: tbl :: dest :: Nil =>
-            cat.download(tbl, dest); println(s"downloaded $tbl -> $dest")
-          case "delete" :: tbl :: Nil =>
-            println(if (cat.delete(tbl)) s"deleted $tbl" else s"no such table: $tbl")
-          case _ => spark.sql(line).show(50, truncate = false)
-        }
+        running = execute(line, spark, cat, dir)
       } catch {
         case e: Exception => println(s"error: ${e.getMessage}")
       }

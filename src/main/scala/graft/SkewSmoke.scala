@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.sql.functions._
+
+/** Diagnostic: MEASURED skew — a planted 50%-hot key joined with and
+  * without salting, reporting the per-task time spread of the heaviest
+  * stage (the straggler histogram, not just wall time: one pinned
+  * reducer is invisible in totals until it IS the total).
+  *
+  * AQE and auto-broadcast are disabled for the measurement: AQE's
+  * skew-join splitting solves this case at runtime (and is ON in
+  * production sessions — [[Graft.session]]); `saltedJoin` is the
+  * explicit form for plans AQE can't split, which is exactly the regime
+  * this smoke isolates. Usage: runMain graft.SkewSmoke
+  */
+object SkewSmoke {
+  def main(args: Array[String]): Unit = {
+    val spark = Graft.session(appName = "graft-skew-smoke")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+
+    // task-duration capture, keyed by stage
+    val taskMs = scala.collection.concurrent.TrieMap[Int, List[Long]]()
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onTaskEnd(te: SparkListenerTaskEnd): Unit =
+        if (te.taskInfo != null)
+          taskMs.updateWith(te.stageId)(old => Some(te.taskInfo.duration :: old.getOrElse(Nil)))
+    })
+
+    // 50% of rows carry key 0; the rest spread over 100k keys. The
+    // right side is the "too big to broadcast, cheap to replicate"
+    // regime saltedJoin targets — salt 8 replicates 100k rows, noise
+    // next to spreading a 10M-row hot key over 8 reducers
+    val n = 20000000L
+    val nKeys = 100000L
+    val left = spark.range(n).select(
+      when(col("id") % 2 === 0, lit(0L)).otherwise(pmod(col("id"), lit(nKeys))).as("k"),
+      (col("id") % 97).cast("double").as("v"))
+    val right = spark.range(nKeys).select(col("id").as("k"), (col("id") % 13).as("w"))
+
+    def phase(name: String)(f: => Unit): Unit = {
+      taskMs.clear()
+      val t0 = System.nanoTime()
+      f
+      val wall = (System.nanoTime() - t0) / 1e9
+      // heaviest stage = the reducer stage the hot key pins
+      val (stage, times) = taskMs.toSeq.maxBy(_._2.sum)
+      val s = times.sorted
+      def pct(p: Double) = s(math.min(s.length - 1, (p * s.length).toInt))
+      println(f"[skew] $name%-14s wall ${wall}%6.2fs  stage $stage%4d  tasks ${s.length}%4d  " +
+        f"max ${s.last / 1000.0}%6.2fs  p95 ${pct(0.95) / 1000.0}%6.2fs  " +
+        f"median ${pct(0.5) / 1000.0}%6.2fs  max/median ${s.last.toDouble / math.max(1, pct(0.5))}%5.1fx")
+    }
+
+    // warm the scan/codegen paths once
+    left.join(right, "k").limit(1).count()
+
+    phase("plain_join") {
+      left.join(right, "k")
+        .agg(sum(col("v") * col("w")).as("s"))
+        .write.format("noop").mode("overwrite").save()
+    }
+    phase("salted_join") {
+      operators.Skew.saltedJoin(left, right, "k", 8)
+        .agg(sum(col("v") * col("w")).as("s"))
+        .write.format("noop").mode("overwrite").save()
+    }
+    spark.stop()
+  }
+}

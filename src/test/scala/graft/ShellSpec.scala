@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sources.Catalog
+
+/** The shell's procedure verbs must run the PRODUCTION prep path over a
+  * registered corpus end-to-end: prepare → written + registered table →
+  * SQL over the result; signature index → incremental prep against it;
+  * the near-dup ladder as a queryable view. This is the interactive
+  * client's analog of the reference CLI's job submission — the one verb
+  * surface plain SQL can't express. */
+class ShellProcedureSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("shell prep/index/prep_incr/neardup run end-to-end over a registered corpus") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-shell").toString
+    Tables.documents(spark, sfDir).write.parquet(s"$dir/documents.parquet")
+    val cat = new Catalog(spark, dir)
+    cat.registerAll()
+
+    // full prep → registered table with the split assignment
+    assert(Shell.execute("prep documents corpus_v1", spark, cat, dir))
+    assert(cat.list().contains("corpus_v1"))
+    val prepared = spark.table("corpus_v1")
+    assert(prepared.count() > 0 && prepared.columns.contains("split"))
+    // plain SQL over the registered result — the end-to-end contract
+    assert(Shell.execute(
+      "SELECT split, count(*) AS n FROM corpus_v1 GROUP BY split", spark, cat, dir))
+
+    // signature index, then an incremental batch prepared against it:
+    // the batch is a re-keyed copy of the corpus, so near-everything is
+    // a cross-dup — the verb must still complete and register
+    assert(Shell.execute("index documents doc_index", spark, cat, dir))
+    Tables.documents(spark, sfDir)
+      .withColumn("doc_id", $"doc_id" + 1000000L)
+      .write.parquet(s"$dir/batch1.parquet")
+    cat.registerAll()
+    assert(Shell.execute("prep_incr batch1 doc_index corpus_inc", spark, cat, dir))
+    assert(spark.table("corpus_inc").columns.contains("split"))
+
+    // the size-routed near-dup ladder as a queryable view
+    assert(Shell.execute("neardup documents", spark, cat, dir))
+    assert(spark.table("documents_neardups").count() > 0)
+
+    assert(!Shell.execute("exit", spark, cat, dir))
+  }
+}
