@@ -207,6 +207,33 @@ object SparkEntry {
       graft.sources.Catalog.upsert(base, updates, "doc_id")
     }),
     "m_meta" -> ((s, d) => Multimodal.metaExtract(Tables.documents(s, d))),
+    // REAL codec round-trips (JDK ImageIO / WAV): payload dimensions are
+    // derived arithmetically from n_chars, so the oracle predicts what
+    // the genuine byte→pixels/samples decode must report
+    "m_decode" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      Multimodal.decodeImages(Multimodal.syntheticImages(Tables.documents(s, d)))
+        .where(col("ok"))
+        .select(col("doc_id"), col("width"), col("height"), col("n_pixels"))
+    }),
+    "m_audio" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      Multimodal.decodeWav(Multimodal.syntheticWavs(Tables.documents(s, d)))
+        .where(col("ok"))
+        .select(col("doc_id"), col("sample_rate"), col("channels"), col("bits"),
+          col("n_frames"), col("duration_us"))
+    }),
+    // planted-content perceptual dedup: docs (2k, 2k+1) render the same
+    // image; the PNG-encode → decode → dHash → banded-join pipeline must
+    // recover exactly those pairs and nothing else
+    "m_phash_dedup" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{col, expr, xxhash64}
+      val docs = Tables.documents(s, d)
+        .withColumn("n_chars", expr("(doc_id div 2) * 7 + 64"))
+      Multimodal.imageNearDup(
+          Multimodal.syntheticImages(docs, xxhash64(expr("doc_id div 2"))), 0)
+        .select(col("id_a"), col("id_b"))
+    }),
     "q_salted_agg" -> ((s, d) =>
       Skew.saltedAgg(Tables.lineitem(s, d), "l_returnflag", "l_extendedprice")),
     // E. storage engine introspection (DFS cluster-stats analog)
@@ -920,6 +947,21 @@ object SparkEntry {
       """SELECT doc_id, octet_length(encode(text)) AS byte_len, md5(text) AS h,
                 n_chars % 640 AS width, n_chars % 480 AS height
          FROM documents""",
+    // the decoded dims of the real PNG payloads are fully determined by
+    // the planted geometry — the codec must round-trip them exactly
+    "m_decode" ->
+      """SELECT doc_id, 8 + n_chars % 57 AS width, 8 + n_chars % 31 AS height,
+                (8 + n_chars % 57) * (8 + n_chars % 31) AS n_pixels
+         FROM documents""",
+    "m_audio" ->
+      """SELECT doc_id, 8000 AS sample_rate, 1 AS channels, 16 AS bits,
+                100 + n_chars % 1000 AS n_frames,
+                (100 + n_chars % 1000) * 125 AS duration_us
+         FROM documents""",
+    "m_phash_dedup" ->
+      """SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         FROM documents a JOIN documents b
+           ON a.doc_id // 2 = b.doc_id // 2 AND a.doc_id < b.doc_id""",
     "q_argmin" ->
       """SELECT p.p_brand, p.p_partkey, p.p_retailprice AS min_price
          FROM part p
