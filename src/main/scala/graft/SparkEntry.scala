@@ -194,6 +194,12 @@ object SparkEntry {
     "t_chunk" -> ((s, d) => TextAnalysis.chunk(Tables.documents(s, d))),
     "t_bigram_lm" -> ((s, d) => TextAnalysis.bigramLm(Tables.documents(s, d))),
     "d_lm_score" -> ((s, d) => TextAnalysis.lmScore(Tables.documents(s, d))),
+    // DSIR-shaped target-domain selection: English docs as the target
+    // slice, hashed-bigram importance ratios per doc
+    "d_importance" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      TextAnalysis.importanceWeights(Tables.documents(s, d), col("lang") === "en")
+    }),
     "d_span_dedup" -> ((s, d) => Dedup.spanDedup(Tables.documents(s, d))),
     "p_mix" -> ((s, d) => Sampling.mixtureSample(Tables.documents(s, d),
       Map("src0" -> 0.1, "src1" -> 0.25, "src2" -> 0.5, "src3" -> 0.75), defaultRate = 0.9)),
@@ -1468,6 +1474,23 @@ object SparkEntry {
                / 1152921504606846976.0
                < CASE source WHEN 'src0' THEN 0.1 WHEN 'src1' THEN 0.25
                              WHEN 'src2' THEN 0.5 WHEN 'src3' THEN 0.75 ELSE 0.9 END""",
+    // hashed-bigram importance ratios: same bucket hash (md5 60-bit),
+    // add-one smoothing, scaled-integer ratio sums — exact mirrors
+    "d_importance" ->
+      """WITH tok AS (SELECT doc_id, lang = 'en' AS is_target,
+             list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS w FROM documents),
+         bi AS (SELECT doc_id, is_target,
+                CAST(('0x' || substr(md5(w[i] || ' ' || w[i + 1]), 1, 15)) AS BIGINT) % 4096 AS b
+                FROM tok CROSS JOIN unnest(generate_series(1, len(w) - 1)) AS t(i)
+                WHERE len(w) >= 2),
+         r AS (SELECT b,
+                      ((sum(CASE WHEN is_target THEN 1 ELSE 0 END) + 1) * 1000000)
+                        // (count(*) + 1) AS r_scaled
+               FROM bi GROUP BY b)
+         SELECT doc_id, count(*) AS n_feats,
+                floor(CAST(sum(r_scaled) AS DOUBLE) / 1000000.0 / count(*) * 1000000 + 0.5)
+                  / 1000000 AS imp_score
+         FROM bi JOIN r USING (b) GROUP BY doc_id""",
     "fs_upsert" ->
       """SELECT doc_id, source, n_chars + 1000 AS n_chars
          FROM documents WHERE doc_id % 7 = 0

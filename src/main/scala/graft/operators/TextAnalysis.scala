@@ -371,4 +371,51 @@ object TextAnalysis {
         graft.functions.Exact.round6(
           col("p_sum").cast("double") / 1e6 / col("n_bigrams")).as("lm_score"))
   }
+
+  /** DSIR-shaped importance weights for target-domain data selection
+    * (the shape of Xie et al. 2023, "Data Selection for Language Models
+    * via Importance Resampling"): score each document by how much more
+    * frequent its features are in a TARGET slice of the corpus than in
+    * the corpus overall, using hashed bigram features — the
+    * select-web-data-that-looks-like-my-target-domain pipeline step.
+    *
+    * Engine-exact arithmetic: features are bigrams hashed into
+    * `nBuckets` buckets ([[portableHash60]] — md5-derived, portable);
+    * each feature's weight is the add-one-smoothed scaled ratio
+    * `⌊(n_target+1)·10⁶ / (n_raw+1)⌋`, summed per doc as exact longs
+    * (a linear ratio, not DSIR's log-likelihood — ln's last ulp
+    * differs across engines; the RANKING, which is all resampling
+    * consumes, is order-isomorphic for single-feature docs and
+    * near-identical in practice). A doc scores high when its buckets
+    * are dense in the target slice.
+    *
+    * Scale shape: ONE corpus scan explodes bigrams to (doc_id, bucket)
+    * pairs; bucket counts collapse to `nBuckets` rows via a map-side-
+    * partial hash aggregation (the widest shuffle in the plan carries
+    * 4096 rows); the ratio table broadcasts back; the per-doc score is
+    * one hash aggregation by doc_id. Raw and target counts come out of
+    * the SAME aggregation (a conditional sum), so the target slice
+    * costs no second scan. No text ever rides an exchange. */
+  def importanceWeights(docs: DataFrame, targetPred: Column,
+      nBuckets: Int = 4096): DataFrame = {
+    val inst = docs
+      .select(col("doc_id"), targetPred.as("is_target"), tokens(col("text")).as("w"))
+      .where(size(col("w")) >= 2)
+      .select(col("doc_id"), col("is_target"), col("w"),
+        explode(sequence(lit(1), size(col("w")) - 1)).as("i"))
+      .select(col("doc_id"), col("is_target"),
+        pmod(portableHash60(concat_ws(" ",
+          element_at(col("w"), col("i")),
+          element_at(col("w"), col("i") + 1))), lit(nBuckets.toLong)).as("b"))
+    val ratio = inst.groupBy(col("b"))
+      .agg(count(lit(1)).as("n_raw"),
+        sum(when(col("is_target"), 1L).otherwise(0L)).as("n_target"))
+      .select(col("b"), expr("((n_target + 1) * 1000000) div (n_raw + 1)").as("r_scaled"))
+    inst.join(broadcast(ratio), "b")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_feats"), sum(col("r_scaled")).as("r_sum"))
+      .select(col("doc_id"), col("n_feats"),
+        graft.functions.Exact.round6(
+          col("r_sum").cast("double") / 1e6 / col("n_feats")).as("imp_score"))
+  }
 }
