@@ -192,6 +192,10 @@ object SparkEntry {
     "t_redact" -> ((s, d) => TextAnalysis.redact(Tables.events(s, d), "event_id", "props")),
     "t_repetition" -> ((s, d) => TextAnalysis.repetition(Tables.documents(s, d))),
     "t_chunk" -> ((s, d) => TextAnalysis.chunk(Tables.documents(s, d))),
+    // distributed BPE tokenizer fitting: the learned merge table and
+    // the resulting subword vocabulary after 8 greedy rounds
+    "t_bpe_train" -> ((s, d) => operators.Bpe.merges(Tables.documents(s, d), 8)),
+    "t_bpe_vocab" -> ((s, d) => operators.Bpe.vocab(Tables.documents(s, d), 8)),
     "t_bigram_lm" -> ((s, d) => TextAnalysis.bigramLm(Tables.documents(s, d))),
     "d_lm_score" -> ((s, d) => TextAnalysis.lmScore(Tables.documents(s, d))),
     // DSIR-shaped target-domain selection: English docs as the target
@@ -1251,6 +1255,11 @@ object SparkEntry {
                 CAST(len(w[(chunk_id * 48 + 1):(chunk_id * 48 + 64)]) AS BIGINT) AS n_chunk_tokens,
                 md5(array_to_string(w[(chunk_id * 48 + 1):(chunk_id * 48 + 64)], ' ')) AS chunk_hash
          FROM c""",
+    // BPE fitting: the oracle replays the 8 greedy rounds as chained
+    // CTEs (argmax with the identical total-order tie-break; the merge
+    // fold is a list_reduce over a chr(31)-delimited accumulator)
+    "t_bpe_train" -> operators.Bpe.mergesOracleSql(8),
+    "t_bpe_vocab" -> operators.Bpe.vocabOracleSql(8),
     // cross-set exact Jaccard (even-id corpus vs odd-id batch): the
     // banded candidates, once verified, must reproduce it exactly —
     // same equivalence the full-set d_dedup_minhash oracle asserts

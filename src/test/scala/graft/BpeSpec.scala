@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Bpe
+
+/** Distributed BPE tokenizer fitting: greedy merge order on the
+  * classic corpus, greedy-leftmost fold semantics, vocab mass
+  * conservation. */
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  // the Sennrich et al. worked example: low×5, lower×2, newest×6, widest×3
+  private def classicDocs = Seq(
+    (1L, (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).mkString(" ")))
+    .toDF("doc_id", "text")
+
+  test("learns the classic merge sequence with deterministic tie-breaks") {
+    val ms = Bpe.merges(classicDocs, nMerges = 4)
+      .orderBy("merge_rank")
+      .as[(Int, String, String, Long)].collect()
+    // (e,s) and (s,t) both count 9 -> lexicographic tie-break picks (e,s);
+    // after merging, (es,t) counts 9 and wins round 2; then (l,o) 7, (lo,w) 7
+    assert(ms.toSeq == Seq(
+      (1, "e", "s", 9L), (2, "es", "t", 9L), (3, "l", "o", 7L), (4, "lo", "w", 7L)))
+  }
+
+  test("merge fold is greedy-leftmost: aaa under (a,a) becomes [aa, a]") {
+    // corpus where (a,a) must be the first merge
+    val docs = Seq((1L, "aaa aaa aa")).toDF("doc_id", "text")
+    val v = Bpe.vocab(docs, nMerges = 1).as[(String, Long)].collect().toMap
+    // aaa -> [aa, a] (×2), aa -> [aa] (×1): aa appears 3×, a 2×
+    assert(v == Map("aa" -> 3L, "a" -> 2L))
+  }
+
+  test("vocab conserves subword mass and shrinks monotonically in rounds") {
+    val docs = Tables.documents(spark, sfDir)
+    val chars0 = Bpe.vocab(docs, nMerges = 0)
+      .agg(sum($"n")).as[Long].head()
+    val after = Bpe.vocab(docs, nMerges = 4)
+    val (types, mass) = (after.count(),
+      after.agg(sum($"n" * length($"tok"))).as[Long].head())
+    // total character mass is invariant under merging
+    assert(mass == chars0, s"char mass must be conserved: $mass != $chars0")
+    // each merge adds at most one new type; token count strictly drops
+    val n4 = after.agg(sum($"n")).as[Long].head()
+    assert(n4 < chars0, "merging must reduce the token count")
+    assert(types > 0)
+  }
+
+  test("early-stop: a fully merged vocabulary stops instead of failing") {
+    val docs = Seq((1L, "ab ab ab")).toDF("doc_id", "text")
+    // one possible merge (a,b); asking for 5 stops after 1
+    val ms = Bpe.merges(docs, nMerges = 5).collect()
+    assert(ms.length == 1)
+  }
+}
