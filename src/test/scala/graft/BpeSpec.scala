@@ -48,6 +48,24 @@ class BpeSpec extends SparkSpec {
     assert(types > 0)
   }
 
+  test("encode with learned merges reproduces training's final segmentation") {
+    val docs = Tables.documents(spark, sfDir)
+    val learned = Bpe.merges(docs, nMerges = 6)
+      .orderBy("merge_rank")
+      .select("tok_a", "tok_b").as[(String, String)].collect().toSeq
+    // encoding the training corpus with its own merges = the final
+    // training segmentation: identical subword totals per subword
+    val fromEncode = Bpe.encode(docs, learned)
+      .select(explode($"seg").as("tok")).groupBy("tok").count()
+      .as[(String, Long)].collect().toMap
+    val fromTrain = Bpe.vocab(docs, nMerges = 6)
+      .as[(String, Long)].collect().toMap
+    assert(fromEncode == fromTrain)
+    // and n_subwords is the packing-ready token count
+    val enc = Bpe.encode(docs, learned)
+    assert(enc.where(size($"seg") =!= $"n_subwords").count() == 0)
+  }
+
   test("early-stop: a fully merged vocabulary stops instead of failing") {
     val docs = Seq((1L, "ab ab ab")).toDF("doc_id", "text")
     // one possible merge (a,b); asking for 5 stops after 1
