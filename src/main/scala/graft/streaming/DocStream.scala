@@ -100,6 +100,20 @@ object DocStream {
       .withColumn("split", graft.operators.Sampling.splitColumn(col("doc_id")))
   }
 
+  /** Streaming target-domain importance gate: arriving documents are
+    * scored against a FIXED ratio table learned once from the
+    * reference corpus ([[graft.operators.TextAnalysis.importanceRatios]]
+    * → [[graft.operators.TextAnalysis.ratioArray]]) and rows below
+    * `minScore` are dropped. The table rides into the plan as one
+    * array literal, so the gate is a MAP-ONLY projection + filter —
+    * zero joins, shuffles, watermarks, or state on the stream; append
+    * mode works unchanged, and the same call scores a batch frame
+    * identically (spec-asserted). */
+  def importanceGate(docs: DataFrame, ratios: Array[Long],
+      minScore: Double = 1.0): DataFrame =
+    graft.operators.TextAnalysis.importanceScore(docs, ratios)
+      .where(org.apache.spark.sql.functions.col("imp_score") >= minScore)
+
   /** A document held in a band bucket's state: id + verification set. */
   case class BucketDoc(doc_id: Long, ss: Seq[Long])
 
