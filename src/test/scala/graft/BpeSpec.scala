@@ -66,6 +66,31 @@ class BpeSpec extends SparkSpec {
     assert(enc.where(size($"seg") =!= $"n_subwords").count() == 0)
   }
 
+  test("encode is map-only and runs unchanged on a stream") {
+    import java.nio.file.Files
+    val docs = Tables.documents(spark, sfDir).select($"doc_id", $"text")
+    val learned = Bpe.merges(docs, nMerges = 4)
+      .orderBy("merge_rank").select("tok_a", "tok_b")
+      .as[(String, String)].collect().toSeq
+    // map-only: no exchange in the batch plan
+    val plan = Bpe.encode(docs, learned).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"encode must not shuffle:\n$plan")
+    // and the same call tokenizes a stream (append mode, no state)
+    val dir = Files.createTempDirectory("graft-bpe-stream").toString
+    docs.repartition(3).write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    val q = Bpe.encode(stream, learned)
+      .groupBy($"doc_id").agg(sum($"n_subwords").as("toks"))
+      .writeStream.format("memory").queryName("bpe_enc").outputMode("complete")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("bpe_enc")
+    val batch = Bpe.encode(docs, learned)
+      .groupBy($"doc_id").agg(sum($"n_subwords").as("toks"))
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
   test("early-stop: a fully merged vocabulary stops instead of failing") {
     val docs = Seq((1L, "ab ab ab")).toDF("doc_id", "text")
     // one possible merge (a,b); asking for 5 stops after 1
