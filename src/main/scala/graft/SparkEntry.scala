@@ -1536,17 +1536,22 @@ object SparkEntry {
          UNION ALL
          SELECT doc_id, source, n_chars FROM documents WHERE doc_id % 7 <> 0""",
     // regression from exact integer moments; only the slope divides
+    // moments accumulate in HUGEINT (mirrors Spark's Decimal(38,0) —
+    // no wrap, no raise) and emit as doubles; slope operands are the
+    // emitted doubles on both engines
     "q_regression" ->
       """WITH c AS (SELECT l_returnflag,
              CAST(round(l_quantity * 100) AS BIGINT) AS x,
              CAST(round(l_extendedprice * 100) AS BIGINT) AS y FROM lineitem),
          s AS (SELECT l_returnflag, count(*) AS n,
-                      CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
-                      CAST(sum(x * y) AS BIGINT) AS sxy, CAST(sum(x * x) AS BIGINT) AS sxx
+                      CAST(sum(CAST(x AS HUGEINT)) AS DOUBLE) AS sx,
+                      CAST(sum(CAST(y AS HUGEINT)) AS DOUBLE) AS sy,
+                      CAST(sum(CAST(x AS HUGEINT) * y) AS DOUBLE) AS sxy,
+                      CAST(sum(CAST(x AS HUGEINT) * x) AS DOUBLE) AS sxx
                FROM c GROUP BY 1)
          SELECT l_returnflag, n, sx, sy, sxy, sxx,
-                floor((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) /
-                      (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                floor((CAST(n AS DOUBLE) * sxy - sx * sy) /
+                      (CAST(n AS DOUBLE) * sxx - sx * sx)
                       * 1000000 + 0.5) / 1000000 AS slope
          FROM s""",
     // z² > k² as pure integer arithmetic: (n·v − S)² > k²·(n·Q − S²),

@@ -547,25 +547,34 @@ object Analytics {
 
   /** Per-group simple linear regression (y = slope·x + b) from exact
     * integer moment sums — the distributed-statistics shape done
-    * engine-exactly: n, Σx, Σy, Σxy, Σx² are integer-cents sums (one
-    * map-side-combined aggregate, order-independent), and only the
-    * final slope divides as double (identical IEEE expression on both
-    * engines). Emitting the moments alongside the slope makes the
-    * aggregate mergeable: partial moment rows combine by addition, so
-    * this runs as one partial+final aggregate at any scale. Moment
-    * magnitudes bound the exactness: Σxy stays below 2⁶³ for
-    * cents-scale columns up to ~10¹² rows per group. */
-  def regressionByFlag(lineitem: DataFrame): DataFrame =
+    * engine-exactly: n, Σx, Σy, Σxy, Σx² accumulate in Decimal(38,0)
+    * (one map-side-combined aggregate, order-independent, NO int64
+    * wrap at any corpus size — Σxy in longs would wrap near ~1.8×10⁸
+    * rows/group at full cents scale, and DuckDB would raise where
+    * Spark wraps silently, the e_anomaly divergence class). The
+    * moments are emitted as doubles (exact integers up to 2⁵³;
+    * identical round-to-nearest from the exact decimal on both
+    * engines past it) and only the slope divides — the same IEEE
+    * expression shape as the DuckDB mirror. Emitting the moments
+    * alongside the slope makes the aggregate mergeable: partial moment
+    * rows combine by addition at any scale. */
+  def regressionByFlag(lineitem: DataFrame): DataFrame = {
+    val xD = col("x").cast("decimal(38,0)")
     lineitem
       .select(col("l_returnflag"),
         cents(col("l_quantity")).as("x"), cents(col("l_extendedprice")).as("y"))
       .groupBy(col("l_returnflag"))
-      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
-        sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+      .agg(count(lit(1)).as("n"),
+        sum(xD).as("sxd"), sum(col("y").cast("decimal(38,0)")).as("syd"),
+        sum(xD * col("y")).as("sxyd"), sum(xD * col("x")).as("sxxd"))
+      .select(col("l_returnflag"), col("n"),
+        col("sxd").cast("double").as("sx"), col("syd").cast("double").as("sy"),
+        col("sxyd").cast("double").as("sxy"), col("sxxd").cast("double").as("sxx"))
       .select(col("l_returnflag"), col("n"), col("sx"), col("sy"), col("sxy"), col("sxx"),
-        round6((col("n").cast("double") * col("sxy") - col("sx").cast("double") * col("sy")) /
-          (col("n").cast("double") * col("sxx") - col("sx").cast("double") * col("sx")))
+        round6((col("n").cast("double") * col("sxy") - col("sx") * col("sy")) /
+          (col("n").cast("double") * col("sxx") - col("sx") * col("sx")))
           .as("slope"))
+  }
 
   /** EXISTS-subquery shape (TPC-H Q4): orders counted by priority when
     * at least one of their lineitems shipped more than `lateDays` after

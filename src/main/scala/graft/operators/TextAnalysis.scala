@@ -362,7 +362,10 @@ object TextAnalysis {
         element_at(col("w"), col("i") + 1).as("w2"))
     val lm = bigramLm(docs, minCount)
       .select(col("w1"), col("w2"),
-        expr("(n12 * 1000000) div n1").as("p_scaled"))
+        // Decimal(38,0) intermediate: n12·10⁶ wraps int64 once a bigram
+        // passes ~9.2×10¹² occurrences (~46 TB of text) — inside the
+        // design envelope; div returns the same BIGINT quotient
+        expr("CAST((CAST(n12 AS DECIMAL(38,0)) * 1000000) div n1 AS BIGINT)").as("p_scaled"))
     inst.join(lm, Seq("w1", "w2"), "left")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"),
@@ -422,7 +425,7 @@ object TextAnalysis {
       .groupBy(col("b"))
       .agg(count(lit(1)).as("n_raw"),
         sum(when(col("is_target"), 1L).otherwise(0L)).as("n_target"))
-      .select(col("b"), expr("((n_target + 1) * 1000000) div (n_raw + 1)").as("r_scaled"))
+      .select(col("b"), expr("CAST((CAST(n_target + 1 AS DECIMAL(38,0)) * 1000000) div (n_raw + 1) AS BIGINT)").as("r_scaled"))
 
   /** A [[importanceRatios]] frame collected to the dense nBuckets-long
     * array [[importanceScore]] consumes. ≤nBuckets rows of BOUNDED
@@ -452,9 +455,11 @@ object TextAnalysis {
   def importanceSelect(docs: DataFrame, targetPred: Column,
       nBuckets: Int = 4096): DataFrame = {
     val perDoc = importanceWeightsRaw(docs, targetPred, nBuckets)
+    // sum IN decimal, not cast-after-sum: Σr_sum ≈ 10⁶·total bigrams
+    // wraps int64 near ~10 TB of text if accumulated as long
     val totals = perDoc.agg(
-      sum(col("n_feats")).cast("decimal(38,0)").as("tot_feats"),
-      sum(col("r_sum")).cast("decimal(38,0)").as("tot_rsum"))
+      sum(col("n_feats").cast("decimal(38,0)")).as("tot_feats"),
+      sum(col("r_sum").cast("decimal(38,0)")).as("tot_rsum"))
     perDoc.join(broadcast(totals))
       .where(col("r_sum").cast("decimal(38,0)") * col("tot_feats") >
         col("tot_rsum") * col("n_feats").cast("decimal(38,0)"))
@@ -479,7 +484,7 @@ object TextAnalysis {
     val ratio = inst.groupBy(col("b"))
       .agg(count(lit(1)).as("n_raw"),
         sum(when(col("is_target"), 1L).otherwise(0L)).as("n_target"))
-      .select(col("b"), expr("((n_target + 1) * 1000000) div (n_raw + 1)").as("r_scaled"))
+      .select(col("b"), expr("CAST((CAST(n_target + 1 AS DECIMAL(38,0)) * 1000000) div (n_raw + 1) AS BIGINT)").as("r_scaled"))
     inst.join(broadcast(ratio), "b")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_feats"), sum(col("r_scaled")).as("r_sum"))
