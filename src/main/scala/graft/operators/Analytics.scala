@@ -377,7 +377,11 @@ object Analytics {
         col("l_shipdate") < lit("1999-01-01").cast("timestamp") &&
         col("l_discount") >= 0.02 && col("l_discount") <= 0.09 &&
         col("l_quantity") < 30)
-      .agg((sum(cents(col("l_extendedprice")) * cents(col("l_discount")))
+      // per-row product stays long (≤10⁸); the SUM accumulates in
+      // Decimal(38,0) — in int64 it sits within ~10× of wrap at 100 TB
+      // (DuckDB's mirror already sums to HUGEINT)
+      .agg((sum((cents(col("l_extendedprice")) * cents(col("l_discount")))
+        .cast("decimal(38,0)"))
         .cast("double") / 10000.0).as("revenue"),
         count(lit(1)).as("n_lines"))
   }
