@@ -315,6 +315,13 @@ class EmptyInputSpec extends SparkSpec {
     assert(Events.resampleHourly(noEvents).count() == 0)
     assert(Analytics.kmvSummary(Tables.lineitem(spark, sfDir).limit(0)).count() == 0)
     assert(Analytics.quantileSketch(Tables.lineitem(spark, sfDir).limit(0)).count() == 0)
+    // round-4 operators
+    assert(TextAnalysis.importanceWeights(noDocs, col("lang") === "en").count() == 0)
+    assert(TextAnalysis.importanceSelect(noDocs, col("lang") === "en").count() == 0)
+    assert(TextAnalysis.importanceScore(noDocs, Array.fill(16)(1000000L)).count() == 0)
+    assert(graft.operators.Bpe.merges(noDocs, 4).count() == 0)
+    assert(graft.operators.Bpe.vocab(noDocs, 4).count() == 0)
+    assert(graft.operators.Bpe.encode(noDocs, Seq("a" -> "b")).count() == 0)
   }
 }
 
