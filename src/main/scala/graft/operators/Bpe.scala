@@ -184,7 +184,13 @@ object Bpe {
     * the identical total-order tie-break, and a `list_reduce` fold
     * (the accumulator is a unit-separator-delimited string; chr(31)
     * never occurs in whitespace-split tokens) replaying the
-    * greedy-leftmost merge. */
+    * greedy-leftmost merge.
+    *
+    * Caveat (unreachable on the driver corpus): if a degenerate corpus
+    * fully merges before round n, the engine early-stops and keeps the
+    * last segmentation, while this CTE chain's empty argmax collapses
+    * the remaining rounds to empty — use an nMerges the corpus can
+    * sustain (any real corpus sustains thousands). */
   def mergesOracleSql(nMerges: Int): String = {
     val rounds = (1 to nMerges).map { r =>
       s"""p$r AS (SELECT t.a, t.b, sum(cnt) AS n FROM seg${r - 1},
