@@ -59,6 +59,19 @@ object SmokeOne {
         operators.TextAnalysis.importanceWeights(bd, col("lang") === "en")
           .write.format("noop").mode("overwrite").save()
       }
+      case "importance_gate" => {
+        // the production split: build the ratio table once, then score
+        // map-only against the literal — time the two phases separately
+        var ratios: Array[Long] = null
+        time("ratio_build_100k") {
+          ratios = operators.TextAnalysis.ratioArray(
+            operators.TextAnalysis.importanceRatios(bd, col("lang") === "en"))
+        }
+        time("score_fixed_100k") {
+          operators.TextAnalysis.importanceScore(bd, ratios)
+            .write.format("noop").mode("overwrite").save()
+        }
+      }
       case "semantic" => time("semantic_100k") {
         val bv = spark.read.parquet("/tmp/graft_bigemb.parquet")
         operators.Similarity.semanticDedup(bv, 0.4, nCells = 64)
