@@ -178,6 +178,9 @@ object SparkEntry {
     "p_pack" -> ((s, d) => Sampling.packSequences(Tables.documents(s, d))),
     "p_wsample" -> ((s, d) => Sampling.weightedSample(Tables.documents(s, d), "n_chars")),
     "p_shuffle" -> ((s, d) => Sampling.shuffleOrder(Tables.documents(s, d))),
+    // the shard data-card over the deterministic shuffle assignment
+    // (shard=100 so the driver SF exercises multi-shard tiling)
+    "p_manifest" -> ((s, d) => Sampling.shardManifest(Tables.documents(s, d), 100)),
     "s_ann_brute" -> ((s, d) => Similarity.bruteForceTopK(Tables.embeddings(s, d), 5, 10)),
     "s_ann_lsh" -> ((s, d) => Similarity.lshAnn(Tables.embeddings(s, d), 5, 10)),
     "s_ann_ivf" -> ((s, d) => Similarity.ivfAnn(Tables.embeddings(s, d), 5, 10)),
@@ -1313,6 +1316,25 @@ object SparkEntry {
                 CAST(row_number() OVER (ORDER BY h, doc_id) - 1 AS BIGINT) AS pos,
                 CAST((row_number() OVER (ORDER BY h, doc_id) - 1) // 1000 AS BIGINT) AS shard
          FROM s""",
+    // the manifest mirrors p_shuffle's assignment, then one group-by
+    "p_manifest" ->
+      """WITH s AS (
+           SELECT doc_id,
+                  CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':shuffle'), 1, 15) AS BIGINT) AS h
+           FROM documents),
+         o AS (SELECT doc_id,
+                      CAST(row_number() OVER (ORDER BY h, doc_id) - 1 AS BIGINT) AS pos,
+                      CAST((row_number() OVER (ORDER BY h, doc_id) - 1) // 100 AS BIGINT) AS shard
+               FROM s),
+         t AS (SELECT doc_id, source, CAST(n_chars AS BIGINT) AS nc,
+                      CAST(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS BIGINT) AS toks
+               FROM documents)
+         SELECT shard, count(*) AS n_docs,
+                CAST(sum(toks) AS BIGINT) AS n_tokens,
+                CAST(sum(nc) AS BIGINT) AS n_chars,
+                CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+                min(pos) AS pos_lo, max(pos) AS pos_hi
+         FROM t JOIN o USING (doc_id) GROUP BY shard""",
     "t_redact" ->
       """WITH r AS (
            SELECT event_id,

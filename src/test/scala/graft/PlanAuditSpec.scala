@@ -47,7 +47,9 @@ class PlanAuditSpec extends SparkSpec {
   test("every window over corpus data carries a partition spec") {
     // an unpartitioned window moves ALL data to one task; allowed only
     // for the 128-row bucket-offset cumsum in the prefix-sum operators
-    val allowed = Set("p_pack", "p_shuffle")
+    // (p_manifest reuses p_shuffle's assignment, so it carries the
+    // same bounded offset window)
+    val allowed = Set("p_pack", "p_shuffle", "p_manifest")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val plan = fn(spark, sfDir).queryExecution.optimizedPlan.toString
       val specs = "windowspecdefinition\\(([^)]*)\\)".r

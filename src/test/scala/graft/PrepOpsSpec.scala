@@ -200,6 +200,28 @@ class PackSpec extends SparkSpec {
     assert(shardSizes.init.forall(_ == 64L))
   }
 
+  test("shardManifest shards are contiguous slices that tile the corpus exactly") {
+    val docs = Tables.documents(spark, sfDir)
+    val m = Sampling.shardManifest(docs, shardSize = 64).collect()
+    // contiguity: each shard covers exactly [pos_lo, pos_hi] with no holes
+    m.foreach { r =>
+      assert(r.getAs[Long]("pos_hi") - r.getAs[Long]("pos_lo") + 1 ==
+        r.getAs[Long]("n_docs"))
+    }
+    // the shards tile [0, N): totals add up, ranges don't overlap
+    val n = docs.count()
+    assert(m.map(_.getAs[Long]("n_docs")).sum == n)
+    val ranges = m.map(r => (r.getAs[Long]("pos_lo"), r.getAs[Long]("pos_hi")))
+      .sortBy(_._1)
+    assert(ranges.head._1 == 0L && ranges.last._2 == n - 1)
+    ranges.sliding(2).foreach { case Array((_, hi), (lo, _)) => assert(lo == hi + 1)
+      case _ => () }
+    // token totals match a direct corpus sum
+    val tok = docs.select(sum(size(graft.operators.TextAnalysis.tokens($"text"))
+      .cast("long"))).as[Long].head()
+    assert(m.map(_.getAs[Long]("n_tokens")).sum == tok)
+  }
+
   test("the corpus-side window is bucket-partitioned, not single-partition") {
     val out = Sampling.packSequences(Tables.documents(spark, sfDir))
     val plan = out.queryExecution.optimizedPlan.toString
