@@ -181,6 +181,10 @@ object SparkEntry {
     // the shard data-card over the deterministic shuffle assignment
     // (shard=100 so the driver SF exercises multi-shard tiling)
     "p_manifest" -> ((s, d) => Sampling.shardManifest(Tables.documents(s, d), 100)),
+    // alpha-sampling over the skewed lang mix (en is ~3.4x fr at sf0.01)
+    "p_temperature" -> ((s, d) => Sampling.temperatureSample(Tables.documents(s, d))),
+    // uniform-without-replacement cap of 10 docs per source
+    "p_cap_source" -> ((s, d) => Sampling.capPerGroup(Tables.documents(s, d), 10)),
     "s_ann_brute" -> ((s, d) => Similarity.bruteForceTopK(Tables.embeddings(s, d), 5, 10)),
     "s_ann_lsh" -> ((s, d) => Similarity.lshAnn(Tables.embeddings(s, d), 5, 10)),
     "s_ann_ivf" -> ((s, d) => Similarity.ivfAnn(Tables.embeddings(s, d), 5, 10)),
@@ -1511,6 +1515,24 @@ object SparkEntry {
                / 1152921504606846976.0
                < CASE source WHEN 'src0' THEN 0.1 WHEN 'src1' THEN 0.25
                              WHEN 'src2' THEN 0.5 WHEN 'src3' THEN 0.75 ELSE 0.9 END""",
+    // alpha=0.5 rate is sqrt(n_min/n): IEEE sqrt + divide are
+    // correctly rounded, so the double is identical on both engines
+    "p_temperature" ->
+      """WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+         m AS (SELECT min(n) AS nmin FROM c)
+         SELECT doc_id, lang FROM documents JOIN c USING (lang), m
+         WHERE CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':temp'), 1, 15) AS BIGINT) AS DOUBLE)
+               / 1152921504606846976.0
+               < sqrt(CAST(nmin AS DOUBLE) / CAST(n AS DOUBLE))""",
+    // window mirror of the bounded bottom-k-ids heap; GROUP BY hash ->
+    // min(doc_id) first mirrors the heap's collision tie-break
+    "p_cap_source" ->
+      """WITH h AS (SELECT doc_id, source,
+                CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':cap'), 1, 15) AS BIGINT) AS h
+                FROM documents),
+         u AS (SELECT source, h, min(doc_id) AS doc_id FROM h GROUP BY 1, 2),
+         r AS (SELECT source, doc_id, row_number() OVER (PARTITION BY source ORDER BY h) AS rn FROM u)
+         SELECT doc_id, source FROM r WHERE rn <= 10""",
     // hashed-bigram importance ratios: same bucket hash (md5 60-bit),
     // add-one smoothing, scaled-integer ratio sums — exact mirrors
     "d_importance" ->

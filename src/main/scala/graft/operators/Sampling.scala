@@ -163,4 +163,60 @@ object Sampling {
         countDistinct(col("source")).as("n_sources"),
         min(col("pos")).as("pos_lo"),
         max(col("pos")).as("pos_hi"))
+
+  /** Temperature-scaled stratum rebalancing — the multilingual-LM
+    * "alpha sampling" knob (sample stratum i with probability ∝
+    * pᵢ^α instead of its natural share pᵢ), realized as a per-row
+    * Bernoulli keep with rate (n_min/nᵢ)^(1-α): the rarest stratum
+    * keeps everything, a stratum 10× larger keeps √(1/10) ≈ 32% at
+    * the default α = 0.5 — flattening the mix toward uniform without
+    * upsampling (no row is duplicated, so downstream dedup/packing
+    * stay exact).
+    *
+    * Cross-engine exactness holds at α = 0.5 because the rate is then
+    * sqrt(n_min/nᵢ) and IEEE-754 requires sqrt and divide to be
+    * correctly rounded — the same double on every engine. Other α go
+    * through pow(), which is only 1-ulp-accurate and may differ across
+    * libm builds; use them for real runs, not oracle comparisons.
+    *
+    * Scale shape: one 2-column count aggregate, a ≤|strata|-row
+    * broadcast back, and a map-only filter — the 100 TB corpus is
+    * scanned once and never shuffled. */
+  def temperatureSample(docs: DataFrame, alpha: Double = 0.5,
+      stratumCol: String = "lang"): DataFrame = {
+    val counts = docs.groupBy(col(stratumCol)).agg(count(lit(1)).as("n_stratum"))
+    val nMin = counts.agg(min(col("n_stratum")).as("n_min"))
+    val ratio = col("n_min").cast("double") / col("n_stratum").cast("double")
+    val rate = if (alpha == 0.5) sqrt(ratio) else pow(ratio, 1.0 - alpha)
+    val draw = orderHash(col("doc_id"), ":temp").cast("double") /
+      lit(1152921504606846976.0)
+    docs.select(col("doc_id"), col(stratumCol))
+      .join(broadcast(counts), stratumCol)
+      .crossJoin(broadcast(nMin))
+      .where(draw < rate)
+      .select(col("doc_id"), col(stratumCol))
+  }
+
+  /** Per-group cap: keep at most k docs per group, chosen by smallest
+    * salted hash — i.e. a uniform without-replacement draw of k per
+    * group, deterministic under re-runs and engine swaps. The
+    * "no source dominates the mix" guard that runs right before
+    * [[mixtureSample]] rates are tuned.
+    *
+    * Uses the bounded [[graft.functions.BottomKSample.BottomKIds]]
+    * heap aggregate, NOT a row_number window: the window form sorts
+    * every row of every group on the reducer, so one hot source
+    * becomes one giant sorted partition; the heap caps map-side
+    * partials at k ids per group per task — shuffle volume is
+    * O(groups × k) regardless of skew. The SQL mirror is the window
+    * form (collision ties broken to the smaller id on both paths). */
+  def capPerGroup(docs: DataFrame, k: Int,
+      groupCol: String = "source"): DataFrame = {
+    val h = orderHash(col("doc_id"), ":cap")
+    docs.select(col(groupCol), h.as("h"), col("doc_id"))
+      .groupBy(col(groupCol))
+      .agg(graft.functions.BottomKSample.bottomKIds(col("h"), col("doc_id"), k).as("keep"))
+      .select(col(groupCol), explode(col("keep")).as("kv"))
+      .select(col("kv._2").as("doc_id"), col(groupCol))
+  }
 }

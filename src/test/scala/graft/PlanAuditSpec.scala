@@ -33,10 +33,12 @@ class PlanAuditSpec extends SparkSpec {
     //    aggregates (the whole point — estimates without a real join)
     //  - d_select_target: the 1-row corpus-totals aggregate broadcast
     //    into the per-doc frame (the q22 scalar-threshold shape)
+    //  - p_temperature: the 1-row min-stratum-count aggregate broadcast
+    //    into the per-doc frame (same shape as p_wsample's max)
     // anywhere else it means an equi-join lost its keys
     val allowed = Set("t_tfidf", "p_wsample", "d_corpus_prep",
       "s_ann_brute", "d_dedup_embed", "q_moving_avg", "q22_idle",
-      "q_kmv_join", "d_select_target")
+      "q_kmv_join", "d_select_target", "p_temperature")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val plan = fn(spark, sfDir).queryExecution.sparkPlan.toString
       if (plan.contains("BroadcastNestedLoopJoin") && !allowed(name)) Some(name) else None

@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Sampling
+
+/** Specs for the mixture-shaping pair: per-group capping via the
+  * bounded bottom-k-ids heap and temperature (alpha) stratum
+  * rebalancing. */
+class Round4SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("capPerGroup keeps at most k docs per group and is a pure set function") {
+    val docs = Tables.documents(spark, sfDir)
+    val capped = Sampling.capPerGroup(docs, 10)
+    val over = capped.groupBy($"source").count().where($"count" > 10).count()
+    assert(over == 0, "no source may exceed the cap")
+    // every group with >= k rows is capped exactly at k, smaller groups whole
+    val expectSizes = docs.groupBy($"source").count()
+      .select($"source", least($"count", lit(10L)).as("want"))
+    val gotSizes = capped.groupBy($"source").count()
+    assert(gotSizes.join(expectSizes, "source").where($"count" =!= $"want").count() == 0)
+    // deterministic under repartitioning (heap merge is order-insensitive)
+    val repart = Sampling.capPerGroup(docs.repartition(7, $"doc_id"), 10)
+    assert(capped.exceptAll(repart).isEmpty && repart.exceptAll(capped).isEmpty)
+  }
+
+  test("capPerGroup equals the row_number window formulation") {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, sfDir)
+    val h = graft.functions.PortableHash60.portableHash60($"doc_id", lit(":cap"))
+    val windowed = docs
+      .select($"doc_id", $"source", h.as("h"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"source").orderBy($"h", $"doc_id")))
+      .where($"rn" <= 10).select($"doc_id", $"source")
+    val heap = Sampling.capPerGroup(docs, 10)
+    assert(heap.exceptAll(windowed).isEmpty && windowed.exceptAll(heap).isEmpty)
+  }
+
+  test("temperatureSample keeps the rarest stratum whole and thins the rest") {
+    val docs = Tables.documents(spark, sfDir)
+    val in = docs.groupBy($"lang").count().as[(String, Long)].collect().toMap
+    val nMin = in.values.min
+    val out = Sampling.temperatureSample(docs)
+      .groupBy($"lang").count().as[(String, Long)].collect().toMap
+    in.foreach { case (lang, n) =>
+      if (n == nMin) assert(out(lang) == n, s"rarest stratum $lang must be kept whole")
+      else {
+        // binomial(n, sqrt(nMin/n)) within 5 standard deviations
+        val p = math.sqrt(nMin.toDouble / n)
+        val sd = math.sqrt(n * p * (1 - p))
+        assert(math.abs(out(lang) - n * p) <= 5 * sd + 1,
+          s"$lang kept ${out(lang)} of $n, expected ~${n * p} (sd $sd)")
+      }
+    }
+    // flattening: the kept shares are strictly closer to uniform (max/min
+    // ratio shrinks) whenever the input mix is skewed
+    if (in.values.max > nMin)
+      assert(out.values.max.toDouble / out.values.min <
+        in.values.max.toDouble / in.values.min)
+  }
+
+  test("temperature and cap tolerate empty input") {
+    val empty = Tables.documents(spark, sfDir).where(lit(false))
+    assert(Sampling.temperatureSample(empty).count() == 0)
+    assert(Sampling.capPerGroup(empty, 10).count() == 0)
+  }
+}
