@@ -218,6 +218,8 @@ object SparkEntry {
       TextAnalysis.importanceSelect(Tables.documents(s, d), col("lang") === "en")
     }),
     "d_span_dedup" -> ((s, d) => Dedup.spanDedup(Tables.documents(s, d))),
+    // the removal twin: scrubbed corpus with cleaned text reassembled
+    "d_span_scrub" -> ((s, d) => Dedup.scrubSpans(Tables.documents(s, d))),
     "p_mix" -> ((s, d) => Sampling.mixtureSample(Tables.documents(s, d),
       Map("src0" -> 0.1, "src1" -> 0.25, "src2" -> 0.5, "src3" -> 0.75), defaultRate = 0.9)),
     // MERGE/upsert: a simulated edit batch (every 7th doc, re-measured
@@ -1494,6 +1496,25 @@ object SparkEntry {
                 floor(CAST(sum(CASE WHEN ord <> first_ord THEN 1 ELSE 0 END) AS DOUBLE)
                       / count(*) * 1000000 + 0.5) / 1000000 AS dup_frac
          FROM h JOIN f USING (hsh) GROUP BY 1""",
+    // removal twin of d_span_dedup: FILTER inside the aggregates
+    // mirrors collect_list's null-skipping (fully-scrubbed docs stay,
+    // with an empty string_agg coalesced to '')
+    "d_span_scrub" ->
+      """WITH tok AS (SELECT doc_id,
+             list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS w FROM documents),
+         t AS (SELECT doc_id, w, len(w) AS n FROM tok WHERE len(w) > 0),
+         s AS (SELECT doc_id, w, unnest(generate_series(0, (n + 7) // 8 - 1)) AS span_id FROM t),
+         h AS (SELECT doc_id, span_id, doc_id * 1000000000 + span_id AS ord,
+                      array_to_string(w[(span_id * 8 + 1):(span_id * 8 + 8)], ' ') AS txt
+               FROM s),
+         hh AS (SELECT doc_id, span_id, ord, txt,
+                       CAST('0x' || substr(md5(txt), 1, 15) AS BIGINT) AS hsh FROM h),
+         f AS (SELECT hsh, min(ord) AS first_ord FROM hh GROUP BY 1)
+         SELECT doc_id,
+                CAST(count(*) FILTER (WHERE ord = first_ord) AS BIGINT) AS n_spans_kept,
+                coalesce(string_agg(txt, ' ' ORDER BY span_id)
+                         FILTER (WHERE ord = first_ord), '') AS text_clean
+         FROM hh JOIN f USING (hsh) GROUP BY 1""",
     // LM fluency score: scaled-integer probability sums (see lmScore)
     "d_lm_score" ->
       """WITH tok AS (SELECT doc_id,

@@ -711,4 +711,45 @@ object Dedup {
       .withColumn("dup_frac", graft.functions.Exact.round6(
         col("n_dup_spans").cast("double") / col("n_spans")))
   }
+
+  /** The REMOVAL twin of [[spanDedup]] — C4/CCNet-style scrubbing:
+    * every span whose hash was seen earlier in the global (doc_id,
+    * span_id) order is dropped, and each document's surviving spans are
+    * reassembled in span order into the cleaned text. Unlike the audit
+    * (which only counts), this materializes the post-scrub corpus — the
+    * thing the next pipeline stage actually trains on.
+    *
+    * Scale shape: one extra element vs the audit — the span TEXT rides
+    * the hash exchange (it must come back to rebuild the doc), so the
+    * wide shuffles carry O(text) once, same as any corpus rewrite. The
+    * rebuild is a per-doc sort of that doc's own surviving spans
+    * (array_sort of a collect_list — bounded by the doc, not the
+    * corpus; no window). Docs whose every span was seen earlier
+    * elsewhere come out empty (n_spans_kept = 0, text_clean = '') but
+    * are KEPT, so attrition stays auditable downstream. */
+  def scrubSpans(docs: DataFrame, spanTokens: Int = 8): DataFrame = {
+    val spans = docs
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("tk"))
+      .withColumn("n", size(col("tk")))
+      .where(col("n") > 0)
+      .withColumn("span_id", explode(sequence(lit(0L),
+        expr(s"CAST((n + $spanTokens - 1) div $spanTokens AS BIGINT)") - 1)))
+      .select(col("doc_id"), col("span_id"),
+        (col("doc_id") * 1000000000L + col("span_id")).as("ord"),
+        concat_ws(" ", slice(col("tk"),
+          (col("span_id") * spanTokens + 1).cast("int"), lit(spanTokens))).as("txt"))
+      .withColumn("h", TextAnalysis.portableHash60(col("txt")))
+    val firstSeen = spans.groupBy(col("h")).agg(min(col("ord")).as("first_ord"))
+    // collect_list skips nulls, so conditioning INSIDE the aggregate
+    // (not a row filter) is what keeps fully-scrubbed docs in the
+    // output with an empty kept-array instead of dropping their group
+    spans.join(firstSeen, "h")
+      .groupBy(col("doc_id"))
+      .agg(collect_list(when(col("ord") === col("first_ord"),
+        struct(col("span_id"), col("txt")))).as("kept"))
+      .select(col("doc_id"),
+        size(col("kept")).cast("long").as("n_spans_kept"),
+        concat_ws(" ", transform(array_sort(col("kept")), x => x.getField("txt")))
+          .as("text_clean"))
+  }
 }

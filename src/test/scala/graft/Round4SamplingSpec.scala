@@ -66,3 +66,39 @@ class Round4SamplingSpec extends SparkSpec {
     assert(Sampling.capPerGroup(empty, 10).count() == 0)
   }
 }
+
+/** Specs for the span-scrub removal pass (the rewrite twin of the
+  * d_span_dedup audit). */
+class ScrubSpansSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.operators.Dedup
+
+  test("scrub keeps exactly the audit's non-duplicated span count per doc") {
+    val docs = Tables.documents(spark, sfDir)
+    val audit = Dedup.spanDedup(docs)
+      .select($"doc_id", ($"n_spans" - $"n_dup_spans").as("want"))
+    val scrub = Dedup.scrubSpans(docs).select($"doc_id", $"n_spans_kept")
+    assert(scrub.join(audit, "doc_id").where($"n_spans_kept" =!= $"want").count() == 0)
+    assert(scrub.count() == audit.count(), "every audited doc must survive the scrub")
+  }
+
+  test("first occurrence survives, later copies scrubbed, order preserved") {
+    // doc 1 owns spans A B; doc 2 repeats A then its own C; doc 3 is all copies
+    val mk = (s: String) => s.split(" ").flatMap(w => Seq.fill(8)(w)).mkString(" ")
+    val docs = Seq(
+      (1L, mk("a b")), (2L, mk("a c")), (3L, mk("a b"))).toDF("doc_id", "text")
+    val out = Dedup.scrubSpans(docs).orderBy($"doc_id")
+      .as[(Long, Long, String)].collect()
+    assert(out(0) == ((1L, 2L, mk("a b"))))
+    assert(out(1) == ((2L, 1L, mk("c"))))
+    assert(out(2) == ((3L, 0L, "")))
+  }
+
+  test("corpus-wide kept spans equal the number of distinct span hashes") {
+    val docs = Tables.documents(spark, sfDir)
+    val kept = Dedup.scrubSpans(docs).agg(sum($"n_spans_kept")).as[Long].head()
+    val audit = Dedup.spanDedup(docs)
+      .agg((sum($"n_spans") - sum($"n_dup_spans"))).as[Long].head()
+    assert(kept == audit)
+  }
+}
