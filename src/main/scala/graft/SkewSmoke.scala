@@ -20,12 +20,16 @@ object SkewSmoke {
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
 
-    // task-duration capture, keyed by stage
+    // task-duration + shuffle-write capture, keyed by stage
     val taskMs = scala.collection.concurrent.TrieMap[Int, List[Long]]()
+    val shufBytes = new java.util.concurrent.atomic.AtomicLong
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onTaskEnd(te: SparkListenerTaskEnd): Unit =
-        if (te.taskInfo != null)
+        if (te.taskInfo != null) {
           taskMs.updateWith(te.stageId)(old => Some(te.taskInfo.duration :: old.getOrElse(Nil)))
+          if (te.taskMetrics != null)
+            shufBytes.addAndGet(te.taskMetrics.shuffleWriteMetrics.bytesWritten)
+        }
     })
 
     // 50% of rows carry key 0; the rest spread over 100k keys. The
@@ -40,17 +44,23 @@ object SkewSmoke {
     val right = spark.range(nKeys).select(col("id").as("k"), (col("id") % 13).as("w"))
 
     def phase(name: String)(f: => Unit): Unit = {
-      taskMs.clear()
+      taskMs.clear(); shufBytes.set(0L)
       val t0 = System.nanoTime()
       f
       val wall = (System.nanoTime() - t0) / 1e9
+      // listener events are async — wait for the bus to quiesce before
+      // reading, or late task events leak into the next phase's counters
+      var last = -1L
+      while ({ val n = taskMs.values.map(_.size).sum + shufBytes.get
+               val moved = n != last; last = n; moved }) Thread.sleep(400)
       // heaviest stage = the reducer stage the hot key pins
       val (stage, times) = taskMs.toSeq.maxBy(_._2.sum)
       val s = times.sorted
       def pct(p: Double) = s(math.min(s.length - 1, (p * s.length).toInt))
       println(f"[skew] $name%-14s wall ${wall}%6.2fs  stage $stage%4d  tasks ${s.length}%4d  " +
         f"max ${s.last / 1000.0}%6.2fs  p95 ${pct(0.95) / 1000.0}%6.2fs  " +
-        f"median ${pct(0.5) / 1000.0}%6.2fs  max/median ${s.last.toDouble / math.max(1, pct(0.5))}%5.1fx")
+        f"median ${pct(0.5) / 1000.0}%6.2fs  max/median ${s.last.toDouble / math.max(1, pct(0.5))}%5.1fx  " +
+        f"shuffle ${shufBytes.get / 1048576.0}%8.1f MiB")
     }
 
     // warm the scan/codegen paths once
@@ -66,6 +76,32 @@ object SkewSmoke {
         .agg(sum(col("v") * col("w")).as("s"))
         .write.format("noop").mode("overwrite").save()
     }
+
+    // per-group cap under the same 50%-hot skew (20 source-like
+    // groups): InferWindowGroupLimit turns `row_number ≤ k` into a
+    // PARTIAL WindowGroupLimit BEFORE the exchange, so map tasks
+    // forward ≤ k rows per group — the hot group ships the same bytes
+    // as a cold one. The second phase excludes the rule to expose what
+    // the naive window plan would shuffle and sort on one reducer.
+    val nSrc = 20L
+    val capped = spark.range(n).select(
+      when(col("id") % 2 === 0, lit(0L)).otherwise(pmod(col("id"), lit(nSrc))).as("g"),
+      xxhash64(col("id")).as("h"), col("id"))
+    def windowCap() = {
+      import org.apache.spark.sql.expressions.Window
+      capped.withColumn("rn", row_number().over(
+          Window.partitionBy(col("g")).orderBy(col("h"), col("id"))))
+        .where(col("rn") <= 100).select(col("g"), col("id"))
+    }
+    phase("cap_grouplimit") {
+      windowCap().write.format("noop").mode("overwrite").save()
+    }
+    val exclKey = "spark.sql.optimizer.excludedRules"
+    spark.conf.set(exclKey,
+      "org.apache.spark.sql.catalyst.optimizer.InferWindowGroupLimit")
+    try phase("cap_norule") {
+      windowCap().write.format("noop").mode("overwrite").save()
+    } finally spark.conf.unset(exclKey)
     spark.stop()
   }
 }

@@ -1545,14 +1545,14 @@ object SparkEntry {
          WHERE CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':temp'), 1, 15) AS BIGINT) AS DOUBLE)
                / 1152921504606846976.0
                < sqrt(CAST(nmin AS DOUBLE) / CAST(n AS DOUBLE))""",
-    // window mirror of the bounded bottom-k-ids heap; GROUP BY hash ->
-    // min(doc_id) first mirrors the heap's collision tie-break
+    // exact window mirror of capPerGroup (same (hash, doc_id) total
+    // order, so ties and caps agree row-for-row)
     "p_cap_source" ->
       """WITH h AS (SELECT doc_id, source,
                 CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':cap'), 1, 15) AS BIGINT) AS h
                 FROM documents),
-         u AS (SELECT source, h, min(doc_id) AS doc_id FROM h GROUP BY 1, 2),
-         r AS (SELECT source, doc_id, row_number() OVER (PARTITION BY source ORDER BY h) AS rn FROM u)
+         r AS (SELECT source, doc_id,
+                      row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS rn FROM h)
          SELECT doc_id, source FROM r WHERE rn <= 10""",
     // hashed-bigram importance ratios: same bucket hash (md5 60-bit),
     // add-one smoothing, scaled-integer ratio sums — exact mirrors

@@ -84,54 +84,10 @@ object BottomKSample {
         (h - lo.cast("double")) * (element_at(vals, hi + 1) - element_at(vals, lo + 1)))
   }
 
-  /** [[BottomK]] over (hash, row id) — the SELECTION twin of the
-    * sampling aggregate: the k smallest-hash IDS per group are a
-    * uniform without-replacement draw of k rows from the group, in the
-    * same bounded mergeable O(k) buffer. This is the scale-correct form
-    * of per-group capping: the window route (`row_number() OVER
-    * (PARTITION BY g ORDER BY h)`) shuffles and SORTS every row of
-    * every group — a 40%-hot source at 100 TB becomes one giant sorted
-    * partition — while this buffer caps map-side partials at k ids per
-    * group per task, so the hot group costs the same shuffle bytes as a
-    * cold one. Hash-collision ties keep the smaller id (buffer is a
-    * pure function of the input set; mirrored in SQL as GROUP BY hash →
-    * min(id) before the window rank). */
-  case class BottomKIds(k: Int)
-      extends Aggregator[(Long, Long), Seq[(Long, Long)], Seq[(Long, Long)]] {
-    override def zero: Seq[(Long, Long)] = Vector.empty
-    override def reduce(buf: Seq[(Long, Long)], v: (Long, Long)): Seq[(Long, Long)] =
-      if (buf.length >= k && v._1 > buf.last._1) buf
-      else {
-        val i = buf.indexWhere(v._1 <= _._1)
-        if (i >= 0 && buf(i)._1 == v._1)
-          if (v._2 < buf(i)._2) buf.updated(i, v) else buf
-        else {
-          val at = if (i < 0) buf.length else i
-          val ins = (buf.take(at) :+ v) ++ buf.drop(at)
-          if (ins.length > k) ins.take(k) else ins
-        }
-      }
-    override def merge(a: Seq[(Long, Long)], b: Seq[(Long, Long)]): Seq[(Long, Long)] = {
-      val out = Vector.newBuilder[(Long, Long)]
-      var (i, j, n) = (0, 0, 0)
-      while (n < k && (i < a.length || j < b.length)) {
-        if (i < a.length && j < b.length && a(i)._1 == b(j)._1) {
-          out += ((a(i)._1, math.min(a(i)._2, b(j)._2))); i += 1; j += 1
-        } else if (j >= b.length || (i < a.length && a(i)._1 < b(j)._1)) {
-          out += a(i); i += 1
-        } else { out += b(j); j += 1 }
-        n += 1
-      }
-      out.result()
-    }
-    override def finish(buf: Seq[(Long, Long)]): Seq[(Long, Long)] = buf
-    override def bufferEncoder: Encoder[Seq[(Long, Long)]] =
-      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Long, Long)]]()
-    override def outputEncoder: Encoder[Seq[(Long, Long)]] = bufferEncoder
-  }
-
-  /** bottomKIds(hash, id, k) as an aggregate Column; result is an array
-    * of (hash `_1`, id `_2`) structs ascending by hash. */
-  def bottomKIds(hash: Column, id: Column, k: Int): Column =
-    udaf(BottomKIds(k)).apply(hash, id)
+  // NOTE: a BottomKIds (hash, id) selection twin of BottomK was built
+  // for per-group capping and DELETED: Spark 4's InferWindowGroupLimit
+  // already turns `row_number() ≤ k` into a bounded PARTIAL group-limit
+  // before the exchange (same O(groups×k) map-side bound), stays in
+  // whole-stage codegen, and beat the typed aggregate 4× in the
+  // many-group regime. See Sampling.capPerGroup + SkewSmoke.
 }

@@ -19,22 +19,24 @@ class Round4SamplingSpec extends SparkSpec {
       .select($"source", least($"count", lit(10L)).as("want"))
     val gotSizes = capped.groupBy($"source").count()
     assert(gotSizes.join(expectSizes, "source").where($"count" =!= $"want").count() == 0)
-    // deterministic under repartitioning (heap merge is order-insensitive)
+    // deterministic under repartitioning (total order fixes the draw)
     val repart = Sampling.capPerGroup(docs.repartition(7, $"doc_id"), 10)
     assert(capped.exceptAll(repart).isEmpty && repart.exceptAll(capped).isEmpty)
   }
 
-  test("capPerGroup equals the row_number window formulation") {
-    import org.apache.spark.sql.expressions.Window
-    val docs = Tables.documents(spark, sfDir)
-    val h = graft.functions.PortableHash60.portableHash60($"doc_id", lit(":cap"))
-    val windowed = docs
-      .select($"doc_id", $"source", h.as("h"))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy($"source").orderBy($"h", $"doc_id")))
-      .where($"rn" <= 10).select($"doc_id", $"source")
-    val heap = Sampling.capPerGroup(docs, 10)
-    assert(heap.exceptAll(windowed).isEmpty && windowed.exceptAll(heap).isEmpty)
+  test("capPerGroup plans a partial WindowGroupLimit before the exchange") {
+    // the whole point of the window form: InferWindowGroupLimit bounds
+    // map-side output at k rows per group, so a hot source never ships
+    // more than k rows per task — assert the rewrite actually fired
+    // and the Partial limit sits below the Exchange
+    val plan = Sampling.capPerGroup(Tables.documents(spark, sfDir), 10)
+      .queryExecution.executedPlan.toString
+    val lines = plan.linesIterator.toVector
+    val partialAt = lines.indexWhere(l => l.contains("WindowGroupLimit") && l.contains("Partial"))
+    val exchangeAt = lines.indexWhere(_.contains("Exchange"))
+    assert(partialAt >= 0, s"expected a partial WindowGroupLimit:\n$plan")
+    assert(exchangeAt >= 0 && exchangeAt < partialAt,
+      s"partial group-limit must run below (before) the exchange:\n$plan")
   }
 
   test("temperatureSample keeps the rarest stratum whole and thins the rest") {
