@@ -59,29 +59,36 @@ object Bench {
     // (external page cache drops / IO stalls measured at 4-14× on
     // identical code), so with 3 samples the median still lands inside a
     // phase for some queries every run. The minimum is the clean-machine
-    // time — the number that reproduces. A failed pass must never win
-    // the min (a fast failure would fabricate a speedup); if every pass
-    // failed, report the slowest attempt so the total stays honest.
+    // time — the number that reproduces. A query with ZERO successful
+    // passes gets no timing at all: a failed attempt's wall time is not a
+    // measurement (an analysis exception fails in 0.06 s and would read
+    // as a 10× speedup). It is emitted as null, listed in "failed", and
+    // forces a nonzero exit code.
     val results = names.zipWithIndex.map { case ((name, _), i) =>
-      val samples = passes.map(_(i))
-      val good = samples.filter(_._2).map(_._1)
-      name -> (if (good.nonEmpty) good.min else samples.map(_._1).max)
+      val good = passes.map(_(i)).filter(_._2).map(_._1)
+      name -> (if (good.nonEmpty) Some(good.min) else None)
     }
+    val failed = results.collect { case (k, None) => k }
     // 4-decimal seconds (0.1 ms resolution): the full-precision doubles
     // made the line long enough that log-tail capture truncated it to
     // ~76 of 106 per-query entries in past rounds — shorter line first,
     // and a file copy as the always-complete record either way
     def fmt(v: Double): String = f"$v%.4f"
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v.fold("null")(fmt) }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val total = results.flatMap(_._2).sum
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val line =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
     println(line)
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(out),
       (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case e: Exception => System.err.println(s"[bench] file write failed: $e") }
     spark.stop()
+    if (failed.nonEmpty) {
+      System.err.println(s"[bench] ${failed.size} queries failed every pass: ${failed.mkString(", ")}")
+      sys.exit(1)
+    }
   }
 }

@@ -32,6 +32,12 @@ object Graft {
       .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // parquet timestamp[us] WITHOUT isAdjustedToUTC would otherwise be
+      // inferred as TIMESTAMP_NTZ, which `withWatermark` / `unix_micros`
+      // reject at analysis time; read it as TIMESTAMP (exact under the UTC
+      // session tz above). Also covers streaming file-source schema
+      // inference, where Tables.normalizeTs never runs.
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.sql.parquet.filterPushdown", "true")
       .config("spark.ui.enabled", "false")
       .config("spark.driver.host", "localhost")

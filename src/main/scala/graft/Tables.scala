@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the test star schema (TPC-H-ish) + events/documents/
   * embeddings. One parquet file per table under a scale-factor dir.
@@ -27,16 +27,27 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "part")
   def orders(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "lineitem")
-  /** `events.ts` is TIMESTAMP(NANOS) parquet, which Spark reads only as
-    * a long (spark.sql.legacy.parquet.nanosAsLong). Normalize to a real
-    * µs-precision timestamp with exact integer division (ns values
-    * exceed double's 2^53 mantissa — never divide as double here). */
-  def events(spark: SparkSession, dir: String): DataFrame = {
-    val raw = load(spark, dir, "events")
-    if (raw.schema("ts").dataType == LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else raw
-  }
+  /** `events.ts` has shipped in three parquet flavors across testdata
+    * generations; normalize all of them to µs-precision TIMESTAMP (LTZ)
+    * so `unix_micros` and `withWatermark` consumers always analyze:
+    *  - TIMESTAMP(NANOS), readable only as a long under
+    *    spark.sql.legacy.parquet.nanosAsLong → exact integer division
+    *    (ns values exceed double's 2^53 mantissa — never divide as double);
+    *  - timestamp[us] without isAdjustedToUTC, inferred as TIMESTAMP_NTZ
+    *    → cast to TimestampType, exact under the session's UTC timezone;
+    *  - timestamp[us] UTC-adjusted → already TimestampType, pass through. */
+  def events(spark: SparkSession, dir: String): DataFrame =
+    normalizeTs(load(spark, dir, "events"))
+
+  /** Flavor-normalize a `ts` column to TIMESTAMP (LTZ); see [[events]]. */
+  def normalizeTs(raw: DataFrame, tsCol: String = "ts"): DataFrame =
+    raw.schema(tsCol).dataType match {
+      case LongType =>
+        raw.withColumn(tsCol, timestamp_micros(expr(s"$tsCol div 1000")))
+      case TimestampNTZType =>
+        raw.withColumn(tsCol, col(tsCol).cast(TimestampType))
+      case _ => raw
+    }
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
 }
