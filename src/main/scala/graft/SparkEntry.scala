@@ -98,6 +98,9 @@ object SparkEntry {
     "e_user_stats" -> ((s, d) => Events.userStats(Tables.events(s, d))),
     "e_asof" -> ((s, d) => AsOfJoin.purchaseAttribution(Tables.events(s, d))),
     "e_asof_exec" -> ((s, d) => AsOfJoin.purchaseAttributionExec(Tables.events(s, d))),
+    // a REAL streaming run (file source → watermarked flatMapGroupsWithState
+    // → checkpointed parquet sink), read back for the batch oracle compare
+    "e_asof_stream" -> ((s, d) => streaming.EventStream.purchaseAttributionReplay(s, d)),
     "e_asof_fwd" -> ((s, d) => AsOfJoin.viewNextPurchase(Tables.events(s, d))),
     "e_asof_fwd_exec" -> ((s, d) => AsOfJoin.viewNextPurchaseExec(Tables.events(s, d))),
     "e_range_join" -> ((s, d) => Events.purchaseViewsWithin(Tables.events(s, d))),
@@ -405,6 +408,21 @@ object SparkEntry {
            FROM u)
          SELECT user_id, tsu AS view_us, next_purchase_us FROM w WHERE is_v = 1""",
     "e_asof" ->
+      """WITH u AS (
+           SELECT user_id, epoch_us(ts) AS tsu,
+                  CASE WHEN event_type = 'view' THEN epoch_us(ts) END AS view_ts,
+                  CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_p,
+                  CASE WHEN event_type = 'view' THEN 0 ELSE 1 END AS ord
+           FROM events WHERE event_type IN ('view', 'purchase')),
+         w AS (
+           SELECT user_id, tsu, is_p,
+                  max(view_ts) OVER (PARTITION BY user_id ORDER BY tsu, ord
+                                     ROWS UNBOUNDED PRECEDING) AS last_view_us
+           FROM u)
+         SELECT user_id, tsu AS purchase_us, last_view_us FROM w WHERE is_p = 1""",
+    // the streaming replay finalizes every real event (sentinel-driven
+    // watermark), so the batch as-of oracle checks it exactly
+    "e_asof_stream" ->
       """WITH u AS (
            SELECT user_id, epoch_us(ts) AS tsu,
                   CASE WHEN event_type = 'view' THEN epoch_us(ts) END AS view_ts,

@@ -329,4 +329,52 @@ object EventStream {
           }
       }
   }
+
+  /** ORACLE-VISIBLE streaming replay: run the stream-stream as-of join
+    * ([[asOfStream]]) over a file-source replay of the events table with
+    * a real checkpoint and a parquet (file) sink, then read the sink
+    * back as a batch DataFrame for the driver's DuckDB compare. This is
+    * the production shape at scale — files in, files out, resumable
+    * checkpoint, no driver-memory sink.
+    *
+    * Determinism: watermarked append-mode output only finalizes events
+    * at-or-below the final watermark, which would make the emitted set
+    * depend on the tail of the replay. A single far-future VIEW for a
+    * sentinel key pushes the watermark past every real event, so the
+    * emitted set equals the full batch pair set
+    * ([[graft.operators.AsOfJoin.purchaseAttribution]]) exactly — the
+    * same e_asof oracle SQL checks both. The sentinel emits nothing
+    * itself (views are right-side only) and is filtered on read-back. */
+  def purchaseAttributionReplay(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    implicit val s: SparkSession = spark
+    val sentinel = 999999999L
+    val batch = graft.Tables.events(spark, sfDir)
+      .select(col("user_id"), unix_micros(col("ts")).as("tsu"),
+        col("value"), col("event_type"))
+    val work = java.nio.file.Files.createTempDirectory("graft-asof-replay")
+    val srcDir = work.resolve("src").toString
+    val outDir = work.resolve("out").toString
+    val ckptDir = work.resolve("ckpt").toString
+    batch.write.mode("overwrite").parquet(srcDir)
+    val stream = spark.readStream.schema(batch.schema)
+      .option("maxFilesPerTrigger", 8).parquet(srcDir)
+    val q = purchaseAttributionStream(stream, "1 hour")
+      .writeStream.format("parquet")
+      .option("checkpointLocation", ckptDir)
+      .outputMode("append")
+      .start(outDir)
+    try {
+      q.processAllAvailable()
+      val maxTsu = batch.agg(max(col("tsu"))).as[Long].head()
+      Seq((sentinel, maxTsu + 2L * 3600L * 1000000L, 0.0, "view"))
+        .toDF("user_id", "tsu", "value", "event_type")
+        .write.mode("append").parquet(srcDir)
+      q.processAllAvailable()
+    } finally q.stop()
+    spark.read.parquet(outDir)
+      .where(col("user_id") =!= sentinel)
+      .select(col("user_id"), col("left_us").as("purchase_us"),
+        col("asof_right_us").as("last_view_us"))
+  }
 }
