@@ -205,6 +205,7 @@ object SparkEntry {
     // distributed BPE tokenizer fitting: the learned merge table and
     // the resulting subword vocabulary after 8 greedy rounds
     "t_bpe_train" -> ((s, d) => operators.Bpe.merges(Tables.documents(s, d), 8)),
+    "t_bpe_train_eow" -> ((s, d) => operators.Bpe.merges(Tables.documents(s, d), 8, eow = true)),
     "t_bpe_vocab" -> ((s, d) => operators.Bpe.vocab(Tables.documents(s, d), 8)),
     "t_bigram_lm" -> ((s, d) => TextAnalysis.bigramLm(Tables.documents(s, d))),
     "d_lm_score" -> ((s, d) => TextAnalysis.lmScore(Tables.documents(s, d))),
@@ -1292,6 +1293,7 @@ object SparkEntry {
     // CTEs (argmax with the identical total-order tie-break; the merge
     // fold is a list_reduce over a chr(31)-delimited accumulator)
     "t_bpe_train" -> operators.Bpe.mergesOracleSql(8),
+    "t_bpe_train_eow" -> operators.Bpe.mergesOracleSql(8, eow = true),
     "t_bpe_vocab" -> operators.Bpe.vocabOracleSql(8),
     // cross-set exact Jaccard (even-id corpus vs odd-id batch): the
     // banded candidates, once verified, must reproduce it exactly —

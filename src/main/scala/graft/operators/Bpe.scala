@@ -50,18 +50,29 @@ object Bpe {
           concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
           .otherwise(concat(acc, array(x))))
 
-  /** Word-frequency table → initial character segmentation. */
-  private def charSeg(docs: DataFrame): DataFrame =
+  /** Sennrich's end-of-word marker: a distinct terminal symbol so the
+    * learner can tell word-final subwords from word-internal ones
+    * ("est" inside "restful" vs "est</w>" ending "newest"). */
+  val EndOfWord = "</w>"
+
+  /** Word-frequency table → initial character segmentation. With
+    * `eow`, the classic Sennrich formulation: [[EndOfWord]] appended
+    * as its own symbol (it merges like any other token). */
+  private def charSeg(docs: DataFrame, eow: Boolean): DataFrame = {
+    val chars = split(col("word"), "")
     docs
       .select(explode(TextAnalysis.tokens(col("text"))).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
-      .withColumn("seg", split(col("word"), ""))
+      .withColumn("seg",
+        if (eow) concat(chars, array(lit(EndOfWord))) else chars)
+  }
 
   /** Run `nMerges` greedy rounds. Returns the final segmentation frame
     * (word, cnt, seg) and the learned merge table
     * (rank, tok_a, tok_b, n_pair). Stops early if no adjacent pair
     * remains (vocabulary fully merged). */
-  private[graft] def train(docs: DataFrame, nMerges: Int)
+  private[graft] def train(docs: DataFrame, nMerges: Int,
+      eow: Boolean = false)
       : (DataFrame, Seq[(Int, String, String, Long)]) = {
     // The corpus collapses to the word-frequency table here and is
     // never scanned again. SIZE-ROUTE the vocabulary's partition count
@@ -73,7 +84,7 @@ object Bpe {
     // corpus's multi-million-word vocabulary wide. (Lazily chaining the
     // folds instead of checkpointing per round was measured 2× WORSE:
     // each round re-analyzes a deeper nested-HOF plan.)
-    val base = charSeg(docs).localCheckpoint()
+    val base = charSeg(docs, eow).localCheckpoint()
     val parts = math.max(1, math.min(base.rdd.getNumPartitions,
       (base.count() / 50000L).toInt))
     var seg =
@@ -110,18 +121,20 @@ object Bpe {
 
   /** The learned merge table — rank, the merged pair, and its count at
     * merge time (the BPE "merges.txt" artifact). nMerges rows. */
-  def merges(docs: DataFrame, nMerges: Int = 8): DataFrame = {
+  def merges(docs: DataFrame, nMerges: Int = 8,
+      eow: Boolean = false): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val (_, ms) = train(docs, nMerges)
+    val (_, ms) = train(docs, nMerges, eow)
     ms.toDF("merge_rank", "tok_a", "tok_b", "n_pair")
   }
 
   /** The subword vocabulary AFTER nMerges rounds: each surviving
     * subword with its corpus occurrence count (word count × uses in
     * that word's segmentation) — what the tokenizer ships with. */
-  def vocab(docs: DataFrame, nMerges: Int = 8): DataFrame = {
-    val (seg, _) = train(docs, nMerges)
+  def vocab(docs: DataFrame, nMerges: Int = 8,
+      eow: Boolean = false): DataFrame = {
+    val (seg, _) = train(docs, nMerges, eow)
     val out = seg
       .select(col("cnt"), explode(col("seg")).as("tok"))
       .groupBy(col("tok")).agg(sum(col("cnt")).as("n"))
@@ -141,10 +154,12 @@ object Bpe {
     * Encoding a corpus WITH ITS OWN learned merges reproduces
     * [[train]]'s final segmentation exactly (spec-asserted) — but
     * `encode` also applies to NEW text, which is the production use. */
-  def encode(docs: DataFrame, merges: Seq[(String, String)]): DataFrame = {
+  def encode(docs: DataFrame, merges: Seq[(String, String)],
+      eow: Boolean = false): DataFrame = {
     val words = docs.select(col("doc_id"),
       explode(TextAnalysis.tokens(col("text"))).as("word"))
-    val seg0 = split(col("word"), "")
+    val chars = split(col("word"), "")
+    val seg0 = if (eow) concat(chars, array(lit(EndOfWord))) else chars
     val seg = merges.foldLeft(seg0) { case (s, (a, b)) => mergeFold(s, a, b) }
     words.select(col("doc_id"), col("word"), seg.as("seg"))
       .withColumn("n_subwords", size(col("seg")))
@@ -191,7 +206,7 @@ object Bpe {
     * last segmentation, while this CTE chain's empty argmax collapses
     * the remaining rounds to empty — use an nMerges the corpus can
     * sustain (any real corpus sustains thousands). */
-  def mergesOracleSql(nMerges: Int): String = {
+  def mergesOracleSql(nMerges: Int, eow: Boolean = false): String = {
     val rounds = (1 to nMerges).map { r =>
       s"""p$r AS (SELECT t.a, t.b, sum(cnt) AS n FROM seg${r - 1},
          unnest(list_transform(generate_series(1, len(seg) - 1),
@@ -209,14 +224,14 @@ object Bpe {
       .map(r => s"SELECT $r AS merge_rank, a AS tok_a, b AS tok_b, CAST(n AS BIGINT) AS n_pair FROM b$r")
       .mkString(" UNION ALL ")
     s"""WITH $wordsCte,
-       $seg0Cte,
+       ${seg0Cte(eow)},
        $rounds
        $union"""
   }
 
   /** DuckDB oracle for [[vocab]]: the same chained rounds, final
     * segmentation exploded and counted. */
-  def vocabOracleSql(nMerges: Int): String = {
+  def vocabOracleSql(nMerges: Int, eow: Boolean = false): String = {
     val rounds = (1 to nMerges).map { r =>
       s"""p$r AS (SELECT t.a, t.b, sum(cnt) AS n FROM seg${r - 1},
          unnest(list_transform(generate_series(1, len(seg) - 1),
@@ -231,7 +246,7 @@ object Bpe {
          FROM seg${r - 1}, b$r)"""
     }.mkString(",\n       ")
     s"""WITH $wordsCte,
-       $seg0Cte,
+       ${seg0Cte(eow)},
        $rounds
        SELECT tok, CAST(sum(cnt) AS BIGINT) AS n FROM seg$nMerges, unnest(seg) AS u(tok) GROUP BY 1"""
   }
@@ -241,8 +256,10 @@ object Bpe {
          SELECT unnest(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS word
          FROM documents) GROUP BY 1)"""
 
-  private val seg0Cte =
-    """seg0 AS (SELECT word, cnt,
-         list_transform(generate_series(1, len(word)), i -> substr(word, i, 1)) AS seg
+  private def seg0Cte(eow: Boolean) = {
+    val tail = if (eow) " || ['</w>']" else ""
+    s"""seg0 AS (SELECT word, cnt,
+         list_transform(generate_series(1, len(word)), i -> substr(word, i, 1))$tail AS seg
        FROM w)"""
+  }
 }

@@ -25,6 +25,38 @@ class BpeSpec extends SparkSpec {
       (1, "e", "s", 9L), (2, "es", "t", 9L), (3, "l", "o", 7L), (4, "lo", "w", 7L)))
   }
 
+  test("eow variant learns the paper's end-of-word merge sequence") {
+    // Sennrich's formulation: </w> appended as its own symbol. First
+    // five merges on the worked example are the paper's: (e,s) 9,
+    // (es,t) 9, (est,</w>) 9, (l,o) 7, (lo,w) 7. Round 6 is a 6-count
+    // three-way tie — (e,w), (n,e), (w,est</w>) — where the paper's
+    // python-dict max is insertion-order dependent; our total order
+    // (count desc, then (a,b)) picks (e,w) deterministically.
+    val ms = Bpe.merges(classicDocs, nMerges = 6, eow = true)
+      .orderBy("merge_rank")
+      .as[(Int, String, String, Long)].collect()
+    assert(ms.toSeq == Seq(
+      (1, "e", "s", 9L), (2, "es", "t", 9L), (3, "est", "</w>", 9L),
+      (4, "l", "o", 7L), (5, "lo", "w", 7L), (6, "e", "w", 6L)))
+    // word-final vs word-internal subwords are now distinct symbols
+    val v = Bpe.vocab(classicDocs, nMerges = 6, eow = true)
+      .as[(String, Long)].collect().toMap
+    assert(v.contains("est</w>") && !v.contains("est"))
+    // low×5 still ends in the separate </w> symbol until (low,</w>) merges
+    assert(v("</w>") == 7L) // low×5 + lower×2 (newest/widest folded into est</w>)
+  }
+
+  test("eow encode appends the marker and round-trips training's segmentation") {
+    val ms = Bpe.merges(classicDocs, nMerges = 6, eow = true)
+      .orderBy("merge_rank")
+      .as[(Int, String, String, Long)].collect().map(m => (m._2, m._3)).toSeq
+    val enc = Bpe.encode(classicDocs, ms, eow = true)
+      .where($"word" === "newest").select($"seg").as[Seq[String]].head()
+    // [n,e,w,e,s,t,</w>] -> (e,s),(es,t),(est,</w>) -> [n,e,w,est</w>]
+    // -> (e,w) -> [n,ew,est</w>]
+    assert(enc == Seq("n", "ew", "est</w>"))
+  }
+
   test("merge fold is greedy-leftmost: aaa under (a,a) becomes [aa, a]") {
     // corpus where (a,a) must be the first merge
     val docs = Seq((1L, "aaa aaa aa")).toDF("doc_id", "text")
