@@ -78,6 +78,12 @@ object SparkEntry {
       Analytics.custDist(Tables.customer(s, d), Tables.orders(s, d))),
     "q22_idle" -> ((s, d) =>
       Analytics.idleRichCustomers(Tables.customer(s, d), Tables.orders(s, d))),
+    "q7_volume" -> ((s, d) => Analytics.q7Volume(s, d)),
+    "q8_market_share" -> ((s, d) => Analytics.q8MarketShare(s, d)),
+    "q15_top_supplier" -> ((s, d) => Analytics.q15TopSupplier(s, d)),
+    "q18_large_orders" -> ((s, d) => Analytics.q18LargeOrders(s, d)),
+    "q19_disc_revenue" -> ((s, d) => Analytics.q19DiscRevenue(s, d)),
+    "q21_waiting" -> ((s, d) => Analytics.q21WaitingSuppliers(s, d)),
     "q_regression" -> ((s, d) => Analytics.regressionByFlag(Tables.lineitem(s, d))),
     // bounded-buffer top-k aggregate: O(groups·k) shuffle, vs the window
     // route's O(rows) — exploded to rows so DuckDB can verify the values
@@ -1500,6 +1506,93 @@ object SparkEntry {
            AND NOT EXISTS (SELECT 1 FROM orders
                            WHERE o_custkey = c_custkey
                              AND o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
+         GROUP BY 1""",
+    "q7_volume" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                year(l_shipdate) AS l_year,
+                CAST(sum(CAST(round((l_extendedprice * (1 - l_discount)) * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS revenue
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation n1 ON s_nationkey = n1.n_nationkey
+         JOIN region r1 ON n1.n_regionkey = r1.r_regionkey
+         JOIN nation n2 ON c_nationkey = n2.n_nationkey
+         JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+         WHERE r1.r_name = 'EUROPE' AND r2.r_name = 'ASIA'
+           AND l_shipdate >= TIMESTAMP '1996-01-01'
+           AND l_shipdate < TIMESTAMP '1998-01-01'
+         GROUP BY 1, 2, 3""",
+    // ratio of two exact-cents sums; scaled-floor rounding mirrors round6
+    "q8_market_share" ->
+      """WITH eu AS (SELECT s_suppkey FROM supplier
+                     JOIN nation ON s_nationkey = n_nationkey
+                     JOIN region ON n_regionkey = r_regionkey
+                     WHERE r_name = 'EUROPE'),
+         am AS (SELECT c_custkey FROM customer
+                JOIN nation ON c_nationkey = n_nationkey
+                JOIN region ON n_regionkey = r_regionkey
+                WHERE r_name = 'AMERICA')
+         SELECT year(o_orderdate) AS o_year,
+                floor(CAST(sum(CASE WHEN l_suppkey IN (SELECT s_suppkey FROM eu)
+                                    THEN CAST(round((l_extendedprice * (1 - l_discount)) * 100) AS BIGINT)
+                                    ELSE 0 END) AS DOUBLE)
+                      / CAST(sum(CAST(round((l_extendedprice * (1 - l_discount)) * 100) AS BIGINT)) AS DOUBLE)
+                      * 1000000.0 + 0.5) / 1000000.0 AS mkt_share
+         FROM lineitem
+         JOIN part ON l_partkey = p_partkey
+         JOIN orders ON l_orderkey = o_orderkey
+         WHERE p_type = 'STANDARD'
+           AND o_custkey IN (SELECT c_custkey FROM am)
+           AND o_orderdate >= TIMESTAMP '1996-01-01'
+           AND o_orderdate < TIMESTAMP '1998-01-01'
+         GROUP BY 1""",
+    // the argmax compares exact cents, so ties (if any) all surface
+    "q15_top_supplier" ->
+      """WITH rev AS (
+           SELECT l_suppkey,
+                  sum(CAST(round((l_extendedprice * (1 - l_discount)) * 100) AS BIGINT)) AS rev_cents
+           FROM lineitem
+           WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+             AND l_shipdate < TIMESTAMP '1996-04-01'
+           GROUP BY 1)
+         SELECT s_suppkey, s_name,
+                CAST(rev_cents AS DOUBLE) / 100.0 AS total_revenue
+         FROM rev JOIN supplier ON l_suppkey = s_suppkey
+         WHERE rev_cents = (SELECT max(rev_cents) FROM rev)""",
+    "q18_large_orders" ->
+      """SELECT c_custkey, c_name, o_orderkey,
+                CAST(o_orderdate AS DATE) AS o_date, o_totalprice,
+                CAST(sum_qty AS BIGINT) AS sum_qty
+         FROM (SELECT l_orderkey, sum(l_quantity) AS sum_qty
+               FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 250) big
+         JOIN orders ON o_orderkey = big.l_orderkey
+         JOIN customer ON o_custkey = c_custkey""",
+    "q19_disc_revenue" ->
+      """SELECT CAST(sum(CAST(round((l_extendedprice * (1 - l_discount)) * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS revenue
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+            OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+            OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 5 AND l_quantity BETWEEN 20 AND 30)""",
+    // EXISTS formulation on purpose: the engine runs the per-order
+    // aggregate rewrite, the oracle the textbook correlated subqueries —
+    // the compare proves them equivalent every round
+    "q21_waiting" ->
+      """SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+         FROM supplier
+         JOIN nation ON s_nationkey = n_nationkey
+         JOIN lineitem l1 ON l1.l_suppkey = s_suppkey
+         JOIN orders ON l1.l_orderkey = o_orderkey
+         WHERE n_name = 'NATION_3' AND o_orderstatus = 'F'
+           AND l1.l_shipdate > o_orderdate + INTERVAL 90 DAY
+           AND EXISTS (SELECT 1 FROM lineitem l2
+                       WHERE l2.l_orderkey = l1.l_orderkey
+                         AND l2.l_suppkey <> l1.l_suppkey)
+           AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                           JOIN orders o3 ON l3.l_orderkey = o3.o_orderkey
+                           WHERE l3.l_orderkey = l1.l_orderkey
+                             AND l3.l_suppkey <> l1.l_suppkey
+                             AND l3.l_shipdate > o3.o_orderdate + INTERVAL 90 DAY)
          GROUP BY 1""",
     // span-level dedup: first occurrence = min packed (doc_id, span_id)
     "d_span_dedup" ->

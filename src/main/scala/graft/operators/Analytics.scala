@@ -643,4 +643,175 @@ object Analytics {
       .groupBy(col("c_nationkey"))
       .agg(count(lit(1)).as("numcust"), moneySum(col("c_acctbal")).as("totacctbal"))
   }
+
+  /** TPC-H Q7-style volume shipping: revenue flowing from one supplying
+    * region's nations to another region's customer nations, by ship
+    * year (regions rather than the spec's two fixed nations — the
+    * synthetic data has 25 thin nations). Scale shape: the only
+    * fact-fact shuffle is lineitem⋈orders on orderkey; supplier,
+    * customer, and both nation→region dim chains broadcast, and the
+    * ship-date filter pushes into the lineitem scan. */
+  def q7Volume(spark: SparkSession, dir: String,
+      suppRegion: String = "EUROPE", custRegion: String = "ASIA"): DataFrame = {
+    val nation = Tables.nation(spark, dir)
+    val region = Tables.region(spark, dir)
+    def nationsOf(rName: String, out: String) = nation
+      .join(region.where(col("r_name") === rName),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name").as(out))
+    val supp = Tables.supplier(spark, dir)
+      .join(broadcast(nationsOf(suppRegion, "supp_nation")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("supp_nation"))
+    val cust = Tables.customer(spark, dir)
+      .join(broadcast(nationsOf(custRegion, "cust_nation")),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("cust_nation"))
+    Tables.lineitem(spark, dir)
+      .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).as("l_year"))
+      .agg(moneySum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+  }
+
+  /** TPC-H Q8-style market share: the fraction of a customer region's
+    * revenue for one part type that is supplied from a given supplier
+    * region, by order year. Both sides of the ratio are exact integer
+    * cents, so the division (identical longs on both engines) is
+    * deterministic; the result is scaled-floor rounded. */
+  def q8MarketShare(spark: SparkSession, dir: String,
+      custRegion: String = "AMERICA", suppRegion: String = "EUROPE",
+      pType: String = "STANDARD"): DataFrame = {
+    val nation = Tables.nation(spark, dir)
+    val region = Tables.region(spark, dir)
+    val custNations = nation
+      .join(region.where(col("r_name") === custRegion),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey").as("cn_key"))
+    val suppNations = nation
+      .join(region.where(col("r_name") === suppRegion),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey").as("sn_key"))
+    val supp = Tables.supplier(spark, dir)
+      .join(broadcast(suppNations), col("s_nationkey") === col("sn_key"), "left")
+      .select(col("s_suppkey"), col("sn_key").isNotNull.as("from_supp_region"))
+    val cust = Tables.customer(spark, dir)
+      .join(broadcast(custNations), col("c_nationkey") === col("cn_key"))
+      .select(col("c_custkey"))
+    Tables.lineitem(spark, dir)
+      .join(broadcast(Tables.part(spark, dir).where(col("p_type") === pType)
+        .select(col("p_partkey"))), col("l_partkey") === col("p_partkey"))
+      .join(Tables.orders(spark, dir)
+        .where(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1998-01-01").cast("timestamp")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(year(col("o_orderdate")).as("o_year"))
+      .agg(round6(
+        sum(when(col("from_supp_region"),
+          cents(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+          .otherwise(lit(0L))).cast("double") /
+        sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+          .cast("double")).as("mkt_share"))
+  }
+
+  /** TPC-H Q15-style top supplier: per-supplier revenue over one
+    * quarter, returning the supplier(s) achieving the maximum. The
+    * argmax compares exact integer cents (no double-sum ordering
+    * ambiguity); the 1-row max broadcasts back against the per-supplier
+    * table, which is |suppliers| rows — never the fact table. */
+  def q15TopSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.lineitem(spark, dir)
+      .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+        .as("rev_cents"))
+    val top = rev.agg(max(col("rev_cents")).as("max_cents"))
+    rev.join(broadcast(top), col("rev_cents") === col("max_cents"))
+      .join(Tables.supplier(spark, dir), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        (col("rev_cents").cast("double") / 100.0).as("total_revenue"))
+  }
+
+  /** TPC-H Q18-style large-volume orders: orders whose total quantity
+    * exceeds the threshold, with their customer. The HAVING runs on the
+    * map-side-combined per-order aggregate BEFORE any dimension join,
+    * so only qualifying orders (a tiny fraction) reach the join;
+    * quantities are integral doubles, summed exactly. */
+  def q18LargeOrders(spark: SparkSession, dir: String, minQty: Long = 250): DataFrame = {
+    val bigOrders = Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity")).cast("long").as("sum_qty"))
+      .where(col("sum_qty") > minQty)
+    Tables.orders(spark, dir)
+      .join(bigOrders, col("o_orderkey") === col("l_orderkey"))
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        col("o_orderdate").cast("date").as("o_date"),
+        col("o_totalprice"), col("sum_qty"))
+  }
+
+  /** TPC-H Q19-style discounted revenue: one-row sum under an
+    * OR-of-ANDs predicate over part attributes and line quantity. The
+    * disjunction composes per-branch (brand, size, quantity) ranges;
+    * part is broadcast and the whole predicate evaluates in the join,
+    * nothing materializes between. */
+  def q19DiscRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val branches =
+      (col("p_brand") === "Brand#12" && col("p_size").between(1, 15) &&
+        col("l_quantity").between(1, 11)) ||
+      (col("p_brand") === "Brand#23" && col("p_size").between(1, 10) &&
+        col("l_quantity").between(10, 20)) ||
+      (col("p_brand") === "Brand#34" && col("p_size").between(1, 5) &&
+        col("l_quantity").between(20, 30))
+    Tables.lineitem(spark, dir)
+      .join(broadcast(Tables.part(spark, dir)),
+        col("l_partkey") === col("p_partkey"))
+      .where(branches)
+      .agg(moneySum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+  }
+
+  /** TPC-H Q21-style waiting suppliers (adapted: the synthetic schema
+    * has no commit/receipt dates, so "late" is shipping >90 days after
+    * the order date): for 'F' orders with 2+ suppliers where EXACTLY ONE
+    * supplier shipped late, count that supplier's late line items.
+    *
+    * The classic EXISTS/NOT-EXISTS pair would self-join lineitem twice;
+    * this computes one per-order aggregate instead — distinct-supplier
+    * count, distinct-LATE-supplier count, the unique late supplier, and
+    * its late-item count — one shuffle on orderkey, then a broadcast
+    * supplier/nation join on the tiny qualifying set. The DuckDB oracle
+    * uses the EXISTS formulation, so the rewrite is equivalence-checked
+    * per round. */
+  def q21WaitingSuppliers(spark: SparkSession, dir: String,
+      nationName: String = "NATION_3", lateDays: Int = 90): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir).where(col("o_orderstatus") === "F")
+        .select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .withColumn("is_late",
+        col("l_shipdate") > col("o_orderdate") + expr(s"INTERVAL $lateDays DAYS"))
+    val perOrder = li.groupBy(col("l_orderkey"))
+      .agg(
+        countDistinct(col("l_suppkey")).as("n_supp"),
+        countDistinct(when(col("is_late"), col("l_suppkey"))).as("n_late_supp"),
+        max(when(col("is_late"), col("l_suppkey"))).as("late_supp"),
+        sum(when(col("is_late"), 1L).otherwise(0L)).as("n_late_items"))
+      .where(col("n_supp") >= 2 && col("n_late_supp") === 1)
+    val suppInNation = Tables.supplier(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)
+        .where(col("n_name") === nationName)),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_name"))
+    perOrder
+      .join(broadcast(suppInNation), col("late_supp") === col("s_suppkey"))
+      .groupBy(col("s_name"))
+      .agg(sum(col("n_late_items")).as("numwait"))
+  }
 }
