@@ -97,6 +97,8 @@ object SparkEntry {
     // C. Events
     "e_tumbling" -> ((s, d) => Events.tumblingHourly(Tables.events(s, d))),
     "e_sessionize" -> ((s, d) => Events.sessionize(Tables.events(s, d))),
+    // the stateful streaming sessionizer as a real checkpointed run
+    "e_session_stream" -> ((s, d) => streaming.EventStream.sessionizeReplay(s, d)),
     "e_top_sessions" -> ((s, d) => Events.topSessions(Tables.events(s, d))),
     "e_session_builtin" -> ((s, d) => Events.sessionizeBuiltin(Tables.events(s, d))),
     "e_resample" -> ((s, d) => Events.resampleHourly(Tables.events(s, d))),
@@ -520,6 +522,26 @@ object SparkEntry {
          SELECT user_id, session_id, count(*) AS n_events,
                 CAST(sum(CAST(round((value) * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_value,
                 max(tsu) - min(tsu) AS duration_us
+         FROM t GROUP BY user_id, session_id""",
+    // the streaming sessionizer's closed-session multiset equals the
+    // batch sessionization (sentinel-driven watermark closes every
+    // real session); same lag/cumsum mirror, grouped without session_id
+    "e_session_stream" ->
+      """WITH g AS (
+           SELECT user_id, epoch_us(ts) AS tsu,
+                  lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)) AS prev
+           FROM events),
+         s AS (
+           SELECT user_id, tsu,
+                  CASE WHEN prev IS NULL OR tsu - prev > 1800000000 THEN 1 ELSE 0 END AS is_new
+           FROM g),
+         t AS (
+           SELECT user_id, tsu,
+                  CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY tsu
+                                         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+           FROM s)
+         SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+                min(tsu) AS start_us, max(tsu) AS end_us
          FROM t GROUP BY user_id, session_id""",
     "e_user_stats" ->
       """SELECT user_id, count(*) AS n_events,

@@ -330,6 +330,45 @@ object EventStream {
       }
   }
 
+  /** ORACLE-VISIBLE streaming replay of the stateful [[sessionize]]r:
+    * same file-source → checkpointed-parquet shape as
+    * [[purchaseAttributionReplay]]. The sentinel event lands past
+    * (watermark delay + session gap), so every real session is closed
+    * and emitted; the sentinel's own 1-event session stays in state and
+    * never reaches the sink. Emitted (user, n_events, start, end)
+    * multiset therefore equals the batch sessionization's — which the
+    * oracle mirrors with the lag/cumsum SQL. */
+  def sessionizeReplay(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    implicit val s: SparkSession = spark
+    val sentinel = 999999999L
+    val batch = graft.Tables.events(spark, sfDir)
+      .select(col("user_id"), unix_micros(col("ts")).as("tsu"), col("value"))
+    val work = java.nio.file.Files.createTempDirectory("graft-sess-replay")
+    val srcDir = work.resolve("src").toString
+    val outDir = work.resolve("out").toString
+    val ckptDir = work.resolve("ckpt").toString
+    batch.write.mode("overwrite").parquet(srcDir)
+    val stream = spark.readStream.schema(batch.schema)
+      .option("maxFilesPerTrigger", 8).parquet(srcDir).as[Event]
+    val q = sessionize(stream)
+      .writeStream.format("parquet")
+      .option("checkpointLocation", ckptDir)
+      .outputMode("append")
+      .start(outDir)
+    try {
+      q.processAllAvailable()
+      val maxTsu = batch.agg(max(col("tsu"))).as[Long].head()
+      Seq((sentinel, maxTsu + 2L * 3600L * 1000000L, 0.0))
+        .toDF("user_id", "tsu", "value")
+        .write.mode("append").parquet(srcDir)
+      q.processAllAvailable()
+    } finally q.stop()
+    spark.read.parquet(outDir)
+      .where(col("user_id") =!= sentinel)
+      .select(col("user_id"), col("n_events"), col("start_us"), col("end_us"))
+  }
+
   /** ORACLE-VISIBLE streaming replay: run the stream-stream as-of join
     * ([[asOfStream]]) over a file-source replay of the events table with
     * a real checkpoint and a parquet (file) sink, then read the sink
