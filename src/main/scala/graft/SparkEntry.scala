@@ -85,6 +85,7 @@ object SparkEntry {
     "q19_disc_revenue" -> ((s, d) => Analytics.q19DiscRevenue(s, d)),
     "q21_waiting" -> ((s, d) => Analytics.q21WaitingSuppliers(s, d)),
     "q_regression" -> ((s, d) => Analytics.regressionByFlag(Tables.lineitem(s, d))),
+    "s_classify" -> ((s, d) => Similarity.centroidClassify(Tables.embeddings(s, d))),
     // bounded-buffer top-k aggregate: O(groups·k) shuffle, vs the window
     // route's O(rows) — exploded to rows so DuckDB can verify the values
     "q_topk_agg" -> ((s, d) => {
@@ -201,6 +202,11 @@ object SparkEntry {
     "s_ann_ivf" -> ((s, d) => Similarity.ivfAnn(Tables.embeddings(s, d), 5, 10)),
     "t_token_count" -> ((s, d) => TextAnalysis.tokenCounts(Tables.documents(s, d))),
     "t_quality" -> ((s, d) => TextAnalysis.quality(Tables.documents(s, d))),
+    // stopword set adapted to the synthetic vocabulary (the published
+    // 8-word set shares only 'the' with this corpus — every doc would
+    // fail the >=2-distinct rule vacuously)
+    "t_gopher_rules" -> ((s, d) => TextAnalysis.gopherRules(Tables.documents(s, d),
+      stops = TextAnalysis.EnStopwords)),
     "t_lang_id" -> ((s, d) => TextAnalysis.langId(Tables.documents(s, d))),
     "t_lang_confusion" -> ((s, d) => TextAnalysis.langConfusion(Tables.documents(s, d))),
     "d_source_stats" -> ((s, d) => TextAnalysis.sourceStats(Tables.documents(s, d))),
@@ -812,6 +818,29 @@ object SparkEntry {
                 floor(list_dot_product(a.v, b.v) / (a.nrm * b.nrm) * 1000000 + 0.5) / 1000000 AS cos
          FROM n a JOIN n b ON a.vec_id < b.vec_id
          WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.4""",
+    // nearest-centroid classifier mirror: per-class fixed-point means
+    // (the coarseCentroids arithmetic), nearest class by cosine with the
+    // nearest_cells tie-break (smallest label), confusion-matrix rollup
+    "s_classify" ->
+      """WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+                           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                    FROM embeddings),
+         m AS (SELECT label, i AS pos,
+                      sum(CAST(round(list_extract(v, i) * 1073741824.0) AS BIGINT)) AS sx,
+                      count(*) AS n
+               FROM e CROSS JOIN unnest(generate_series(1, len(v))) AS t(i)
+               GROUP BY label, i),
+         cents AS (SELECT label AS cell_id, list(CAST(sx AS DOUBLE) / n / 1073741824.0 ORDER BY pos) AS cv
+                   FROM m GROUP BY label),
+         a AS (SELECT label, cell_id AS pred_label FROM (
+                 SELECT e.label, c.cell_id,
+                        row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                          list_dot_product(e.v, c.cv)
+                            / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+                          c.cell_id) AS rn
+                 FROM e CROSS JOIN cents c) WHERE rn = 1)
+         SELECT label, pred_label, CAST(count(*) AS BIGINT) AS n
+         FROM a GROUP BY label, pred_label""",
     "s_ann_brute" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
          n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
@@ -932,6 +961,30 @@ object SparkEntry {
                 len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS ws_tokens,
                 len(regexp_extract_all(text, '[a-z]+|[0-9]|[^a-z0-9 ]')) AS bpe_tokens
          FROM documents""",
+    // Gopher rules: every threshold is cross-multiplied integers, so
+    // each boolean replays exactly
+    "t_gopher_rules" ->
+      """WITH b AS (
+           SELECT doc_id,
+                  list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS tk,
+                  length(regexp_replace(text, '\s', '', 'g')) AS swl,
+                  length(text) - length(replace(text, '#', ''))
+                    + (length(text) - length(replace(text, '...', ''))) // 3 AS nsym
+           FROM documents),
+         c AS (SELECT doc_id, len(tk) AS nw, swl, nsym,
+                      len(list_filter(tk, x -> regexp_matches(x, '[a-zA-Z]'))) AS nalpha,
+                      len(list_filter(['the','a','of','and','to','is','in','that','it','as'],
+                          s -> list_contains(tk, s))) AS nstop
+               FROM b)
+         SELECT doc_id,
+                nw BETWEEN 50 AND 100000 AS r_word_count,
+                swl >= nw * 3 AND swl <= nw * 10 AS r_mean_word_len,
+                nsym * 10 < nw AS r_symbol_ratio,
+                nalpha * 5 > nw * 4 AS r_alpha_words,
+                nstop >= 2 AS r_stopwords,
+                (nw BETWEEN 50 AND 100000) AND (swl >= nw * 3 AND swl <= nw * 10)
+                  AND (nsym * 10 < nw) AND (nalpha * 5 > nw * 4) AND (nstop >= 2) AS pass
+         FROM c""",
     "t_quality" ->
       """WITH b AS (
            SELECT doc_id, length(text) AS n_chars_text,

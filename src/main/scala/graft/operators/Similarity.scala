@@ -230,4 +230,41 @@ object Similarity {
       .withColumn("cos", cosineSim(col("qv"), col("v")))
     topKPerQuery(scored, k)
   }
+
+  /** Nearest-centroid (Rocchio) classifier over the labeled embedding
+    * table — the embedding-space analog of a fastText-style domain /
+    * quality labeler in a curation pipeline: fit = ONE aggregation to
+    * per-class mean centroids (nClasses×dim rows, fixed-point 2^30
+    * coordinate sums so the means are order-independent and
+    * engine-exact); predict = the same map-only `nearest_cells`
+    * assignment IVF uses (classes as cells, cosine, ties to the
+    * smallest label). Returns the confusion matrix (label, pred_label,
+    * n) — ≤nClasses² rows; accuracy is its trace. At scale both passes
+    * stream the corpus once; only the bounded centroid table ever
+    * reaches the driver. */
+  def centroidClassify(embeddings: DataFrame): DataFrame = {
+    import graft.functions.NearestCells.nearestCells
+    val Scale = (1L << 30).toDouble
+    val e = embeddings.select(col("vec_id"),
+      col("label").cast("long").as("label"),
+      toDouble(col("embedding")).as("v"))
+    val cents = e
+      .select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy(col("label"), col("pos"))
+      .agg(sum(round(col("x") * Scale).cast("long")).as("sx"), count(lit(1)).as("n"))
+      .groupBy(col("label"))
+      .agg(array_sort(collect_list(struct(col("pos"),
+        (col("sx").cast("double") / col("n") / Scale).as("x")))).as("ps"))
+      .select(col("label").as("cell_id"), col("ps.x").as("cv"))
+    // bounded metadata: nClasses rows (the class alphabet), same class
+    // of collect as the IVF centroid set
+    val rows = cents.collect()
+    require(rows.nonEmpty, "no labeled rows to fit on")
+    val ids = rows.map(_.getLong(0))
+    val cvs = rows.map(_.getSeq[Double](1).toArray)
+    e.select(col("label"),
+        element_at(nearestCells(col("v"), ids, cvs, 1), 1).as("pred_label"))
+      .groupBy(col("label"), col("pred_label"))
+      .agg(count(lit(1)).as("n"))
+  }
 }

@@ -516,4 +516,47 @@ object TextAnalysis {
         graft.functions.Exact.round6(
           col("r_sum").cast("double") / 1e6 / col("n_feats")).as("imp_score"))
   }
+
+  /** Gopher-style document quality RULES (Rae et al. 2021, Appendix A)
+    * — the rule-based pre-filter a curation pipeline runs before any
+    * model-based scoring. Five of the published rules (the line-shape
+    * rules are omitted: this corpus carries no newlines); every
+    * threshold compares CROSS-MULTIPLIED INTEGERS, never a double
+    * ratio, so each boolean is engine-exact:
+    *  - word count within [minWords, maxWords];
+    *  - mean word length within [3, 10] chars (3·nw ≤ Σlen ≤ 10·nw);
+    *  - symbol-to-word ratio below 10% (10·(#'#' + #'...') < nw);
+    *  - >80% of words contain a letter (5·nAlpha > 4·nw);
+    *  - at least 2 distinct common stopwords present.
+    * Map-only projection (one pass, no shuffle); `pass` is the
+    * conjunction. */
+  def gopherRules(docs: DataFrame, minWords: Int = 50,
+      maxWords: Int = 100000,
+      stops: Seq[String] =
+        Seq("the", "be", "to", "of", "and", "that", "have", "with"))
+      : DataFrame = {
+    val base = docs
+      .select(col("doc_id"), col("text"), tokens(col("text")).as("tk"))
+      .select(
+        col("doc_id"),
+        size(col("tk")).as("nw"),
+        length(regexp_replace(col("text"), "\\s", "")).as("swl"),
+        (length(col("text")) - length(expr("replace(text, '#', '')")) +
+          (length(col("text")) - length(expr("replace(text, '...', '')"))) / 3)
+          .as("nsym"),
+        size(filter(col("tk"), w => w.rlike("[a-zA-Z]"))).as("nalpha"),
+        size(filter(typedLit(stops), s => array_contains(col("tk"), s)))
+          .as("nstop"))
+    base.select(
+      col("doc_id"),
+      col("nw").between(minWords, maxWords).as("r_word_count"),
+      (col("swl") >= col("nw") * 3 && col("swl") <= col("nw") * 10)
+        .as("r_mean_word_len"),
+      (col("nsym") * 10 < col("nw")).as("r_symbol_ratio"),
+      (col("nalpha") * 5 > col("nw") * 4).as("r_alpha_words"),
+      (col("nstop") >= 2).as("r_stopwords"))
+      .withColumn("pass",
+        col("r_word_count") && col("r_mean_word_len") &&
+          col("r_symbol_ratio") && col("r_alpha_words") && col("r_stopwords"))
+  }
 }
