@@ -223,6 +223,7 @@ object SparkEntry {
     "t_bpe_vocab" -> ((s, d) => operators.Bpe.vocab(Tables.documents(s, d), 8)),
     "t_bigram_lm" -> ((s, d) => TextAnalysis.bigramLm(Tables.documents(s, d))),
     "d_lm_score" -> ((s, d) => TextAnalysis.lmScore(Tables.documents(s, d))),
+    "d_ccnet_buckets" -> ((s, d) => TextAnalysis.ccnetBuckets(Tables.documents(s, d))),
     // DSIR-shaped target-domain selection: English docs as the target
     // slice, hashed-bigram importance ratios per doc
     "d_importance" -> ((s, d) => {
@@ -1718,6 +1719,39 @@ object SparkEntry {
                 floor(CAST(sum(coalesce(p_scaled, 0)) AS DOUBLE) / 1000000.0
                       / count(*) * 1000000 + 0.5) / 1000000 AS lm_score
          FROM bi LEFT JOIN lm USING (w1, w2) GROUP BY 1""",
+    // CCNet buckets: the lm_score mirror + per-language tercile cutoffs
+    // from the distinct-score cumulative ranks, buckets by comparison
+    "d_ccnet_buckets" ->
+      """WITH tok AS (SELECT doc_id,
+             list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS w FROM documents),
+         bi AS (SELECT doc_id, w[i] AS w1, w[i + 1] AS w2
+                FROM tok CROSS JOIN unnest(generate_series(1, len(w) - 1)) AS t(i)
+                WHERE len(w) >= 2),
+         pair AS (SELECT w1, w2, count(*) AS n12 FROM bi GROUP BY 1, 2),
+         head AS (SELECT w1, CAST(sum(n12) AS BIGINT) AS n1 FROM pair GROUP BY 1),
+         lm AS (SELECT w1, w2, (n12 * 1000000) // n1 AS p_scaled
+                FROM pair JOIN head USING (w1) WHERE n12 >= 2),
+         sc AS (SELECT doc_id,
+                floor(CAST(sum(coalesce(p_scaled, 0)) AS DOUBLE) / 1000000.0
+                      / count(*) * 1000000 + 0.5) / 1000000 AS lm_score
+                FROM bi LEFT JOIN lm USING (w1, w2) GROUP BY 1),
+         scl AS (SELECT sc.doc_id, d.lang, sc.lm_score
+                 FROM sc JOIN documents d ON sc.doc_id = d.doc_id),
+         vc AS (SELECT lang, lm_score, count(*) AS c FROM scl GROUP BY 1, 2),
+         cum AS (SELECT lang, lm_score,
+                        sum(c) OVER (PARTITION BY lang ORDER BY lm_score
+                                     ROWS UNBOUNDED PRECEDING) AS cum
+                 FROM vc),
+         tot AS (SELECT lang, count(*) AS n FROM scl GROUP BY 1),
+         cuts AS (SELECT cum.lang,
+                         min(CASE WHEN cum * 3 >= n THEN lm_score END) AS cut_tail,
+                         min(CASE WHEN cum * 3 >= n * 2 THEN lm_score END) AS cut_mid
+                  FROM cum JOIN tot ON cum.lang = tot.lang GROUP BY 1)
+         SELECT scl.doc_id, scl.lang, scl.lm_score,
+                CASE WHEN lm_score <= cut_tail THEN 'tail'
+                     WHEN lm_score <= cut_mid THEN 'middle'
+                     ELSE 'head' END AS bucket
+         FROM scl JOIN cuts ON scl.lang = cuts.lang""",
     "p_mix" ->
       """SELECT doc_id, source FROM documents
          WHERE CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':mix'), 1, 15) AS BIGINT) AS DOUBLE)

@@ -517,6 +517,37 @@ object TextAnalysis {
           col("r_sum").cast("double") / 1e6 / col("n_feats")).as("imp_score"))
   }
 
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020): split each
+    * language's documents into head/middle/tail terciles by LM score —
+    * the step that lets a curation pipeline keep "head" web text and
+    * drop the tail. Scale shape, exactly CCNet's: compute the 2
+    * CUTOFF scores per language (not a per-row global rank) and assign
+    * buckets map-only against the broadcast cutoff table. The cutoffs
+    * come from the same distinct-value rank-span machinery as the exact
+    * quantiles (value-count table + cumulative window over DISTINCT
+    * scores per language — never a full-corpus window); equal scores
+    * land in the same bucket by construction, and every comparison is
+    * on doubles both engines derive identically from exact integers. */
+  def ccnetBuckets(docs: DataFrame, minCount: Long = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = lmScore(docs, minCount)
+      .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+    val vc = scored.groupBy(col("lang"), col("lm_score")).agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy(col("lang")).orderBy(col("lm_score"))
+    val cum = vc.withColumn("cum", sum(col("c")).over(w))
+    val totals = scored.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+    val cuts = cum.join(broadcast(totals), "lang")
+      .groupBy(col("lang"))
+      .agg(
+        min(when(col("cum") * 3 >= col("n"), col("lm_score"))).as("cut_tail"),
+        min(when(col("cum") * 3 >= col("n") * 2, col("lm_score"))).as("cut_mid"))
+    scored.join(broadcast(cuts), "lang")
+      .select(col("doc_id"), col("lang"), col("lm_score"),
+        when(col("lm_score") <= col("cut_tail"), "tail")
+          .when(col("lm_score") <= col("cut_mid"), "middle")
+          .otherwise("head").as("bucket"))
+  }
+
   /** Gopher-style document quality RULES (Rae et al. 2021, Appendix A)
     * — the rule-based pre-filter a curation pipeline runs before any
     * model-based scoring. Five of the published rules (the line-shape
