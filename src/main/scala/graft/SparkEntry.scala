@@ -86,6 +86,7 @@ object SparkEntry {
     "q21_waiting" -> ((s, d) => Analytics.q21WaitingSuppliers(s, d)),
     "q_regression" -> ((s, d) => Analytics.regressionByFlag(Tables.lineitem(s, d))),
     "s_classify" -> ((s, d) => Similarity.centroidClassify(Tables.embeddings(s, d))),
+    "s_kmeans" -> ((s, d) => Similarity.kmeansCentroids(Tables.embeddings(s, d))),
     // bounded-buffer top-k aggregate: O(groups·k) shuffle, vs the window
     // route's O(rows) — exploded to rows so DuckDB can verify the values
     "q_topk_agg" -> ((s, d) => {
@@ -819,6 +820,8 @@ object SparkEntry {
                 floor(list_dot_product(a.v, b.v) / (a.nrm * b.nrm) * 1000000 + 0.5) / 1000000 AS cos
          FROM n a JOIN n b ON a.vec_id < b.vec_id
          WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.4""",
+    // multi-pass Lloyd replay, CTE-per-pass (see kmeansOracleSql)
+    "s_kmeans" -> operators.Similarity.kmeansOracleSql(8, 2),
     // nearest-centroid classifier mirror: per-class fixed-point means
     // (the coarseCentroids arithmetic), nearest class by cosine with the
     // nearest_cells tie-break (smallest label), confusion-matrix rollup

@@ -231,6 +231,69 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
+  /** K-means clustering as a first-class operator (round 5): the
+    * [[coarseCentroids]] fit (hash-ordered seeds, Lloyd passes with
+    * fixed-point coordinate sums) exposed with its membership counts,
+    * posexploded to scalar (cell_id, n_members, pos, x) rows so every
+    * centroid COORDINATE is oracle-comparable (array columns don't
+    * hash portably across the compare harness). Multi-pass Lloyd is
+    * replayed round by round in the DuckDB mirror ([[kmeansOracleSql]]),
+    * making this the third iteratively-fitted, value-verified model
+    * after BPE (8 greedy rounds) and the 1-pass IVF quantizer. */
+  def kmeansCentroids(embeddings: DataFrame, nCells: Int = 8,
+      refinePasses: Int = 2): DataFrame = {
+    val e = prepared(embeddings)
+    val cents = coarseCentroids(e, nCells, refinePasses)
+    val members = assignCells(e, cents, "vec_id", 1)
+      .groupBy(col("cell_id")).agg(count(lit(1)).as("n_members"))
+    cents.join(members, Seq("cell_id"), "left")
+      .select(col("cell_id"), coalesce(col("n_members"), lit(0L)).as("n_members"),
+        posexplode(col("cv")).as(Seq("pos", "x")))
+      .select(col("cell_id"), col("n_members"), col("pos").cast("long").as("pos"),
+        graft.functions.Exact.round6(col("x")).as("x"))
+  }
+
+  /** DuckDB mirror for [[kmeansCentroids]]: seeds → `refinePasses` ×
+    * (assign + fixed-point mean) → final assignment counts, generated
+    * CTE-per-pass like the BPE oracle. Arithmetic is operand-for-operand
+    * the Spark side's (md5-derived seed order, 2^30 scaled-long sums,
+    * cosine with smallest-cell tie-break). */
+  def kmeansOracleSql(nCells: Int = 8, refinePasses: Int = 2): String = {
+    def assignCte(name: String, from: String) =
+      s"""$name AS (SELECT vec_id, v, cell_id FROM (
+            SELECT e.vec_id, e.v, c.cell_id,
+                   row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                     list_dot_product(e.v, c.cv)
+                       / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+                     c.cell_id) AS rn
+            FROM e CROSS JOIN $from c) WHERE rn = 1)"""
+    def meanCte(name: String, from: String) =
+      s"""${name}_m AS (SELECT cell_id, i AS pos,
+            sum(CAST(round(list_extract(v, i) * 1073741824.0) AS BIGINT)) AS sx,
+            count(*) AS n
+          FROM $from CROSS JOIN unnest(generate_series(1, len(v))) AS t(i)
+          GROUP BY cell_id, i),
+        $name AS (SELECT cell_id, list(CAST(sx AS DOUBLE) / n / 1073741824.0 ORDER BY pos) AS cv
+                  FROM ${name}_m GROUP BY cell_id)"""
+    val passes = (1 to refinePasses).flatMap { p =>
+      val prev = if (p == 1) "c0" else s"c${p - 1}"
+      Seq(assignCte(s"a$p", prev), meanCte(s"c$p", s"a$p"))
+    }.mkString(",\n         ")
+    val last = s"c$refinePasses"
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         c0 AS (SELECT vec_id AS cell_id, v AS cv FROM e
+                ORDER BY CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15) AS BIGINT), vec_id
+                LIMIT $nCells),
+         $passes,
+         ${assignCte("af", last)},
+         mem AS (SELECT cell_id, count(*) AS n_members FROM af GROUP BY cell_id)
+         SELECT c.cell_id, coalesce(mem.n_members, 0) AS n_members,
+                CAST(t.i - 1 AS BIGINT) AS pos,
+                floor(list_extract(c.cv, t.i) * 1000000 + 0.5) / 1000000 AS x
+         FROM $last c LEFT JOIN mem ON c.cell_id = mem.cell_id
+         CROSS JOIN unnest(generate_series(1, len(c.cv))) AS t(i)"""
+  }
+
   /** Nearest-centroid (Rocchio) classifier over the labeled embedding
     * table — the embedding-space analog of a fastText-style domain /
     * quality labeler in a curation pipeline: fit = ONE aggregation to

@@ -1,0 +1,101 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import graft.operators.TextAnalysis
+
+/** Gopher rule filter + CCNet bucketing: rule semantics on crafted
+  * fixtures, map-only plan shape, stream parity for the rules, and the
+  * bucketing invariants the oracle can't state (tercile balance, score
+  * ordering between buckets). */
+class QualityRulesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("gopher rules fire on the violations they name") {
+    val docs = Seq(
+      // 0: clean doc — passes all five (60 in-range words incl. 2 stopwords)
+      (0L, (Seq("the", "a") ++ Seq.fill(58)("word")).mkString(" ")),
+      // 1: too short (3 words)
+      (1L, "the a word"),
+      // 2: symbol-heavy — every 5th token is '#'
+      (2L, (Seq("the", "a") ++ Seq.fill(29)("word # word")).mkString(" ")),
+      // 3: mean word length too small (single-char words)
+      (3L, (Seq("the", "a") ++ Seq.fill(58)("x")).mkString(" ")),
+      // 4: numeric tokens — alpha-word fraction too low
+      (4L, (Seq("the", "a") ++ Seq.fill(58)("12345")).mkString(" ")),
+      // 5: no stopwords
+      (5L, Seq.fill(60)("word").mkString(" ")))
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.gopherRules(docs, minWords = 50,
+        stops = TextAnalysis.EnStopwords)
+      .orderBy("doc_id")
+      .collect()
+      .map(x => (x.getLong(0), x.getBoolean(1), x.getBoolean(2), x.getBoolean(3),
+        x.getBoolean(4), x.getBoolean(5), x.getBoolean(6)))
+    assert(r(0) == ((0L, true, true, true, true, true, true)))
+    assert(!r(1)._2 && !r(1)._7)          // word count
+    assert(!r(2)._4 && !r(2)._7)          // symbol ratio
+    assert(!r(3)._3 && !r(3)._7)          // mean word length
+    assert(!r(4)._5 && !r(4)._7)          // alpha words
+    assert(!r(5)._6 && !r(5)._7)          // stopwords
+  }
+
+  test("gopher rules are map-only and run unchanged on a stream") {
+    val docs = Tables.documents(spark, sfDir)
+    val plan = TextAnalysis.gopherRules(docs, stops = TextAnalysis.EnStopwords)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"rules must not shuffle:\n$plan")
+    val dir = Files.createTempDirectory("graft-gopher-stream").toString
+    val src = docs.select($"doc_id", $"text")
+    src.repartition(3).write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(src.schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    val q = TextAnalysis.gopherRules(stream, stops = TextAnalysis.EnStopwords)
+      .writeStream.format("memory").queryName("gopher_out").outputMode("append")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("gopher_out")
+    val batch = TextAnalysis.gopherRules(src, stops = TextAnalysis.EnStopwords)
+    assert(streamed.count() == batch.count())
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
+  test("ccnet buckets are balanced terciles and ordered by score") {
+    val docs = Tables.documents(spark, sfDir)
+    val b = TextAnalysis.ccnetBuckets(docs)
+    // per language: tercile imbalance is bounded by the largest group
+    // of tied scores (equal scores must land in one bucket, so the
+    // cutoff can overshoot by at most the tie span)
+    val maxTie = b.groupBy($"lang", $"lm_score").count()
+      .groupBy($"lang").agg(max($"count").as("tie"))
+    val sizes = b.groupBy($"lang", $"bucket").count()
+      .groupBy($"lang")
+      .agg(max($"count").as("mx"), min($"count").as("mn"))
+      .join(maxTie, "lang")
+      .collect()
+    sizes.foreach(r => assert(r.getLong(1) - r.getLong(2) <= r.getLong(3) + 1,
+      s"unbalanced terciles for ${r.getString(0)}: $r"))
+    // ordering: max(tail) <= min(middle) <= ... per language
+    val rng = b.groupBy($"lang", $"bucket")
+      .agg(min($"lm_score").as("lo"), max($"lm_score").as("hi"))
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        (r.getDouble(2), r.getDouble(3)))).toMap
+    rng.keys.map(_._1).toSeq.distinct.foreach { lang =>
+      for (Seq(loB, hiB) <- Seq(Seq("tail", "middle"), Seq("middle", "head")))
+        for (lo <- rng.get((lang, loB)); hi <- rng.get((lang, hiB)))
+          assert(lo._2 <= hi._1, s"$lang: $loB max ${lo._2} > $hiB min ${hi._1}")
+    }
+  }
+
+  test("centroid classifier beats chance and its matrix sums to the corpus") {
+    val e = Tables.embeddings(spark, sfDir)
+    val cm = graft.operators.Similarity.centroidClassify(e)
+    val total = cm.agg(sum($"n")).as[Long].head()
+    assert(total == e.count())
+    val correct = cm.where($"label" === $"pred_label").agg(sum($"n")).as[Long].head()
+    val nClasses = e.select($"label").distinct().count()
+    assert(correct.toDouble / total > 2.0 / nClasses,
+      s"accuracy ${correct.toDouble / total} not better than 2x chance")
+  }
+}
