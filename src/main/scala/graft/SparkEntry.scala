@@ -111,6 +111,7 @@ object SparkEntry {
     // a REAL streaming run (file source → watermarked flatMapGroupsWithState
     // → checkpointed parquet sink), read back for the batch oracle compare
     "e_asof_stream" -> ((s, d) => streaming.EventStream.purchaseAttributionReplay(s, d)),
+    "e_asof_tol" -> ((s, d) => AsOfJoin.purchaseAttributionTol(Tables.events(s, d))),
     "e_asof_fwd" -> ((s, d) => AsOfJoin.viewNextPurchase(Tables.events(s, d))),
     "e_asof_fwd_exec" -> ((s, d) => AsOfJoin.viewNextPurchaseExec(Tables.events(s, d))),
     "e_range_join" -> ((s, d) => Events.purchaseViewsWithin(Tables.events(s, d))),
@@ -452,6 +453,22 @@ object SparkEntry {
                                      ROWS UNBOUNDED PRECEDING) AS last_view_us
            FROM u)
          SELECT user_id, tsu AS purchase_us, last_view_us FROM w WHERE is_p = 1""",
+    // tolerance variant: matches staler than 1h become NULL
+    "e_asof_tol" ->
+      """WITH u AS (
+           SELECT user_id, epoch_us(ts) AS tsu,
+                  CASE WHEN event_type = 'view' THEN epoch_us(ts) END AS view_ts,
+                  CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_p,
+                  CASE WHEN event_type = 'view' THEN 0 ELSE 1 END AS ord
+           FROM events WHERE event_type IN ('view', 'purchase')),
+         w AS (
+           SELECT user_id, tsu, is_p,
+                  max(view_ts) OVER (PARTITION BY user_id ORDER BY tsu, ord
+                                     ROWS UNBOUNDED PRECEDING) AS last_view_us
+           FROM u)
+         SELECT user_id, tsu AS purchase_us,
+                CASE WHEN last_view_us >= tsu - 3600000000 THEN last_view_us END AS last_view_us
+         FROM w WHERE is_p = 1""",
     // the custom physical as-of operator computes the identical result
     "e_asof_exec" ->
       """WITH u AS (

@@ -194,6 +194,19 @@ object AsOfJoin {
       .select(col("user_id"), col("tsu").as("purchase_us"), col("last_view_us"))
   }
 
+  /** [[purchaseAttribution]] with a STALENESS TOLERANCE (pandas
+    * `merge_asof(tolerance=…)` semantics): a prior view counts only if
+    * it is within `toleranceUs` of the purchase; staler matches become
+    * NULL, exactly like no-match. Same single-shuffle running-max plan
+    * — the tolerance is one extra map-side conditional on the carried
+    * value, not a second window or join. */
+  def purchaseAttributionTol(events: DataFrame,
+      toleranceUs: Long = 3600L * 1000000L): DataFrame =
+    purchaseAttribution(events)
+      .select(col("user_id"), col("purchase_us"),
+        when(col("last_view_us") >= col("purchase_us") - toleranceUs,
+          col("last_view_us")).as("last_view_us"))
+
   /** Forward attribution: each view gets the timestamp of the user's
     * NEXT purchase at-or-after it (time-to-conversion's raw material).
     * Descending scan + running min — still one shuffle on user_id. */
