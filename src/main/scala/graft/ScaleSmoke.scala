@@ -203,6 +203,26 @@ object ScaleSmoke {
       operators.TextAnalysis.importanceWeights(bd, col("lang") === "en")
         .write.format("noop").mode("overwrite").save()
     }
+    // round-5 operators: all designed as scan + bounded-metadata
+    // broadcast-back, so each should track the corpus scan linearly
+    time("gopher_rules_100k") {
+      operators.TextAnalysis.gopherRules(bd,
+          stops = operators.TextAnalysis.EnStopwords)
+        .write.format("noop").mode("overwrite").save()
+    }
+    time("ccnet_buckets_100k") {
+      operators.TextAnalysis.ccnetBuckets(bd)
+        .write.format("noop").mode("overwrite").save()
+    }
+    time("classify_100k") {
+      operators.Similarity.centroidClassify(bigEmb.withColumn("label",
+          pmod(col("vec_id"), lit(10)).cast("int")))
+        .write.format("noop").mode("overwrite").save()
+    }
+    time("kmeans_100k") {
+      operators.Similarity.kmeansCentroids(bigEmb, nCells = 64, refinePasses = 2)
+        .write.format("noop").mode("overwrite").save()
+    }
     spark.stop()
   }
 }

@@ -51,7 +51,8 @@ object Shell {
       case "help" :: Nil =>
         println("ls | stats | nodes | download <tbl> <dir> | delete <tbl> | " +
           "prep <src> <dest> | index <src> <dest> | prep_incr <new> <index> <dest> | " +
-          "neardup <src> [t] | bpe <src> [n] | exit | <sql>")
+          "neardup <src> [t] | bpe <src> [n] | buckets <src> | kmeans <src> [k] | " +
+          "exit | <sql>")
       case "ls" :: Nil => cat.list().foreach(println)
       case "stats" :: Nil => cat.stats().show(100, truncate = false)
       case "nodes" :: Nil => cat.executorStats().show(100, truncate = false)
@@ -81,6 +82,20 @@ object Shell {
         val view = s"${src}_bpe_merges"
         operators.Bpe.merges(cat.table(src), n).createOrReplaceTempView(view)
         spark.table(view).orderBy("merge_rank").show(n, truncate = false)
+        println(s"registered $view")
+      case "buckets" :: src :: Nil =>
+        val view = s"${src}_buckets"
+        operators.TextAnalysis.ccnetBuckets(cat.table(src)).createOrReplaceTempView(view)
+        spark.table(view).groupBy("lang", "bucket").count()
+          .orderBy("lang", "bucket").show(50, truncate = false)
+        println(s"registered $view")
+      case "kmeans" :: src :: rest if rest.length <= 1 =>
+        val k = rest.headOption.map(_.toInt).getOrElse(8)
+        val view = s"${src}_kmeans"
+        operators.Similarity.kmeansCentroids(cat.table(src), nCells = k)
+          .createOrReplaceTempView(view)
+        spark.table(view).select("cell_id", "n_members").distinct()
+          .orderBy("cell_id").show(k, truncate = false)
         println(s"registered $view")
       case _ => spark.sql(line).show(50, truncate = false)
     }

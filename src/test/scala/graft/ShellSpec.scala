@@ -46,6 +46,18 @@ class ShellProcedureSpec extends SparkSpec {
     assert(Shell.execute("bpe documents 4", spark, cat, dir))
     assert(spark.table("documents_bpe_merges").count() == 4)
 
+    // CCNet tercile bucketing as a view
+    assert(Shell.execute("buckets documents", spark, cat, dir))
+    assert(spark.table("documents_buckets")
+      .select("bucket").distinct().count() == 3)
+
+    // k-means over a registered embeddings table
+    Tables.embeddings(spark, sfDir).write.parquet(s"$dir/emb.parquet")
+    cat.registerAll()
+    assert(Shell.execute("kmeans emb 4", spark, cat, dir))
+    assert(spark.table("emb_kmeans")
+      .select("cell_id").distinct().count() <= 4)
+
     assert(!Shell.execute("exit", spark, cat, dir))
   }
 }
