@@ -84,6 +84,8 @@ object SparkEntry {
     "q18_large_orders" -> ((s, d) => Analytics.q18LargeOrders(s, d)),
     "q19_disc_revenue" -> ((s, d) => Analytics.q19DiscRevenue(s, d)),
     "q21_waiting" -> ((s, d) => Analytics.q21WaitingSuppliers(s, d)),
+    "q16_partsupp" -> ((s, d) => Analytics.q16SupplierCounts(s, d)),
+    "q9_profit" -> ((s, d) => Analytics.q9ProfitByNation(s, d)),
     "q_regression" -> ((s, d) => Analytics.regressionByFlag(Tables.lineitem(s, d))),
     "s_classify" -> ((s, d) => Similarity.centroidClassify(Tables.embeddings(s, d))),
     "s_kmeans" -> ((s, d) => Similarity.kmeansCentroids(Tables.embeddings(s, d))),
@@ -1670,6 +1672,28 @@ object SparkEntry {
          WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
             OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
             OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 5 AND l_quantity BETWEEN 20 AND 30)""",
+    // partsupp derived as distinct traded (partkey, suppkey) pairs
+    "q16_partsupp" ->
+      """SELECT p_brand, p_type, p_size,
+                CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+         FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+         JOIN part ON ps.l_partkey = p_partkey
+         WHERE p_brand <> 'Brand#45' AND p_type <> 'MEDIUM'
+           AND p_size IN (1, 3, 9, 14, 19, 23, 36, 45)
+         GROUP BY 1, 2, 3""",
+    // cost proxied as 20% of retail x quantity; both legs exact cents
+    "q9_profit" ->
+      """SELECT n_name AS nation, year(o_orderdate) AS o_year,
+                CAST(sum(CAST(round((l_extendedprice * (1 - l_discount)) * 100) AS BIGINT))
+                     - sum(CAST(round((p_retailprice * l_quantity * 0.2) * 100) AS BIGINT)) AS DOUBLE)
+                  / 100.0 AS profit
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN part ON l_partkey = p_partkey
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN nation ON s_nationkey = n_nationkey
+         WHERE contains(p_name, 'bolt')
+         GROUP BY 1, 2""",
     // EXISTS formulation on purpose: the engine runs the per-order
     // aggregate rewrite, the oracle the textbook correlated subqueries —
     // the compare proves them equivalent every round

@@ -777,6 +777,53 @@ object Analytics {
       .agg(moneySum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
   }
 
+  /** TPC-H Q16-style supplier-relationship counts (adapted: the
+    * synthetic schema ships no partsupp table, so the part-supplier
+    * relation is DERIVED as the distinct (partkey, suppkey) pairs that
+    * actually traded in lineitem): distinct suppliers per qualifying
+    * (brand, type, size). Two shuffles — the pair-distinct and the
+    * single countDistinct (no Expand for one distinct agg) — with the
+    * part filter broadcast. */
+  def q16SupplierCounts(spark: SparkSession, dir: String): DataFrame = {
+    val ps = Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_suppkey")).distinct()
+    val parts = Tables.part(spark, dir)
+      .where(col("p_brand") =!= "Brand#45" && col("p_type") =!= "MEDIUM" &&
+        col("p_size").isin(1, 3, 9, 14, 19, 23, 36, 45))
+      .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size"))
+    ps.join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+  }
+
+  /** TPC-H Q9-style product-type profit by nation and year (adapted:
+    * no partsupp supplycost, so cost is proxied as 20% of retail price
+    * × quantity — deterministic and mirrored in the oracle): both
+    * profit legs are exact integer-cents sums subtracted before the one
+    * double division. The only fact-fact shuffle is lineitem⋈orders;
+    * the name-filtered part table and the supplier→nation chain
+    * broadcast. */
+  def q9ProfitByNation(spark: SparkSession, dir: String,
+      namePattern: String = "bolt"): DataFrame = {
+    val part = Tables.part(spark, dir)
+      .where(col("p_name").contains(namePattern))
+      .select(col("p_partkey"), col("p_retailprice"))
+    val supp = Tables.supplier(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("nation"))
+    Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir)
+        .select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("nation"), year(col("o_orderdate")).as("o_year"))
+      .agg(((sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount")))) -
+        sum(cents(col("p_retailprice") * col("l_quantity") * 0.2)))
+        .cast("double") / 100.0).as("profit"))
+  }
+
   /** TPC-H Q21-style waiting suppliers (adapted: the synthetic schema
     * has no commit/receipt dates, so "late" is shipping >90 days after
     * the order date): for 'F' orders with 2+ suppliers where EXACTLY ONE
