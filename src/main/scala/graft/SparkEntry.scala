@@ -85,6 +85,7 @@ object SparkEntry {
     "q19_disc_revenue" -> ((s, d) => Analytics.q19DiscRevenue(s, d)),
     "q21_waiting" -> ((s, d) => Analytics.q21WaitingSuppliers(s, d)),
     "q16_partsupp" -> ((s, d) => Analytics.q16SupplierCounts(s, d)),
+    "q_mode" -> ((s, d) => Analytics.modeByGroup(Tables.orders(s, d))),
     "q9_profit" -> ((s, d) => Analytics.q9ProfitByNation(s, d)),
     "q_regression" -> ((s, d) => Analytics.regressionByFlag(Tables.lineitem(s, d))),
     "s_classify" -> ((s, d) => Similarity.centroidClassify(Tables.embeddings(s, d))),
@@ -103,6 +104,8 @@ object SparkEntry {
     "e_sessionize" -> ((s, d) => Events.sessionize(Tables.events(s, d))),
     // the stateful streaming sessionizer as a real checkpointed run
     "e_session_stream" -> ((s, d) => streaming.EventStream.sessionizeReplay(s, d)),
+    // the watermarked stream-stream join as a real checkpointed run
+    "e_ssjoin_stream" -> ((s, d) => streaming.EventStream.purchaseViewJoinReplay(s, d)),
     "e_top_sessions" -> ((s, d) => Events.topSessions(Tables.events(s, d))),
     "e_session_builtin" -> ((s, d) => Events.sessionizeBuiltin(Tables.events(s, d))),
     "e_resample" -> ((s, d) => Events.resampleHourly(Tables.events(s, d))),
@@ -129,6 +132,7 @@ object SparkEntry {
     "d_containment" -> ((s, d) => Dedup.containmentPairs(Tables.documents(s, d), 3, 0.6)),
     "d_dedup_minhash" -> ((s, d) => Dedup.minhashLsh(Tables.documents(s, d), 3, 64, 16, 0.5)),
     "d_dedup_simhash" -> ((s, d) => Dedup.simhashNearDup(Tables.documents(s, d), 3)),
+    "d_dedup_fuzzy" -> ((s, d) => Dedup.fuzzyDedup(Tables.documents(s, d))),
     "d_dedup_incr" -> ((s, d) => {
       import org.apache.spark.sql.functions.col
       val docs = Tables.documents(s, d)
@@ -570,6 +574,14 @@ object SparkEntry {
          SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
                 min(tsu) AS start_us, max(tsu) AS end_us
          FROM t GROUP BY user_id, session_id""",
+    // inner stream-stream join emits every pair once both sides arrive,
+    // so the replay equals the plain batch theta join
+    "e_ssjoin_stream" ->
+      """SELECT p.user_id, p.event_id AS purchase_id, v.event_id AS view_id,
+                epoch_us(p.ts) AS p_us, epoch_us(v.ts) AS v_us
+         FROM events p JOIN events v ON p.user_id = v.user_id
+         WHERE p.event_type = 'purchase' AND v.event_type = 'view'
+           AND v.ts >= p.ts - INTERVAL 3600 SECOND AND v.ts < p.ts""",
     "e_user_stats" ->
       """SELECT user_id, count(*) AS n_events,
                 count(DISTINCT event_type) AS n_types,
@@ -832,6 +844,28 @@ object SparkEntry {
     // (planted near-dups at j≈0.98, 16 bands × 4 rows) it finds exactly
     // the exact-Jaccard pair set, so the same oracle applies.
     "d_dedup_minhash" -> ngramJaccardSql,
+    // the LSH pair set additionally edit-distance-verified (DuckDB's
+    // levenshtein uses the same unit-cost definition as Spark's)
+    "d_dedup_fuzzy" ->
+      """WITH tok AS (SELECT doc_id,
+             list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS w FROM documents),
+         sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+                FROM tok CROSS JOIN unnest(generate_series(1, len(w) - 2)) AS t(i)
+                WHERE len(w) >= 3),
+         sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+         inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+                   FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2),
+         pairs AS (SELECT id_a, id_b,
+                          floor(CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter) * 1000000 + 0.5) / 1000000 AS jaccard
+                   FROM inter JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
+                   WHERE CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter) >= 0.5)
+         SELECT id_a, id_b, jaccard,
+                CAST(levenshtein(da.text, db.text) AS BIGINT) AS edit_dist
+         FROM pairs
+         JOIN documents da ON id_a = da.doc_id
+         JOIN documents db ON id_b = db.doc_id
+         WHERE levenshtein(da.text, db.text) <= 8""",
     "d_dedup_embed" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
          n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e)
@@ -1672,6 +1706,14 @@ object SparkEntry {
          WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
             OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
             OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 5 AND l_quantity BETWEEN 20 AND 30)""",
+    // deterministic mode: rank-1 over counts, ties to smallest value
+    "q_mode" ->
+      """SELECT o_orderstatus, o_orderpriority AS mode_priority, n FROM (
+           SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+                  row_number() OVER (PARTITION BY o_orderstatus
+                                     ORDER BY count(*) DESC, o_orderpriority) AS rn
+           FROM orders GROUP BY o_orderstatus, o_orderpriority)
+         WHERE rn = 1""",
     // partsupp derived as distinct traded (partkey, suppkey) pairs
     "q16_partsupp" ->
       """SELECT p_brand, p_type, p_size,

@@ -777,6 +777,23 @@ object Analytics {
       .agg(moneySum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
   }
 
+  /** Deterministic MODE by group: most frequent value via count + a
+    * rank-1 window over the per-group COUNT table (|groups × values|
+    * rows, never the fact table), ties to the smallest value — a total
+    * order, so the result is engine-exact where built-in `mode()` ties
+    * are engine-private. */
+  def modeByGroup(orders: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = orders
+      .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("o_orderstatus"))
+      .orderBy(col("n").desc, col("o_orderpriority"))
+    counts.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+      .select(col("o_orderstatus"), col("o_orderpriority").as("mode_priority"),
+        col("n"))
+  }
+
   /** TPC-H Q16-style supplier-relationship counts (adapted: the
     * synthetic schema ships no partsupp table, so the part-supplier
     * relation is DERIVED as the distinct (partkey, suppkey) pairs that

@@ -276,6 +276,25 @@ object Dedup {
       .select(col("id_a"), col("id_b"), graft.functions.Exact.round6(col("jaccard")).as("jaccard"))
   }
 
+  /** Character-level FUZZY dedup rung: the MinHash-LSH near-dup pairs
+    * additionally verified by edit distance — catches true re-edits
+    * (small character deltas) and splits them from template-style
+    * near-dups that share vocabulary but differ by many edits. The
+    * Levenshtein verify runs ONLY on the already-verified near-dup pair
+    * set (tiny by then), never on candidates, so its quadratic
+    * per-pair cost is bounded by the LSH output; text rides in via two
+    * doc_id joins, not on any band exchange. */
+  def fuzzyDedup(docs: DataFrame, maxDist: Int = 8, n: Int = 3,
+      numHashes: Int = 64, bands: Int = 16,
+      threshold: Double = 0.5): DataFrame =
+    minhashLsh(docs, n, numHashes, bands, threshold)
+      .join(docs.select(col("doc_id").as("id_a"), col("text").as("__ta")), "id_a")
+      .join(docs.select(col("doc_id").as("id_b"), col("text").as("__tb")), "id_b")
+      .withColumn("edit_dist", levenshtein(col("__ta"), col("__tb")))
+      .where(col("edit_dist") <= maxDist)
+      .select(col("id_a"), col("id_b"), col("jaccard"),
+        col("edit_dist").cast("long").as("edit_dist"))
+
   /** Incremental near-dup: verified pairs BETWEEN a new batch and an
     * existing corpus — the daily-ingest shape. Corpus-side signatures
     * are the persisted index in production (see [[signatures]]); only

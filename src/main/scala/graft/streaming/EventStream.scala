@@ -330,6 +330,34 @@ object EventStream {
       }
   }
 
+  /** ORACLE-VISIBLE streaming replay of the watermarked STREAM-STREAM
+    * time-bounded join ([[purchaseViewJoin]]): same file-source →
+    * checkpointed-parquet shape as the other replays, but NO sentinel —
+    * an inner stream-stream join emits each pair in the microbatch
+    * where both sides have arrived (the watermark only bounds state
+    * eviction), so the replayed output is the complete pair set. */
+  def purchaseViewJoinReplay(spark: SparkSession, sfDir: String,
+      windowSec: Long = 3600): DataFrame = {
+    val batch = graft.Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
+    val work = java.nio.file.Files.createTempDirectory("graft-ssjoin-replay")
+    val srcDir = work.resolve("src").toString
+    val outDir = work.resolve("out").toString
+    val ckptDir = work.resolve("ckpt").toString
+    batch.write.mode("overwrite").parquet(srcDir)
+    val stream = spark.readStream.schema(batch.schema)
+      .option("maxFilesPerTrigger", 8).parquet(srcDir)
+    val q = purchaseViewJoin(stream, windowSec)
+      .writeStream.format("parquet")
+      .option("checkpointLocation", ckptDir)
+      .outputMode("append")
+      .start(outDir)
+    try q.processAllAvailable() finally q.stop()
+    spark.read.parquet(outDir)
+      .select(col("user_id"), col("purchase_id"), col("view_id"),
+        unix_micros(col("p_ts")).as("p_us"), unix_micros(col("v_ts")).as("v_us"))
+  }
+
   /** ORACLE-VISIBLE streaming replay of the stateful [[sessionize]]r:
     * same file-source → checkpointed-parquet shape as
     * [[purchaseAttributionReplay]]. The sentinel event lands past
