@@ -86,6 +86,7 @@ object SparkEntry {
     "q21_waiting" -> ((s, d) => Analytics.q21WaitingSuppliers(s, d)),
     "q16_partsupp" -> ((s, d) => Analytics.q16SupplierCounts(s, d)),
     "q_mode" -> ((s, d) => Analytics.modeByGroup(Tables.orders(s, d))),
+    "q_cume_dist" -> ((s, d) => Analytics.cumeDistByStatus(Tables.orders(s, d))),
     "q9_profit" -> ((s, d) => Analytics.q9ProfitByNation(s, d)),
     "q_regression" -> ((s, d) => Analytics.regressionByFlag(Tables.lineitem(s, d))),
     "s_classify" -> ((s, d) => Similarity.centroidClassify(Tables.embeddings(s, d))),
@@ -101,6 +102,7 @@ object SparkEntry {
     }),
     // C. Events
     "e_tumbling" -> ((s, d) => Events.tumblingHourly(Tables.events(s, d))),
+    "e_sliding" -> ((s, d) => Events.slidingCounts(Tables.events(s, d))),
     "e_sessionize" -> ((s, d) => Events.sessionize(Tables.events(s, d))),
     // the stateful streaming sessionizer as a real checkpointed run
     "e_session_stream" -> ((s, d) => streaming.EventStream.sessionizeReplay(s, d)),
@@ -489,6 +491,15 @@ object SparkEntry {
                                      ROWS UNBOUNDED PRECEDING) AS last_view_us
            FROM u)
          SELECT user_id, tsu AS purchase_us, last_view_us FROM w WHERE is_p = 1""",
+    // hopping windows: win = 4 x slide exactly, so every event lands in
+    // precisely 4 windows — generate the 4 starts with integer µs math
+    "e_sliding" ->
+      """SELECT strftime(make_timestamp((epoch_us(ts) // 900000000) * 900000000 - j.j * 900000000),
+                         '%Y-%m-%d %H:%M') AS win_start,
+                event_type, count(*) AS cnt,
+                CAST(sum(CAST(round((value) * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_value
+         FROM events CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS j) j
+         GROUP BY 1, 2""",
     "e_tumbling" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS hour_start,
                 event_type, count(*) AS cnt, CAST(sum(CAST(round((value) * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_value
@@ -1706,6 +1717,18 @@ object SparkEntry {
          WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
             OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
             OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 5 AND l_quantity BETWEEN 20 AND 30)""",
+    // cume_dist per distinct cents value (cum/n exact rational)
+    "q_cume_dist" ->
+      """WITH vc AS (SELECT o_orderstatus,
+                            CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
+                            count(*) AS c
+                     FROM orders GROUP BY 1, 2),
+         tot AS (SELECT o_orderstatus, count(*) AS n FROM orders GROUP BY 1)
+         SELECT vc.o_orderstatus, price_cents,
+                floor(CAST(sum(c) OVER (PARTITION BY vc.o_orderstatus ORDER BY price_cents
+                                        ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+                      / n * 1000000 + 0.5) / 1000000 AS cume_dist
+         FROM vc JOIN tot ON vc.o_orderstatus = tot.o_orderstatus""",
     // deterministic mode: rank-1 over counts, ties to smallest value
     "q_mode" ->
       """SELECT o_orderstatus, o_orderpriority AS mode_priority, n FROM (

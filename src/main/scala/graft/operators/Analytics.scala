@@ -777,6 +777,26 @@ object Analytics {
       .agg(moneySum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
   }
 
+  /** CUME_DIST over the DISTINCT-VALUE table: the cumulative
+    * distribution of order totalprice per status, emitted per distinct
+    * cents value (cum_v / n — an exact rational both engines derive
+    * identically) rather than per row. The window runs over the
+    * value-count table like the exact quantiles, so no corpus-sized
+    * partition ever sorts; a per-row cume_dist is a broadcast-join of
+    * this table away. */
+  def cumeDistByStatus(orders: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val vc = orders
+      .groupBy(col("o_orderstatus"), cents(col("o_totalprice")).as("price_cents"))
+      .agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy(col("o_orderstatus")).orderBy(col("price_cents"))
+    val totals = orders.groupBy(col("o_orderstatus")).agg(count(lit(1)).as("n"))
+    vc.withColumn("cum", sum(col("c")).over(w))
+      .join(broadcast(totals), "o_orderstatus")
+      .select(col("o_orderstatus"), col("price_cents"),
+        round6(col("cum").cast("double") / col("n")).as("cume_dist"))
+  }
+
   /** Deterministic MODE by group: most frequent value via count + a
     * rank-1 window over the per-group COUNT table (|groups × values|
     * rows, never the fact table), ties to the smallest value — a total
@@ -798,17 +818,18 @@ object Analytics {
     * synthetic schema ships no partsupp table, so the part-supplier
     * relation is DERIVED as the distinct (partkey, suppkey) pairs that
     * actually traded in lineitem): distinct suppliers per qualifying
-    * (brand, type, size). Two shuffles — the pair-distinct and the
-    * single countDistinct (no Expand for one distinct agg) — with the
-    * part filter broadcast. */
+    * (brand, type, size). A materialized pair-distinct would be
+    * redundant — countDistinct dedups suppliers itself, so the plan is
+    * just broadcast-join + one distinct aggregate (its partial phase
+    * dedups (group, suppkey) map-side before the only shuffle). */
   def q16SupplierCounts(spark: SparkSession, dir: String): DataFrame = {
-    val ps = Tables.lineitem(spark, dir)
-      .select(col("l_partkey"), col("l_suppkey")).distinct()
     val parts = Tables.part(spark, dir)
       .where(col("p_brand") =!= "Brand#45" && col("p_type") =!= "MEDIUM" &&
         col("p_size").isin(1, 3, 9, 14, 19, 23, 36, 45))
       .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size"))
-    ps.join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+    Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_suppkey"))
+      .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
       .groupBy(col("p_brand"), col("p_type"), col("p_size"))
       .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
   }

@@ -25,6 +25,23 @@ object Events {
         date_format(col("w.start"), "yyyy-MM-dd HH:mm").as("hour_start"),
         col("event_type"), col("cnt"), col("sum_value"))
 
+  /** SLIDING (hopping) windows — 1-hour windows every 15 minutes, so
+    * each event lands in windowMin/slideMin = 4 overlapping windows.
+    * Spark's `window(ts, win, slide)` expands the factor-of-4 row
+    * multiplication map-side before the one aggregate shuffle (shuffle
+    * volume is windows×groups partials, not exploded events). The
+    * DuckDB mirror generates the same 4 window starts per event with
+    * integer µs arithmetic. */
+  def slidingCounts(events: DataFrame, windowMin: Int = 60,
+      slideMin: Int = 15): DataFrame =
+    events
+      .groupBy(window(col("ts"), s"$windowMin minutes", s"$slideMin minutes").as("w"),
+        col("event_type"))
+      .agg(count(lit(1)).as("cnt"), moneySum(col("value")).as("sum_value"))
+      .select(
+        date_format(col("w.start"), "yyyy-MM-dd HH:mm").as("win_start"),
+        col("event_type"), col("cnt"), col("sum_value"))
+
   /** 30-minute-gap sessionization: lag + cumulative-sum session ids, then
     * per-session stats. One shuffle on user_id; both windows share it. */
   def sessionize(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
