@@ -32,6 +32,21 @@ object EventStream {
       .option("maxFilesPerTrigger", 4)
       .parquet(dir)
 
+  /** Watermarked SLIDING (hopping) windows — the streaming twin of
+    * Events.slidingCounts: 1-hour windows every 15 minutes, each event
+    * in 4 overlapping windows. State is 4× the tumbling window count,
+    * still bounded by the watermark horizon. */
+  def slidingCountsStream(events: DataFrame,
+      watermarkDelay: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), "60 minutes", "15 minutes").as("w"),
+        col("event_type"))
+      .agg(count(lit(1)).as("cnt"),
+        graft.functions.Exact.moneySum(col("value")).as("sum_value"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm").as("win_start"),
+        col("event_type"), col("cnt"), col("sum_value"))
+
   /** Watermarked 1-hour tumbling counts per event type — the streaming
     * twin of Events.tumblingHourly. State is bounded by the watermark:
     * windows older than (max event time − delay) are finalized and

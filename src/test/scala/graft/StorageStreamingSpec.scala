@@ -83,6 +83,27 @@ class EventStreamSpec extends SparkSpec {
     assert(joined.where($"s_cnt" =!= $"cnt").count() == 0)
   }
 
+  test("sliding windows stream watermarked and agree with batch totals") {
+    val batch = Tables.events(spark, sfDir)
+    val srcDir = Files.createTempDirectory("graft-sliding-src").toString
+    batch.write.mode("overwrite").parquet(srcDir)
+    val stream = EventStream.readEvents(spark, srcDir, batch.schema)
+    val q = EventStream.slidingCountsStream(stream)
+      .writeStream.format("memory").queryName("sliding_out").outputMode("append")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("sliding_out")
+    val batchTotals = operators.Events.slidingCounts(batch)
+    assert(streamed.count() > 0)
+    assert(streamed.count() <= batchTotals.count())
+    // every watermark-closed (window, type) must agree with batch
+    val joined = streamed
+      .select($"win_start", $"event_type",
+        $"cnt".as("s_cnt"), $"sum_value".as("s_sum"))
+      .join(batchTotals, Seq("win_start", "event_type"))
+    assert(joined.where($"s_cnt" =!= $"cnt" || $"s_sum" =!= $"sum_value").count() == 0)
+  }
+
   test("stateful sessionizer emits sessions closed by the watermark") {
     val batch = Tables.events(spark, sfDir)
       .select($"user_id", unix_micros($"ts").as("tsu"), $"value")
