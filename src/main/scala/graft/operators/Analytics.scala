@@ -224,15 +224,14 @@ object Analytics {
     * the rank machinery (cents↔double round-trips exactly), keeping
     * ranks engine-exact. */
   def quantileProfile(orders: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val qs = Seq(0.25 -> "p25", 0.5 -> "p50", 0.75 -> "p75", 0.95 -> "p95")
     val vc = orders
       .groupBy(col("o_orderstatus"), cents(col("o_totalprice")).as("v"))
       .agg(count(lit(1)).as("c"))
-    // running (unbounded-preceding → current) cumulative frame over
-    // distinct values: rank span of value v is [cum−c, cum−1], 0-based
-    val w = Window.partitionBy(col("o_orderstatus")).orderBy(col("v"))
-    val cum = vc.withColumn("cum", sum(col("c")).over(w))
+    // running cumulative count over distinct values — rank span of
+    // value v is [cum−c, cum−1], 0-based — via the two-level
+    // bucket-monotone scan (no per-status window sized by distinct values)
+    val cum = Cumulative.runningSum(vc, Seq("o_orderstatus"), "v", "c", "cum")
     val totals = orders.groupBy(col("o_orderstatus")).agg(count(lit(1)).as("cnt"))
     val ranked = cum.join(broadcast(totals), "o_orderstatus")
     // per quantile: position = q·(n−1); the rows covering floor/ceil of
@@ -785,13 +784,11 @@ object Analytics {
     * partition ever sorts; a per-row cume_dist is a broadcast-join of
     * this table away. */
   def cumeDistByStatus(orders: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val vc = orders
       .groupBy(col("o_orderstatus"), cents(col("o_totalprice")).as("price_cents"))
       .agg(count(lit(1)).as("c"))
-    val w = Window.partitionBy(col("o_orderstatus")).orderBy(col("price_cents"))
     val totals = orders.groupBy(col("o_orderstatus")).agg(count(lit(1)).as("n"))
-    vc.withColumn("cum", sum(col("c")).over(w))
+    Cumulative.runningSum(vc, Seq("o_orderstatus"), "price_cents", "c", "cum")
       .join(broadcast(totals), "o_orderstatus")
       .select(col("o_orderstatus"), col("price_cents"),
         round6(col("cum").cast("double") / col("n")).as("cume_dist"))

@@ -529,12 +529,12 @@ object TextAnalysis {
     * land in the same bucket by construction, and every comparison is
     * on doubles both engines derive identically from exact integers. */
   def ccnetBuckets(docs: DataFrame, minCount: Long = 2): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val scored = lmScore(docs, minCount)
       .join(docs.select(col("doc_id"), col("lang")), "doc_id")
     val vc = scored.groupBy(col("lang"), col("lm_score")).agg(count(lit(1)).as("c"))
-    val w = Window.partitionBy(col("lang")).orderBy(col("lm_score"))
-    val cum = vc.withColumn("cum", sum(col("c")).over(w))
+    // two-level bucket-monotone scan: LM scores are near-unique, so a
+    // plain per-lang window would sort O(docs-per-lang) on one task
+    val cum = Cumulative.runningSum(vc, Seq("lang"), "lm_score", "c", "cum")
     val totals = scored.groupBy(col("lang")).agg(count(lit(1)).as("n"))
     val cuts = cum.join(broadcast(totals), "lang")
       .groupBy(col("lang"))
