@@ -103,6 +103,8 @@ object SparkEntry {
     // C. Events
     "e_tumbling" -> ((s, d) => Events.tumblingHourly(Tables.events(s, d))),
     "e_sliding" -> ((s, d) => Events.slidingCounts(Tables.events(s, d))),
+    // the watermarked sliding-window aggregation as a real checkpointed run
+    "e_sliding_stream" -> ((s, d) => streaming.EventStream.slidingCountsReplay(s, d)),
     "e_sessionize" -> ((s, d) => Events.sessionize(Tables.events(s, d))),
     // the stateful streaming sessionizer as a real checkpointed run
     "e_session_stream" -> ((s, d) => streaming.EventStream.sessionizeReplay(s, d)),
@@ -494,6 +496,16 @@ object SparkEntry {
     // hopping windows: win = 4 x slide exactly, so every event lands in
     // precisely 4 windows — generate the 4 starts with integer µs math
     "e_sliding" ->
+      """SELECT strftime(make_timestamp((epoch_us(ts) // 900000000) * 900000000 - j.j * 900000000),
+                         '%Y-%m-%d %H:%M') AS win_start,
+                event_type, count(*) AS cnt,
+                CAST(sum(CAST(round((value) * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_value
+         FROM events CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS j) j
+         GROUP BY 1, 2""",
+    // the streaming replay finalizes every real window (sentinel-driven
+    // watermark clears all real window ends), so the emitted window set
+    // equals the batch sliding aggregation — same oracle
+    "e_sliding_stream" ->
       """SELECT strftime(make_timestamp((epoch_us(ts) // 900000000) * 900000000 - j.j * 900000000),
                          '%Y-%m-%d %H:%M') AS win_start,
                 event_type, count(*) AS cnt,

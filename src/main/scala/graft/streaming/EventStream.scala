@@ -346,74 +346,65 @@ object EventStream {
   }
 
   /** ORACLE-VISIBLE streaming replay of the watermarked STREAM-STREAM
-    * time-bounded join ([[purchaseViewJoin]]): same file-source →
-    * checkpointed-parquet shape as the other replays, but NO sentinel —
-    * an inner stream-stream join emits each pair in the microbatch
-    * where both sides have arrived (the watermark only bounds state
-    * eviction), so the replayed output is the complete pair set. */
+    * time-bounded join ([[purchaseViewJoin]]): [[Replay]]'s shared
+    * ordered source → checkpointed-parquet shape. An inner stream-stream
+    * join emits each pair in the microbatch where both sides have
+    * arrived (the watermark only bounds state eviction), so the replayed
+    * output is the complete pair set regardless of the sentinel (a lone
+    * view joins nothing; filtered anyway). */
   def purchaseViewJoinReplay(spark: SparkSession, sfDir: String,
       windowSec: Long = 3600): DataFrame = {
-    val batch = graft.Tables.events(spark, sfDir)
-      .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
-    val work = java.nio.file.Files.createTempDirectory("graft-ssjoin-replay")
-    val srcDir = work.resolve("src").toString
-    val outDir = work.resolve("out").toString
-    val ckptDir = work.resolve("ckpt").toString
-    batch.write.mode("overwrite").parquet(srcDir)
-    val stream = spark.readStream.schema(batch.schema)
-      .option("maxFilesPerTrigger", 8).parquet(srcDir)
-    val q = purchaseViewJoin(stream, windowSec)
-      .writeStream.format("parquet")
-      .option("checkpointLocation", ckptDir)
-      .outputMode("append")
-      .start(outDir)
-    try q.processAllAvailable() finally q.stop()
-    spark.read.parquet(outDir)
+    val src = Replay.source(spark, sfDir)
+    Replay.run(spark, src) { stream =>
+      purchaseViewJoin(stream.select(col("event_id"), col("user_id"),
+        col("event_type"), col("ts")), windowSec)
+    }
+      .where(col("user_id") =!= src.sentinelUser)
       .select(col("user_id"), col("purchase_id"), col("view_id"),
         unix_micros(col("p_ts")).as("p_us"), unix_micros(col("v_ts")).as("v_us"))
   }
 
+  /** ORACLE-VISIBLE streaming replay of the watermarked SLIDING-window
+    * aggregation ([[slidingCountsStream]]): the shared-source sentinel
+    * lands far enough past the last real event (6h > watermark delay +
+    * window size) that the final watermark clears every real WINDOW
+    * END, so append mode emits exactly the batch window set
+    * (Events.slidingCounts — same e_sliding oracle SQL). The sentinel's
+    * own 4 far-future windows start after every real event and are cut
+    * on read-back. */
+  def slidingCountsReplay(spark: SparkSession, sfDir: String): DataFrame = {
+    val src = Replay.source(spark, sfDir)
+    Replay.run(spark, src) { stream =>
+      slidingCountsStream(stream.select(col("ts"), col("event_type"),
+        col("value")))
+    }
+      .where(unix_micros(to_timestamp(col("win_start"), "yyyy-MM-dd HH:mm"))
+        <= src.maxTsu)
+  }
+
   /** ORACLE-VISIBLE streaming replay of the stateful [[sessionize]]r:
-    * same file-source → checkpointed-parquet shape as
-    * [[purchaseAttributionReplay]]. The sentinel event lands past
-    * (watermark delay + session gap), so every real session is closed
-    * and emitted; the sentinel's own 1-event session stays in state and
-    * never reaches the sink. Emitted (user, n_events, start, end)
-    * multiset therefore equals the batch sessionization's — which the
-    * oracle mirrors with the lag/cumsum SQL. */
+    * same shared-source → checkpointed-parquet shape as
+    * [[purchaseAttributionReplay]]. The source's sentinel lands 6h past
+    * the last real event — beyond (watermark delay + session gap) — so
+    * every real session is closed and emitted; the sentinel's own
+    * 1-event session stays in state and never reaches the sink. Emitted
+    * (user, n_events, start, end) multiset therefore equals the batch
+    * sessionization's — which the oracle mirrors with the lag/cumsum
+    * SQL. */
   def sessionizeReplay(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     implicit val s: SparkSession = spark
-    val sentinel = 999999999L
-    val batch = graft.Tables.events(spark, sfDir)
-      .select(col("user_id"), unix_micros(col("ts")).as("tsu"), col("value"))
-    val work = java.nio.file.Files.createTempDirectory("graft-sess-replay")
-    val srcDir = work.resolve("src").toString
-    val outDir = work.resolve("out").toString
-    val ckptDir = work.resolve("ckpt").toString
-    batch.write.mode("overwrite").parquet(srcDir)
-    val stream = spark.readStream.schema(batch.schema)
-      .option("maxFilesPerTrigger", 8).parquet(srcDir).as[Event]
-    val q = sessionize(stream)
-      .writeStream.format("parquet")
-      .option("checkpointLocation", ckptDir)
-      .outputMode("append")
-      .start(outDir)
-    try {
-      q.processAllAvailable()
-      val maxTsu = batch.agg(max(col("tsu"))).as[Long].head()
-      Seq((sentinel, maxTsu + 2L * 3600L * 1000000L, 0.0))
-        .toDF("user_id", "tsu", "value")
-        .write.mode("append").parquet(srcDir)
-      q.processAllAvailable()
-    } finally q.stop()
-    spark.read.parquet(outDir)
-      .where(col("user_id") =!= sentinel)
+    val src = Replay.source(spark, sfDir)
+    Replay.run(spark, src) { stream =>
+      sessionize(stream.select(col("user_id"), col("tsu"), col("value"))
+        .as[Event]).toDF()
+    }
+      .where(col("user_id") =!= src.sentinelUser)
       .select(col("user_id"), col("n_events"), col("start_us"), col("end_us"))
   }
 
   /** ORACLE-VISIBLE streaming replay: run the stream-stream as-of join
-    * ([[asOfStream]]) over a file-source replay of the events table with
+    * ([[asOfStream]]) over [[Replay]]'s shared ordered file source with
     * a real checkpoint and a parquet (file) sink, then read the sink
     * back as a batch DataFrame for the driver's DuckDB compare. This is
     * the production shape at scale — files in, files out, resumable
@@ -421,41 +412,20 @@ object EventStream {
     *
     * Determinism: watermarked append-mode output only finalizes events
     * at-or-below the final watermark, which would make the emitted set
-    * depend on the tail of the replay. A single far-future VIEW for a
-    * sentinel key pushes the watermark past every real event, so the
+    * depend on the tail of the replay. The source's far-future sentinel
+    * VIEW pushes the watermark past every real event, so the
     * emitted set equals the full batch pair set
     * ([[graft.operators.AsOfJoin.purchaseAttribution]]) exactly — the
     * same e_asof oracle SQL checks both. The sentinel emits nothing
     * itself (views are right-side only) and is filtered on read-back. */
   def purchaseAttributionReplay(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
     implicit val s: SparkSession = spark
-    val sentinel = 999999999L
-    val batch = graft.Tables.events(spark, sfDir)
-      .select(col("user_id"), unix_micros(col("ts")).as("tsu"),
-        col("value"), col("event_type"))
-    val work = java.nio.file.Files.createTempDirectory("graft-asof-replay")
-    val srcDir = work.resolve("src").toString
-    val outDir = work.resolve("out").toString
-    val ckptDir = work.resolve("ckpt").toString
-    batch.write.mode("overwrite").parquet(srcDir)
-    val stream = spark.readStream.schema(batch.schema)
-      .option("maxFilesPerTrigger", 8).parquet(srcDir)
-    val q = purchaseAttributionStream(stream, "1 hour")
-      .writeStream.format("parquet")
-      .option("checkpointLocation", ckptDir)
-      .outputMode("append")
-      .start(outDir)
-    try {
-      q.processAllAvailable()
-      val maxTsu = batch.agg(max(col("tsu"))).as[Long].head()
-      Seq((sentinel, maxTsu + 2L * 3600L * 1000000L, 0.0, "view"))
-        .toDF("user_id", "tsu", "value", "event_type")
-        .write.mode("append").parquet(srcDir)
-      q.processAllAvailable()
-    } finally q.stop()
-    spark.read.parquet(outDir)
-      .where(col("user_id") =!= sentinel)
+    val src = Replay.source(spark, sfDir)
+    Replay.run(spark, src) { stream =>
+      purchaseAttributionStream(stream.select(col("user_id"), col("tsu"),
+        col("value"), col("event_type")), "1 hour").toDF()
+    }
+      .where(col("user_id") =!= src.sentinelUser)
       .select(col("user_id"), col("left_us").as("purchase_us"),
         col("asof_right_us").as("last_view_us"))
   }

@@ -1,0 +1,123 @@
+package graft.streaming
+
+import java.nio.file.{Files, Path}
+import java.nio.file.attribute.FileTime
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Shared infrastructure for the ORACLE-VISIBLE streaming replays: a
+  * file-source copy of the events table that every replay streams from,
+  * written ONCE per JVM session (Verify/Bench run 3–4 replay queries —
+  * and Bench 3 passes of each — so per-replay source writes were both
+  * the dominant replay cost and a /tmp leak).
+  *
+  * Correctness at any file count: FileStreamSource feeds files to
+  * triggers in MODIFICATION-TIME order, which for an arbitrary batch
+  * write is arbitrary — with a 1-hour watermark delay, a later trigger
+  * carrying earlier events would silently drop them as late data and
+  * the replay would no longer equal its batch oracle (latent break the
+  * moment the source outgrows one trigger). The replay source is
+  * therefore written `repartitionByRange(nFiles, tsu)` with file
+  * modification times REWRITTEN to ascend with the range ordinal:
+  * trigger order == file order == event-time order by construction, so
+  * no event ever arrives below the watermark, at ANY
+  * `maxFilesPerTrigger`.
+  *
+  * The far-future sentinel that drives the final watermark past every
+  * real event (so append-mode output finalizes completely) is part of
+  * the source itself — one extra newest-mtime file, processed as the
+  * last trigger of every replay. Its user_id is DERIVED as
+  * max(user_id)+1 (a real user equal to a hard-coded sentinel would
+  * have been silently filtered from the output), and it lands
+  * maxTsu + 6h so the watermark clears not just every event but every
+  * WINDOW END a windowed replay can emit (window ends reach maxTsu +
+  * window size; 6h − max delay 2h leaves 4h of slack). It is a 'view'
+  * (right side / no-op for every replay shape) and every replay filters
+  * it on read-back.
+  *
+  * All replay dirs live under one temp root removed by a JVM shutdown
+  * hook — Bench no longer grows /tmp by an events-table copy per
+  * replay per pass.
+  */
+object Replay {
+
+  /** Superset replay source: every replay selects its columns from
+    * this schema. */
+  final case class Source(dir: String, schema: StructType, maxTsu: Long,
+      sentinelUser: Long)
+
+  private val runCounter = new AtomicInteger(0)
+  private val sources = scala.collection.concurrent.TrieMap[String, Source]()
+
+  private lazy val root: Path = {
+    val p = Files.createTempDirectory("graft-replay")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => deleteRec(p.toFile)))
+    p
+  }
+
+  private def deleteRec(f: java.io.File): Unit = {
+    val children = f.listFiles()
+    if (children != null) children.foreach(deleteRec)
+    f.delete(): Unit
+  }
+
+  /** Build (once per JVM per sfDir) the ordered replay source. */
+  def source(spark: SparkSession, sfDir: String, nFiles: Int = 8): Source =
+    sources.getOrElseUpdate(sfDir, synchronized {
+      import spark.implicits._
+      val batch = graft.Tables.events(spark, sfDir)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"), unix_micros(col("ts")).as("tsu"), col("ts"))
+      val (maxTsu, maxUser) = batch
+        .agg(max(col("tsu")), max(col("user_id"))).as[(Long, Long)].head()
+      val dir = root.resolve(s"src-${sfDir.replaceAll("[^A-Za-z0-9.]", "_")}")
+      batch.repartitionByRange(nFiles, col("tsu"))
+        .sortWithinPartitions(col("tsu"))
+        .write.mode("overwrite").parquet(dir.toString)
+      // part-NNNNN name order == range ordinal order; rewrite mtimes to
+      // ascend with it (all strictly in the past so the sentinel file
+      // below is the unambiguous newest)
+      val now = System.currentTimeMillis()
+      val parts = dir.toFile.listFiles()
+        .filter(f => f.getName.startsWith("part-")).sortBy(_.getName)
+      parts.zipWithIndex.foreach { case (f, i) =>
+        Files.setLastModifiedTime(f.toPath,
+          FileTime.fromMillis(now - (parts.length - i) * 2000L)): Unit
+      }
+      val sentinelUser = maxUser + 1L
+      val sentTsu = maxTsu + 6L * 3600L * 1000000L
+      Seq((-1L, sentinelUser, "view", 0.0, sentTsu))
+        .toDF("event_id", "user_id", "event_type", "value", "tsu")
+        .withColumn("ts", timestamp_micros(col("tsu")))
+        .write.mode("append").parquet(dir.toString)
+      dir.toFile.listFiles()
+        .filter(f => f.getName.startsWith("part-") && f.lastModified() >= now)
+        .foreach(f => Files.setLastModifiedTime(f.toPath,
+          FileTime.fromMillis(now + 60000L)): Unit)
+      Source(dir.toString, batch.schema, maxTsu, sentinelUser)
+    })
+
+  /** Run one checkpointed file-to-file replay of `build(stream)` over
+    * the shared source and read the sink back as a batch DataFrame.
+    * `maxFilesPerTrigger` controls microbatch granularity — any value
+    * is correct (see ordering note above); the default replays the
+    * source as 3 genuine microbatches (4+4 range files, then the
+    * sentinel). */
+  def run(spark: SparkSession, src: Source, maxFilesPerTrigger: Int = 4)(
+      build: DataFrame => DataFrame): DataFrame = {
+    val runDir = root.resolve(s"run-${runCounter.incrementAndGet()}")
+    val stream = spark.readStream.schema(src.schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(src.dir)
+    val q = build(stream)
+      .writeStream.format("parquet")
+      .option("checkpointLocation", runDir.resolve("ckpt").toString)
+      .outputMode("append")
+      .start(runDir.resolve("out").toString)
+    try q.processAllAvailable() finally q.stop()
+    spark.read.parquet(runDir.resolve("out").toString)
+  }
+}
