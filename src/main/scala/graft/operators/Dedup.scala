@@ -281,17 +281,28 @@ object Dedup {
     * (small character deltas) and splits them from template-style
     * near-dups that share vocabulary but differ by many edits. The
     * Levenshtein verify runs ONLY on the already-verified near-dup pair
-    * set (tiny by then), never on candidates, so its quadratic
-    * per-pair cost is bounded by the LSH output; text rides in via two
-    * doc_id joins, not on any band exchange. */
+    * set (tiny by then), never on candidates, so its per-pair cost is
+    * bounded by the LSH output; text rides in via two doc_id joins, not
+    * on any band exchange.
+    *
+    * Per-pair cost is bounded in DOCUMENT LENGTH too: a length-delta
+    * prefilter (|len_a − len_b| > maxDist ⇒ distance > maxDist, no DP
+    * needed) and the THRESHOLDED `levenshtein(l, r, maxDist)` — banded
+    * DP that early-exits once the distance provably exceeds maxDist, so
+    * a pair costs O(maxDist · min(len)) instead of O(len_a · len_b); a
+    * single verified pair of 100 KB docs is ~10⁶ cells, not ~10¹⁰ on
+    * one task. The 3-arg form returns −1 above the threshold, which is
+    * exactly the rows the 2-arg form's `≤ maxDist` filter dropped —
+    * results identical, oracle unchanged. */
   def fuzzyDedup(docs: DataFrame, maxDist: Int = 8, n: Int = 3,
       numHashes: Int = 64, bands: Int = 16,
       threshold: Double = 0.5): DataFrame =
     minhashLsh(docs, n, numHashes, bands, threshold)
       .join(docs.select(col("doc_id").as("id_a"), col("text").as("__ta")), "id_a")
       .join(docs.select(col("doc_id").as("id_b"), col("text").as("__tb")), "id_b")
-      .withColumn("edit_dist", levenshtein(col("__ta"), col("__tb")))
-      .where(col("edit_dist") <= maxDist)
+      .where(abs(length(col("__ta")) - length(col("__tb"))) <= maxDist)
+      .withColumn("edit_dist", levenshtein(col("__ta"), col("__tb"), maxDist))
+      .where(col("edit_dist") >= 0)
       .select(col("id_a"), col("id_b"), col("jaccard"),
         col("edit_dist").cast("long").as("edit_dist"))
 
