@@ -573,7 +573,7 @@ object TextAnalysis {
         size(col("tk")).as("nw"),
         length(regexp_replace(col("text"), "\\s", "")).as("swl"),
         (length(col("text")) - length(expr("replace(text, '#', '')")) +
-          (length(col("text")) - length(expr("replace(text, '...', '')"))) / 3)
+          expr("(length(text) - length(replace(text, '...', ''))) div 3"))
           .as("nsym"),
         size(filter(col("tk"), w => w.rlike("[a-zA-Z]"))).as("nalpha"),
         size(filter(typedLit(stops), s => array_contains(col("tk"), s)))
