@@ -25,8 +25,14 @@ object Tables {
   def customer(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "customer")
   def supplier(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "supplier")
   def part(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "part")
-  def orders(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "orders")
-  def lineitem(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "lineitem")
+  // o_orderdate / l_shipdate are timestamp columns from the same
+  // generator as events.ts — normalize their flavor at the edge too
+  // (round 4 broke on a silent events regeneration; these two would
+  // break the same way)
+  def orders(spark: SparkSession, dir: String): DataFrame =
+    normalizeTs(load(spark, dir, "orders"), "o_orderdate")
+  def lineitem(spark: SparkSession, dir: String): DataFrame =
+    normalizeTs(load(spark, dir, "lineitem"), "l_shipdate")
   /** `events.ts` has shipped in three parquet flavors across testdata
     * generations; normalize all of them to µs-precision TIMESTAMP (LTZ)
     * so `unix_micros` and `withWatermark` consumers always analyze:
