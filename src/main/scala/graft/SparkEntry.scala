@@ -102,6 +102,8 @@ object SparkEntry {
     }),
     // C. Events
     "e_tumbling" -> ((s, d) => Events.tumblingHourly(Tables.events(s, d))),
+    // the watermarked tumbling-window aggregation as a real checkpointed run
+    "e_tumbling_stream" -> ((s, d) => streaming.EventStream.tumblingCountsReplay(s, d)),
     "e_sliding" -> ((s, d) => Events.slidingCounts(Tables.events(s, d))),
     // the watermarked sliding-window aggregation as a real checkpointed run
     "e_sliding_stream" -> ((s, d) => streaming.EventStream.slidingCountsReplay(s, d)),
@@ -513,6 +515,12 @@ object SparkEntry {
          FROM events CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS j) j
          GROUP BY 1, 2""",
     "e_tumbling" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS hour_start,
+                event_type, count(*) AS cnt, CAST(sum(CAST(round((value) * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_value
+         FROM events GROUP BY 1, 2""",
+    // the streaming replay finalizes every real window, so the emitted
+    // window set equals the batch tumbling aggregation — same oracle
+    "e_tumbling_stream" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS hour_start,
                 event_type, count(*) AS cnt, CAST(sum(CAST(round((value) * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_value
          FROM events GROUP BY 1, 2""",

@@ -16,7 +16,9 @@ import org.apache.spark.sql.functions._
   * module), so decode, resize, perceptual hashing, and audio feature
   * extraction below are genuine byte→pixels/samples transforms with
   * zero external dependencies. Only VIDEO frame decode remains a byte-
-  * slice stand-in ([[frameSample]]) — the JDK has no video codec.
+  * slice stand-in ([[frameSample]]) — the JDK has no video codec
+  * (re-checked round 6: still no ffmpeg/jcodec in the sandbox; JDK 17
+  * only).
   *
   * Execution shape for all decode paths: `mapPartitions` over
   * `(doc_id, media)` pairs — the Scala analog of a batched pandas UDF.

@@ -55,7 +55,8 @@ object EventStream {
     events
       .withWatermark("ts", watermarkDelay)
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-      .agg(count(lit(1)).as("cnt"), sum(col("value")).as("sum_value"))
+      .agg(count(lit(1)).as("cnt"),
+        graft.functions.Exact.moneySum(col("value")).as("sum_value"))
       .select(col("window.start").as("hour_start"), col("event_type"),
         col("cnt"), col("sum_value"))
 
@@ -380,6 +381,22 @@ object EventStream {
     }
       .where(unix_micros(to_timestamp(col("win_start"), "yyyy-MM-dd HH:mm"))
         <= src.maxTsu)
+  }
+
+  /** ORACLE-VISIBLE streaming replay of the watermarked TUMBLING-window
+    * aggregation ([[windowedCounts]]): same shared-source shape as
+    * [[slidingCountsReplay]] — the sentinel clears every real window
+    * end, append mode emits exactly the batch window set
+    * (Events.tumblingHourly — same e_tumbling oracle SQL), sentinel
+    * windows cut on read-back. */
+  def tumblingCountsReplay(spark: SparkSession, sfDir: String): DataFrame = {
+    val src = Replay.source(spark, sfDir)
+    Replay.run(spark, src) { stream =>
+      windowedCounts(stream.select(col("ts"), col("event_type"), col("value")))
+    }
+      .where(unix_micros(col("hour_start")) <= src.maxTsu)
+      .select(date_format(col("hour_start"), "yyyy-MM-dd HH:mm").as("hour_start"),
+        col("event_type"), col("cnt"), col("sum_value"))
   }
 
   /** ORACLE-VISIBLE streaming replay of the stateful [[sessionize]]r:
