@@ -52,7 +52,7 @@ object Shell {
         println("ls | stats | nodes | download <tbl> <dir> | delete <tbl> | " +
           "prep <src> <dest> | index <src> <dest> | prep_incr <new> <index> <dest> | " +
           "neardup <src> [t] | bpe <src> [n] | buckets <src> | kmeans <src> [k] | " +
-          "exit | <sql>")
+          "ann <src> [k] | exit | <sql>")
       case "ls" :: Nil => cat.list().foreach(println)
       case "stats" :: Nil => cat.stats().show(100, truncate = false)
       case "nodes" :: Nil => cat.executorStats().show(100, truncate = false)
@@ -96,6 +96,22 @@ object Shell {
           .createOrReplaceTempView(view)
         spark.table(view).select("cell_id", "n_members").distinct()
           .orderBy("cell_id").show(k, truncate = false)
+        println(s"registered $view")
+      case "ann" :: src :: rest if rest.length <= 1 =>
+        // int8-residual IVF self-join probe: each of the first 10
+        // vectors gets its k nearest neighbors from the quantized index
+        import org.apache.spark.sql.functions.col
+        import graft.functions.VectorFunctions.toDouble
+        val k = rest.headOption.map(_.toInt).getOrElse(5)
+        val emb = cat.table(src)
+        val idx = operators.Similarity.buildIvfIndexQ(emb)
+        val queries = emb.where(col("vec_id") < 10)
+          .select(col("vec_id").as("query_id"),
+            toDouble(col("embedding")).as("qv"))
+        val view = s"${src}_ann"
+        operators.Similarity.ivfSearchQ(idx, queries, k)
+          .createOrReplaceTempView(view)
+        spark.table(view).orderBy("query_id", "rnk").show(20, truncate = false)
         println(s"registered $view")
       case _ => spark.sql(line).show(50, truncate = false)
     }

@@ -58,6 +58,13 @@ class ShellProcedureSpec extends SparkSpec {
     assert(spark.table("emb_kmeans")
       .select("cell_id").distinct().count() <= 4)
 
+    // quantized-IVF ANN over the same table: 10 queries x k rows max
+    assert(Shell.execute("ann emb 3", spark, cat, dir))
+    val ann = spark.table("emb_ann")
+    assert(ann.count() > 0)
+    assert(ann.groupBy("query_id").count()
+      .agg(org.apache.spark.sql.functions.max("count")).head().getLong(0) <= 3)
+
     assert(!Shell.execute("exit", spark, cat, dir))
   }
 }
