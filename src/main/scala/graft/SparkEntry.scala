@@ -89,6 +89,10 @@ object SparkEntry {
     "q_cume_dist" -> ((s, d) => Analytics.cumeDistByStatus(Tables.orders(s, d))),
     "q9_profit" -> ((s, d) => Analytics.q9ProfitByNation(s, d)),
     "q_regression" -> ((s, d) => Analytics.regressionByFlag(Tables.lineitem(s, d))),
+    "q_corr" -> ((s, d) => Analytics.corrQtyPrice(Tables.lineitem(s, d))),
+    "q_bool_bit" -> ((s, d) => Analytics.boolBitProfile(Tables.orders(s, d))),
+    "q_array_ops" -> ((s, d) => Analytics.orderBaskets(Tables.lineitem(s, d))),
+    "g_pagerank" -> ((s, d) => Graph.nationPagerank(s, d)),
     "s_classify" -> ((s, d) => Similarity.centroidClassify(Tables.embeddings(s, d))),
     "s_kmeans" -> ((s, d) => Similarity.kmeansCentroids(Tables.embeddings(s, d))),
     // bounded-buffer top-k aggregate: O(groups·k) shuffle, vs the window
@@ -132,6 +136,12 @@ object SparkEntry {
     "e_funnel" -> ((s, d) => Events.funnel(Tables.events(s, d))),
     "e_retention" -> ((s, d) => Events.retention(Tables.events(s, d))),
     "e_anomaly" -> ((s, d) => Events.anomalies(Tables.events(s, d))),
+    "e_ewma" -> ((s, d) => Events.ewmaDecayedSum(Tables.events(s, d))),
+    "e_gap_fill" -> ((s, d) => Events.gapFillForward(Tables.events(s, d))),
+    "e_markov" -> ((s, d) => Events.transitionMatrix(Tables.events(s, d))),
+    "e_rolling_median" -> ((s, d) => Events.rollingMedian(Tables.events(s, d))),
+    // streaming exactly-once dedup as a real checkpointed run
+    "e_dedup_stream" -> ((s, d) => streaming.EventStream.dedupKeysReplay(s, d)),
     // D. LLM-training-data pipeline
     "d_dedup_exact" -> ((s, d) => Dedup.exact(Tables.documents(s, d))),
     "d_dedup_ngram" -> ((s, d) => Dedup.ngramJaccard(Tables.documents(s, d), 3, 0.5)),
@@ -225,6 +235,7 @@ object SparkEntry {
     "t_lang_confusion" -> ((s, d) => TextAnalysis.langConfusion(Tables.documents(s, d))),
     "d_source_stats" -> ((s, d) => TextAnalysis.sourceStats(Tables.documents(s, d))),
     "t_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(Tables.documents(s, d))),
+    "t_char_ngrams" -> ((s, d) => TextAnalysis.charNgramTop(Tables.documents(s, d))),
     "t_normalize" -> ((s, d) => TextAnalysis.normalize(Tables.documents(s, d))),
     "t_tfidf" -> ((s, d) => TextAnalysis.tfidf(Tables.documents(s, d))),
     "t_redact" -> ((s, d) => TextAnalysis.redact(Tables.events(s, d), "event_id", "props")),
@@ -1582,6 +1593,16 @@ object SparkEntry {
                   list_transform(w, t -> CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) % 1000000007)),
                   (acc, x) -> (acc * 31 + x) % 1000000007) AS fp
          FROM tok""",
+    // grams restricted to printable ASCII so the compare never rides on
+    // unicode case/grapheme dialect; tie order (cnt desc, gram) is total
+    "t_char_ngrams" ->
+      """WITH d AS (SELECT text AS t FROM documents WHERE length(text) >= 3),
+         g AS (SELECT substr(t, CAST(u.i AS INTEGER), 3) AS gram
+               FROM d, LATERAL unnest(generate_series(1, length(t) - 2)) AS u(i)),
+         f AS (SELECT gram, CAST(count(*) AS BIGINT) AS cnt FROM g
+               WHERE regexp_matches(gram, '^[ -~]{3}$') GROUP BY gram),
+         r AS (SELECT gram, cnt, row_number() OVER (ORDER BY cnt DESC, gram) AS rk FROM f)
+         SELECT gram, cnt, CAST(rk AS INTEGER) AS rk FROM r WHERE rk <= 40""",
     // brute-force hamming pairs: the Spark side's 4x15-bit banding is
     // lossless at maxHamming=3 (pigeonhole), so all-pairs IS the oracle
     "d_dedup_simhash" ->
@@ -1643,6 +1664,61 @@ object SparkEntry {
          c AS (SELECT user_id, min(wk) AS cw FROM a GROUP BY 1)
          SELECT cw AS cohort_week, wk - cw AS week_offset, count(*) AS n_users
          FROM a JOIN c USING (user_id) GROUP BY 1, 2""",
+    // dyadic (α = ½, depth 16) decayed trailing sum: every weight is a
+    // power of two, every term an exact integer — the self-join rank
+    // formulation here mirrors the Spark side's frame-array fold
+    "e_ewma" ->
+      """WITH u AS (SELECT user_id, event_id, epoch_us(ts) AS tsu,
+                CAST(round(value * 100) AS BIGINT) AS cents,
+                row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS rn
+           FROM events)
+         SELECT a.user_id, a.event_id,
+                CAST(sum(b.cents * (CAST(1 AS BIGINT) << CAST(15 - (a.rn - b.rn) AS INTEGER))) AS BIGINT) AS ewma_scaled,
+                CAST(sum(b.cents * (CAST(1 AS BIGINT) << CAST(15 - (a.rn - b.rn) AS INTEGER))) AS DOUBLE) / 32768.0 AS ewma
+         FROM u a JOIN u b ON a.user_id = b.user_id AND b.rn BETWEEN a.rn - 15 AND a.rn
+         GROUP BY a.user_id, a.event_id""",
+    // forward fill via the portable fill-group idiom (running count of
+    // observations → max within the group) — identical formulation to
+    // the Spark plan, no IGNORE NULLS dialect dependence
+    "e_gap_fill" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) // 3600000000 AS hr,
+                CAST(round(value * 100) AS BIGINT) AS cents,
+                row_number() OVER (PARTITION BY user_id, epoch_us(ts) // 3600000000
+                                   ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+           FROM events),
+         hourly AS (SELECT user_id, hr, cents FROM e WHERE rn = 1),
+         grid AS (SELECT user_id, unnest(generate_series(min(hr), max(hr))) AS hr
+                  FROM hourly GROUP BY user_id),
+         j AS (SELECT g.user_id, g.hr, h.cents,
+                      count(h.cents) OVER (PARTITION BY g.user_id ORDER BY g.hr
+                                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+               FROM grid g LEFT JOIN hourly h ON g.user_id = h.user_id AND g.hr = h.hr)
+         SELECT user_id, CAST(hr AS BIGINT) AS hr,
+                max(cents) OVER (PARTITION BY user_id, grp) AS filled_cents,
+                CAST(CASE WHEN cents IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS observed
+         FROM j""",
+    // prob is one division of two exact integers — deterministic
+    "e_markov" ->
+      """WITH u AS (SELECT user_id, event_type,
+                lead(event_type) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS next_type
+           FROM events)
+         SELECT event_type AS src_type, next_type AS dst_type,
+                CAST(count(*) AS BIGINT) AS cnt,
+                CAST(count(*) AS DOUBLE) / CAST(sum(count(*)) OVER (PARTITION BY event_type) AS DOUBLE) AS prob
+         FROM u WHERE next_type IS NOT NULL GROUP BY event_type, next_type""",
+    // interpolated medians of integer cents are exact multiples of ½
+    "e_rolling_median" ->
+      """WITH u AS (SELECT user_id, event_id, epoch_us(ts) AS tsu,
+                CAST(round(value * 100) AS BIGINT) AS cents FROM events)
+         SELECT user_id, event_id,
+                quantile_cont(cents, 0.5) OVER (PARTITION BY user_id ORDER BY tsu, event_id
+                                                ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS med_cents
+         FROM u""",
+    // the streaming dedup's emitted key set == batch DISTINCT
+    "e_dedup_stream" ->
+      """SELECT DISTINCT user_id, event_type,
+                epoch_us(date_trunc('hour', ts)) AS hr_us
+         FROM events""",
     "q4_exists" ->
       """SELECT o_orderpriority, count(*) AS order_count
          FROM orders o
@@ -1970,6 +2046,74 @@ object SparkEntry {
                       (CAST(n AS DOUBLE) * sxx - sx * sx)
                       * 1000000 + 0.5) / 1000000 AS slope
          FROM s""",
+    // correlation from exact integer moment sums (HUGEINT mirrors
+    // Spark's Decimal(38,0)); the closing double arithmetic is the
+    // identical expression tree on both engines
+    "q_corr" ->
+      """WITH m AS (SELECT l_returnflag,
+             CAST(count(*) AS HUGEINT) AS n,
+             sum(CAST(CAST(round(l_quantity * 100) AS BIGINT) AS HUGEINT)) AS sx,
+             sum(CAST(CAST(round(l_extendedprice * 100) AS BIGINT) AS HUGEINT)) AS sy,
+             sum(CAST(CAST(round(l_quantity * 100) AS BIGINT) * CAST(round(l_quantity * 100) AS BIGINT) AS HUGEINT)) AS sxx,
+             sum(CAST(CAST(round(l_extendedprice * 100) AS BIGINT) * CAST(round(l_extendedprice * 100) AS BIGINT) AS HUGEINT)) AS syy,
+             sum(CAST(CAST(round(l_quantity * 100) AS BIGINT) * CAST(round(l_extendedprice * 100) AS BIGINT) AS HUGEINT)) AS sxy
+             FROM lineitem GROUP BY l_returnflag)
+         SELECT l_returnflag, CAST(n AS BIGINT) AS n_rows,
+                CAST(n * sxy - sx * sy AS DOUBLE) /
+                  sqrt(CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE)) AS corr_qty_price,
+                CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * n AS DOUBLE) AS covar_pop_c2
+         FROM m""",
+    "q_bool_bit" ->
+      """SELECT o_orderpriority,
+                bool_and(o_totalprice > 1000.0) AS all_over_1k,
+                bool_or(o_totalprice > 100000.0) AS any_over_100k,
+                bit_and(o_orderkey) AS keys_and,
+                bit_or(o_orderkey) AS keys_or,
+                bit_xor(o_orderkey) AS keys_xor,
+                CAST(count(*) AS BIGINT) AS cnt
+         FROM orders GROUP BY o_orderpriority""",
+    "q_array_ops" ->
+      """WITH b AS (SELECT l_orderkey, list_sort(list(DISTINCT l_partkey)) AS parts
+                    FROM lineitem GROUP BY l_orderkey)
+         SELECT l_orderkey,
+                CAST(len(parts) AS INTEGER) AS n_parts,
+                parts[1] AS first_part,
+                parts[-1] AS last_part,
+                CAST(list_sum(parts) AS BIGINT) AS sum_parts,
+                array_to_string(parts, ',') AS parts_csv
+         FROM b""",
+    // fixed-point PageRank replayed as one generated CTE pair per
+    // iteration (the kmeans/BPE replay pattern): every step is integer
+    // multiply / floor-divide / sum, exact in any accumulation order
+    "g_pagerank" -> {
+      def iter(i: Int): String =
+        s"""c$i AS (SELECT e.dst, sum((r.rank * e.w) // o.ow) AS contrib
+                 FROM edges e JOIN r${i - 1} r ON e.src = r.node
+                 JOIN ow o ON e.src = o.src
+                 GROUP BY e.dst),
+         r$i AS (SELECT n.n_name AS node,
+                   ((1000000000000 // 100) * 15) // nn.n
+                     + (85 * COALESCE(c.contrib, 0)) // 100 AS rank
+                 FROM nation n CROSS JOIN nn
+                 LEFT JOIN c$i c ON n.n_name = c.dst)"""
+      s"""WITH edges AS (SELECT ns.n_name AS src, nc.n_name AS dst,
+                   CAST(count(*) AS BIGINT) AS w
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation ns ON s.s_nationkey = ns.n_nationkey
+            JOIN nation nc ON c.c_nationkey = nc.n_nationkey
+            GROUP BY ns.n_name, nc.n_name),
+         nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nation),
+         ow AS (SELECT src, sum(w) AS ow FROM edges GROUP BY src),
+         r0 AS (SELECT n_name AS node, 1000000000000 // n AS rank
+                FROM nation CROSS JOIN nn),
+         ${iter(1)},${iter(2)},${iter(3)}
+         SELECT node AS n_name, CAST(rank AS BIGINT) AS rank_scaled,
+                CAST(rank AS DOUBLE) / 1000000000000.0 AS rank
+         FROM r3"""
+    },
     // z² > k² as pure integer arithmetic: (n·v − S)² > k²·(n·Q − S²),
     // in HUGEINT (int128) to mirror the Spark side's Decimal(38,0) —
     // both engines exact at every magnitude, no silent int64 wrap

@@ -904,4 +904,66 @@ object Analytics {
       .groupBy(col("s_name"))
       .agg(sum(col("n_late_items")).as("numwait"))
   }
+
+  /** Pearson correlation + population covariance of quantity vs price
+    * per return flag, computed from EXACT integer-cents moment sums
+    * (n, Σx, Σy, Σx², Σy², Σxy as DECIMAL(38,0)) rather than the
+    * built-in `corr` — the built-ins accumulate doubles whose rounding
+    * depends on partition merge order, so they can never hash-match a
+    * second engine. Here every input to float-land is an exact integer
+    * and the closing arithmetic is the identical expression tree on
+    * both sides (IEEE *,/,sqrt are correctly rounded → deterministic).
+    * One map-side-combinable aggregate; moment state is O(1) per group. */
+  def corrQtyPrice(lineitem: DataFrame): DataFrame = {
+    val m = lineitem
+      .select(col("l_returnflag"),
+        expr("CAST(round(l_quantity * 100) AS BIGINT)").as("x"),
+        expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("y"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).cast("decimal(38,0)").as("n"),
+        sum(col("x").cast("decimal(38,0)")).as("sx"),
+        sum(col("y").cast("decimal(38,0)")).as("sy"),
+        sum((col("x") * col("x")).cast("decimal(38,0)")).as("sxx"),
+        sum((col("y") * col("y")).cast("decimal(38,0)")).as("syy"),
+        sum((col("x") * col("y")).cast("decimal(38,0)")).as("sxy"))
+    m.select(col("l_returnflag"), col("n").cast("long").as("n_rows"),
+      (expr("CAST(n * sxy - sx * sy AS DOUBLE)") /
+        sqrt(expr("CAST(n * sxx - sx * sx AS DOUBLE)") *
+          expr("CAST(n * syy - sy * sy AS DOUBLE)"))).as("corr_qty_price"),
+      (expr("CAST(n * sxy - sx * sy AS DOUBLE)") /
+        expr("CAST(n * n AS DOUBLE)")).as("covar_pop_c2"))
+  }
+
+  /** Boolean + bitwise aggregate family per order priority: bool_and /
+    * bool_or over a price predicate, bit_and / bit_or / bit_xor over
+    * order keys. All six are order-independent single-pass aggregates
+    * (map-side combinable, O(1) state) — the "does every/any row
+    * satisfy" and checksum shapes a validation pipeline runs at scale. */
+  def boolBitProfile(orders: DataFrame): DataFrame =
+    orders
+      .groupBy(col("o_orderpriority"))
+      .agg(expr("bool_and(o_totalprice > 1000.0)").as("all_over_1k"),
+        expr("bool_or(o_totalprice > 100000.0)").as("any_over_100k"),
+        expr("bit_and(o_orderkey)").as("keys_and"),
+        expr("bit_or(o_orderkey)").as("keys_or"),
+        expr("bit_xor(o_orderkey)").as("keys_xor"),
+        count(lit(1)).as("cnt"))
+
+  /** Per-order part basket as a COMPLEX-TYPE pipeline: sorted distinct
+    * part keys per order, then higher-order array functions over the
+    * basket (size, bounds, an `aggregate` fold) — the collect→transform
+    * shape feature pipelines use for per-entity token/ID lists. The
+    * basket is bounded by order size (map-side combinable collect_set);
+    * arrays serialize to a canonical comma string for the cross-engine
+    * hash (sorted → identical rendering both sides). */
+  def orderBaskets(lineitem: DataFrame): DataFrame =
+    lineitem
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_set(col("l_partkey"))).as("parts"))
+      .select(col("l_orderkey"),
+        size(col("parts")).as("n_parts"),
+        element_at(col("parts"), 1).as("first_part"),
+        element_at(col("parts"), -1).as("last_part"),
+        expr("aggregate(parts, CAST(0 AS BIGINT), (acc, x) -> acc + x)").as("sum_parts"),
+        array_join(col("parts"), ",").as("parts_csv"))
 }

@@ -316,4 +316,106 @@ object Events {
       .groupBy(col("cw").as("cohort_week"), (col("wk") - col("cw")).as("week_offset"))
       .agg(count(lit(1)).as("n_users"))
   }
+
+  /** Exponentially-decayed trailing sum (the EWMA family) per user over
+    * the last `depth` events: the current event's cents weigh
+    * 2^(depth−1), each older event half that — a DYADIC decay (α = ½)
+    * chosen so every term is an exact integer and the result is
+    * ENGINE-EXACT in any summation order (no float-accumulation drift;
+    * the cross-engine rule from round 1). One shuffle on user_id; the
+    * per-row state is the `depth`-element frame array (bounded, spills
+    * never). `ewma` itself is one final division by 2^(depth−1) —
+    * exact-input single-op double, deterministic.
+    *
+    * The frame list arrives oldest→current (frame order = window
+    * ORDER BY), so element i of an s-element frame sits distance
+    * s−1−i from the current row and takes weight 2^(depth−1−(s−1−i)).
+    */
+  def ewmaDecayedSum(events: DataFrame, depth: Int = 16): DataFrame = {
+    require(depth >= 1 && depth <= 32, s"depth out of range: $depth")
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("tsu"), col("event_id"))
+      .rowsBetween(-(depth - 1), Window.currentRow)
+    events
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("tsu"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .withColumn("frame", collect_list(col("cents")).over(w))
+      .select(col("user_id"), col("event_id"),
+        expr(s"""aggregate(
+                   transform(frame, (x, i) -> x * shiftleft(CAST(1 AS BIGINT), i + $depth - size(frame))),
+                   CAST(0 AS BIGINT), (acc, x) -> acc + x)""").as("ewma_scaled"))
+      .withColumn("ewma",
+        col("ewma_scaled").cast("double") / math.pow(2.0, depth - 1))
+  }
+
+  /** Hourly forward-fill: per user, a dense hour grid carrying the LAST
+    * observed cents value forward through silent hours — the
+    * last-observation-carried-forward regularization (the sibling of
+    * [[resampleHourly]]'s zero-fill). The fill uses the portable
+    * fill-group idiom (running count of observations → max within the
+    * group) rather than IGNORE NULLS, so both engines execute the
+    * identical formulation. All shuffles key on user_id (per-hour pick,
+    * grid, two fill windows share the partitioning); grid size is
+    * span×users, never a global calendar cross join. */
+  def gapFillForward(events: DataFrame): DataFrame = {
+    val hr = expr(
+      "(unix_micros(ts) - pmod(unix_micros(ts), 3600000000)) div 3600000000").as("hr")
+    // last event per (user, hour) by the (tsu, event_id) total order
+    val pick = Window.partitionBy(col("user_id"), col("hr"))
+      .orderBy(col("tsu").desc, col("event_id").desc)
+    val hourly = events
+      .select(col("user_id"), hr, unix_micros(col("ts")).as("tsu"), col("event_id"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .withColumn("rn", row_number().over(pick))
+      .where(col("rn") === 1)
+      .select(col("user_id"), col("hr"), col("cents"))
+    val grid = hourly.groupBy(col("user_id"))
+      .agg(min(col("hr")).as("mn"), max(col("hr")).as("mx"))
+      .select(col("user_id"), explode(sequence(col("mn"), col("mx"))).as("hr"))
+    val byHr = Window.partitionBy(col("user_id")).orderBy(col("hr"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(hourly, Seq("user_id", "hr"), "left")
+      .withColumn("grp", count(col("cents")).over(byHr))
+      .withColumn("filled_cents",
+        max(col("cents")).over(Window.partitionBy(col("user_id"), col("grp"))))
+      .select(col("user_id"), col("hr"), col("filled_cents"),
+        when(col("cents").isNotNull, lit(1L)).otherwise(lit(0L)).as("observed"))
+  }
+
+  /** First-order Markov transition matrix over event types: per user the
+    * event sequence in (tsu, event_id) order yields (type → next type)
+    * pairs via lead; global counts + per-source row-stochastic
+    * probabilities. One shuffle on user_id for the sequence, one
+    * |types|²-bounded aggregate; `prob` is one division of two exact
+    * integers — deterministic. The output is the user-journey model a
+    * curation pipeline reads funnel/anomaly priors from. */
+  def transitionMatrix(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("tsu"), col("event_id"))
+    events
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("tsu"),
+        col("event_id"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .where(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("src_type"), col("next_type").as("dst_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("prob", col("cnt").cast("double") /
+        sum(col("cnt")).over(Window.partitionBy(col("src_type"))).cast("double"))
+  }
+
+  /** Rolling EXACT median of the user's last `frame` event cents — the
+    * robust-location counterpart of a moving average (outlier-immune
+    * baseline for anomaly scoring). `percentile` over a ROWS frame keeps
+    * a ≤`frame`-element buffer per row — O(frame) state at any scale,
+    * never a per-partition sort buffer. Interpolated medians of integer
+    * cents are exact multiples of ½ — engine-exact doubles. */
+  def rollingMedian(events: DataFrame, frame: Int = 5): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("tsu"), col("event_id"))
+      .rowsBetween(-(frame - 1), Window.currentRow)
+    events
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("tsu"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .select(col("user_id"), col("event_id"),
+        expr("percentile(cents, CAST(0.5 AS DOUBLE))").over(w).as("med_cents"))
+  }
 }

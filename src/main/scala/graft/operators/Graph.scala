@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Graph analytics over a DERIVED graph: the star schema has no native
+  * edge table, so the trade network — supplier nation → customer nation,
+  * weighted by shipped line items — serves as the graph the reference's
+  * "who talks to whom" statistics would be asked of. Connected
+  * components live in Dedup (similarity graphs); this file holds the
+  * ranked-importance side (PageRank).
+  *
+  * Cross-engine exactness: ranks are FIXED-POINT BIGINTs (SCALE = 1e12)
+  * and every iteration step is integer multiply / floor-divide / sum —
+  * exact in any accumulation order, so K iterations replay bit-identical
+  * in DuckDB as generated CTEs (the kmeans/BPE replay pattern). A float
+  * PageRank would diverge across engines in the per-node contribution
+  * sum's ordering; the integer form cannot.
+  */
+object Graph {
+
+  val Scale = 1000000000000L // 1e12: 12 fractional digits of rank
+
+  /** Nation-level trade edges: (src = supplier nation, dst = customer
+    * nation, w = line items shipped). lineitem⋈orders is the ONLY
+    * fact-fact shuffle; supplier/customer/nation dim chains broadcast.
+    * Output is ≤ |nations|² rows — the aggregate collapses the fact
+    * volume before any graph work happens. */
+  def tradeEdges(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_suppkey"))
+    val ord = Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey"))
+    val sup = broadcast(Tables.supplier(spark, dir)
+      .select(col("s_suppkey"), col("s_nationkey")))
+    val cust = broadcast(Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_nationkey")))
+    val nat = Tables.nation(spark, dir).select(col("n_nationkey"), col("n_name"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(sup, col("l_suppkey") === col("s_suppkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nat.select(col("n_nationkey").as("sk"), col("n_name").as("src"))),
+        col("s_nationkey") === col("sk"))
+      .join(broadcast(nat.select(col("n_nationkey").as("ck"), col("n_name").as("dst"))),
+        col("c_nationkey") === col("ck"))
+      .groupBy(col("src"), col("dst"))
+      .agg(count(lit(1)).as("w"))
+  }
+
+  /** Fixed-point PageRank, `iters` synchronous iterations at damping
+    * 0.85. Each iteration is the scalable DataFrame shape — edges ⋈
+    * ranks on src, contributions floor-divided per out-weight, one
+    * aggregate on dst — so the SAME plan runs a million-node graph; for
+    * the 25-nation instance every join auto-broadcasts. Dangling mass
+    * (nodes without out-edges) is dropped, not redistributed — the
+    * standard simplification, deterministic, and stated here so the
+    * oracle can mirror it. `rank` is the single exact-input division
+    * rank_scaled / 1e12.
+    *
+    * Overflow headroom: rank ≤ SCALE (1e12) and per-edge weight w must
+    * keep rank·w < 2^63 — w < 9.2e6. Nation-level counts exceed that
+    * only past ~1e7 lineitems per nation pair; at that point pre-scale
+    * the weights (only w/outw ratios matter) before calling.
+    */
+  def pagerank(edges: DataFrame, nodes: DataFrame, iters: Int = 3): DataFrame = {
+    val n1 = nodes.agg(count(lit(1)).as("n_nodes"))
+    val outw = edges.groupBy(col("src")).agg(sum(col("w")).as("ow"))
+    val e = edges.join(outw, "src")
+      .select(col("src"), col("dst"), col("w"), col("ow"))
+    var ranks = nodes.crossJoin(broadcast(n1))
+      .select(col("node"), expr(s"CAST($Scale AS BIGINT) div n_nodes").as("rank"))
+    for (_ <- 1 to iters) {
+      val contrib = e.join(ranks, col("src") === col("node"))
+        .select(col("dst"), expr("(rank * w) div ow").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("contrib"))
+      ranks = nodes.crossJoin(broadcast(n1))
+        .join(contrib, col("node") === col("dst"), "left")
+        .select(col("node"),
+          expr(s"(($Scale div 100) * 15) div n_nodes" +
+            s" + (85 * coalesce(contrib, CAST(0 AS BIGINT))) div 100").as("rank"))
+    }
+    ranks
+      .select(col("node"), col("rank").as("rank_scaled"),
+        (col("rank").cast("double") / Scale.toDouble).as("rank"))
+  }
+
+  /** Driver entry: PageRank of the nation trade network. */
+  def nationPagerank(spark: SparkSession, dir: String, iters: Int = 3): DataFrame = {
+    val nodes = Tables.nation(spark, dir).select(col("n_name").as("node"))
+    pagerank(tradeEdges(spark, dir), nodes, iters)
+      .withColumnRenamed("node", "n_name")
+  }
+}

@@ -590,4 +590,31 @@ object TextAnalysis {
         col("r_word_count") && col("r_mean_word_len") &&
           col("r_symbol_ratio") && col("r_alpha_words") && col("r_stopwords"))
   }
+
+  /** Corpus-wide top-k character trigrams — the raw statistic under
+    * language ID and domain fingerprinting. The per-document explode is
+    * map-side (`transform` over an index `sequence`, no UDF, stays in
+    * codegen); one count aggregate and a TakeOrdered top-k with a total
+    * tie order (cnt desc, gram asc) both engines agree on. Grams are
+    * restricted to printable ASCII so the cross-engine hash never rides
+    * on unicode case/grapheme semantics (the lang-id n-gram path already
+    * covers the unicode side). */
+  def charNgramTop(docs: DataFrame, k: Int = 40): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grams = docs
+      .where(length(col("text")) >= 3)
+      .select(explode(expr(
+        "transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))"))
+        .as("gram"))
+      .where(col("gram").rlike("^[ -~]{3}$"))
+      .groupBy(col("gram")).agg(count(lit(1)).as("cnt"))
+    // top-k via sort+limit = TakeOrderedAndProject (bounded per-partition
+    // heaps, never a global sort); the rank window then runs over k rows
+    grams
+      .orderBy(col("cnt").desc, col("gram"))
+      .limit(k)
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("cnt").desc, col("gram"))))
+      .select(col("gram"), col("cnt"), col("rk"))
+  }
 }

@@ -399,6 +399,41 @@ object EventStream {
         col("event_type"), col("cnt"), col("sum_value"))
   }
 
+  /** Watermarked streaming DEDUPLICATION — exactly-once key emission
+    * over an at-least-once stream, the ingestion-side dedup every
+    * pipeline runs before counting anything. Key = (user_id,
+    * event_type, hour): the first arrival of each key is emitted
+    * immediately (dedup is not an aggregation — no watermark wait) and
+    * the key is held in state until the watermark passes hour + delay,
+    * after which duplicates can no longer arrive (in-order or
+    * ≤delay-late sources). State is bounded: live keys span only the
+    * watermark horizon. The watermark column (`hr`) is part of the key,
+    * which is what lets the state store evict by event time. */
+  def dedupKeysStream(events: DataFrame,
+      watermarkDelay: String = "2 hours"): DataFrame =
+    events
+      .select(col("user_id"), col("event_type"),
+        date_trunc("hour", col("ts")).as("hr"))
+      .withWatermark("hr", watermarkDelay)
+      .dropDuplicates("user_id", "event_type", "hr")
+
+  /** ORACLE-VISIBLE streaming replay of [[dedupKeysStream]]: the
+    * emitted key set over the ordered [[Replay]] source equals the
+    * batch DISTINCT exactly — first-arrival emission is immediate, so
+    * unlike the windowed replays no sentinel is needed to flush it
+    * (the sentinel contributes only its own key, filtered on
+    * read-back). The ordered source also guarantees no true row is
+    * ever late-dropped by the pre-dedup watermark filter. */
+  def dedupKeysReplay(spark: SparkSession, sfDir: String): DataFrame = {
+    val src = Replay.source(spark, sfDir)
+    Replay.run(spark, src) { stream =>
+      dedupKeysStream(stream.select(col("user_id"), col("event_type"), col("ts")))
+    }
+      .where(col("user_id") =!= src.sentinelUser)
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("hr")).as("hr_us"))
+  }
+
   /** ORACLE-VISIBLE streaming replay of the stateful [[sessionize]]r:
     * same shared-source → checkpointed-parquet shape as
     * [[purchaseAttributionReplay]]. The source's sentinel lands 6h past

@@ -1,0 +1,156 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import graft.operators.{Analytics, Events, Graph, TextAnalysis}
+
+/** Round-6 operator family: dyadic EWMA, forward fill, Markov
+  * transitions, rolling median, fixed-point PageRank, moment-sum
+  * correlation, bool/bit aggregates, basket arrays, char n-grams. */
+class Round6OpsSpec extends SparkSpec {
+
+  private def eventsDf(rows: Seq[(Long, Long, Long, Double)]) = {
+    // (event_id, user_id, ts_us, value)
+    import spark.implicits._
+    rows.toDF("event_id", "user_id", "tsu0", "value")
+      .select(col("event_id"), col("user_id"),
+        expr("timestamp_micros(tsu0)").as("ts"), col("value"))
+  }
+
+  test("ewmaDecayedSum matches the hand-computed dyadic weights") {
+    val hourUs = 3600000000L
+    val df = eventsDf(Seq(
+      (1L, 7L, 0L, 1.0), (2L, 7L, hourUs, 2.0), (3L, 7L, 2 * hourUs, 3.0)))
+    val got = Events.ewmaDecayedSum(df, depth = 16)
+      .orderBy("event_id")
+      .select("ewma_scaled", "ewma")
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    // cents 100/200/300; weight 2^15 on the current row, halving backwards
+    assert(got(0) == ((100L << 15, 100.0)))
+    assert(got(1) == (((100L << 14) + (200L << 15), 100.0 / 2 + 200.0)))
+    assert(got(2) == (((100L << 13) + (200L << 14) + (300L << 15),
+      100.0 / 4 + 200.0 / 2 + 300.0)))
+  }
+
+  test("ewma window depth bounds the frame: event depth+1 back has no effect") {
+    val df = eventsDf((1 to 5).map(i => (i.toLong, 9L, i * 1000000L, 4.0)))
+    val shallow = Events.ewmaDecayedSum(df, depth = 2)
+      .orderBy("event_id").select("ewma_scaled").collect().map(_.getLong(0))
+    // depth 2: current*2 + prev*1, regardless of older history
+    assert(shallow.toSeq == Seq(400L * 2, 400 + 800, 400 + 800, 400 + 800, 400 + 800))
+  }
+
+  test("gapFillForward carries the last observation through silent hours") {
+    val hourUs = 3600000000L
+    val df = eventsDf(Seq(
+      (1L, 5L, 0L, 1.0),              // hour 0, cents 100
+      (2L, 5L, 10L, 2.5),             // hour 0 later event -> cents 250 wins
+      (3L, 5L, 3 * hourUs, 9.0)))     // hour 3; hours 1-2 silent
+    val got = Events.gapFillForward(df)
+      .orderBy("hr")
+      .select("hr", "filled_cents", "observed")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq((0L, 250L, 1L), (1L, 250L, 0L), (2L, 250L, 0L),
+      (3L, 900L, 1L)))
+  }
+
+  test("transitionMatrix counts ordered pairs and rows are stochastic per source") {
+    val df = {
+      import spark.implicits._
+      Seq((1L, 1L, 1L, "view"), (2L, 1L, 2L, "view"), (3L, 1L, 3L, "purchase"),
+        (4L, 2L, 1L, "view"), (5L, 2L, 2L, "click"))
+        .toDF("event_id", "user_id", "tsu0", "event_type")
+        .select(col("event_id"), col("user_id"),
+          expr("timestamp_micros(tsu0)").as("ts"), col("event_type"),
+          lit(0.0).as("value"))
+    }
+    val got = Events.transitionMatrix(df)
+      .collect().map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(got(("view", "view")) == ((1L, 1.0 / 3)))
+    assert(got(("view", "purchase")) == ((1L, 1.0 / 3)))
+    assert(got(("view", "click")) == ((1L, 1.0 / 3)))
+    assert(got.keySet == Set(("view", "view"), ("view", "purchase"), ("view", "click")))
+  }
+
+  test("rollingMedian interpolates exactly over the row frame") {
+    val df = eventsDf(Seq(
+      (1L, 3L, 1L, 1.0), (2L, 3L, 2L, 3.0), (3L, 3L, 3L, 2.0)))
+    val got = Events.rollingMedian(df, frame = 5)
+      .orderBy("event_id").select("med_cents").collect().map(_.getDouble(0))
+    // frames: [100] -> 100; [100,300] -> 200; [100,300,200] -> 200
+    assert(got.toSeq == Seq(100.0, 200.0, 200.0))
+  }
+
+  test("pagerank on a 3-cycle is uniform and exactly SCALE-conserving per step") {
+    import spark.implicits._
+    val edges = Seq(("a", "b", 5L), ("b", "c", 5L), ("c", "a", 5L))
+      .toDF("src", "dst", "w")
+    val nodes = Seq("a", "b", "c").toDF("node")
+    val ranks = Graph.pagerank(edges, nodes, iters = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    // symmetric cycle: every node keeps the uniform fixed point
+    // r = (15%·S)/3 + 85%·r  with r0 = S/3 — and floor-div makes it exact
+    val s = Graph.Scale
+    var r = s / 3
+    for (_ <- 1 to 3) r = ((s / 100) * 15) / 3 + (85 * r) / 100
+    assert(ranks.values.toSet == Set(r))
+  }
+
+  test("pagerank handles sinks and sources deterministically") {
+    import spark.implicits._
+    // b is a sink (no out-edges): its mass drops each iteration
+    val edges = Seq(("a", "b", 1L)).toDF("src", "dst", "w")
+    val nodes = Seq("a", "b").toDF("node")
+    val ranks = Graph.pagerank(edges, nodes, iters = 1)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val s = Graph.Scale
+    val base = ((s / 100) * 15) / 2
+    assert(ranks("a") == base) // nothing points at a
+    assert(ranks("b") == base + (85 * (s / 2)) / 100) // a's whole rank
+  }
+
+  test("corrQtyPrice agrees with the float built-ins to 1e-9") {
+    val li = Tables.lineitem(spark, sfDir)
+    val exact = Analytics.corrQtyPrice(li)
+      .collect().map(r => r.getString(0) -> (r.getDouble(2), r.getDouble(3))).toMap
+    val ref = li.groupBy("l_returnflag")
+      .agg(corr(col("l_quantity"), col("l_extendedprice")).as("c"),
+        covar_pop(col("l_quantity"), col("l_extendedprice")).as("cv"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    ref.foreach { case (k, (c, cv)) =>
+      assert(math.abs(exact(k)._1 - c) < 1e-9, s"corr $k")
+      // covar_pop_c2 is in cents² units
+      assert(math.abs(exact(k)._2 / 10000.0 - cv) < math.abs(cv) * 1e-9, s"covar $k")
+    }
+  }
+
+  test("orderBaskets arrays are sorted, bounded and fold-consistent") {
+    val got = Analytics.orderBaskets(Tables.lineitem(spark, sfDir))
+    val bad = got.where(
+      col("first_part") > col("last_part") ||
+        size(split(col("parts_csv"), ",")) =!= col("n_parts"))
+    assert(bad.count() == 0)
+    // spot check: sum of csv elements equals the fold
+    val r = got.orderBy("l_orderkey").limit(1).collect()(0)
+    val csvSum = r.getAs[String]("parts_csv").split(",").map(_.toLong).sum
+    assert(csvSum == r.getAs[Long]("sum_parts"))
+  }
+
+  test("charNgramTop ranks by (cnt desc, gram) and stays ASCII") {
+    import spark.implicits._
+    val docs = Seq((1L, "aaab"), (2L, "aaa"), (3L, "abéxy")).toDF("doc_id", "text")
+    val got = TextAnalysis.charNgramTop(docs, k = 10)
+      .orderBy("rk").collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+    // "aaab" yields aaa,aab; "aaa" yields aaa; every é-containing gram
+    // of the third doc is filtered by the ASCII guard
+    assert(got.toSeq == Seq(("aaa", 2L, 1), ("aab", 1L, 2)))
+  }
+
+  test("boolBitProfile bit identities hold") {
+    val got = Analytics.boolBitProfile(Tables.orders(spark, sfDir))
+    // and ⊆ or as bit sets
+    val bad = got.where((col("keys_and").bitwiseAND(col("keys_or"))) =!= col("keys_and"))
+    assert(bad.count() == 0)
+  }
+}
