@@ -93,6 +93,8 @@ object SparkEntry {
     "q_bool_bit" -> ((s, d) => Analytics.boolBitProfile(Tables.orders(s, d))),
     "q_array_ops" -> ((s, d) => Analytics.orderBaskets(Tables.lineitem(s, d))),
     "g_pagerank" -> ((s, d) => Graph.nationPagerank(s, d)),
+    "g_triangles" -> ((s, d) => Graph.nationTriangles(s, d)),
+    "q_yoy" -> ((s, d) => Analytics.yoyRevenue(s, d)),
     "s_classify" -> ((s, d) => Similarity.centroidClassify(Tables.embeddings(s, d))),
     "s_kmeans" -> ((s, d) => Similarity.kmeansCentroids(Tables.embeddings(s, d))),
     // bounded-buffer top-k aggregate: O(groups·k) shuffle, vs the window
@@ -109,6 +111,7 @@ object SparkEntry {
     // the watermarked tumbling-window aggregation as a real checkpointed run
     "e_tumbling_stream" -> ((s, d) => streaming.EventStream.tumblingCountsReplay(s, d)),
     "e_sliding" -> ((s, d) => Events.slidingCounts(Tables.events(s, d))),
+    "e_sliding_distinct" -> ((s, d) => Events.slidingDistinctUsers(Tables.events(s, d))),
     // the watermarked sliding-window aggregation as a real checkpointed run
     "e_sliding_stream" -> ((s, d) => streaming.EventStream.slidingCountsReplay(s, d)),
     "e_sessionize" -> ((s, d) => Events.sessionize(Tables.events(s, d))),
@@ -515,6 +518,12 @@ object SparkEntry {
                 CAST(sum(CAST(round((value) * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_value
          FROM events CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS j) j
          GROUP BY 1, 2""",
+    "e_sliding_distinct" ->
+      """SELECT strftime(make_timestamp((epoch_us(ts) // 900000000) * 900000000 - j.j * 900000000),
+                         '%Y-%m-%d %H:%M') AS win_start,
+                CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+         FROM events CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS j) j
+         GROUP BY 1""",
     // the streaming replay finalizes every real window (sentinel-driven
     // watermark clears all real window ends), so the emitted window set
     // equals the batch sliding aggregation — same oracle
@@ -2114,6 +2123,38 @@ object SparkEntry {
                 CAST(rank AS DOUBLE) / 1000000000000.0 AS rank
          FROM r3"""
     },
+    // each triangle a<b<c generated exactly once by the canonical
+    // orientation (wedge a→b→c closed by a→c), so no /6 correction
+    "g_triangles" ->
+      """WITH edges AS (SELECT ns.n_name AS src, nc.n_name AS dst
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation ns ON s.s_nationkey = ns.n_nationkey
+            JOIN nation nc ON c.c_nationkey = nc.n_nationkey
+            GROUP BY ns.n_name, nc.n_name),
+         und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+                 FROM edges WHERE src <> dst)
+         SELECT (SELECT CAST(count(DISTINCT x) AS BIGINT)
+                 FROM (SELECT a AS x FROM und UNION ALL SELECT b FROM und)) AS n_nodes,
+                (SELECT CAST(count(*) AS BIGINT) FROM und) AS n_edges,
+                (SELECT CAST(count(*) AS BIGINT)
+                 FROM und e1 JOIN und e2 ON e1.b = e2.a
+                 JOIN und e3 ON e1.a = e3.a AND e2.b = e3.b) AS n_triangles""",
+    // growth is one division of two exact cents integers
+    "q_yoy" ->
+      """WITH rev AS (SELECT n_name, year(o_orderdate) AS o_year,
+                sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS rev_cents
+           FROM orders
+           JOIN customer ON o_custkey = c_custkey
+           JOIN nation ON c_nationkey = n_nationkey
+           GROUP BY n_name, year(o_orderdate))
+         SELECT n_name, o_year,
+                CAST(rev_cents AS DOUBLE) / 100.0 AS revenue,
+                CAST(rev_cents - lag(rev_cents) OVER (PARTITION BY n_name ORDER BY o_year) AS DOUBLE)
+                  / CAST(lag(rev_cents) OVER (PARTITION BY n_name ORDER BY o_year) AS DOUBLE) AS yoy_growth
+         FROM rev""",
     // z² > k² as pure integer arithmetic: (n·v − S)² > k²·(n·Q − S²),
     // in HUGEINT (int128) to mirror the Spark side's Decimal(38,0) —
     // both engines exact at every magnitude, no silent int64 wrap

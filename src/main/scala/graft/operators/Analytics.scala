@@ -949,6 +949,31 @@ object Analytics {
         expr("bit_xor(o_orderkey)").as("keys_xor"),
         count(lit(1)).as("cnt"))
 
+  /** Year-over-year revenue growth per nation: exact-cents revenue at
+    * (nation, year) grain, then a lag window for the growth ratio —
+    * one division of two exact integers, deterministic. The window
+    * partitions by nation over ≤years rows each — bounded, trivially
+    * parallel. The customer join keys the one fact shuffle; nation
+    * broadcasts. */
+  def yoyRevenue(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rev = Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir)
+        .select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), year(col("o_orderdate")).as("o_year"))
+      .agg(expr("sum(CAST(round(o_totalprice * 100) AS BIGINT))").as("rev_cents"))
+    val w = Window.partitionBy(col("n_name")).orderBy(col("o_year"))
+    rev
+      .withColumn("prev_cents", lag(col("rev_cents"), 1).over(w))
+      .select(col("n_name"), col("o_year"),
+        (col("rev_cents").cast("double") / 100.0).as("revenue"),
+        (col("rev_cents") - col("prev_cents")).cast("double")
+          ./(col("prev_cents").cast("double")).as("yoy_growth"))
+  }
+
   /** Per-order part basket as a COMPLEX-TYPE pipeline: sorted distinct
     * part keys per order, then higher-order array functions over the
     * basket (size, bounds, an `aggregate` fold) — the collect→transform

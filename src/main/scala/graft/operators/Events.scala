@@ -42,6 +42,20 @@ object Events {
         date_format(col("w.start"), "yyyy-MM-dd HH:mm").as("win_start"),
         col("event_type"), col("cnt"), col("sum_value"))
 
+  /** DISTINCT users per sliding window — reach, not volume. The
+    * two-level shape keeps it scalable: dedup to (window, user) pairs
+    * first (partial-aggregates map-side, shuffle carries pairs not
+    * events), then a plain count per window — never a countDistinct
+    * buffer over the exploded event stream. */
+  def slidingDistinctUsers(events: DataFrame, windowMin: Int = 60,
+      slideMin: Int = 15): DataFrame =
+    events
+      .select(window(col("ts"), s"$windowMin minutes", s"$slideMin minutes").as("w"),
+        col("user_id"))
+      .distinct()
+      .groupBy(date_format(col("w.start"), "yyyy-MM-dd HH:mm").as("win_start"))
+      .agg(count(lit(1)).as("n_users"))
+
   /** 30-minute-gap sessionization: lag + cumulative-sum session ids, then
     * per-session stats. One shuffle on user_id; both windows share it. */
   def sessionize(events: DataFrame, gapMinutes: Int = 30): DataFrame = {

@@ -63,21 +63,30 @@ object Graph {
     * the weights (only w/outw ratios matter) before calling.
     */
   def pagerank(edges: DataFrame, nodes: DataFrame, iters: Int = 3): DataFrame = {
+    // materialize the per-iteration inputs ONCE (localCheckpoint, the
+    // BPE/kmeans iteration idiom): without the lineage cut every
+    // iteration's plan re-derives the whole edge pipeline — repeated
+    // fact scans and a plan tree that grows with the iteration count
     val n1 = nodes.agg(count(lit(1)).as("n_nodes"))
     val outw = edges.groupBy(col("src")).agg(sum(col("w")).as("ow"))
     val e = edges.join(outw, "src")
       .select(col("src"), col("dst"), col("w"), col("ow"))
-    var ranks = nodes.crossJoin(broadcast(n1))
+      .localCheckpoint()
+    val nodesN = nodes.crossJoin(broadcast(n1)).localCheckpoint()
+    var ranks = nodesN
       .select(col("node"), expr(s"CAST($Scale AS BIGINT) div n_nodes").as("rank"))
     for (_ <- 1 to iters) {
       val contrib = e.join(ranks, col("src") === col("node"))
         .select(col("dst"), expr("(rank * w) div ow").as("c"))
         .groupBy(col("dst")).agg(sum(col("c")).as("contrib"))
-      ranks = nodes.crossJoin(broadcast(n1))
+      val prev = ranks
+      ranks = nodesN
         .join(contrib, col("node") === col("dst"), "left")
         .select(col("node"),
           expr(s"(($Scale div 100) * 15) div n_nodes" +
             s" + (85 * coalesce(contrib, CAST(0 AS BIGINT))) div 100").as("rank"))
+        .localCheckpoint()
+      prev.unpersist()
     }
     ranks
       .select(col("node"), col("rank").as("rank_scaled"),
@@ -90,4 +99,35 @@ object Graph {
     pagerank(tradeEdges(spark, dir), nodes, iters)
       .withColumnRenamed("node", "n_name")
   }
+
+  /** Triangle census of the undirected trade graph. Canonicalizing each
+    * edge to (least, greatest) IS the classic orientation trick: every
+    * triangle a<b<c is generated exactly once as the wedge a→b→c closed
+    * by a→c, so the count needs no /6 correction and the wedge join's
+    * fan-out is bounded by forward-degrees. Two self-joins on the
+    * deduplicated edge table — the MapReduce triangle-count benchmark
+    * re-expressed as joins Catalyst can reorder. Output is one
+    * summary row. */
+  def triangleCensus(edges: DataFrame): DataFrame = {
+    val und = edges.where(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+      .localCheckpoint() // scanned three times below
+    val nNodes = und.select(col("a").as("x"))
+      .union(und.select(col("b").as("x"))).distinct().count()
+    val nEdges = und.count()
+    val tri = und.as("e1")
+      .join(und.as("e2"), col("e1.b") === col("e2.a"))
+      .join(und.as("e3"),
+        col("e1.a") === col("e3.a") && col("e2.b") === col("e3.b"))
+      .count()
+    val spark = edges.sparkSession
+    import spark.implicits._
+    Seq((nNodes, nEdges, tri)).toDF("n_nodes", "n_edges", "n_triangles")
+  }
+
+  /** Driver entry: triangle census of the nation trade network. */
+  def nationTriangles(spark: SparkSession, dir: String): DataFrame =
+    triangleCensus(tradeEdges(spark, dir))
 }

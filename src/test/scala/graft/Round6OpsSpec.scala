@@ -147,6 +147,40 @@ class Round6OpsSpec extends SparkSpec {
     assert(got.toSeq == Seq(("aaa", 2L, 1), ("aab", 1L, 2)))
   }
 
+  test("triangleCensus counts each oriented triangle once") {
+    import spark.implicits._
+    // square a-b-c-d with diagonal a-c: triangles (a,b,c) and (a,c,d);
+    // directed duplicates and self-loops must not inflate the census
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("d", "a"),
+      ("a", "c"), ("c", "a"), ("b", "b"))
+      .map { case (s, d) => (s, d, 1L) }.toDF("src", "dst", "w")
+    val r = Graph.triangleCensus(edges).collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((4L, 5L, 2L)))
+  }
+
+  test("yoyRevenue growth is the exact rational of consecutive years") {
+    val rows = Analytics.yoyRevenue(spark, sfDir)
+      .where(col("n_name") === "NATION_0").orderBy("o_year")
+      .select("revenue", "yoy_growth").collect()
+    assert(rows.head.isNullAt(1)) // first year has no prior
+    rows.sliding(2).foreach { case Array(p, c) =>
+      val expect = (c.getDouble(0) * 100 - p.getDouble(0) * 100) / (p.getDouble(0) * 100)
+      assert(math.abs(c.getDouble(1) - expect) < 1e-12)
+    case _ => ()
+    }
+  }
+
+  test("slidingDistinctUsers counts each user once per window") {
+    val hourUs = 3600000000L
+    // user 7 fires twice in the same 15-min slot -> still 1 per window
+    val df = eventsDf(Seq(
+      (1L, 7L, 0L, 1.0), (2L, 7L, 60000000L, 1.0), (3L, 8L, 0L, 1.0)))
+    val got = Events.slidingDistinctUsers(df)
+      .orderBy("win_start").collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(got.length == 4) // 4 overlapping hour windows per slot
+    assert(got.forall(_._2 == 2L))
+  }
+
   test("boolBitProfile bit identities hold") {
     val got = Analytics.boolBitProfile(Tables.orders(spark, sfDir))
     // and ⊆ or as bit sets
