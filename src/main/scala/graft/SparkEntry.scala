@@ -95,6 +95,7 @@ object SparkEntry {
     "g_pagerank" -> ((s, d) => Graph.nationPagerank(s, d)),
     "g_triangles" -> ((s, d) => Graph.nationTriangles(s, d)),
     "q_yoy" -> ((s, d) => Analytics.yoyRevenue(s, d)),
+    "q_range_frame" -> ((s, d) => Analytics.trailingSpend(Tables.orders(s, d))),
     "s_classify" -> ((s, d) => Similarity.centroidClassify(Tables.embeddings(s, d))),
     "s_kmeans" -> ((s, d) => Similarity.kmeansCentroids(Tables.embeddings(s, d))),
     // bounded-buffer top-k aggregate: O(groups·k) shuffle, vs the window
@@ -139,6 +140,7 @@ object SparkEntry {
     "e_funnel" -> ((s, d) => Events.funnel(Tables.events(s, d))),
     "e_retention" -> ((s, d) => Events.retention(Tables.events(s, d))),
     "e_anomaly" -> ((s, d) => Events.anomalies(Tables.events(s, d))),
+    "e_dow_hour" -> ((s, d) => Events.dowHourHeatmap(Tables.events(s, d))),
     "e_ewma" -> ((s, d) => Events.ewmaDecayedSum(Tables.events(s, d))),
     "e_gap_fill" -> ((s, d) => Events.gapFillForward(Tables.events(s, d))),
     "e_markov" -> ((s, d) => Events.transitionMatrix(Tables.events(s, d))),
@@ -239,6 +241,7 @@ object SparkEntry {
     "d_source_stats" -> ((s, d) => TextAnalysis.sourceStats(Tables.documents(s, d))),
     "t_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(Tables.documents(s, d))),
     "t_char_ngrams" -> ((s, d) => TextAnalysis.charNgramTop(Tables.documents(s, d))),
+    "t_sentences" -> ((s, d) => TextAnalysis.sentenceStats(Tables.documents(s, d))),
     "t_normalize" -> ((s, d) => TextAnalysis.normalize(Tables.documents(s, d))),
     "t_tfidf" -> ((s, d) => TextAnalysis.tfidf(Tables.documents(s, d))),
     "t_redact" -> ((s, d) => TextAnalysis.redact(Tables.events(s, d), "event_id", "props")),
@@ -310,6 +313,18 @@ object SparkEntry {
       Skew.saltedAgg(Tables.lineitem(s, d), "l_returnflag", "l_extendedprice")),
     // E. storage engine introspection (DFS cluster-stats analog)
     "fs_stats" -> ((s, d) => new graft.sources.Catalog(s, d).rowCounts()),
+    // hive-partitioned layout: the status filter is answered from the
+    // directory listing (PartitionFilters), zero non-matching files read
+    "fs_partition_prune" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{col, count, expr, lit}
+      graft.sources.Catalog
+        .partitionedView(Tables.orders(s, d), s"$d:orders", "o_orderstatus")
+        .where(col("o_orderstatus") === "F")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("cnt"),
+          expr("CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0")
+            .as("sum_price"))
+    }),
     "fs_zorder" -> ((s, d) => {
       import org.apache.spark.sql.functions.col
       Tables.lineitem(s, d).select(col("l_orderkey"), col("l_linenumber"),
@@ -2142,6 +2157,41 @@ object SparkEntry {
                 (SELECT CAST(count(*) AS BIGINT)
                  FROM und e1 JOIN und e2 ON e1.b = e2.a
                  JOIN und e3 ON e1.a = e3.a AND e2.b = e3.b) AS n_triangles""",
+    // RANGE frame on the µs order key: peers at the same timestamp are
+    // included by both engines' RANGE semantics — deterministic
+    "q_range_frame" ->
+      """WITH u AS (SELECT o_custkey, o_orderkey, epoch_us(o_orderdate) AS odu,
+                CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders)
+         SELECT o_custkey, o_orderkey,
+                CAST(sum(cents) OVER (PARTITION BY o_custkey ORDER BY odu
+                     RANGE BETWEEN 2592000000000 PRECEDING AND CURRENT ROW) AS BIGINT) AS trailing_cents,
+                CAST(count(*) OVER (PARTITION BY o_custkey ORDER BY odu
+                     RANGE BETWEEN 2592000000000 PRECEDING AND CURRENT ROW) AS BIGINT) AS trailing_orders
+         FROM u""",
+    // calendar coordinates as pure µs integer arithmetic (epoch day 0 =
+    // Thursday, +4 puts Sunday at 0) — no engine week-start conventions
+    "e_dow_hour" ->
+      """SELECT ((epoch_us(ts) // 86400000000) + 4) % 7 AS dow,
+                (epoch_us(ts) // 3600000000) % 24 AS hour,
+                CAST(count(*) AS BIGINT) AS cnt,
+                CAST(sum(CAST(round((value) * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_value
+         FROM events GROUP BY 1, 2""",
+    "t_sentences" ->
+      """WITH s AS (SELECT doc_id,
+                list_filter(list_transform(regexp_split_to_array(text, '[.!?]+'), x -> trim(x)),
+                            x -> x <> '') AS sents
+           FROM documents)
+         SELECT doc_id, CAST(len(sents) AS INTEGER) AS n_sent,
+                CAST(COALESCE(list_sum(list_transform(sents, x -> length(x))), 0) AS BIGINT) AS sent_chars,
+                CASE WHEN len(sents) > 0
+                     THEN CAST(COALESCE(list_sum(list_transform(sents, x -> length(x))), 0) AS DOUBLE)
+                          / CAST(len(sents) AS DOUBLE) END AS mean_sent_chars
+         FROM s""",
+    // the pruned partitioned read must equal the plain filtered scan
+    "fs_partition_prune" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS cnt,
+                CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_price
+         FROM orders WHERE o_orderstatus = 'F' GROUP BY o_orderpriority""",
     // growth is one division of two exact cents integers
     "q_yoy" ->
       """WITH rev AS (SELECT n_name, year(o_orderdate) AS o_year,

@@ -949,6 +949,28 @@ object Analytics {
         expr("bit_xor(o_orderkey)").as("keys_xor"),
         count(lit(1)).as("cnt"))
 
+  /** Trailing-30-day customer spend — a RANGE-frame window (event-time
+    * distance, not row count): per order, the customer's order count and
+    * cents total over the preceding 30 days including peers at the same
+    * timestamp. RANGE frames are the windowed form every rolling-risk /
+    * velocity feature takes; the frame is resolved by a per-partition
+    * ordered scan, state bounded by the densest 30-day span per
+    * customer. µs-integer order key keeps the frame arithmetic
+    * engine-exact. */
+  def trailingSpend(orders: DataFrame, days: Int = 30): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spanUs = days * 86400000000L
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("odu"))
+      .rangeBetween(-spanUs, Window.currentRow)
+    orders
+      .select(col("o_custkey"), col("o_orderkey"),
+        unix_micros(col("o_orderdate")).as("odu"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+      .select(col("o_custkey"), col("o_orderkey"),
+        sum(col("cents")).over(w).as("trailing_cents"),
+        count(lit(1)).over(w).as("trailing_orders"))
+  }
+
   /** Year-over-year revenue growth per nation: exact-cents revenue at
     * (nation, year) grain, then a lag window for the growth ratio —
     * one division of two exact integers, deterministic. The window

@@ -331,6 +331,20 @@ object Events {
       .agg(count(lit(1)).as("n_users"))
   }
 
+  /** Day-of-week × hour-of-day activity heatmap — the calendar shape of
+    * the stream. Both coordinates are pure µs integer arithmetic
+    * (epoch day 0 = Thursday, so +4 places Sunday at 0) rather than
+    * engine calendar functions, whose week-start conventions differ;
+    * map-only projection, one ≤168-group aggregate. */
+  def dowHourHeatmap(events: DataFrame): DataFrame =
+    events
+      .select(
+        expr("pmod((unix_micros(ts) div 86400000000) + 4, 7)").as("dow"),
+        expr("pmod(unix_micros(ts) div 3600000000, 24)").as("hour"),
+        col("value"))
+      .groupBy(col("dow"), col("hour"))
+      .agg(count(lit(1)).as("cnt"), moneySum(col("value")).as("sum_value"))
+
   /** Exponentially-decayed trailing sum (the EWMA family) per user over
     * the last `depth` events: the current event's cents weigh
     * 2^(depth−1), each older event half that — a DYADIC decay (α = ½)

@@ -591,6 +591,25 @@ object TextAnalysis {
           col("r_symbol_ratio") && col("r_alpha_words") && col("r_stopwords"))
   }
 
+  /** Sentence segmentation profile per document: terminal-punctuation
+    * split, trimmed non-empty segments, count + char totals + exact
+    * mean (one division). All higher-order array functions over the
+    * split — map-only, stays in codegen, no UDF. The sentence-length
+    * distribution is a standard quality signal (too-short/too-long
+    * sentence mass flags boilerplate and OCR noise). */
+  def sentenceStats(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"),
+        expr("filter(transform(split(text, '[.!?]+'), x -> trim(x)), x -> x <> '')")
+          .as("sents"))
+      .select(col("doc_id"),
+        size(col("sents")).as("n_sent"),
+        expr("aggregate(transform(sents, x -> CAST(length(x) AS BIGINT)), CAST(0 AS BIGINT), (a, x) -> a + x)")
+          .as("sent_chars"))
+      .withColumn("mean_sent_chars",
+        when(col("n_sent") > 0,
+          col("sent_chars").cast("double") / col("n_sent").cast("double")))
+
   /** Corpus-wide top-k character trigrams — the raw statistic under
     * language ID and domain fingerprinting. The per-document explode is
     * map-side (`transform` over an index `sequence`, no UDF, stays in

@@ -286,4 +286,35 @@ object Catalog {
   def upsert(base: DataFrame, updates: DataFrame, key: String): DataFrame =
     updates.unionByName(
       base.join(updates.select(col(key)), Seq(key), "left_anti"))
+
+  private val partitionedDirs = scala.collection.concurrent.TrieMap[String, String]()
+  private lazy val partitionedRoot: java.nio.file.Path = {
+    val p = java.nio.file.Files.createTempDirectory("graft-part")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => deleteRec(p.toFile)))
+    p
+  }
+  private def deleteRec(f: java.io.File): Unit = {
+    val children = f.listFiles()
+    if (children != null) children.foreach(deleteRec)
+    f.delete(): Unit
+  }
+
+  /** Hive-partitioned layout + read-back: write `df` partitioned by
+    * `partCol` (once per `cacheKey` per JVM, under one shutdown-cleaned
+    * temp root) and return a reader over the layout. A filter on
+    * `partCol` against the returned frame is answered from the
+    * DIRECTORY LISTING alone — `PartitionFilters` in the scan, zero
+    * non-matching files opened — which is the storage-side pruning a
+    * 100 TB table lives or dies by (scan cost ∝ selected partitions,
+    * not table size). */
+  def partitionedView(df: DataFrame, cacheKey: String, partCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val dir = partitionedDirs.getOrElseUpdate(s"$cacheKey/$partCol", {
+      val p = partitionedRoot.resolve(
+        java.lang.Integer.toHexString(s"$cacheKey/$partCol".hashCode))
+      df.write.mode(SaveMode.Overwrite).partitionBy(partCol).parquet(p.toString)
+      p.toString
+    })
+    spark.read.parquet(dir)
+  }
 }

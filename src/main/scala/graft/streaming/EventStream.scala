@@ -356,7 +356,12 @@ object EventStream {
   def purchaseViewJoinReplay(spark: SparkSession, sfDir: String,
       windowSec: Long = 3600): DataFrame = {
     val src = Replay.source(spark, sfDir)
-    Replay.run(spark, src) { stream =>
+    // the two-sided join is the costliest replay (both sides keep
+    // keyed state per microbatch); 8 files/trigger keeps it a genuine
+    // 2-trigger incremental run at half the per-batch state rounds —
+    // output is granularity-invariant (ReplaySpec), so this is purely
+    // a bench-cost knob
+    Replay.run(spark, src, maxFilesPerTrigger = 8) { stream =>
       purchaseViewJoin(stream.select(col("event_id"), col("user_id"),
         col("event_type"), col("ts")), windowSec)
     }

@@ -181,6 +181,58 @@ class Round6OpsSpec extends SparkSpec {
     assert(got.forall(_._2 == 2L))
   }
 
+  test("trailingSpend range frame includes exactly the 30-day window") {
+    import spark.implicits._
+    val dayUs = 86400000000L
+    val orders = Seq(
+      (1L, 9L, 0L, 10.0), (2L, 9L, 10 * dayUs, 20.0), (3L, 9L, 50 * dayUs, 40.0))
+      .toDF("o_orderkey", "o_custkey", "odu0", "o_totalprice")
+      .select(col("o_orderkey"), col("o_custkey"),
+        expr("timestamp_micros(odu0)").as("o_orderdate"), col("o_totalprice"))
+    val got = Analytics.trailingSpend(orders)
+      .orderBy("o_orderkey")
+      .select("trailing_cents", "trailing_orders")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // day 50 is 40 days past day 10: only itself in frame
+    assert(got.toSeq == Seq((1000L, 1L), (3000L, 2L), (4000L, 1L)))
+  }
+
+  test("dowHourHeatmap pins epoch day 0 to Thursday") {
+    val df = eventsDf(Seq((1L, 1L, 0L, 1.0), (2L, 1L, 3 * 86400000000L + 3600000000L, 2.0)))
+    val got = Events.dowHourHeatmap(df)
+      .orderBy("dow").collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // epoch 0 = Thursday (dow 4 with Sunday=0); +3 days = Sunday, hour 1
+    assert(got.toSeq == Seq((0L, 1L, 1L), (4L, 0L, 1L)))
+  }
+
+  test("sentenceStats splits, trims and averages exactly") {
+    import spark.implicits._
+    val docs = Seq((1L, "Hi there. Bye! Ok?"), (2L, "...")).toDF("doc_id", "text")
+    val got = TextAnalysis.sentenceStats(docs)
+      .orderBy("doc_id").collect()
+    assert(got(0).getInt(1) == 3 && got(0).getLong(2) == 13L)
+    assert(math.abs(got(0).getDouble(3) - 13.0 / 3) < 1e-12)
+    assert(got(1).getInt(1) == 0 && got(1).getLong(2) == 0L && got(1).isNullAt(3))
+  }
+
+  test("partitionedView answers the partition filter from the listing") {
+    val v = graft.sources.Catalog.partitionedView(
+      Tables.orders(spark, sfDir), s"$sfDir:orders-spec", "o_orderstatus")
+    val pruned = v.where(col("o_orderstatus") === "F")
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("o_orderstatus"),
+      s"no partition filter in:\n$plan")
+    // pruning must not change results vs the plain filtered table
+    val expect = Tables.orders(spark, sfDir)
+      .where(col("o_orderstatus") === "F").count()
+    assert(pruned.count() == expect)
+    // and the scan touches only the matching partition directory
+    val scans = pruned.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.nonEmpty && scans.forall(_.selectedPartitions.partitionCount == 1))
+  }
+
   test("boolBitProfile bit identities hold") {
     val got = Analytics.boolBitProfile(Tables.orders(spark, sfDir))
     // and ⊆ or as bit sets
