@@ -223,6 +223,29 @@ object ScaleSmoke {
       operators.Similarity.kmeansCentroids(bigEmb, nCells = 64, refinePasses = 2)
         .write.format("noop").mode("overwrite").save()
     }
+    // round 6: the new event/text/graph families at 10× events / 20× docs
+    time("ewma_1m_events") {
+      operators.Events.ewmaDecayedSum(be)
+        .write.format("noop").mode("overwrite").save()
+    }
+    time("gap_fill_1m") {
+      operators.Events.gapFillForward(be)
+        .write.format("noop").mode("overwrite").save()
+    }
+    time("char_ngrams_100k") {
+      operators.TextAnalysis.charNgramTop(bd)
+        .write.format("noop").mode("overwrite").save()
+    }
+    time("sentences_100k") {
+      operators.TextAnalysis.sentenceStats(bd)
+        .write.format("noop").mode("overwrite").save()
+    }
+    time("pagerank_sf01") {
+      // edges from the full sf0.1 fact tables; iterations on the
+      // nation-grain graph are scale-invariant once edges aggregate
+      operators.Graph.nationPagerank(spark, "/root/testdata/sf0.1")
+        .write.format("noop").mode("overwrite").save()
+    }
     spark.stop()
   }
 }

@@ -52,7 +52,7 @@ object Shell {
         println("ls | stats | nodes | download <tbl> <dir> | delete <tbl> | " +
           "prep <src> <dest> | index <src> <dest> | prep_incr <new> <index> <dest> | " +
           "neardup <src> [t] | bpe <src> [n] | buckets <src> | kmeans <src> [k] | " +
-          "ann <src> [k] | exit | <sql>")
+          "ann <src> [k] | pagerank [iters] | triangles | exit | <sql>")
       case "ls" :: Nil => cat.list().foreach(println)
       case "stats" :: Nil => cat.stats().show(100, truncate = false)
       case "nodes" :: Nil => cat.executorStats().show(100, truncate = false)
@@ -113,6 +113,17 @@ object Shell {
           .createOrReplaceTempView(view)
         spark.table(view).orderBy("query_id", "rnk").show(20, truncate = false)
         println(s"registered $view")
+      case "pagerank" :: rest if rest.length <= 1 =>
+        // rank the nation trade network (fixed-point, deterministic)
+        val iters = rest.headOption.map(_.toInt).getOrElse(3)
+        val view = "nation_pagerank"
+        operators.Graph.nationPagerank(spark, dir, iters)
+          .createOrReplaceTempView(view)
+        spark.table(view).orderBy(org.apache.spark.sql.functions.col("rank").desc)
+          .show(10, truncate = false)
+        println(s"registered $view")
+      case "triangles" :: Nil =>
+        operators.Graph.nationTriangles(spark, dir).show(truncate = false)
       case _ => spark.sql(line).show(50, truncate = false)
     }
     true

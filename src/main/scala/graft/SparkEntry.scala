@@ -96,6 +96,7 @@ object SparkEntry {
     "g_triangles" -> ((s, d) => Graph.nationTriangles(s, d)),
     "q_yoy" -> ((s, d) => Analytics.yoyRevenue(s, d)),
     "q_range_frame" -> ((s, d) => Analytics.trailingSpend(Tables.orders(s, d))),
+    "q_window_funcs" -> ((s, d) => Analytics.windowFunctionProfile(Tables.orders(s, d))),
     "s_classify" -> ((s, d) => Similarity.centroidClassify(Tables.embeddings(s, d))),
     "s_kmeans" -> ((s, d) => Similarity.kmeansCentroids(Tables.embeddings(s, d))),
     // bounded-buffer top-k aggregate: O(groups·k) shuffle, vs the window
@@ -2157,6 +2158,19 @@ object SparkEntry {
                 (SELECT CAST(count(*) AS BIGINT)
                  FROM und e1 JOIN und e2 ON e1.b = e2.a
                  JOIN und e3 ON e1.a = e3.a AND e2.b = e3.b) AS n_triangles""",
+    // the four ranking functions share one total (cents desc, key)
+    // order; percent_rank is the exact division (rank−1)/(n−1)
+    "q_window_funcs" ->
+      """WITH u AS (SELECT o_custkey, o_orderkey,
+                CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders)
+         SELECT o_custkey, o_orderkey,
+                percent_rank() OVER w AS pr,
+                CAST(dense_rank() OVER w AS INTEGER) AS dr,
+                nth_value(o_orderkey, 2) OVER (PARTITION BY o_custkey ORDER BY cents DESC, o_orderkey
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_key,
+                first_value(cents) OVER (PARTITION BY o_custkey ORDER BY cents DESC, o_orderkey
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS top_cents
+         FROM u WINDOW w AS (PARTITION BY o_custkey ORDER BY cents DESC, o_orderkey)""",
     // RANGE frame on the µs order key: peers at the same timestamp are
     // included by both engines' RANGE semantics — deterministic
     "q_range_frame" ->

@@ -949,6 +949,27 @@ object Analytics {
         expr("bit_xor(o_orderkey)").as("keys_xor"),
         count(lit(1)).as("cnt"))
 
+  /** The ranking window-function family in one pass: percent_rank /
+    * dense_rank over the customer's price order, plus nth_value and
+    * first_value over the full-partition frame — all four share ONE
+    * window sort (one shuffle on o_custkey). percent_rank is the single
+    * exact division (rank−1)/(n−1); the (cents desc, orderkey) order is
+    * total, so every emitted value is deterministic. */
+  def windowFunctionProfile(orders: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("cents").desc, col("o_orderkey"))
+    val full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    orders
+      .select(col("o_custkey"), col("o_orderkey"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+      .select(col("o_custkey"), col("o_orderkey"),
+        percent_rank().over(w).as("pr"),
+        dense_rank().over(w).as("dr"),
+        nth_value(col("o_orderkey"), 2).over(full).as("second_key"),
+        first(col("cents")).over(full).as("top_cents"))
+  }
+
   /** Trailing-30-day customer spend — a RANGE-frame window (event-time
     * distance, not row count): per order, the customer's order count and
     * cents total over the preceding 30 days including peers at the same

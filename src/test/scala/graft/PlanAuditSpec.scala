@@ -50,8 +50,9 @@ class PlanAuditSpec extends SparkSpec {
     // an unpartitioned window moves ALL data to one task; allowed only
     // for the 128-row bucket-offset cumsum in the prefix-sum operators
     // (p_manifest reuses p_shuffle's assignment, so it carries the
-    // same bounded offset window)
-    val allowed = Set("p_pack", "p_shuffle", "p_manifest")
+    // same bounded offset window) and for t_char_ngrams' rank window,
+    // which runs AFTER the TakeOrdered limit — ≤k rows by construction
+    val allowed = Set("p_pack", "p_shuffle", "p_manifest", "t_char_ngrams")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val plan = fn(spark, sfDir).queryExecution.optimizedPlan.toString
       val specs = "windowspecdefinition\\(([^)]*)\\)".r

@@ -67,4 +67,14 @@ class ShellProcedureSpec extends SparkSpec {
 
     assert(!Shell.execute("exit", spark, cat, dir))
   }
+
+  test("graph verbs rank and census the trade network from the shell") {
+    // read-only verbs over the star-schema dir itself
+    val cat = new Catalog(spark, sfDir)
+    assert(Shell.execute("pagerank 2", spark, cat, sfDir))
+    val pr = spark.table("nation_pagerank")
+    assert(pr.count() == 25)
+    assert(pr.agg(sum("rank_scaled")).head().getLong(0) <= graft.operators.Graph.Scale)
+    assert(Shell.execute("triangles", spark, cat, sfDir))
+  }
 }
