@@ -181,6 +181,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("vector_lsh_bands"),
       new ExpressionInfo(classOf[VectorLshBands].getName, "vector_lsh_bands"),
       (exprs: Seq[Expression]) => VectorLshBands(exprs)))
+    ext.injectFunction((
+      new FunctionIdentifier("decayed_sum"),
+      new ExpressionInfo(classOf[DecayedSum].getName, "decayed_sum"),
+      (exprs: Seq[Expression]) => DecayedSum(exprs(0), exprs(1))))
     ext.injectOptimizerRule(session => graft.plans.ApproximateRewrite(session))
     ext.injectOptimizerRule(session => graft.plans.RangeJoinRewrite(session))
     ext.injectOptimizerRule(session => graft.plans.AutoLadderRewrite(session))

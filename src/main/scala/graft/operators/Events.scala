@@ -369,9 +369,10 @@ object Events {
         expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
       .withColumn("frame", collect_list(col("cents")).over(w))
       .select(col("user_id"), col("event_id"),
-        expr(s"""aggregate(
-                   transform(frame, (x, i) -> x * shiftleft(CAST(1 AS BIGINT), i + $depth - size(frame))),
-                   CAST(0 AS BIGINT), (acc, x) -> acc + x)""").as("ewma_scaled"))
+        // native codegen'd fold (the transform+aggregate HOF pair is
+        // CodegenFallback and would eject this projection)
+        graft.functions.DecayedSum.decayedSum(col("frame"), lit(depth))
+          .as("ewma_scaled"))
       .withColumn("ewma",
         col("ewma_scaled").cast("double") / math.pow(2.0, depth - 1))
   }

@@ -233,6 +233,26 @@ class Round6OpsSpec extends SparkSpec {
     assert(scans.nonEmpty && scans.forall(_.selectedPartitions.partitionCount == 1))
   }
 
+  test("decayed_sum native kernel is bit-identical to the HOF fold") {
+    import spark.implicits._
+    val frames = Seq(
+      Seq(100L), Seq(100L, 200L), (1 to 16).map(i => i.toLong * 7919L),
+      Seq(0L, -500L, Long.MaxValue >> 20)).map(Tuple1(_)).toDF("frame")
+    val native = frames
+      .select(graft.functions.DecayedSum.decayedSum(col("frame"), lit(16)))
+      .collect().map(_.getLong(0)).toSeq
+    val hof = frames.select(expr(
+      """aggregate(transform(frame, (x, i) -> x * shiftleft(CAST(1 AS BIGINT), i + 16 - size(frame))),
+         CAST(0 AS BIGINT), (acc, x) -> acc + x)"""))
+      .collect().map(_.getLong(0)).toSeq
+    assert(native == hof)
+    // null frame nulls the fold (nullIntolerant)
+    val n = Seq(Tuple1(Option.empty[Seq[Long]])).toDF("frame")
+      .select(graft.functions.DecayedSum.decayedSum(col("frame"), lit(16)))
+      .collect()(0)
+    assert(n.isNullAt(0))
+  }
+
   test("boolBitProfile bit identities hold") {
     val got = Analytics.boolBitProfile(Tables.orders(spark, sfDir))
     // and ⊆ or as bit sets
