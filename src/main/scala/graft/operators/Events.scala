@@ -380,34 +380,32 @@ object Events {
   /** Hourly forward-fill: per user, a dense hour grid carrying the LAST
     * observed cents value forward through silent hours — the
     * last-observation-carried-forward regularization (the sibling of
-    * [[resampleHourly]]'s zero-fill). The fill uses the portable
-    * fill-group idiom (running count of observations → max within the
-    * group) rather than IGNORE NULLS, so both engines execute the
-    * identical formulation. All shuffles key on user_id (per-hour pick,
-    * grid, two fill windows share the partitioning); grid size is
-    * span×users, never a global calendar cross join. */
+    * [[resampleHourly]]'s zero-fill). Plan shape: the per-hour pick is
+    * a struct-max AGGREGATE (lexicographic max over (tsu, event_id,
+    * cents) — map-side combinable, no row_number window), and the fill
+    * is ONE `last(_, ignoreNulls)` running window. The DuckDB oracle
+    * deliberately uses the different fill-group formulation (running
+    * non-null count → max per group), so the compare checks semantics,
+    * not a shared plan. Grid size is span×users, never a global
+    * calendar cross join. */
   def gapFillForward(events: DataFrame): DataFrame = {
     val hr = expr(
       "(unix_micros(ts) - pmod(unix_micros(ts), 3600000000)) div 3600000000").as("hr")
     // last event per (user, hour) by the (tsu, event_id) total order
-    val pick = Window.partitionBy(col("user_id"), col("hr"))
-      .orderBy(col("tsu").desc, col("event_id").desc)
     val hourly = events
-      .select(col("user_id"), hr, unix_micros(col("ts")).as("tsu"), col("event_id"),
-        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
-      .withColumn("rn", row_number().over(pick))
-      .where(col("rn") === 1)
-      .select(col("user_id"), col("hr"), col("cents"))
+      .select(col("user_id"), hr,
+        struct(unix_micros(col("ts")).as("tsu"), col("event_id"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("cents")).as("pick"))
+      .groupBy(col("user_id"), col("hr"))
+      .agg(max(col("pick")).getField("cents").as("cents"))
     val grid = hourly.groupBy(col("user_id"))
       .agg(min(col("hr")).as("mn"), max(col("hr")).as("mx"))
       .select(col("user_id"), explode(sequence(col("mn"), col("mx"))).as("hr"))
     val byHr = Window.partitionBy(col("user_id")).orderBy(col("hr"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     grid.join(hourly, Seq("user_id", "hr"), "left")
-      .withColumn("grp", count(col("cents")).over(byHr))
-      .withColumn("filled_cents",
-        max(col("cents")).over(Window.partitionBy(col("user_id"), col("grp"))))
-      .select(col("user_id"), col("hr"), col("filled_cents"),
+      .select(col("user_id"), col("hr"),
+        last(col("cents"), ignoreNulls = true).over(byHr).as("filled_cents"),
         when(col("cents").isNotNull, lit(1L)).otherwise(lit(0L)).as("observed"))
   }
 
