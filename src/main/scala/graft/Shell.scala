@@ -52,7 +52,8 @@ object Shell {
         println("ls | stats | nodes | download <tbl> <dir> | delete <tbl> | " +
           "prep <src> <dest> | index <src> <dest> | prep_incr <new> <index> <dest> | " +
           "neardup <src> [t] | bpe <src> [n] | buckets <src> | kmeans <src> [k] | " +
-          "ann <src> [k] | pagerank [iters] | triangles | exit | <sql>")
+          "ann <src> [k] | pagerank [iters] | triangles | degrees | bfs | " +
+          "gini | exit | <sql>")
       case "ls" :: Nil => cat.list().foreach(println)
       case "stats" :: Nil => cat.stats().show(100, truncate = false)
       case "nodes" :: Nil => cat.executorStats().show(100, truncate = false)
@@ -124,6 +125,18 @@ object Shell {
         println(s"registered $view")
       case "triangles" :: Nil =>
         operators.Graph.nationTriangles(spark, dir).show(truncate = false)
+      case "degrees" :: Nil =>
+        operators.Graph.nationDegrees(spark, dir)
+          .orderBy(org.apache.spark.sql.functions.col("out_w").desc)
+          .show(25, truncate = false)
+      case "bfs" :: Nil =>
+        operators.Graph.nationShortestPaths(spark, dir)
+          .orderBy("hops", "n_name").show(25, truncate = false)
+      case "gini" :: Nil =>
+        // the skew data-card: per-nation spend inequality
+        operators.Analytics.giniSpend(spark, dir)
+          .orderBy(org.apache.spark.sql.functions.col("gini").desc)
+          .show(25, truncate = false)
       case _ => spark.sql(line).show(50, truncate = false)
     }
     true

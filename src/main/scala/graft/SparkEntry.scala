@@ -94,6 +94,8 @@ object SparkEntry {
     "q_array_ops" -> ((s, d) => Analytics.orderBaskets(Tables.lineitem(s, d))),
     "g_pagerank" -> ((s, d) => Graph.nationPagerank(s, d)),
     "g_triangles" -> ((s, d) => Graph.nationTriangles(s, d)),
+    "g_degree" -> ((s, d) => Graph.nationDegrees(s, d)),
+    "g_bfs" -> ((s, d) => Graph.nationShortestPaths(s, d)),
     "q_yoy" -> ((s, d) => Analytics.yoyRevenue(s, d)),
     "q_range_frame" -> ((s, d) => Analytics.trailingSpend(Tables.orders(s, d))),
     "q_window_funcs" -> ((s, d) => Analytics.windowFunctionProfile(Tables.orders(s, d))),
@@ -146,11 +148,16 @@ object SparkEntry {
     "e_gap_fill" -> ((s, d) => Events.gapFillForward(Tables.events(s, d))),
     "e_markov" -> ((s, d) => Events.transitionMatrix(Tables.events(s, d))),
     "e_rolling_median" -> ((s, d) => Events.rollingMedian(Tables.events(s, d))),
+    "e_mad_outlier" -> ((s, d) => Events.madOutliers(Tables.events(s, d))),
+    "e_late_audit" -> ((s, d) => Events.latenessAudit(Tables.events(s, d))),
+    "q_gini" -> ((s, d) => Analytics.giniSpend(s, d)),
+    "q_basket_pairs" -> ((s, d) => Analytics.basketPairs(Tables.lineitem(s, d))),
     // streaming exactly-once dedup as a real checkpointed run
     "e_dedup_stream" -> ((s, d) => streaming.EventStream.dedupKeysReplay(s, d)),
     // D. LLM-training-data pipeline
     "d_dedup_exact" -> ((s, d) => Dedup.exact(Tables.documents(s, d))),
     "d_dedup_ngram" -> ((s, d) => Dedup.ngramJaccard(Tables.documents(s, d), 3, 0.5)),
+    "d_dedup_sweep" -> ((s, d) => Dedup.dedupSweep(Tables.documents(s, d))),
     "d_containment" -> ((s, d) => Dedup.containmentPairs(Tables.documents(s, d), 3, 0.6)),
     "d_dedup_minhash" -> ((s, d) => Dedup.minhashLsh(Tables.documents(s, d), 3, 64, 16, 0.5)),
     "d_dedup_simhash" -> ((s, d) => Dedup.simhashNearDup(Tables.documents(s, d), 3)),
@@ -245,6 +252,7 @@ object SparkEntry {
     "t_sentences" -> ((s, d) => TextAnalysis.sentenceStats(Tables.documents(s, d))),
     "t_normalize" -> ((s, d) => TextAnalysis.normalize(Tables.documents(s, d))),
     "t_tfidf" -> ((s, d) => TextAnalysis.tfidf(Tables.documents(s, d))),
+    "t_keyword_topk" -> ((s, d) => TextAnalysis.keywordTopK(Tables.documents(s, d))),
     "t_redact" -> ((s, d) => TextAnalysis.redact(Tables.events(s, d), "event_id", "props")),
     "t_repetition" -> ((s, d) => TextAnalysis.repetition(Tables.documents(s, d))),
     "t_chunk" -> ((s, d) => TextAnalysis.chunk(Tables.documents(s, d))),
@@ -713,6 +721,7 @@ object SparkEntry {
          FROM inter JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
          WHERE CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter) >= 0.5""",
     "d_dedup_ngram" -> ngramJaccardSql,
+    "d_dedup_sweep" -> dedupSweepSql,
     // the routed entries take their exact arms at driver scale, so the
     // exact mirrors apply verbatim
     "d_dedup_auto" -> ngramJaccardSql,
@@ -1597,6 +1606,23 @@ object SparkEntry {
                 floor(CAST(top AS DOUBLE) / n_tokens * 1000000 + 0.5) / 1000000 AS top_word_frac,
                 COALESCE(floor(CAST(top2 AS DOUBLE) / n2 * 1000000 + 0.5) / 1000000, 0.0) AS top_2gram_frac
          FROM ws LEFT JOIN bs ON ws.doc_id = bs.doc_id""",
+    // rank over the ROUNDED score (what the Spark side emits), rank
+    // cast to BIGINT on both engines
+    "t_keyword_topk" ->
+      """WITH tok AS (SELECT doc_id,
+             unnest(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS word
+           FROM documents),
+         tf AS (SELECT doc_id, word, count(*) AS tf FROM tok GROUP BY 1, 2),
+         df AS (SELECT word, count(*) AS df FROM tf GROUP BY 1),
+         n AS (SELECT count(*) AS n_docs FROM documents),
+         sc AS (SELECT doc_id, word,
+                floor(tf * (CAST(n_docs AS DOUBLE) / df) * 1000000 + 0.5) / 1000000 AS tfidf_lin
+           FROM tf JOIN df USING (word) CROSS JOIN n),
+         r AS (SELECT doc_id, word, tfidf_lin,
+                CAST(row_number() OVER (PARTITION BY doc_id
+                     ORDER BY tfidf_lin DESC, word) AS BIGINT) AS rank
+           FROM sc)
+         SELECT doc_id, word, tfidf_lin, rank FROM r WHERE rank <= 3""",
     "t_tfidf" ->
       """WITH tok AS (SELECT doc_id,
              unnest(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS word
@@ -1739,6 +1765,70 @@ object SparkEntry {
                 quantile_cont(cents, 0.5) OVER (PARTITION BY user_id ORDER BY tsu, event_id
                                                 ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS med_cents
          FROM u""",
+    // both medians are exact multiples of ½ cent, so the k·MAD gate is
+    // engine-exact in doubles
+    "e_mad_outlier" ->
+      """WITH e AS (SELECT event_id, event_type,
+                CAST(round(value * 100) AS BIGINT) AS v FROM events),
+         med AS (SELECT event_type,
+                quantile_cont(CAST(v AS DOUBLE), 0.5) AS med
+                FROM e GROUP BY event_type),
+         dev AS (SELECT e.event_id, e.event_type, e.v,
+                abs(CAST(e.v AS DOUBLE) - m.med) AS dev
+                FROM e JOIN med m USING (event_type)),
+         mad AS (SELECT event_type, quantile_cont(dev, 0.5) AS mad
+                FROM dev GROUP BY event_type)
+         SELECT d.event_id, d.event_type,
+                CAST(d.v AS DOUBLE) / 100.0 AS value, d.dev AS deviation
+         FROM dev d JOIN mad m USING (event_type)
+         WHERE d.dev > 5 * m.mad""",
+    // the oracle replays the arrival model as ONE global running-max
+    // window over (hour, user, id) — the naive serial formulation the
+    // Spark side's two-level bucket scan must equal exactly
+    "e_late_audit" ->
+      """WITH e AS (SELECT event_id, event_type, user_id,
+                epoch_us(ts) AS tsu, epoch_us(ts) // 3600000000 AS hr
+           FROM events),
+         r AS (SELECT event_type,
+                max(tsu) OVER (ORDER BY hr, user_id, event_id
+                               ROWS UNBOUNDED PRECEDING) - tsu AS late_us
+           FROM e)
+         SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+                CAST(sum(CASE WHEN late_us > 60000000 THEN 1 ELSE 0 END) AS BIGINT) AS drop_1m,
+                CAST(sum(CASE WHEN late_us > 600000000 THEN 1 ELSE 0 END) AS BIGINT) AS drop_10m,
+                CAST(sum(CASE WHEN late_us > 3600000000 THEN 1 ELSE 0 END) AS BIGINT) AS drop_1h,
+                CAST(max(late_us) // 1000000 AS BIGINT) AS max_late_sec
+         FROM r GROUP BY event_type""",
+    // the oracle is the naive row_number Gini; the Spark side computes
+    // the same integers from tie-collapsed blocks + the two-level scan
+    "q_gini" ->
+      """WITH spend AS (SELECT o_custkey,
+                sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS x
+           FROM orders GROUP BY o_custkey),
+         s2 AS (SELECT n.n_name, sp.x
+           FROM spend sp
+           JOIN customer c ON sp.o_custkey = c.c_custkey
+           JOIN nation n ON c.c_nationkey = n.n_nationkey),
+         rk AS (SELECT n_name, x,
+                row_number() OVER (PARTITION BY n_name ORDER BY x) AS i
+           FROM s2),
+         m AS (SELECT n_name, CAST(count(*) AS HUGEINT) AS n,
+                sum(CAST(x AS HUGEINT)) AS sx,
+                sum(CAST(i AS HUGEINT) * CAST(x AS HUGEINT)) AS sixi
+           FROM rk GROUP BY n_name)
+         SELECT n_name, CAST(n AS BIGINT) AS n_cust,
+                CAST(2 * sixi - (n + 1) * sx AS DOUBLE) /
+                  CAST(n * sx AS DOUBLE) AS gini
+         FROM m""",
+    // canonical p1<p2 orientation generates each pair once
+    "q_basket_pairs" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+         SELECT a.l_partkey AS p1, b.l_partkey AS p2,
+                CAST(count(*) AS BIGINT) AS support
+         FROM items a JOIN items b
+           ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+         GROUP BY a.l_partkey, b.l_partkey
+         HAVING count(*) >= 2""",
     // the streaming dedup's emitted key set == batch DISTINCT
     "e_dedup_stream" ->
       """SELECT DISTINCT user_id, event_type,
@@ -2158,6 +2248,56 @@ object SparkEntry {
                 (SELECT CAST(count(*) AS BIGINT)
                  FROM und e1 JOIN und e2 ON e1.b = e2.a
                  JOIN und e3 ON e1.a = e3.a AND e2.b = e3.b) AS n_triangles""",
+    // degree profile keeps zero-degree nodes via the outer joins
+    "g_degree" ->
+      """WITH edges AS (SELECT ns.n_name AS src, nc.n_name AS dst,
+                   CAST(count(*) AS BIGINT) AS w
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation ns ON s.s_nationkey = ns.n_nationkey
+            JOIN nation nc ON c.c_nationkey = nc.n_nationkey
+            GROUP BY ns.n_name, nc.n_name),
+         outs AS (SELECT src, CAST(count(*) AS BIGINT) AS out_deg,
+                         sum(w) AS out_w FROM edges GROUP BY src),
+         ins AS (SELECT dst, CAST(count(*) AS BIGINT) AS in_deg,
+                        sum(w) AS in_w FROM edges GROUP BY dst)
+         SELECT n.n_name,
+                CAST(COALESCE(o.out_deg, 0) AS BIGINT) AS out_deg,
+                CAST(COALESCE(o.out_w, 0) AS BIGINT) AS out_w,
+                CAST(COALESCE(i.in_deg, 0) AS BIGINT) AS in_deg,
+                CAST(COALESCE(i.in_w, 0) AS BIGINT) AS in_w
+         FROM nation n
+         LEFT JOIN outs o ON n.n_name = o.src
+         LEFT JOIN ins i ON n.n_name = i.dst""",
+    // depth-bounded recursive traversal + min(d): same object as the
+    // Spark side's 8 synchronous relaxation rounds (a node with true
+    // distance ≤ 8 is settled exactly in both), deliberately a
+    // DIFFERENT formulation so the compare checks the math
+    "g_bfs" ->
+      """WITH RECURSIVE edges AS (SELECT ns.n_name AS src, nc.n_name AS dst,
+                   CAST(count(*) AS BIGINT) AS w
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation ns ON s.s_nationkey = ns.n_nationkey
+            JOIN nation nc ON c.c_nationkey = nc.n_nationkey
+            GROUP BY ns.n_name, nc.n_name),
+         sedges AS (SELECT src, dst FROM (
+            SELECT src, dst,
+                   row_number() OVER (PARTITION BY src
+                                      ORDER BY w DESC, dst) AS rn
+            FROM edges WHERE src <> dst) WHERE rn <= 3),
+         r(node, d) AS (
+            SELECT (SELECT min(n_name) FROM nation), 0
+            UNION
+            SELECT e.dst, r.d + 1
+            FROM r JOIN sedges e ON e.src = r.node
+            WHERE r.d < 8)
+         SELECT node AS n_name, CAST(min(d) AS BIGINT) AS hops
+         FROM r GROUP BY node""",
     // the four ranking functions share one total (cents desc, key)
     // order; percent_rank is the exact division (rank−1)/(n−1)
     "q_window_funcs" ->
@@ -2250,6 +2390,34 @@ object SparkEntry {
               floor(CAST(n_inter AS DOUBLE) / least(sa.sz, sb.sz) * 1000000 + 0.5) / 1000000 AS containment
        FROM inter JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
        WHERE CAST(n_inter AS DOUBLE) / least(sa.sz, sb.sz) >= 0.6"""
+
+  /** d_dedup_sweep mirror: one mine at the loosest cutoff, conditional
+    * counts on the ROUNDED jaccard at each threshold (the raw-value
+    * base filter and rounded-value sweep mirror the Spark sides). */
+  private val dedupSweepSql: String =
+    """WITH tok AS (SELECT doc_id,
+           list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS w FROM documents),
+       sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+              FROM tok CROSS JOIN unnest(generate_series(1, len(w) - 2)) AS t(i)
+              WHERE len(w) >= 3),
+       sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+       inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+                 FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                 GROUP BY 1, 2),
+       pairs AS (SELECT id_a, id_b,
+              floor(CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter) * 1000000 + 0.5) / 1000000 AS j
+         FROM inter JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
+         WHERE CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter) >= 0.25),
+       ids AS (SELECT j, id_a AS id FROM pairs UNION ALL SELECT j, id_b FROM pairs),
+       pa AS (SELECT CAST(sum(CASE WHEN j >= 0.25 THEN 1 ELSE 0 END) AS BIGINT) AS n_pairs_25,
+                     CAST(sum(CASE WHEN j >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_pairs_50,
+                     CAST(sum(CASE WHEN j >= 0.75 THEN 1 ELSE 0 END) AS BIGINT) AS n_pairs_75
+              FROM pairs),
+       da AS (SELECT CAST(count(DISTINCT CASE WHEN j >= 0.25 THEN id END) AS BIGINT) AS n_docs_25,
+                     CAST(count(DISTINCT CASE WHEN j >= 0.5 THEN id END) AS BIGINT) AS n_docs_50,
+                     CAST(count(DISTINCT CASE WHEN j >= 0.75 THEN id END) AS BIGINT) AS n_docs_75
+              FROM ids)
+       SELECT * FROM pa CROSS JOIN da"""
 
   /** Shared by d_dedup_ngram and d_dedup_minhash (see note above). */
   private val ngramJaccardSql: String =

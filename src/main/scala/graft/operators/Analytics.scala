@@ -1034,4 +1034,75 @@ object Analytics {
         element_at(col("parts"), -1).as("last_part"),
         expr("aggregate(parts, CAST(0 AS BIGINT), (acc, x) -> acc + x)").as("sum_parts"),
         array_join(col("parts"), ",").as("parts_csv"))
+
+  /** Exact Gini coefficient of per-customer spend, per nation — the
+    * skew data-card a 100 TB pipeline reads BEFORE choosing salting /
+    * AQE skew handling, computed without floats until the final
+    * division: G = (2·Σi·xᵢ − (n+1)·Σx) / (n·Σx) over ascending-rank
+    * cents.
+    *
+    * Scale shape: ranks come from [[Cumulative.runningSum]] over the
+    * per-(nation, spend) value-count table — no window partition ever
+    * scales with a nation's customer count. Ties collapse before the
+    * scan: a block of c customers at equal spend x starting after rank
+    * r₀ contributes x·(c·r₀ + c(c+1)/2) to Σi·xᵢ regardless of intra-tie
+    * order, so the value-count grain loses nothing. All moments are
+    * Decimal(38,0); the oracle replays the naive row_number formulation
+    * in HUGEINT — different formulation, same integers. */
+  def giniSpend(spark: SparkSession, dir: String): DataFrame = {
+    val spend = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(sum(cents(col("o_totalprice"))).as("x"))
+      .join(Tables.customer(spark, dir)
+        .select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, dir)
+        .select(col("n_nationkey"), col("n_name"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name"), col("x"))
+    giniByGroup(spend)
+  }
+
+  /** Core of [[giniSpend]]: exact Gini per `n_name` group of the long
+    * values in `x` (one row per member). Separated so the tie-block
+    * arithmetic is unit-testable against hand-computed coefficients. */
+  def giniByGroup(spend: DataFrame): DataFrame = {
+    val vc = spend.groupBy(col("n_name"), col("x"))
+      .agg(count(lit(1)).as("c"))
+    val ranked = Cumulative.runningSum(vc, Seq("n_name"), "x", "c", "r")
+    val xD = col("x").cast("decimal(38,0)")
+    val cD = col("c").cast("decimal(38,0)")
+    val rD = col("r").cast("decimal(38,0)")
+    // c(c+1)/2 in integer `div` (always even product — exact), BEFORE
+    // the decimal cast: decimal `/` would widen the scale and round
+    val triang = expr("(c * (c + 1)) div 2").cast("decimal(38,0)")
+    val blockSixi = xD * (cD * (rD - cD) + triang)
+    val m = ranked
+      .select(col("n_name"), cD.as("c"), (xD * cD).as("xc"),
+        blockSixi.as("sixi"))
+      .groupBy(col("n_name"))
+      .agg(sum(col("c")).as("n"), sum(col("xc")).as("sx"),
+        sum(col("sixi")).as("sixi"))
+    m.select(col("n_name"), col("n").cast("long").as("n_cust"),
+      ((col("sixi") * lit(2) - (col("n") + lit(1)) * col("sx")).cast("double")
+        / (col("n") * col("sx")).cast("double")).as("gini"))
+  }
+
+  /** Market-basket co-occurrence: pairs of parts appearing in the same
+    * order, with support ≥ `minSupport` — the first A-priori pass, and
+    * the shape item-similarity / co-view features are mined with at
+    * scale. One distinct pass collapses duplicate lines, then a
+    * CO-PARTITIONED self-join on the order key (one shuffle, reused for
+    * both sides) whose fan-out is C(k,2) bounded by basket size — never
+    * |parts|². The canonical a<b orientation generates each pair once. */
+  def basketPairs(lineitem: DataFrame, minSupport: Long = 2L): DataFrame = {
+    val items = lineitem.select(col("l_orderkey"), col("l_partkey")).distinct()
+    items.as("a")
+      .join(items.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .groupBy(col("a.l_partkey").as("p1"), col("b.l_partkey").as("p2"))
+      .agg(count(lit(1)).as("support"))
+      .where(col("support") >= minSupport)
+  }
 }

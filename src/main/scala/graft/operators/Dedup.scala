@@ -782,4 +782,27 @@ object Dedup {
         concat_ws(" ", transform(array_sort(col("kept")), x => x.getField("txt")))
           .as("text_clean"))
   }
+
+  /** Near-dup threshold SWEEP: the data-card a pipeline owner reads to
+    * pick the dedup threshold — pair and affected-doc counts at several
+    * Jaccard cutoffs from ONE pair-mining pass at the loosest cutoff
+    * (the mine is the expensive part; the sweep is conditional sums
+    * over its output). Per-threshold doc counts are countDistinct over
+    * the exploded pair endpoints; all comparisons run on the ROUNDED
+    * jaccard (what [[ngramJaccard]] emits), which the oracle mirrors.
+    * Output is one bounded summary row. */
+  def dedupSweep(docs: DataFrame, n: Int = 3,
+      thresholds: Seq[Double] = Seq(0.25, 0.5, 0.75)): DataFrame = {
+    val pairs = ngramJaccard(docs, n, thresholds.min).localCheckpoint()
+    def pct(t: Double): String = math.round(t * 100).toString
+    val pairCols = thresholds.map(t =>
+      sum(when(col("jaccard") >= t, 1L).otherwise(0L)).as(s"n_pairs_${pct(t)}"))
+    val pairAgg = pairs.agg(pairCols.head, pairCols.tail: _*)
+    val ids = pairs.select(col("jaccard"),
+      explode(array(col("id_a"), col("id_b"))).as("id"))
+    val docCols = thresholds.map(t =>
+      countDistinct(when(col("jaccard") >= t, col("id"))).as(s"n_docs_${pct(t)}"))
+    val docAgg = ids.agg(docCols.head, docCols.tail: _*)
+    pairAgg.crossJoin(broadcast(docAgg))
+  }
 }

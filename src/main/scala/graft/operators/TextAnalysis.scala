@@ -636,4 +636,20 @@ object TextAnalysis {
         Window.orderBy(col("cnt").desc, col("gram"))))
       .select(col("gram"), col("cnt"), col("rk"))
   }
+
+  /** Top-k TF-IDF keywords per document — the per-doc topical summary a
+    * curation UI or domain-mixture labeler reads, riding [[tfidf]]'s
+    * linear-idf scores. The rank window partitions by doc_id over the
+    * doc's DISTINCT-WORD rows — bounded by document length, never the
+    * corpus — with the (score desc, word) tie-break making the selection
+    * deterministic. Rank cast to long so both engines emit BIGINT. */
+  def keywordTopK(docs: DataFrame, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tfidf_lin").desc, col("word"))
+    tfidf(docs)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("doc_id"), col("word"), col("tfidf_lin"), col("rank"))
+  }
 }

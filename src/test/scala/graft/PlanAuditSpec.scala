@@ -52,7 +52,11 @@ class PlanAuditSpec extends SparkSpec {
     // (p_manifest reuses p_shuffle's assignment, so it carries the
     // same bounded offset window) and for t_char_ngrams' rank window,
     // which runs AFTER the TakeOrdered limit — ≤k rows by construction
-    val allowed = Set("p_pack", "p_shuffle", "p_manifest", "t_char_ngrams")
+    // e_late_audit carries the same bounded offset shape: its one
+    // unpartitioned window runs over per-(hour, user-band) maxima —
+    // ≤ hours×128 rows of metadata, never the corpus
+    val allowed = Set("p_pack", "p_shuffle", "p_manifest", "t_char_ngrams",
+      "e_late_audit")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val plan = fn(spark, sfDir).queryExecution.optimizedPlan.toString
       val specs = "windowspecdefinition\\(([^)]*)\\)".r

@@ -1,0 +1,126 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Analytics, Events, Graph}
+
+/** Round-6 second wave: degree profile, sparsified BFS, exact Gini,
+  * MAD outliers, watermark lateness audit, basket pairs. */
+class Round6bOpsSpec extends SparkSpec {
+
+  private def edgesDf(rows: Seq[(String, String, Long)]) = {
+    import spark.implicits._
+    rows.toDF("src", "dst", "w")
+  }
+
+  test("degreeProfile counts both directions and keeps isolated nodes") {
+    import spark.implicits._
+    val edges = edgesDf(Seq(("a", "b", 2L), ("a", "c", 3L), ("b", "a", 1L)))
+    val nodes = Seq("a", "b", "c", "d").toDF("node")
+    val got = Graph.degreeProfile(edges, nodes)
+      .orderBy("node")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(got.toSeq == Seq(
+      ("a", 2L, 5L, 1L, 1L),
+      ("b", 1L, 1L, 1L, 2L),
+      ("c", 0L, 0L, 1L, 3L),
+      ("d", 0L, 0L, 0L, 0L)))
+  }
+
+  test("shortestPaths prunes to top-fanout edges and settles exact hop counts") {
+    import spark.implicits._
+    // fanout=1 keeps only a→c (w 9 beats w 5); path to b is a→c→b
+    val edges = edgesDf(Seq(("a", "b", 5L), ("a", "c", 9L), ("c", "b", 1L),
+      ("d", "d", 7L))) // self-loop must be ignored
+    val nodes = Seq("a", "b", "c", "d").toDF("node")
+    val source = Seq("a").toDF("__src")
+    val got = Graph.shortestPaths(edges, nodes, source, fanout = 1, maxHops = 4)
+      .orderBy("node")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    // d is unreachable → absent, not infinite
+    assert(got.toSeq == Seq(("a", 0L), ("b", 2L), ("c", 1L)))
+  }
+
+  test("giniByGroup matches hand-computed coefficients, ties collapsed") {
+    import spark.implicits._
+    val spend = Seq(("eq", 7L), ("eq", 7L), ("eq", 7L),
+      ("mix", 1L), ("mix", 1L), ("mix", 2L)).toDF("n_name", "x")
+    val got = Analytics.giniByGroup(spend)
+      .orderBy("n_name")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    // mix: sorted 1,1,2 → n=3, Σx=4, Σi·xᵢ=1+2+6=9 → (18−16)/12
+    assert(got.toSeq == Seq(("eq", 3L, 0.0), ("mix", 3L, 2.0 / 12.0)))
+  }
+
+  private def typedEvents(rows: Seq[(Long, Long, Long, String, Double)]) = {
+    // (event_id, user_id, ts_us, event_type, value)
+    import spark.implicits._
+    rows.toDF("event_id", "user_id", "tsu0", "event_type", "value")
+      .select(col("event_id"), col("user_id"),
+        expr("timestamp_micros(tsu0)").as("ts"), col("event_type"), col("value"))
+  }
+
+  test("madOutliers flags only beyond k·MAD; zero-MAD groups flag any deviation") {
+    val df = typedEvents(Seq(
+      (1L, 1L, 0L, "t", 1.0), (2L, 1L, 1L, "t", 1.0), (3L, 1L, 2L, "t", 1.0),
+      (4L, 1L, 3L, "t", 1.0), (5L, 1L, 4L, "t", 100.0),
+      (6L, 2L, 5L, "u", 3.0), (7L, 2L, 6L, "u", 3.0))) // zero variance → nothing
+    val got = Events.madOutliers(df, k = 5)
+      .select("event_id", "event_type", "deviation")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    assert(got.toSeq == Seq((5L, "t", 9900.0)))
+  }
+
+  test("latenessAudit replays the hourly-batch arrival model") {
+    val hourUs = 3600000000L
+    // hour 0: user 1 produces at t=3500s, user 2 at t=10s. Arrival order
+    // is (hour, user, id): u2's event lands AFTER u1's, 3490 s late.
+    val df = typedEvents(Seq(
+      (1L, 1L, 3500L * 1000000L, "click", 1.0),
+      (2L, 2L, 10L * 1000000L, "click", 1.0),
+      (3L, 3L, hourUs + 5L, "click", 1.0))) // next hour, on time
+    val got = Events.latenessAudit(df)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    // 3490 s trips the 1 m and 10 m watermarks but not 1 h
+    assert(got.toSeq == Seq(("click", 3L, 1L, 1L, 0L, 3490L)))
+  }
+
+  test("keywordTopK ranks by rounded score then word, per doc") {
+    import spark.implicits._
+    val docs = Seq((1L, "apple apple banana"), (2L, "banana cherry"))
+      .toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysis.keywordTopK(docs, k = 3)
+      .orderBy("doc_id", "rank")
+      .select("doc_id", "word", "tfidf_lin", "rank")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getLong(3)))
+    // n=2; df: apple 1, banana 2, cherry 1 → d1: apple 2·(2/1)=4,
+    // banana 1·(2/2)=1; d2: cherry 2, banana 1
+    assert(got.toSeq == Seq(
+      (1L, "apple", 4.0, 1L), (1L, "banana", 1.0, 2L),
+      (2L, "cherry", 2.0, 1L), (2L, "banana", 1.0, 2L)))
+  }
+
+  test("dedupSweep counts pairs and affected docs per threshold from one mine") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c d"), (2L, "a b c d"), (3L, "a b c x"))
+      .toDF("doc_id", "text")
+    // pairs: (1,2) j=1.0; (1,3) and (2,3) j=1/3
+    val got = graft.operators.Dedup.dedupSweep(docs).collect().head
+    assert(got.getLong(got.fieldIndex("n_pairs_25")) == 3L)
+    assert(got.getLong(got.fieldIndex("n_pairs_50")) == 1L)
+    assert(got.getLong(got.fieldIndex("n_pairs_75")) == 1L)
+    assert(got.getLong(got.fieldIndex("n_docs_25")) == 3L)
+    assert(got.getLong(got.fieldIndex("n_docs_50")) == 2L)
+    assert(got.getLong(got.fieldIndex("n_docs_75")) == 2L)
+  }
+
+  test("basketPairs keeps canonical pairs at min support") {
+    import spark.implicits._
+    val li = Seq((1L, 10L), (1L, 10L), (1L, 20L), (1L, 30L),
+      (2L, 20L), (2L, 30L)).toDF("l_orderkey", "l_partkey")
+    val got = Analytics.basketPairs(li, minSupport = 2L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq((20L, 30L, 2L)))
+  }
+}

@@ -76,5 +76,8 @@ class ShellProcedureSpec extends SparkSpec {
     assert(pr.count() == 25)
     assert(pr.agg(sum("rank_scaled")).head().getLong(0) <= graft.operators.Graph.Scale)
     assert(Shell.execute("triangles", spark, cat, sfDir))
+    assert(Shell.execute("degrees", spark, cat, sfDir))
+    assert(Shell.execute("bfs", spark, cat, sfDir))
+    assert(Shell.execute("gini", spark, cat, sfDir))
   }
 }
