@@ -246,6 +246,43 @@ object ScaleSmoke {
       operators.Graph.nationPagerank(spark, "/root/testdata/sf0.1")
         .write.format("noop").mode("overwrite").save()
     }
+    // round 6b: robust stats, lateness audit, pair mining at 10× facts
+    time("mad_1m_events") {
+      operators.Events.madOutliers(be)
+        .write.format("noop").mode("overwrite").save()
+    }
+    time("late_audit_1m") {
+      operators.Events.latenessAudit(be)
+        .write.format("noop").mode("overwrite").save()
+    }
+    time("keyword_topk_100k") {
+      operators.TextAnalysis.keywordTopK(bd)
+        .write.format("noop").mode("overwrite").save()
+    }
+    time("basket_pairs_6m") {
+      // keys shifted per replica so basket sizes stay constant while
+      // order count 10×es — fan-out must scale with orders, not pairs²
+      val li = spark.read.parquet("/root/testdata/sf0.1/lineitem.parquet")
+      val big = (0 until 10).map(i =>
+          li.withColumn("l_orderkey", col("l_orderkey") + lit(i * 100000000L)))
+        .reduce(_ unionAll _)
+      operators.Analytics.basketPairs(big)
+        .write.format("noop").mode("overwrite").save()
+    }
+    time("gini_1m_orders") {
+      // 10× orders under 10× customers: the two-level rank scan must
+      // stay bucket-parallel as per-nation customer counts grow
+      val ord = spark.read.parquet("/root/testdata/sf0.1/orders.parquet")
+      val bigSpend = (0 until 10).map(i =>
+          ord.withColumn("o_custkey", col("o_custkey") + lit(i * 10000000L)))
+        .reduce(_ unionAll _)
+        .groupBy(col("o_custkey"))
+        .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("x"))
+        .withColumn("n_name", concat(lit("N"), pmod(col("o_custkey"), lit(25))))
+        .select(col("n_name"), col("x"))
+      operators.Analytics.giniByGroup(bigSpend)
+        .write.format("noop").mode("overwrite").save()
+    }
     spark.stop()
   }
 }

@@ -35,10 +35,18 @@ class PlanAuditSpec extends SparkSpec {
     //    into the per-doc frame (the q22 scalar-threshold shape)
     //  - p_temperature: the 1-row min-stratum-count aggregate broadcast
     //    into the per-doc frame (same shape as p_wsample's max)
+    //  - e_late_audit: the 1-row user-id-bounds aggregate broadcast
+    //    into the events scan (the width_bucket banding input)
+    //  - g_bfs: the 1-row source-node aggregate broadcast into the
+    //    node list at initialization
+    //  - t_keyword_topk: rides t_tfidf's 1-row corpus count
+    //  - d_dedup_sweep: the 1×1 cross of the pair-grain and doc-grain
+    //    summary aggregates (one bounded output row)
     // anywhere else it means an equi-join lost its keys
     val allowed = Set("t_tfidf", "p_wsample", "d_corpus_prep",
       "s_ann_brute", "d_dedup_embed", "q_moving_avg", "q22_idle",
-      "q_kmv_join", "d_select_target", "p_temperature")
+      "q_kmv_join", "d_select_target", "p_temperature",
+      "e_late_audit", "g_bfs", "t_keyword_topk", "d_dedup_sweep")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val plan = fn(spark, sfDir).queryExecution.sparkPlan.toString
       if (plan.contains("BroadcastNestedLoopJoin") && !allowed(name)) Some(name) else None
