@@ -290,6 +290,24 @@ object SparkEntry {
         .withColumn("n_chars", col("n_chars") + 1000L)
       graft.sources.Catalog.upsert(base, updates, "doc_id")
     }),
+    // incremental MV maintenance: per-day order stats where 90% of the
+    // fact table was aggregated into a PERSISTED base state and every
+    // 10th order arrives as the delta batch; the merge must equal the
+    // oracle's full recompute (count/cents sums combine algebraically)
+    "fs_incr_agg" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val ord = Tables.orders(s, d)
+      def dayAgg(df: org.apache.spark.sql.DataFrame) = df
+        .groupBy(date_format(col("o_orderdate"), "yyyy-MM-dd").as("day"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("rev_cents"))
+      graft.sources.Catalog.mergeAggIncrement(
+          dayAgg(ord.where(col("o_orderkey") % 10 =!= 0)),
+          dayAgg(ord.where(col("o_orderkey") % 10 === 0)),
+          Seq("day"), s"orders_day:$d")
+        .select(col("day"), col("n_orders"),
+          (col("rev_cents").cast("double") / 100.0).as("revenue"))
+    }),
     "m_meta" -> ((s, d) => Multimodal.metaExtract(Tables.documents(s, d))),
     // REAL codec round-trips (JDK ImageIO / WAV): payload dimensions are
     // derived arithmetically from n_chars, so the oracle predicts what
@@ -2142,6 +2160,14 @@ object SparkEntry {
          FROM documents WHERE doc_id % 7 = 0
          UNION ALL
          SELECT doc_id, source, n_chars FROM documents WHERE doc_id % 7 <> 0""",
+    // the oracle recomputes from scratch; equality proves the stored
+    // base state + delta merge reconstructs the full aggregate
+    "fs_incr_agg" ->
+      """SELECT strftime(o_orderdate, '%Y-%m-%d') AS day,
+                CAST(count(*) AS BIGINT) AS n_orders,
+                CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+                  / 100.0 AS revenue
+         FROM orders GROUP BY 1""",
     // regression from exact integer moments; only the slope divides
     // moments accumulate in HUGEINT (mirrors Spark's Decimal(38,0) —
     // no wrap, no raise) and emit as doubles; slope operands are the

@@ -287,6 +287,34 @@ object Catalog {
     updates.unionByName(
       base.join(updates.select(col(key)), Seq(key), "left_anti"))
 
+  /** Incremental aggregate maintenance (materialized-view merge): the
+    * base aggregate is PERSISTED once per `cacheKey` per JVM (a real
+    * parquet round-trip under the shutdown-cleaned temp root — the
+    * stored MV), then each call merges a delta-batch aggregate into the
+    * stored state by re-aggregating the union on the keys. Correct for
+    * exactly the algebraic aggregates (counts, integer sums) whose
+    * partial states combine by summation — which is why callers
+    * pre-aggregate to (keys, counters) grain before handing frames in.
+    * At 100 TB this is the difference between re-scanning the fact
+    * table per refresh and touching only the delta: merge cost is
+    * O(|stored keys| + |delta|), independent of history size. */
+  def mergeAggIncrement(baseAgg: DataFrame, deltaAgg: DataFrame,
+      keys: Seq[String], cacheKey: String): DataFrame = {
+    val spark = baseAgg.sparkSession
+    val dir = partitionedDirs.getOrElseUpdate(s"incr:$cacheKey", {
+      val d = partitionedRoot.resolve(
+        "incr_" + java.lang.Integer.toHexString(cacheKey.hashCode)).toString
+      baseAgg.write.mode("overwrite").parquet(d)
+      d
+    })
+    val stored = spark.read.parquet(dir)
+    val counterCols = stored.columns.filterNot(keys.contains)
+    stored.unionByName(deltaAgg)
+      .groupBy(keys.map(col): _*)
+      .agg(sum(col(counterCols.head)).as(counterCols.head),
+        counterCols.tail.map(c => sum(col(c)).as(c)): _*)
+  }
+
   private val partitionedDirs = scala.collection.concurrent.TrieMap[String, String]()
   private lazy val partitionedRoot: java.nio.file.Path = {
     val p = java.nio.file.Files.createTempDirectory("graft-part")

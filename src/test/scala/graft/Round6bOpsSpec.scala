@@ -115,6 +115,23 @@ class Round6bOpsSpec extends SparkSpec {
     assert(got.getLong(got.fieldIndex("n_docs_75")) == 2L)
   }
 
+  test("mergeAggIncrement reconstructs the full aggregate from stored base + delta") {
+    import spark.implicits._
+    val base = Seq(("d1", 2L, 100L), ("d2", 1L, 50L)).toDF("day", "n", "c")
+    val delta1 = Seq(("d2", 1L, 25L), ("d3", 4L, 10L)).toDF("day", "n", "c")
+    val key = s"spec:${System.nanoTime()}"
+    val got1 = graft.sources.Catalog.mergeAggIncrement(base, delta1, Seq("day"), key)
+      .orderBy("day").collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // d3 exists only in the delta; d2 merges; d1 passes through
+    assert(got1.toSeq == Seq(("d1", 2L, 100L), ("d2", 2L, 75L), ("d3", 4L, 10L)))
+    // second merge against the SAME stored state (per-JVM persistence):
+    // a different delta must still merge against the original base
+    val delta2 = Seq(("d1", 1L, 1L)).toDF("day", "n", "c")
+    val got2 = graft.sources.Catalog.mergeAggIncrement(base.limit(0), delta2, Seq("day"), key)
+      .orderBy("day").collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got2.toSeq == Seq(("d1", 3L, 101L), ("d2", 1L, 50L)))
+  }
+
   test("basketPairs keeps canonical pairs at min support") {
     import spark.implicits._
     val li = Seq((1L, 10L), (1L, 10L), (1L, 20L), (1L, 30L),
