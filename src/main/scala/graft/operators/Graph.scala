@@ -62,17 +62,23 @@ object Graph {
     * only past ~1e7 lineitems per nation pair; at that point pre-scale
     * the weights (only w/outw ratios matter) before calling.
     */
-  def pagerank(edges: DataFrame, nodes: DataFrame, iters: Int = 3): DataFrame = {
+  def pagerank(edges: DataFrame, nodes: DataFrame, iters: Int = 3,
+      coalesceTo: Option[Int] = None): DataFrame = {
     // materialize the per-iteration inputs ONCE (localCheckpoint, the
     // BPE/kmeans iteration idiom): without the lineage cut every
     // iteration's plan re-derives the whole edge pipeline — repeated
-    // fact scans and a plan tree that grows with the iteration count
+    // fact scans and a plan tree that grows with the iteration count.
+    // Per-iteration state is node/edge-AGGREGATE grain; a caller that
+    // knows the graph is tiny (the 25-nation instance) pins it to one
+    // partition (32× fewer tasks per iteration); a large graph passes
+    // None and keeps the default parallelism.
+    def pin(df: DataFrame): DataFrame =
+      coalesceTo.map(df.coalesce).getOrElse(df).localCheckpoint()
     val n1 = nodes.agg(count(lit(1)).as("n_nodes"))
     val outw = edges.groupBy(col("src")).agg(sum(col("w")).as("ow"))
-    val e = edges.join(outw, "src")
-      .select(col("src"), col("dst"), col("w"), col("ow"))
-      .localCheckpoint()
-    val nodesN = nodes.crossJoin(broadcast(n1)).localCheckpoint()
+    val e = pin(edges.join(outw, "src")
+      .select(col("src"), col("dst"), col("w"), col("ow")))
+    val nodesN = pin(nodes.crossJoin(broadcast(n1)))
     var ranks = nodesN
       .select(col("node"), expr(s"CAST($Scale AS BIGINT) div n_nodes").as("rank"))
     for (_ <- 1 to iters) {
@@ -80,12 +86,11 @@ object Graph {
         .select(col("dst"), expr("(rank * w) div ow").as("c"))
         .groupBy(col("dst")).agg(sum(col("c")).as("contrib"))
       val prev = ranks
-      ranks = nodesN
+      ranks = pin(nodesN
         .join(contrib, col("node") === col("dst"), "left")
         .select(col("node"),
           expr(s"(($Scale div 100) * 15) div n_nodes" +
-            s" + (85 * coalesce(contrib, CAST(0 AS BIGINT))) div 100").as("rank"))
-        .localCheckpoint()
+            s" + (85 * coalesce(contrib, CAST(0 AS BIGINT))) div 100").as("rank")))
       prev.unpersist()
     }
     ranks
@@ -96,7 +101,7 @@ object Graph {
   /** Driver entry: PageRank of the nation trade network. */
   def nationPagerank(spark: SparkSession, dir: String, iters: Int = 3): DataFrame = {
     val nodes = Tables.nation(spark, dir).select(col("n_name").as("node"))
-    pagerank(tradeEdges(spark, dir), nodes, iters)
+    pagerank(tradeEdges(spark, dir), nodes, iters, coalesceTo = Some(1))
       .withColumnRenamed("node", "n_name")
   }
 
@@ -179,9 +184,12 @@ object Graph {
     * similarity graph is pruned to before traversal. The row_number
     * window partitions on src over ≤|nodes| rows per partition — the
     * edge table is aggregate-grain, never fact-grain, so the window is
-    * bounded no matter the SF. */
+    * bounded no matter the SF. PRECONDITION: every edge endpoint
+    * appears in `nodes` (both routes then emit exactly the reachable
+    * subset). */
   def shortestPaths(edges: DataFrame, nodes: DataFrame, sourceExpr: DataFrame,
-      fanout: Int = 3, maxHops: Int = 8): DataFrame = {
+      fanout: Int = 3, maxHops: Int = 8,
+      localMaxEdges: Long = 10000L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val byW = Window.partitionBy(col("src"))
       .orderBy(col("w").desc, col("dst"))
@@ -190,6 +198,32 @@ object Graph {
       .where(col("__rn") <= fanout)
       .select(col("src"), col("dst"))
       .localCheckpoint()
+    // SIZE-ROUTED (the connectedComponents ladder): the sparsified edge
+    // table is aggregate-grain — ≤ |nodes|·fanout rows by construction.
+    // Below localMaxEdges a driver BFS replaces 8 synchronous
+    // relaxation JOBS (each an eager checkpoint round-trip — measured
+    // ~0.4 s/round of pure scheduling at nation grain) with one
+    // bounded collect; past it the distributed relaxation below runs
+    // unchanged on a graph of any size. Both routes compute the same
+    // object: min-hop distances capped at maxHops.
+    if (sedges.count() <= localMaxEdges) {
+      val adj = sedges.collect()
+        .map(r => (r.getString(0), r.getString(1)))
+        .groupBy(_._1).map { case (s, a) => (s, a.map(_._2)) }
+      val src = sourceExpr.collect().head.getString(0)
+      val dist = scala.collection.mutable.LinkedHashMap(src -> 0L)
+      var frontier = Seq(src)
+      var d = 0L
+      while (frontier.nonEmpty && d < maxHops) {
+        d += 1
+        frontier = frontier.flatMap(u => adj.getOrElse(u, Array.empty[String]))
+          .distinct.filterNot(dist.contains)
+        frontier.foreach(v => dist(v) = d)
+      }
+      val spark = edges.sparkSession
+      import spark.implicits._
+      return dist.toSeq.toDF("node", "hops")
+    }
     var dist = nodes.crossJoin(broadcast(sourceExpr))
       .select(col("node"),
         when(col("node") === col("__src"), lit(0L)).as("hops"))

@@ -34,11 +34,18 @@ class Round6bOpsSpec extends SparkSpec {
       ("d", "d", 7L))) // self-loop must be ignored
     val nodes = Seq("a", "b", "c", "d").toDF("node")
     val source = Seq("a").toDF("__src")
-    val got = Graph.shortestPaths(edges, nodes, source, fanout = 1, maxHops = 4)
-      .orderBy("node")
-      .collect().map(r => (r.getString(0), r.getLong(1)))
-    // d is unreachable → absent, not infinite
-    assert(got.toSeq == Seq(("a", 0L), ("b", 2L), ("c", 1L)))
+    // both ladder rungs must produce the same distances: the driver
+    // BFS (default route at this size) and the forced distributed
+    // relaxation (the 100 TB path)
+    for (localMax <- Seq(10000L, 0L)) {
+      val got = Graph.shortestPaths(edges, nodes, source, fanout = 1,
+          maxHops = 4, localMaxEdges = localMax)
+        .orderBy("node")
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+      // d is unreachable → absent, not infinite
+      assert(got.toSeq == Seq(("a", 0L), ("b", 2L), ("c", 1L)),
+        s"route localMaxEdges=$localMax")
+    }
   }
 
   test("giniByGroup matches hand-computed coefficients, ties collapsed") {
