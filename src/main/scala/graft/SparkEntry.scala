@@ -150,6 +150,11 @@ object SparkEntry {
     "e_rolling_median" -> ((s, d) => Events.rollingMedian(Tables.events(s, d))),
     "e_mad_outlier" -> ((s, d) => Events.madOutliers(Tables.events(s, d))),
     "e_late_audit" -> ((s, d) => Events.latenessAudit(Tables.events(s, d))),
+    "e_trending" -> ((s, d) => Events.trending(Tables.events(s, d))),
+    // leakage-safe split over the SAME LSH pair mine d_components rides
+    // (exact-pair oracle equality is spec-asserted on this corpus)
+    "p_leak_split" -> ((s, d) => Sampling.leakSafeSplit(Tables.documents(s, d),
+      Dedup.minhashLsh(Tables.documents(s, d), 3, 64, 16, 0.5))),
     "q_gini" -> ((s, d) => Analytics.giniSpend(s, d)),
     "q_basket_pairs" -> ((s, d) => Analytics.basketPairs(Tables.lineitem(s, d))),
     // streaming exactly-once dedup as a real checkpointed run
@@ -1800,6 +1805,45 @@ object SparkEntry {
                 CAST(d.v AS DOUBLE) / 100.0 AS value, d.dev AS deviation
          FROM dev d JOIN mad m USING (event_type)
          WHERE d.dev > 5 * m.mad""",
+    // aggregate-then-rank: the rank rides (type, hour, user) counts
+    "e_trending" ->
+      """WITH c AS (SELECT event_type,
+                (epoch_us(ts) // 3600000000) * 3600000000 AS hr_us,
+                user_id, CAST(count(*) AS BIGINT) AS cnt
+           FROM events GROUP BY 1, 2, 3),
+         r AS (SELECT event_type, hr_us, user_id, cnt,
+                CAST(row_number() OVER (PARTITION BY event_type, hr_us
+                     ORDER BY cnt DESC, user_id) AS BIGINT) AS rnk
+           FROM c)
+         SELECT event_type, hr_us, user_id, cnt, rnk FROM r WHERE rnk <= 3""",
+    // the components closure (recursive CTE over exact pairs — equal to
+    // the Spark side's verified-LSH pairs on this corpus, spec-pinned)
+    // feeds the p_split hash rule applied to each doc's component ROOT
+    "p_leak_split" ->
+      """WITH RECURSIVE tok AS (SELECT doc_id,
+             list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS w FROM documents),
+         sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+                FROM tok CROSS JOIN unnest(generate_series(1, len(w) - 2)) AS t(i)
+                WHERE len(w) >= 3),
+         sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+         inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+                   FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2),
+         pairs AS (SELECT id_a, id_b
+                   FROM inter JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
+                   WHERE CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter) >= 0.5),
+         edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                   UNION ALL SELECT id_b, id_a FROM pairs),
+         reach AS (SELECT src AS id, src AS r FROM edges
+                   UNION
+                   SELECT reach.id, edges.dst FROM reach JOIN edges ON reach.r = edges.src),
+         comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id)
+         SELECT d.doc_id,
+                COALESCE(c.component, d.doc_id) AS root,
+                CASE WHEN substr(md5(CAST(COALESCE(c.component, d.doc_id) AS VARCHAR) || ':split'), 1, 2) < 'cc' THEN 'train'
+                     WHEN substr(md5(CAST(COALESCE(c.component, d.doc_id) AS VARCHAR) || ':split'), 1, 2) < 'e6' THEN 'val'
+                     ELSE 'test' END AS split
+         FROM documents d LEFT JOIN comp c ON d.doc_id = c.id""",
     // the oracle replays the arrival model as ONE global running-max
     // window over (hour, user, id) — the naive serial formulation the
     // Spark side's two-level bucket scan must equal exactly

@@ -527,4 +527,27 @@ object Events {
         sum(when(col("late_us") > lit(60 * minUs), 1L).otherwise(0L)).as("drop_1h"),
         expr("max(late_us) div 1000000").as("max_late_sec"))
   }
+
+  /** Trending entities: the top-k users by event count per
+    * (event_type, hour) — the leaderboard/hot-key feed over windowed
+    * streams. Aggregate-then-rank: the count aggregate collapses to
+    * (type, hour, user) grain FIRST (map-side combinable), so the rank
+    * window's partition holds one row per active user in that cell —
+    * never raw events — with the (cnt desc, user_id) tie order making
+    * the cut deterministic. Rank cast to long for the cross-engine
+    * schema. */
+  def trending(events: DataFrame, k: Int = 3): DataFrame = {
+    val hourUs = 3600000000L
+    val counts = events
+      .select(col("event_type"),
+        expr(s"(unix_micros(ts) div $hourUs) * $hourUs").as("hr_us"),
+        col("user_id"))
+      .groupBy(col("event_type"), col("hr_us"), col("user_id"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col("event_type"), col("hr_us"))
+      .orderBy(col("cnt").desc, col("user_id"))
+    counts
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .where(col("rnk") <= k)
+  }
 }

@@ -139,6 +139,35 @@ class Round6bOpsSpec extends SparkSpec {
     assert(got2.toSeq == Seq(("d1", 3L, 101L), ("d2", 1L, 50L)))
   }
 
+  test("trending ranks top-k users per (type, hour) cell deterministically") {
+    val df = typedEvents(Seq(
+      (1L, 1L, 0L, "t", 1.0), (2L, 1L, 1L, "t", 1.0), (3L, 1L, 2L, "t", 1.0),
+      (4L, 2L, 3L, "t", 1.0), (5L, 2L, 4L, "t", 1.0),
+      (6L, 3L, 5L, "t", 1.0), (7L, 3L, 6L, "t", 1.0),
+      (8L, 4L, 7L, "t", 1.0)))
+    val got = graft.operators.Events.trending(df, k = 3)
+      .orderBy("rnk")
+      .select("user_id", "cnt", "rnk")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // tie between users 2 and 3 at cnt=2 breaks by user id; user 4 cut
+    assert(got.toSeq == Seq((1L, 3L, 1L), (2L, 2L, 2L), (3L, 2L, 3L)))
+  }
+
+  test("leakSafeSplit keeps near-dup pairs on one side of the split") {
+    import spark.implicits._
+    val docs = Seq((1L, "x"), (2L, "y"), (3L, "z")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 3L)).toDF("id_a", "id_b")
+    val got = graft.operators.Sampling.leakSafeSplit(docs, pairs)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    // 1 and 3 share root 1 → identical split; singleton 2 roots at itself
+    assert(got.map(t => (t._1, t._2)).toSeq == Seq((1L, 1L), (2L, 2L), (3L, 1L)))
+    assert(got(0)._3 == got(2)._3)
+    val solo = graft.operators.Sampling.hashSplit(docs.where($"doc_id" === 2))
+      .collect().head.getString(1)
+    assert(got(1)._3 == solo) // singleton assignment == plain hash split
+  }
+
   test("basketPairs keeps canonical pairs at min support") {
     import spark.implicits._
     val li = Seq((1L, 10L), (1L, 10L), (1L, 20L), (1L, 30L),
