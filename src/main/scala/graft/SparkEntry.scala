@@ -157,6 +157,7 @@ object SparkEntry {
       Dedup.minhashLsh(Tables.documents(s, d), 3, 64, 16, 0.5))),
     "q_gini" -> ((s, d) => Analytics.giniSpend(s, d)),
     "q_basket_pairs" -> ((s, d) => Analytics.basketPairs(Tables.lineitem(s, d))),
+    "q_integrity" -> ((s, d) => Analytics.integrityAudit(s, d)),
     // streaming exactly-once dedup as a real checkpointed run
     "e_dedup_stream" -> ((s, d) => streaming.EventStream.dedupKeysReplay(s, d)),
     // D. LLM-training-data pipeline
@@ -1882,6 +1883,23 @@ object SparkEntry {
                 CAST(2 * sixi - (n + 1) * sx AS DOUBLE) /
                   CAST(n * sx AS DOUBLE) AS gini
          FROM m""",
+    // a healthy drop reads all-zeros except the row counts
+    "q_integrity" ->
+      """SELECT 'orders_rows' AS metric, CAST(count(*) AS BIGINT) AS value FROM orders
+         UNION ALL
+         SELECT 'orders_dup_keys', CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) FROM orders
+         UNION ALL
+         SELECT 'lineitem_orphans', CAST(count(*) AS BIGINT) FROM lineitem l
+           WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+         UNION ALL
+         SELECT 'orders_orphan_cust', CAST(count(*) AS BIGINT) FROM orders o
+           WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+         UNION ALL
+         SELECT 'lineitem_null_qty',
+                CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM lineitem
+         UNION ALL
+         SELECT 'orders_null_date',
+                CAST(sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM orders""",
     // canonical p1<p2 orientation generates each pair once
     "q_basket_pairs" ->
       """WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)

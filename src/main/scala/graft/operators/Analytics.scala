@@ -1095,6 +1095,39 @@ object Analytics {
     * CO-PARTITIONED self-join on the order key (one shuffle, reused for
     * both sides) whose fan-out is C(k,2) bounded by basket size — never
     * |parts|². The canonical a<b orientation generates each pair once. */
+  /** Referential-integrity / data-quality audit — the ingest gate a
+    * 100 TB pipeline runs BEFORE analytics trusts a new drop: duplicate
+    * business keys, orphaned facts (anti joins on the join keys every
+    * downstream query assumes), and null rates on load-bearing columns,
+    * as one long-format (metric, value) card. Each metric is a single
+    * aggregate or co-partitioned anti join; the union is six bounded
+    * rows. A healthy drop reads all-zeros except the row counts. */
+  def integrityAudit(spark: SparkSession, dir: String): DataFrame =
+    integrityCard(Tables.orders(spark, dir), Tables.lineitem(spark, dir),
+      Tables.customer(spark, dir))
+
+  /** Core of [[integrityAudit]], separated so planted-defect fixtures
+    * are unit-testable. */
+  def integrityCard(ord: DataFrame, li: DataFrame, cust: DataFrame): DataFrame = {
+    def one(name: String, df: DataFrame): DataFrame =
+      df.select(lit(name).as("metric"), col("value"))
+    one("orders_rows", ord.agg(count(lit(1)).as("value")))
+      .unionAll(one("orders_dup_keys", ord.agg(
+        (count(lit(1)) - countDistinct(col("o_orderkey"))).as("value"))))
+      .unionAll(one("lineitem_orphans", li.select(col("l_orderkey"))
+        .join(ord.select(col("o_orderkey")),
+          col("l_orderkey") === col("o_orderkey"), "left_anti")
+        .agg(count(lit(1)).as("value"))))
+      .unionAll(one("orders_orphan_cust", ord.select(col("o_custkey"))
+        .join(cust.select(col("c_custkey")),
+          col("o_custkey") === col("c_custkey"), "left_anti")
+        .agg(count(lit(1)).as("value"))))
+      .unionAll(one("lineitem_null_qty",
+        li.agg(sum(when(col("l_quantity").isNull, 1L).otherwise(0L)).as("value"))))
+      .unionAll(one("orders_null_date",
+        ord.agg(sum(when(col("o_orderdate").isNull, 1L).otherwise(0L)).as("value"))))
+  }
+
   def basketPairs(lineitem: DataFrame, minSupport: Long = 2L): DataFrame = {
     val items = lineitem.select(col("l_orderkey"), col("l_partkey")).distinct()
     items.as("a")

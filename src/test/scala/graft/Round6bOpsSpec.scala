@@ -168,6 +168,24 @@ class Round6bOpsSpec extends SparkSpec {
     assert(got(1)._3 == solo) // singleton assignment == plain hash split
   }
 
+  test("integrityCard counts planted dup keys, orphans, and nulls exactly") {
+    import spark.implicits._
+    val ord = Seq((1L, 10L, Some(0L)), (1L, 10L, Some(0L)), (2L, 99L, None))
+      .toDF("o_orderkey", "o_custkey", "d0")
+      .select(col("o_orderkey"), col("o_custkey"),
+        expr("timestamp_micros(d0)").as("o_orderdate"))
+    val li = Seq((1L, Some(1.0)), (7L, Some(2.0)), (2L, None))
+      .toDF("l_orderkey", "l_quantity")
+    val cust = Seq(10L).toDF("c_custkey")
+    val got = graft.operators.Analytics.integrityCard(ord, li, cust)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    // order 1 duplicated; lineitem 7 orphaned; order 2's cust 99 missing;
+    // one null qty; one null date
+    assert(got == Map("orders_rows" -> 3L, "orders_dup_keys" -> 1L,
+      "lineitem_orphans" -> 1L, "orders_orphan_cust" -> 1L,
+      "lineitem_null_qty" -> 1L, "orders_null_date" -> 1L))
+  }
+
   test("basketPairs keeps canonical pairs at min support") {
     import spark.implicits._
     val li = Seq((1L, 10L), (1L, 10L), (1L, 20L), (1L, 30L),
