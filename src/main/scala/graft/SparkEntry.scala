@@ -158,6 +158,13 @@ object SparkEntry {
     "q_gini" -> ((s, d) => Analytics.giniSpend(s, d)),
     "q_basket_pairs" -> ((s, d) => Analytics.basketPairs(Tables.lineitem(s, d))),
     "q_integrity" -> ((s, d) => Analytics.integrityAudit(s, d)),
+    // drift monitor: src0's length distribution vs the rest of the corpus
+    "d_drift_ks" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val docs = Tables.documents(s, d)
+      TextAnalysis.driftKs(docs.where(col("source") === "src0"),
+        docs.where(col("source") =!= "src0"), "n_chars")
+    }),
     // streaming exactly-once dedup as a real checkpointed run
     "e_dedup_stream" -> ((s, d) => streaming.EventStream.dedupKeysReplay(s, d)),
     // D. LLM-training-data pipeline
@@ -1883,6 +1890,29 @@ object SparkEntry {
                 CAST(2 * sixi - (n + 1) * sx AS DOUBLE) /
                   CAST(n * sx AS DOUBLE) AS gini
          FROM m""",
+    // the KS maximand is a cross-multiplied integer; one closing
+    // division; the (diff desc, v) total order pins the argmax
+    "d_drift_ks" ->
+      """WITH a AS (SELECT n_chars AS v, CAST(count(*) AS BIGINT) AS ca
+           FROM documents WHERE source = 'src0' GROUP BY 1),
+         b AS (SELECT n_chars AS v, CAST(count(*) AS BIGINT) AS cb
+           FROM documents WHERE source <> 'src0' GROUP BY 1),
+         m AS (SELECT COALESCE(a.v, b.v) AS v,
+                COALESCE(ca, 0) AS ca, COALESCE(cb, 0) AS cb
+           FROM a FULL OUTER JOIN b ON a.v = b.v),
+         r AS (SELECT v,
+                sum(ca) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS fa,
+                sum(cb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS fb
+           FROM m),
+         t AS (SELECT CAST(sum(ca) AS BIGINT) AS na,
+                      CAST(sum(cb) AS BIGINT) AS nb FROM m),
+         d AS (SELECT v, abs(CAST(fa AS HUGEINT) * nb - CAST(fb AS HUGEINT) * na) AS diff
+           FROM r CROSS JOIN t)
+         SELECT t.na, t.nb,
+                CAST(d.diff AS DOUBLE) /
+                  (CAST(t.na AS DOUBLE) * CAST(t.nb AS DOUBLE)) AS ks,
+                d.v AS ks_at
+         FROM d CROSS JOIN t ORDER BY d.diff DESC, d.v LIMIT 1""",
     // a healthy drop reads all-zeros except the row counts
     "q_integrity" ->
       """SELECT 'orders_rows' AS metric, CAST(count(*) AS BIGINT) AS value FROM orders

@@ -652,4 +652,42 @@ object TextAnalysis {
       .where(col("rank") <= k)
       .select(col("doc_id"), col("word"), col("tfidf_lin"), col("rank"))
   }
+
+  /** EXACT two-sample Kolmogorov–Smirnov distance between the integer
+    * `valueCol` distributions of two corpus slices — the drift monitor
+    * run when a new crawl lands: has the length/quality distribution
+    * moved against the reference corpus, and at which value?
+    *
+    * Exactness: KS = max over distinct values of |F_a − F_b| =
+    * max |c_a·n_b − c_b·n_a| / (n_a·n_b) — the maximand is a
+    * CROSS-MULTIPLIED INTEGER (Decimal(38,0); no per-value division),
+    * so the argmax and the final single division are engine-exact.
+    * Scale shape: per-side value counts → one full-outer merge at
+    * distinct-value grain → BOTH running counts via the two-level
+    * bucket-monotone scan (no unpartitioned value window) → TakeOrdered
+    * limit 1 with a (diff desc, value asc) total order. Output is one
+    * row: sizes, the KS statistic, and the value where it's attained. */
+  def driftKs(a: DataFrame, b: DataFrame, valueCol: String): DataFrame = {
+    val va = a.select(col(valueCol).cast("long").as("v"))
+      .groupBy(col("v")).agg(count(lit(1)).as("ca"))
+    val vb = b.select(col(valueCol).cast("long").as("v"))
+      .groupBy(col("v")).agg(count(lit(1)).as("cb"))
+    val vc = va.join(vb, Seq("v"), "full_outer")
+      .na.fill(0L, Seq("ca", "cb"))
+      .withColumn("__g", lit(1))
+    val run = Cumulative.runningSum(
+      Cumulative.runningSum(vc, Seq("__g"), "v", "ca", "Fa"),
+      Seq("__g"), "v", "cb", "Fb")
+    val totals = vc.agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"))
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    run.crossJoin(broadcast(totals))
+      .withColumn("__diff",
+        abs(dec(col("Fa")) * dec(col("nb")) - dec(col("Fb")) * dec(col("na"))))
+      .orderBy(col("__diff").desc, col("v"))
+      .limit(1)
+      .select(col("na"), col("nb"),
+        (col("__diff").cast("double") /
+          (dec(col("na")) * dec(col("nb"))).cast("double")).as("ks"),
+        col("v").as("ks_at"))
+  }
 }

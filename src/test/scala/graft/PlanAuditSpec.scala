@@ -42,11 +42,14 @@ class PlanAuditSpec extends SparkSpec {
     //  - t_keyword_topk: rides t_tfidf's 1-row corpus count
     //  - d_dedup_sweep: the 1×1 cross of the pair-grain and doc-grain
     //    summary aggregates (one bounded output row)
+    //  - d_drift_ks: the 1-row (n_a, n_b) totals aggregate broadcast
+    //    into the distinct-value frame before the argmax
     // anywhere else it means an equi-join lost its keys
     val allowed = Set("t_tfidf", "p_wsample", "d_corpus_prep",
       "s_ann_brute", "d_dedup_embed", "q_moving_avg", "q22_idle",
       "q_kmv_join", "d_select_target", "p_temperature",
-      "e_late_audit", "g_bfs", "t_keyword_topk", "d_dedup_sweep")
+      "e_late_audit", "g_bfs", "t_keyword_topk", "d_dedup_sweep",
+      "d_drift_ks")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val plan = fn(spark, sfDir).queryExecution.sparkPlan.toString
       if (plan.contains("BroadcastNestedLoopJoin") && !allowed(name)) Some(name) else None
@@ -62,9 +65,12 @@ class PlanAuditSpec extends SparkSpec {
     // which runs AFTER the TakeOrdered limit — ≤k rows by construction
     // e_late_audit carries the same bounded offset shape: its one
     // unpartitioned window runs over per-(hour, user-band) maxima —
-    // ≤ hours×128 rows of metadata, never the corpus
+    // ≤ hours×128 rows of metadata, never the corpus. d_drift_ks'
+    // constant group column folds away in the optimizer, leaving its
+    // ≤128-row bucket-offset cumsum formally unpartitioned — same
+    // bounded-metadata shape.
     val allowed = Set("p_pack", "p_shuffle", "p_manifest", "t_char_ngrams",
-      "e_late_audit")
+      "e_late_audit", "d_drift_ks")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val plan = fn(spark, sfDir).queryExecution.optimizedPlan.toString
       val specs = "windowspecdefinition\\(([^)]*)\\)".r

@@ -186,6 +186,20 @@ class Round6bOpsSpec extends SparkSpec {
       "lineitem_null_qty" -> 1L, "orders_null_date" -> 1L))
   }
 
+  test("driftKs finds the exact KS distance and its attaining value") {
+    import spark.implicits._
+    val a = Seq(1L, 2L).toDF("x")
+    val b = Seq(2L, 3L).toDF("x")
+    val got = graft.operators.TextAnalysis.driftKs(a, b, "x").collect().head
+    // cum a: 1,2,2 ; cum b: 0,1,2 over values 1,2,3 → |Fa·nb−Fb·na|
+    // = 2,2,0 → KS = 2/4 = 0.5, tie at v=1 vs v=2 broken to the smaller
+    assert((got.getLong(0), got.getLong(1), got.getDouble(2), got.getLong(3))
+      == ((2L, 2L, 0.5, 1L)))
+    // identical samples → KS 0
+    val same = graft.operators.TextAnalysis.driftKs(a, a, "x").collect().head
+    assert(same.getDouble(2) == 0.0)
+  }
+
   test("basketPairs keeps canonical pairs at min support") {
     import spark.implicits._
     val li = Seq((1L, 10L), (1L, 10L), (1L, 20L), (1L, 30L),
