@@ -53,7 +53,7 @@ object Shell {
           "prep <src> <dest> | index <src> <dest> | prep_incr <new> <index> <dest> | " +
           "neardup <src> [t] | bpe <src> [n] | buckets <src> | kmeans <src> [k] | " +
           "ann <src> [k] | pagerank [iters] | triangles | degrees | bfs | " +
-          "gini | exit | <sql>")
+          "gini | audit | exit | <sql>")
       case "ls" :: Nil => cat.list().foreach(println)
       case "stats" :: Nil => cat.stats().show(100, truncate = false)
       case "nodes" :: Nil => cat.executorStats().show(100, truncate = false)
@@ -137,6 +137,11 @@ object Shell {
         operators.Analytics.giniSpend(spark, dir)
           .orderBy(org.apache.spark.sql.functions.col("gini").desc)
           .show(25, truncate = false)
+      case "audit" :: Nil =>
+        // ingest gate: referential integrity + watermark lateness
+        operators.Analytics.integrityAudit(spark, dir).show(truncate = false)
+        operators.Events.latenessAudit(Tables.events(spark, dir))
+          .orderBy("event_type").show(truncate = false)
       case _ => spark.sql(line).show(50, truncate = false)
     }
     true

@@ -672,11 +672,17 @@ object TextAnalysis {
       .groupBy(col("v")).agg(count(lit(1)).as("ca"))
     val vb = b.select(col(valueCol).cast("long").as("v"))
       .groupBy(col("v")).agg(count(lit(1)).as("cb"))
+    // pin the distinct-value frame and the first scan's output: each
+    // runningSum fans its input out three ways (bounds, offsets, base),
+    // so without the cut the corpus scans replicate ~8× through the
+    // nested calls — with it, each slice is scanned exactly once and
+    // everything downstream is distinct-value grain
     val vc = va.join(vb, Seq("v"), "full_outer")
       .na.fill(0L, Seq("ca", "cb"))
       .withColumn("__g", lit(1))
+      .localCheckpoint()
     val run = Cumulative.runningSum(
-      Cumulative.runningSum(vc, Seq("__g"), "v", "ca", "Fa"),
+      Cumulative.runningSum(vc, Seq("__g"), "v", "ca", "Fa").localCheckpoint(),
       Seq("__g"), "v", "cb", "Fb")
     val totals = vc.agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"))
     val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")

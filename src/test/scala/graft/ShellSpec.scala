@@ -79,5 +79,6 @@ class ShellProcedureSpec extends SparkSpec {
     assert(Shell.execute("degrees", spark, cat, sfDir))
     assert(Shell.execute("bfs", spark, cat, sfDir))
     assert(Shell.execute("gini", spark, cat, sfDir))
+    assert(Shell.execute("audit", spark, cat, sfDir))
   }
 }
