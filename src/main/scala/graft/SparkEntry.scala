@@ -245,6 +245,7 @@ object SparkEntry {
     "p_manifest" -> ((s, d) => Sampling.shardManifest(Tables.documents(s, d), 100)),
     // alpha-sampling over the skewed lang mix (en is ~3.4x fr at sf0.01)
     "p_temperature" -> ((s, d) => Sampling.temperatureSample(Tables.documents(s, d))),
+    "p_epoch_plan" -> ((s, d) => Sampling.epochPlan(Tables.documents(s, d))),
     // uniform-without-replacement cap of 10 docs per source
     "p_cap_source" -> ((s, d) => Sampling.capPerGroup(Tables.documents(s, d), 10)),
     "s_ann_brute" -> ((s, d) => Similarity.bruteForceTopK(Tables.embeddings(s, d), 5, 10)),
@@ -1890,6 +1891,19 @@ object SparkEntry {
                 CAST(2 * sixi - (n + 1) * sx AS DOUBLE) /
                   CAST(n * sx AS DOUBLE) AS gini
          FROM m""",
+    // share and epochs are sequential double divisions of exact
+    // integers, mirrored operand-for-operand
+    "p_epoch_plan" ->
+      """WITH inv AS (SELECT source,
+                CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(len(list_filter(regexp_split_to_array(text, '\s+'),
+                                         x -> x <> ''))) AS BIGINT) AS n_tokens
+           FROM documents GROUP BY source),
+         n AS (SELECT CAST(count(*) AS BIGINT) AS n_sources FROM inv)
+         SELECT source, n_docs, n_tokens,
+                CAST(1000000 AS DOUBLE) / n_sources AS share_tokens,
+                CAST(1000000 AS DOUBLE) / n_sources / n_tokens AS epochs
+         FROM inv CROSS JOIN n""",
     // the KS maximand is a cross-multiplied integer; one closing
     // division; the (diff desc, v) total order pins the argmax
     "d_drift_ks" ->

@@ -237,6 +237,29 @@ object Sampling {
     * root at themselves — so no mined pair ever straddles a split
     * boundary, and the 80/10/10 proportions hold at component grain.
     * Cost on top of the pair mine: one components pass + one join. */
+  /** Mixture EPOCH plan — the data card a training run is provisioned
+    * from: give each source an equal share of `targetTokens` and report
+    * how many EPOCHS of that source the share buys (epochs > 1 ⇒ the
+    * source must be oversampled/repeated; ≪ 1 ⇒ it is subsampled).
+    * This is the budgeting arithmetic behind weighted mixtures
+    * (`p_mix` applies such rates row-wise; this PLANS them from the
+    * measured token inventory). One aggregate at source grain + a
+    * 1-row count broadcast; epochs/share are single divisions of exact
+    * integers — engine-identical doubles. */
+  def epochPlan(docs: DataFrame, targetTokens: Long = 1000000L): DataFrame = {
+    val inv = docs
+      .select(col("source"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("t"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("t")).as("n_tokens"))
+    val nSrc = inv.agg(count(lit(1)).as("n_sources"))
+    inv.crossJoin(broadcast(nSrc))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        (lit(targetTokens).cast("double") / col("n_sources")).as("share_tokens"),
+        (lit(targetTokens).cast("double") / col("n_sources") / col("n_tokens"))
+          .as("epochs"))
+  }
+
   def leakSafeSplit(docs: DataFrame, pairs: DataFrame): DataFrame = {
     val comp = graft.operators.Dedup.connectedComponents(pairs)
     docs.join(comp, docs("doc_id") === comp("id"), "left")

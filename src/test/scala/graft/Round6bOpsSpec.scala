@@ -200,6 +200,19 @@ class Round6bOpsSpec extends SparkSpec {
     assert(same.getDouble(2) == 0.0)
   }
 
+  test("epochPlan buys each source an equal share of the token budget") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c d", "s1"), (2L, "a b", "s1"), (3L, "x y", "s2"))
+      .toDF("doc_id", "text", "source")
+    val got = graft.operators.Sampling.epochPlan(docs, targetTokens = 12L)
+      .orderBy("source")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    // two sources → 6 tokens each; s1 holds 6 tokens (1 epoch), s2
+    // holds 2 (share buys 3 epochs → must be repeated)
+    assert(got.toSeq == Seq(("s1", 2L, 6L, 6.0, 1.0), ("s2", 1L, 2L, 6.0, 3.0)))
+  }
+
   test("basketPairs keeps canonical pairs at min support") {
     import spark.implicits._
     val li = Seq((1L, 10L), (1L, 10L), (1L, 20L), (1L, 30L),
