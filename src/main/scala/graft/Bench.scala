@@ -69,6 +69,20 @@ object Bench {
       name -> (if (good.nonEmpty) Some(good.min) else None)
     }
     val failed = results.collect { case (k, None) => k }
+    // self-diagnosis: the MIN hides how contaminated a run was. Report
+    // each query's max/min spread across its successful passes and flag
+    // the run `contaminated` when >10% of queries spread past 1.5× —
+    // the measured signature of this machine's multi-minute stall phases
+    // (identical code has benched 150 s clean vs 175 s stalled). A
+    // contaminated run's totals are then machine-distinguishable from a
+    // real regression without diffing code.
+    val spreads = names.zipWithIndex.map { case ((name, _), i) =>
+      val good = passes.map(_(i)).filter(_._2).map(_._1)
+      name -> (if (good.size >= 2 && good.min > 0) Some(good.max / good.min) else None)
+    }
+    val spreadVals = spreads.flatMap(_._2)
+    val wideCount = spreadVals.count(_ > 1.5)
+    val contaminated = spreadVals.nonEmpty && wideCount > spreadVals.size * 0.10
     // 4-decimal seconds (0.1 ms resolution): the full-precision doubles
     // made the line long enough that log-tail capture truncated it to
     // ~76 of 106 per-query entries in past rounds — shorter line first,
@@ -78,12 +92,20 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.flatMap(_._2).sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // the printed line carries only the diagnosis summary (line length is
+    // capped by log-tail capture); the file copy appends the full
+    // per-query spread map as the complete record
+    val diag = s""""contaminated":$contaminated,"spread_over_1p5":$wideCount,""" +
+      s""""spread_checked":${spreadVals.size}"""
     val line =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec",$diag,"queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
     println(line)
+    val spreadJson = spreads.map { case (k, v) => "\"" + k + "\":" + v.fold("null")(fmt) }
+      .mkString("{", ",", "}")
+    val fileLine = line.dropRight(1) + s""","spreads":$spreadJson}"""
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(out),
-      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      (fileLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case e: Exception => System.err.println(s"[bench] file write failed: $e") }
     spark.stop()
     if (failed.nonEmpty) {

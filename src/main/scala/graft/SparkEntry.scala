@@ -151,10 +151,14 @@ object SparkEntry {
     "e_mad_outlier" -> ((s, d) => Events.madOutliers(Tables.events(s, d))),
     "e_late_audit" -> ((s, d) => Events.latenessAudit(Tables.events(s, d))),
     "e_trending" -> ((s, d) => Events.trending(Tables.events(s, d))),
-    // leakage-safe split over the SAME LSH pair mine d_components rides
-    // (exact-pair oracle equality is spec-asserted on this corpus)
+    // leakage-safe split from the EXACT n-gram Jaccard pair mine, so the
+    // mirror to the oracle's exact-pair recursive closure is structural
+    // rather than resting on 100% LSH recall at these params (that
+    // equality is still spec-asserted — PipelineSpec "minhashLsh agrees
+    // with exact ngramJaccard" — and at corpus scale leakSafeSplit takes
+    // the LSH mine instead, same pairs by that spec)
     "p_leak_split" -> ((s, d) => Sampling.leakSafeSplit(Tables.documents(s, d),
-      Dedup.minhashLsh(Tables.documents(s, d), 3, 64, 16, 0.5))),
+      Dedup.ngramJaccard(Tables.documents(s, d), 3, 0.5))),
     "q_gini" -> ((s, d) => Analytics.giniSpend(s, d)),
     "q_basket_pairs" -> ((s, d) => Analytics.basketPairs(Tables.lineitem(s, d))),
     "q_integrity" -> ((s, d) => Analytics.integrityAudit(s, d)),
@@ -1944,15 +1948,23 @@ object SparkEntry {
          UNION ALL
          SELECT 'orders_null_date',
                 CAST(sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM orders""",
-    // canonical p1<p2 orientation generates each pair once
+    // canonical p1<p2 orientation generates each pair once; baskets
+    // above the 1000-item hot-basket cap are excluded with their count
+    // surfaced as the (-1,-1,n) sentinel row, mirroring the Spark valve
     "q_basket_pairs" ->
-      """WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+      """WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         sized AS (SELECT *, count(*) OVER (PARTITION BY l_orderkey) AS bsz FROM items),
+         kept AS (SELECT l_orderkey, l_partkey FROM sized WHERE bsz <= 1000)
          SELECT a.l_partkey AS p1, b.l_partkey AS p2,
                 CAST(count(*) AS BIGINT) AS support
-         FROM items a JOIN items b
+         FROM kept a JOIN kept b
            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
          GROUP BY a.l_partkey, b.l_partkey
-         HAVING count(*) >= 2""",
+         HAVING count(*) >= 2
+         UNION ALL
+         SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT),
+                (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT)
+                 FROM sized WHERE bsz > 1000)""",
     // the streaming dedup's emitted key set == batch DISTINCT
     "e_dedup_stream" ->
       """SELECT DISTINCT user_id, event_type,

@@ -1083,18 +1083,21 @@ object Analytics {
       .groupBy(col("n_name"))
       .agg(sum(col("c")).as("n"), sum(col("xc")).as("sx"),
         sum(col("sixi")).as("sixi"))
+    // Overflow contract: in non-ANSI Spark a Decimal(38,0) product past
+    // ~1e38 silently nulls while the oracle's HUGEINT raises — so a null
+    // moment here must FAIL LOUDLY, not emit gini=null. Headroom is
+    // ample at any realistic scale (Σi·xᵢ ≤ n²·max_cents needs n·√x̄
+    // past ~1e19 — a quintillion-customer nation) but the guard makes
+    // the exactness claim checkable instead of assumed. The guard lives
+    // INSIDE the output expression so column pruning cannot remove it.
+    val num = col("sixi") * lit(2) - (col("n") + lit(1)) * col("sx")
+    val den = col("n") * col("sx")
     m.select(col("n_name"), col("n").cast("long").as("n_cust"),
-      ((col("sixi") * lit(2) - (col("n") + lit(1)) * col("sx")).cast("double")
-        / (col("n") * col("sx")).cast("double")).as("gini"))
+      when(num.isNull || den.isNull,
+        raise_error(lit("giniByGroup: moment overflowed Decimal(38,0)")).cast("double"))
+        .otherwise(num.cast("double") / den.cast("double")).as("gini"))
   }
 
-  /** Market-basket co-occurrence: pairs of parts appearing in the same
-    * order, with support ≥ `minSupport` — the first A-priori pass, and
-    * the shape item-similarity / co-view features are mined with at
-    * scale. One distinct pass collapses duplicate lines, then a
-    * CO-PARTITIONED self-join on the order key (one shuffle, reused for
-    * both sides) whose fan-out is C(k,2) bounded by basket size — never
-    * |parts|². The canonical a<b orientation generates each pair once. */
   /** Referential-integrity / data-quality audit — the ingest gate a
     * 100 TB pipeline runs BEFORE analytics trusts a new drop: duplicate
     * business keys, orphaned facts (anti joins on the join keys every
@@ -1128,14 +1131,39 @@ object Analytics {
         ord.agg(sum(when(col("o_orderdate").isNull, 1L).otherwise(0L)).as("value"))))
   }
 
-  def basketPairs(lineitem: DataFrame, minSupport: Long = 2L): DataFrame = {
+  /** Market-basket co-occurrence: pairs of parts appearing in the same
+    * order, with support ≥ `minSupport` — the first A-priori pass, and
+    * the shape item-similarity / co-view features are mined with at
+    * scale. One distinct pass collapses duplicate lines, then a
+    * CO-PARTITIONED self-join on the order key (one shuffle, reused for
+    * both sides) whose fan-out is C(k,2) bounded by basket size — never
+    * |parts|². The canonical a<b orientation generates each pair once.
+    *
+    * Hot-basket safety valve: one pathological 10⁴-item basket is 5×10⁷
+    * pairs materialized on a single join key — so baskets larger than
+    * `maxBasket` items are EXCLUDED from the self-join, and the count of
+    * excluded baskets is surfaced as a sentinel row `(-1, -1, n_dropped)`
+    * (always present, 0 when nothing was dropped) — a cap the consumer
+    * can see, never a silent one. The basket-size window partitions by
+    * the same order key as the self-join, so the sizing pass rides the
+    * identical hash exchange. */
+  def basketPairs(lineitem: DataFrame, minSupport: Long = 2L,
+      maxBasket: Int = 1000): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val items = lineitem.select(col("l_orderkey"), col("l_partkey")).distinct()
-    items.as("a")
-      .join(items.as("b"),
+    val sized = items.withColumn("bsz",
+      count(lit(1)).over(Window.partitionBy(col("l_orderkey"))))
+    val kept = sized.where(col("bsz") <= maxBasket)
+    val pairs = kept.as("a")
+      .join(kept.as("b"),
         col("a.l_orderkey") === col("b.l_orderkey") &&
           col("a.l_partkey") < col("b.l_partkey"))
       .groupBy(col("a.l_partkey").as("p1"), col("b.l_partkey").as("p2"))
       .agg(count(lit(1)).as("support"))
       .where(col("support") >= minSupport)
+    val dropped = sized.where(col("bsz") > maxBasket)
+      .agg(countDistinct(col("l_orderkey")).as("support"))
+      .select(lit(-1L).as("p1"), lit(-1L).as("p2"), col("support"))
+    pairs.unionAll(dropped)
   }
 }

@@ -218,7 +218,25 @@ class Round6bOpsSpec extends SparkSpec {
     val li = Seq((1L, 10L), (1L, 10L), (1L, 20L), (1L, 30L),
       (2L, 20L), (2L, 30L)).toDF("l_orderkey", "l_partkey")
     val got = Analytics.basketPairs(li, minSupport = 2L)
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
-    assert(got.toSeq == Seq((20L, 30L, 2L)))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    // the always-present hot-basket sentinel reads 0 dropped here
+    assert(got.toSeq == Seq((-1L, -1L, 0L), (20L, 30L, 2L)))
+  }
+
+  test("basketPairs hot-basket valve drops the pathological basket, not its peers") {
+    import spark.implicits._
+    // basket 9 is planted above the cap: with maxBasket=3 its C(5,2)=10
+    // pairs must NOT be materialized, while the healthy baskets' pairs
+    // survive and the sentinel row reports exactly one dropped basket
+    val hot = (1L to 5L).map(p => (9L, p * 100L))
+    val li = (Seq((1L, 10L), (1L, 20L), (2L, 10L), (2L, 20L)) ++ hot)
+      .toDF("l_orderkey", "l_partkey")
+    val got = Analytics.basketPairs(li, minSupport = 1L, maxBasket = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    assert(got.toSeq == Seq((-1L, -1L, 1L), (10L, 20L, 2L)))
+    // raising the cap readmits the basket: 10 hot pairs + the healthy one
+    val uncapped = Analytics.basketPairs(li, minSupport = 1L, maxBasket = 5)
+    assert(uncapped.where($"p1" =!= -1L).count() == 11L)
+    assert(uncapped.where($"p1" === -1L).head().getLong(2) == 0L)
   }
 }
