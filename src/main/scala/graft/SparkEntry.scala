@@ -319,10 +319,19 @@ object SparkEntry {
         .groupBy(date_format(col("o_orderdate"), "yyyy-MM-dd").as("day"))
         .agg(count(lit(1)).as("n_orders"),
           sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("rev_cents"))
-      graft.sources.Catalog.mergeAggIncrement(
-          dayAgg(ord.where(col("o_orderkey") % 10 =!= 0)),
-          dayAgg(ord.where(col("o_orderkey") % 10 === 0)),
-          Seq("day"), s"orders_day:$d")
+      // DURABLE MV refresh under the Catalog-owned warehouse layout (the
+      // testdata base dir is read-only): drop → refresh(90% batch) →
+      // refresh(10% delta). The second refresh resumes from the state the
+      // first COMMITTED TO DISK (_SUCCESS-marked parquet, no in-process
+      // cache), so this drives the full store→resume→merge→write-back
+      // path every run; the leading drop makes the gate idempotent.
+      val cat = new graft.sources.Catalog(s, d,
+        Some(graft.sources.Catalog.warehouseLayoutRoot(s, d)))
+      cat.dropDerived("orders_day")
+      cat.refreshAggMv("orders_day",
+        dayAgg(ord.where(col("o_orderkey") % 10 =!= 0)), Seq("day"))
+      cat.refreshAggMv("orders_day",
+          dayAgg(ord.where(col("o_orderkey") % 10 === 0)), Seq("day"))
         .select(col("day"), col("n_orders"),
           (col("rev_cents").cast("double") / 100.0).as("revenue"))
     }),
@@ -362,8 +371,9 @@ object SparkEntry {
     // directory listing (PartitionFilters), zero non-matching files read
     "fs_partition_prune" -> ((s, d) => {
       import org.apache.spark.sql.functions.{col, count, expr, lit}
-      graft.sources.Catalog
-        .partitionedView(Tables.orders(s, d), s"$d:orders", "o_orderstatus")
+      new graft.sources.Catalog(s, d,
+          Some(graft.sources.Catalog.warehouseLayoutRoot(s, d)))
+        .partitionedLayout(Tables.orders(s, d), "orders_by_status", "o_orderstatus")
         .where(col("o_orderstatus") === "F")
         .groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).as("cnt"),

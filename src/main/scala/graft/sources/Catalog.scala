@@ -23,7 +23,103 @@ import org.apache.spark.sql.functions._
   * does then inherits it; object stores (S3/GCS) replicate internally
   * and ignore it. Nothing engine-side to schedule.
   */
-class Catalog(spark: SparkSession, baseDir: String) {
+class Catalog(spark: SparkSession, baseDir: String,
+    layoutRoot: Option[String] = None) {
+
+  /** Directory this Catalog OWNS for derived layouts — incremental-MV
+    * state ([[refreshAggMv]]) and hive-partitioned views
+    * ([[partitionedLayout]]). Defaults under the base dir (the storage
+    * engine owns its layouts, like the reference controller's
+    * persistent file index, dfs/controller/fileIndex.go); pass
+    * `layoutRoot` when the base data dir is a read-only mirror and
+    * derived state must live elsewhere (e.g. the warehouse dir). */
+  val derivedDir: String = layoutRoot.getOrElse(s"$baseDir/_derived")
+
+  private def hconf = spark.sparkContext.hadoopConfiguration
+
+  private def hasSuccess(dir: String): Boolean = {
+    val m = new Path(s"$dir/_SUCCESS")
+    m.getFileSystem(hconf).exists(m)
+  }
+
+  /** Durable incremental aggregate maintenance (materialized-view
+    * refresh). MV state is plain parquet at `derivedDir/<name>` with
+    * Spark's `_SUCCESS` commit marker; each refresh merges `deltaAgg`
+    * into the stored state by re-aggregating their union on `keys` and
+    * WRITES THE MERGED STATE BACK (materialize to a `.tmp` sibling,
+    * then swap — the merge plan reads the live dir, so an in-place
+    * overwrite would consume its own output), so state accumulates
+    * across refreshes and a FRESH session resumes from disk alone: no
+    * process-local cache exists. A torn refresh (crash between delete
+    * and rename) leaves no `_SUCCESS` at the live path and the `.tmp`
+    * state intact for manual recovery; a crash before the delete leaves
+    * the previous committed state untouched.
+    *
+    * Correct for exactly the algebraic aggregates (counts, integer
+    * sums) whose partial states combine by summation — which is why
+    * callers pre-aggregate deltas to (keys, counters) grain. At 100 TB
+    * this is the difference between re-scanning the fact table per
+    * refresh and touching only the delta: refresh cost is
+    * O(|stored keys| + |delta|), independent of history size, and the
+    * history itself is never re-read.
+    *
+    * CONCURRENCY CONTRACT: refreshes of one MV name must be serialized
+    * by the caller (the scheduler that owns the refresh cadence) — two
+    * concurrent refreshes would each merge against the same pre-state
+    * and the second swap would silently drop the first delta. Distinct
+    * names are independent. */
+  def refreshAggMv(name: String, deltaAgg: DataFrame, keys: Seq[String]): DataFrame = {
+    val dir = s"$derivedDir/$name"
+    val counterCols = deltaAgg.columns.filterNot(keys.contains)
+    require(counterCols.nonEmpty, s"refreshAggMv($name): no counter columns")
+    def reAgg(df: DataFrame) = df.groupBy(keys.map(col): _*)
+      .agg(sum(col(counterCols.head)).as(counterCols.head),
+        counterCols.tail.map(c => sum(col(c)).as(c)): _*)
+    val merged =
+      if (hasSuccess(dir))
+        reAgg(spark.read.parquet(dir).unionByName(deltaAgg))
+      else reAgg(deltaAgg)
+    val live = new Path(dir)
+    val tmp = new Path(s"$dir.tmp")
+    val fs = live.getFileSystem(hconf)
+    merged.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    fs.delete(live, true)
+    if (!fs.rename(tmp, live))
+      throw new java.io.IOException(s"refreshAggMv($name): swap rename failed")
+    spark.read.parquet(dir)
+  }
+
+  /** Current committed MV state (throws if [[refreshAggMv]] has never
+    * committed `name`). */
+  def mvState(name: String): DataFrame = {
+    require(hasSuccess(s"$derivedDir/$name"), s"no committed MV state: $name")
+    spark.read.parquet(s"$derivedDir/$name")
+  }
+
+  /** Drop derived state `name` (MV or partitioned layout). Returns
+    * whether it existed. */
+  def dropDerived(name: String): Boolean = {
+    val p = new Path(s"$derivedDir/$name")
+    val fs = p.getFileSystem(hconf)
+    fs.delete(new Path(s"$derivedDir/$name.tmp"), true)
+    fs.delete(p, true)
+  }
+
+  /** Hive-partitioned layout + read-back, owned by this Catalog: write
+    * `df` partitioned by `partCol` under `derivedDir/<name>` (skipped
+    * when the layout's `_SUCCESS` marker already exists — the
+    * prepareStaged resume pattern, so a fresh session reuses the
+    * on-disk layout) and return a reader over it. A filter on `partCol`
+    * against the returned frame is answered from the DIRECTORY LISTING
+    * alone — `PartitionFilters` in the scan, zero non-matching files
+    * opened — which is the storage-side pruning a 100 TB table lives or
+    * dies by (scan cost ∝ selected partitions, not table size). */
+  def partitionedLayout(df: DataFrame, name: String, partCol: String): DataFrame = {
+    val dir = s"$derivedDir/$name"
+    if (!hasSuccess(dir))
+      df.write.mode(SaveMode.Overwrite).partitionBy(partCol).parquet(dir)
+    spark.read.parquet(dir)
+  }
 
   /** `ls` — table names present in the base dir (file index analog). */
   def list(): Seq[String] = {
@@ -287,62 +383,14 @@ object Catalog {
     updates.unionByName(
       base.join(updates.select(col(key)), Seq(key), "left_anti"))
 
-  /** Incremental aggregate maintenance (materialized-view merge): the
-    * base aggregate is PERSISTED once per `cacheKey` per JVM (a real
-    * parquet round-trip under the shutdown-cleaned temp root — the
-    * stored MV), then each call merges a delta-batch aggregate into the
-    * stored state by re-aggregating the union on the keys. Correct for
-    * exactly the algebraic aggregates (counts, integer sums) whose
-    * partial states combine by summation — which is why callers
-    * pre-aggregate to (keys, counters) grain before handing frames in.
-    * At 100 TB this is the difference between re-scanning the fact
-    * table per refresh and touching only the delta: merge cost is
-    * O(|stored keys| + |delta|), independent of history size. */
-  def mergeAggIncrement(baseAgg: DataFrame, deltaAgg: DataFrame,
-      keys: Seq[String], cacheKey: String): DataFrame = {
-    val spark = baseAgg.sparkSession
-    val dir = partitionedDirs.getOrElseUpdate(s"incr:$cacheKey", {
-      val d = partitionedRoot.resolve(
-        "incr_" + java.lang.Integer.toHexString(cacheKey.hashCode)).toString
-      baseAgg.write.mode("overwrite").parquet(d)
-      d
-    })
-    val stored = spark.read.parquet(dir)
-    val counterCols = stored.columns.filterNot(keys.contains)
-    stored.unionByName(deltaAgg)
-      .groupBy(keys.map(col): _*)
-      .agg(sum(col(counterCols.head)).as(counterCols.head),
-        counterCols.tail.map(c => sum(col(c)).as(c)): _*)
-  }
-
-  private val partitionedDirs = scala.collection.concurrent.TrieMap[String, String]()
-  private lazy val partitionedRoot: java.nio.file.Path = {
-    val p = java.nio.file.Files.createTempDirectory("graft-part")
-    Runtime.getRuntime.addShutdownHook(new Thread(() => deleteRec(p.toFile)))
-    p
-  }
-  private def deleteRec(f: java.io.File): Unit = {
-    val children = f.listFiles()
-    if (children != null) children.foreach(deleteRec)
-    f.delete(): Unit
-  }
-
-  /** Hive-partitioned layout + read-back: write `df` partitioned by
-    * `partCol` (once per `cacheKey` per JVM, under one shutdown-cleaned
-    * temp root) and return a reader over the layout. A filter on
-    * `partCol` against the returned frame is answered from the
-    * DIRECTORY LISTING alone — `PartitionFilters` in the scan, zero
-    * non-matching files opened — which is the storage-side pruning a
-    * 100 TB table lives or dies by (scan cost ∝ selected partitions,
-    * not table size). */
-  def partitionedView(df: DataFrame, cacheKey: String, partCol: String): DataFrame = {
-    val spark = df.sparkSession
-    val dir = partitionedDirs.getOrElseUpdate(s"$cacheKey/$partCol", {
-      val p = partitionedRoot.resolve(
-        java.lang.Integer.toHexString(s"$cacheKey/$partCol".hashCode))
-      df.write.mode(SaveMode.Overwrite).partitionBy(partCol).parquet(p.toString)
-      p.toString
-    })
-    spark.read.parquet(dir)
+  /** A writable Catalog layout root for a READ-ONLY base dir: derived
+    * state lands under the session's warehouse dir, namespaced by the
+    * base dir so two Catalogs over different data never collide. The
+    * warehouse is the engine-owned location (the analog of the
+    * reference controller's own index storage) — durable across
+    * sessions, unlike a shutdown-cleaned temp dir. */
+  def warehouseLayoutRoot(spark: SparkSession, baseDir: String): String = {
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    s"$wh/graft_derived/${java.lang.Integer.toHexString(baseDir.hashCode)}"
   }
 }

@@ -215,9 +215,10 @@ class Round6OpsSpec extends SparkSpec {
     assert(got(1).getInt(1) == 0 && got(1).getLong(2) == 0L && got(1).isNullAt(3))
   }
 
-  test("partitionedView answers the partition filter from the listing") {
-    val v = graft.sources.Catalog.partitionedView(
-      Tables.orders(spark, sfDir), s"$sfDir:orders-spec", "o_orderstatus")
+  test("partitionedLayout answers the partition filter from the listing") {
+    val root = java.nio.file.Files.createTempDirectory("graft-spec-layout").toString
+    val v = new graft.sources.Catalog(spark, sfDir, Some(root))
+      .partitionedLayout(Tables.orders(spark, sfDir), "orders-spec", "o_orderstatus")
     val pruned = v.where(col("o_orderstatus") === "F")
     val plan = pruned.queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters") && plan.contains("o_orderstatus"),

@@ -122,21 +122,44 @@ class Round6bOpsSpec extends SparkSpec {
     assert(got.getLong(got.fieldIndex("n_docs_75")) == 2L)
   }
 
-  test("mergeAggIncrement reconstructs the full aggregate from stored base + delta") {
+  test("refreshAggMv accumulates durable state a fresh session resumes from") {
     import spark.implicits._
-    val base = Seq(("d1", 2L, 100L), ("d2", 1L, 50L)).toDF("day", "n", "c")
+    val root = java.nio.file.Files.createTempDirectory("graft-spec-mv").toString
+    val cat = new graft.sources.Catalog(spark, root)
+    val batch1 = Seq(("d1", 2L, 100L), ("d2", 1L, 50L)).toDF("day", "n", "c")
+    val got1 = cat.refreshAggMv("orders_day", batch1, Seq("day"))
+      .orderBy("day").collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got1.toSeq == Seq(("d1", 2L, 100L), ("d2", 1L, 50L)))
+    // the committed state carries Spark's _SUCCESS marker
+    assert(new java.io.File(s"${cat.derivedDir}/orders_day/_SUCCESS").exists())
+    // refresh 2 merges INTO the stored state (write-back, not merge-
+    // against-original): d3 inserts, d2 merges, d1 passes through
     val delta1 = Seq(("d2", 1L, 25L), ("d3", 4L, 10L)).toDF("day", "n", "c")
-    val key = s"spec:${System.nanoTime()}"
-    val got1 = graft.sources.Catalog.mergeAggIncrement(base, delta1, Seq("day"), key)
+    val got2 = cat.refreshAggMv("orders_day", delta1, Seq("day"))
       .orderBy("day").collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
-    // d3 exists only in the delta; d2 merges; d1 passes through
-    assert(got1.toSeq == Seq(("d1", 2L, 100L), ("d2", 2L, 75L), ("d3", 4L, 10L)))
-    // second merge against the SAME stored state (per-JVM persistence):
-    // a different delta must still merge against the original base
-    val delta2 = Seq(("d1", 1L, 1L)).toDF("day", "n", "c")
-    val got2 = graft.sources.Catalog.mergeAggIncrement(base.limit(0), delta2, Seq("day"), key)
+    assert(got2.toSeq == Seq(("d1", 2L, 100L), ("d2", 2L, 75L), ("d3", 4L, 10L)))
+    // FRESH SESSION resume: a new session + new Catalog instance share
+    // no process state with the ones above — the third refresh must
+    // accumulate onto got2 purely from the stored parquet, without the
+    // earlier batches being re-presented (history is never rescanned)
+    val s2 = spark.newSession()
+    val cat2 = new graft.sources.Catalog(s2, root)
+    val delta2 = s2.createDataFrame(Seq(("d1", 1L, 1L))).toDF("day", "n", "c")
+    val got3 = cat2.refreshAggMv("orders_day", delta2, Seq("day"))
       .orderBy("day").collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
-    assert(got2.toSeq == Seq(("d1", 3L, 101L), ("d2", 1L, 50L)))
+    assert(got3.toSeq == Seq(("d1", 3L, 101L), ("d2", 2L, 75L), ("d3", 4L, 10L)))
+    // mvState reads the same committed state; equality with a full
+    // recompute of all three batches = refresh ≡ recompute
+    val full = batch1.unionByName(delta1)
+      .unionByName(Seq(("d1", 1L, 1L)).toDF("day", "n", "c"))
+      .groupBy("day").agg(sum($"n").as("n"), sum($"c").as("c"))
+      .orderBy("day").collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val state = cat2.mvState("orders_day")
+      .orderBy("day").collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(state.toSeq == full.toSeq && state.toSeq == got3.toSeq)
+    // dropDerived removes the state; mvState then refuses
+    assert(cat2.dropDerived("orders_day"))
+    intercept[IllegalArgumentException](cat2.mvState("orders_day"))
   }
 
   test("trending ranks top-k users per (type, hour) cell deterministically") {
