@@ -250,6 +250,10 @@ object SparkEntry {
     // alpha-sampling over the skewed lang mix (en is ~3.4x fr at sf0.01)
     "p_temperature" -> ((s, d) => Sampling.temperatureSample(Tables.documents(s, d))),
     "p_epoch_plan" -> ((s, d) => Sampling.epochPlan(Tables.documents(s, d))),
+    // weighted provisioning: src0 4x, src1 2x, everything else 1x;
+    // keep_rate is the exact literal p_mix would apply per source
+    "p_epoch_weighted" -> ((s, d) => Sampling.epochPlanWeighted(
+      Tables.documents(s, d), 1000000L, Map("src0" -> 4.0, "src1" -> 2.0))),
     // uniform-without-replacement cap of 10 docs per source
     "p_cap_source" -> ((s, d) => Sampling.capPerGroup(Tables.documents(s, d), 10)),
     "s_ann_brute" -> ((s, d) => Similarity.bruteForceTopK(Tables.embeddings(s, d), 5, 10)),
@@ -1918,6 +1922,26 @@ object SparkEntry {
                 CAST(1000000 AS DOUBLE) / n_sources AS share_tokens,
                 CAST(1000000 AS DOUBLE) / n_sources / n_tokens AS epochs
          FROM inv CROSS JOIN n""",
+    // weighted shares: Σw over PRESENT sources; every double is a
+    // correctly-rounded function of exact integers (weights are small
+    // integers in doubles), association mirrored left-to-right
+    "p_epoch_weighted" ->
+      """WITH inv AS (SELECT source,
+                CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(len(list_filter(regexp_split_to_array(text, '\s+'),
+                                         x -> x <> ''))) AS BIGINT) AS n_tokens,
+                CASE WHEN source = 'src0' THEN CAST(4.0 AS DOUBLE)
+                     WHEN source = 'src1' THEN CAST(2.0 AS DOUBLE)
+                     ELSE CAST(1.0 AS DOUBLE) END AS weight
+           FROM documents GROUP BY source),
+         t AS (SELECT sum(weight) AS w_sum FROM inv)
+         SELECT source, n_docs, n_tokens, weight,
+                CAST(1000000 AS DOUBLE) * weight / w_sum AS share_tokens,
+                CAST(1000000 AS DOUBLE) * weight / w_sum / n_tokens AS epochs,
+                least(CAST(1.0 AS DOUBLE),
+                      CAST(1000000 AS DOUBLE) * weight / w_sum / n_tokens)
+                  AS keep_rate
+         FROM inv CROSS JOIN t""",
     // the KS maximand is a cross-multiplied integer; one closing
     // division; the (diff desc, v) total order pins the argmax
     "d_drift_ks" ->

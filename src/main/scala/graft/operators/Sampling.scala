@@ -237,14 +237,61 @@ object Sampling {
     * root at themselves — so no mined pair ever straddles a split
     * boundary, and the 80/10/10 proportions hold at component grain.
     * Cost on top of the pair mine: one components pass + one join. */
+  /** WEIGHTED mixture epoch plan — [[epochPlan]] with target mixture
+    * WEIGHTS instead of the degenerate equal share: source i gets
+    * `targetTokens · wᵢ / Σw` (Σw over the sources actually present,
+    * so absent map entries never skew the shares), reported with the
+    * epochs that share buys AND the implied per-source keep rate
+    * [[mixtureSample]] would apply — `keep_rate = min(1, epochs)`:
+    * a source whose share is under one epoch is subsampled at exactly
+    * that rate, a source with epochs > 1 keeps everything and the
+    * epochs column is its repeat factor. [[planRates]] lifts the card
+    * into the literal rates map `mixtureSample` takes, which is the
+    * consistency contract (spec-asserted): the card PLANS precisely
+    * what the sampler APPLIES.
+    *
+    * Same scale shape as [[epochPlan]] (one source-grain aggregate +
+    * a 1-row broadcast); weights compile into the plan as a literal
+    * CASE. Small-integer weights keep Σw exact in doubles, so every
+    * emitted double is a correctly-rounded function of exact integers
+    * — engine-identical. */
+  def epochPlanWeighted(docs: DataFrame, targetTokens: Long = 1000000L,
+      weights: Map[String, Double] = Map.empty,
+      defaultWeight: Double = 1.0): DataFrame = {
+    val w = weights.foldLeft(lit(defaultWeight)) { case (acc, (src, x)) =>
+      when(col("source") === src, lit(x)).otherwise(acc)
+    }
+    val inv = docs
+      .select(col("source"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("t"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("t")).as("n_tokens"))
+      .withColumn("weight", w)
+    val tot = inv.agg(sum(col("weight")).as("w_sum"))
+    val share = lit(targetTokens).cast("double") * col("weight") / col("w_sum")
+    inv.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("weight"),
+        share.as("share_tokens"),
+        (share / col("n_tokens")).as("epochs"),
+        least(lit(1.0), share / col("n_tokens")).as("keep_rate"))
+  }
+
+  /** The per-source rates map a [[epochPlanWeighted]] card implies —
+    * exactly the literal map [[mixtureSample]] compiles into its plan.
+    * Driver-side collect bounded by the number of sources. */
+  def planRates(card: DataFrame): Map[String, Double] =
+    card.select(col("source"), col("keep_rate")).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+
   /** Mixture EPOCH plan — the data card a training run is provisioned
     * from: give each source an equal share of `targetTokens` and report
     * how many EPOCHS of that source the share buys (epochs > 1 ⇒ the
     * source must be oversampled/repeated; ≪ 1 ⇒ it is subsampled).
     * This is the budgeting arithmetic behind weighted mixtures
     * (`p_mix` applies such rates row-wise; this PLANS them from the
-    * measured token inventory). One aggregate at source grain + a
-    * 1-row count broadcast; epochs/share are single divisions of exact
+    * measured token inventory; [[epochPlanWeighted]] is the
+    * non-degenerate form). One aggregate at source grain + a 1-row
+    * count broadcast; epochs/share are single divisions of exact
     * integers — engine-identical doubles. */
   def epochPlan(docs: DataFrame, targetTokens: Long = 1000000L): DataFrame = {
     val inv = docs

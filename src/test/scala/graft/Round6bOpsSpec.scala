@@ -236,6 +236,33 @@ class Round6bOpsSpec extends SparkSpec {
     assert(got.toSeq == Seq(("s1", 2L, 6L, 6.0, 1.0), ("s2", 1L, 2L, 6.0, 3.0)))
   }
 
+  test("epochPlanWeighted card rates are exactly the rates mixtureSample applies") {
+    import spark.implicits._
+    // s1: 6 tokens over 2 docs; s2: 2 tokens in 1 doc. weights 1:3 at
+    // target 8 → w_sum 4, s1 share 2.0 (epochs 1/3 → subsample at 1/3),
+    // s2 share 6.0 (epochs 3.0 → keep all, repeat 3x)
+    val docs = Seq((1L, "a b c d", "s1"), (2L, "a b", "s1"), (3L, "x y", "s2"))
+      .toDF("doc_id", "text", "source")
+    val card = graft.operators.Sampling.epochPlanWeighted(docs, 8L,
+      Map("s2" -> 3.0))
+    val got = card.orderBy("source").collect().map(r => (r.getString(0),
+      r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4),
+      r.getDouble(5), r.getDouble(6)))
+    assert(got.toSeq == Seq(
+      ("s1", 2L, 6L, 1.0, 2.0, 2.0 / 6.0, 2.0 / 6.0),
+      ("s2", 1L, 2L, 3.0, 6.0, 3.0, 1.0)))
+    // consistency contract: the lifted rates map is bit-identical to
+    // the hand-computed literals mixtureSample would be configured with
+    val rates = graft.operators.Sampling.planRates(card)
+    assert(rates == Map("s1" -> 2.0 / 6.0, "s2" -> 1.0))
+    // and applying them: the epochs>1 source keeps every row (rate 1.0
+    // admits any hash draw), the subsampled source keeps a subset
+    val kept = graft.operators.Sampling.mixtureSample(docs, rates)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept.contains(3L))
+    assert(kept.subsetOf(Set(1L, 2L, 3L)))
+  }
+
   test("basketPairs keeps canonical pairs at min support") {
     import spark.implicits._
     val li = Seq((1L, 10L), (1L, 10L), (1L, 20L), (1L, 30L),
