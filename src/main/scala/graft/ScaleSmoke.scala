@@ -283,6 +283,45 @@ object ScaleSmoke {
       operators.Analytics.giniByGroup(bigSpend)
         .write.format("noop").mode("overwrite").save()
     }
+    // round 7: the graph family's DISTRIBUTED rungs — the driver queries
+    // only ever price the nation-grain broadcast/driver paths, so this
+    // is where the 100 TB story gets measured: a synthetic 100k-node /
+    // ~1.2M-edge graph (12 hash-random out-edges per node, weights
+    // 1..1000) through pagerank with coalesceTo = None (the
+    // default-parallelism rung, no single-partition pin) and
+    // shortestPaths past localMaxEdges (the synchronous-relaxation rung
+    // instead of the driver BFS)
+    locally {
+      val n = 100000L
+      val fan = 12L
+      spark.range(n * fan).select(
+          concat(lit("v"), expr(s"id div $fan")).as("src"),
+          concat(lit("v"), pmod(xxhash64(col("id")), lit(n))).as("dst"),
+          (pmod(xxhash64(col("id"), lit(1L)), lit(1000L)) + 1L).as("w"))
+        .where(col("src") =!= col("dst"))
+        .groupBy(col("src"), col("dst")).agg(sum(col("w")).as("w"))
+        .write.mode("overwrite").parquet("/tmp/graft_bigedges.parquet")
+      val bedges = spark.read.parquet("/tmp/graft_bigedges.parquet")
+      val bnodes = spark.range(n).select(concat(lit("v"), col("id")).as("node"))
+        .localCheckpoint()
+      println(s"[scale] graph nodes=$n edges=${bedges.count()}")
+      time("pagerank_1m_dist") {
+        operators.Graph.pagerank(bedges, bnodes, iters = 3, coalesceTo = None)
+          .write.format("noop").mode("overwrite").save()
+      }
+      time("bfs_1m_dist") {
+        // fanout 3 over 100k nodes → ~300k sparsified edges, far past
+        // localMaxEdges: forces the distributed relaxation rung
+        val source = bnodes.agg(min(col("node")).as("__src"))
+        operators.Graph.shortestPaths(bedges, bnodes, source,
+            fanout = 3, maxHops = 8)
+          .write.format("noop").mode("overwrite").save()
+      }
+      time("triangles_1m") {
+        operators.Graph.triangleCensus(bedges)
+          .write.format("noop").mode("overwrite").save()
+      }
+    }
     spark.stop()
   }
 }

@@ -7,8 +7,8 @@ import org.apache.spark.sql.functions._
 object SmokeOne {
   def main(args: Array[String]): Unit = {
     val spark = Graft.session(appName = "graft-smoke-one")
-    val bd = spark.read.parquet("/tmp/graft_bigdocs.parquet")
-    val be = spark.read.parquet("/tmp/graft_bigevents.parquet")
+    lazy val bd = spark.read.parquet("/tmp/graft_bigdocs.parquet")
+    lazy val be = spark.read.parquet("/tmp/graft_bigevents.parquet")
     def time(name: String)(f: => Unit): Unit = {
       val t0 = System.nanoTime(); f
       println(f"[smoke1] $name%-18s ${(System.nanoTime() - t0) / 1e9}%8.2fs")
@@ -100,6 +100,37 @@ object SmokeOne {
         operators.TextAnalysis.repetition(bd)
           .write.format("noop").mode("overwrite").save()
       }
+      // round 7: the graph family's distributed rungs on a synthetic
+      // 100k-node / ~1.1M-edge graph (self-contained — builds its own
+      // input; same construction as ScaleSmoke)
+      case "graph" =>
+        val n = 100000L
+        val fan = 12L
+        spark.range(n * fan).select(
+            concat(lit("v"), expr(s"id div $fan")).as("src"),
+            concat(lit("v"), pmod(xxhash64(col("id")), lit(n))).as("dst"),
+            (pmod(xxhash64(col("id"), lit(1L)), lit(1000L)) + 1L).as("w"))
+          .where(col("src") =!= col("dst"))
+          .groupBy(col("src"), col("dst")).agg(sum(col("w")).as("w"))
+          .write.mode("overwrite").parquet("/tmp/graft_bigedges.parquet")
+        val bedges = spark.read.parquet("/tmp/graft_bigedges.parquet")
+        val bnodes = spark.range(n).select(concat(lit("v"), col("id")).as("node"))
+          .localCheckpoint()
+        println(s"[smoke1] graph nodes=$n edges=${bedges.count()}")
+        time("pagerank_1m_dist") {
+          operators.Graph.pagerank(bedges, bnodes, iters = 3, coalesceTo = None)
+            .write.format("noop").mode("overwrite").save()
+        }
+        time("bfs_1m_dist") {
+          val source = bnodes.agg(min(col("node")).as("__src"))
+          operators.Graph.shortestPaths(bedges, bnodes, source,
+              fanout = 3, maxHops = 8)
+            .write.format("noop").mode("overwrite").save()
+        }
+        time("triangles_1m") {
+          operators.Graph.triangleCensus(bedges)
+            .write.format("noop").mode("overwrite").save()
+        }
     }
     spark.stop()
   }

@@ -23,6 +23,28 @@ object Graph {
 
   val Scale = 1000000000000L // 1e12: 12 fractional digits of rank
 
+  /** Largest per-edge weight [[pagerank]] accepts: rank ≤ [[Scale]]
+    * and rank·w must stay under 2^63. */
+  val WeightLimit: Long = Long.MaxValue / Scale // 9 223 372
+
+  /** Automatic weight pre-scaling for [[pagerank]]: divide every
+    * weight by k = ⌈max(w)/[[WeightLimit]]⌉, clamping at 1 so no edge
+    * vanishes. Only w/outw ratios enter the rank update, and those
+    * shift by at most ~k/w relative per edge — 1 part in ~9.2e6 at
+    * worst for unit weights, negligible for the heavy edges that
+    * forced the scaling; an exact-replay oracle comparison should
+    * pre-scale upstream of BOTH engines instead of relying on this.
+    * No-op (same frame, no extra scan at plan time) when max(w)
+    * already fits. */
+  def prescaleWeights(edges: DataFrame): DataFrame = {
+    val maxW = edges.agg(coalesce(max(col("w")), lit(0L))).head.getLong(0)
+    if (maxW <= WeightLimit) edges
+    else {
+      val k = maxW / WeightLimit + 1
+      edges.withColumn("w", greatest(expr(s"w div $k"), lit(1L)))
+    }
+  }
+
   /** Nation-level trade edges: (src = supplier nation, dst = customer
     * nation, w = line items shipped). lineitem⋈orders is the ONLY
     * fact-fact shuffle; supplier/customer/nation dim chains broadcast.
@@ -57,11 +79,15 @@ object Graph {
     * oracle can mirror it. `rank` is the single exact-input division
     * rank_scaled / 1e12.
     *
-    * Overflow headroom: rank ≤ SCALE (1e12) and per-edge weight w must
-    * keep rank·w < 2^63 — w < 9.2e6. Nation-level counts exceed that
-    * only past ~1e7 lineitems per nation pair; at that point pre-scale
-    * the weights (only w/outw ratios matter) before calling.
-    */
+    * Overflow headroom, ENFORCED: rank ≤ SCALE (1e12) and per-edge
+    * weight w must keep rank·w < 2^63 — w ≤ [[WeightLimit]] (~9.2e6).
+    * The guard below checks max(w) once against the pinned aggregate-
+    * grain edge table (a bounded metadata aggregate, not a fact scan)
+    * and REFUSES to run rather than silently wrap; [[prescaleWeights]]
+    * is the automatic remedy (only w/outw ratios matter). Per-dst
+    * contribution sums cannot overflow independently: each source
+    * distributes at most its own rank, so all contributions together
+    * total ≤ SCALE. */
   def pagerank(edges: DataFrame, nodes: DataFrame, iters: Int = 3,
       coalesceTo: Option[Int] = None): DataFrame = {
     // materialize the per-iteration inputs ONCE (localCheckpoint, the
@@ -78,6 +104,11 @@ object Graph {
     val outw = edges.groupBy(col("src")).agg(sum(col("w")).as("ow"))
     val e = pin(edges.join(outw, "src")
       .select(col("src"), col("dst"), col("w"), col("ow")))
+    val maxW = e.agg(coalesce(max(col("w")), lit(0L))).head.getLong(0)
+    require(maxW <= WeightLimit,
+      s"pagerank: max edge weight $maxW overflows the rank*w 63-bit headroom " +
+        s"(limit $WeightLimit); run the edges through Graph.prescaleWeights " +
+        "first - only w/outw ratios matter")
     val nodesN = pin(nodes.crossJoin(broadcast(n1)))
     var ranks = nodesN
       .select(col("node"), expr(s"CAST($Scale AS BIGINT) div n_nodes").as("rank"))

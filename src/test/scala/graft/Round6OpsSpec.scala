@@ -110,6 +110,29 @@ class Round6OpsSpec extends SparkSpec {
     assert(ranks("b") == base + (85 * (s / 2)) / 100) // a's whole rank
   }
 
+  test("pagerank refuses overflowing weights; prescaleWeights remedies") {
+    import spark.implicits._
+    // w = 1e13 puts rank·w past 2^63 — the guard must refuse loudly
+    // instead of letting non-ANSI arithmetic wrap
+    val hot = Seq(("a", "b", 10000000000000L), ("b", "a", 1L))
+      .toDF("src", "dst", "w")
+    val nodes = Seq("a", "b").toDF("node")
+    val e = intercept[IllegalArgumentException](
+      Graph.pagerank(hot, nodes, iters = 1))
+    assert(e.getMessage.contains("prescaleWeights"))
+    // the automatic remedy: weights land in [1, WeightLimit] and the
+    // run completes with total mass ≤ SCALE (floor-div only loses mass)
+    val scaled = Graph.prescaleWeights(hot)
+    val ws = scaled.select("w").as[Long].collect()
+    assert(ws.forall(w => w >= 1L && w <= Graph.WeightLimit))
+    val ranks = Graph.pagerank(scaled, nodes, iters = 2)
+      .agg(org.apache.spark.sql.functions.sum("rank_scaled")).head.getLong(0)
+    assert(ranks > 0L && ranks <= Graph.Scale)
+    // already-safe weights pass through the SAME frame (no-op)
+    val ok = Seq(("a", "b", 5L)).toDF("src", "dst", "w")
+    assert(Graph.prescaleWeights(ok) eq ok)
+  }
+
   test("corrQtyPrice agrees with the float built-ins to 1e-9") {
     val li = Tables.lineitem(spark, sfDir)
     val exact = Analytics.corrQtyPrice(li)
