@@ -17,7 +17,7 @@ import org.apache.spark.sql.functions._
   * extraction below are genuine byte→pixels/samples transforms with
   * zero external dependencies. Only VIDEO frame decode remains a byte-
   * slice stand-in ([[frameSample]]) — the JDK has no video codec
-  * (re-checked round 6: still no ffmpeg/jcodec in the sandbox; JDK 17
+  * (re-checked round 7: still no ffmpeg/jcodec in the sandbox; JDK 17
   * only).
   *
   * Execution shape for all decode paths: `mapPartitions` over

@@ -46,12 +46,14 @@ class PlanAuditSpec extends SparkSpec {
     //    into the distinct-value frame before the argmax
     //  - p_epoch_plan: the 1-row source-count aggregate broadcast into
     //    the ≤|sources|-row inventory
+    //  - p_epoch_weighted: the same shape with the 1-row Σw aggregate
+    //    instead of the source count
     // anywhere else it means an equi-join lost its keys
     val allowed = Set("t_tfidf", "p_wsample", "d_corpus_prep",
       "s_ann_brute", "d_dedup_embed", "q_moving_avg", "q22_idle",
       "q_kmv_join", "d_select_target", "p_temperature",
       "e_late_audit", "g_bfs", "t_keyword_topk", "d_dedup_sweep",
-      "d_drift_ks", "p_epoch_plan")
+      "d_drift_ks", "p_epoch_plan", "p_epoch_weighted")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val plan = fn(spark, sfDir).queryExecution.sparkPlan.toString
       if (plan.contains("BroadcastNestedLoopJoin") && !allowed(name)) Some(name) else None
