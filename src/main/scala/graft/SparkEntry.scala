@@ -254,6 +254,13 @@ object SparkEntry {
     // keep_rate is the exact literal p_mix would apply per source
     "p_epoch_weighted" -> ((s, d) => Sampling.epochPlanWeighted(
       Tables.documents(s, d), 1000000L, Map("src0" -> 4.0, "src1" -> 2.0))),
+    // quality-quartile curriculum provisioning card
+    "p_curriculum" -> ((s, d) => Sampling.curriculumCard(Tables.documents(s, d))),
+    // vocabulary/Zipf health card: exact head/tail mass, no log()
+    "t_vocab_card" -> ((s, d) => TextAnalysis.vocabCard(Tables.documents(s, d))),
+    // mutual-3-NN similarity graph, exact at this corpus size (the
+    // at-scale route feeds ivfSearch output to the same mutual filter)
+    "s_knn_graph" -> ((s, d) => Similarity.knnGraph(Tables.embeddings(s, d), 3)),
     // uniform-without-replacement cap of 10 docs per source
     "p_cap_source" -> ((s, d) => Sampling.capPerGroup(Tables.documents(s, d), 10)),
     "s_ann_brute" -> ((s, d) => Similarity.bruteForceTopK(Tables.embeddings(s, d), 5, 10)),
@@ -1942,6 +1949,70 @@ object SparkEntry {
                       CAST(1000000 AS DOUBLE) * weight / w_sum / n_tokens)
                   AS keep_rate
          FROM inv CROSS JOIN t""",
+    // quartile cutoffs via SQL-standard percentile_disc (an ACTUAL
+    // score value — engine-identical; interpolation would differ in
+    // last-ulp association); mean quality from exact 1e-6-scaled longs
+    "p_curriculum" ->
+      """WITH b AS (
+           SELECT doc_id, length(text) AS nc,
+                  len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS nw,
+                  length(regexp_replace(text, '[^a-z]', '', 'g')) AS na,
+                  length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS np,
+                  len(list_filter(regexp_split_to_array(text, '\s+'),
+                      x -> x IN ('the','a','of','and','to','is','in','that','it','as'))) AS sh
+           FROM documents),
+         s AS (SELECT doc_id, CAST(nw AS BIGINT) AS t,
+                  floor((CAST(sh AS DOUBLE) / greatest(nw, 1) * 0.4
+                        + least(CAST(na AS DOUBLE) / greatest(nw, 1) / 10.0, 1.0) * 0.3
+                        + (1.0 - CAST(np AS DOUBLE) / greatest(nc, 1)) * 0.3)
+                        * 1000000 + 0.5) / 1000000 AS q
+           FROM b),
+         c AS (SELECT percentile_disc(0.25) WITHIN GROUP (ORDER BY q) AS q1,
+                      percentile_disc(0.5) WITHIN GROUP (ORDER BY q) AS q2,
+                      percentile_disc(0.75) WITHIN GROUP (ORDER BY q) AS q3
+               FROM s),
+         p AS (SELECT CASE WHEN q <= q1 THEN 1 WHEN q <= q2 THEN 2
+                           WHEN q <= q3 THEN 3 ELSE 4 END AS phase, t, q
+               FROM s CROSS JOIN c)
+         SELECT phase, CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(t) AS BIGINT) AS n_tokens,
+                floor(CAST(sum(CAST(round(q * 1000000) AS BIGINT)) AS DOUBLE)
+                      / count(*) / 1000000.0 * 1000000 + 0.5) / 1000000 AS mean_quality
+         FROM p GROUP BY phase""",
+    // exact integer head/tail mass — no log(), so no libm divergence
+    "t_vocab_card" ->
+      """WITH wd AS (SELECT unnest(list_filter(regexp_split_to_array(text, '\s+'),
+                                               x -> x <> '')) AS w FROM documents),
+         c AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM wd GROUP BY w),
+         s AS (SELECT CAST(count(*) AS BIGINT) AS n_types,
+                      CAST(sum(c) AS BIGINT) AS n_tokens,
+                      CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
+                      CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS dis
+               FROM c),
+         t AS (SELECT CAST(COALESCE(sum(c), 0) AS BIGINT) AS head_c
+               FROM (SELECT c FROM c ORDER BY c DESC, w LIMIT 100))
+         SELECT n_types, n_tokens, hapax, dis,
+                floor(CAST(n_types AS DOUBLE) / n_tokens * 1000000 + 0.5) / 1000000 AS ttr,
+                floor(CAST(head_c AS DOUBLE) / n_tokens * 1000000 + 0.5) / 1000000 AS head_cov
+         FROM s CROSS JOIN t""",
+    // the mutual filter replays as a self-join of the rnk<=3 table
+    "s_knn_graph" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+         scored AS (SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+                           list_dot_product(q.v, n.v) / (q.nrm * n.nrm) AS cos
+                    FROM n JOIN n q ON n.vec_id <> q.vec_id),
+         r AS (SELECT query_id, neighbor_id, cos,
+                      row_number() OVER (PARTITION BY query_id
+                                         ORDER BY cos DESC, neighbor_id) AS rnk
+               FROM scored),
+         k AS (SELECT query_id, neighbor_id,
+                      floor(cos * 1000000 + 0.5) / 1000000 AS cos
+               FROM r WHERE rnk <= 3)
+         SELECT x.query_id AS id_a, x.neighbor_id AS id_b, x.cos AS cos
+         FROM k x JOIN k y ON x.query_id = y.neighbor_id
+                          AND x.neighbor_id = y.query_id
+         WHERE x.query_id < x.neighbor_id""",
     // the KS maximand is a cross-multiplied integer; one closing
     // division; the (diff desc, v) total order pins the argmax
     "d_drift_ks" ->

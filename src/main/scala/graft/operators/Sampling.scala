@@ -307,6 +307,41 @@ object Sampling {
           .as("epochs"))
   }
 
+  /** Curriculum phases data card — quality-quartile provisioning for
+    * curriculum training (feed cleaner text later, or earlier —
+    * whichever schedule, the PHASES need defining first): quartile
+    * cutoffs of the composite quality score, each doc assigned the
+    * lowest phase whose cutoff admits it, and per-phase doc/token
+    * totals plus the mean quality. Cutoffs use `percentile_disc`
+    * (SQL-standard discrete percentile — an ACTUAL score value, so the
+    * cutoff is a 1e-6 multiple both engines agree on bit-for-bit;
+    * interpolated percentiles differ in last-ulp association across
+    * engines and could flip boundary docs). Mean quality accumulates
+    * the 1e-6-scaled scores as exact longs, one closing division.
+    *
+    * Scale shape: the quality scan (map-only), a 1-row percentile
+    * aggregate broadcast back, one 4-group aggregate. */
+  def curriculumCard(docs: DataFrame): DataFrame = {
+    import graft.functions.Exact.round6
+    val scored = TextAnalysis.quality(docs)
+      .select(col("doc_id"), col("quality_score").as("q"),
+        col("n_words").cast("long").as("t"))
+    val cuts = scored.agg(
+      expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY q)").as("q1"),
+      expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY q)").as("q2"),
+      expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY q)").as("q3"))
+    scored.crossJoin(broadcast(cuts))
+      .withColumn("phase",
+        when(col("q") <= col("q1"), 1)
+          .when(col("q") <= col("q2"), 2)
+          .when(col("q") <= col("q3"), 3)
+          .otherwise(4))
+      .groupBy(col("phase"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("t")).as("n_tokens"),
+        round6((sum(expr("CAST(round(q * 1000000) AS BIGINT)")).cast("double")
+          / count(lit(1))) / 1e6).as("mean_quality"))
+  }
+
   def leakSafeSplit(docs: DataFrame, pairs: DataFrame): DataFrame = {
     val comp = graft.operators.Dedup.connectedComponents(pairs)
     docs.join(comp, docs("doc_id") === comp("id"), "left")

@@ -415,6 +415,38 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
+  /** Mutual k-NN filter over any (query_id, neighbor_id, cos, rnk)
+    * top-k table: keep the canonical pair (a < b) iff each endpoint is
+    * in the OTHER's top-k — the reciprocal-neighbor criterion that
+    * turns an ANN listing into an undirected similarity graph whose
+    * edges are robust to the hubness of one-directional kNN (a hub
+    * appears in everyone's list; mutuality prunes it back to its true
+    * neighborhood). One self-join on the (already k-bounded) top-k
+    * table — |input| ≤ n·k rows, never the corpus. */
+  def mutualKnn(topk: DataFrame): DataFrame =
+    topk.as("x")
+      .join(topk.as("y"),
+        col("x.query_id") === col("y.neighbor_id") &&
+          col("x.neighbor_id") === col("y.query_id"))
+      .where(col("x.query_id") < col("x.neighbor_id"))
+      .select(col("x.query_id").as("id_a"), col("x.neighbor_id").as("id_b"),
+        col("x.cos").as("cos"))
+
+  /** Mutual k-NN GRAPH of the whole embedding corpus — the structure
+    * graph-based dedup/cluster passes (and the BFS/PageRank family)
+    * consume. This entry scores EXACTLY (every vector against every
+    * other — the value-verifiable form; fine to ~10⁴ vectors); at
+    * corpus scale build the same top-k table with [[ivfSearch]] /
+    * [[ivfSearchPq]] over an index instead and feed it to
+    * [[mutualKnn]] — the mutual filter is identical either way. */
+  def knnGraph(embeddings: DataFrame, k: Int = 3): DataFrame = {
+    val e = prepared(embeddings)
+    val q = e.select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val scored = e.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .withColumn("cos", cosineSim(col("qv"), col("v")))
+    mutualKnn(topKPerQuery(scored, k))
+  }
+
   /** SemDeDup-style semantic dedup: cluster by coarse centroid, then
     * find cosine-near-dup pairs ONLY within each cell. Bounds the
     * quadratic pair scoring to cell populations (expected n/C per cell),

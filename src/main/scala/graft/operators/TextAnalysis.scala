@@ -696,4 +696,36 @@ object TextAnalysis {
           (dec(col("na")) * dec(col("nb"))).cast("double")).as("ks"),
         col("v").as("ks_at"))
   }
+
+  /** Vocabulary / Zipf data card — the corpus-health summary a tokenizer
+    * or mixture decision is made from: type and token totals, the
+    * type-token ratio, hapax/dis legomena counts (the Zipf tail — a
+    * high hapax share predicts OOV pressure and flags boilerplate-free
+    * natural text), and head coverage (what fraction of all tokens the
+    * top-`topK` types account for — the Zipf head). All exact integers
+    * with two closing divisions, so the card is engine-identical
+    * without touching log() (whose libm rounding differs across
+    * engines — the reason this card reports Zipf head/tail MASS, not a
+    * fitted slope).
+    *
+    * Scale shape: one word-count aggregate over the corpus (map-side
+    * combinable), then a bounded TakeOrdered head and two 1-row
+    * aggregates — the vocabulary table is scanned twice but the CORPUS
+    * only once, and nothing downstream of the word count exceeds
+    * vocabulary grain. */
+  def vocabCard(docs: DataFrame, topK: Int = 100): DataFrame = {
+    import graft.functions.Exact.round6
+    val wc = docs.select(explode(tokens(col("text"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val stats = wc.agg(count(lit(1)).as("n_types"), sum(col("c")).as("n_tokens"),
+      sum(when(col("c") === 1L, 1L).otherwise(0L)).as("hapax"),
+      sum(when(col("c") === 2L, 1L).otherwise(0L)).as("dis"))
+    val head = wc.orderBy(col("c").desc, col("w")).limit(topK)
+      .agg(coalesce(sum(col("c")), lit(0L)).as("head_c"))
+    stats.crossJoin(broadcast(head))
+      .select(col("n_types"), col("n_tokens"), col("hapax"), col("dis"),
+        round6(col("n_types").cast("double") / col("n_tokens")).as("ttr"),
+        round6(col("head_c").cast("double") / col("n_tokens")).as("head_cov"))
+  }
 }

@@ -48,12 +48,20 @@ class PlanAuditSpec extends SparkSpec {
     //    the ≤|sources|-row inventory
     //  - p_epoch_weighted: the same shape with the 1-row Σw aggregate
     //    instead of the source count
+    //  - p_curriculum: the 1-row quartile-cutoffs aggregate broadcast
+    //    into the quality scan
+    //  - t_vocab_card: the 1×1 cross of the vocabulary-stats and
+    //    head-mass aggregates (one bounded output row)
+    //  - s_knn_graph: rides s_ann_brute's keyless shape with the whole
+    //    (bounded at this surface) corpus as the query set — the scale
+    //    route feeds ivfSearch output to the same mutual filter
     // anywhere else it means an equi-join lost its keys
     val allowed = Set("t_tfidf", "p_wsample", "d_corpus_prep",
       "s_ann_brute", "d_dedup_embed", "q_moving_avg", "q22_idle",
       "q_kmv_join", "d_select_target", "p_temperature",
       "e_late_audit", "g_bfs", "t_keyword_topk", "d_dedup_sweep",
-      "d_drift_ks", "p_epoch_plan", "p_epoch_weighted")
+      "d_drift_ks", "p_epoch_plan", "p_epoch_weighted",
+      "p_curriculum", "t_vocab_card", "s_knn_graph")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val plan = fn(spark, sfDir).queryExecution.sparkPlan.toString
       if (plan.contains("BroadcastNestedLoopJoin") && !allowed(name)) Some(name) else None

@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Sampling, Similarity, TextAnalysis}
+
+/** Hand-computed fixtures for the round-7 operators. */
+class Round7OpsSpec extends SparkSpec {
+
+  test("vocabCard reports exact Zipf head/tail mass") {
+    import spark.implicits._
+    // tokens: a×4 b×2 c×1 d×1 → types 4, tokens 8, hapax 2, dis 1;
+    // top-2 head = a+b = 6 → head_cov 0.75; ttr 0.5
+    val docs = Seq((1L, "a a b c"), (2L, "a a b d")).toDF("doc_id", "text")
+    val got = TextAnalysis.vocabCard(docs, topK = 2).collect().head
+    assert((got.getLong(0), got.getLong(1), got.getLong(2), got.getLong(3),
+      got.getDouble(4), got.getDouble(5)) == ((4L, 8L, 2L, 1L, 0.5, 0.75)))
+  }
+
+  test("vocabCard head smaller than topK covers everything") {
+    import spark.implicits._
+    val docs = Seq((1L, "x y")).toDF("doc_id", "text")
+    val got = TextAnalysis.vocabCard(docs, topK = 100).collect().head
+    assert(got.getDouble(5) == 1.0 && got.getLong(2) == 2L)
+  }
+
+  test("mutualKnn keeps exactly the reciprocal pairs, canonically") {
+    import spark.implicits._
+    // 1's top list has 2 and 3; 2 lists 1; 3 lists 2 (NOT 1) →
+    // mutual: only (1,2). Hub 2 appears in both lists but (2,3) is
+    // one-directional.
+    val topk = Seq(
+      (1L, 2L, 0.9, 1), (1L, 3L, 0.8, 2),
+      (2L, 1L, 0.9, 1), (2L, 4L, 0.1, 2),
+      (3L, 2L, 0.7, 1), (4L, 3L, 0.2, 1))
+      .toDF("query_id", "neighbor_id", "cos", "rnk")
+    val got = Similarity.mutualKnn(topk)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq == Seq((1L, 2L, 0.9)))
+  }
+
+  test("knnGraph edges are symmetric by construction and cos-exact") {
+    // every emitted pair must satisfy the mutual property against the
+    // brute-force listing it came from
+    val emb = Tables.embeddings(spark, sfDir)
+    val g = Similarity.knnGraph(emb, 3)
+    val edges = g.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(edges.nonEmpty && edges.forall { case (a, b) => a < b })
+    // spot containment: mutual edges are a subset of the directed top-3
+    val e = emb.select(col("vec_id"),
+      graft.functions.VectorFunctions.toDouble(col("embedding")).as("v"))
+    val q = e.select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val directed = e.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .withColumn("cos", graft.functions.CosineSimilarity.cosineSim(col("qv"), col("v")))
+      .withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("query_id"))
+          .orderBy(col("cos").desc, col("vec_id"))))
+      .where(col("rnk") <= 3)
+      .select(col("query_id"), col("vec_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(edges.forall { case (a, b) =>
+      directed((a, b)) && directed((b, a)) })
+  }
+
+  test("curriculumCard phases partition the corpus with monotone quality") {
+    val docs = Tables.documents(spark, sfDir)
+    val card = Sampling.curriculumCard(docs)
+      .orderBy("phase").collect()
+    assert(card.map(_.getInt(0)).toSeq == Seq(1, 2, 3, 4))
+    // phases partition: doc counts sum to the corpus
+    assert(card.map(_.getLong(1)).sum == docs.count())
+    // mean quality is strictly ordered across phases (quartile cutoffs)
+    val means = card.map(_.getDouble(3))
+    assert(means.zip(means.tail).forall { case (a, b) => a < b },
+      s"phase means not increasing: ${means.toSeq}")
+  }
+}
