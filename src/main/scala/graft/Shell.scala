@@ -53,7 +53,7 @@ object Shell {
           "prep <src> <dest> | index <src> <dest> | prep_incr <new> <index> <dest> | " +
           "neardup <src> [t] | bpe <src> [n] | buckets <src> | kmeans <src> [k] | " +
           "ann <src> [k] | pagerank [iters] | triangles | degrees | bfs | " +
-          "gini | audit | exit | <sql>")
+          "gini | audit | vacuum | exit | <sql>")
       case "ls" :: Nil => cat.list().foreach(println)
       case "stats" :: Nil => cat.stats().show(100, truncate = false)
       case "nodes" :: Nil => cat.executorStats().show(100, truncate = false)
@@ -142,6 +142,9 @@ object Shell {
         operators.Analytics.integrityAudit(spark, dir).show(truncate = false)
         operators.Events.latenessAudit(Tables.events(spark, dir))
           .orderBy("event_type").show(truncate = false)
+      case "vacuum" :: Nil =>
+        // torn-refresh cleanup of the Catalog's derived layouts
+        println(s"vacuumed ${cat.vacuumDerived()} uncommitted derived dirs")
       case _ => spark.sql(line).show(50, truncate = false)
     }
     true

@@ -256,6 +256,12 @@ object SparkEntry {
       Tables.documents(s, d), 1000000L, Map("src0" -> 4.0, "src1" -> 2.0))),
     // quality-quartile curriculum provisioning card
     "p_curriculum" -> ((s, d) => Sampling.curriculumCard(Tables.documents(s, d))),
+    // STREAMING incremental-MV maintenance: the replayed event stream
+    // maintains the durable per-type MV via foreachBatch->refreshAggMv;
+    // final stored state == the oracle's batch recompute regardless of
+    // microbatch boundaries (the merge is algebraic)
+    "fs_mv_stream" -> ((s, d) =>
+      graft.streaming.EventStream.mvMaintenanceReplay(s, d)),
     // vocabulary/Zipf health card: exact head/tail mass, no log()
     "t_vocab_card" -> ((s, d) => TextAnalysis.vocabCard(Tables.documents(s, d))),
     // mutual-3-NN similarity graph, exact at this corpus size (the
@@ -2075,6 +2081,14 @@ object SparkEntry {
       """SELECT DISTINCT user_id, event_type,
                 epoch_us(date_trunc('hour', ts)) AS hr_us
          FROM events""",
+    // the oracle recomputes from scratch; equality proves the
+    // stream-maintained MV state (microbatch deltas merged into the
+    // durable Catalog state) reconstructs the full aggregate
+    "fs_mv_stream" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS cnt,
+                CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
+                  / 100.0 AS sum_value
+         FROM events GROUP BY event_type""",
     "q4_exists" ->
       """SELECT o_orderpriority, count(*) AS order_count
          FROM orders o

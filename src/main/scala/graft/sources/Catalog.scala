@@ -105,6 +105,26 @@ class Catalog(spark: SparkSession, baseDir: String,
     fs.delete(p, true)
   }
 
+  /** Remove torn-refresh leftovers under [[derivedDir]]: `.tmp`
+    * siblings (a crash between a refresh's materialize and swap) and
+    * layouts missing their `_SUCCESS` marker (an interrupted first
+    * write). Committed state is never touched. Run it only while no
+    * refresh is in flight — the same caller-serialization contract as
+    * [[refreshAggMv]]. Returns the number of directories removed. */
+  def vacuumDerived(): Int = {
+    val base = new Path(derivedDir)
+    val fs = base.getFileSystem(hconf)
+    if (!fs.exists(base)) 0
+    else {
+      val victims = fs.listStatus(base).toSeq
+        .filter(_.isDirectory).map(_.getPath)
+        .filter(p => p.getName.endsWith(".tmp") ||
+          !fs.exists(new Path(p, "_SUCCESS")))
+      victims.foreach(p => fs.delete(p, true))
+      victims.size
+    }
+  }
+
   /** Hive-partitioned layout + read-back, owned by this Catalog: write
     * `df` partitioned by `partCol` under `derivedDir/<name>` (skipped
     * when the layout's `_SUCCESS` marker already exists — the

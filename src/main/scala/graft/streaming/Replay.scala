@@ -120,4 +120,27 @@ object Replay {
     try q.processAllAvailable() finally q.stop()
     spark.read.parquet(runDir.resolve("out").toString)
   }
+
+  /** Run one checkpointed FOREACH-BATCH replay over the shared source:
+    * each microbatch DataFrame is handed to `each` — the pattern for
+    * side-effecting sinks the built-in writers don't cover (here:
+    * incremental materialized-view refresh). The sink IS whatever
+    * state `each` maintains; returns the number of microbatches that
+    * fired. foreachBatch invocations are serialized by the engine,
+    * which is exactly the caller-serialization contract
+    * `Catalog.refreshAggMv` requires. */
+  def runForeachBatch(spark: SparkSession, src: Source,
+      maxFilesPerTrigger: Int = 4)(each: DataFrame => Unit): Long = {
+    val runDir = root.resolve(s"run-${runCounter.incrementAndGet()}")
+    val stream = spark.readStream.schema(src.schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(src.dir)
+    val n = new java.util.concurrent.atomic.AtomicLong(0L)
+    val q = stream.writeStream
+      .foreachBatch((df: DataFrame, _: Long) => { each(df); n.incrementAndGet(): Unit })
+      .option("checkpointLocation", runDir.resolve("ckpt").toString)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    n.get()
+  }
 }

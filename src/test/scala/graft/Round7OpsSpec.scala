@@ -61,6 +61,40 @@ class Round7OpsSpec extends SparkSpec {
       directed((a, b)) && directed((b, a)) })
   }
 
+  test("vacuumDerived removes torn state, never committed state") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-spec-vac").toString
+    val cat = new graft.sources.Catalog(spark, root)
+    cat.refreshAggMv("good", Seq(("a", 1L)).toDF("k", "n"), Seq("k"))
+    // plant a torn refresh (.tmp sibling) and an interrupted first
+    // write (dir without _SUCCESS)
+    val d = new java.io.File(cat.derivedDir)
+    assert(new java.io.File(d, "good.tmp").mkdirs())
+    val torn = new java.io.File(d, "torn")
+    assert(torn.mkdirs())
+    java.nio.file.Files.write(torn.toPath.resolve("part-0.parquet"), Array[Byte](1))
+    assert(cat.vacuumDerived() == 2)
+    // committed state intact and readable; second vacuum is a no-op
+    assert(cat.mvState("good").collect().map(r => (r.getString(0), r.getLong(1)))
+      .toSeq == Seq(("a", 1L)))
+    assert(cat.vacuumDerived() == 0)
+  }
+
+  test("stream-maintained MV state is microbatch-boundary invariant") {
+    // the algebraic-merge claim, pinned: replaying one file per trigger
+    // (9 refreshes) must commit the identical state as the default
+    // 4-files-per-trigger replay (3 refreshes)
+    val fine = graft.streaming.EventStream
+      .mvMaintenanceReplay(spark, sfDir, maxFilesPerTrigger = 1)
+      .orderBy("event_type").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val coarse = graft.streaming.EventStream
+      .mvMaintenanceReplay(spark, sfDir, maxFilesPerTrigger = 4)
+      .orderBy("event_type").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(fine.toSeq == coarse.toSeq)
+  }
+
   test("curriculumCard phases partition the corpus with monotone quality") {
     val docs = Tables.documents(spark, sfDir)
     val card = Sampling.curriculumCard(docs)

@@ -80,5 +80,6 @@ class ShellProcedureSpec extends SparkSpec {
     assert(Shell.execute("bfs", spark, cat, sfDir))
     assert(Shell.execute("gini", spark, cat, sfDir))
     assert(Shell.execute("audit", spark, cat, sfDir))
+    assert(Shell.execute("vacuum", spark, cat, sfDir))
   }
 }
