@@ -289,6 +289,14 @@ object SparkEntry {
     "t_tfidf" -> ((s, d) => TextAnalysis.tfidf(Tables.documents(s, d))),
     "t_keyword_topk" -> ((s, d) => TextAnalysis.keywordTopK(Tables.documents(s, d))),
     "t_redact" -> ((s, d) => TextAnalysis.redact(Tables.events(s, d), "event_id", "props")),
+    // full sketch set algebra between the lineitem and part key sets
+    "q_kmv_setops" -> ((s, d) => Analytics.kmvSetOps(
+      Tables.lineitem(s, d), "l_partkey", Tables.part(s, d), "p_partkey")),
+    // compliance card: PII exposure per event type, BEFORE redaction
+    "d_pii_audit" -> ((s, d) =>
+      TextAnalysis.piiAudit(Tables.events(s, d), "event_type", "props")),
+    // code-vs-prose routing signals per document
+    "t_code_detect" -> ((s, d) => TextAnalysis.codeSignals(Tables.documents(s, d))),
     "t_repetition" -> ((s, d) => TextAnalysis.repetition(Tables.documents(s, d))),
     "t_chunk" -> ((s, d) => TextAnalysis.chunk(Tables.documents(s, d))),
     // distributed BPE tokenizer fitting: the learned merge table and
@@ -1479,6 +1487,34 @@ object SparkEntry {
                   (CASE WHEN su.n < 256 THEN CAST(su.n AS DOUBLE)
                         ELSE 255.0 * CAST(1152921504606846976 AS DOUBLE) / CAST(su.hk AS DOUBLE) END)) * 1000000 + 0.5) / 1000000 AS est_intersection
          FROM sa, sb, su, nb""",
+    // the set-ops card: same sketch replay plus union + clamped
+    // inclusion-exclusion differences ON THE ROUNDED estimates
+    "q_kmv_setops" ->
+      """WITH ha AS (SELECT DISTINCT CAST('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 15) AS BIGINT) AS h FROM lineitem),
+         ka AS (SELECT h FROM ha ORDER BY h LIMIT 256),
+         hb AS (SELECT DISTINCT CAST('0x' || substr(md5(CAST(p_partkey AS VARCHAR)), 1, 15) AS BIGINT) AS h FROM part),
+         kb AS (SELECT h FROM hb ORDER BY h LIMIT 256),
+         un AS (SELECT h FROM (SELECT h FROM ka UNION SELECT h FROM kb) ORDER BY h LIMIT 256),
+         sa AS (SELECT count(*) AS n, max(h) AS hk FROM ka),
+         sb AS (SELECT count(*) AS n, max(h) AS hk FROM kb),
+         su AS (SELECT count(*) AS n, max(h) AS hk FROM un),
+         nb AS (SELECT count(*) AS n FROM un
+                WHERE h IN (SELECT h FROM ka) AND h IN (SELECT h FROM kb)),
+         est AS (SELECT
+           floor((CASE WHEN sa.n < 256 THEN CAST(sa.n AS DOUBLE)
+                       ELSE 255.0 * CAST(1152921504606846976 AS DOUBLE) / CAST(sa.hk AS DOUBLE) END) * 1000000 + 0.5) / 1000000 AS est_left,
+           floor((CASE WHEN sb.n < 256 THEN CAST(sb.n AS DOUBLE)
+                       ELSE 255.0 * CAST(1152921504606846976 AS DOUBLE) / CAST(sb.hk AS DOUBLE) END) * 1000000 + 0.5) / 1000000 AS est_right,
+           floor((CASE WHEN su.n < 256 THEN CAST(su.n AS DOUBLE)
+                       ELSE 255.0 * CAST(1152921504606846976 AS DOUBLE) / CAST(su.hk AS DOUBLE) END) * 1000000 + 0.5) / 1000000 AS est_union,
+           floor(((CAST(nb.n AS DOUBLE) / su.n) *
+                  (CASE WHEN su.n < 256 THEN CAST(su.n AS DOUBLE)
+                        ELSE 255.0 * CAST(1152921504606846976 AS DOUBLE) / CAST(su.hk AS DOUBLE) END)) * 1000000 + 0.5) / 1000000 AS est_intersection
+           FROM sa, sb, su, nb)
+         SELECT est_left, est_right, est_union, est_intersection,
+                greatest(est_left - est_intersection, CAST(0.0 AS DOUBLE)) AS est_left_only,
+                greatest(est_right - est_intersection, CAST(0.0 AS DOUBLE)) AS est_right_only
+         FROM est""",
     // 2^60 is a power of two (double-exact); the arithmetic shape matches
     // the Spark side verbatim so the IEEE result is bit-identical.
     "q_kmv" ->
@@ -1650,6 +1686,39 @@ object SparkEntry {
          SELECT event_id, redacted,
                 CAST(len(regexp_extract_all(redacted, '<[A-Z]+>')) AS BIGINT) AS n_redactions
          FROM r""",
+    // independent per-pattern counting on the RAW text (no rule
+    // ordering); the patterns are PiiRules' exact email/IP/phone
+    "d_pii_audit" ->
+      """WITH h AS (SELECT event_type,
+             CAST(len(regexp_extract_all(props,
+               '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')) AS BIGINT) AS e,
+             CAST(len(regexp_extract_all(props,
+               '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS BIGINT) AS i,
+             CAST(len(regexp_extract_all(props,
+               '\+?[0-9][0-9() -]{6,}[0-9]')) AS BIGINT) AS p
+           FROM events)
+         SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows,
+                CAST(sum(CASE WHEN e > 0 THEN 1 ELSE 0 END) AS BIGINT) AS rows_email,
+                CAST(sum(e) AS BIGINT) AS email_hits,
+                CAST(sum(CASE WHEN i > 0 THEN 1 ELSE 0 END) AS BIGINT) AS rows_ip,
+                CAST(sum(i) AS BIGINT) AS ip_hits,
+                CAST(sum(CASE WHEN p > 0 THEN 1 ELSE 0 END) AS BIGINT) AS rows_phone,
+                CAST(sum(p) AS BIGINT) AS phone_hits
+         FROM h GROUP BY event_type""",
+    // ratios of exact char-class counts; the flag compares the ROUNDED
+    // ratio (cross-engine comparison idiom), emitted as 0/1
+    "t_code_detect" ->
+      """WITH b AS (SELECT doc_id,
+             greatest(length(text), 1) AS nc,
+             length(regexp_replace(text, '[^{}();=<>]', '', 'g')) AS sym,
+             length(regexp_replace(text, '[^0-9]', '', 'g')) AS dig
+           FROM documents)
+         SELECT doc_id,
+                floor(CAST(sym AS DOUBLE) / nc * 1000000 + 0.5) / 1000000 AS sym_ratio,
+                floor(CAST(dig AS DOUBLE) / nc * 1000000 + 0.5) / 1000000 AS digit_ratio,
+                CAST(CASE WHEN floor(CAST(sym AS DOUBLE) / nc * 1000000 + 0.5) / 1000000
+                          >= 0.01 THEN 1 ELSE 0 END AS BIGINT) AS is_code
+         FROM b""",
     "t_repetition" ->
       """WITH tok AS (SELECT doc_id,
              list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS w FROM documents),

@@ -330,6 +330,39 @@ object Analytics {
           .as("est_intersection"))
   }
 
+  /** Full KMV SET-OPERATION card — [[kmvJoinEstimate]] extended with
+    * the union cardinality and the inclusion-exclusion differences
+    * (|A∖B|, |B∖A|), i.e. everything a join/dedup planner reads off two
+    * key sets without executing anything: how many keys exist, how many
+    * are shared, how many are exclusive to each side. Differences are
+    * computed on the ROUNDED emitted estimates (the cross-engine
+    * arithmetic idiom) and clamped at 0 — estimator noise can push a
+    * difference slightly negative, and both engines clamp identically.
+    * Same scale shape: two bounded-buffer sketch aggregations + a 1×1
+    * join. */
+  def kmvSetOps(left: DataFrame, leftKey: String,
+      right: DataFrame, rightKey: String, k: Int = 256): DataFrame = {
+    import graft.functions.KmvSketch._
+    import graft.functions.Exact.round6
+    import TextAnalysis.portableHash60
+    val ba = left.agg(kmv(portableHash60(col(leftKey)), k).as("ba"))
+    val bb = right.agg(kmv(portableHash60(col(rightKey)), k).as("bb"))
+    val withU = ba.join(bb)
+      .withColumn("bu", slice(array_sort(array_union(col("ba"), col("bb"))), 1, k))
+      .withColumn("n_both",
+        size(array_intersect(array_intersect(col("bu"), col("ba")), col("bb"))))
+      .select(
+        round6(estimate(col("ba"), k)).as("est_left"),
+        round6(estimate(col("bb"), k)).as("est_right"),
+        round6(estimate(col("bu"), k)).as("est_union"),
+        round6((col("n_both").cast("double") / least(size(col("bu")), lit(k))) *
+          estimate(col("bu"), k)).as("est_intersection"))
+    withU.select(col("est_left"), col("est_right"), col("est_union"),
+      col("est_intersection"),
+      greatest(col("est_left") - col("est_intersection"), lit(0.0)).as("est_left_only"),
+      greatest(col("est_right") - col("est_intersection"), lit(0.0)).as("est_right_only"))
+  }
+
   /** Bottom-k-sample quantile sketch — the oracle-checkable counterpart
     * of [[sketchSummary]]'s percentile_approx (KLL compaction is
     * engine-private; a hash-ordered bottom-k sample is a window

@@ -697,6 +697,52 @@ object TextAnalysis {
         col("v").as("ks_at"))
   }
 
+  /** PII exposure audit by slice — the compliance data card a corpus
+    * review reads BEFORE [[redact]] ships anything: per slice (source,
+    * event type, …) the row count, rows carrying each PII shape, and
+    * total hits per shape. Counts run per-pattern on the RAW text
+    * (unlike redaction, no rule ordering is needed — each shape is
+    * measured independently, and the email/IP/phone patterns are the
+    * exact ones `PiiRules` redacts). Map-only regex counting + one
+    * bounded slice-grain aggregate; the corpus is scanned once and
+    * never shuffled beyond ≤|slices| rows. */
+  def piiAudit(df: DataFrame, sliceCol: String, textCol: String): DataFrame = {
+    def hits(pat: String) =
+      size(regexp_extract_all(col(textCol), lit(pat), lit(0))).cast("long")
+    val email = hits(PiiRules(0)._1)
+    val ip = hits(PiiRules(1)._1)
+    val phone = hits(PiiRules(2)._1)
+    df.select(col(sliceCol), email.as("e"), ip.as("i"), phone.as("p"))
+      .groupBy(col(sliceCol))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("e") > 0, 1L).otherwise(0L)).as("rows_email"),
+        sum(col("e")).as("email_hits"),
+        sum(when(col("i") > 0, 1L).otherwise(0L)).as("rows_ip"),
+        sum(col("i")).as("ip_hits"),
+        sum(when(col("p") > 0, 1L).otherwise(0L)).as("rows_phone"),
+        sum(col("p")).as("phone_hits"))
+  }
+
+  /** Code-vs-prose signal card — the filter a text-corpus prep runs to
+    * route source code away from the prose mixture (or into a code
+    * mixture): per document the code-symbol ratio (chars from the
+    * `{}();=<>` set), digit ratio, and the routed flag. Exact integer
+    * counts, two closing divisions, and the flag compares the ROUNDED
+    * ratio (the cross-engine comparison idiom) — emitted as 0/1. Pure
+    * map-only scan. */
+  def codeSignals(docs: DataFrame, symThreshold: Double = 0.01): DataFrame = {
+    import graft.functions.Exact.round6
+    val base = docs.select(col("doc_id"),
+      greatest(length(col("text")), lit(1)).as("nc"),
+      length(regexp_replace(col("text"), "[^{}();=<>]", "")).as("sym"),
+      length(regexp_replace(col("text"), "[^0-9]", "")).as("dig"))
+    base.select(col("doc_id"),
+      round6(col("sym").cast("double") / col("nc")).as("sym_ratio"),
+      round6(col("dig").cast("double") / col("nc")).as("digit_ratio"),
+      when(round6(col("sym").cast("double") / col("nc")) >= symThreshold, 1L)
+        .otherwise(0L).as("is_code"))
+  }
+
   /** Vocabulary / Zipf data card — the corpus-health summary a tokenizer
     * or mixture decision is made from: type and token totals, the
     * type-token ratio, hapax/dis legomena counts (the Zipf tail — a

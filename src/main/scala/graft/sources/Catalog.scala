@@ -105,6 +105,47 @@ class Catalog(spark: SparkSession, baseDir: String,
     fs.delete(p, true)
   }
 
+  /** SNAPSHOT a table state into the Catalog-owned versioned layout
+    * `derivedDir/snap_<name>/v<N>` — append-only time travel for
+    * derived datasets (the audit answer to "what did the corpus look
+    * like when we trained?"): each snapshot is an immutable
+    * `_SUCCESS`-committed parquet dir and versions only ever grow.
+    * An outer-level `_SUCCESS` marker makes the `snap_<name>` family
+    * read as committed to [[vacuumDerived]] (which judges
+    * `derivedDir`'s direct children); an interrupted snapshot write
+    * leaves a version dir without its own marker, which
+    * [[snapshotVersions]] skips. Returns the new version number. */
+  def snapshot(name: String, df: DataFrame): Int = {
+    val outer = new Path(s"$derivedDir/snap_$name")
+    val fs = outer.getFileSystem(hconf)
+    val next = snapshotVersions(name).lastOption.getOrElse(0) + 1
+    df.write.mode(SaveMode.ErrorIfExists).parquet(s"$outer/v$next")
+    // outer-level marker so vacuumDerived sees a committed layout
+    fs.create(new Path(outer, "_SUCCESS"), true).close()
+    next
+  }
+
+  /** Committed snapshot versions of `name`, ascending. */
+  def snapshotVersions(name: String): Seq[Int] = {
+    val outer = new Path(s"$derivedDir/snap_$name")
+    val fs = outer.getFileSystem(hconf)
+    if (!fs.exists(outer)) Seq.empty
+    else fs.listStatus(outer).toSeq.map(_.getPath.getName)
+      .filter(_.matches("v[0-9]+"))
+      .map(_.drop(1).toInt)
+      .filter(v => fs.exists(new Path(outer, s"v$v/_SUCCESS")))
+      .sorted
+  }
+
+  /** Read snapshot `version` of `name` (default: latest). */
+  def readSnapshot(name: String, version: Int = -1): DataFrame = {
+    val vs = snapshotVersions(name)
+    require(vs.nonEmpty, s"no snapshots of $name")
+    val v = if (version < 0) vs.last
+    else { require(vs.contains(version), s"no snapshot v$version of $name"); version }
+    spark.read.parquet(s"$derivedDir/snap_$name/v$v")
+  }
+
   /** Remove torn-refresh leftovers under [[derivedDir]]: `.tmp`
     * siblings (a crash between a refresh's materialize and swap) and
     * layouts missing their `_SUCCESS` marker (an interrupted first

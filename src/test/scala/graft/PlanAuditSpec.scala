@@ -61,7 +61,10 @@ class PlanAuditSpec extends SparkSpec {
       "q_kmv_join", "d_select_target", "p_temperature",
       "e_late_audit", "g_bfs", "t_keyword_topk", "d_dedup_sweep",
       "d_drift_ks", "p_epoch_plan", "p_epoch_weighted",
-      "p_curriculum", "t_vocab_card", "s_knn_graph")
+      "p_curriculum", "t_vocab_card", "s_knn_graph",
+      // q_kmv_setops: q_kmv_join's 1x1 single-row sketch cross, plus
+      // the union/difference columns
+      "q_kmv_setops")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val plan = fn(spark, sfDir).queryExecution.sparkPlan.toString
       if (plan.contains("BroadcastNestedLoopJoin") && !allowed(name)) Some(name) else None

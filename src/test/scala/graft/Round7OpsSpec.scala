@@ -95,6 +95,65 @@ class Round7OpsSpec extends SparkSpec {
     assert(fine.toSeq == coarse.toSeq)
   }
 
+  test("piiAudit counts shapes independently on the raw text") {
+    import spark.implicits._
+    val rows = Seq(
+      ("a", "contact bob@x.com or bob@y.org now"),
+      ("a", "server at 10.0.0.1 answered"),
+      ("b", "call +1 (555) 123-4567"),
+      ("b", "clean row")).toDF("slice", "txt")
+    val got = TextAnalysis.piiAudit(rows, "slice", "txt")
+      .orderBy("slice").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))
+    // slice a: 2 rows, 1 with emails (2 hits), 1 with an IP
+    // slice b: 2 rows, 1 with a phone, nothing else
+    assert(got.toSeq == Seq(
+      ("a", 2L, 1L, 2L, 1L, 1L, 0L, 0L),
+      ("b", 2L, 0L, 0L, 0L, 0L, 1L, 1L)))
+  }
+
+  test("codeSignals routes symbol-dense text, not prose") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "int f() { return x; }"),
+      (2L, "plain prose with no symbols at all here")).toDF("doc_id", "text")
+    val got = TextAnalysis.codeSignals(docs)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(3)))
+    // doc 1: symbols {}();; = 6 of 21 chars -> flagged; doc 2: none
+    assert(got(0)._3 == 1L && got(0)._2 > 0.2)
+    assert(got(1) == ((2L, 0.0, 0L)))
+  }
+
+  test("snapshots are append-only versioned time travel, vacuum-safe") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-spec-snap").toString
+    val cat = new graft.sources.Catalog(spark, root)
+    assert(cat.snapshotVersions("corpus").isEmpty)
+    assert(cat.snapshot("corpus", Seq((1L, "a")).toDF("id", "t")) == 1)
+    assert(cat.snapshot("corpus", Seq((1L, "a"), (2L, "b")).toDF("id", "t")) == 2)
+    assert(cat.snapshotVersions("corpus") == Seq(1, 2))
+    assert(cat.readSnapshot("corpus", 1).count() == 1L)
+    assert(cat.readSnapshot("corpus").count() == 2L) // latest
+    // vacuum must not eat the committed snapshot family
+    assert(cat.vacuumDerived() == 0)
+    assert(cat.readSnapshot("corpus", 1).count() == 1L)
+    intercept[IllegalArgumentException](cat.readSnapshot("corpus", 7))
+  }
+
+  test("kmvSetOps is exact below k and satisfies inclusion-exclusion") {
+    import spark.implicits._
+    // below k the sketches hold every distinct hash, so the card is
+    // exact set algebra: |A|=10, |B|=10, |A∪B|=15, |A∩B|=5
+    val a = (1L to 10L).toDF("ka")
+    val b = (6L to 15L).toDF("kb")
+    val got = graft.operators.Analytics.kmvSetOps(a, "ka", b, "kb").collect().head
+    assert((got.getDouble(0), got.getDouble(1), got.getDouble(2),
+      got.getDouble(3), got.getDouble(4), got.getDouble(5))
+      == ((10.0, 10.0, 15.0, 5.0, 5.0, 5.0)))
+  }
+
   test("curriculumCard phases partition the corpus with monotone quality") {
     val docs = Tables.documents(spark, sfDir)
     val card = Sampling.curriculumCard(docs)
