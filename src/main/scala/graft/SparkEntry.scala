@@ -289,6 +289,9 @@ object SparkEntry {
     "t_tfidf" -> ((s, d) => TextAnalysis.tfidf(Tables.documents(s, d))),
     "t_keyword_topk" -> ((s, d) => TextAnalysis.keywordTopK(Tables.documents(s, d))),
     "t_redact" -> ((s, d) => TextAnalysis.redact(Tables.events(s, d), "event_id", "props")),
+    // Pareto frontier of (price, size) — two-phase distinct-x scan vs
+    // the oracle's O(n^2) dominance NOT EXISTS (opposite formulations)
+    "q_skyline" -> ((s, d) => Analytics.partSkyline(s, d)),
     // full sketch set algebra between the lineitem and part key sets
     "q_kmv_setops" -> ((s, d) => Analytics.kmvSetOps(
       Tables.lineitem(s, d), "l_partkey", Tables.part(s, d), "p_partkey")),
@@ -1487,6 +1490,17 @@ object SparkEntry {
                   (CASE WHEN su.n < 256 THEN CAST(su.n AS DOUBLE)
                         ELSE 255.0 * CAST(1152921504606846976 AS DOUBLE) / CAST(su.hk AS DOUBLE) END)) * 1000000 + 0.5) / 1000000 AS est_intersection
          FROM sa, sb, su, nb""",
+    // naive quadratic dominance — deliberately the OPPOSITE plan of the
+    // Spark side's two-phase prefix-min scan
+    "q_skyline" ->
+      """WITH p AS (SELECT p_partkey,
+                CAST(round(p_retailprice * 100) AS BIGINT) AS price_cents,
+                CAST(p_size AS BIGINT) AS size
+           FROM part)
+         SELECT p_partkey, price_cents, size FROM p a
+         WHERE NOT EXISTS (SELECT 1 FROM p b
+           WHERE b.price_cents <= a.price_cents AND b.size <= a.size
+             AND (b.price_cents < a.price_cents OR b.size < a.size))""",
     // the set-ops card: same sketch replay plus union + clamped
     // inclusion-exclusion differences ON THE ROUNDED estimates
     "q_kmv_setops" ->

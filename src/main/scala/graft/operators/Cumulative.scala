@@ -67,4 +67,43 @@ object Cumulative {
       .withColumn(outCol, col("__boff") + col("__cin"))
       .drop("__bk", "__cin", "__boff")
   }
+
+  /** EXCLUSIVE running MIN sibling of [[runningSum]]: append `outCol` =
+    * min of `mCol` over rows of the same group with value STRICTLY
+    * BELOW this row's value (null when no such row — the caller's
+    * null-is-not-dominating semantics). Same two-level bucket-monotone
+    * shape: per-bucket exclusive-frame windows in parallel, plus one
+    * bounded per-group bucket-offset scan (≤ nBuckets+2 rows) whose
+    * exclusive min is `least`-merged back — `least` skips nulls, which
+    * is exactly the empty-prefix semantics. `vc` must have one row per
+    * (group, value). */
+  def runningMin(vc: DataFrame, groupCols: Seq[String], valueCol: String,
+      mCol: String, outCol: String, nBuckets: Int = 128): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val g = groupCols.map(col)
+    val v = col(valueCol).cast("double")
+    val bounds = vc.groupBy(g: _*)
+      .agg(min(v).as("__bmin"), max(v).as("__bmax"))
+    val base = vc.join(broadcast(bounds), groupCols)
+      .withColumn("__bk",
+        when(col("__bmin") === col("__bmax"), lit(1))
+          .otherwise(width_bucket(v, col("__bmin"), col("__bmax"),
+            lit(nBuckets))))
+      .drop("__bmin", "__bmax")
+    val inBucket = Window
+      .partitionBy(g :+ col("__bk"): _*)
+      .orderBy(col(valueCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offW = Window.partitionBy(g: _*).orderBy(col("__bk"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = base.groupBy(g :+ col("__bk"): _*)
+      .agg(min(col(mCol)).as("__bt"))
+      .withColumn("__boff", min(col("__bt")).over(offW))
+      .select(g :+ col("__bk") :+ col("__boff"): _*)
+    base
+      .withColumn("__cin", min(col(mCol)).over(inBucket))
+      .join(broadcast(offsets), groupCols :+ "__bk")
+      .withColumn(outCol, least(col("__boff"), col("__cin")))
+      .drop("__bk", "__cin", "__boff")
+  }
 }

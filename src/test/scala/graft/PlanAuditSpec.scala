@@ -64,7 +64,10 @@ class PlanAuditSpec extends SparkSpec {
       "p_curriculum", "t_vocab_card", "s_knn_graph",
       // q_kmv_setops: q_kmv_join's 1x1 single-row sketch cross, plus
       // the union/difference columns
-      "q_kmv_setops")
+      "q_kmv_setops",
+      // q_skyline: runningMin's 1-row bounds broadcast — the constant
+      // __g group folds its equality away (the d_drift_ks shape)
+      "q_skyline")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val plan = fn(spark, sfDir).queryExecution.sparkPlan.toString
       if (plan.contains("BroadcastNestedLoopJoin") && !allowed(name)) Some(name) else None
@@ -84,8 +87,11 @@ class PlanAuditSpec extends SparkSpec {
     // constant group column folds away in the optimizer, leaving its
     // ≤128-row bucket-offset cumsum formally unpartitioned — same
     // bounded-metadata shape.
+    // q_skyline: runningMin's per-group bucket-offset scan — the
+    // constant __g group folds away leaving the ≤128-row offset window
+    // formally unpartitioned, same bounded-metadata shape as d_drift_ks
     val allowed = Set("p_pack", "p_shuffle", "p_manifest", "t_char_ngrams",
-      "e_late_audit", "d_drift_ks")
+      "e_late_audit", "d_drift_ks", "q_skyline")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val plan = fn(spark, sfDir).queryExecution.optimizedPlan.toString
       val specs = "windowspecdefinition\\(([^)]*)\\)".r

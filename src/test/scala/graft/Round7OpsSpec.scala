@@ -154,6 +154,32 @@ class Round7OpsSpec extends SparkSpec {
       == ((10.0, 10.0, 15.0, 5.0, 5.0, 5.0)))
   }
 
+  test("runningMin is the exclusive strict-prefix min in value order") {
+    import spark.implicits._
+    val vc = Seq((1L, 10L), (2L, 7L), (3L, 9L), (4L, 7L), (5L, 3L))
+      .toDF("v", "m").withColumn("g", lit(1))
+    val got = graft.operators.Cumulative
+      .runningMin(vc, Seq("g"), "v", "m", "prior", nBuckets = 2)
+      .orderBy("v").collect()
+      .map(r => (r.getLong(r.fieldIndex("v")),
+        if (r.isNullAt(r.fieldIndex("prior"))) -1L else r.getLong(r.fieldIndex("prior"))))
+    // priors: v=1 none(-1); v=2 min(10)=10; v=3 min(10,7)=7; v=4 7; v=5 7
+    assert(got.toSeq == Seq((1L, -1L), (2L, 10L), (3L, 7L), (4L, 7L), (5L, 7L)))
+  }
+
+  test("skyline keeps the exact Pareto frontier, ties and duplicates included") {
+    import spark.implicits._
+    // points (price, size): frontier is (1,9), (3,4), (3,4) dup, (7,2);
+    // (5,4) loses to (3,4); (3,6) loses to (3,4); (8,2) loses to (7,2)
+    val pts = Seq(
+      (10L, 1L, 9L), (20L, 3L, 4L), (21L, 3L, 4L), (22L, 3L, 6L),
+      (30L, 5L, 4L), (40L, 7L, 2L), (41L, 8L, 2L))
+      .toDF("id", "x", "y")
+    val got = graft.operators.Analytics.skyline(pts, "x", "y", Seq("id"))
+      .select("id").as[Long].collect().toSet
+    assert(got == Set(10L, 20L, 21L, 40L))
+  }
+
   test("curriculumCard phases partition the corpus with monotone quality") {
     val docs = Tables.documents(spark, sfDir)
     val card = Sampling.curriculumCard(docs)
