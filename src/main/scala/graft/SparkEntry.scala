@@ -256,6 +256,14 @@ object SparkEntry {
       Tables.documents(s, d), 1000000L, Map("src0" -> 4.0, "src1" -> 2.0))),
     // quality-quartile curriculum provisioning card
     "p_curriculum" -> ((s, d) => Sampling.curriculumCard(Tables.documents(s, d))),
+    // 3:1 deterministic mixture schedule: bulk corpus interleaved with
+    // the src0 slice, RNG-free slot arithmetic over shuffle positions
+    "p_interleave" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val docs = Tables.documents(s, d)
+      Sampling.interleave(docs.where(col("source") =!= "src0"),
+        docs.where(col("source") === "src0"), 3, 1)
+    }),
     // STREAMING incremental-MV maintenance: the replayed event stream
     // maintains the durable per-type MV via foreachBatch->refreshAggMv;
     // final stored state == the oracle's batch recompute regardless of
@@ -1669,6 +1677,24 @@ object SparkEntry {
                 CAST(row_number() OVER (ORDER BY h, doc_id) - 1 AS BIGINT) AS pos,
                 CAST((row_number() OVER (ORDER BY h, doc_id) - 1) // 1000 AS BIGINT) AS shard
          FROM s""",
+    // per-side row_number in the same md5 order, then pure slot
+    // arithmetic: period 4, side a slots {0,1,2}, side b slot {3}
+    "p_interleave" ->
+      """WITH a AS (SELECT doc_id,
+                CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':shuffle'), 1, 15) AS BIGINT) AS h
+           FROM documents WHERE source <> 'src0'),
+         ra AS (SELECT doc_id,
+                CAST(row_number() OVER (ORDER BY h, doc_id) - 1 AS BIGINT) AS pos FROM a),
+         b AS (SELECT doc_id,
+                CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':shuffle'), 1, 15) AS BIGINT) AS h
+           FROM documents WHERE source = 'src0'),
+         rb AS (SELECT doc_id,
+                CAST(row_number() OVER (ORDER BY h, doc_id) - 1 AS BIGINT) AS pos FROM b)
+         SELECT doc_id, 'a' AS side,
+                CAST(pos // 3 * 4 + pos % 3 AS BIGINT) AS slot FROM ra
+         UNION ALL
+         SELECT doc_id, 'b' AS side,
+                CAST(pos * 4 + 3 AS BIGINT) AS slot FROM rb""",
     // the manifest mirrors p_shuffle's assignment, then one group-by
     "p_manifest" ->
       """WITH s AS (

@@ -141,6 +141,32 @@ object Sampling {
         expr(s"global_start div $shardSize").as("shard"))
   }
 
+  /** Deterministic round-robin INTERLEAVE of two corpora at an exact
+    * integer ratio — the mixture SCHEDULE that [[mixtureSample]]'s
+    * rates imply, materialized as a total training order without RNG:
+    * in every period of `ratioA + ratioB` slots, the first `ratioA`
+    * go to side a and the rest to side b, each side consumed in its
+    * own deterministic [[shuffleOrder]] position. Slot arithmetic is
+    * pure integer div/mod of those positions, so the schedule is
+    * engine-replayable; sides' slot sets are disjoint by construction,
+    * and when one side exhausts its remaining slots stay empty (the
+    * consumer reads slot order — gaps are harmless and deterministic).
+    * Scale shape: two prefix-sum scans + a union; nothing global. */
+  def interleave(a: DataFrame, b: DataFrame, ratioA: Int = 3,
+      ratioB: Int = 1, salt: String = ":shuffle"): DataFrame = {
+    require(ratioA > 0 && ratioB > 0, "interleave ratios must be positive")
+    val period = (ratioA + ratioB).toLong
+    val sa = shuffleOrder(a, salt = salt)
+      .select(col("doc_id"), lit("a").as("side"),
+        (expr(s"pos div $ratioA") * period +
+          pmod(col("pos"), lit(ratioA.toLong))).as("slot"))
+    val sb = shuffleOrder(b, salt = salt)
+      .select(col("doc_id"), lit("b").as("side"),
+        (expr(s"pos div $ratioB") * period + ratioA +
+          pmod(col("pos"), lit(ratioB.toLong))).as("slot"))
+    sa.unionAll(sb)
+  }
+
   /** Shard MANIFEST — the data card a packed dataset ships with: for
     * each shard of [[shuffleOrder]]'s deterministic assignment, the
     * doc/token/char totals, source diversity, and the position range

@@ -90,8 +90,10 @@ class PlanAuditSpec extends SparkSpec {
     // q_skyline: runningMin's per-group bucket-offset scan — the
     // constant __g group folds away leaving the ≤128-row offset window
     // formally unpartitioned, same bounded-metadata shape as d_drift_ks
+    // p_interleave: two shuffleOrder prefix sums — the same ≤128-row
+    // bucket-offset window as p_shuffle, once per side
     val allowed = Set("p_pack", "p_shuffle", "p_manifest", "t_char_ngrams",
-      "e_late_audit", "d_drift_ks", "q_skyline")
+      "e_late_audit", "d_drift_ks", "q_skyline", "p_interleave")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val plan = fn(spark, sfDir).queryExecution.optimizedPlan.toString
       val specs = "windowspecdefinition\\(([^)]*)\\)".r

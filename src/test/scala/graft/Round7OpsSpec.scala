@@ -180,6 +180,27 @@ class Round7OpsSpec extends SparkSpec {
     assert(got == Set(10L, 20L, 21L, 40L))
   }
 
+  test("interleave materializes the exact RNG-free mixture schedule") {
+    import spark.implicits._
+    val a = (1L to 6L).toDF("doc_id").withColumn("text", lit("x"))
+    val b = (101L to 103L).toDF("doc_id").withColumn("text", lit("x"))
+    val got = graft.operators.Sampling.interleave(a, b, 2, 1)
+      .collect().map(r => (r.getString(1), r.getLong(2)))
+    val slotsA = got.filter(_._1 == "a").map(_._2).sorted
+    val slotsB = got.filter(_._1 == "b").map(_._2).sorted
+    // period 3: a gets {0,1, 3,4, 6,7}; b gets {2, 5, 8} — disjoint,
+    // pattern AAB repeating, everyone placed exactly once
+    assert(slotsA.toSeq == Seq(0L, 1L, 3L, 4L, 6L, 7L))
+    assert(slotsB.toSeq == Seq(2L, 5L, 8L))
+    assert(slotsA.toSet.intersect(slotsB.toSet).isEmpty)
+    // within-side consumption follows the deterministic shuffle order
+    val orderA = graft.operators.Sampling.shuffleOrder(a)
+      .orderBy("pos").select("doc_id").as[Long].collect()
+    val aIds = graft.operators.Sampling.interleave(a, b, 2, 1)
+      .where($"side" === "a").orderBy("slot").select("doc_id").as[Long].collect()
+    assert(aIds.toSeq == orderA.toSeq)
+  }
+
   test("curriculumCard phases partition the corpus with monotone quality") {
     val docs = Tables.documents(spark, sfDir)
     val card = Sampling.curriculumCard(docs)
