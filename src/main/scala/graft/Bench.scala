@@ -70,15 +70,19 @@ object Bench {
     }
     val failed = results.collect { case (k, None) => k }
     // self-diagnosis: the MIN hides how contaminated a run was. Report
-    // each query's max/min spread across its successful passes and flag
-    // the run `contaminated` when >10% of queries spread past 1.5× —
-    // the measured signature of this machine's multi-minute stall phases
+    // each query's max/min spread across its STEADY-STATE passes (pass
+    // 1 is excluded — a query's first execution pays per-plan codegen
+    // compilation, which spreads cheap queries 3-4× against their own
+    // warm runs and would drown the signal) and flag the run
+    // `contaminated` when >10% of queries spread past 1.5× — the
+    // measured signature of this machine's multi-minute stall phases
     // (identical code has benched 150 s clean vs 175 s stalled). A
     // contaminated run's totals are then machine-distinguishable from a
     // real regression without diffing code.
     val spreads = names.zipWithIndex.map { case ((name, _), i) =>
-      val good = passes.map(_(i)).filter(_._2).map(_._1)
-      name -> (if (good.size >= 2 && good.min > 0) Some(good.max / good.min) else None)
+      val steady = passes.drop(1).map(_(i)).filter(_._2).map(_._1)
+      name -> (if (steady.size >= 2 && steady.min > 0)
+        Some(steady.max / steady.min) else None)
     }
     val spreadVals = spreads.flatMap(_._2)
     val wideCount = spreadVals.count(_ > 1.5)
