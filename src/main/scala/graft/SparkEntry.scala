@@ -151,6 +151,26 @@ object SparkEntry {
     "e_mad_outlier" -> ((s, d) => Events.madOutliers(Tables.events(s, d))),
     "e_late_audit" -> ((s, d) => Events.latenessAudit(Tables.events(s, d))),
     "e_trending" -> ((s, d) => Events.trending(Tables.events(s, d))),
+    // heartbeat-gap / SLA census per event type
+    "e_gap_card" -> ((s, d) => Events.gapCard(Tables.events(s, d))),
+    // CDC apply, latest-wins by sequence: every 10th doc deleted, every
+    // 10th+1 updated TWICE (seq 2 must win), everything else unchanged
+    "fs_cdc" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{col, lit}
+      val base = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+      val del = base.where(col("doc_id") % 10 === 0)
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          lit(1L).as("seq"), lit("d").as("op"))
+      val up1 = base.where(col("doc_id") % 10 === 1)
+        .select(col("doc_id"), col("source"), (col("n_chars") + 5000L).as("n_chars"),
+          lit(1L).as("seq"), lit("u").as("op"))
+      val up2 = base.where(col("doc_id") % 10 === 1)
+        .select(col("doc_id"), col("source"), (col("n_chars") + 9000L).as("n_chars"),
+          lit(2L).as("seq"), lit("u").as("op"))
+      graft.sources.Catalog.applyCdc(base,
+        del.unionAll(up1).unionAll(up2), "doc_id", "seq", "op")
+    }),
     // leakage-safe split from the EXACT n-gram Jaccard pair mine, so the
     // mirror to the oracle's exact-pair recursive closure is structural
     // rather than resting on 100% LSH recall at these params (that
@@ -2190,6 +2210,29 @@ object SparkEntry {
       """SELECT DISTINCT user_id, event_type,
                 epoch_us(date_trunc('hour', ts)) AS hr_us
          FROM events""",
+    // lag-window gap census; p95 is a discrete (actual) gap value
+    "e_gap_card" ->
+      """WITH g AS (SELECT event_type, epoch_us(ts) AS tsu, event_id,
+                lag(epoch_us(ts)) OVER (PARTITION BY event_type
+                    ORDER BY epoch_us(ts), event_id) AS prev
+           FROM events),
+         d AS (SELECT event_type, tsu - prev AS gap_us FROM g WHERE prev IS NOT NULL)
+         SELECT event_type, CAST(count(*) AS BIGINT) AS n_gaps,
+                CAST(max(gap_us) AS BIGINT) AS max_gap_us,
+                CAST(sum(gap_us) AS DOUBLE) / count(*) AS mean_gap_us,
+                CAST(percentile_disc(0.95) WITHIN GROUP (ORDER BY gap_us) AS BIGINT)
+                  AS p95_gap_us,
+                CAST(sum(CASE WHEN gap_us > 3600000000 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_sla_breaches
+         FROM d GROUP BY event_type""",
+    // the survivors of the change log: deletes gone, double-updated
+    // rows at their HIGHEST sequence value, the rest untouched
+    "fs_cdc" ->
+      """SELECT doc_id, source, n_chars FROM documents
+         WHERE doc_id % 10 <> 0 AND doc_id % 10 <> 1
+         UNION ALL
+         SELECT doc_id, source, n_chars + 9000 AS n_chars FROM documents
+         WHERE doc_id % 10 = 1""",
     // the oracle recomputes from scratch; equality proves the
     // stream-maintained MV state (microbatch deltas merged into the
     // durable Catalog state) reconstructs the full aggregate

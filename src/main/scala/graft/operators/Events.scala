@@ -550,4 +550,33 @@ object Events {
       .withColumn("rnk", row_number().over(w).cast("long"))
       .where(col("rnk") <= k)
   }
+
+  /** Heartbeat-gap / SLA card: per event type the inter-arrival gap
+    * census — gap count, max and mean gap, p95 gap, and gaps past an
+    * SLA threshold. This is the "did the feed stall" question asked of
+    * every ingestion stream. Gaps are exact integer µs from one lag
+    * window per type (ties broken by event id for a total order);
+    * mean is one closing division of exact integers; p95 uses
+    * `percentile_disc` — an ACTUAL observed gap, engine-identical
+    * (interpolation would differ in last-ulp association). The window
+    * partitions by type over (tsu, id)-sorted events; the card is
+    * ≤|types| rows. */
+  def gapCard(events: DataFrame, slaUs: Long = 3600000000L): DataFrame = {
+    val byType = Window.partitionBy(col("event_type"))
+      .orderBy(col("tsu"), col("event_id"))
+    events
+      .select(col("event_type"), unix_micros(col("ts")).as("tsu"), col("event_id"))
+      .withColumn("prev", lag(col("tsu"), 1).over(byType))
+      .where(col("prev").isNotNull)
+      .withColumn("gap_us", col("tsu") - col("prev"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_gaps"),
+        max(col("gap_us")).as("max_gap_us"),
+        (sum(col("gap_us")).cast("double") / count(lit(1))).as("mean_gap_us"),
+        // Spark's percentile_disc returns DOUBLE even over integers;
+        // the value is an actual observed gap, so the long cast is exact
+        expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY gap_us)")
+          .cast("long").as("p95_gap_us"),
+        sum(when(col("gap_us") > slaUs, 1L).otherwise(0L)).as("n_sla_breaches"))
+  }
 }

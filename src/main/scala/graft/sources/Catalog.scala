@@ -440,6 +440,26 @@ object Catalog {
     * the stale base row and the update row would survive), and two
     * updates for one key both land (no within-batch ordering exists to
     * pick a winner; dedupe upstream where one is defined). */
+  /** Apply a CDC batch LATEST-WINS-BY-SEQUENCE — [[upsert]] extended
+    * with deletes and within-batch ordering, i.e. the change-log apply
+    * every lakehouse MERGE runs: per key only the highest-`seqCol`
+    * change counts; an upsert (`opCol` = "u") replaces/inserts the
+    * row, a delete ("d") removes it. One key-partitioned rank window
+    * over the (small) change batch + one anti join against base —
+    * the base is never rewritten beyond the keys the batch touches.
+    * PRECONDITION: (key, seq) unique and non-null within the batch
+    * (ties have no defined winner — dedupe upstream). */
+  def applyCdc(base: DataFrame, changes: DataFrame, key: String,
+      seqCol: String, opCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(key)).orderBy(col(seqCol).desc)
+    val latest = changes.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1).drop("__rn")
+    val upserts = latest.where(col(opCol) === "u").drop(opCol, seqCol)
+    base.join(latest.select(col(key)), Seq(key), "left_anti")
+      .unionByName(upserts)
+  }
+
   def upsert(base: DataFrame, updates: DataFrame, key: String): DataFrame =
     updates.unionByName(
       base.join(updates.select(col(key)), Seq(key), "left_anti"))

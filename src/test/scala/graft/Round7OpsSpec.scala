@@ -201,6 +201,36 @@ class Round7OpsSpec extends SparkSpec {
     assert(aIds.toSeq == orderA.toSeq)
   }
 
+  test("applyCdc applies latest-wins upserts and deletes, base untouched otherwise") {
+    import spark.implicits._
+    val base = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+    val changes = Seq(
+      (1L, "a1", 1L, "u"), (1L, "a2", 2L, "u"),      // double update: seq 2 wins
+      (2L, "dead", 1L, "d"),                         // delete
+      (2L, "alive", 0L, "u"),                        // older than the delete: loses
+      (4L, "new", 1L, "u"))                          // pure insert
+      .toDF("k", "v", "seq", "op")
+    val got = graft.sources.Catalog.applyCdc(base, changes, "k", "seq", "op")
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(got.toSeq == Seq((1L, "a2"), (3L, "c"), (4L, "new")))
+  }
+
+  test("gapCard reports the exact inter-arrival census with a discrete p95") {
+    import spark.implicits._
+    // one type, arrivals at 0, 10, 30, 100 s → gaps 10, 20, 70 s
+    val ev = Seq((1L, 0L), (2L, 10L), (3L, 30L), (4L, 100L))
+      .toDF("event_id", "sec")
+      .select(col("event_id"), lit("t").as("event_type"),
+        org.apache.spark.sql.functions.timestamp_micros(col("sec") * 1000000L).as("ts"))
+    val got = graft.operators.Events.gapCard(ev, slaUs = 15000000L).collect().head
+    assert(got.getLong(got.fieldIndex("n_gaps")) == 3L)
+    assert(got.getLong(got.fieldIndex("max_gap_us")) == 70000000L)
+    assert(got.getDouble(got.fieldIndex("mean_gap_us")) == 100000000.0 / 3)
+    // p95 of {10,20,70}s discrete = 70 s (an actual gap, not interpolated)
+    assert(got.getLong(got.fieldIndex("p95_gap_us")) == 70000000L)
+    assert(got.getLong(got.fieldIndex("n_sla_breaches")) == 2L)
+  }
+
   test("curriculumCard phases partition the corpus with monotone quality") {
     val docs = Tables.documents(spark, sfDir)
     val card = Sampling.curriculumCard(docs)
