@@ -10,6 +10,10 @@ import org.apache.spark.sql.functions._
   */
 object ScaleSmoke {
   def main(args: Array[String]): Unit = {
+    // optional args: entry-name substrings — run only matching entries
+    // (fast local iteration on one operator's scale curve)
+    val only: Option[Seq[String]] = if (args.nonEmpty) Some(args.toSeq) else None
+    def selected(name: String): Boolean = only.forall(_.exists(name.contains))
     val spark = Graft.session(appName = "graft-scale-smoke")
     val docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
     (0 until 20).map(i => docs.withColumn("doc_id", col("doc_id") + lit(i * 1000000L)))
@@ -22,7 +26,7 @@ object ScaleSmoke {
 
     val bd = spark.read.parquet("/tmp/graft_bigdocs.parquet")
     val be = spark.read.parquet("/tmp/graft_bigevents.parquet")
-    def time(name: String)(f: => Unit): Unit = {
+    def time(name: String)(f: => Unit): Unit = if (selected(name)) {
       val t0 = System.nanoTime(); f
       println(f"[scale] $name%-18s ${(System.nanoTime() - t0) / 1e9}%8.2fs")
       // cache hygiene BETWEEN entries (outside the timed region): some
@@ -321,6 +325,53 @@ object ScaleSmoke {
         operators.Graph.triangleCensus(bedges)
           .write.format("noop").mode("overwrite").save()
       }
+    }
+    // round 7b: distribution cards and detection ops — all value-grain
+    // two-level scans or minute-grain windows, so each should track its
+    // input scan linearly
+    locally {
+      val ord = spark.read.parquet("/root/testdata/sf0.1/orders.parquet")
+      val bigOrd = (0 until 10).map(i =>
+          ord.withColumn("o_custkey", col("o_custkey") + lit(i * 10000000L)))
+        .reduce(_ unionAll _)
+      time("lorenz_1m_orders") {
+        operators.Analytics.lorenzDeciles(bigOrd)
+          .write.format("noop").mode("overwrite").save()
+      }
+      time("rfm_1m_orders") {
+        operators.Analytics.rfmSegments(bigOrd)
+          .write.format("noop").mode("overwrite").save()
+      }
+      time("benford_1m_orders") {
+        operators.Analytics.benfordCard(bigOrd)
+          .write.format("noop").mode("overwrite").save()
+      }
+      val li = spark.read.parquet("/root/testdata/sf0.1/lineitem.parquet")
+      val bigLi = (0 until 10).map(i =>
+          li.withColumn("l_partkey", col("l_partkey") + lit(i * 10000000L))
+            .withColumn("l_orderkey", col("l_orderkey") + lit(i * 100000000L)))
+        .reduce(_ unionAll _)
+      time("abc_6m_lines") {
+        operators.Analytics.abcClassification(bigLi)
+          .write.format("noop").mode("overwrite").save()
+      }
+      time("basket_rules_6m") {
+        operators.Analytics.basketRules(bigLi)
+          .write.format("noop").mode("overwrite").save()
+      }
+    }
+    time("cusum_1m_events") {
+      operators.Events.cusumChangePoint(be)
+        .write.format("noop").mode("overwrite").save()
+    }
+    time("peaks_1m_events") {
+      operators.Events.peakCensus(be)
+        .write.format("noop").mode("overwrite").save()
+    }
+    time("radius_100k") {
+      operators.Similarity.radiusSearch(
+          spark.read.parquet("/tmp/graft_bigemb.parquet"), 5, 0.3)
+        .write.format("noop").mode("overwrite").save()
     }
     spark.stop()
   }

@@ -441,6 +441,24 @@ object SparkEntry {
       Tables.lineitem(s, d).select(col("l_orderkey"), col("l_linenumber"),
         graft.sources.Catalog.zValue(col("l_partkey"), col("l_suppkey")).as("z"))
     }),
+    "q_abc" -> ((s, d) => Analytics.abcClassification(Tables.lineitem(s, d))),
+    "q_benford" -> ((s, d) => Analytics.benfordCard(Tables.orders(s, d))),
+    "q_lorenz" -> ((s, d) => Analytics.lorenzDeciles(Tables.orders(s, d))),
+    "q_basket_rules" -> ((s, d) => Analytics.basketRules(Tables.lineitem(s, d))),
+    "q_rfm" -> ((s, d) => Analytics.rfmSegments(Tables.orders(s, d))),
+    "e_cusum" -> ((s, d) => Events.cusumChangePoint(Tables.events(s, d))),
+    "e_peaks" -> ((s, d) => Events.peakCensus(Tables.events(s, d))),
+    "s_radius" -> ((s, d) =>
+      Similarity.radiusSearch(Tables.embeddings(s, d), 5, 0.3)),
+    // REAL checkpointed streaming CDC replay (8th live replay): the
+    // event log maintained as a durable latest-row-per-user view
+    "e_cdc_stream" -> ((s, d) =>
+      graft.streaming.EventStream.cdcReplay(s, d)),
+    "d_diversity" -> ((s, d) =>
+      TextAnalysis.sourceDiversity(Tables.documents(s, d))),
+    "t_source_overlap" -> ((s, d) =>
+      TextAnalysis.sourceOverlap(Tables.documents(s, d))),
+    "e_runs" -> ((s, d) => Events.runsTest(Tables.events(s, d))),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2787,6 +2805,205 @@ object SparkEntry {
          SELECT e.user_id, event_id, CAST(v AS DOUBLE) / 100.0 AS value
          FROM e JOIN s USING (user_id)
          WHERE (n * v - sv) * (n * v - sv) > 9 * (n * q - sv * sv)""",
+    // ABC classes at the revenue-VALUE grain: top-down cumulative
+    // through a value block is T − S_asc + mass; integer cross-multiply
+    // classification, so ties always share a class
+    "q_abc" ->
+      """WITH rev AS (SELECT l_partkey,
+                sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS r
+           FROM lineitem GROUP BY l_partkey),
+         vc AS (SELECT r, count(*) AS cnt, r * count(*) AS mass FROM rev GROUP BY r),
+         t AS (SELECT sum(mass) AS t FROM vc),
+         s AS (SELECT r, cnt, mass,
+                      sum(mass) OVER (ORDER BY r) AS s_asc FROM vc),
+         c AS (SELECT CASE
+                 WHEN ((SELECT t FROM t) - s_asc + mass) * 100 <= (SELECT t FROM t) * 80 THEN 'A'
+                 WHEN ((SELECT t FROM t) - s_asc + mass) * 100 <= (SELECT t FROM t) * 95 THEN 'B'
+                 ELSE 'C' END AS abc_class, cnt, mass
+               FROM s)
+         SELECT abc_class, CAST(sum(cnt) AS BIGINT) AS n_parts,
+                CAST(sum(mass) AS DOUBLE) / 100.0 AS revenue,
+                floor(CAST(sum(mass) AS DOUBLE) / (SELECT t FROM t) * 1000000 + 0.5)
+                  / 1000000 AS rev_share
+         FROM c GROUP BY abc_class""",
+    // first digit from the exact cents DECIMAL STRING — no log10
+    "q_benford" ->
+      """SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit,
+                CAST(count(*) AS BIGINT) AS n_orders,
+                floor(CAST(count(*) AS DOUBLE)
+                      / (SELECT count(*) FROM orders) * 1000000 + 0.5) / 1000000 AS observed
+         FROM orders GROUP BY 1""",
+    // rank-grain decile via d = (10r−1) div n + 1 — deliberately the
+    // opposite formulation of Spark's value-block range intersection;
+    // tied customers carry the same value, so decile masses agree
+    "q_lorenz" ->
+      """WITH spend AS (SELECT o_custkey,
+                sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS x
+           FROM orders GROUP BY 1),
+         t AS (SELECT count(*) AS n, sum(x) AS t FROM spend),
+         rk AS (SELECT x, row_number() OVER (ORDER BY x) AS rnk FROM spend),
+         d AS (SELECT CAST((10 * rnk - 1) // (SELECT n FROM t) + 1 AS INT) AS decile, x FROM rk)
+         SELECT decile, CAST(count(*) AS BIGINT) AS n_cust,
+                CAST(sum(x) AS DOUBLE) / 100.0 AS spend,
+                floor(CAST(sum(x) AS DOUBLE) / (SELECT t FROM t) * 1000000 + 0.5)
+                  / 1000000 AS share
+         FROM d GROUP BY decile""",
+    // rules on top of the pair mine: confidence/lift are exact integer
+    // ratios, one closing division each, operand order mirrored
+    "q_basket_rules" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         sized AS (SELECT *, count(*) OVER (PARTITION BY l_orderkey) AS bsz FROM items),
+         kept AS (SELECT l_orderkey, l_partkey FROM sized WHERE bsz <= 1000),
+         pairs AS (SELECT a.l_partkey AS p1, b.l_partkey AS p2,
+                          CAST(count(*) AS BIGINT) AS support
+                   FROM kept a JOIN kept b
+                     ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+                   GROUP BY 1, 2 HAVING count(*) >= 2),
+         ic AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS icnt FROM items GROUP BY 1),
+         nb AS (SELECT count(DISTINCT l_orderkey) AS nb FROM items)
+         SELECT p1, p2, support,
+                floor(CAST(support AS DOUBLE) / (SELECT nb FROM nb) * 1000000 + 0.5) / 1000000 AS supp_ratio,
+                floor(CAST(support AS DOUBLE) / c1.icnt * 1000000 + 0.5) / 1000000 AS confidence,
+                floor(CAST(support * (SELECT nb FROM nb) AS DOUBLE)
+                      / (c1.icnt * c2.icnt) * 1000000 + 0.5) / 1000000 AS lift
+         FROM pairs JOIN ic c1 ON p1 = c1.l_partkey
+                    JOIN ic c2 ON p2 = c2.l_partkey""",
+    // median cutoffs are percentile_disc — actual observed values,
+    // engine-identical; capital letter = the good half
+    "q_rfm" ->
+      """WITH mx AS (SELECT max(o_orderdate) AS dmax FROM orders),
+         rfm AS (SELECT o_custkey,
+                  min(date_diff('day', CAST(o_orderdate AS DATE),
+                                CAST((SELECT dmax FROM mx) AS DATE))) AS recency_days,
+                  count(*) AS frequency,
+                  sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS monetary
+                 FROM orders GROUP BY o_custkey),
+         c AS (SELECT percentile_disc(0.5) WITHIN GROUP (ORDER BY recency_days) AS rc,
+                      percentile_disc(0.5) WITHIN GROUP (ORDER BY frequency) AS fc,
+                      percentile_disc(0.5) WITHIN GROUP (ORDER BY monetary) AS mc
+               FROM rfm)
+         SELECT (CASE WHEN recency_days <= rc THEN 'R' ELSE 'r' END
+              || CASE WHEN frequency >= fc THEN 'F' ELSE 'f' END
+              || CASE WHEN monetary >= mc THEN 'M' ELSE 'm' END) AS segment,
+                CAST(count(*) AS BIGINT) AS n_cust,
+                CAST(sum(monetary) AS DOUBLE) / 100.0 AS total_spend,
+                floor(CAST(sum(monetary) AS DOUBLE) / count(*) / 100.0 * 1000000 + 0.5)
+                  / 1000000 AS mean_spend
+         FROM rfm CROSS JOIN c GROUP BY 1""",
+    // CUSUM with the denominator cleared: n·P_k − k·S in HUGEINT —
+    // exact argmax, defined at timestamp grain; earliest argmax wins
+    "e_cusum" ->
+      """WITH vc AS (SELECT event_type, epoch_us(ts) AS tsu,
+                sum(CAST(round(value * 1000000) AS BIGINT)) AS vs,
+                count(*) AS c
+           FROM events GROUP BY 1, 2),
+         p AS (SELECT event_type, tsu,
+                      sum(vs) OVER w AS pv, sum(c) OVER w AS k
+               FROM vc WINDOW w AS (PARTITION BY event_type ORDER BY tsu)),
+         t AS (SELECT event_type, sum(vs) AS s_tot, sum(c) AS n_tot
+               FROM vc GROUP BY 1),
+         sc AS (SELECT p.event_type, tsu,
+                       abs(CAST(n_tot AS HUGEINT) * CAST(pv AS HUGEINT)
+                           - CAST(k AS HUGEINT) * CAST(s_tot AS HUGEINT)) AS score,
+                       n_tot
+                FROM p JOIN t USING (event_type)),
+         m AS (SELECT event_type, max(score) AS ms FROM sc GROUP BY 1)
+         SELECT sc.event_type, CAST(min(tsu) AS BIGINT) AS change_tsu,
+                CAST(first(ms) AS DOUBLE) AS cusum_score,
+                CAST(first(n_tot) AS BIGINT) AS n_events
+         FROM sc JOIN m ON sc.event_type = m.event_type AND sc.score = m.ms
+         GROUP BY sc.event_type""",
+    // strict local maxima at minute grain; tallest peak ties break to
+    // the later minute (struct-max mirror)
+    "e_peaks" ->
+      """WITH bymin AS (SELECT event_type,
+                (epoch_us(ts) // 60000000) * 60000000 AS minu,
+                sum(CAST(round(value * 100) AS BIGINT)) AS v
+           FROM events GROUP BY 1, 2),
+         f AS (SELECT event_type, minu, v,
+                      lag(v) OVER w AS pv, lead(v) OVER w AS nv
+               FROM bymin WINDOW w AS (PARTITION BY event_type ORDER BY minu)),
+         pk AS (SELECT * FROM f
+                WHERE pv IS NOT NULL AND nv IS NOT NULL AND v > pv AND v > nv),
+         sel AS (SELECT event_type, v, minu,
+                        row_number() OVER (PARTITION BY event_type
+                                           ORDER BY v DESC, minu DESC) AS rn,
+                        count(*) OVER (PARTITION BY event_type) AS n_peaks
+                 FROM pk)
+         SELECT event_type, CAST(n_peaks AS BIGINT) AS n_peaks,
+                strftime(make_timestamp(minu), '%Y-%m-%d %H:%M') AS top_peak_minute,
+                CAST(v AS DOUBLE) / 100.0 AS top_peak_value
+         FROM sel WHERE rn = 1""",
+    // radius filter on the RAW cosine (τ = 0.3 sits ≥4.5e-4 from every
+    // data value at all three SFs — no last-ulp coin flips), rounded
+    // only for output
+    "s_radius" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+         q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM n WHERE vec_id < 5),
+         scored AS (SELECT query_id, vec_id AS neighbor_id,
+                           list_dot_product(qv, v) / (qn * nrm) AS cos
+                    FROM n CROSS JOIN q WHERE vec_id <> query_id)
+         SELECT query_id, neighbor_id,
+                floor(cos * 1000000 + 0.5) / 1000000 AS cos
+         FROM scored WHERE cos >= 0.3""",
+    // streaming CDC view == latest event per user unless it tombstones
+    "e_cdc_stream" ->
+      """WITH latest AS (SELECT user_id, epoch_us(ts) AS last_seq_us,
+                event_type AS last_type, value,
+                row_number() OVER (PARTITION BY user_id ORDER BY ts DESC) AS rn
+           FROM events)
+         SELECT user_id, last_seq_us, last_type,
+                CAST(CAST(round(value * 100) AS BIGINT) AS DOUBLE) / 100.0 AS last_value
+         FROM latest WHERE rn = 1 AND last_type <> 'error'""",
+    // exact finite-population Simpson: integer moments, one division;
+    // a single-doc group has no pair and emits null
+    "d_diversity" ->
+      """WITH n AS (SELECT lang, source, count(*) AS ni
+           FROM documents GROUP BY 1, 2),
+         g AS (SELECT lang, sum(ni) AS n_docs, count(*) AS n_sources,
+                      sum(ni * (ni - 1)) AS pairs
+               FROM n GROUP BY 1)
+         SELECT lang, CAST(n_docs AS BIGINT) AS n_docs,
+                CAST(n_sources AS BIGINT) AS n_sources,
+                CASE WHEN n_docs > 1 THEN
+                  floor(CAST(pairs AS DOUBLE) / (n_docs * (n_docs - 1))
+                        * 1000000 + 0.5) / 1000000 END AS simpson
+         FROM g""",
+    // exact vocabulary Jaccard between source pairs, canonical a<b
+    "t_source_overlap" ->
+      """WITH sw AS (SELECT DISTINCT source, w FROM
+                (SELECT source,
+                        unnest(list_filter(regexp_split_to_array(text, '\s+'),
+                                           x -> x <> '')) AS w
+                 FROM documents)),
+         sizes AS (SELECT source, CAST(count(*) AS BIGINT) AS sz
+                   FROM sw GROUP BY 1),
+         inter AS (SELECT a.source AS source_a, b.source AS source_b,
+                          CAST(count(*) AS BIGINT) AS n_inter
+                   FROM sw a JOIN sw b
+                     ON a.w = b.w AND a.source < b.source
+                   GROUP BY 1, 2)
+         SELECT source_a, source_b, sa.sz AS n_a, sb.sz AS n_b, n_inter,
+                floor(CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter)
+                      * 1000000 + 0.5) / 1000000 AS jaccard
+         FROM inter JOIN sizes sa ON source_a = sa.source
+                    JOIN sizes sb ON source_b = sb.source""",
+    // runs vs the discrete median; ties at the median count as below
+    "e_runs" ->
+      """WITH e AS (SELECT event_type, epoch_us(ts) AS tsu, event_id,
+                CAST(round(value * 100) AS BIGINT) AS v FROM events),
+         m AS (SELECT event_type,
+                      percentile_disc(0.5) WITHIN GROUP (ORDER BY v) AS med
+               FROM e GROUP BY 1),
+         s AS (SELECT e.event_type, (v > med) AS above,
+                      lag(v > med) OVER (PARTITION BY e.event_type
+                                         ORDER BY tsu, event_id) AS prev
+               FROM e JOIN m USING (event_type))
+         SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(CASE WHEN above THEN 1 ELSE 0 END) AS BIGINT) AS n_above,
+                CAST(sum(CASE WHEN prev IS NULL OR prev <> above THEN 1 ELSE 0 END) AS BIGINT) AS n_runs
+         FROM s GROUP BY 1""",
   )
 
   /** Shared by d_containment and d_containment_auto (the routed entry

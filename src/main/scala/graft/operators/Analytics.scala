@@ -1238,4 +1238,158 @@ object Analytics {
       .select(lit(-1L).as("p1"), lit(-1L).as("p2"), col("support"))
     pairs.unionAll(dropped)
   }
+
+  /** Association rules from the pair mine: for every co-occurring part
+    * pair, support / confidence(p1→p2) / lift as exact integer ratios
+    * (one closing division each, 1e-6-rounded). Lift needs the pair
+    * count, both item counts, and the basket universe size — all from
+    * ONE distinct (order, part) scan: the pair counts reuse
+    * [[basketPairs]] (including its hot-basket valve; the sentinel row
+    * is excluded here — a dropped basket contributes to no rule), the
+    * item counts are a groupBy over the same scan, and the basket total
+    * is a 1-row broadcast. Per-pair cost is two broadcast-sized joins
+    * on part grain — never a second pass over the fact table. */
+  def basketRules(lineitem: DataFrame, minSupport: Long = 2L,
+      maxBasket: Int = 1000): DataFrame = {
+    val items = lineitem.select(col("l_orderkey"), col("l_partkey")).distinct()
+    val itemCnt = items.groupBy(col("l_partkey"))
+      .agg(count(lit(1)).as("icnt"))
+    val nBaskets = items.agg(countDistinct(col("l_orderkey")).as("nb"))
+    val pairs = basketPairs(lineitem, minSupport, maxBasket)
+      .where(col("p1") =!= lit(-1L))
+    pairs
+      .join(itemCnt.select(col("l_partkey").as("p1"), col("icnt").as("c1")), "p1")
+      .join(itemCnt.select(col("l_partkey").as("p2"), col("icnt").as("c2")), "p2")
+      .crossJoin(broadcast(nBaskets))
+      .select(col("p1"), col("p2"), col("support"),
+        round6(col("support").cast("double") / col("nb")).as("supp_ratio"),
+        round6(col("support").cast("double") / col("c1")).as("confidence"),
+        round6((col("support") * col("nb")).cast("double")
+          / (col("c1") * col("c2"))).as("lift"))
+  }
+
+  /** ABC / Pareto inventory classification of parts by revenue —
+    * "which 20% of the catalog is 80% of the money". Class boundaries
+    * are defined at the REVENUE-VALUE grain: a part is class A when the
+    * top-down cumulative revenue through its value block is ≤ `aPct`%
+    * of total, B through `bPct`%, else C — so tied parts always share a
+    * class and the result is order-independent (a rank-grain cutoff
+    * would split ties by an arbitrary tiebreak). The top-down
+    * cumulative comes from [[Cumulative.runningSum]] over the
+    * distinct-value table (D(v) = T − S(v) + mass(v)), so no window
+    * partition ever holds the part table; comparisons are integer
+    * cross-multiplies (100·D ≤ pct·T) — no division anywhere. Output:
+    * one row per class with part count, revenue, and exact share. */
+  def abcClassification(lineitem: DataFrame, aPct: Int = 80,
+      bPct: Int = 95): DataFrame = {
+    val rev = lineitem.groupBy(col("l_partkey"))
+      .agg(sum(cents(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+        .as("r"))
+    val vc = rev.groupBy(col("r"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("mass", col("r") * col("cnt"))
+      .withColumn("__g", lit(1))
+    val scanned = Cumulative.runningSum(vc, Seq("__g"), "r", "mass", "s_asc")
+    val tot = vc.agg(sum(col("mass")).as("t"))
+    scanned.crossJoin(broadcast(tot))
+      .withColumn("d_desc", col("t") - col("s_asc") + col("mass"))
+      .withColumn("abc_class",
+        when(col("d_desc") * 100 <= col("t") * aPct, "A")
+          .when(col("d_desc") * 100 <= col("t") * bPct, "B")
+          .otherwise("C"))
+      .groupBy(col("abc_class"))
+      .agg(sum(col("cnt")).as("n_parts"),
+        (sum(col("mass")).cast("double") / 100.0).as("revenue"),
+        round6(sum(col("mass")).cast("double") / first(col("t"))).as("rev_share"))
+  }
+
+  /** RFM customer segmentation card — recency / frequency / monetary,
+    * each split at its MEDIAN (`percentile_disc(0.5)` — an actual
+    * observed value, engine-identical; interpolated medians differ in
+    * last-ulp association) into 8 binary segments 'Rfm'…'RFM' (capital
+    * = the good half: recent / frequent / big-spending). The per-customer
+    * triple is one orders aggregate; the cutoffs are a 1-row broadcast
+    * (the curriculumCard shape) — no global rank window anywhere.
+    * Output: ≤8 rows of segment, member count, total and mean spend. */
+  def rfmSegments(orders: DataFrame): DataFrame = {
+    val maxDate = orders.agg(max(col("o_orderdate")).as("d_max"))
+    val rfm = orders.crossJoin(broadcast(maxDate))
+      .groupBy(col("o_custkey"))
+      .agg(min(datediff(col("d_max"), col("o_orderdate"))).as("recency_days"),
+        count(lit(1)).as("frequency"),
+        sum(cents(col("o_totalprice"))).as("monetary"))
+    val cuts = rfm.agg(
+      expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY recency_days)").as("rc"),
+      expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY frequency)").as("fc"),
+      expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY monetary)").as("mc"))
+    rfm.crossJoin(broadcast(cuts))
+      .withColumn("segment", concat(
+        when(col("recency_days") <= col("rc"), lit("R")).otherwise(lit("r")),
+        when(col("frequency") >= col("fc"), lit("F")).otherwise(lit("f")),
+        when(col("monetary") >= col("mc"), lit("M")).otherwise(lit("m"))))
+      .groupBy(col("segment"))
+      .agg(count(lit(1)).as("n_cust"),
+        (sum(col("monetary")).cast("double") / 100.0).as("total_spend"),
+        round6(sum(col("monetary")).cast("double") / count(lit(1)) / 100.0)
+          .as("mean_spend"))
+  }
+
+  /** Benford first-digit audit of order totals — the classic
+    * books-cooked screen (real transactional amounts lean log-uniform;
+    * fabricated ones don't). The first significant digit is taken from
+    * the DECIMAL STRING of the exact cents value (no log10 — libm
+    * rounding differs across engines; string heads don't), counted per
+    * digit with the observed frequency as one closing division against
+    * the expected Benford mass for reference. Map-only scan + 9-row
+    * aggregate. */
+  def benfordCard(orders: DataFrame): DataFrame = {
+    val nTot = orders.agg(count(lit(1)).as("n"))
+    orders
+      .select(substring(cents(col("o_totalprice")).cast("string"), 1, 1)
+        .cast("int").as("digit"))
+      .groupBy(col("digit"))
+      .agg(count(lit(1)).as("n_orders"))
+      .crossJoin(broadcast(nTot))
+      .select(col("digit"), col("n_orders"),
+        round6(col("n_orders").cast("double") / col("n")).as("observed"))
+  }
+
+  /** Lorenz-curve decile card over per-customer spend — the
+    * distribution view [[giniSpend]] summarizes to one number. Spend
+    * ranks come from the distinct-value running sum (for value v with
+    * count c, its members hold ranks S(v)−c+1..S(v)), so the part that
+    * scales with customers is the same two-level scan; each value block
+    * is then intersected with the 10 fixed rank ranges (≤10 output
+    * rows per distinct value — bounded fan-out) and decile mass is
+    * block-overlap × value. Tied customers straddling a boundary split
+    * deterministically because every rank in the tie block carries the
+    * same value. Output: 10 rows of member count, spend, and exact
+    * cumulative share. */
+  def lorenzDeciles(orders: DataFrame): DataFrame = {
+    val spend = orders.groupBy(col("o_custkey"))
+      .agg(sum(cents(col("o_totalprice"))).as("x"))
+    val vc = spend.groupBy(col("x"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("__g", lit(1))
+    val scanned = Cumulative.runningSum(vc, Seq("__g"), "x", "cnt", "s")
+    val tot = spend.agg(count(lit(1)).as("n"),
+      sum(col("x")).as("t"))
+    val deciles = orders.sparkSession.range(1, 11)
+      .select(col("id").cast("int").as("decile"))
+    val blocks = scanned.crossJoin(broadcast(tot))
+      .withColumn("lo", col("s") - col("cnt") + 1)
+      .crossJoin(broadcast(deciles))
+      // decile d covers ranks floor((d−1)·n/10)+1 .. floor(d·n/10)
+      .withColumn("dlo", expr("((decile - 1) * n) div 10") + 1)
+      .withColumn("dhi", expr("(decile * n) div 10"))
+      .withColumn("overlap",
+        greatest(lit(0L), least(col("s"), col("dhi"))
+          - greatest(col("lo"), col("dlo")) + 1))
+      .where(col("overlap") > 0)
+    blocks.groupBy(col("decile"))
+      .agg(sum(col("overlap")).as("n_cust"),
+        (sum(col("overlap") * col("x")).cast("double") / 100.0).as("spend"),
+        round6(sum(col("overlap") * col("x")).cast("double")
+          / first(col("t"))).as("share"))
+  }
 }

@@ -579,4 +579,110 @@ object Events {
           .cast("long").as("p95_gap_us"),
         sum(when(col("gap_us") > slaUs, 1L).otherwise(0L)).as("n_sla_breaches"))
   }
+
+  /** CUSUM change-point detection per event type — "where did this
+    * metric's level shift". The cumulative sum of deviations from the
+    * series mean, kept EXACT by clearing the denominator:
+    * CUSUM_k = n·P_k − k·S (P_k = prefix sum of 1e-6-scaled values,
+    * k = prefix count, n/S the per-type totals) — integer arithmetic in
+    * Decimal(38,0), so the argmax is engine-exact, never a float-noise
+    * coin flip. Defined at TIMESTAMP grain (ties within one µs share a
+    * prefix — intra-tie order is unobservable anyway); both prefixes
+    * ride ONE [[Cumulative.runningSum]]-shaped scan each, so no window
+    * partition holds a type's full history. Output per type: the
+    * change-point ts (earliest argmax of |CUSUM|), its scaled score,
+    * and n. Overflow contract: n·P at 38 digits allows ~1e19 events of
+    * ~1e19 scaled value — guarded loudly like giniByGroup. */
+  def cusumChangePoint(events: DataFrame): DataFrame = {
+    val vc = events
+      .select(col("event_type"), unix_micros(col("ts")).as("tsu"),
+        expr("CAST(round(value * 1000000) AS BIGINT)").as("v"))
+      .groupBy(col("event_type"), col("tsu"))
+      .agg(sum(col("v")).as("vs"), count(lit(1)).as("c"))
+    val p = Cumulative.runningSum(vc, Seq("event_type"), "tsu", "vs", "pv")
+    val pk = Cumulative.runningSum(p, Seq("event_type"), "tsu", "c", "k")
+    val tot = vc.groupBy(col("event_type"))
+      .agg(sum(col("vs")).as("s_tot"), sum(col("c")).as("n_tot"))
+    val d38 = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    val scored = pk.join(broadcast(tot), "event_type")
+      .withColumn("cusum",
+        d38(col("n_tot")) * d38(col("pv")) - d38(col("k")) * d38(col("s_tot")))
+      // overflow guard INSIDE the scored column: a single nulled product
+      // would silently vanish from max() and hand the argmax to the
+      // wrong row — fail loudly instead (giniByGroup's contract)
+      .withColumn("score",
+        when(col("cusum").isNull,
+          raise_error(lit("cusumChangePoint: prefix moment overflowed Decimal(38,0)"))
+            .cast("decimal(38,0)"))
+          .otherwise(abs(col("cusum"))))
+    val maxs = scored.groupBy(col("event_type"))
+      .agg(max(col("score")).as("max_score"))
+    scored.join(broadcast(maxs), "event_type")
+      .where(col("score") === col("max_score"))
+      .groupBy(col("event_type"))
+      .agg(min(col("tsu")).as("change_tsu"),
+        first(col("max_score")).as("ms"),
+        first(col("n_tot")).as("n_events"))
+      .select(col("event_type"), col("change_tsu"),
+        col("ms").cast("double").as("cusum_score"),
+        col("n_events"))
+  }
+
+  /** Wald–Wolfowitz runs census per event type — the randomness screen
+    * for a metric stream (too FEW runs = the series trends or sticks;
+    * too many = it oscillates; compare n_runs against the
+    * 2·n_above·n_below/n ± σ band offline). "Above" means strictly
+    * above the type's DISCRETE median (`percentile_disc(0.5)` — an
+    * actual observed cents value, engine-identical; ties at the median
+    * count as below, documented not guessed). One type-partitioned lag
+    * window in (tsu, event_id) order — the gapCard shape — plus a
+    * 1-row-per-type median broadcast; all counts exact integers. */
+  def runsTest(events: DataFrame): DataFrame = {
+    val e = events.select(col("event_type"), unix_micros(col("ts")).as("tsu"),
+      col("event_id"), cents(col("value")).as("v"))
+    val med = e.groupBy(col("event_type"))
+      .agg(expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY v)")
+        .cast("long").as("med"))
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("tsu"), col("event_id"))
+    e.join(broadcast(med), "event_type")
+      .withColumn("above", (col("v") > col("med")).cast("int"))
+      .withColumn("prev", lag(col("above"), 1).over(w))
+      .withColumn("chg",
+        when(col("prev").isNull || col("prev") =!= col("above"), 1L)
+          .otherwise(0L))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("above")).cast("long").as("n_above"),
+        sum(col("chg")).as("n_runs"))
+  }
+
+  /** Local-peak census per event type at minute grain: resample to
+    * per-minute value sums (exact cents), then a row is a peak when it
+    * strictly exceeds BOTH observed neighbors (first/last minutes have
+    * only one neighbor and never qualify — document, don't guess, the
+    * boundary). The lag/lead window runs at minute grain — bounded by
+    * the time span, never the event count. Output per type: peak count,
+    * the tallest peak's minute and height. */
+  def peakCensus(events: DataFrame): DataFrame = {
+    val byMin = events
+      .groupBy(col("event_type"),
+        expr("(unix_micros(ts) div 60000000) * 60000000").as("minu"))
+      .agg(sum(cents(col("value"))).as("v"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("minu"))
+    val flagged = byMin
+      .withColumn("pv", lag(col("v"), 1).over(w))
+      .withColumn("nv", lead(col("v"), 1).over(w))
+      .withColumn("is_peak",
+        col("pv").isNotNull && col("nv").isNotNull &&
+          col("v") > col("pv") && col("v") > col("nv"))
+    val peaks = flagged.where(col("is_peak"))
+    peaks.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_peaks"),
+        max(struct(col("v"), col("minu").as("m"))).as("top"))
+      .select(col("event_type"), col("n_peaks"),
+        date_format(timestamp_micros(col("top.m")),
+          "yyyy-MM-dd HH:mm").as("top_peak_minute"),
+        (col("top.v").cast("double") / 100.0).as("top_peak_value"))
+  }
 }

@@ -49,6 +49,47 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
+  /** Exact RADIUS (range) search: every neighbor with cosine ≥ `minCos`
+    * of each query — the "everything this similar" form top-k can't
+    * express (k is unknowable when cluster sizes vary). Same
+    * one-streaming-pass shape as [[bruteForceTopK]]: corpus streams
+    * once past the broadcast query set, the threshold filter runs
+    * inside the scan. Result size is data-dependent by definition —
+    * callers picking τ near 0 on a dense corpus asked for the blow-up.
+    * At corpus scale the IVF-probed sibling [[radiusSearchIvf]] applies
+    * the SAME threshold to only the probed cells. */
+  def radiusSearch(embeddings: DataFrame, maxQueryId: Long,
+      minCos: Double): DataFrame = {
+    val e = prepared(embeddings)
+    val q = e.where(col("vec_id") < maxQueryId)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    e.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .withColumn("cos", cosineSim(col("qv"), col("v")))
+      .where(col("cos") >= minCos)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        graft.functions.Exact.round6(col("cos")).as("cos"))
+  }
+
+  /** IVF-probed radius search: [[radiusSearch]]'s threshold applied to
+    * the `nProbe` nearest cells only — scan cost ∝ probed fraction of
+    * the corpus, recall bounded by cell coverage exactly as in
+    * [[ivfSearch]] (the RadiusSpec pins probed ⊆ exact and measures
+    * recall on the synthetic corpus). */
+  def radiusSearchIvf(index: IvfIndex, queries: DataFrame, minCos: Double,
+      nProbe: Int = 4): DataFrame = {
+    val probed = assignCells(
+        queries.select(col("query_id"), col("qv").as("v")), index.centroids,
+        "query_id", nProbe)
+      .select(col("query_id"), col("v").as("qv"), col("cell_id").as("probe_cell"))
+    index.assignments
+      .join(broadcast(probed),
+        col("cell_id") === col("probe_cell") && col("vec_id") =!= col("query_id"))
+      .withColumn("cos", cosineSim(col("qv"), col("v")))
+      .where(col("cos") >= minCos)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        graft.functions.Exact.round6(col("cos")).as("cos"))
+  }
+
   /** Deterministic pseudo-random unit hyperplanes (fixed seed) as a
     * literal — broadcast-sized metadata, never shuffled. */
   private def planes(nPlanes: Int, dim: Int): Array[Array[Double]] = {

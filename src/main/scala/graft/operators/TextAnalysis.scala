@@ -774,4 +774,53 @@ object TextAnalysis {
         round6(col("n_types").cast("double") / col("n_tokens")).as("ttr"),
         round6(col("head_c").cast("double") / col("n_tokens")).as("head_cov"))
   }
+
+  /** Simpson source-concentration card per language — "is this slice
+    * of the corpus really one source wearing five hats". The exact
+    * finite-population Simpson index Σnᵢ(nᵢ−1)/(n(n−1)) (the
+    * probability two docs drawn without replacement share a source:
+    * 1/|sources| when balanced, →1 when one source dominates) — all
+    * integer moments, ONE closing division; a single-doc group has no
+    * pair to draw, emitted as null rather than an invented value. Two
+    * bounded aggregates; nothing past (lang, source) grain. */
+  def sourceDiversity(docs: DataFrame): DataFrame = {
+    import graft.functions.Exact.round6
+    docs.groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("ni"))
+      .groupBy(col("lang"))
+      .agg(sum(col("ni")).as("n_docs"), count(lit(1)).as("n_sources"),
+        sum(col("ni") * (col("ni") - 1)).as("pairs"))
+      .select(col("lang"), col("n_docs"), col("n_sources"),
+        when(col("n_docs") > 1,
+          round6(col("pairs").cast("double")
+            / (col("n_docs") * (col("n_docs") - 1)))).as("simpson"))
+  }
+
+  /** Pairwise source VOCABULARY overlap — which sources are telling
+    * the same stories (feeds mixture weighting and contamination
+    * triage before any pairwise doc compare). Exact Jaccard between
+    * the sources' distinct word sets: one distinct (source, word)
+    * scan, a word-keyed self-join whose per-word fan-out is bounded by
+    * |sources|² (never the corpus), canonical a<b orientation.
+    * Output ≤ C(|sources|,2) rows with both set sizes, the
+    * intersection, and one closing division. */
+  def sourceOverlap(docs: DataFrame): DataFrame = {
+    import graft.functions.Exact.round6
+    val sw = docs.select(col("source"), explode(tokens(col("text"))).as("w"))
+      .distinct()
+    val sizes = sw.groupBy(col("source")).agg(count(lit(1)).as("sz"))
+    sw.as("a")
+      .join(sw.as("b"),
+        col("a.w") === col("b.w") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("n_inter"))
+      .join(broadcast(sizes.select(col("source").as("source_a"), col("sz").as("n_a"))),
+        "source_a")
+      .join(broadcast(sizes.select(col("source").as("source_b"), col("sz").as("n_b"))),
+        "source_b")
+      .select(col("source_a"), col("source_b"), col("n_a"), col("n_b"),
+        col("n_inter"),
+        round6(col("n_inter").cast("double")
+          / (col("n_a") + col("n_b") - col("n_inter"))).as("jaccard"))
+  }
 }

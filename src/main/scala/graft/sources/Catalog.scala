@@ -89,6 +89,46 @@ class Catalog(spark: SparkSession, baseDir: String,
     spark.read.parquet(dir)
   }
 
+  /** Durable CDC (change-data-capture) view maintenance — the
+    * latest-wins sibling of [[refreshAggMv]] for NON-algebraic state:
+    * per key the stored row is the change with the highest `seqCol`
+    * seen so far, `opCol` INCLUDED (a tombstone must survive in state
+    * to beat an older upsert replayed later). Because the sequence
+    * rides in the state, the merge is associative and commutative —
+    * batches may arrive in ANY order, split at ANY boundary, and the
+    * final state is identical (the replay-invariance spec pins this);
+    * [[applyCdc]] by contrast folds a batch into a seq-less base, so
+    * there correctness needs batch order to follow seq order. Caller
+    * contract: `seqCol` values are unique per key (a (key, seq) tie has
+    * no defined winner), and refreshes of one name are serialized, as
+    * with [[refreshAggMv]]. Same `_SUCCESS`-committed tmp-swap
+    * durability; refresh cost O(|stored keys| + |batch|). The
+    * LIVE VIEW of the state is `cdcState(name)` — upserts only. */
+  def refreshCdcMv(name: String, changes: DataFrame, key: String,
+      seqCol: String, opCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dir = s"$derivedDir/$name"
+    val all =
+      if (hasSuccess(dir)) spark.read.parquet(dir).unionByName(changes)
+      else changes
+    val w = Window.partitionBy(col(key)).orderBy(col(seqCol).desc)
+    val merged = all.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1).drop("__rn")
+    val live = new Path(dir)
+    val tmp = new Path(s"$dir.tmp")
+    val fs = live.getFileSystem(hconf)
+    merged.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    fs.delete(live, true)
+    if (!fs.rename(tmp, live))
+      throw new java.io.IOException(s"refreshCdcMv($name): swap rename failed")
+    spark.read.parquet(dir)
+  }
+
+  /** The queryable face of a [[refreshCdcMv]] state: live rows only
+    * (tombstones dropped, bookkeeping columns pruned). */
+  def cdcState(name: String, opCol: String): DataFrame =
+    mvState(name).where(col(opCol) === "u").drop(opCol)
+
   /** Current committed MV state (throws if [[refreshAggMv]] has never
     * committed `name`). */
   def mvState(name: String): DataFrame = {

@@ -67,7 +67,22 @@ class PlanAuditSpec extends SparkSpec {
       "q_kmv_setops",
       // q_skyline: runningMin's 1-row bounds broadcast — the constant
       // __g group folds its equality away (the d_drift_ks shape)
-      "q_skyline")
+      "q_skyline",
+      // q_abc / q_lorenz: the 1-row grand-total broadcast into the
+      // distinct-value frame (q_lorenz adds the 10-row decile-range
+      // table — bounded ≤10× fan-out on value-grain rows)
+      "q_abc", "q_lorenz",
+      // q_benford: the 1-row order-count aggregate into the 9-row card
+      "q_benford",
+      // q_basket_rules: the 1-row basket-universe count into the
+      // part-grain rule table
+      "q_basket_rules",
+      // q_rfm: the 1-row max-date broadcast into the orders scan and
+      // the 1-row median-cutoffs broadcast into the customer frame
+      // (the p_curriculum shape)
+      "q_rfm",
+      // s_radius: s_ann_brute's keyless shape with a threshold filter
+      "s_radius")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val plan = fn(spark, sfDir).queryExecution.sparkPlan.toString
       if (plan.contains("BroadcastNestedLoopJoin") && !allowed(name)) Some(name) else None
@@ -92,8 +107,12 @@ class PlanAuditSpec extends SparkSpec {
     // formally unpartitioned, same bounded-metadata shape as d_drift_ks
     // p_interleave: two shuffleOrder prefix sums — the same ≤128-row
     // bucket-offset window as p_shuffle, once per side
+    // q_abc / q_lorenz: runningSum over the constant __g group — the
+    // ≤128-row bucket-offset window folds formally unpartitioned, the
+    // same bounded-metadata shape as q_skyline/d_drift_ks
     val allowed = Set("p_pack", "p_shuffle", "p_manifest", "t_char_ngrams",
-      "e_late_audit", "d_drift_ks", "q_skyline", "p_interleave")
+      "e_late_audit", "d_drift_ks", "q_skyline", "p_interleave",
+      "q_abc", "q_lorenz")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val plan = fn(spark, sfDir).queryExecution.optimizedPlan.toString
       val specs = "windowspecdefinition\\(([^)]*)\\)".r

@@ -1,0 +1,247 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Analytics, Events, Similarity}
+
+/** Hand-computed fixtures for the round-7 second-wave operators. */
+class Round7bOpsSpec extends SparkSpec {
+
+  test("abcClassification splits at the value grain, ties share a class") {
+    import spark.implicits._
+    // revenues (cents): 8000, 1500, 400, 100 → T=10000. Top-down
+    // cumulative: 8000 (=80% → A), 9500 (=95% → B), 9900 → C, 10000 → C
+    val li = Seq(
+      (1L, 80.00, 0.0), (2L, 15.00, 0.0), (3L, 4.00, 0.0), (4L, 1.00, 0.0))
+      .toDF("l_partkey", "l_extendedprice", "l_discount")
+    val got = Analytics.abcClassification(li)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(_._1)
+    assert(got.toSeq == Seq(("A", 1L, 80.0), ("B", 1L, 15.0), ("C", 2L, 5.0)))
+  }
+
+  test("abcClassification: tied parts straddling a boundary stay together") {
+    import spark.implicits._
+    // two parts at 45.00 each (T=100): top-down through their shared
+    // value block is 90 > 80 → both B, never split A/B by a tiebreak
+    val li = Seq(
+      (1L, 45.00, 0.0), (2L, 45.00, 0.0), (3L, 10.00, 0.0))
+      .toDF("l_partkey", "l_extendedprice", "l_discount")
+    val got = Analytics.abcClassification(li)
+      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    assert(got.toSeq == Seq(("B", 2L), ("C", 1L)))
+  }
+
+  test("benfordCard counts first digits of exact cents") {
+    import spark.implicits._
+    val o = Seq(1.23, 9.99, 0.05, 12.00).toDF("o_totalprice")
+    val got = Analytics.benfordCard(o)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(_._1)
+    assert(got.toSeq == Seq((1, 2L, 0.5), (5, 1L, 0.25), (9, 1L, 0.25)))
+  }
+
+  test("lorenzDeciles: 10 distinct spenders, one per decile, exact shares") {
+    import spark.implicits._
+    // customers spend 1..10 dollars; decile d holds rank d with share
+    // d/55 (rounded to 1e-6)
+    val o = (1 to 10).map(i => (i.toLong, i.toDouble))
+      .toDF("o_custkey", "o_totalprice")
+    val got = Analytics.lorenzDeciles(o)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .sortBy(_._1)
+    assert(got.map(g => (g._1, g._2)).toSeq == (1 to 10).map(d => (d, 1L)))
+    assert(got(9) == ((10, 1L, 10.0, math.floor(10.0 / 55 * 1e6 + 0.5) / 1e6)))
+    assert(got(0)._3 == 1.0)
+  }
+
+  test("lorenzDeciles: a tie block straddling boundaries splits by rank count") {
+    import spark.implicits._
+    // 5 equal spenders: rank ranges put one member in each even decile
+    // (floor(d·5/10) advances on even d); odd deciles are empty
+    val o = (1 to 5).map(i => (i.toLong, 2.00)).toDF("o_custkey", "o_totalprice")
+    val got = Analytics.lorenzDeciles(o)
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    assert(got.toSeq == Seq((2, 1L), (4, 1L), (6, 1L), (8, 1L), (10, 1L)))
+  }
+
+  test("rfmSegments: discrete medians, capital letter is the good half") {
+    import spark.implicits._
+    val ts = (d: Int) => java.sql.Timestamp.valueOf(f"2024-01-${d + 1}%02d 00:00:00")
+    // c1: orders day0+day10 (recency 0, freq 2, monetary 3000c)
+    // c2: one order day0 (recency 10, freq 1, monetary 500c)
+    // medians (percentile_disc .5 of two values = the lower): rc=0,
+    // fc=1, mc=500 → c1 'RFM', c2 'rFM'
+    val o = Seq((1L, ts(0), 10.00), (1L, ts(10), 20.00), (2L, ts(0), 5.00))
+      .toDF("o_custkey", "o_orderdate", "o_totalprice")
+    val got = Analytics.rfmSegments(o)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(_._1)
+    assert(got.toSeq == Seq(("RFM", 1L, 30.0), ("rFM", 1L, 5.0)))
+  }
+
+  test("cusumChangePoint finds the level shift, exactly") {
+    import spark.implicits._
+    val ts = (s: Int) => java.sql.Timestamp.valueOf(s"2024-01-01 00:00:0$s")
+    // values 0,0,0,10,10,10 → CUSUM_k = 6·P_k − k·S peaks (|−9e7|) at
+    // the 3rd point: the boundary BEFORE the shift
+    val e = (1 to 6).map(i => ("a", ts(i), if (i <= 3) 0.0 else 10.0))
+      .toDF("event_type", "ts", "value")
+    val got = Events.cusumChangePoint(e).collect().head
+    assert(got.getString(0) == "a")
+    assert(got.getLong(1) == java.sql.Timestamp.valueOf("2024-01-01 00:00:03").getTime * 1000L)
+    assert(got.getDouble(2) == 9e7)
+    assert(got.getLong(3) == 6L)
+  }
+
+  test("cusumChangePoint ties resolve to the earliest timestamp") {
+    import spark.implicits._
+    val ts = (s: Int) => java.sql.Timestamp.valueOf(s"2024-01-01 00:00:0$s")
+    // two points 0,10: |CUSUM| = 1e7 at BOTH k=1 and... k=2 gives 0 —
+    // single max at k=1; symmetric series 0,10,10,0 puts the max at
+    // k=1 AND k=3 (|−2e7| each... recompute: n=4 S=2e7; P=[0,1e7,2e7,2e7];
+    // C=4P−k·2e7=[−2e7,−2e7? 4e7−4e7=0? — use the simple pair and a
+    // genuinely tied W shape: 10,0,0,10 → P=[1e7,1e7,1e7,2e7],
+    // C=[4e7−2e7,4e7−4e7,4e7−6e7,8e7−8e7]=[2e7,0,−2e7,0] → tie 2e7 at
+    // k=1 and k=3 → earliest wins
+    val e = Seq(("a", ts(1), 10.0), ("a", ts(2), 0.0), ("a", ts(3), 0.0),
+      ("a", ts(4), 10.0)).toDF("event_type", "ts", "value")
+    val got = Events.cusumChangePoint(e).collect().head
+    assert(got.getLong(1) == java.sql.Timestamp.valueOf("2024-01-01 00:00:01").getTime * 1000L)
+    assert(got.getDouble(2) == 2e7)
+  }
+
+  test("peakCensus: strict local maxima only, boundaries never qualify") {
+    import spark.implicits._
+    val ts = (m: Int) => java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    // minute sums 1,5,2,7,3: peaks 5 and 7; the tallest is 7 at minute 3
+    val e = Seq(1.0, 5.0, 2.0, 7.0, 3.0).zipWithIndex
+      .map { case (v, m) => ("a", ts(m), v) }
+      .toDF("event_type", "ts", "value")
+    val got = Events.peakCensus(e).collect().head
+    assert((got.getString(0), got.getLong(1), got.getString(2), got.getDouble(3))
+      == (("a", 2L, "2024-01-01 00:03", 7.0)))
+  }
+
+  test("peakCensus: a plateau is not a strict peak") {
+    import spark.implicits._
+    val ts = (m: Int) => java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    val e = Seq(1.0, 5.0, 5.0, 1.0).zipWithIndex
+      .map { case (v, m) => ("a", ts(m), v) }
+      .toDF("event_type", "ts", "value")
+    assert(Events.peakCensus(e).collect().isEmpty)
+  }
+
+  test("radiusSearch returns every neighbor past the threshold, only those") {
+    import spark.implicits._
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(1.0f, 0.0f)),
+      (2L, Array(0.0f, 1.0f)), (3L, Array(0.8f, 0.6f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.radiusSearch(emb, 1L, 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(_._2)
+    assert(got.toSeq == Seq((0L, 1L, 1.0), (0L, 3L, 0.8)))
+  }
+
+  test("radiusSearchIvf is a subset of exact radius with decent recall") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val exact = Similarity.radiusSearch(emb, 5L, 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val idx = Similarity.buildIvfIndex(emb)
+    val queries = emb.where(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"),
+        graft.functions.VectorFunctions.toDouble(col("embedding")).as("qv"))
+    val probed = Similarity.radiusSearchIvf(idx, queries, 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(probed.subsetOf(exact))
+    assert(exact.nonEmpty && probed.size * 2 >= exact.size,
+      s"recall ${probed.size}/${exact.size}")
+  }
+
+  test("refreshCdcMv state is batch-order independent and durable") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-spec-cdc").toString
+    val cat = new graft.sources.Catalog(spark, root)
+    // key 1: newer upsert applied FIRST, older delete second — the
+    // stored sequence must keep the upsert. key 2: newer tombstone
+    // applied first, older upsert second — the tombstone must survive
+    // in state and suppress the key in the live view.
+    val b1 = Seq((1L, 20L, "u", 100L), (2L, 50L, "d", 0L))
+      .toDF("k", "seq", "op", "v")
+    val b2 = Seq((1L, 10L, "d", 0L), (2L, 30L, "u", 999L))
+      .toDF("k", "seq", "op", "v")
+    cat.refreshCdcMv("cdc", b1, "k", "seq", "op")
+    cat.refreshCdcMv("cdc", b2, "k", "seq", "op")
+    val live = cat.cdcState("cdc", "op")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(live.toSeq == Seq((1L, 20L, 100L)))
+    // a FRESH Catalog over the same root resumes from disk alone
+    val cat2 = new graft.sources.Catalog(spark, root)
+    val resumed = cat2.refreshCdcMv("cdc",
+      Seq((2L, 60L, "u", 7L)).toDF("k", "seq", "op", "v"), "k", "seq", "op")
+    assert(resumed.count() == 2)
+    assert(cat2.cdcState("cdc", "op").collect()
+      .map(r => (r.getLong(0), r.getLong(2))).sortBy(_._1).toSeq
+      == Seq((1L, 100L), (2L, 7L)))
+  }
+
+  test("cdcReplay is microbatch-boundary invariant") {
+    val a = graft.streaming.EventStream.cdcReplay(spark, sfDir, 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3)))
+      .sortBy(_._1)
+    val b = graft.streaming.EventStream.cdcReplay(spark, sfDir, 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3)))
+      .sortBy(_._1)
+    assert(a.nonEmpty && a.toSeq == b.toSeq)
+  }
+
+  test("sourceDiversity: exact Simpson, null for a pairless group") {
+    import spark.implicits._
+    // en: a×3 b×1 → pairs 6 of 12 → 0.5; xx: single doc → null
+    val docs = Seq(("en", "a"), ("en", "a"), ("en", "a"), ("en", "b"),
+      ("xx", "a")).toDF("lang", "source")
+    val got = graft.operators.TextAnalysis.sourceDiversity(docs)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)))).sortBy(_._1)
+    assert(got.toSeq == Seq(("en", 4L, 2L, Some(0.5)), ("xx", 1L, 1L, None)))
+  }
+
+  test("sourceOverlap: exact vocabulary Jaccard, canonical orientation") {
+    import spark.implicits._
+    val docs = Seq(("a", "x y"), ("b", "y z z")).toDF("source", "text")
+    val got = graft.operators.TextAnalysis.sourceOverlap(docs)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5)))
+    assert(got.toSeq == Seq(("a", "b", 2L, 2L, 1L,
+      math.floor(1.0 / 3 * 1e6 + 0.5) / 1e6)))
+  }
+
+  test("runsTest counts alternations against the discrete median") {
+    import spark.implicits._
+    val ts = (s: Int) => java.sql.Timestamp.valueOf(s"2024-01-01 00:00:0$s")
+    // cents 100,900,100,900: percentile_disc(.5) = 100 (cume 0.5),
+    // above = F,T,F,T → 4 runs, 2 above
+    val e = Seq(1.0, 9.0, 1.0, 9.0).zipWithIndex
+      .map { case (v, i) => ("a", ts(i + 1), (i + 1).toLong, v) }
+      .toDF("event_type", "ts", "event_id", "value")
+    val got = graft.operators.Events.runsTest(e).collect().head
+    assert((got.getString(0), got.getLong(1), got.getLong(2), got.getLong(3))
+      == (("a", 4L, 2L, 4L)))
+  }
+
+  test("basketRules: confidence and lift from one hand fixture") {
+    import spark.implicits._
+    // baskets: {1,2} ×2, {1,3} ×1, {2,3} ×1 → nb=4; item counts
+    // 1→3, 2→3, 3→2; pair (1,2) support 2: conf 2/3, lift 2·4/(3·3)
+    val li = Seq(
+      (10L, 1L), (10L, 2L), (11L, 1L), (11L, 2L),
+      (12L, 1L), (12L, 3L), (13L, 2L), (13L, 3L))
+      .toDF("l_orderkey", "l_partkey")
+    val got = Analytics.basketRules(li, minSupport = 2L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(4), r.getDouble(5)))
+    assert(got.toSeq == Seq((1L, 2L, 2L,
+      math.floor(2.0 / 3 * 1e6 + 0.5) / 1e6,
+      math.floor(8.0 / 9 * 1e6 + 0.5) / 1e6)))
+  }
+}
