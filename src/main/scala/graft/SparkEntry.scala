@@ -459,6 +459,11 @@ object SparkEntry {
     "t_source_overlap" -> ((s, d) =>
       TextAnalysis.sourceOverlap(Tables.documents(s, d))),
     "e_runs" -> ((s, d) => Events.runsTest(Tables.events(s, d))),
+    "e_match" -> ((s, d) => Events.matchEpisodes(Tables.events(s, d))),
+    "e_deseason" -> ((s, d) => Events.deseasonOutliers(Tables.events(s, d))),
+    "fs_analyze" -> ((s, d) => graft.sources.Catalog.analyzeColumns(
+      Tables.lineitem(s, d),
+      Seq("l_orderkey", "l_partkey", "l_suppkey", "l_returnflag", "l_linestatus"))),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3004,6 +3009,73 @@ object SparkEntry {
                 CAST(sum(CASE WHEN above THEN 1 ELSE 0 END) AS BIGINT) AS n_above,
                 CAST(sum(CASE WHEN prev IS NULL OR prev <> above THEN 1 ELSE 0 END) AS BIGINT) AS n_runs
          FROM s GROUP BY 1""",
+    // MATCH_RECOGNIZE-lite: purchase closes the most recent signup
+    // unless an error intervened — running-max marks, identical windows
+    "e_match" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS tsu, event_id
+           FROM events),
+         w AS (SELECT *,
+                 max(CASE WHEN event_type = 'signup' THEN tsu END)
+                   OVER win AS last_open,
+                 max(CASE WHEN event_type = 'error' THEN tsu END)
+                   OVER win AS last_fail
+               FROM e
+               WINDOW win AS (PARTITION BY user_id ORDER BY tsu, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+         SELECT user_id, CAST(count(*) AS BIGINT) AS n_episodes,
+                CAST(sum(tsu - last_open) AS BIGINT) AS total_dur_us,
+                floor(CAST(sum(tsu - last_open) AS DOUBLE) / count(*)
+                      * 1000000 + 0.5) / 1000000 AS mean_dur_us
+         FROM w
+         WHERE event_type = 'purchase' AND last_open IS NOT NULL
+           AND (last_fail IS NULL OR last_fail < last_open)
+         GROUP BY user_id""",
+    // ties-included top-3 ≡ rank() ≤ 3 (the Spark side filters on the
+    // 3rd-largest |resid| from the map-side topk aggregate)
+    "e_deseason" ->
+      """WITH e AS (SELECT event_type, event_id, epoch_us(ts) AS tsu,
+                CAST(round(value * 100) AS BIGINT) AS v,
+                ((epoch_us(ts) // 3600000000) % 168) AS how
+           FROM events),
+         m AS (SELECT event_type, how,
+                      CAST(sum(v) // count(*) AS BIGINT) AS expected
+               FROM e GROUP BY 1, 2),
+         r AS (SELECT e.event_type, event_id, tsu, expected,
+                      CAST(v - expected AS BIGINT) AS resid
+               FROM e JOIN m USING (event_type, how)),
+         rk AS (SELECT *, rank() OVER (PARTITION BY event_type
+                                       ORDER BY abs(resid) DESC) AS rk
+                FROM r)
+         SELECT event_type, event_id, tsu, expected, resid
+         FROM rk WHERE rk <= 3""",
+    // per-column exact profile; min/max as strings (integer/string
+    // columns only — float formatting is engine-specific)
+    "fs_analyze" ->
+      """SELECT 'l_orderkey' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
+                CAST(count(DISTINCT l_orderkey) AS BIGINT) AS ndv,
+                CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+                CAST(min(l_orderkey) AS VARCHAR) AS min_val,
+                CAST(max(l_orderkey) AS VARCHAR) AS max_val FROM lineitem
+         UNION ALL
+         SELECT 'l_partkey', CAST(count(*) AS BIGINT),
+                CAST(count(DISTINCT l_partkey) AS BIGINT),
+                CAST(sum(CASE WHEN l_partkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                CAST(min(l_partkey) AS VARCHAR), CAST(max(l_partkey) AS VARCHAR) FROM lineitem
+         UNION ALL
+         SELECT 'l_suppkey', CAST(count(*) AS BIGINT),
+                CAST(count(DISTINCT l_suppkey) AS BIGINT),
+                CAST(sum(CASE WHEN l_suppkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                CAST(min(l_suppkey) AS VARCHAR), CAST(max(l_suppkey) AS VARCHAR) FROM lineitem
+         UNION ALL
+         SELECT 'l_returnflag', CAST(count(*) AS BIGINT),
+                CAST(count(DISTINCT l_returnflag) AS BIGINT),
+                CAST(sum(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                min(l_returnflag), max(l_returnflag) FROM lineitem
+         UNION ALL
+         SELECT 'l_linestatus', CAST(count(*) AS BIGINT),
+                CAST(count(DISTINCT l_linestatus) AS BIGINT),
+                CAST(sum(CASE WHEN l_linestatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                min(l_linestatus), max(l_linestatus) FROM lineitem""",
   )
 
   /** Shared by d_containment and d_containment_auto (the routed entry

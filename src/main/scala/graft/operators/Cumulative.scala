@@ -68,6 +68,52 @@ object Cumulative {
       .drop("__bk", "__cin", "__boff")
   }
 
+  /** Multi-column sibling of [[runningSum]]: running sums of SEVERAL
+    * count columns in ONE bucketed window pass (`cntOutPairs` maps each
+    * input count column to its output name). The cost of the two-level
+    * scan is the exchange + in-bucket sort, not the summed column count
+    * — an operator needing k prefixes (CUSUM needs the value prefix AND
+    * the rank prefix) pays one scan instead of k. Semantics per column
+    * are exactly [[runningSum]]'s. */
+  def runningSums(vc: DataFrame, groupCols: Seq[String], valueCol: String,
+      cntOutPairs: Seq[(String, String)], nBuckets: Int = 128): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val g = groupCols.map(col)
+    val v = col(valueCol).cast("double")
+    val bounds = vc.groupBy(g: _*)
+      .agg(min(v).as("__bmin"), max(v).as("__bmax"))
+    val base = vc.join(broadcast(bounds), groupCols)
+      .withColumn("__bk",
+        when(col("__bmin") === col("__bmax"), lit(1))
+          .otherwise(width_bucket(v, col("__bmin"), col("__bmax"),
+            lit(nBuckets))))
+      .drop("__bmin", "__bmax")
+    val inBucket = Window
+      .partitionBy(g :+ col("__bk"): _*)
+      .orderBy(col(valueCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val offW = Window.partitionBy(g: _*).orderBy(col("__bk"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = base.groupBy(g :+ col("__bk"): _*)
+      .agg(sum(col(cntOutPairs.head._1)).as(s"__bt0"),
+        cntOutPairs.tail.zipWithIndex.map { case ((c, _), i) =>
+          sum(col(c)).as(s"__bt${i + 1}") }: _*)
+      .select(
+        (g :+ col("__bk")) ++ cntOutPairs.indices.map(i =>
+          coalesce(sum(col(s"__bt$i")).over(offW), lit(0L)).as(s"__boff$i")): _*)
+    val withIn = cntOutPairs.zipWithIndex.foldLeft(base) {
+      case (df, ((c, _), i)) =>
+        df.withColumn(s"__cin$i", sum(col(c)).over(inBucket))
+    }
+    val joined = withIn.join(broadcast(offsets), groupCols :+ "__bk")
+    val withOut = cntOutPairs.zipWithIndex.foldLeft(joined) {
+      case (df, ((_, out), i)) =>
+        df.withColumn(out, col(s"__boff$i") + col(s"__cin$i"))
+    }
+    withOut.drop("__bk" +: cntOutPairs.indices
+      .flatMap(i => Seq(s"__cin$i", s"__boff$i")): _*)
+  }
+
   /** EXCLUSIVE running MIN sibling of [[runningSum]]: append `outCol` =
     * min of `mCol` over rows of the same group with value STRICTLY
     * BELOW this row's value (null when no such row — the caller's

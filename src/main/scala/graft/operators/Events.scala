@@ -599,8 +599,9 @@ object Events {
         expr("CAST(round(value * 1000000) AS BIGINT)").as("v"))
       .groupBy(col("event_type"), col("tsu"))
       .agg(sum(col("v")).as("vs"), count(lit(1)).as("c"))
-    val p = Cumulative.runningSum(vc, Seq("event_type"), "tsu", "vs", "pv")
-    val pk = Cumulative.runningSum(p, Seq("event_type"), "tsu", "c", "k")
+    // both prefixes (value sum AND rank) in ONE two-level scan
+    val pk = Cumulative.runningSums(vc, Seq("event_type"), "tsu",
+      Seq("vs" -> "pv", "c" -> "k"))
     val tot = vc.groupBy(col("event_type"))
       .agg(sum(col("vs")).as("s_tot"), sum(col("c")).as("n_tot"))
     val d38 = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
@@ -626,6 +627,66 @@ object Events {
       .select(col("event_type"), col("change_tsu"),
         col("ms").cast("double").as("cusum_score"),
         col("n_events"))
+  }
+
+  /** Pattern-matched episodes — the MATCH_RECOGNIZE-lite shape
+    * (signup → anything-but-error → purchase) Spark has no native
+    * operator for. A purchase completes an episode opened by the MOST
+    * RECENT preceding signup unless an 'error' intervened (negation —
+    * the part a plain funnel can't express); every qualifying purchase
+    * counts, the signup is not consumed. Both "last anchor before me"
+    * marks are running maxima over ONE user-partitioned window in
+    * (tsu, event_id) order, so the NFA simulation is two window
+    * columns + a filter — no per-user iteration, no state store.
+    * Output per user: episode count, total and mean duration. */
+  def matchEpisodes(events: DataFrame, open: String = "signup",
+      close: String = "purchase", fail: String = "error"): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("tsu"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    events
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("tsu"), col("event_id"))
+      .withColumn("last_open",
+        max(when(col("event_type") === open, col("tsu"))).over(w))
+      .withColumn("last_fail",
+        max(when(col("event_type") === fail, col("tsu"))).over(w))
+      .where(col("event_type") === close && col("last_open").isNotNull &&
+        (col("last_fail").isNull || col("last_fail") < col("last_open")))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_episodes"),
+        sum(col("tsu") - col("last_open")).as("total_dur_us"),
+        round6(sum(col("tsu") - col("last_open")).cast("double")
+          / count(lit(1))).as("mean_dur_us"))
+  }
+
+  /** Seasonal-adjusted outliers: top-3 |residual| per event type after
+    * removing the hour-of-week mean — "weird GIVEN the calendar", which
+    * raw z-scores can't see. The expected value is the integer floor
+    * mean (S_h div n_h — engine-exact, no rounding mode to disagree
+    * on) over ≤168·|types| buckets (broadcast metadata); the top-3
+    * threshold comes from the map-side `topk` aggregate (partial
+    * buffers cap at k per task — shuffle O(groups·k), NO per-type rank
+    * window over the corpus), and rows at the threshold all survive
+    * (ties-included top-3, ≡ rank() ≤ 3). */
+  def deseasonOutliers(events: DataFrame, k: Int = 3): DataFrame = {
+    val e = events.select(col("event_type"), col("event_id"),
+      unix_micros(col("ts")).as("tsu"), cents(col("value")).as("v"))
+      .withColumn("how", expr("(tsu div 3600000000) % 168"))
+    val m = e.groupBy(col("event_type"), col("how"))
+      .agg(expr("sum(v) div count(1)").as("expected"))
+    val r = e.join(broadcast(m), Seq("event_type", "how"))
+      .withColumn("resid", col("v") - col("expected"))
+      .withColumn("ra", abs(col("resid")).cast("double"))
+    val cuts = r.groupBy(col("event_type"))
+      .agg(graft.functions.TopKAggregate.topk(col("ra"), k).as("top"))
+      .select(col("event_type"),
+        when(size(col("top")) < k, lit(Double.NegativeInfinity))
+          .otherwise(element_at(col("top"), k)).as("cut"))
+    r.join(broadcast(cuts), "event_type")
+      .where(col("ra") >= col("cut"))
+      .select(col("event_type"), col("event_id"), col("tsu"),
+        col("expected"), col("resid"))
   }
 
   /** Wald–Wolfowitz runs census per event type — the randomness screen

@@ -435,6 +435,28 @@ class Catalog(spark: SparkSession, baseDir: String,
 object Catalog {
   import org.apache.spark.sql.functions._
 
+  /** ANALYZE-style column statistics card — the per-column profile
+    * (exact NDV, null count, min/max) an optimizer's CBO or a data
+    * contract check reads. One full-pass aggregate PER COLUMN (a
+    * single-pass multi-`countDistinct` plans as an Expand that
+    * multiplies every row by the column count — k clean scans beat one
+    * k×-wide scan); min/max surface as strings for a uniform card
+    * schema, so callers pass integer/string columns (float formatting
+    * is engine-specific — route doubles through an exact cents cast
+    * first). At 100 TB swap the exact `countDistinct` for the KMV
+    * estimator ([[graft.operators.Analytics]] kmv family) — same card
+    * shape, bounded state. */
+  def analyzeColumns(df: DataFrame, cols: Seq[String]): DataFrame =
+    cols.map { c =>
+      df.agg(count(lit(1)).as("n_rows"),
+          countDistinct(col(c)).as("ndv"),
+          sum(when(col(c).isNull, 1L).otherwise(0L)).as("n_nulls"),
+          min(col(c)).cast("string").as("min_val"),
+          max(col(c)).cast("string").as("max_val"))
+        .select(lit(c).as("col_name"), col("n_rows"), col("ndv"),
+          col("n_nulls"), col("min_val"), col("max_val"))
+    }.reduce(_ unionAll _)
+
   /** Morton/Z-value of two integer columns: the low `bits` bits of each,
     * interleaved (x even positions, y odd). Bit shifts and masks only —
     * portable to any engine — and the disjoint bit positions make `+`

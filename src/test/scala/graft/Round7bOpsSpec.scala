@@ -110,6 +110,25 @@ class Round7bOpsSpec extends SparkSpec {
     assert(got.getDouble(2) == 2e7)
   }
 
+  test("runningSums equals two runningSum passes, bit-identically") {
+    import spark.implicits._
+    val vc = Seq(("a", 1L, 10L, 2L), ("a", 3L, 5L, 1L), ("a", 7L, 1L, 4L),
+      ("b", 2L, 8L, 3L), ("b", 9L, 2L, 2L))
+      .toDF("g", "v", "x", "c")
+    val one = graft.operators.Cumulative.runningSums(vc, Seq("g"), "v",
+      Seq("x" -> "px", "c" -> "pc"))
+      .select("g", "v", "px", "pc").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val two = {
+      val a = graft.operators.Cumulative.runningSum(vc, Seq("g"), "v", "x", "px")
+      graft.operators.Cumulative.runningSum(a, Seq("g"), "v", "c", "pc")
+        .select("g", "v", "px", "pc").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    }
+    assert(one == two && one.size == 5)
+    assert(one(("a", 7L, 16L, 7L)) && one(("b", 9L, 10L, 5L)))
+  }
+
   test("peakCensus: strict local maxima only, boundaries never qualify") {
     import spark.implicits._
     val ts = (m: Int) => java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
@@ -227,6 +246,45 @@ class Round7bOpsSpec extends SparkSpec {
     val got = graft.operators.Events.runsTest(e).collect().head
     assert((got.getString(0), got.getLong(1), got.getLong(2), got.getLong(3))
       == (("a", 4L, 2L, 4L)))
+  }
+
+  test("matchEpisodes: negation blocks, reopen re-arms, others ignored") {
+    import spark.implicits._
+    val ts = (s: Int) => java.sql.Timestamp.valueOf(s"2024-01-01 00:00:0$s")
+    val e = Seq(
+      (1L, "signup", 1), (1L, "view", 2), (1L, "purchase", 3), // dur 2s
+      (1L, "error", 4), (1L, "purchase", 5),                   // blocked
+      (1L, "signup", 6), (1L, "purchase", 7),                  // dur 1s
+      (2L, "purchase", 1))                                     // never opened
+      .map { case (u, t, s) => (u, t, ts(s), s.toLong) }
+      .toDF("user_id", "event_type", "ts", "event_id")
+    val got = graft.operators.Events.matchEpisodes(e).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq == Seq((1L, 2L, 3000000L, 1500000.0)))
+  }
+
+  test("deseasonOutliers keeps threshold ties — rank()<=k semantics") {
+    import spark.implicits._
+    val ts = (s: Int) => java.sql.Timestamp.valueOf(s"2024-01-01 00:00:0$s")
+    // one hour-of-week bucket, cents 100,100,100,500 → expected 200,
+    // |resid| = 100,100,100,300: the 3rd-largest is 100, so ALL FOUR
+    // rows survive (ties included), exactly rank() <= 3
+    val e = Seq(1.0, 1.0, 1.0, 5.0).zipWithIndex
+      .map { case (v, i) => ("a", ts(i + 1), (i + 1).toLong, v) }
+      .toDF("event_type", "ts", "event_id", "value")
+    val got = graft.operators.Events.deseasonOutliers(e).collect()
+      .map(r => (r.getLong(1), r.getLong(3), r.getLong(4)))
+    assert(got.length == 4)
+    assert(got.map(_._3).sorted.toSeq == Seq(-100L, -100L, -100L, 300L))
+    assert(got.forall(_._2 == 200L))
+  }
+
+  test("analyzeColumns: exact ndv/nulls/min/max per column") {
+    import spark.implicits._
+    val df = Seq(Some(1L), Some(2L), Some(2L), None).toDF("x")
+    val got = graft.sources.Catalog.analyzeColumns(df, Seq("x")).collect().head
+    assert((got.getString(0), got.getLong(1), got.getLong(2), got.getLong(3),
+      got.getString(4), got.getString(5)) == (("x", 4L, 2L, 1L, "1", "2")))
   }
 
   test("basketRules: confidence and lift from one hand fixture") {
