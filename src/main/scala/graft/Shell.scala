@@ -53,7 +53,8 @@ object Shell {
           "prep <src> <dest> | index <src> <dest> | prep_incr <new> <index> <dest> | " +
           "neardup <src> [t] | bpe <src> [n] | buckets <src> | kmeans <src> [k] | " +
           "ann <src> [k] | pagerank [iters] | triangles | degrees | bfs | " +
-          "gini | audit | vacuum | exit | <sql>")
+          "gini | audit | vacuum | analyze <tbl> [cols...] | abc | rfm | " +
+          "benford | changepoints | exit | <sql>")
       case "ls" :: Nil => cat.list().foreach(println)
       case "stats" :: Nil => cat.stats().show(100, truncate = false)
       case "nodes" :: Nil => cat.executorStats().show(100, truncate = false)
@@ -145,6 +146,28 @@ object Shell {
       case "vacuum" :: Nil =>
         // torn-refresh cleanup of the Catalog's derived layouts
         println(s"vacuumed ${cat.vacuumDerived()} uncommitted derived dirs")
+      case "analyze" :: tbl :: rest =>
+        // ANALYZE-style exact column profile; default = every
+        // non-floating column (float min/max string-format is
+        // engine-specific, see Catalog.analyzeColumns)
+        val df = cat.table(tbl)
+        val cols = if (rest.nonEmpty) rest else df.schema.fields
+          .filterNot(f => f.dataType == org.apache.spark.sql.types.DoubleType ||
+            f.dataType == org.apache.spark.sql.types.FloatType)
+          .map(_.name).toList
+        Catalog.analyzeColumns(df, cols).show(100, truncate = false)
+      case "abc" :: Nil =>
+        operators.Analytics.abcClassification(Tables.lineitem(spark, dir))
+          .orderBy("abc_class").show(truncate = false)
+      case "rfm" :: Nil =>
+        operators.Analytics.rfmSegments(Tables.orders(spark, dir))
+          .orderBy("segment").show(truncate = false)
+      case "benford" :: Nil =>
+        operators.Analytics.benfordCard(Tables.orders(spark, dir))
+          .orderBy("digit").show(truncate = false)
+      case "changepoints" :: Nil =>
+        operators.Events.cusumChangePoint(Tables.events(spark, dir))
+          .orderBy("event_type").show(truncate = false)
       case _ => spark.sql(line).show(50, truncate = false)
     }
     true

@@ -464,6 +464,26 @@ object SparkEntry {
     "fs_analyze" -> ((s, d) => graft.sources.Catalog.analyzeColumns(
       Tables.lineitem(s, d),
       Seq("l_orderkey", "l_partkey", "l_suppkey", "l_returnflag", "l_linestatus"))),
+    // co-located fact-fact join: bucketing IS the pre-shuffle, paid at
+    // write time — the join itself plans with NO exchange on either
+    // side (BucketedJoinSpec pins the plan; this entry pins the values)
+    "fs_bucket_join" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val cat = new graft.sources.Catalog(s, d,
+        Some(graft.sources.Catalog.warehouseLayoutRoot(s, d)))
+      cat.writeBucketed(Tables.lineitem(s, d)
+        .select(col("l_orderkey"),
+          expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("price_c")),
+        "graft_bj_li", "l_orderkey", 8)
+      cat.writeBucketed(Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderpriority")),
+        "graft_bj_o", "o_orderkey", 8)
+      s.table("graft_bj_li")
+        .join(s.table("graft_bj_o"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_lines"),
+          (sum(col("price_c")).cast("double") / 100.0).as("revenue"))
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3076,6 +3096,13 @@ object SparkEntry {
                 CAST(count(DISTINCT l_linestatus) AS BIGINT),
                 CAST(sum(CASE WHEN l_linestatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
                 min(l_linestatus), max(l_linestatus) FROM lineitem""",
+    // value twin of BucketedJoinSpec's exchange-free plan proof
+    "fs_bucket_join" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_lines,
+                CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE)
+                  / 100.0 AS revenue
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY o_orderpriority""",
   )
 
   /** Shared by d_containment and d_containment_auto (the routed entry

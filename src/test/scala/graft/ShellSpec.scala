@@ -82,4 +82,14 @@ class ShellProcedureSpec extends SparkSpec {
     assert(Shell.execute("audit", spark, cat, sfDir))
     assert(Shell.execute("vacuum", spark, cat, sfDir))
   }
+
+  test("card verbs: analyze/abc/rfm/benford/changepoints run from the shell") {
+    val cat = new Catalog(spark, sfDir)
+    assert(Shell.execute("analyze lineitem l_orderkey l_returnflag", spark, cat, sfDir))
+    assert(Shell.execute("analyze nation", spark, cat, sfDir))
+    assert(Shell.execute("abc", spark, cat, sfDir))
+    assert(Shell.execute("rfm", spark, cat, sfDir))
+    assert(Shell.execute("benford", spark, cat, sfDir))
+    assert(Shell.execute("changepoints", spark, cat, sfDir))
+  }
 }
