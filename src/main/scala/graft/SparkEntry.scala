@@ -460,6 +460,10 @@ object SparkEntry {
       TextAnalysis.sourceOverlap(Tables.documents(s, d))),
     "e_runs" -> ((s, d) => Events.runsTest(Tables.events(s, d))),
     "e_match" -> ((s, d) => Events.matchEpisodes(Tables.events(s, d))),
+    // REAL checkpointed streaming NFA replay (9th live replay): same
+    // oracle as e_match — custom stateful logic value-checked
+    "e_match_stream" -> ((s, d) =>
+      graft.streaming.EventStream.matchReplay(s, d)),
     "e_deseason" -> ((s, d) => Events.deseasonOutliers(Tables.events(s, d))),
     "fs_analyze" -> ((s, d) => graft.sources.Catalog.analyzeColumns(
       Tables.lineitem(s, d),
@@ -3030,26 +3034,10 @@ object SparkEntry {
                 CAST(sum(CASE WHEN prev IS NULL OR prev <> above THEN 1 ELSE 0 END) AS BIGINT) AS n_runs
          FROM s GROUP BY 1""",
     // MATCH_RECOGNIZE-lite: purchase closes the most recent signup
-    // unless an error intervened — running-max marks, identical windows
-    "e_match" ->
-      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS tsu, event_id
-           FROM events),
-         w AS (SELECT *,
-                 max(CASE WHEN event_type = 'signup' THEN tsu END)
-                   OVER win AS last_open,
-                 max(CASE WHEN event_type = 'error' THEN tsu END)
-                   OVER win AS last_fail
-               FROM e
-               WINDOW win AS (PARTITION BY user_id ORDER BY tsu, event_id
-                              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
-         SELECT user_id, CAST(count(*) AS BIGINT) AS n_episodes,
-                CAST(sum(tsu - last_open) AS BIGINT) AS total_dur_us,
-                floor(CAST(sum(tsu - last_open) AS DOUBLE) / count(*)
-                      * 1000000 + 0.5) / 1000000 AS mean_dur_us
-         FROM w
-         WHERE event_type = 'purchase' AND last_open IS NOT NULL
-           AND (last_fail IS NULL OR last_fail < last_open)
-         GROUP BY user_id""",
+    // unless an error intervened — running-max marks, identical windows.
+    // The streaming NFA replay must land on the same card.
+    "e_match" -> matchEpisodesSql,
+    "e_match_stream" -> matchEpisodesSql,
     // ties-included top-3 ≡ rank() ≤ 3 (the Spark side filters on the
     // 3rd-largest |resid| from the map-side topk aggregate)
     "e_deseason" ->
@@ -3149,6 +3137,28 @@ object SparkEntry {
                      CAST(count(DISTINCT CASE WHEN j >= 0.75 THEN id END) AS BIGINT) AS n_docs_75
               FROM ids)
        SELECT * FROM pa CROSS JOIN da"""
+
+  /** Shared by e_match (batch windows) and e_match_stream (stateful
+    * streaming NFA replay) — one oracle, two execution models. */
+  private val matchEpisodesSql: String =
+    """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS tsu, event_id
+           FROM events),
+         w AS (SELECT *,
+                 max(CASE WHEN event_type = 'signup' THEN tsu END)
+                   OVER win AS last_open,
+                 max(CASE WHEN event_type = 'error' THEN tsu END)
+                   OVER win AS last_fail
+               FROM e
+               WINDOW win AS (PARTITION BY user_id ORDER BY tsu, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+         SELECT user_id, CAST(count(*) AS BIGINT) AS n_episodes,
+                CAST(sum(tsu - last_open) AS BIGINT) AS total_dur_us,
+                floor(CAST(sum(tsu - last_open) AS DOUBLE) / count(*)
+                      * 1000000 + 0.5) / 1000000 AS mean_dur_us
+         FROM w
+         WHERE event_type = 'purchase' AND last_open IS NOT NULL
+           AND (last_fail IS NULL OR last_fail < last_open)
+         GROUP BY user_id"""
 
   /** Shared by d_dedup_ngram and d_dedup_minhash (see note above). */
   private val ngramJaccardSql: String =

@@ -520,6 +520,66 @@ object EventStream {
         (col("value_cents").cast("double") / 100.0).as("sum_value"))
   }
 
+  case class MatchEvent(user_id: Long, tsu: Long, event_id: Long,
+    event_type: String)
+  case class MatchState(lastOpen: Long, lastFail: Long)
+  case class EpisodeOut(user_id: Long, open_us: Long, close_us: Long)
+
+  /** Streaming pattern match (MATCH_RECOGNIZE-lite) — the twin of
+    * `Events.matchEpisodes`: signup → anything-but-error → purchase,
+    * with the NFA state per user exactly TWO LONGS (last open / last
+    * fail marks), updated by flatMapGroupsWithState and emitting one
+    * row per completed episode as it closes. In-batch rows are sorted
+    * by (tsu, event_id) and the ordered Replay source makes trigger
+    * order event-time order, so the fold sees rows in the batch
+    * operator's window order — the replay equals the batch card
+    * exactly (spec + shared oracle). No timeout: state is bounded by
+    * the user population, the dimension-table size class. */
+  def matchEpisodeStream(events: Dataset[MatchEvent],
+      open: String = "signup", close: String = "purchase",
+      fail: String = "error")(
+      implicit spark: SparkSession): Dataset[EpisodeOut] = {
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[MatchState, EpisodeOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (userId, rows, state: GroupState[MatchState]) =>
+          var st = state.getOption.getOrElse(MatchState(-1L, -1L))
+          val out = Seq.newBuilder[EpisodeOut]
+          rows.toSeq.sortBy(r => (r.tsu, r.event_id)).foreach { r =>
+            if (r.event_type == open) st = st.copy(lastOpen = r.tsu)
+            else if (r.event_type == fail) st = st.copy(lastFail = r.tsu)
+            else if (r.event_type == close && st.lastOpen >= 0 &&
+              st.lastFail < st.lastOpen)
+              out += EpisodeOut(userId, st.lastOpen, r.tsu)
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
+  /** ORACLE-VISIBLE replay of [[matchEpisodeStream]], aggregated to the
+    * same per-user card as the batch `e_match` — both share one oracle
+    * SQL, which is the whole point: a custom stateful streaming
+    * operator value-checked against an independent engine. */
+  def matchReplay(spark: SparkSession, sfDir: String,
+      maxFilesPerTrigger: Int = 4): DataFrame = {
+    import spark.implicits._
+    implicit val s: SparkSession = spark
+    val src = Replay.source(spark, sfDir)
+    val episodes = Replay.run(spark, src, maxFilesPerTrigger) { stream =>
+      matchEpisodeStream(stream
+        .select(col("user_id"), col("tsu"), col("event_id"), col("event_type"))
+        .as[MatchEvent]).toDF()
+    }.where(col("user_id") =!= src.sentinelUser)
+    episodes.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_episodes"),
+        sum(col("close_us") - col("open_us")).as("total_dur_us"),
+        graft.functions.Exact.round6(
+          sum(col("close_us") - col("open_us")).cast("double")
+            / count(lit(1))).as("mean_dur_us"))
+  }
+
   /** STREAMING CDC apply — the replayed event log maintained as a
     * durable latest-row-per-user view through `foreachBatch` →
     * [[graft.sources.Catalog.refreshCdcMv]]. The event stream is read

@@ -287,6 +287,19 @@ class Round7bOpsSpec extends SparkSpec {
       got.getString(4), got.getString(5)) == (("x", 4L, 2L, 1L, "1", "2")))
   }
 
+  test("matchReplay is microbatch-invariant and equals the batch card") {
+    val batch = graft.operators.Events.matchEpisodes(Tables.events(spark, sfDir))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(_._1).toSeq
+    val a = graft.streaming.EventStream.matchReplay(spark, sfDir, 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(_._1).toSeq
+    val b = graft.streaming.EventStream.matchReplay(spark, sfDir, 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(_._1).toSeq
+    assert(batch.nonEmpty && a == batch && b == batch)
+  }
+
   test("basketRules: confidence and lift from one hand fixture") {
     import spark.implicits._
     // baskets: {1,2} ×2, {1,3} ×1, {2,3} ×1 → nb=4; item counts
