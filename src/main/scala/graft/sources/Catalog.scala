@@ -129,6 +129,40 @@ class Catalog(spark: SparkSession, baseDir: String,
   def cdcState(name: String, opCol: String): DataFrame =
     mvState(name).where(col(opCol) === "u").drop(opCol)
 
+  /** Persist an IVF ANN index as Catalog-owned durable state — the
+    * "index once, query many" production shape: assignments and
+    * centroids land `_SUCCESS`-committed under `derivedDir/<name>` via
+    * the same tmp-swap as [[refreshAggMv]], so a FRESH session serves
+    * queries from disk alone, paying neither the k-means pass nor the
+    * assignment scan again (at 100 TB the build is a batch job; the
+    * query service only ever calls [[loadAnnIndex]]). */
+  def saveAnnIndex(name: String,
+      index: graft.operators.Similarity.IvfIndex): Unit = {
+    def commit(df: DataFrame, part: String): Unit = {
+      val dir = s"$derivedDir/$name/$part"
+      val live = new Path(dir)
+      val tmp = new Path(s"$dir.tmp")
+      val fs = live.getFileSystem(hconf)
+      df.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+      fs.delete(live, true)
+      if (!fs.rename(tmp, live))
+        throw new java.io.IOException(s"saveAnnIndex($name/$part): swap failed")
+    }
+    commit(index.assignments, "assignments")
+    commit(index.centroids, "centroids")
+  }
+
+  /** Load a [[saveAnnIndex]]-committed index (throws when either half
+    * is missing its `_SUCCESS` marker — a torn save never serves). */
+  def loadAnnIndex(name: String): graft.operators.Similarity.IvfIndex = {
+    require(hasSuccess(s"$derivedDir/$name/assignments") &&
+      hasSuccess(s"$derivedDir/$name/centroids"),
+      s"no committed ANN index: $name")
+    graft.operators.Similarity.IvfIndex(
+      spark.read.parquet(s"$derivedDir/$name/assignments"),
+      spark.read.parquet(s"$derivedDir/$name/centroids"))
+  }
+
   /** Current committed MV state (throws if [[refreshAggMv]] has never
     * committed `name`). */
   def mvState(name: String): DataFrame = {

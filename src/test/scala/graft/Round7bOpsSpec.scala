@@ -300,6 +300,39 @@ class Round7bOpsSpec extends SparkSpec {
     assert(batch.nonEmpty && a == batch && b == batch)
   }
 
+  test("saveAnnIndex: a fresh session serves identical results from disk") {
+    val root = java.nio.file.Files.createTempDirectory("graft-spec-ann").toString
+    val emb = Tables.embeddings(spark, sfDir)
+    val built = Similarity.buildIvfIndex(emb)
+    val queries = emb.where(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"),
+        graft.functions.VectorFunctions.toDouble(col("embedding")).as("qv"))
+    val live = Similarity.ivfSearch(built, queries, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    new graft.sources.Catalog(spark, root).saveAnnIndex("emb_ivf", built)
+    // FRESH Catalog over the same root: no build, disk state only
+    val loaded = new graft.sources.Catalog(spark, root).loadAnnIndex("emb_ivf")
+    val fromDisk = Similarity.ivfSearch(loaded, queries, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(live.nonEmpty && fromDisk == live)
+    intercept[IllegalArgumentException] {
+      new graft.sources.Catalog(spark, root).loadAnnIndex("nope")
+    }
+  }
+
+  test("refreshAggMv retracts: a negative-counter correction delta lands exactly") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-spec-retr").toString
+    val cat = new graft.sources.Catalog(spark, root)
+    cat.refreshAggMv("mv", Seq(("a", 5L, 100L), ("b", 2L, 40L))
+      .toDF("k", "cnt", "sum_v"), Seq("k"))
+    // correction: 2 of a's rows (worth 30) were bogus — retract them
+    cat.refreshAggMv("mv", Seq(("a", -2L, -30L)).toDF("k", "cnt", "sum_v"), Seq("k"))
+    val got = cat.mvState("mv").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(got.toSeq == Seq(("a", 3L, 70L), ("b", 2L, 40L)))
+  }
+
   test("basketRules: confidence and lift from one hand fixture") {
     import spark.implicits._
     // baskets: {1,2} ×2, {1,3} ×1, {2,3} ×1 → nb=4; item counts
