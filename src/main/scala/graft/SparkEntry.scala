@@ -464,6 +464,29 @@ object SparkEntry {
     // oracle as e_match — custom stateful logic value-checked
     "e_match_stream" -> ((s, d) =>
       graft.streaming.EventStream.matchReplay(s, d)),
+    "e_funnel_steps" -> ((s, d) => Events.funnelSteps(Tables.events(s, d))),
+    // schema-evolution read: an old batch without a column and a new
+    // batch with it merge into one view; the old rows surface NULLs
+    "fs_evolve" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val cat = new graft.sources.Catalog(s, d,
+        Some(graft.sources.Catalog.warehouseLayoutRoot(s, d)))
+      val dir = s"${cat.derivedDir}/evolve_demo"
+      val o = Tables.orders(s, d)
+      o.where(pmod(col("o_orderkey"), lit(2)) === 0)
+        .select(col("o_orderkey"),
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("price_c"))
+        .write.mode("overwrite").parquet(s"$dir/b1")
+      o.where(pmod(col("o_orderkey"), lit(2)) === 1)
+        .select(col("o_orderkey"),
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("price_c"),
+          col("o_orderpriority"))
+        .write.mode("overwrite").parquet(s"$dir/b2")
+      s.read.option("mergeSchema", "true").parquet(s"$dir/b1", s"$dir/b2")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          (sum(col("price_c")).cast("double") / 100.0).as("revenue"))
+    }),
     "e_deseason" -> ((s, d) => Events.deseasonOutliers(Tables.events(s, d))),
     "fs_analyze" -> ((s, d) => graft.sources.Catalog.analyzeColumns(
       Tables.lineitem(s, d),
@@ -3084,6 +3107,33 @@ object SparkEntry {
                 CAST(count(DISTINCT l_linestatus) AS BIGINT),
                 CAST(sum(CASE WHEN l_linestatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
                 min(l_linestatus), max(l_linestatus) FROM lineitem""",
+    // 4-step funnel, earliest-completion chain
+    "e_funnel_steps" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS tsu FROM events),
+         s1 AS (SELECT user_id, min(tsu) AS t1 FROM e WHERE event_type = 'signup' GROUP BY 1),
+         s2 AS (SELECT e.user_id, min(tsu) AS t2 FROM e JOIN s1 USING (user_id)
+                WHERE event_type = 'view' AND tsu > t1 GROUP BY 1),
+         s3 AS (SELECT e.user_id, min(tsu) AS t3 FROM e JOIN s2 USING (user_id)
+                WHERE event_type = 'click' AND tsu > t2 GROUP BY 1),
+         s4 AS (SELECT e.user_id, min(tsu) AS t4 FROM e JOIN s3 USING (user_id)
+                WHERE event_type = 'purchase' AND tsu > t3 GROUP BY 1)
+         SELECT s1.user_id, t1 AS first_signup, t2 AS first_view,
+                t3 AS first_click, t4 AS first_purchase
+         FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+              LEFT JOIN s4 USING (user_id)""",
+    // merged-schema view: the old batch's rows carry NULL priority
+    "fs_evolve" ->
+      """WITH m AS (SELECT o_orderkey,
+                CAST(round(o_totalprice * 100) AS BIGINT) AS price_c,
+                NULL AS o_orderpriority
+           FROM orders WHERE o_orderkey % 2 = 0
+           UNION ALL
+           SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT),
+                o_orderpriority
+           FROM orders WHERE o_orderkey % 2 = 1)
+         SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders,
+                CAST(sum(price_c) AS DOUBLE) / 100.0 AS revenue
+         FROM m GROUP BY o_orderpriority""",
     // value twin of BucketedJoinSpec's exchange-free plan proof
     "fs_bucket_join" ->
       """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_lines,

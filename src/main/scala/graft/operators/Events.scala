@@ -285,6 +285,32 @@ object Events {
         col("t2").as("first_click"), col("t3").as("first_purchase"))
   }
 
+  /** Generalized k-step funnel — [[funnel]]'s earliest-completion
+    * semantics at any depth: step i's first qualifying time is the min
+    * event time strictly after step i−1's, built by folding one
+    * filtered aggregate per step (k broadcast-friendly user-grain
+    * joins, never a window over the event stream). Output: one row per
+    * user who completed step 1, with `first_<step>` columns null-padded
+    * past the deepest step reached. */
+  def funnelSteps(events: DataFrame,
+      steps: Seq[String] = Seq("signup", "view", "click", "purchase")): DataFrame = {
+    require(steps.length >= 2, "funnelSteps needs at least two steps")
+    val e = events.select(col("user_id"), col("event_type"),
+      unix_micros(col("ts")).as("tsu"))
+    val acc = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    steps.zipWithIndex.foreach { case (st, i) =>
+      val base = e.where(col("event_type") === st)
+      val gated =
+        if (i == 0) base
+        else base.join(acc(i - 1).select(col("user_id"), col(s"t$i")), "user_id")
+          .where(col("tsu") > col(s"t$i"))
+      acc += gated.groupBy(col("user_id")).agg(min(col("tsu")).as(s"t${i + 1}"))
+    }
+    acc.tail.foldLeft(acc.head)((l, r) => l.join(r, Seq("user_id"), "left"))
+      .select(col("user_id") +: steps.indices.map(i =>
+        col(s"t${i + 1}").as(s"first_${steps(i)}")): _*)
+  }
+
   /** Per-user z-score outliers WITHOUT a square root or any double in
     * the decision: z² > k² rewritten as the integer comparison
     *   (n·x − S)² > k²·(n·Q − S²)

@@ -333,6 +333,28 @@ class Round7bOpsSpec extends SparkSpec {
     assert(got.toSeq == Seq(("a", 3L, 70L), ("b", 2L, 40L)))
   }
 
+  test("funnelSteps at depth 3 equals the fixed funnel; depth gates hold") {
+    import spark.implicits._
+    val ts = (s: Int) => java.sql.Timestamp.valueOf(s"2024-01-01 00:00:0$s")
+    // u1 completes all 3; u2 stops after view; u3's click PRECEDES the
+    // view and must not count
+    val e = Seq(
+      (1L, "view", 1), (1L, "click", 2), (1L, "purchase", 3),
+      (2L, "view", 1),
+      (3L, "click", 1), (3L, "view", 2))
+      .map { case (u, t, s) => (u, t, ts(s)) }.toDF("user_id", "event_type", "ts")
+    val gen = graft.operators.Events.funnelSteps(e, Seq("view", "click", "purchase"))
+      .collect().map(r => (r.getLong(0),
+        (1 to 3).map(i => if (r.isNullAt(i)) -1L else r.getLong(i)))).toMap
+    val fixed = graft.operators.Events.funnel(e)
+      .collect().map(r => (r.getLong(0),
+        (1 to 3).map(i => if (r.isNullAt(i)) -1L else r.getLong(i)))).toMap
+    assert(gen == fixed && gen.size == 3)
+    assert(gen(2L).tail.forall(_ == -1L))
+    // u3's click precedes its view: step 1 set, steps 2-3 empty
+    assert(gen(3L).head > 0 && gen(3L).tail.forall(_ == -1L))
+  }
+
   test("basketRules: confidence and lift from one hand fixture") {
     import spark.implicits._
     // baskets: {1,2} ×2, {1,3} ×1, {2,3} ×1 → nb=4; item counts
