@@ -465,6 +465,8 @@ object SparkEntry {
     "e_match_stream" -> ((s, d) =>
       graft.streaming.EventStream.matchReplay(s, d)),
     "e_funnel_steps" -> ((s, d) => Events.funnelSteps(Tables.events(s, d))),
+    "d_datasheet" -> ((s, d) =>
+      TextAnalysis.datasheet(Tables.documents(s, d))),
     // schema-evolution read: an old batch without a column and a new
     // batch with it merge into one view; the old rows surface NULLs
     "fs_evolve" -> ((s, d) => {
@@ -3107,6 +3109,32 @@ object SparkEntry {
                 CAST(count(DISTINCT l_linestatus) AS BIGINT),
                 CAST(sum(CASE WHEN l_linestatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
                 min(l_linestatus), max(l_linestatus) FROM lineitem""",
+    // integer-only datasheet: counts + discrete percentiles, one row
+    // per metric — ratio-shaped numbers live in the dedicated cards
+    "d_datasheet" ->
+      """WITH base AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+                CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+                CAST(sum(CASE WHEN length(text) = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_empty,
+                CAST(sum(length(text)) AS BIGINT) AS n_chars,
+                CAST(max(length(text)) AS BIGINT) AS max_chars,
+                CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY length(text)) AS BIGINT) AS median_chars,
+                CAST(count(*) - count(DISTINCT text) AS BIGINT) AS n_exact_dup_surplus
+           FROM documents),
+         w AS (SELECT CAST(count(*) AS BIGINT) AS n_tokens,
+                      CAST(count(DISTINCT w) AS BIGINT) AS n_types
+               FROM (SELECT unnest(list_filter(regexp_split_to_array(text, '\s+'),
+                                               x -> x <> '')) AS w FROM documents))
+         SELECT 'n_docs' AS metric, n_docs AS value FROM base
+         UNION ALL SELECT 'n_sources', n_sources FROM base
+         UNION ALL SELECT 'n_langs', n_langs FROM base
+         UNION ALL SELECT 'n_empty', n_empty FROM base
+         UNION ALL SELECT 'n_chars', n_chars FROM base
+         UNION ALL SELECT 'max_chars', max_chars FROM base
+         UNION ALL SELECT 'median_chars', median_chars FROM base
+         UNION ALL SELECT 'n_tokens', n_tokens FROM w
+         UNION ALL SELECT 'n_types', n_types FROM w
+         UNION ALL SELECT 'n_exact_dup_surplus', n_exact_dup_surplus FROM base""",
     // 4-step funnel, earliest-completion chain
     "e_funnel_steps" ->
       """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS tsu FROM events),

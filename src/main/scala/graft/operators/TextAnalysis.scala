@@ -796,6 +796,36 @@ object TextAnalysis {
             / (col("n_docs") * (col("n_docs") - 1)))).as("simpson"))
   }
 
+  /** Corpus DATASHEET — the one-page numbers a "Datasheets for
+    * Datasets" artifact opens with, as a (metric, value) card of
+    * EXACT INTEGERS only (counts and discrete percentiles; anything
+    * ratio-shaped lives in the dedicated cards, so no float formatting
+    * can drift). Three corpus passes total: the row-stats aggregate,
+    * the tokenized word scan, and the distinct-text count — each
+    * scan-bound; nothing here exceeds metric grain afterwards. */
+  def datasheet(docs: DataFrame): DataFrame = {
+    val base = docs.agg(
+      count(lit(1)).as("n_docs"),
+      countDistinct(col("source")).as("n_sources"),
+      countDistinct(col("lang")).as("n_langs"),
+      sum(when(length(col("text")) === 0, 1L).otherwise(0L)).as("n_empty"),
+      sum(length(col("text")).cast("long")).as("n_chars"),
+      max(length(col("text")).cast("long")).as("max_chars"),
+      expr("CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY length(text)) AS BIGINT)")
+        .as("median_chars"))
+    val words = docs.select(explode(tokens(col("text"))).as("w"))
+      .agg(count(lit(1)).as("n_tokens"), countDistinct(col("w")).as("n_types"))
+    val dups = docs.agg((count(lit(1))
+      - countDistinct(col("text"))).as("n_exact_dup_surplus"))
+    val one = base.crossJoin(broadcast(words)).crossJoin(broadcast(dups))
+    val metrics = Seq("n_docs", "n_sources", "n_langs", "n_empty", "n_chars",
+      "max_chars", "median_chars", "n_tokens", "n_types",
+      "n_exact_dup_surplus")
+    metrics.map(m => one.select(lit(m).as("metric"),
+        col(m).cast("long").as("value")))
+      .reduce(_ unionAll _)
+  }
+
   /** Pairwise source VOCABULARY overlap — which sources are telling
     * the same stories (feeds mixture weighting and contamination
     * triage before any pairwise doc compare). Exact Jaccard between

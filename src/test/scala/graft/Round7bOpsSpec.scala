@@ -355,6 +355,19 @@ class Round7bOpsSpec extends SparkSpec {
     assert(gen(3L).head > 0 && gen(3L).tail.forall(_ == -1L))
   }
 
+  test("datasheet: exact integer metrics from a hand corpus") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b", "en", "s1"), (2L, "a b", "en", "s2"), (3L, "", "fr", "s1"))
+      .toDF("doc_id", "text", "lang", "source")
+    val got = graft.operators.TextAnalysis.datasheet(docs)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(got("n_docs") == 3L && got("n_sources") == 2L && got("n_langs") == 2L)
+    assert(got("n_empty") == 1L && got("n_tokens") == 4L && got("n_types") == 2L)
+    assert(got("n_exact_dup_surplus") == 1L)    // "a b" appears twice
+    assert(got("max_chars") == 3L && got("median_chars") == 3L && got("n_chars") == 6L)
+  }
+
   test("basketRules: confidence and lift from one hand fixture") {
     import spark.implicits._
     // baskets: {1,2} ×2, {1,3} ×1, {2,3} ×1 → nb=4; item counts
