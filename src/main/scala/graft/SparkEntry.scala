@@ -467,6 +467,11 @@ object SparkEntry {
     "e_funnel_steps" -> ((s, d) => Events.funnelSteps(Tables.events(s, d))),
     "d_datasheet" -> ((s, d) =>
       TextAnalysis.datasheet(Tables.documents(s, d))),
+    "q_tukey" -> ((s, d) => Analytics.tukeyOutliers(s, d)),
+    // k-fold with the same exact-pair mine as p_leak_split: no mined
+    // near-dup pair ever straddles folds
+    "p_kfold" -> ((s, d) => Sampling.kfoldLeakSafe(Tables.documents(s, d),
+      Dedup.ngramJaccard(Tables.documents(s, d), 3, 0.5))),
     // schema-evolution read: an old batch without a column and a new
     // batch with it merge into one view; the old rows surface NULLs
     "fs_evolve" -> ((s, d) => {
@@ -3109,6 +3114,55 @@ object SparkEntry {
                 CAST(count(DISTINCT l_linestatus) AS BIGINT),
                 CAST(sum(CASE WHEN l_linestatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
                 min(l_linestatus), max(l_linestatus) FROM lineitem""",
+    // discrete quartiles; 1.5·IQR fences as integer cross-multiplies
+    "q_tukey" ->
+      """WITH spend AS (SELECT o_custkey,
+                sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS x
+           FROM orders GROUP BY 1),
+         s2 AS (SELECT n.n_name, sp.x
+           FROM spend sp
+           JOIN customer c ON sp.o_custkey = c.c_custkey
+           JOIN nation n ON c.c_nationkey = n.n_nationkey),
+         q AS (SELECT n_name,
+                      percentile_disc(0.25) WITHIN GROUP (ORDER BY x) AS q1,
+                      percentile_disc(0.75) WITHIN GROUP (ORDER BY x) AS q3
+               FROM s2 GROUP BY 1)
+         SELECT s2.n_name, CAST(count(*) AS BIGINT) AS n_cust,
+                CAST(sum(CASE WHEN x * 2 < q1 * 2 - (q3 - q1) * 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+                CAST(sum(CASE WHEN x * 2 > q3 * 2 + (q3 - q1) * 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+                CAST(first(q1) AS BIGINT) AS q1, CAST(first(q3) AS BIGINT) AS q3
+         FROM s2 JOIN q USING (n_name) GROUP BY s2.n_name""",
+    // same recursive closure as p_leak_split; fold from the root's
+    // salted md5 prefix at the i·256/5 hex boundaries
+    "p_kfold" ->
+      """WITH RECURSIVE tok AS (SELECT doc_id,
+             list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS w FROM documents),
+         sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+                FROM tok CROSS JOIN unnest(generate_series(1, len(w) - 2)) AS t(i)
+                WHERE len(w) >= 3),
+         sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+         inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+                   FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2),
+         pairs AS (SELECT id_a, id_b
+                   FROM inter JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
+                   WHERE CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter) >= 0.5),
+         edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                   UNION ALL SELECT id_b, id_a FROM pairs),
+         reach AS (SELECT src AS id, src AS r FROM edges
+                   UNION
+                   SELECT reach.id, edges.dst FROM reach JOIN edges ON reach.r = edges.src),
+         comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+         rooted AS (SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS root
+                    FROM documents d LEFT JOIN comp c ON d.doc_id = c.id),
+         h AS (SELECT doc_id, root,
+                      substr(md5(CAST(root AS VARCHAR) || ':fold'), 1, 2) AS hx
+               FROM rooted)
+         SELECT doc_id, root,
+                CASE WHEN hx < '33' THEN 0 WHEN hx < '66' THEN 1
+                     WHEN hx < '99' THEN 2 WHEN hx < 'cc' THEN 3
+                     ELSE 4 END AS fold
+         FROM h""",
     // integer-only datasheet: counts + discrete percentiles, one row
     // per metric — ratio-shaped numbers live in the dedicated cards
     "d_datasheet" ->

@@ -1334,6 +1334,39 @@ object Analytics {
           .as("mean_spend"))
   }
 
+  /** Tukey-fence outlier census per nation — the robust screen that
+    * doesn't need a variance (one wild account would drag a z-score's
+    * own yardstick). Quartiles are DISCRETE (`percentile_disc` —
+    * actual observed cents, engine-identical), and the 1.5·IQR fences
+    * never materialize as fractions: `x < q1 − 1.5·IQR` is compared as
+    * the integer cross-multiply `2x < 2q1 − 3(q3−q1)`. One customer
+    * aggregate + a ≤|nations|-row quartile broadcast. */
+  def tukeyOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val spend = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(sum(cents(col("o_totalprice"))).as("x"))
+      .join(Tables.customer(spark, dir)
+        .select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, dir)
+        .select(col("n_nationkey"), col("n_name"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name"), col("x"))
+    val quarts = spend.groupBy(col("n_name"))
+      .agg(expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY x)")
+        .cast("long").as("q1"),
+        expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY x)")
+          .cast("long").as("q3"))
+    spend.join(broadcast(quarts), "n_name")
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_cust"),
+        sum(when(col("x") * 2 < col("q1") * 2 - (col("q3") - col("q1")) * 3, 1L)
+          .otherwise(0L)).as("n_low"),
+        sum(when(col("x") * 2 > col("q3") * 2 + (col("q3") - col("q1")) * 3, 1L)
+          .otherwise(0L)).as("n_high"),
+        first(col("q1")).as("q1"), first(col("q3")).as("q3"))
+  }
+
   /** Benford first-digit audit of order totals — the classic
     * books-cooked screen (real transactional amounts lean log-uniform;
     * fabricated ones don't). The first significant digit is taken from

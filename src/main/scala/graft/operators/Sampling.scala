@@ -368,6 +368,26 @@ object Sampling {
           / count(lit(1))) / 1e6).as("mean_quality"))
   }
 
+  /** Leakage-safe K-FOLD assignment — [[leakSafeSplit]]'s property at
+    * cross-validation shape: the fold is hashed from each near-dup
+    * component's ROOT, so no mined pair ever straddles folds. Fold
+    * boundaries are the hex prefixes at i·256/k (k=5 → '33' '66' '99'
+    * 'cc': 51/51/51/51/52 of 256 — deterministic, approximately equal,
+    * and literally mirrorable in any engine with md5). */
+  def kfoldLeakSafe(docs: DataFrame, pairs: DataFrame, k: Int = 5): DataFrame = {
+    require(k >= 2 && k <= 256, "kfoldLeakSafe: k in [2, 256]")
+    val comp = graft.operators.Dedup.connectedComponents(pairs)
+    val rooted = docs.join(comp, docs("doc_id") === comp("id"), "left")
+      .select(docs("doc_id"),
+        coalesce(col("component"), docs("doc_id")).as("root"))
+    val b = saltedHex(col("root"), lit(":fold"), 2)
+    val bounds = (1 until k).map(i => f"${i * 256 / k}%02x")
+    val fold = bounds.zipWithIndex.foldRight(lit(k - 1)) {
+      case ((bd, i), els) => when(b < lit(bd), lit(i)).otherwise(els)
+    }
+    rooted.withColumn("fold", fold.cast("int"))
+  }
+
   def leakSafeSplit(docs: DataFrame, pairs: DataFrame): DataFrame = {
     val comp = graft.operators.Dedup.connectedComponents(pairs)
     docs.join(comp, docs("doc_id") === comp("id"), "left")

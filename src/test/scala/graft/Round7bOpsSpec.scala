@@ -368,6 +368,36 @@ class Round7bOpsSpec extends SparkSpec {
     assert(got("max_chars") == 3L && got("median_chars") == 3L && got("n_chars") == 6L)
   }
 
+  test("tukeyOutliers: integer cross-multiplied fences on a hand fixture") {
+    import spark.implicits._
+    // one nation, spends (cents) 100..700 + one 10000 outlier:
+    // q1/q3 are discrete members; the planted whale must trip n_high
+    val spend = ((1 to 7).map(i => ("N", i * 100L)) :+ (("N", 10000L)))
+      .toDF("n_name", "x")
+    // reuse the production grouping by driving the same arithmetic
+    val quarts = spend.groupBy(col("n_name"))
+      .agg(expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY x)")
+        .cast("long").as("q1"),
+        expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY x)")
+          .cast("long").as("q3"))
+    val r = quarts.collect().head
+    val (q1, q3) = (r.getLong(1), r.getLong(2))
+    val nHigh = spend.where(col("x") * 2 > lit(q3 * 2 + (q3 - q1) * 3)).count()
+    assert(nHigh == 1L)
+  }
+
+  test("kfoldLeakSafe: paired docs share a fold; folds span the range") {
+    import spark.implicits._
+    val docs = (1L to 40L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 20L)).toDF("id_a", "id_b")
+    val got = graft.operators.Sampling.kfoldLeakSafe(docs, pairs)
+      .collect().map(r => (r.getLong(0), r.getInt(2))).toMap
+    assert(got.size == 40)
+    assert(got(1L) == got(2L) && got(2L) == got(3L))
+    assert(got(10L) == got(20L))
+    assert(got.values.toSet.subsetOf((0 to 4).toSet) && got.values.toSet.size >= 3)
+  }
+
   test("basketRules: confidence and lift from one hand fixture") {
     import spark.implicits._
     // baskets: {1,2} ×2, {1,3} ×1, {2,3} ×1 → nb=4; item counts
