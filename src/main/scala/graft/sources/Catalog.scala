@@ -68,10 +68,12 @@ class Catalog(spark: SparkSession, baseDir: String,
     * concurrent refreshes would each merge against the same pre-state
     * and the second swap would silently drop the first delta. Distinct
     * names are independent. */
-  def refreshAggMv(name: String, deltaAgg: DataFrame, keys: Seq[String]): DataFrame = {
+  def refreshAggMv(name: String, deltaAgg: DataFrame, keys: Seq[String],
+      batchId: Option[Long] = None): DataFrame = {
     val dir = s"$derivedDir/$name"
     val counterCols = deltaAgg.columns.filterNot(keys.contains)
     require(counterCols.nonEmpty, s"refreshAggMv($name): no counter columns")
+    if (alreadyApplied(dir, batchId)) return spark.read.parquet(dir)
     def reAgg(df: DataFrame) = df.groupBy(keys.map(col): _*)
       .agg(sum(col(counterCols.head)).as(counterCols.head),
         counterCols.tail.map(c => sum(col(c)).as(c)): _*)
@@ -79,14 +81,53 @@ class Catalog(spark: SparkSession, baseDir: String,
       if (hasSuccess(dir))
         reAgg(spark.read.parquet(dir).unionByName(deltaAgg))
       else reAgg(deltaAgg)
+    commitSwap(dir, merged, batchId, s"refreshAggMv($name)")
+    spark.read.parquet(dir)
+  }
+
+  /** EXACTLY-ONCE guard for retried refreshes: a caller that passes the
+    * engine's microbatch id (foreachBatch hands it over) makes the
+    * refresh idempotent — a retry of an already-committed batch is a
+    * no-op, because the applied id travels INSIDE the committed state
+    * dir (an `_`-prefixed sidecar the parquet reader ignores) and swaps
+    * atomically with it. Without this, a foreachBatch retry after a
+    * sink failure would merge the same delta twice — the classic
+    * at-least-once double-count. Monotone contract: batch ids must not
+    * decrease across successful refreshes (Structured Streaming's are
+    * strictly increasing). */
+  private def alreadyApplied(dir: String, batchId: Option[Long]): Boolean =
+    batchId.exists { id =>
+      hasSuccess(dir) && {
+        val m = new Path(s"$dir/$BatchMarker")
+        val fs = m.getFileSystem(hconf)
+        fs.exists(m) && {
+          val in = fs.open(m)
+          val last = try new String(in.readAllBytes(),
+            java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+          finally in.close()
+          last >= id
+        }
+      }
+    }
+
+  private val BatchMarker = "_graft_last_batch"
+
+  /** Materialize `merged` into `dir.tmp`, stamp the batch marker, then
+    * atomically swap into `dir` (shared by both MV flavors). */
+  private def commitSwap(dir: String, merged: DataFrame,
+      batchId: Option[Long], what: String): Unit = {
     val live = new Path(dir)
     val tmp = new Path(s"$dir.tmp")
     val fs = live.getFileSystem(hconf)
     merged.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    batchId.foreach { id =>
+      val out = fs.create(new Path(tmp, BatchMarker), true)
+      try out.write(id.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    }
     fs.delete(live, true)
     if (!fs.rename(tmp, live))
-      throw new java.io.IOException(s"refreshAggMv($name): swap rename failed")
-    spark.read.parquet(dir)
+      throw new java.io.IOException(s"$what: swap rename failed")
   }
 
   /** Durable CDC (change-data-capture) view maintenance — the
@@ -105,22 +146,17 @@ class Catalog(spark: SparkSession, baseDir: String,
     * durability; refresh cost O(|stored keys| + |batch|). The
     * LIVE VIEW of the state is `cdcState(name)` — upserts only. */
   def refreshCdcMv(name: String, changes: DataFrame, key: String,
-      seqCol: String, opCol: String): DataFrame = {
+      seqCol: String, opCol: String, batchId: Option[Long] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val dir = s"$derivedDir/$name"
+    if (alreadyApplied(dir, batchId)) return spark.read.parquet(dir)
     val all =
       if (hasSuccess(dir)) spark.read.parquet(dir).unionByName(changes)
       else changes
     val w = Window.partitionBy(col(key)).orderBy(col(seqCol).desc)
     val merged = all.withColumn("__rn", row_number().over(w))
       .where(col("__rn") === 1).drop("__rn")
-    val live = new Path(dir)
-    val tmp = new Path(s"$dir.tmp")
-    val fs = live.getFileSystem(hconf)
-    merged.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-    fs.delete(live, true)
-    if (!fs.rename(tmp, live))
-      throw new java.io.IOException(s"refreshCdcMv($name): swap rename failed")
+    commitSwap(dir, merged, batchId, s"refreshCdcMv($name)")
     spark.read.parquet(dir)
   }
 
@@ -128,6 +164,22 @@ class Catalog(spark: SparkSession, baseDir: String,
     * (tombstones dropped, bookkeeping columns pruned). */
   def cdcState(name: String, opCol: String): DataFrame =
     mvState(name).where(col(opCol) === "u").drop(opCol)
+
+  /** Commit ANY derived table as Catalog-owned durable state — the
+    * generic form of the MV/ANN persistence: tmp-swap + `_SUCCESS`, a
+    * fresh session reads it back with [[loadDerived]]. The production
+    * home for prebuilt indexes (e.g. `Dedup.buildMinhashIndex`
+    * signatures — sign the corpus once, dedup every future batch
+    * against the stored index without touching corpus text again). */
+  def saveDerived(name: String, df: DataFrame): Unit =
+    commitSwap(s"$derivedDir/$name", df, None, s"saveDerived($name)")
+
+  /** Read a [[saveDerived]]-committed table (throws when uncommitted —
+    * a torn save never serves). */
+  def loadDerived(name: String): DataFrame = {
+    require(hasSuccess(s"$derivedDir/$name"), s"no committed derived table: $name")
+    spark.read.parquet(s"$derivedDir/$name")
+  }
 
   /** Persist an IVF ANN index as Catalog-owned durable state — the
     * "index once, query many" production shape: assignments and

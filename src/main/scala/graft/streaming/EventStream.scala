@@ -508,12 +508,13 @@ object EventStream {
     val cat = new Catalog(spark, sfDir,
       Some(Catalog.warehouseLayoutRoot(spark, sfDir)))
     cat.dropDerived("events_type_mv")
-    Replay.runForeachBatch(spark, src, maxFilesPerTrigger) { batch =>
+    Replay.runForeachBatch(spark, src, maxFilesPerTrigger) { (batch, id) =>
       val delta = batch.where(col("user_id") =!= src.sentinelUser)
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("cnt"),
           sum(expr("CAST(round(value * 100) AS BIGINT)")).as("value_cents"))
-      cat.refreshAggMv("events_type_mv", delta, Seq("event_type")): Unit
+      // batch id makes a retried microbatch a no-op (exactly-once)
+      cat.refreshAggMv("events_type_mv", delta, Seq("event_type"), Some(id)): Unit
     }
     cat.mvState("events_type_mv")
       .select(col("event_type"), col("cnt"),
@@ -600,13 +601,14 @@ object EventStream {
     val cat = new Catalog(spark, sfDir,
       Some(Catalog.warehouseLayoutRoot(spark, sfDir)))
     cat.dropDerived("events_user_cdc")
-    Replay.runForeachBatch(spark, src, maxFilesPerTrigger) { batch =>
+    Replay.runForeachBatch(spark, src, maxFilesPerTrigger) { (batch, id) =>
       val changes = batch.where(col("user_id") =!= src.sentinelUser)
         .select(col("user_id"), col("tsu").as("seq"),
           when(col("event_type") === "error", "d").otherwise("u").as("op"),
           col("event_type").as("last_type"),
           expr("CAST(round(value * 100) AS BIGINT)").as("value_cents"))
-      cat.refreshCdcMv("events_user_cdc", changes, "user_id", "seq", "op"): Unit
+      cat.refreshCdcMv("events_user_cdc", changes, "user_id", "seq", "op",
+        Some(id)): Unit
     }
     cat.cdcState("events_user_cdc", "op")
       .select(col("user_id"), col("seq").as("last_seq_us"),

@@ -130,14 +130,14 @@ object Replay {
     * which is exactly the caller-serialization contract
     * `Catalog.refreshAggMv` requires. */
   def runForeachBatch(spark: SparkSession, src: Source,
-      maxFilesPerTrigger: Int = 4)(each: DataFrame => Unit): Long = {
+      maxFilesPerTrigger: Int = 4)(each: (DataFrame, Long) => Unit): Long = {
     val runDir = root.resolve(s"run-${runCounter.incrementAndGet()}")
     val stream = spark.readStream.schema(src.schema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(src.dir)
     val n = new java.util.concurrent.atomic.AtomicLong(0L)
     val q = stream.writeStream
-      .foreachBatch((df: DataFrame, _: Long) => { each(df); n.incrementAndGet(): Unit })
+      .foreachBatch((df: DataFrame, id: Long) => { each(df, id); n.incrementAndGet(): Unit })
       .option("checkpointLocation", runDir.resolve("ckpt").toString)
       .start()
     try q.processAllAvailable() finally q.stop()

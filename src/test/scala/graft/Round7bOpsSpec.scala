@@ -398,6 +398,43 @@ class Round7bOpsSpec extends SparkSpec {
     assert(got.values.toSet.subsetOf((0 to 4).toSet) && got.values.toSet.size >= 3)
   }
 
+  test("refreshAggMv with a batch id is exactly-once under retries") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-spec-eo").toString
+    val cat = new graft.sources.Catalog(spark, root)
+    val d1 = Seq(("a", 1L)).toDF("k", "n")
+    cat.refreshAggMv("mv", d1, Seq("k"), Some(0L))
+    // RETRY of batch 0 (the at-least-once double-apply) must be a no-op
+    cat.refreshAggMv("mv", d1, Seq("k"), Some(0L))
+    assert(cat.mvState("mv").collect().map(r => r.getLong(1)).toSeq == Seq(1L))
+    // next batch applies; a replay of either past id is still a no-op
+    cat.refreshAggMv("mv", d1, Seq("k"), Some(1L))
+    cat.refreshAggMv("mv", d1, Seq("k"), Some(0L))
+    cat.refreshAggMv("mv", d1, Seq("k"), Some(1L))
+    assert(cat.mvState("mv").collect().map(r => r.getLong(1)).toSeq == Seq(2L))
+    // id-less refreshes keep the historical at-will semantics
+    cat.refreshAggMv("mv", d1, Seq("k"))
+    assert(cat.mvState("mv").collect().map(r => r.getLong(1)).toSeq == Seq(3L))
+  }
+
+  test("saveDerived/loadDerived: the minhash index survives a fresh session") {
+    val root = java.nio.file.Files.createTempDirectory("graft-spec-sig").toString
+    val docs = Tables.documents(spark, sfDir)
+    val idx = graft.operators.Dedup.buildMinhashIndex(docs)
+    new graft.sources.Catalog(spark, root).saveDerived("sig_index", idx)
+    val loaded = new graft.sources.Catalog(spark, root).loadDerived("sig_index")
+    val batch = docs.limit(50)
+      .withColumn("doc_id", col("doc_id") + 1000000L)
+    val live = graft.operators.Dedup.dedupAgainstIndex(idx, batch)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val disk = graft.operators.Dedup.dedupAgainstIndex(loaded, batch)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(live.nonEmpty && disk == live)
+    intercept[IllegalArgumentException] {
+      new graft.sources.Catalog(spark, root).loadDerived("nope")
+    }
+  }
+
   test("basketRules: confidence and lift from one hand fixture") {
     import spark.implicits._
     // baskets: {1,2} ×2, {1,3} ×1, {2,3} ×1 → nb=4; item counts
