@@ -468,6 +468,19 @@ object SparkEntry {
     "d_datasheet" -> ((s, d) =>
       TextAnalysis.datasheet(Tables.documents(s, d))),
     "q_tukey" -> ((s, d) => Analytics.tukeyOutliers(s, d)),
+    "e_funnel_rates" -> ((s, d) => Events.funnelRates(Tables.events(s, d))),
+    // ingest-gate contract card: every rule's violation count must be 0
+    "fs_contract" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      graft.sources.Catalog.contractCard(Tables.orders(s, d),
+        predicates = Seq(
+          "totalprice_positive" -> (col("o_totalprice") > 0),
+          "status_domain" -> col("o_orderstatus").isin("F", "O", "P"),
+          "orderdate_not_null" -> col("o_orderdate").isNotNull),
+        uniqueKeys = Seq("orderkey_unique" -> "o_orderkey"),
+        foreignKeys = Seq(("custkey_fk", "o_custkey",
+          Tables.customer(s, d), "c_custkey")))
+    }),
     // k-fold with the same exact-pair mine as p_leak_split: no mined
     // near-dup pair ever straddles folds
     "p_kfold" -> ((s, d) => Sampling.kfoldLeakSafe(Tables.documents(s, d),
@@ -3114,6 +3127,52 @@ object SparkEntry {
                 CAST(count(DISTINCT l_linestatus) AS BIGINT),
                 CAST(sum(CASE WHEN l_linestatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
                 min(l_linestatus), max(l_linestatus) FROM lineitem""",
+    // step counts + conversions over the same earliest-completion chain
+    "e_funnel_rates" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS tsu FROM events),
+         s1 AS (SELECT user_id, min(tsu) AS t1 FROM e WHERE event_type = 'signup' GROUP BY 1),
+         s2 AS (SELECT e.user_id, min(tsu) AS t2 FROM e JOIN s1 USING (user_id)
+                WHERE event_type = 'view' AND tsu > t1 GROUP BY 1),
+         s3 AS (SELECT e.user_id, min(tsu) AS t3 FROM e JOIN s2 USING (user_id)
+                WHERE event_type = 'click' AND tsu > t2 GROUP BY 1),
+         s4 AS (SELECT e.user_id, min(tsu) AS t4 FROM e JOIN s3 USING (user_id)
+                WHERE event_type = 'purchase' AND tsu > t3 GROUP BY 1)
+         SELECT 1 AS step_idx, 'signup' AS step,
+                (SELECT CAST(count(*) AS BIGINT) FROM s1) AS n_users, 1.0 AS conversion
+         UNION ALL SELECT 2, 'view', (SELECT CAST(count(*) AS BIGINT) FROM s2),
+                floor(CAST((SELECT count(*) FROM s2) AS DOUBLE)
+                      / (SELECT count(*) FROM s1) * 1000000 + 0.5) / 1000000
+         UNION ALL SELECT 3, 'click', (SELECT CAST(count(*) AS BIGINT) FROM s3),
+                floor(CAST((SELECT count(*) FROM s3) AS DOUBLE)
+                      / (SELECT count(*) FROM s2) * 1000000 + 0.5) / 1000000
+         UNION ALL SELECT 4, 'purchase', (SELECT CAST(count(*) AS BIGINT) FROM s4),
+                floor(CAST((SELECT count(*) FROM s4) AS DOUBLE)
+                      / (SELECT count(*) FROM s3) * 1000000 + 0.5) / 1000000""",
+    // contract card: null predicate results are non-violations on both
+    // sides (CASE WHEN NOT p falls through)
+    "fs_contract" ->
+      """SELECT 'totalprice_positive' AS rule,
+                CAST(sum(CASE WHEN NOT (o_totalprice > 0) THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
+         FROM orders
+         UNION ALL
+         SELECT 'status_domain',
+                CAST(sum(CASE WHEN NOT (o_orderstatus IN ('F', 'O', 'P')) THEN 1 ELSE 0 END) AS BIGINT)
+         FROM orders
+         UNION ALL
+         SELECT 'orderdate_not_null',
+                CAST(sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         FROM orders
+         UNION ALL
+         SELECT 'orderkey_unique',
+                CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT)
+         FROM orders
+         UNION ALL
+         SELECT 'custkey_fk',
+                (SELECT CAST(count(*) AS BIGINT)
+                 FROM orders o
+                 LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+                   ON o.o_custkey = c.c_custkey
+                 WHERE c.c_custkey IS NULL)""",
     // discrete quartiles; 1.5·IQR fences as integer cross-multiplies
     "q_tukey" ->
       """WITH spend AS (SELECT o_custkey,

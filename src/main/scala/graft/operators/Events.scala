@@ -311,6 +311,27 @@ object Events {
         col(s"t${i + 1}").as(s"first_${steps(i)}")): _*)
   }
 
+  /** Step-count / conversion-rate card over [[funnelSteps]]: one row
+    * per step with reached-user count and the conversion from the
+    * previous step (step 1 converts from itself = 1.0). One aggregate
+    * over the funnel's user-grain output — k counts, k−1 closing
+    * divisions. */
+  def funnelRates(events: DataFrame,
+      steps: Seq[String] = Seq("signup", "view", "click", "purchase")): DataFrame = {
+    val f = funnelSteps(events, steps)
+    val agg = f.agg(
+      count(col(s"first_${steps.head}")).as("__n0"),
+      steps.tail.zipWithIndex.map { case (st, i) =>
+        count(col(s"first_$st")).as(s"__n${i + 1}") }: _*)
+    steps.zipWithIndex.map { case (st, i) =>
+      agg.select(lit(i + 1).as("step_idx"), lit(st).as("step"),
+        col(s"__n$i").as("n_users"),
+        if (i == 0) lit(1.0).as("conversion")
+        else round6(col(s"__n$i").cast("double") / col(s"__n${i - 1}"))
+          .as("conversion"))
+    }.reduce(_ unionAll _)
+  }
+
   /** Per-user z-score outliers WITHOUT a square root or any double in
     * the decision: z² > k² rewritten as the integer comparison
     *   (n·x − S)² > k²·(n·Q − S²)

@@ -543,6 +543,50 @@ object Catalog {
           col("n_nulls"), col("min_val"), col("max_val"))
     }.reduce(_ unionAll _)
 
+  /** Data-contract validation card — the Deequ/Great-Expectations
+    * shape as one pass + bounded checks: per rule the VIOLATION count
+    * (0 = the contract holds), so the ingest gate is one `max(n) == 0`
+    * read. Three rule kinds cover the common contracts:
+    * `predicate` rules count rows failing a boolean column expression
+    * (null checks, ranges, regex shapes) in ONE shared scan;
+    * `unique` counts surplus rows over the key's distinct count;
+    * `foreignKey` counts child rows whose key misses the parent
+    * (anti-join — at 100 TB broadcast when the parent is a dimension).
+    * Every rule is SQL-expressible, so the whole card oracle-checks. */
+  def contractCard(df: DataFrame,
+      predicates: Seq[(String, Column)],
+      uniqueKeys: Seq[(String, String)] = Nil,
+      foreignKeys: Seq[(String, String, DataFrame, String)] = Nil): DataFrame = {
+    require(predicates.nonEmpty || uniqueKeys.nonEmpty || foreignKeys.nonEmpty,
+      "contractCard: no rules")
+    // null predicate results count as NON-violations on both engines
+    // (CASE WHEN NOT p falls through) — contracts about nullability
+    // must say isNull/isNotNull explicitly
+    val predCard: Option[DataFrame] =
+      if (predicates.isEmpty) None
+      else Some {
+        val agg = df.agg(
+          sum(when(!predicates.head._2, 1L).otherwise(0L)).as("__v0"),
+          predicates.tail.zipWithIndex.map { case ((_, p), i) =>
+            sum(when(!p, 1L).otherwise(0L)).as(s"__v${i + 1}") }: _*)
+        predicates.indices.map(i => agg.select(
+            lit(predicates(i)._1).as("rule"), col(s"__v$i").as("n_violations")))
+          .reduce(_ unionAll _)
+      }
+    val uniqCards = uniqueKeys.map { case (name, key) =>
+      df.agg((count(lit(1)) - countDistinct(col(key))).as("n_violations"))
+        .select(lit(name).as("rule"), col("n_violations"))
+    }
+    val fkCards = foreignKeys.map { case (name, childKey, parent, parentKey) =>
+      df.select(col(childKey))
+        .join(parent.select(col(parentKey).as(childKey)).distinct(),
+          Seq(childKey), "left_anti")
+        .agg(count(lit(1)).as("n_violations"))
+        .select(lit(name).as("rule"), col("n_violations"))
+    }
+    (predCard.toSeq ++ uniqCards ++ fkCards).reduce(_ unionAll _)
+  }
+
   /** Morton/Z-value of two integer columns: the low `bits` bits of each,
     * interleaved (x even positions, y odd). Bit shifts and masks only —
     * portable to any engine — and the disjoint bit positions make `+`

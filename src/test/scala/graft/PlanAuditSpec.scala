@@ -82,7 +82,10 @@ class PlanAuditSpec extends SparkSpec {
       // (the p_curriculum shape)
       "q_rfm",
       // s_radius: s_ann_brute's keyless shape with a threshold filter
-      "s_radius")
+      "s_radius",
+      // d_datasheet: 1×1 crosses of the three bounded stat aggregates
+      // (the t_vocab_card shape, metric grain after)
+      "d_datasheet")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val plan = fn(spark, sfDir).queryExecution.sparkPlan.toString
       if (plan.contains("BroadcastNestedLoopJoin") && !allowed(name)) Some(name) else None

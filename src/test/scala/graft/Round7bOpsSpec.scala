@@ -435,6 +435,36 @@ class Round7bOpsSpec extends SparkSpec {
     }
   }
 
+  test("contractCard flags each planted defect in its own rule") {
+    import spark.implicits._
+    // planted: one negative price, one dup key, one orphan FK child
+    val child = Seq((1L, 10.0, 100L), (2L, -5.0, 100L), (2L, 7.0, 999L))
+      .toDF("id", "price", "parent_id")
+    val parent = Seq(Tuple1(100L)).toDF("pid")
+    val got = graft.sources.Catalog.contractCard(child,
+      predicates = Seq("price_positive" -> (col("price") > 0)),
+      uniqueKeys = Seq("id_unique" -> "id"),
+      foreignKeys = Seq(("parent_fk", "parent_id", parent, "pid")))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(got == Map("price_positive" -> 1L, "id_unique" -> 1L,
+      "parent_fk" -> 1L))
+  }
+
+  test("funnelRates: counts and conversions from a hand funnel") {
+    import spark.implicits._
+    val ts = (s: Int) => java.sql.Timestamp.valueOf(s"2024-01-01 00:00:0$s")
+    // u1 full path; u2 signup+view only; u3 signup only
+    val e = Seq(
+      (1L, "signup", 1), (1L, "view", 2), (1L, "click", 3), (1L, "purchase", 4),
+      (2L, "signup", 1), (2L, "view", 2), (3L, "signup", 1))
+      .map { case (u, t, s) => (u, t, ts(s)) }.toDF("user_id", "event_type", "ts")
+    val got = graft.operators.Events.funnelRates(e)
+      .collect().map(r => (r.getInt(0), r.getLong(2), r.getDouble(3))).sortBy(_._1)
+    assert(got.toSeq == Seq((1, 3L, 1.0),
+      (2, 2L, math.floor(2.0 / 3 * 1e6 + 0.5) / 1e6),
+      (3, 1L, 0.5), (4, 1L, 1.0)))
+  }
+
   test("basketRules: confidence and lift from one hand fixture") {
     import spark.implicits._
     // baskets: {1,2} ×2, {1,3} ×1, {2,3} ×1 → nb=4; item counts
