@@ -359,9 +359,60 @@ object ScaleSmoke {
         operators.Analytics.basketRules(bigLi)
           .write.format("noop").mode("overwrite").save()
       }
+      time("tukey_1m_orders") {
+        // synthetic nation spread over the shifted keys so quartile
+        // groups scale with customers
+        val spend = bigOrd.groupBy(col("o_custkey"))
+          .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("x"))
+          .withColumn("n_name", concat(lit("N"), pmod(col("o_custkey"), lit(25))))
+          .select(col("n_name"), col("x"))
+        val quarts = spend.groupBy(col("n_name"))
+          .agg(expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY x)")
+            .cast("long").as("q1"),
+            expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY x)")
+              .cast("long").as("q3"))
+        spend.join(broadcast(quarts), "n_name")
+          .groupBy(col("n_name"))
+          .agg(sum(when(col("x") * 2 < col("q1") * 2 - (col("q3") - col("q1")) * 3, 1L)
+            .otherwise(0L)).as("n_low"))
+          .write.format("noop").mode("overwrite").save()
+      }
+      time("contract_1m_orders") {
+        graft.sources.Catalog.contractCard(bigOrd,
+          predicates = Seq(
+            "totalprice_positive" -> (col("o_totalprice") > 0),
+            "orderdate_not_null" -> col("o_orderdate").isNotNull),
+          uniqueKeys = Seq("orderkey_unique" -> "o_orderkey"))
+          .write.format("noop").mode("overwrite").save()
+      }
     }
     time("cusum_1m_events") {
       operators.Events.cusumChangePoint(be)
+        .write.format("noop").mode("overwrite").save()
+    }
+    time("match_1m_events") {
+      operators.Events.matchEpisodes(be)
+        .write.format("noop").mode("overwrite").save()
+    }
+    time("deseason_1m_events") {
+      // the top-k-without-a-corpus-window claim priced at 1M rows
+      operators.Events.deseasonOutliers(be)
+        .write.format("noop").mode("overwrite").save()
+    }
+    time("funnel4_1m_events") {
+      operators.Events.funnelRates(be)
+        .write.format("noop").mode("overwrite").save()
+    }
+    time("runs_1m_events") {
+      operators.Events.runsTest(be)
+        .write.format("noop").mode("overwrite").save()
+    }
+    time("datasheet_100k_docs") {
+      operators.TextAnalysis.datasheet(bd)
+        .write.format("noop").mode("overwrite").save()
+    }
+    time("source_overlap_100k") {
+      operators.TextAnalysis.sourceOverlap(bd)
         .write.format("noop").mode("overwrite").save()
     }
     time("peaks_1m_events") {

@@ -469,6 +469,7 @@ object SparkEntry {
       TextAnalysis.datasheet(Tables.documents(s, d))),
     "q_tukey" -> ((s, d) => Analytics.tukeyOutliers(s, d)),
     "e_funnel_rates" -> ((s, d) => Events.funnelRates(Tables.events(s, d))),
+    "q_wmedian" -> ((s, d) => Analytics.weightedMedian(Tables.lineitem(s, d))),
     // ingest-gate contract card: every rule's violation count must be 0
     "fs_contract" -> ((s, d) => {
       import org.apache.spark.sql.functions.col
@@ -3127,6 +3128,20 @@ object SparkEntry {
                 CAST(count(DISTINCT l_linestatus) AS BIGINT),
                 CAST(sum(CASE WHEN l_linestatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
                 min(l_linestatus), max(l_linestatus) FROM lineitem""",
+    // lower weighted median by 2·S(v) ≥ W, naive window formulation
+    "q_wmedian" ->
+      """WITH vc AS (SELECT l_returnflag AS flag,
+                CAST(round(l_extendedprice * 100) AS BIGINT) AS v,
+                sum(CAST(round(l_quantity) AS BIGINT)) AS wc
+           FROM lineitem GROUP BY 1, 2),
+         s AS (SELECT flag, v, wc,
+                      sum(wc) OVER (PARTITION BY flag ORDER BY v) AS cw,
+                      sum(wc) OVER (PARTITION BY flag) AS wt
+               FROM vc)
+         SELECT flag AS l_returnflag,
+                CAST(min(v) AS DOUBLE) / 100.0 AS wmedian_price,
+                CAST(first(wt) AS BIGINT) AS total_weight
+         FROM s WHERE cw * 2 >= wt GROUP BY flag""",
     // step counts + conversions over the same earliest-completion chain
     "e_funnel_rates" ->
       """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS tsu FROM events),

@@ -1334,6 +1334,32 @@ object Analytics {
           .as("mean_spend"))
   }
 
+  /** WEIGHTED median — an aggregate Spark lacks natively (its
+    * percentile family weights every row equally): the smallest value
+    * v whose cumulative weight reaches half the total (lower weighted
+    * median, the SQL-standard-less convention stated rather than
+    * guessed), decided by the integer cross-multiply 2·S(v) ≥ W. The
+    * cumulative weight runs over the distinct-value grain via the
+    * two-level [[Cumulative.runningSum]] scan, so no window partition
+    * holds the fact table; the oracle replays the naive per-group
+    * window cumsum as the deliberately-opposite formulation. */
+  def weightedMedian(lineitem: DataFrame): DataFrame = {
+    val vc = lineitem.select(col("l_returnflag").as("flag"),
+        cents(col("l_extendedprice")).as("v"),
+        expr("CAST(round(l_quantity) AS BIGINT)").as("w"))
+      .groupBy(col("flag"), col("v"))
+      .agg(sum(col("w")).as("wc"))
+    val s = Cumulative.runningSum(vc, Seq("flag"), "v", "wc", "cw")
+    val tot = vc.groupBy(col("flag")).agg(sum(col("wc")).as("wt"))
+    s.join(broadcast(tot), "flag")
+      .where(col("cw") * 2 >= col("wt"))
+      .groupBy(col("flag"))
+      .agg(min(col("v")).as("mv"), first(col("wt")).as("total_weight"))
+      .select(col("flag").as("l_returnflag"),
+        (col("mv").cast("double") / 100.0).as("wmedian_price"),
+        col("total_weight"))
+  }
+
   /** Tukey-fence outlier census per nation — the robust screen that
     * doesn't need a variance (one wild account would drag a z-score's
     * own yardstick). Quartiles are DISCRETE (`percentile_disc` —

@@ -465,6 +465,20 @@ class Round7bOpsSpec extends SparkSpec {
       (3, 1L, 0.5), (4, 1L, 1.0)))
   }
 
+  test("weightedMedian: lower-median convention on a hand fixture") {
+    import spark.implicits._
+    // prices (cents) 100 w=1, 200 w=2, 300 w=1 → W=4; S(100)=1 (2<4),
+    // S(200)=3 (6≥4) → wmedian 2.00. Equal-split case: 100 w=1,
+    // 200 w=1 → W=2, S(100)=1, 2·1 ≥ 2 → LOWER median 1.00
+    val li = Seq(("A", 1.00, 1.0), ("A", 2.00, 2.0), ("A", 3.00, 1.0),
+      ("B", 1.00, 1.0), ("B", 2.00, 1.0))
+      .toDF("l_returnflag", "l_extendedprice", "l_quantity")
+    val got = graft.operators.Analytics.weightedMedian(li)
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+      .sortBy(_._1)
+    assert(got.toSeq == Seq(("A", 2.0, 4L), ("B", 1.0, 2L)))
+  }
+
   test("basketRules: confidence and lift from one hand fixture") {
     import spark.implicits._
     // baskets: {1,2} ×2, {1,3} ×1, {2,3} ×1 → nb=4; item counts
