@@ -54,7 +54,8 @@ object Shell {
           "neardup <src> [t] | bpe <src> [n] | buckets <src> | kmeans <src> [k] | " +
           "ann <src> [k] | pagerank [iters] | triangles | degrees | bfs | " +
           "gini | audit | vacuum | analyze <tbl> [cols...] | abc | rfm | " +
-          "benford | changepoints | exit | <sql>")
+          "benford | changepoints | publish <src> <dest> | " +
+          "explain <sql> | exit | <sql>")
       case "ls" :: Nil => cat.list().foreach(println)
       case "stats" :: Nil => cat.stats().show(100, truncate = false)
       case "nodes" :: Nil => cat.executorStats().show(100, truncate = false)
@@ -168,6 +169,14 @@ object Shell {
       case "changepoints" :: Nil =>
         operators.Events.cusumChangePoint(Tables.events(spark, dir))
           .orderBy("event_type").show(truncate = false)
+      case "publish" :: src :: dest :: Nil =>
+        // end-to-end release: prep → shard → committed shards +
+        // manifest/datasheet/contract sidecars under the Catalog
+        operators.CorpusPipeline.publish(cat, cat.table(src), dest)
+          .show(truncate = false)
+        println(s"published $src -> ${cat.derivedDir}/$dest")
+      case "explain" :: rest if rest.nonEmpty =>
+        spark.sql(rest.mkString(" ")).explain("formatted")
       case _ => spark.sql(line).show(50, truncate = false)
     }
     true

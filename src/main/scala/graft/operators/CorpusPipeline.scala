@@ -269,4 +269,42 @@ object CorpusPipeline {
     }
     clean.withColumn("split", Sampling.splitColumn(col("doc_id")))
   }
+
+  /** PUBLISH — the dataset-release verb: [[prepare]] the corpus, give
+    * it the deterministic training order/sharding, and COMMIT the
+    * release as Catalog-owned durable state with its audit sidecars:
+    * `<dest>/shards` (the kept docs + split/pos/shard), `/manifest`
+    * (per-shard doc/token/char/source census), `/datasheet` (the
+    * integer corpus card), `/contract` (text-nonempty + unique-id
+    * violations — a publisher gates on max == 0). Everything rides
+    * [[graft.sources.Catalog.saveDerived]]'s tmp-swap + `_SUCCESS`,
+    * so a torn publish never serves and a FRESH session reads the
+    * release from disk alone. Returns the release summary as an
+    * integer (metric, value) card. */
+  def publish(cat: graft.sources.Catalog, docs: DataFrame, dest: String,
+      shardSize: Long = 1000): DataFrame = {
+    val r = prepare(docs)
+    try {
+      val kept = docs.join(r.corpus.select(col("doc_id"), col("split")), "doc_id")
+      val sharded = kept.join(
+        Sampling.shuffleOrder(kept, shardSize), "doc_id")
+      cat.saveDerived(s"$dest/shards", sharded)
+      cat.saveDerived(s"$dest/manifest",
+        Sampling.shardManifest(kept, shardSize))
+      cat.saveDerived(s"$dest/datasheet", TextAnalysis.datasheet(kept))
+      cat.saveDerived(s"$dest/contract",
+        graft.sources.Catalog.contractCard(kept,
+          predicates = Seq("text_nonempty" -> (length(col("text")) > 0)),
+          uniqueKeys = Seq("doc_id_unique" -> "doc_id")))
+    } finally r.release()
+    val sh = cat.loadDerived(s"$dest/shards")
+    val base = sh.agg(count(lit(1)).as("n_docs"),
+      countDistinct(col("shard")).as("n_shards"))
+    val viol = cat.loadDerived(s"$dest/contract")
+      .agg(max(col("n_violations")).as("max_violations"))
+    val one = base.crossJoin(broadcast(viol))
+    Seq("n_docs", "n_shards", "max_violations").map(m =>
+        one.select(lit(m).as("metric"), col(m).cast("long").as("value")))
+      .reduce(_ unionAll _)
+  }
 }

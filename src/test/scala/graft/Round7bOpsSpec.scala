@@ -479,6 +479,35 @@ class Round7bOpsSpec extends SparkSpec {
     assert(got.toSeq == Seq(("A", 2.0, 4L), ("B", 1.0, 2L)))
   }
 
+  test("publish commits a complete, internally-consistent release") {
+    val root = java.nio.file.Files.createTempDirectory("graft-spec-pub").toString
+    val docs = Tables.documents(spark, sfDir)
+    val cat = new graft.sources.Catalog(spark, root)
+    val summary = graft.operators.CorpusPipeline.publish(cat, docs, "rel1", 100)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    // a FRESH Catalog reads the whole release from disk
+    val cat2 = new graft.sources.Catalog(spark, root)
+    val shards = cat2.loadDerived("rel1/shards")
+    val manifest = cat2.loadDerived("rel1/manifest")
+    val contract = cat2.loadDerived("rel1/contract")
+    val datasheet = cat2.loadDerived("rel1/datasheet")
+    val n = shards.count()
+    assert(summary("n_docs") == n && n > 0 && n <= docs.count())
+    // manifest docs sum == shard rows; shard count agrees
+    assert(manifest.agg(sum("n_docs")).head().getLong(0) == n)
+    assert(summary("n_shards") ==
+      shards.select("shard").distinct().count())
+    // the published corpus passes its own contract
+    assert(summary("max_violations") == 0L)
+    assert(contract.agg(max("n_violations")).head().getLong(0) == 0L)
+    // datasheet counted the same corpus
+    val dsDocs = datasheet.where(col("metric") === "n_docs")
+      .head().getLong(1)
+    assert(dsDocs == n)
+    // split survived into the shards
+    assert(shards.columns.contains("split") && shards.columns.contains("pos"))
+  }
+
   test("basketRules: confidence and lift from one hand fixture") {
     import spark.implicits._
     // baskets: {1,2} ×2, {1,3} ×1, {2,3} ×1 → nb=4; item counts

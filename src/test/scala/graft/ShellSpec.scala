@@ -92,4 +92,14 @@ class ShellProcedureSpec extends SparkSpec {
     assert(Shell.execute("benford", spark, cat, sfDir))
     assert(Shell.execute("changepoints", spark, cat, sfDir))
   }
+
+  test("publish and explain verbs run from the shell") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-shell-pub").toString
+    Tables.documents(spark, sfDir).write.parquet(s"$dir/documents.parquet")
+    val cat = new Catalog(spark, dir)
+    cat.registerAll()
+    assert(Shell.execute("publish documents release_v1", spark, cat, dir))
+    assert(cat.loadDerived("release_v1/shards").count() > 0)
+    assert(Shell.execute("explain SELECT count(*) FROM documents", spark, cat, dir))
+  }
 }
