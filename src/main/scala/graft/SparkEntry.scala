@@ -470,6 +470,7 @@ object SparkEntry {
     "q_tukey" -> ((s, d) => Analytics.tukeyOutliers(s, d)),
     "e_funnel_rates" -> ((s, d) => Events.funnelRates(Tables.events(s, d))),
     "q_wmedian" -> ((s, d) => Analytics.weightedMedian(Tables.lineitem(s, d))),
+    "e_growth" -> ((s, d) => Events.growthAccounting(Tables.events(s, d))),
     // ingest-gate contract card: every rule's violation count must be 0
     "fs_contract" -> ((s, d) => {
       import org.apache.spark.sql.functions.col
@@ -3128,6 +3129,25 @@ object SparkEntry {
                 CAST(count(DISTINCT l_linestatus) AS BIGINT),
                 CAST(sum(CASE WHEN l_linestatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
                 min(l_linestatus), max(l_linestatus) FROM lineitem""",
+    // weekly user motion; churn lands on the ABSENT week, horizon-bounded
+    "e_growth" ->
+      """WITH a AS (SELECT DISTINCT user_id,
+                epoch_us(ts) // 604800000000 AS wk FROM events),
+         f AS (SELECT user_id, min(wk) AS fw FROM a GROUP BY 1),
+         cur AS (SELECT a.wk,
+                        CASE WHEN a.wk = f.fw THEN 'new'
+                             WHEN p.user_id IS NOT NULL THEN 'retained'
+                             ELSE 'resurrected' END AS status
+                 FROM a JOIN f USING (user_id)
+                 LEFT JOIN a p ON p.user_id = a.user_id AND p.wk = a.wk - 1),
+         ch AS (SELECT p.wk + 1 AS wk, 'churned' AS status
+                FROM a p LEFT JOIN a c
+                  ON c.user_id = p.user_id AND c.wk = p.wk + 1
+                WHERE c.user_id IS NULL
+                  AND (p.wk + 1) IN (SELECT wk FROM a))
+         SELECT wk, status, CAST(count(*) AS BIGINT) AS n_users
+         FROM (SELECT * FROM cur UNION ALL SELECT * FROM ch)
+         GROUP BY 1, 2""",
     // lower weighted median by 2·S(v) ≥ W, naive window formulation
     "q_wmedian" ->
       """WITH vc AS (SELECT l_returnflag AS flag,

@@ -311,6 +311,38 @@ object Events {
         col(s"t${i + 1}").as(s"first_${steps(i)}")): _*)
   }
 
+  /** Growth accounting — the weekly user-motion card (new / retained /
+    * resurrected / churned) behind every DAU/WAU decomposition:
+    * per week, `new` = first-ever week, `retained` = also active the
+    * week before, `resurrected` = active, absent last week, not new;
+    * `churned` = active last week, absent now (attributed to the
+    * ABSENT week, reported only for weeks the stream actually covers
+    * — no phantom week past the horizon). All set algebra on the
+    * distinct (user, week) grain: one distinct scan, then joins keyed
+    * by (user, week) — never a window over raw events. */
+  def growthAccounting(events: DataFrame): DataFrame = {
+    val weekUs = 604800000000L
+    val active = events.select(col("user_id"),
+      expr(s"unix_micros(ts) div $weekUs").as("wk")).distinct()
+    val first = active.groupBy(col("user_id")).agg(min(col("wk")).as("fw"))
+    val prev = active.select(col("user_id"), (col("wk") + 1).as("wk"),
+      lit(1).as("was_prev"))
+    val cur = active.join(first, "user_id")
+      .join(prev, Seq("user_id", "wk"), "left")
+      .select(col("wk"),
+        when(col("wk") === col("fw"), "new")
+          .when(col("was_prev").isNotNull, "retained")
+          .otherwise("resurrected").as("status"))
+    val weeks = active.select(col("wk")).distinct()
+    val churned = prev.select(col("user_id"), col("wk"))
+      .join(active, Seq("user_id", "wk"), "left_anti")
+      .join(broadcast(weeks), Seq("wk"), "left_semi")
+      .select(col("wk"), lit("churned").as("status"))
+    cur.unionAll(churned)
+      .groupBy(col("wk"), col("status"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
   /** Step-count / conversion-rate card over [[funnelSteps]]: one row
     * per step with reached-user count and the conversion from the
     * previous step (step 1 converts from itself = 1.0). One aggregate

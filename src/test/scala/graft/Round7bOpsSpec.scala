@@ -508,6 +508,26 @@ class Round7bOpsSpec extends SparkSpec {
     assert(shards.columns.contains("split") && shards.columns.contains("pos"))
   }
 
+  test("growthAccounting: all four statuses from a hand fixture") {
+    import spark.implicits._
+    val day = (d: Int) => java.sql.Timestamp.valueOf(f"2024-01-${d + 1}%02d 12:00:00")
+    // u1 active weeks {0,1,3}; u2 active weeks {0,2,3} (days 0/7/21 and
+    // 0/14/21) → per relative week: 0: new×2; 1: retained(u1),
+    // churned(u2); 2: churned(u1), resurrected(u2); 3: resurrected(u1),
+    // retained(u2)
+    val e = Seq((1L, 0), (1L, 7), (1L, 21), (2L, 0), (2L, 14), (2L, 21))
+      .map { case (u, d) => (u, day(d)) }.toDF("user_id", "ts")
+    val rows = graft.operators.Events.growthAccounting(e)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val w0 = rows.map(_._1).min
+    val got = rows.map { case (wk, st, n) => ((wk - w0, st), n) }.toMap
+    assert(got == Map(
+      (0L, "new") -> 2L,
+      (1L, "retained") -> 1L, (1L, "churned") -> 1L,
+      (2L, "churned") -> 1L, (2L, "resurrected") -> 1L,
+      (3L, "resurrected") -> 1L, (3L, "retained") -> 1L))
+  }
+
   test("basketRules: confidence and lift from one hand fixture") {
     import spark.implicits._
     // baskets: {1,2} ×2, {1,3} ×1, {2,3} ×1 → nb=4; item counts
