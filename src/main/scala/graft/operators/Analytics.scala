@@ -1285,10 +1285,13 @@ object Analytics {
     val rev = lineitem.groupBy(col("l_partkey"))
       .agg(sum(cents(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
         .as("r"))
+    // pinned: runningSum + the grand total reference this four times;
+    // unpinned, each reference re-scans the fact table
     val vc = rev.groupBy(col("r"))
       .agg(count(lit(1)).as("cnt"))
       .withColumn("mass", col("r") * col("cnt"))
       .withColumn("__g", lit(1))
+      .localCheckpoint()
     val scanned = Cumulative.runningSum(vc, Seq("__g"), "r", "mass", "s_asc")
     val tot = vc.agg(sum(col("mass")).as("t"))
     scanned.crossJoin(broadcast(tot))
@@ -1349,6 +1352,7 @@ object Analytics {
         expr("CAST(round(l_quantity) AS BIGINT)").as("w"))
       .groupBy(col("flag"), col("v"))
       .agg(sum(col("w")).as("wc"))
+      .localCheckpoint() // four references, one fact scan
     val s = Cumulative.runningSum(vc, Seq("flag"), "v", "wc", "cw")
     val tot = vc.groupBy(col("flag")).agg(sum(col("wc")).as("wt"))
     s.join(broadcast(tot), "flag")
@@ -1427,6 +1431,7 @@ object Analytics {
   def lorenzDeciles(orders: DataFrame): DataFrame = {
     val spend = orders.groupBy(col("o_custkey"))
       .agg(sum(cents(col("o_totalprice"))).as("x"))
+      .localCheckpoint() // referenced by the value counts AND the totals
     val vc = spend.groupBy(col("x"))
       .agg(count(lit(1)).as("cnt"))
       .withColumn("__g", lit(1))

@@ -673,11 +673,16 @@ object Events {
     * and n. Overflow contract: n·P at 38 digits allows ~1e19 events of
     * ~1e19 scaled value — guarded loudly like giniByGroup. */
   def cusumChangePoint(events: DataFrame): DataFrame = {
+    // pinned: the two-level scan references its input three times
+    // (bounds / base / offsets) and the totals a fourth — without the
+    // pin each reference re-scans events and re-aggregates (the
+    // d_drift_ks lesson, caught there by the same plan read)
     val vc = events
       .select(col("event_type"), unix_micros(col("ts")).as("tsu"),
         expr("CAST(round(value * 1000000) AS BIGINT)").as("v"))
       .groupBy(col("event_type"), col("tsu"))
       .agg(sum(col("v")).as("vs"), count(lit(1)).as("c"))
+      .localCheckpoint()
     // both prefixes (value sum AND rank) in ONE two-level scan
     val pk = Cumulative.runningSums(vc, Seq("event_type"), "tsu",
       Seq("vs" -> "pv", "c" -> "k"))
