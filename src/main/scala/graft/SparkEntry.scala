@@ -471,6 +471,8 @@ object SparkEntry {
     "e_funnel_rates" -> ((s, d) => Events.funnelRates(Tables.events(s, d))),
     "q_wmedian" -> ((s, d) => Analytics.weightedMedian(Tables.lineitem(s, d))),
     "e_growth" -> ((s, d) => Events.growthAccounting(Tables.events(s, d))),
+    "q_ltv" -> ((s, d) => Analytics.cohortLtv(Tables.orders(s, d))),
+    "e_stickiness" -> ((s, d) => Events.stickiness(Tables.events(s, d))),
     // ingest-gate contract card: every rule's violation count must be 0
     "fs_contract" -> ((s, d) => {
       import org.apache.spark.sql.functions.col
@@ -3129,6 +3131,35 @@ object SparkEntry {
                 CAST(count(DISTINCT l_linestatus) AS BIGINT),
                 CAST(sum(CASE WHEN l_linestatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
                 min(l_linestatus), max(l_linestatus) FROM lineitem""",
+    // LTV triangle: epoch-month cohorts, cumsum at cohort×offset grain
+    "q_ltv" ->
+      """WITH om AS (SELECT o_custkey,
+                (year(o_orderdate) - 1970) * 12 + month(o_orderdate) - 1 AS m,
+                CAST(round(o_totalprice * 100) AS BIGINT) AS x
+           FROM orders),
+         c AS (SELECT o_custkey, min(m) AS cm FROM om GROUP BY 1),
+         cells AS (SELECT cm AS cohort_month, m - cm AS "offset",
+                          CAST(count(DISTINCT om.o_custkey) AS BIGINT) AS n_active,
+                          sum(x) AS rev_c
+                   FROM om JOIN c USING (o_custkey) GROUP BY 1, 2)
+         SELECT CAST(cohort_month AS BIGINT) AS cohort_month,
+                CAST("offset" AS BIGINT) AS offset, n_active,
+                CAST(rev_c AS DOUBLE) / 100.0 AS revenue,
+                CAST(sum(rev_c) OVER (PARTITION BY cohort_month
+                                      ORDER BY "offset") AS DOUBLE) / 100.0 AS cum_revenue
+         FROM cells""",
+    // mean-DAU/WAU; quiet days count as zero (divide by 7, stated)
+    "e_stickiness" ->
+      """WITH ud AS (SELECT DISTINCT user_id,
+                epoch_us(ts) // 86400000000 AS d FROM events),
+         u2 AS (SELECT user_id, d, d // 7 AS wk FROM ud),
+         dau AS (SELECT wk, CAST(count(*) AS BIGINT) AS ads FROM u2 GROUP BY wk),
+         wau AS (SELECT wk, CAST(count(DISTINCT user_id) AS BIGINT) AS wau
+                 FROM u2 GROUP BY wk)
+         SELECT CAST(wau.wk AS BIGINT) AS wk, wau,
+                floor(CAST(ads AS DOUBLE) / 7.0 * 1000000 + 0.5) / 1000000 AS mean_dau,
+                floor(CAST(ads AS DOUBLE) / 7.0 / wau * 1000000 + 0.5) / 1000000 AS stickiness
+         FROM wau JOIN dau USING (wk)""",
     // weekly user motion; churn lands on the ABSENT week, horizon-bounded
     "e_growth" ->
       """WITH a AS (SELECT DISTINCT user_id,

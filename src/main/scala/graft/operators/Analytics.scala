@@ -1337,6 +1337,33 @@ object Analytics {
           .as("mean_spend"))
   }
 
+  /** Cohort LTV triangle — cumulative-revenue-so-far per acquisition
+    * cohort at each month offset, the table every payback analysis
+    * reads. Cohort = the customer's first order month (epoch-month
+    * integer — no calendar string drift); per (cohort, offset):
+    * active-customer count, period revenue, and the cohort's running
+    * cumulative revenue (offsets are small — the cumsum window runs at
+    * cohort×offset grain, bounded metadata, never the fact table). */
+  def cohortLtv(orders: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val om = orders.select(col("o_custkey"),
+      ((year(col("o_orderdate")) - 1970) * 12 + month(col("o_orderdate")) - 1)
+        .cast("long").as("m"),
+      cents(col("o_totalprice")).as("x"))
+    val cohort = om.groupBy(col("o_custkey")).agg(min(col("m")).as("cm"))
+    val cells = om.join(cohort, "o_custkey")
+      .groupBy(col("cm").as("cohort_month"), (col("m") - col("cm")).as("offset"))
+      .agg(countDistinct(col("o_custkey")).as("n_active"),
+        sum(col("x")).as("rev_c"))
+    val w = Window.partitionBy(col("cohort_month")).orderBy(col("offset"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cells
+      .withColumn("cum_rev_c", sum(col("rev_c")).over(w))
+      .select(col("cohort_month"), col("offset"), col("n_active"),
+        (col("rev_c").cast("double") / 100.0).as("revenue"),
+        (col("cum_rev_c").cast("double") / 100.0).as("cum_revenue"))
+  }
+
   /** WEIGHTED median — an aggregate Spark lacks natively (its
     * percentile family weights every row equally): the smallest value
     * v whose cumulative weight reaches half the total (lower weighted

@@ -311,6 +311,30 @@ object Events {
         col(s"t${i + 1}").as(s"first_${steps(i)}")): _*)
   }
 
+  /** Stickiness card — mean-DAU / WAU per week, the "how often do
+    * weekly users show up" engagement ratio: per week the distinct
+    * weekly actives, the mean of the 7 daily-active counts (days with
+    * no events contribute zero — divide by 7, not by observed days;
+    * stated, not guessed), and the ratio as one closing division over
+    * exact integers. Two distinct scans at (user, day) / (user, week)
+    * grain. */
+  def stickiness(events: DataFrame): DataFrame = {
+    val dayUs = 86400000000L
+    val ud = events.select(col("user_id"),
+      expr(s"unix_micros(ts) div $dayUs").as("d")).distinct()
+      .withColumn("wk", expr("d div 7"))
+    val dau = ud.groupBy(col("wk"), col("d"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("wk")).agg(sum(col("n")).as("active_days_sum"))
+    val wau = ud.select(col("user_id"), col("wk")).distinct()
+      .groupBy(col("wk")).agg(count(lit(1)).as("wau"))
+    wau.join(dau, "wk")
+      .select(col("wk"), col("wau"),
+        round6(col("active_days_sum").cast("double") / 7.0).as("mean_dau"),
+        round6(col("active_days_sum").cast("double") / 7.0 / col("wau"))
+          .as("stickiness"))
+  }
+
   /** Growth accounting — the weekly user-motion card (new / retained /
     * resurrected / churned) behind every DAU/WAU decomposition:
     * per week, `new` = first-ever week, `retained` = also active the

@@ -528,6 +528,39 @@ class Round7bOpsSpec extends SparkSpec {
       (3L, "resurrected") -> 1L, (3L, "retained") -> 1L))
   }
 
+  test("cohortLtv: cumulative revenue accrues within a cohort") {
+    import spark.implicits._
+    val ts = (m: Int) => java.sql.Timestamp.valueOf(f"2024-$m%02d-15 00:00:00")
+    // c1 joins in Jan, buys 10 then 20 in Mar; c2 joins in Mar, buys 5
+    val o = Seq((1L, ts(1), 10.00), (1L, ts(3), 20.00), (2L, ts(3), 5.00))
+      .toDF("o_custkey", "o_orderdate", "o_totalprice")
+    val got = graft.operators.Analytics.cohortLtv(o)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    val jan = (2024 - 1970) * 12L + 0
+    val mar = jan + 2
+    assert(got == Map(
+      (jan, 0L) -> ((1L, 10.0, 10.0)),
+      (jan, 2L) -> ((1L, 20.0, 30.0)),
+      (mar, 0L) -> ((1L, 5.0, 5.0))))
+  }
+
+  test("stickiness: quiet days count as zero in the DAU mean") {
+    import spark.implicits._
+    // one user active 2 of 7 days in one epoch week, another active 1:
+    // WAU 2, (user,day) rows 3 → mean_dau 3/7, stickiness 3/14
+    // days 19719..19725 all share epoch week 19719/7 = 2817
+    val day = (d: Long) => new java.sql.Timestamp(d * 86400000L)
+    val e = Seq((1L, 19720L), (1L, 19722L), (2L, 19724L))
+      .map { case (u, d) => (u, day(d)) }.toDF("user_id", "ts")
+    val got = graft.operators.Events.stickiness(e).collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert(r.getLong(1) == 2L)
+    assert(r.getDouble(2) == math.floor(3.0 / 7 * 1e6 + 0.5) / 1e6)
+    assert(r.getDouble(3) == math.floor(3.0 / 7 / 2 * 1e6 + 0.5) / 1e6)
+  }
+
   test("basketRules: confidence and lift from one hand fixture") {
     import spark.implicits._
     // baskets: {1,2} ×2, {1,3} ×1, {2,3} ×1 → nb=4; item counts
