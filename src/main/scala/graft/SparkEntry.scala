@@ -473,6 +473,8 @@ object SparkEntry {
     "e_growth" -> ((s, d) => Events.growthAccounting(Tables.events(s, d))),
     "q_ltv" -> ((s, d) => Analytics.cohortLtv(Tables.orders(s, d))),
     "e_stickiness" -> ((s, d) => Events.stickiness(Tables.events(s, d))),
+    "e_backtest" -> ((s, d) => Events.forecastBacktest(Tables.events(s, d))),
+    "q_new_repeat" -> ((s, d) => Analytics.newVsRepeat(Tables.orders(s, d))),
     // ingest-gate contract card: every rule's violation count must be 0
     "fs_contract" -> ((s, d) => {
       import org.apache.spark.sql.functions.col
@@ -3131,6 +3133,31 @@ object SparkEntry {
                 CAST(count(DISTINCT l_linestatus) AS BIGINT),
                 CAST(sum(CASE WHEN l_linestatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
                 min(l_linestatus), max(l_linestatus) FROM lineitem""",
+    // time-shifted self-join (not row-lag — quiet hours are absent rows)
+    "e_backtest" ->
+      """WITH h AS (SELECT event_type, epoch_us(ts) // 3600000000 AS h,
+                sum(CAST(round(value * 100) AS BIGINT)) AS v
+           FROM events GROUP BY 1, 2),
+         j AS (SELECT a.event_type, a.v, p.v AS pred
+               FROM h a JOIN h p
+                 ON p.event_type = a.event_type AND p.h = a.h - 168)
+         SELECT event_type, CAST(count(*) AS BIGINT) AS n_hours,
+                floor(CAST(sum(abs(v - pred)) AS DOUBLE) / count(*) / 100.0
+                      * 1000000 + 0.5) / 1000000 AS mae
+         FROM j GROUP BY event_type""",
+    // order is NEW in its customer's first epoch-month
+    "q_new_repeat" ->
+      """WITH om AS (SELECT o_custkey,
+                (year(o_orderdate) - 1970) * 12 + month(o_orderdate) - 1 AS m,
+                CAST(round(o_totalprice * 100) AS BIGINT) AS x
+           FROM orders),
+         f AS (SELECT o_custkey, min(m) AS fm FROM om GROUP BY 1)
+         SELECT CAST(m AS BIGINT) AS month,
+                CAST(sum(CASE WHEN m = fm THEN x ELSE 0 END) AS DOUBLE) / 100.0 AS new_revenue,
+                CAST(sum(CASE WHEN m <> fm THEN x ELSE 0 END) AS DOUBLE) / 100.0 AS repeat_revenue,
+                CAST(sum(CASE WHEN m = fm THEN 1 ELSE 0 END) AS BIGINT) AS n_new_orders,
+                CAST(sum(CASE WHEN m <> fm THEN 1 ELSE 0 END) AS BIGINT) AS n_repeat_orders
+         FROM om JOIN f USING (o_custkey) GROUP BY m""",
     // LTV triangle: epoch-month cohorts, cumsum at cohort×offset grain
     "q_ltv" ->
       """WITH om AS (SELECT o_custkey,

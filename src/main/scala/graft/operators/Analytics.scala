@@ -1364,6 +1364,28 @@ object Analytics {
         (col("cum_rev_c").cast("double") / 100.0).as("cum_revenue"))
   }
 
+  /** New-vs-repeat revenue split per month — the acquisition-health
+    * companion to [[cohortLtv]]: an order is NEW when it falls in its
+    * customer's first epoch-month, REPEAT otherwise; per month both
+    * revenues and order counts, all exact cents. One customer-grain
+    * first-month aggregate joined back — no window over orders. */
+  def newVsRepeat(orders: DataFrame): DataFrame = {
+    val om = orders.select(col("o_custkey"),
+      ((year(col("o_orderdate")) - 1970) * 12 + month(col("o_orderdate")) - 1)
+        .cast("long").as("m"),
+      cents(col("o_totalprice")).as("x"))
+    val first = om.groupBy(col("o_custkey")).agg(min(col("m")).as("fm"))
+    om.join(first, "o_custkey")
+      .groupBy(col("m").as("month"))
+      .agg(
+        sum(when(col("m") === col("fm"), col("x")).otherwise(0L))
+          .cast("double").divide(100.0).as("new_revenue"),
+        sum(when(col("m") =!= col("fm"), col("x")).otherwise(0L))
+          .cast("double").divide(100.0).as("repeat_revenue"),
+        sum(when(col("m") === col("fm"), 1L).otherwise(0L)).as("n_new_orders"),
+        sum(when(col("m") =!= col("fm"), 1L).otherwise(0L)).as("n_repeat_orders"))
+  }
+
   /** WEIGHTED median — an aggregate Spark lacks natively (its
     * percentile family weights every row equally): the smallest value
     * v whose cumulative weight reaches half the total (lower weighted

@@ -311,6 +311,33 @@ object Events {
         col(s"t${i + 1}").as(s"first_${steps(i)}")): _*)
   }
 
+  /** Seasonal-naive forecast BACKTEST — "how wrong would last week's
+    * shape have been": per type, predict each hour as the value one
+    * week (168 h) earlier and score MAE over the hours where a
+    * prediction exists, in exact cents (one closing division). The lag
+    * runs at hour grain per type — bounded by the time span — and the
+    * whole card is the honest floor any fancier forecaster must beat
+    * before it ships. */
+  def forecastBacktest(events: DataFrame): DataFrame = {
+    val byHour = events
+      .groupBy(col("event_type"),
+        expr("unix_micros(ts) div 3600000000").as("h"))
+      .agg(sum(cents(col("value"))).as("v"))
+      .localCheckpoint() // referenced as both actuals and predictions
+    // a TIME-shifted self-join, not lag(168) over rows: a quiet hour
+    // is an absent row, and a row-offset lag would silently predict
+    // from the wrong hour across the gap
+    val prev = byHour.select(col("event_type"), (col("h") + 168).as("h"),
+      col("v").as("pred"))
+    byHour.join(prev, Seq("event_type", "h"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_hours"),
+        sum(abs(col("v") - col("pred"))).as("abs_err_c"))
+      .select(col("event_type"), col("n_hours"),
+        round6(col("abs_err_c").cast("double") / col("n_hours") / 100.0)
+          .as("mae"))
+  }
+
   /** Stickiness card — mean-DAU / WAU per week, the "how often do
     * weekly users show up" engagement ratio: per week the distinct
     * weekly actives, the mean of the 7 daily-active counts (days with

@@ -561,6 +561,34 @@ class Round7bOpsSpec extends SparkSpec {
     assert(r.getDouble(3) == math.floor(3.0 / 7 / 2 * 1e6 + 0.5) / 1e6)
   }
 
+  test("forecastBacktest: time-aligned, not row-aligned, across gaps") {
+    import spark.implicits._
+    val hr = (h: Long) => new java.sql.Timestamp(h * 3600000L)
+    // hours 0 and 2 in week 1; hours 168 and 169 in week 2. Hour 168
+    // predicts from hour 0 (err 3.00); hour 169 has NO hour-1 ancestor
+    // (row-lag would wrongly reach hour 2) and scores nothing
+    val e = Seq(("a", hr(0), 1.00), ("a", hr(2), 9.00),
+      ("a", hr(168), 4.00), ("a", hr(169), 5.00))
+      .toDF("event_type", "ts", "value")
+    val got = graft.operators.Events.forecastBacktest(e).collect()
+    assert(got.length == 1)
+    assert((got.head.getLong(1), got.head.getDouble(2)) == ((1L, 3.0)))
+  }
+
+  test("newVsRepeat: first-month orders are new, later ones repeat") {
+    import spark.implicits._
+    val ts = (m: Int) => java.sql.Timestamp.valueOf(f"2024-$m%02d-10 00:00:00")
+    val o = Seq((1L, ts(1), 10.00), (1L, ts(2), 20.00), (2L, ts(2), 5.00))
+      .toDF("o_custkey", "o_orderdate", "o_totalprice")
+    val jan = (2024 - 1970) * 12L
+    val got = graft.operators.Analytics.newVsRepeat(o)
+      .collect().map(r => (r.getLong(0),
+        (r.getDouble(1), r.getDouble(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got == Map(
+      jan -> ((10.0, 0.0, 1L, 0L)),
+      (jan + 1) -> ((5.0, 20.0, 1L, 1L))))
+  }
+
   test("basketRules: confidence and lift from one hand fixture") {
     import spark.implicits._
     // baskets: {1,2} ×2, {1,3} ×1, {2,3} ×1 → nb=4; item counts
