@@ -475,6 +475,12 @@ object SparkEntry {
     "e_stickiness" -> ((s, d) => Events.stickiness(Tables.events(s, d))),
     "e_backtest" -> ((s, d) => Events.forecastBacktest(Tables.events(s, d))),
     "q_new_repeat" -> ((s, d) => Analytics.newVsRepeat(Tables.orders(s, d))),
+    "q_reorder_gap" -> ((s, d) => Analytics.reorderGaps(Tables.orders(s, d))),
+    "fs_histogram" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{col, expr}
+      graft.sources.Catalog.equiDepthHistogram(Tables.orders(s, d),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+    }),
     // ingest-gate contract card: every rule's violation count must be 0
     "fs_contract" -> ((s, d) => {
       import org.apache.spark.sql.functions.col
@@ -3133,6 +3139,40 @@ object SparkEntry {
                 CAST(count(DISTINCT l_linestatus) AS BIGINT),
                 CAST(sum(CASE WHEN l_linestatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
                 min(l_linestatus), max(l_linestatus) FROM lineitem""",
+    // discrete-quartile reorder-gap card; same-day orders gap 0
+    "q_reorder_gap" ->
+      """WITH o AS (SELECT o_custkey, o_orderkey,
+                epoch_us(o_orderdate) // 86400000000 AS d FROM orders),
+         g AS (SELECT d - lag(d) OVER (PARTITION BY o_custkey
+                                       ORDER BY d, o_orderkey) AS gap
+               FROM o)
+         SELECT CAST(count(*) AS BIGINT) AS n_gaps,
+                floor(CAST(sum(gap) AS DOUBLE) / count(*) * 1000000 + 0.5)
+                  / 1000000 AS mean_gap_days,
+                CAST(percentile_disc(0.25) WITHIN GROUP (ORDER BY gap) AS BIGINT) AS p25,
+                CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY gap) AS BIGINT) AS p50,
+                CAST(percentile_disc(0.75) WITHIN GROUP (ORDER BY gap) AS BIGINT) AS p75
+         FROM g WHERE gap IS NOT NULL""",
+    // discrete k-quantile boundaries; ties leave later buckets empty
+    "fs_histogram" ->
+      """WITH v AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v FROM orders),
+         c AS (SELECT
+                 CAST(percentile_disc(0.125) WITHIN GROUP (ORDER BY v) AS BIGINT) AS c1,
+                 CAST(percentile_disc(0.25) WITHIN GROUP (ORDER BY v) AS BIGINT) AS c2,
+                 CAST(percentile_disc(0.375) WITHIN GROUP (ORDER BY v) AS BIGINT) AS c3,
+                 CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY v) AS BIGINT) AS c4,
+                 CAST(percentile_disc(0.625) WITHIN GROUP (ORDER BY v) AS BIGINT) AS c5,
+                 CAST(percentile_disc(0.75) WITHIN GROUP (ORDER BY v) AS BIGINT) AS c6,
+                 CAST(percentile_disc(0.875) WITHIN GROUP (ORDER BY v) AS BIGINT) AS c7
+               FROM v),
+         b AS (SELECT CASE WHEN v <= c1 THEN 1 WHEN v <= c2 THEN 2
+                           WHEN v <= c3 THEN 3 WHEN v <= c4 THEN 4
+                           WHEN v <= c5 THEN 5 WHEN v <= c6 THEN 6
+                           WHEN v <= c7 THEN 7 ELSE 8 END AS bucket, v
+               FROM v CROSS JOIN c)
+         SELECT bucket, CAST(count(*) AS BIGINT) AS n_rows,
+                min(v) AS lo, max(v) AS hi
+         FROM b GROUP BY bucket""",
     // time-shifted self-join (not row-lag — quiet hours are absent rows)
     "e_backtest" ->
       """WITH h AS (SELECT event_type, epoch_us(ts) // 3600000000 AS h,

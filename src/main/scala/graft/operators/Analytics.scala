@@ -1364,6 +1364,27 @@ object Analytics {
         (col("cum_rev_c").cast("double") / 100.0).as("cum_revenue"))
   }
 
+  /** Reorder-gap distribution — days between a customer's consecutive
+    * orders, summarized as one card (count, exact mean, DISCRETE
+    * quartiles — actual observed day gaps). Same-day orders gap 0 and
+    * count (tie-break by order key — stated). One customer-partitioned
+    * lag window at order grain + one bounded aggregate. */
+  def reorderGaps(orders: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val o = orders.select(col("o_custkey"), col("o_orderkey"),
+      expr("unix_micros(o_orderdate) div 86400000000").as("d"))
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("d"), col("o_orderkey"))
+    o.withColumn("gap", col("d") - lag(col("d"), 1).over(w))
+      .where(col("gap").isNotNull)
+      .agg(count(lit(1)).as("n_gaps"),
+        round6(sum(col("gap")).cast("double") / count(lit(1)))
+          .as("mean_gap_days"),
+        expr("CAST(percentile_disc(0.25) WITHIN GROUP (ORDER BY gap) AS BIGINT)").as("p25"),
+        expr("CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY gap) AS BIGINT)").as("p50"),
+        expr("CAST(percentile_disc(0.75) WITHIN GROUP (ORDER BY gap) AS BIGINT)").as("p75"))
+  }
+
   /** New-vs-repeat revenue split per month — the acquisition-health
     * companion to [[cohortLtv]]: an order is NEW when it falls in its
     * customer's first epoch-month, REPEAT otherwise; per month both

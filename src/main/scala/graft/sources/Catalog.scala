@@ -587,6 +587,31 @@ object Catalog {
     (predCard.toSeq ++ uniqCards ++ fkCards).reduce(_ unionAll _)
   }
 
+  /** Equi-depth histogram of an integer column — the optimizer/ANALYZE
+    * companion to [[analyzeColumns]]: bucket boundaries are the
+    * DISCRETE k-quantiles (actual values — engine-identical), rows
+    * classify by chained boundary comparisons, and heavy ties simply
+    * leave later buckets empty (deterministic, mirrored, never
+    * interpolated). One 1-row cutoff broadcast + one group-by. */
+  def equiDepthHistogram(df: DataFrame, value: Column, k: Int = 8): DataFrame = {
+    require(k >= 2 && k <= 64, "equiDepthHistogram: k in [2, 64]")
+    val v = df.select(value.cast("long").as("v"))
+    val cuts = v.agg(
+      expr(s"CAST(percentile_disc(${1.0 / k}) WITHIN GROUP (ORDER BY v) AS BIGINT)")
+        .as("c1"),
+      (2 until k).map(i =>
+        expr(s"CAST(percentile_disc(${i.toDouble / k}) WITHIN GROUP (ORDER BY v) AS BIGINT)")
+          .as(s"c$i")): _*)
+    val bucket = (1 until k).foldRight(lit(k)) {
+      case (i, els) => when(col("v") <= col(s"c$i"), lit(i)).otherwise(els)
+    }
+    v.crossJoin(broadcast(cuts))
+      .withColumn("bucket", bucket)
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_rows"), min(col("v")).as("lo"),
+        max(col("v")).as("hi"))
+  }
+
   /** Morton/Z-value of two integer columns: the low `bits` bits of each,
     * interleaved (x even positions, y odd). Bit shifts and masks only —
     * portable to any engine — and the disjoint bit positions make `+`

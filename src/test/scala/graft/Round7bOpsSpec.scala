@@ -589,6 +589,30 @@ class Round7bOpsSpec extends SparkSpec {
       (jan + 1) -> ((5.0, 20.0, 1L, 1L))))
   }
 
+  test("equiDepthHistogram: quartile boundaries, ties leave buckets empty") {
+    import spark.implicits._
+    // 1,1,1,1,2,3,4,8 with k=4: cuts at disc(.25)=1, disc(.5)=1,
+    // disc(.75)=3 → bucket1 gets ALL the ties (4 rows), bucket2 empty,
+    // bucket3 = {2,3}, bucket4 = {4,8}
+    val df = Seq(1L, 1L, 1L, 1L, 2L, 3L, 4L, 8L).toDF("x")
+    val got = graft.sources.Catalog.equiDepthHistogram(df, col("x"), 4)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(got.toSeq == Seq((1, 4L, 1L, 1L), (3, 2L, 2L, 3L), (4, 2L, 4L, 8L)))
+  }
+
+  test("reorderGaps: same-day orders gap zero, firsts excluded") {
+    import spark.implicits._
+    val ts = (d: Int) => java.sql.Timestamp.valueOf(f"2024-01-$d%02d 00:00:00")
+    // c1 orders days 1, 1, 11 → gaps 0, 10; c2 single order → none
+    val o = Seq((1L, 101L, ts(1)), (1L, 102L, ts(1)), (1L, 103L, ts(11)),
+      (2L, 201L, ts(5)))
+      .toDF("o_custkey", "o_orderkey", "o_orderdate")
+    val r = graft.operators.Analytics.reorderGaps(o).collect().head
+    assert((r.getLong(0), r.getDouble(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      == ((2L, 5.0, 0L, 0L, 10L)))
+  }
+
   test("basketRules: confidence and lift from one hand fixture") {
     import spark.implicits._
     // baskets: {1,2} ×2, {1,3} ×1, {2,3} ×1 → nb=4; item counts
