@@ -424,6 +424,51 @@ object ScaleSmoke {
           spark.read.parquet("/tmp/graft_bigemb.parquet"), 5, 0.3)
         .write.format("noop").mode("overwrite").save()
     }
+    // round 7b fourth wave: behavioral cards at 10× facts
+    time("growth_1m_events") {
+      operators.Events.growthAccounting(be)
+        .write.format("noop").mode("overwrite").save()
+    }
+    time("stickiness_1m") {
+      operators.Events.stickiness(be)
+        .write.format("noop").mode("overwrite").save()
+    }
+    time("backtest_1m") {
+      operators.Events.forecastBacktest(be)
+        .write.format("noop").mode("overwrite").save()
+    }
+    locally {
+      val ord = spark.read.parquet("/root/testdata/sf0.1/orders.parquet")
+      val bigOrd = (0 until 10).map(i =>
+          ord.withColumn("o_custkey", col("o_custkey") + lit(i * 10000000L))
+            .withColumn("o_orderkey", col("o_orderkey") + lit(i * 100000000L)))
+        .reduce(_ unionAll _)
+      time("ltv_1m_orders") {
+        operators.Analytics.cohortLtv(bigOrd)
+          .write.format("noop").mode("overwrite").save()
+      }
+      time("new_repeat_1m") {
+        operators.Analytics.newVsRepeat(bigOrd)
+          .write.format("noop").mode("overwrite").save()
+      }
+      time("reorder_gap_1m") {
+        operators.Analytics.reorderGaps(bigOrd)
+          .write.format("noop").mode("overwrite").save()
+      }
+      time("histogram_1m") {
+        graft.sources.Catalog.equiDepthHistogram(bigOrd,
+            expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+          .write.format("noop").mode("overwrite").save()
+      }
+      val li = spark.read.parquet("/root/testdata/sf0.1/lineitem.parquet")
+      val bigLi2 = (0 until 10).map(i =>
+          li.withColumn("l_orderkey", col("l_orderkey") + lit(i * 100000000L)))
+        .reduce(_ unionAll _)
+      time("wmedian_6m_lines") {
+        operators.Analytics.weightedMedian(bigLi2)
+          .write.format("noop").mode("overwrite").save()
+      }
+    }
     spark.stop()
   }
 }

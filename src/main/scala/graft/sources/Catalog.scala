@@ -589,26 +589,35 @@ object Catalog {
 
   /** Equi-depth histogram of an integer column — the optimizer/ANALYZE
     * companion to [[analyzeColumns]]: bucket boundaries are the
-    * DISCRETE k-quantiles (actual values — engine-identical), rows
-    * classify by chained boundary comparisons, and heavy ties simply
-    * leave later buckets empty (deterministic, mirrored, never
-    * interpolated). One 1-row cutoff broadcast + one group-by. */
+    * DISCRETE k-quantiles (actual values — engine-identical; the
+    * boundary for p = i/k is the smallest v with S(v)·k ≥ i·n, exactly
+    * `percentile_disc`'s cume_dist rule, which is how the oracle
+    * formulates it), heavy ties deterministically leave later buckets
+    * empty. EVERYTHING past the first value-count aggregate runs at
+    * the DISTINCT-VALUE grain: the cumulative count rides the
+    * two-level `runningSum` scan and rows-per-bucket is a sum of
+    * counts — one fact scan total, no `percentile_disc` collect (whose
+    * single-aggregate buffer was the measured bottleneck at 10×). */
   def equiDepthHistogram(df: DataFrame, value: Column, k: Int = 8): DataFrame = {
     require(k >= 2 && k <= 64, "equiDepthHistogram: k in [2, 64]")
-    val v = df.select(value.cast("long").as("v"))
-    val cuts = v.agg(
-      expr(s"CAST(percentile_disc(${1.0 / k}) WITHIN GROUP (ORDER BY v) AS BIGINT)")
-        .as("c1"),
+    val vc = df.select(value.cast("long").as("v"))
+      .groupBy(col("v")).agg(count(lit(1)).as("cnt"))
+      .withColumn("__g", lit(1))
+      .localCheckpoint() // scanned by runningSum 3×, the total, the classify
+    val s = graft.operators.Cumulative.runningSum(vc, Seq("__g"), "v", "cnt", "s")
+    val tot = vc.agg(sum(col("cnt")).as("n"))
+    val cutRows = s.crossJoin(broadcast(tot))
+    val cuts = cutRows.agg(
+      min(when(col("s") * k >= col("n") * 1, col("v"))).as("c1"),
       (2 until k).map(i =>
-        expr(s"CAST(percentile_disc(${i.toDouble / k}) WITHIN GROUP (ORDER BY v) AS BIGINT)")
-          .as(s"c$i")): _*)
+        min(when(col("s") * k >= col("n") * i, col("v"))).as(s"c$i")): _*)
     val bucket = (1 until k).foldRight(lit(k)) {
       case (i, els) => when(col("v") <= col(s"c$i"), lit(i)).otherwise(els)
     }
-    v.crossJoin(broadcast(cuts))
+    vc.crossJoin(broadcast(cuts))
       .withColumn("bucket", bucket)
       .groupBy(col("bucket"))
-      .agg(count(lit(1)).as("n_rows"), min(col("v")).as("lo"),
+      .agg(sum(col("cnt")).as("n_rows"), min(col("v")).as("lo"),
         max(col("v")).as("hi"))
   }
 
