@@ -481,6 +481,12 @@ object SparkEntry {
       graft.sources.Catalog.equiDepthHistogram(Tables.orders(s, d),
         expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
     }),
+    "fs_skew" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      graft.sources.Catalog.skewCard(Tables.lineitem(s, d), col("l_orderkey"))
+    }),
+    "e_concurrency" -> ((s, d) =>
+      Events.peakConcurrency(Tables.events(s, d))),
     // ingest-gate contract card: every rule's violation count must be 0
     "fs_contract" -> ((s, d) => {
       import org.apache.spark.sql.functions.col
@@ -3153,6 +3159,45 @@ object SparkEntry {
                 CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY gap) AS BIGINT) AS p50,
                 CAST(percentile_disc(0.75) WITHIN GROUP (ORDER BY gap) AS BIGINT) AS p75
          FROM g WHERE gap IS NOT NULL""",
+    // portable-hash bucket census; skew_ratio = max/avg
+    "fs_skew" ->
+      """WITH b AS (SELECT CAST(('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 15)) AS BIGINT) % 32 AS bucket
+           FROM lineitem),
+         per AS (SELECT bucket, count(*) AS n FROM b GROUP BY bucket)
+         SELECT CAST(count(*) AS BIGINT) AS n_buckets,
+                CAST(sum(n) AS BIGINT) AS n_rows,
+                CAST(min(n) AS BIGINT) AS min_rows,
+                CAST(max(n) AS BIGINT) AS max_rows,
+                floor(CAST(max(n) AS DOUBLE) * 32 / sum(n) * 1000000 + 0.5)
+                  / 1000000 AS skew_ratio
+         FROM per""",
+    // sweep-line peak concurrency over 30-min-gap sessions; −1 lands
+    // just past the inclusive session end; earliest peak time wins
+    "e_concurrency" ->
+      """WITH g AS (SELECT user_id, epoch_us(ts) AS tsu,
+                lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                        ORDER BY epoch_us(ts)) AS prev
+           FROM events),
+         s AS (SELECT user_id, tsu,
+                      CASE WHEN prev IS NULL OR tsu - prev > 1800000000
+                           THEN 1 ELSE 0 END AS is_new
+               FROM g),
+         t AS (SELECT user_id, tsu,
+                      sum(is_new) OVER (PARTITION BY user_id ORDER BY tsu
+                                        ROWS UNBOUNDED PRECEDING) AS sid
+               FROM s),
+         sess AS (SELECT user_id, sid, min(tsu) AS st, max(tsu) AS en
+                  FROM t GROUP BY 1, 2),
+         deltas AS (SELECT st AS tt, 1 AS d FROM sess
+                    UNION ALL SELECT en + 1, -1 FROM sess),
+         vc AS (SELECT tt, sum(d) AS d FROM deltas GROUP BY tt),
+         run AS (SELECT tt, sum(d) OVER (ORDER BY tt
+                                         ROWS UNBOUNDED PRECEDING) AS conc
+                 FROM vc)
+         SELECT CAST(min(tt) AS BIGINT) AS peak_tsu,
+                CAST(first(m) AS BIGINT) AS peak_concurrency
+         FROM run CROSS JOIN (SELECT max(conc) AS m FROM run) mx
+         WHERE conc = m""",
     // discrete k-quantile boundaries; ties leave later buckets empty
     "fs_histogram" ->
       """WITH v AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v FROM orders),

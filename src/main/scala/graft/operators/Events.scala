@@ -76,6 +76,38 @@ object Events {
         (max(col("tsu")) - min(col("tsu"))).as("duration_us"))
   }
 
+  /** Peak session CONCURRENCY — the sweep-line classic ("how many
+    * sessions were open at the worst moment", the capacity-planning
+    * number): sessions become +1/−1 boundary deltas (+1 at start, −1
+    * just past the inclusive end), the running delta sum in time order
+    * IS the live-session count, and its max is the peak. The sweep
+    * rides the two-level [[Cumulative.runningSum]] scan at the
+    * distinct-boundary grain — no global window holds the boundary
+    * stream; earliest time at the peak reported (ties stated). */
+  def peakConcurrency(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    val gapMicros = gapMinutes * 60L * 1000000L
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("tsu"))
+    val sess = events
+      .select(col("user_id"), unix_micros(col("ts")).as("tsu"))
+      .withColumn("prev", lag(col("tsu"), 1).over(byUser))
+      .withColumn("is_new",
+        when(col("prev").isNull || col("tsu") - col("prev") > gapMicros, 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum(col("is_new")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(min(col("tsu")).as("s"), max(col("tsu")).as("e"))
+    val deltas = sess.select(col("s").as("t"), lit(1L).as("d"))
+      .unionAll(sess.select((col("e") + 1).as("t"), lit(-1L).as("d")))
+    val vc = deltas.groupBy(col("t")).agg(sum(col("d")).as("d"))
+      .withColumn("__g", lit(1))
+      .localCheckpoint()
+    val run = Cumulative.runningSum(vc, Seq("__g"), "t", "d", "conc")
+    val mx = run.agg(max(col("conc")).as("m"))
+    run.join(broadcast(mx), col("conc") === col("m"))
+      .agg(min(col("t")).as("peak_tsu"), first(col("m")).as("peak_concurrency"))
+  }
+
   /** Gap sessionization via Spark's NATIVE `session_window` — the
     * built-in path beside the lag+cumsum composition ([[sessionize]]),
     * cross-validated against the same oracle shape. One boundary

@@ -587,6 +587,25 @@ object Catalog {
     (predCard.toSeq ++ uniqCards ++ fkCards).reduce(_ unionAll _)
   }
 
+  /** Hash-partition skew PREFLIGHT card — "will this key shuffle
+    * evenly" answered before the shuffle is paid: rows bucketed by the
+    * engine-portable hash mod `nBuckets`, then one bounded aggregate of
+    * bucket sizes with the skew ratio (max/avg — 1.0 is perfectly even;
+    * feed anything ugly to `Skew.saltedJoin`). The hash is
+    * `portable_hash60` (md5-prefix), so the whole card replays in any
+    * engine — a diagnostic whose own numbers can't be engine artifacts. */
+  def skewCard(df: DataFrame, key: Column, nBuckets: Int = 32): DataFrame = {
+    import graft.functions.Exact.round6
+    val b = pmod(graft.operators.TextAnalysis.portableHash60(key),
+      lit(nBuckets.toLong))
+    df.groupBy(b.as("bucket")).agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("n_buckets"),
+        sum(col("n")).as("n_rows"),
+        min(col("n")).as("min_rows"), max(col("n")).as("max_rows"),
+        round6(max(col("n")).cast("double") * nBuckets / sum(col("n")))
+          .as("skew_ratio"))
+  }
+
   /** Equi-depth histogram of an integer column — the optimizer/ANALYZE
     * companion to [[analyzeColumns]]: bucket boundaries are the
     * DISCRETE k-quantiles (actual values — engine-identical; the

@@ -88,7 +88,10 @@ class PlanAuditSpec extends SparkSpec {
       "d_datasheet",
       // fs_histogram: the 1-row total + cutoff broadcasts over the
       // distinct-value frame (the q_abc shape)
-      "fs_histogram")
+      "fs_histogram",
+      // e_concurrency: runningSum's folded constant-group bounds
+      // broadcast over the distinct-boundary frame (the q_abc shape)
+      "e_concurrency")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val plan = fn(spark, sfDir).queryExecution.sparkPlan.toString
       if (plan.contains("BroadcastNestedLoopJoin") && !allowed(name)) Some(name) else None
@@ -116,10 +119,11 @@ class PlanAuditSpec extends SparkSpec {
     // q_abc / q_lorenz: runningSum over the constant __g group — the
     // ≤128-row bucket-offset window folds formally unpartitioned, the
     // same bounded-metadata shape as q_skyline/d_drift_ks
-    // fs_histogram: same constant-__g runningSum shape as q_abc
+    // fs_histogram / e_concurrency: same constant-__g runningSum shape
+    // as q_abc (bounded bucket-offset window)
     val allowed = Set("p_pack", "p_shuffle", "p_manifest", "t_char_ngrams",
       "e_late_audit", "d_drift_ks", "q_skyline", "p_interleave",
-      "q_abc", "q_lorenz", "fs_histogram")
+      "q_abc", "q_lorenz", "fs_histogram", "e_concurrency")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val plan = fn(spark, sfDir).queryExecution.optimizedPlan.toString
       val specs = "windowspecdefinition\\(([^)]*)\\)".r

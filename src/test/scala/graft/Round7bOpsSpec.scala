@@ -613,6 +613,31 @@ class Round7bOpsSpec extends SparkSpec {
       == ((2L, 5.0, 0L, 0L, 10L)))
   }
 
+  test("peakConcurrency: sweep-line peak on overlapping hand sessions") {
+    import spark.implicits._
+    val ts = (m: Int) => java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    // u1 session 0-10min; u2 session 5-20; u3 session 6-8; u4 single
+    // event at 40 (its own session) → peak 3 live sessions, first at
+    // minute 6
+    val e = Seq((1L, 0), (1L, 10), (2L, 5), (2L, 20), (3L, 6), (3L, 8),
+      (4L, 40)).map { case (u, m) => (u, ts(m)) }.toDF("user_id", "ts")
+    val r = graft.operators.Events.peakConcurrency(e).collect().head
+    assert(r.getLong(1) == 3L)
+    assert(r.getLong(0) ==
+      java.sql.Timestamp.valueOf("2024-01-01 00:06:00").getTime * 1000L)
+  }
+
+  test("skewCard: planted hot key trips the ratio; uniform keys don't") {
+    import spark.implicits._
+    val uniform = (1L to 3200L).toDF("k")
+    val u = graft.sources.Catalog.skewCard(uniform, col("k")).collect().head
+    assert(u.getLong(0) == 32L && u.getLong(1) == 3200L)
+    assert(u.getDouble(4) < 1.5)
+    val hot = ((1L to 100L) ++ Seq.fill(900)(7L)).toDF("k")
+    val h = graft.sources.Catalog.skewCard(hot, col("k")).collect().head
+    assert(h.getDouble(4) > 10.0) // 900 of 1000 rows share one bucket
+  }
+
   test("basketRules: confidence and lift from one hand fixture") {
     import spark.implicits._
     // baskets: {1,2} ×2, {1,3} ×1, {2,3} ×1 → nb=4; item counts
