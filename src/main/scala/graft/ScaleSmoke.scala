@@ -468,6 +468,14 @@ object ScaleSmoke {
         operators.Analytics.weightedMedian(bigLi2)
           .write.format("noop").mode("overwrite").save()
       }
+      time("skew_6m_lines") {
+        graft.sources.Catalog.skewCard(bigLi2, col("l_orderkey"))
+          .write.format("noop").mode("overwrite").save()
+      }
+    }
+    time("concurrency_1m") {
+      operators.Events.peakConcurrency(be)
+        .write.format("noop").mode("overwrite").save()
     }
     spark.stop()
   }

@@ -55,7 +55,8 @@ object Shell {
           "ann <src> [k] | pagerank [iters] | triangles | degrees | bfs | " +
           "gini | audit | vacuum | analyze <tbl> [cols...] | abc | rfm | " +
           "benford | changepoints | publish <src> <dest> | " +
-          "explain <sql> | exit | <sql>")
+          "explain <sql> | skew <tbl> <col> | histogram <tbl> <col> | " +
+          "exit | <sql>")
       case "ls" :: Nil => cat.list().foreach(println)
       case "stats" :: Nil => cat.stats().show(100, truncate = false)
       case "nodes" :: Nil => cat.executorStats().show(100, truncate = false)
@@ -177,6 +178,14 @@ object Shell {
         println(s"published $src -> ${cat.derivedDir}/$dest")
       case "explain" :: rest if rest.nonEmpty =>
         spark.sql(rest.mkString(" ")).explain("formatted")
+      case "skew" :: tbl :: key :: Nil =>
+        // preflight: will this key shuffle evenly?
+        Catalog.skewCard(cat.table(tbl),
+          org.apache.spark.sql.functions.col(key)).show(truncate = false)
+      case "histogram" :: tbl :: key :: Nil =>
+        Catalog.equiDepthHistogram(cat.table(tbl),
+            org.apache.spark.sql.functions.col(key))
+          .orderBy("bucket").show(truncate = false)
       case _ => spark.sql(line).show(50, truncate = false)
     }
     true

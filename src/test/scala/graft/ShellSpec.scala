@@ -101,5 +101,7 @@ class ShellProcedureSpec extends SparkSpec {
     assert(Shell.execute("publish documents release_v1", spark, cat, dir))
     assert(cat.loadDerived("release_v1/shards").count() > 0)
     assert(Shell.execute("explain SELECT count(*) FROM documents", spark, cat, dir))
+    assert(Shell.execute("skew documents doc_id", spark, cat, dir))
+    assert(Shell.execute("histogram documents n_chars", spark, cat, dir))
   }
 }
