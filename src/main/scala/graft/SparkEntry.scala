@@ -487,6 +487,8 @@ object SparkEntry {
     }),
     "e_concurrency" -> ((s, d) =>
       Events.peakConcurrency(Tables.events(s, d))),
+    "t_lang_profile" -> ((s, d) =>
+      TextAnalysis.langProfile(Tables.documents(s, d))),
     // ingest-gate contract card: every rule's violation count must be 0
     "fs_contract" -> ((s, d) => {
       import org.apache.spark.sql.functions.col
@@ -3159,6 +3161,13 @@ object SparkEntry {
                 CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY gap) AS BIGINT) AS p50,
                 CAST(percentile_disc(0.75) WITHIN GROUP (ORDER BY gap) AS BIGINT) AS p75
          FROM g WHERE gap IS NOT NULL""",
+    // per-language length profile, discrete median
+    "t_lang_profile" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+                floor(CAST(sum(length(text)) AS DOUBLE) / count(*)
+                      * 1000000 + 0.5) / 1000000 AS mean_chars,
+                CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY length(text)) AS BIGINT) AS median_chars
+         FROM documents GROUP BY lang""",
     // portable-hash bucket census; skew_ratio = max/avg
     "fs_skew" ->
       """WITH b AS (SELECT CAST(('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 15)) AS BIGINT) % 32 AS bucket

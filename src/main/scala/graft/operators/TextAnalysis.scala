@@ -826,6 +826,38 @@ object TextAnalysis {
       .reduce(_ unionAll _)
   }
 
+  /** Most-duplicated texts — "what exactly is being copied": top-k
+    * exact-duplicate groups by copy count with one sample doc id and
+    * the text head. Hash-grouped (the text itself never rides the
+    * wide shuffle — only the 16-byte digest), top-k via TakeOrdered
+    * with a total (count desc, min-id) tie order, text attached to
+    * the ≤k survivors by a hash equi-join afterwards. */
+  def topDuplicates(docs: DataFrame, k: Int = 10): DataFrame = {
+    val hashed = docs.select(col("doc_id"),
+      md5(encode(col("text"), "UTF-8")).as("h"))
+    val groups = hashed.groupBy(col("h"))
+      .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("sample_id"))
+      .where(col("n_copies") > 1)
+      .orderBy(col("n_copies").desc, col("sample_id"))
+      .limit(k)
+    groups.join(docs.select(col("doc_id").as("sample_id"),
+        substring(col("text"), 1, 40).as("text_head")), "sample_id")
+      .select(col("sample_id"), col("n_copies"), col("text_head"))
+  }
+
+  /** Per-language length profile — the "are my languages comparable
+    * slices" card: doc count, exact mean chars (integer sum + one
+    * closing division), DISCRETE median chars per declared language. */
+  def langProfile(docs: DataFrame): DataFrame = {
+    import graft.functions.Exact.round6
+    docs.select(col("lang"), length(col("text")).cast("long").as("nc"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        round6(sum(col("nc")).cast("double") / count(lit(1))).as("mean_chars"),
+        expr("CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY nc) AS BIGINT)")
+          .as("median_chars"))
+  }
+
   /** Pairwise source VOCABULARY overlap — which sources are telling
     * the same stories (feeds mixture weighting and contamination
     * triage before any pairwise doc compare). Exact Jaccard between

@@ -638,6 +638,27 @@ class Round7bOpsSpec extends SparkSpec {
     assert(h.getDouble(4) > 10.0) // 900 of 1000 rows share one bucket
   }
 
+  test("topDuplicates ranks dup groups by copies, singletons excluded") {
+    import spark.implicits._
+    val docs = Seq((1L, "aaa"), (2L, "aaa"), (3L, "aaa"),
+      (4L, "bbb"), (5L, "bbb"), (6L, "unique"))
+      .toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysis.topDuplicates(docs, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .sortBy(-_._2)
+    assert(got.toSeq == Seq((1L, 3L, "aaa"), (4L, 2L, "bbb")))
+  }
+
+  test("langProfile: exact mean and discrete median per language") {
+    import spark.implicits._
+    val docs = Seq(("en", "ab"), ("en", "abcd"), ("fr", "xyz"))
+      .toDF("lang", "text")
+    val got = graft.operators.TextAnalysis.langProfile(docs)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(got.toSeq == Seq(("en", 2L, 3.0, 2L), ("fr", 1L, 3.0, 3L)))
+  }
+
   test("basketRules: confidence and lift from one hand fixture") {
     import spark.implicits._
     // baskets: {1,2} ×2, {1,3} ×1, {2,3} ×1 → nb=4; item counts
