@@ -131,6 +131,11 @@ object SmokeOne {
           operators.Graph.triangleCensus(bedges)
             .write.format("noop").mode("overwrite").save()
         }
+      case "knn" => time("knn_graph_sf01") {
+        operators.Similarity.knnGraph(
+            spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet"), 3)
+          .write.format("noop").mode("overwrite").save()
+      }
     }
     spark.stop()
   }
