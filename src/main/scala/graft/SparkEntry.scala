@@ -3327,14 +3327,17 @@ object SparkEntry {
          SELECT 1 AS step_idx, 'signup' AS step,
                 (SELECT CAST(count(*) AS BIGINT) FROM s1) AS n_users, 1.0 AS conversion
          UNION ALL SELECT 2, 'view', (SELECT CAST(count(*) AS BIGINT) FROM s2),
+                CASE WHEN (SELECT count(*) FROM s1) = 0 THEN NULL ELSE
                 floor(CAST((SELECT count(*) FROM s2) AS DOUBLE)
-                      / (SELECT count(*) FROM s1) * 1000000 + 0.5) / 1000000
+                      / (SELECT count(*) FROM s1) * 1000000 + 0.5) / 1000000 END
          UNION ALL SELECT 3, 'click', (SELECT CAST(count(*) AS BIGINT) FROM s3),
+                CASE WHEN (SELECT count(*) FROM s2) = 0 THEN NULL ELSE
                 floor(CAST((SELECT count(*) FROM s3) AS DOUBLE)
-                      / (SELECT count(*) FROM s2) * 1000000 + 0.5) / 1000000
+                      / (SELECT count(*) FROM s2) * 1000000 + 0.5) / 1000000 END
          UNION ALL SELECT 4, 'purchase', (SELECT CAST(count(*) AS BIGINT) FROM s4),
+                CASE WHEN (SELECT count(*) FROM s3) = 0 THEN NULL ELSE
                 floor(CAST((SELECT count(*) FROM s4) AS DOUBLE)
-                      / (SELECT count(*) FROM s3) * 1000000 + 0.5) / 1000000""",
+                      / (SELECT count(*) FROM s3) * 1000000 + 0.5) / 1000000 END""",
     // contract card: null predicate results are non-violations on both
     // sides (CASE WHEN NOT p falls through)
     "fs_contract" ->

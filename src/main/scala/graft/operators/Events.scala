@@ -442,7 +442,10 @@ object Events {
       agg.select(lit(i + 1).as("step_idx"), lit(st).as("step"),
         col(s"__n$i").as("n_users"),
         if (i == 0) lit(1.0).as("conversion")
-        else round6(col(s"__n$i").cast("double") / col(s"__n${i - 1}"))
+        // conversion from an EMPTY previous step is undefined — null,
+        // not a 0/0 artifact (ANSI division would otherwise throw)
+        else when(col(s"__n${i - 1}") === 0L, lit(null).cast("double"))
+          .otherwise(round6(col(s"__n$i").cast("double") / col(s"__n${i - 1}")))
           .as("conversion"))
     }.reduce(_ unionAll _)
   }

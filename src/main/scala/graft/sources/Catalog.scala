@@ -565,10 +565,14 @@ object Catalog {
     val predCard: Option[DataFrame] =
       if (predicates.isEmpty) None
       else Some {
+        // coalesce: an EMPTY batch has zero violations, not null ones
+        // (sum over no rows is null — the gate must still read 0)
         val agg = df.agg(
-          sum(when(!predicates.head._2, 1L).otherwise(0L)).as("__v0"),
+          coalesce(sum(when(!predicates.head._2, 1L).otherwise(0L)), lit(0L))
+            .as("__v0"),
           predicates.tail.zipWithIndex.map { case ((_, p), i) =>
-            sum(when(!p, 1L).otherwise(0L)).as(s"__v${i + 1}") }: _*)
+            coalesce(sum(when(!p, 1L).otherwise(0L)), lit(0L))
+              .as(s"__v${i + 1}") }: _*)
         predicates.indices.map(i => agg.select(
             lit(predicates(i)._1).as("rule"), col(s"__v$i").as("n_violations")))
           .reduce(_ unionAll _)
