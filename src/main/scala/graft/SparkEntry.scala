@@ -96,6 +96,8 @@ object SparkEntry {
     "g_triangles" -> ((s, d) => Graph.nationTriangles(s, d)),
     "g_degree" -> ((s, d) => Graph.nationDegrees(s, d)),
     "g_bfs" -> ((s, d) => Graph.nationShortestPaths(s, d)),
+    "g_jaccard" -> ((s, d) => Graph.nationJaccard(s, d)),
+    "g_kcore" -> ((s, d) => Graph.nationKCore(s, d)),
     "q_yoy" -> ((s, d) => Analytics.yoyRevenue(s, d)),
     "q_range_frame" -> ((s, d) => Analytics.trailingSpend(Tables.orders(s, d))),
     "q_window_funcs" -> ((s, d) => Analytics.windowFunctionProfile(Tables.orders(s, d))),
@@ -2823,6 +2825,87 @@ object SparkEntry {
             WHERE r.d < 8)
          SELECT node AS n_name, CAST(min(d) AS BIGINT) AS hops
          FROM r GROUP BY node""",
+    // neighbor-set Jaccard over the same sparsified backbone the Spark
+    // side peels: union/inclusion-exclusion in BIGINTs, one exact-input
+    // division at the end — deliberately formulated from scratch rather
+    // than echoing the wedge join
+    "g_jaccard" ->
+      """WITH edges AS (SELECT ns.n_name AS src, nc.n_name AS dst,
+                   CAST(count(*) AS BIGINT) AS w
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation ns ON s.s_nationkey = ns.n_nationkey
+            JOIN nation nc ON c.c_nationkey = nc.n_nationkey
+            GROUP BY ns.n_name, nc.n_name),
+         sedges AS (SELECT src, dst FROM (
+            SELECT src, dst,
+                   row_number() OVER (PARTITION BY src
+                                      ORDER BY w DESC, dst) AS rn
+            FROM edges WHERE src <> dst) WHERE rn <= 3),
+         und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+                 FROM sedges),
+         nbrs AS (SELECT a AS x, b AS nbr FROM und
+                  UNION ALL SELECT b, a FROM und),
+         degs AS (SELECT x, CAST(count(*) AS BIGINT) AS deg
+                  FROM nbrs GROUP BY x),
+         common AS (SELECT n1.x AS node_a, n2.x AS node_b,
+                           CAST(count(*) AS BIGINT) AS common
+                    FROM nbrs n1 JOIN nbrs n2
+                      ON n1.nbr = n2.nbr AND n1.x < n2.x
+                    GROUP BY 1, 2)
+         SELECT c.node_a, c.node_b, c.common,
+                da.deg + db.deg - c.common AS uni,
+                (u.a IS NOT NULL) AS linked,
+                CAST(c.common AS DOUBLE)
+                  / CAST(da.deg + db.deg - c.common AS DOUBLE) AS jac
+         FROM common c
+         JOIN degs da ON c.node_a = da.x
+         JOIN degs db ON c.node_b = db.x
+         LEFT JOIN und u ON c.node_a = u.a AND c.node_b = u.b""",
+    // 8 generated peel rounds (the pagerank CTE-pair idiom), then the
+    // survivor-subgraph degrees filtered to >= k — same depth-bounded
+    // contract the Spark side documents
+    "g_kcore" -> {
+      // MATERIALIZED everywhere a CTE is referenced twice: DuckDB
+      // inlines plain CTEs per reference, and the double alive/live
+      // references would otherwise expand the 8-round chain
+      // exponentially (observed as an fd blow-up on the base scans)
+      def peel(i: Int): String =
+        s"""live$i AS MATERIALIZED (SELECT u.a, u.b FROM und u
+                 JOIN alive${i - 1} x ON u.a = x.x
+                 JOIN alive${i - 1} y ON u.b = y.x),
+         deg$i AS (SELECT x, count(*) AS deg FROM (
+                 SELECT a AS x FROM live$i UNION ALL SELECT b FROM live$i)
+                 GROUP BY x),
+         alive$i AS MATERIALIZED (SELECT x FROM deg$i WHERE deg >= 3)"""
+      s"""WITH edges AS (SELECT ns.n_name AS src, nc.n_name AS dst,
+                   CAST(count(*) AS BIGINT) AS w
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation ns ON s.s_nationkey = ns.n_nationkey
+            JOIN nation nc ON c.c_nationkey = nc.n_nationkey
+            GROUP BY ns.n_name, nc.n_name),
+         sedges AS (SELECT src, dst FROM (
+            SELECT src, dst,
+                   row_number() OVER (PARTITION BY src
+                                      ORDER BY w DESC, dst) AS rn
+            FROM edges WHERE src <> dst) WHERE rn <= 3),
+         und AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+                 FROM sedges),
+         alive0 AS MATERIALIZED (SELECT DISTINCT x FROM (
+            SELECT a AS x FROM und UNION ALL SELECT b FROM und)),
+         ${(1 to 8).map(peel).mkString(",")},
+         fin AS (SELECT u.a, u.b FROM und u
+                 JOIN alive8 x ON u.a = x.x
+                 JOIN alive8 y ON u.b = y.x)
+         SELECT node AS n_name, CAST(count(*) AS BIGINT) AS core_deg FROM (
+            SELECT a AS node FROM fin UNION ALL SELECT b FROM fin)
+         GROUP BY node HAVING count(*) >= 3"""
+    },
     // the four ranking functions share one total (cents desc, key)
     // order; percent_rank is the exact division (rank−1)/(n−1)
     "q_window_funcs" ->

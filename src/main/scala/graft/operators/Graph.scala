@@ -285,4 +285,116 @@ object Graph {
     shortestPaths(tradeEdges(spark, dir), nodes, source)
       .withColumnRenamed("node", "n_name")
   }
+
+  /** Each node's top-`fanout` out-neighbors by weight (ties by dst
+    * name) — the same backbone [[shortestPaths]] traverses, exposed so
+    * [[kCore]] peels the identical graph. The row_number window
+    * partitions on src over an AGGREGATE-grain edge table (≤ |nodes|
+    * rows per partition), so it is bounded at any SF. */
+  def topKBackbone(edges: DataFrame, fanout: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byW = Window.partitionBy(col("src"))
+      .orderBy(col("w").desc, col("dst"))
+    edges.where(col("src") =!= col("dst"))
+      .withColumn("__rn", row_number().over(byW))
+      .where(col("__rn") <= fanout)
+      .select(col("src"), col("dst"))
+  }
+
+  /** Neighbor-set Jaccard over the undirected graph — the classic
+    * link-prediction card. For every unordered pair (a < b) with at
+    * least one common neighbor: |N(a)∩N(b)|, |N(a)∪N(b)| (inclusion–
+    * exclusion over the two degrees, both BIGINT-exact), whether the
+    * pair is itself an edge, and the similarity as the single
+    * exact-input division common/union. The pair generation is the
+    * triangle wedge join — fan-out bounded by per-neighbor degree, the
+    * same bound the canonical-orientation triangle census rides — so
+    * the shape survives a million-node sparse graph; a near-complete
+    * instance (the nation network) asks for its quadratic output
+    * explicitly. */
+  def neighborJaccard(edges: DataFrame): DataFrame = {
+    val und = edges.where(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+      .localCheckpoint() // scanned four times below (nbrs ×2, degs, edge flag)
+    val nbrs = und.select(col("a").as("x"), col("b").as("nbr"))
+      .union(und.select(col("b").as("x"), col("a").as("nbr")))
+    val degs = nbrs.groupBy(col("x")).agg(count(lit(1)).as("deg"))
+    val common = nbrs.as("n1")
+      .join(nbrs.as("n2"),
+        col("n1.nbr") === col("n2.nbr") && col("n1.x") < col("n2.x"))
+      .groupBy(col("n1.x").as("node_a"), col("n2.x").as("node_b"))
+      .agg(count(lit(1)).as("common"))
+    common
+      .join(degs.select(col("x").as("node_a"), col("deg").as("da")), "node_a")
+      .join(degs.select(col("x").as("node_b"), col("deg").as("db")), "node_b")
+      .join(und.select(col("a").as("node_a"), col("b").as("node_b"),
+        lit(true).as("linked")), Seq("node_a", "node_b"), "left")
+      .select(col("node_a"), col("node_b"), col("common"),
+        (col("da") + col("db") - col("common")).as("uni"),
+        coalesce(col("linked"), lit(false)).as("linked"),
+        (col("common").cast("double") /
+          (col("da") + col("db") - col("common")).cast("double")).as("jac"))
+  }
+
+  /** Driver entry: neighbor Jaccard of the top-3-partner trade
+    * backbone (the sparsified graph — on the near-complete raw network
+    * every pair would share every neighbor and the card says
+    * nothing). */
+  def nationJaccard(spark: SparkSession, dir: String): DataFrame =
+    neighborJaccard(topKBackbone(tradeEdges(spark, dir), 3))
+
+  /** `rounds`-round k-core peel of the undirected graph: repeatedly
+    * drop nodes whose degree within the surviving subgraph is < k.
+    * After R rounds the result equals the true k-core whenever the
+    * peel reaches its fixed point within R — the same depth-bounded
+    * contract as [[shortestPaths]], stated so the DuckDB oracle can
+    * replay the rounds as generated CTE pairs (the pagerank idiom).
+    * Peeling converges in ≤ |nodes| rounds always, and in practice in
+    * a handful: each round either removes a node or is the fixed
+    * point. Output: surviving nodes with their core-subgraph degree.
+    *
+    * Every round is two bounded aggregates over the AGGREGATE-grain
+    * edge table (degrees among survivors, then the ≥ k filter) — the
+    * same scalable iteration shape as [[pagerank]], with the per-round
+    * state `localCheckpoint`ed and optionally pinned to one partition
+    * for tiny graphs. */
+  def kCore(edges: DataFrame, k: Int = 3, rounds: Int = 8,
+      coalesceTo: Option[Int] = None): DataFrame = {
+    def pin(df: DataFrame): DataFrame =
+      coalesceTo.map(df.coalesce).getOrElse(df).localCheckpoint()
+    val und = pin(edges.where(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct())
+    var alive = pin(und.select(col("a").as("x"))
+      .union(und.select(col("b").as("x"))).distinct())
+    for (_ <- 1 to rounds) {
+      val live = und
+        .join(alive.select(col("x").as("a")), "a")
+        .join(alive.select(col("x").as("b")), "b")
+      val deg = live.select(col("a").as("x"))
+        .union(live.select(col("b").as("x")))
+        .groupBy(col("x")).agg(count(lit(1)).as("deg"))
+      val prev = alive
+      alive = pin(deg.where(col("deg") >= k).select(col("x")))
+      prev.unpersist()
+    }
+    // report degrees within the round-R survivor subgraph, filtered to
+    // ≥ k — i.e. round R+1's survivors with their degrees; identical
+    // final step in the oracle replay, and a no-op once converged
+    val live = und
+      .join(alive.select(col("x").as("a")), "a")
+      .join(alive.select(col("x").as("b")), "b")
+    live.select(col("a").as("node")).union(live.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("core_deg"))
+      .where(col("core_deg") >= k)
+  }
+
+  /** Driver entry: 3-core of the top-3-partner trade backbone. */
+  def nationKCore(spark: SparkSession, dir: String): DataFrame =
+    kCore(topKBackbone(tradeEdges(spark, dir), 3), k = 3, rounds = 8,
+      coalesceTo = Some(1))
+      .withColumnRenamed("node", "n_name")
 }
