@@ -530,6 +530,7 @@ object SparkEntry {
           (sum(col("price_c")).cast("double") / 100.0).as("revenue"))
     }),
     "e_deseason" -> ((s, d) => Events.deseasonOutliers(Tables.events(s, d))),
+    "e_acf" -> ((s, d) => Events.acf(Tables.events(s, d))),
     "fs_analyze" -> ((s, d) => graft.sources.Catalog.analyzeColumns(
       Tables.lineitem(s, d),
       Seq("l_orderkey", "l_partkey", "l_suppkey", "l_returnflag", "l_linestatus"))),
@@ -3184,6 +3185,29 @@ object SparkEntry {
     // The streaming NFA replay must land on the same card.
     "e_match" -> matchEpisodesSql,
     "e_match_stream" -> matchEpisodesSql,
+    // exact ACF: centered series scaled to integers y = n·x − S, sums
+    // of HUGEINT products (Spark mirrors in Decimal(38,0)), ONE double
+    // division per lag; gap hours enter as zeros via generate_series
+    "e_acf" ->
+      """WITH h AS (SELECT CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS hr,
+                CAST(count(*) AS BIGINT) AS x FROM events GROUP BY 1),
+         b AS (SELECT min(hr) AS mn, max(hr) AS mx FROM h),
+         grid AS (SELECT unnest(generate_series(mn, mx)) AS hr FROM b),
+         series AS (SELECT g.hr, COALESCE(h.x, 0) AS x
+                    FROM grid g LEFT JOIN h ON g.hr = h.hr),
+         m AS (SELECT CAST(count(*) AS BIGINT) AS n, sum(x) AS s FROM series),
+         y AS MATERIALIZED (SELECT hr, n * x - s AS y
+                            FROM series CROSS JOIN m),
+         den AS (SELECT sum(CAST(y AS HUGEINT) * y) AS den FROM y),
+         lags AS (SELECT unnest(generate_series(1, 6)) AS lg),
+         pairs AS (SELECT l.lg, y1.y AS ya, y2.y AS yb
+                   FROM y y1 CROSS JOIN lags l
+                   JOIN y y2 ON y1.hr + l.lg = y2.hr)
+         SELECT lg, CAST(count(*) AS BIGINT) AS n_pairs,
+                CASE WHEN (SELECT den FROM den) = 0 THEN NULL
+                     ELSE CAST(sum(CAST(ya AS HUGEINT) * yb) AS DOUBLE)
+                          / CAST((SELECT den FROM den) AS DOUBLE) END AS acf
+         FROM pairs GROUP BY lg""",
     // ties-included top-3 ≡ rank() ≤ 3 (the Spark side filters on the
     // 3rd-largest |resid| from the map-side topk aggregate)
     "e_deseason" ->

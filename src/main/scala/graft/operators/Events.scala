@@ -916,4 +916,56 @@ object Events {
           "yyyy-MM-dd HH:mm").as("top_peak_minute"),
         (col("top.v").cast("double") / 100.0).as("top_peak_value"))
   }
+
+  /** Exact autocorrelation of the gap-filled hourly event-count series
+    * at lags 1..`maxLag` — the seasonality probe read before choosing a
+    * deseason period or forecast baseline. Silent gaps COUNT: missing
+    * hours enter as zeros (the hour grid is a calendar-bounded
+    * sequence, never fact-grain), exactly as [[gapFillForward]] models
+    * them.
+    *
+    * Cross-engine exactness: with S = Σx and n the hour count, the
+    * centered series is scaled to integers y_t = n·x_t − S (BIGINT),
+    * so num_l = Σ y_t·y_{t+l} and den = Σ y_t² are order-independent
+    * integer sums — products in Decimal(38,0) (HUGEINT in the oracle;
+    * ~1e38 headroom, the gini convention) — and acf_l = num_l/den is
+    * ONE division of exactly-agreed inputs. The textbook r_l =
+    * Σ(x−m)(x₊−m)/Σ(x−m)² equals num_l/den exactly (both scaled by
+    * n²); no per-row float ever forms.
+    *
+    * Shape at scale: one hash aggregate collapses the fact table to
+    * hour grain; everything after runs on the bounded series (two
+    * 1-row broadcast moments, a ≤maxLag× explode, one equi-join on the
+    * shifted hour). */
+  def acf(events: DataFrame, maxLag: Int = 6): DataFrame = {
+    val hourly = events
+      .groupBy(expr("unix_micros(ts) div 3600000000").as("hr"))
+      .agg(count(lit(1)).as("x"))
+    val grid = hourly.agg(min(col("hr")).as("mn"), max(col("hr")).as("mx"))
+      .select(explode(sequence(col("mn"), col("mx"))).as("hr"))
+    val series = grid.join(hourly, Seq("hr"), "left")
+      .select(col("hr"), coalesce(col("x"), lit(0L)).as("x"))
+      .localCheckpoint() // moments + centered series both scan it
+    val m = series.agg(count(lit(1)).as("n"), sum(col("x")).as("s"))
+    val y = series.crossJoin(broadcast(m))
+      .select(col("hr"), (col("n") * col("x") - col("s")).as("y"))
+      .localCheckpoint() // den + both sides of the lag join
+    val den = y.agg(
+      sum(col("y").cast("decimal(19,0)") * col("y")).as("den"))
+    y.select(col("hr"), col("y"),
+        explode(expr(s"sequence(1, $maxLag)")).as("lg"))
+      .join(y.select((col("hr")).as("hr2"), col("y").as("y2")),
+        col("hr") + col("lg") === col("hr2"))
+      .groupBy(col("lg"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("y").cast("decimal(19,0)") * col("y2")).as("num"))
+      .crossJoin(broadcast(den))
+      .select(col("lg").cast("long").as("lg"), col("n_pairs"),
+        // a zero-variance (constant) series has no autocorrelation to
+        // report: the 0/0 indeterminate is a stated NULL, not an ANSI
+        // divide-by-zero error — the oracle mirrors the CASE
+        when(col("den") === 0, lit(null))
+          .otherwise(col("num").cast("double") / col("den").cast("double"))
+          .as("acf"))
+  }
 }

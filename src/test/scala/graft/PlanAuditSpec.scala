@@ -91,7 +91,10 @@ class PlanAuditSpec extends SparkSpec {
       "fs_histogram",
       // e_concurrency: runningSum's folded constant-group bounds
       // broadcast over the distinct-boundary frame (the q_abc shape)
-      "e_concurrency")
+      "e_concurrency",
+      // e_acf: the 1-row moments (n, S) and 1-row den aggregates
+      // broadcast over the calendar-bounded hour series
+      "e_acf")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val plan = fn(spark, sfDir).queryExecution.sparkPlan.toString
       if (plan.contains("BroadcastNestedLoopJoin") && !allowed(name)) Some(name) else None

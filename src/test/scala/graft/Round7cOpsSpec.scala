@@ -1,9 +1,53 @@
 package graft
 
-import graft.operators.Graph
+import graft.operators.{Events, Graph}
 
 /** Hand-computed fixtures for the round-7 third-wave operators. */
 class Round7cOpsSpec extends SparkSpec {
+
+  test("acf: 3-hour series, by-hand centered products") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // hourly counts x = [2, 1, 1]: n=3, S=4 → y = 3x−4 = [2, −1, −1],
+    // den = 6; lag 1: 2·(−1) + (−1)(−1) = −1 → −1/6; lag 2: 2·(−1) =
+    // −2 → −1/3; lags ≥ 3 have no pairs and emit no row
+    val ev = Seq(0L, 1L, 3600L, 7200L).toDF("sec")
+      .select(timestamp_seconds(col("sec")).as("ts"))
+    val got = Events.acf(ev)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(_._1)
+    assert(got.toSeq == Seq((1L, 2L, -1.0 / 6.0), (2L, 1L, -1.0 / 3.0)))
+  }
+
+  test("acf counts silent gap hours as zeros") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // events at hours 0 and 2 only → x = [1, 0, 1], n=3, S=2 →
+    // y = [1, −2, 1], den = 6; lag 1: −2 + −2 = −4 → −2/3;
+    // lag 2: 1·1 = 1 → 1/6
+    val ev = Seq(0L, 7200L).toDF("sec")
+      .select(timestamp_seconds(col("sec")).as("ts"))
+    val got = Events.acf(ev)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(_._1)
+    assert(got.toSeq == Seq((1L, 2L, -2.0 / 3.0), (2L, 1L, 1.0 / 6.0)))
+  }
+
+  test("acf of an empty or constant series is empty / null-safe") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val empty = Seq.empty[Long].toDF("sec")
+      .select(timestamp_seconds(col("sec")).as("ts"))
+    assert(Events.acf(empty).count() == 0L)
+    // constant series: y ≡ 0, den = 0 → the 0/0 indeterminate is a
+    // STATED NULL (rows kept so the lag structure is still visible) —
+    // a caller probing a flat series gets "undefined", not a
+    // fabricated 0 or an ANSI divide-by-zero error
+    val const = Seq(0L, 3600L, 7200L).toDF("sec")
+      .select(timestamp_seconds(col("sec")).as("ts"))
+    val rows = Events.acf(const).collect()
+    assert(rows.nonEmpty && rows.forall(_.isNullAt(2)))
+  }
 
   // A 4-clique {a,b,c,d} with a pendant path e-f hanging off d: the
   // classic k-core fixture — peeling at k=3 strips f (deg 1), then e
