@@ -90,6 +90,7 @@ object SparkEntry {
     "q9_profit" -> ((s, d) => Analytics.q9ProfitByNation(s, d)),
     "q_regression" -> ((s, d) => Analytics.regressionByFlag(Tables.lineitem(s, d))),
     "q_corr" -> ((s, d) => Analytics.corrQtyPrice(Tables.lineitem(s, d))),
+    "q_chi2" -> ((s, d) => Analytics.chiSquareCard(Tables.orders(s, d))),
     "q_bool_bit" -> ((s, d) => Analytics.boolBitProfile(Tables.orders(s, d))),
     "q_array_ops" -> ((s, d) => Analytics.orderBaskets(Tables.lineitem(s, d))),
     "g_pagerank" -> ((s, d) => Graph.nationPagerank(s, d)),
@@ -2689,6 +2690,28 @@ object SparkEntry {
                       (CAST(n AS DOUBLE) * sxx - sx * sx)
                       * 1000000 + 0.5) / 1000000 AS slope
          FROM s""",
+    // chi-square card: (O·N − R·C)²/(R·C·N) per cell in HUGEINT
+    // (mirrors Spark's Decimal(38,0)), one double division; expected
+    // count floor-scaled to 1e-6 on positive operands
+    "q_chi2" ->
+      """WITH cells AS (SELECT o_orderstatus, o_orderpriority,
+                CAST(count(*) AS BIGINT) AS obs FROM orders GROUP BY 1, 2),
+         r AS (SELECT o_orderstatus, sum(obs) AS r_tot FROM cells GROUP BY 1),
+         c AS (SELECT o_orderpriority, sum(obs) AS c_tot FROM cells GROUP BY 1),
+         n AS (SELECT sum(obs) AS n_tot FROM cells)
+         SELECT cells.o_orderstatus, cells.o_orderpriority, obs,
+                CAST((CAST(r_tot AS HUGEINT) * c_tot * 1000000) // n_tot
+                     AS BIGINT) AS exp_micro,
+                CAST((CAST(obs AS HUGEINT) * n_tot
+                      - CAST(r_tot AS HUGEINT) * c_tot)
+                   * (CAST(obs AS HUGEINT) * n_tot
+                      - CAST(r_tot AS HUGEINT) * c_tot) AS DOUBLE)
+                  / CAST(CAST(r_tot AS HUGEINT) * c_tot * n_tot AS DOUBLE)
+                  AS contrib
+         FROM cells
+         JOIN r ON cells.o_orderstatus = r.o_orderstatus
+         JOIN c ON cells.o_orderpriority = c.o_orderpriority
+         CROSS JOIN n""",
     // correlation from exact integer moment sums (HUGEINT mirrors
     // Spark's Decimal(38,0)); the closing double arithmetic is the
     // identical expression tree on both engines

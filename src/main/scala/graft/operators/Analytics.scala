@@ -1526,4 +1526,46 @@ object Analytics {
         round6(sum(col("overlap") * col("x")).cast("double")
           / first(col("t"))).as("share"))
   }
+
+  /** Chi-square independence card for order status × priority — the
+    * "are these two categoricals related" screen run before trusting a
+    * stratified sample or a per-segment model. One fact-collapsing
+    * aggregate produces the ≤|status|·|priority| contingency cells;
+    * margins come from two bounded re-aggregates plus the 1-row grand
+    * total, broadcast back.
+    *
+    * Cross-engine exactness (the gini convention): each cell's
+    * contribution (O−E)²/E is algebraically (O·N − R·C)² / (R·C·N) —
+    * numerator and denominator are Decimal(38,0) integer products
+    * (HUGEINT in the oracle; ~1e38 headroom, ample at any realistic
+    * order count) and the contribution is ONE division of
+    * exactly-agreed inputs. `exp_micro` is the expected count
+    * floor-scaled to 1e-6 (positive operands, so floor ≡ trunc in both
+    * engines). The card emits per-cell rows — summing contributions is
+    * the consumer's one float add, kept out of the cross-engine
+    * compare. */
+  def chiSquareCard(orders: DataFrame): DataFrame = {
+    val cells = orders
+      .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("obs"))
+      .localCheckpoint() // three margin scans over ≤|r|·|c| rows
+    val rTot = cells.groupBy(col("o_orderstatus"))
+      .agg(sum(col("obs")).as("r_tot"))
+    val cTot = cells.groupBy(col("o_orderpriority"))
+      .agg(sum(col("obs")).as("c_tot"))
+    val nTot = cells.agg(sum(col("obs")).as("n_tot"))
+    cells
+      .join(broadcast(rTot), "o_orderstatus")
+      .join(broadcast(cTot), "o_orderpriority")
+      .crossJoin(broadcast(nTot))
+      .select(col("o_orderstatus"), col("o_orderpriority"), col("obs"),
+        expr("CAST((CAST(r_tot AS DECIMAL(38,0)) * c_tot * 1000000)" +
+          " div n_tot AS BIGINT)").as("exp_micro"),
+        expr("CAST((CAST(obs AS DECIMAL(38,0)) * n_tot" +
+          "   - CAST(r_tot AS DECIMAL(38,0)) * c_tot)" +
+          " * (CAST(obs AS DECIMAL(38,0)) * n_tot" +
+          "   - CAST(r_tot AS DECIMAL(38,0)) * c_tot) AS DOUBLE)" +
+          " / CAST(CAST(r_tot AS DECIMAL(38,0)) * c_tot * n_tot AS DOUBLE)")
+          .as("contrib"))
+  }
 }

@@ -94,7 +94,10 @@ class PlanAuditSpec extends SparkSpec {
       "e_concurrency",
       // e_acf: the 1-row moments (n, S) and 1-row den aggregates
       // broadcast over the calendar-bounded hour series
-      "e_acf")
+      "e_acf",
+      // q_chi2: the 1-row grand-total broadcast into the bounded
+      // contingency-cell table (the q_benford shape)
+      "q_chi2")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val plan = fn(spark, sfDir).queryExecution.sparkPlan.toString
       if (plan.contains("BroadcastNestedLoopJoin") && !allowed(name)) Some(name) else None

@@ -49,6 +49,24 @@ class Round7cOpsSpec extends SparkSpec {
     assert(rows.nonEmpty && rows.forall(_.isNullAt(2)))
   }
 
+  test("chiSquareCard: hand-computed 2x2 contingency") {
+    import spark.implicits._
+    import graft.operators.Analytics
+    // obs: (A,X)=3 (A,Y)=1 (B,X)=1 (B,Y)=3 → N=8, all margins 4,
+    // E=2 everywhere (exp_micro 2_000_000); every cell's
+    // (O·N−R·C)²/(R·C·N) = 8²/128 = 0.5 → χ² would total 2.0
+    val orders = (Seq.fill(3)(("A","X")) ++ Seq(("A","Y")) ++
+      Seq(("B","X")) ++ Seq.fill(3)(("B","Y")))
+      .toDF("o_orderstatus", "o_orderpriority")
+    val got = Analytics.chiSquareCard(orders)
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(got(("A","X")) == ((3L, 2000000L, 0.5)))
+    assert(got(("A","Y")) == ((1L, 2000000L, 0.5)))
+    assert(got(("B","X")) == ((1L, 2000000L, 0.5)))
+    assert(got(("B","Y")) == ((3L, 2000000L, 0.5)))
+  }
+
   // A 4-clique {a,b,c,d} with a pendant path e-f hanging off d: the
   // classic k-core fixture — peeling at k=3 strips f (deg 1), then e
   // (deg 1 after f), leaving the clique where everyone keeps degree 3.
