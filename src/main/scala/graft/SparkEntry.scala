@@ -298,6 +298,7 @@ object SparkEntry {
     // mutual-3-NN similarity graph, exact at this corpus size (the
     // at-scale route feeds ivfSearch output to the same mutual filter)
     "s_knn_graph" -> ((s, d) => Similarity.knnGraph(Tables.embeddings(s, d), 3)),
+    "s_dbscan" -> ((s, d) => Similarity.dbscanEmbeddings(Tables.embeddings(s, d))),
     // uniform-without-replacement cap of 10 docs per source
     "p_cap_source" -> ((s, d) => Sampling.capPerGroup(Tables.documents(s, d), 10)),
     "s_ann_brute" -> ((s, d) => Similarity.bruteForceTopK(Tables.embeddings(s, d), 5, 10)),
@@ -3133,6 +3134,43 @@ object SparkEntry {
                 strftime(make_timestamp(minu), '%Y-%m-%d %H:%M') AS top_peak_minute,
                 CAST(v AS DOUBLE) / 100.0 AS top_peak_value
          FROM sel WHERE rn = 1""",
+    // deterministic DBSCAN: neighbor relation = raw cosine ≥ 0.4 (the
+    // d_dedup_embed boundary), core = ≥3 neighbors, cluster = min-id
+    // recursive closure of the core-core subgraph, border = min core
+    // neighbor's cluster — every choice pinned, so the replay matches
+    "s_dbscan" ->
+      """WITH RECURSIVE e AS (SELECT vec_id,
+                list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+              FROM embeddings),
+         n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+         p AS MATERIALIZED (SELECT a.vec_id AS ia, b.vec_id AS ib
+              FROM n a JOIN n b ON a.vec_id < b.vec_id
+              WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.4),
+         nb AS MATERIALIZED (SELECT ia AS x, ib AS nbr FROM p
+              UNION ALL SELECT ib, ia FROM p),
+         core AS MATERIALIZED (SELECT x FROM nb GROUP BY x
+              HAVING count(*) >= 3),
+         ce AS MATERIALIZED (SELECT nb.x AS src, nb.nbr AS dst FROM nb
+              JOIN core c1 ON nb.x = c1.x JOIN core c2 ON nb.nbr = c2.x),
+         reach AS (SELECT src AS id, src AS r FROM ce
+                   UNION
+                   SELECT reach.id, ce.dst FROM reach JOIN ce ON reach.r = ce.src),
+         comp AS MATERIALIZED (SELECT id, min(r) AS component
+              FROM reach GROUP BY id),
+         corec AS MATERIALIZED (SELECT core.x,
+                COALESCE(comp.component, core.x) AS cluster
+              FROM core LEFT JOIN comp ON core.x = comp.id),
+         border AS (SELECT nb.x, min(corec.cluster) AS bcluster
+                    FROM nb JOIN corec ON nb.nbr = corec.x GROUP BY nb.x)
+         SELECT emb.vec_id,
+                CASE WHEN corec.x IS NOT NULL THEN 'core'
+                     WHEN border.bcluster IS NOT NULL THEN 'border'
+                     ELSE 'noise' END AS role,
+                CASE WHEN corec.x IS NOT NULL THEN corec.cluster
+                     ELSE border.bcluster END AS cluster
+         FROM embeddings emb
+         LEFT JOIN corec ON emb.vec_id = corec.x
+         LEFT JOIN border ON emb.vec_id = border.x""",
     // radius filter on the RAW cosine (τ = 0.3 sits ≥4.5e-4 from every
     // data value at all three SFs — no last-ulp coin flips), rounded
     // only for output

@@ -625,4 +625,70 @@ object Similarity {
       .groupBy(col("label"), col("pred_label"))
       .agg(count(lit(1)).as("n"))
   }
+
+  /** DETERMINISTIC DBSCAN from a pre-mined neighbor-pair table
+    * (id_a, id_b = unordered pairs with cos ≥ τ — the "directly
+    * density-reachable" relation). Classic DBSCAN leaves border-point
+    * assignment scan-order-dependent; this variant pins every choice:
+    *
+    *  - core    = ≥ `minPts` neighbors (self excluded);
+    *  - cluster = connected component of the core-core subgraph,
+    *    labelled by its minimum core id ([[graft.operators.Dedup
+    *    .connectedComponents]]' size-routed propagation — an isolated
+    *    core keeps its own id);
+    *  - border  = non-core with ≥ 1 core neighbor, assigned the MIN
+    *    cluster label among its core neighbors (total order, no races);
+    *  - noise   = everything else, cluster NULL.
+    *
+    * Identical output to textbook DBSCAN on core membership and
+    * cluster partition (those are scan-order-free); only the border
+    * tie-break is pinned. Cost after the pair mine: two bounded
+    * aggregates + the components pass — the mine itself is the
+    * pluggable part (exact O(n²) baseline here via
+    * [[graft.operators.Dedup.embeddingDedup]]'s ladder; IVF/LSH
+    * candidates at corpus scale feed the same shape). */
+  def dbscan(ids: DataFrame, pairs: DataFrame, minPts: Int = 3): DataFrame = {
+    val nbrs = pairs
+      .select(explode(array(
+        struct(col("id_a").as("x"), col("id_b").as("nbr")),
+        struct(col("id_b").as("x"), col("id_a").as("nbr")))).as("e"))
+      .select(col("e.x").as("x"), col("e.nbr").as("nbr"))
+      .localCheckpoint() // degree count + border-assignment scans
+    val core = nbrs.groupBy(col("x")).agg(count(lit(1)).as("n_nbrs"))
+      .where(col("n_nbrs") >= minPts).select(col("x"))
+      .localCheckpoint() // core-edge restriction + membership joins
+    val corePairs = pairs
+      .join(core.select(col("x").as("id_a")), "id_a")
+      .join(core.select(col("x").as("id_b")), "id_b")
+      .select(col("id_a"), col("id_b"))
+    val comp = graft.operators.Dedup.connectedComponents(corePairs)
+    val coreClustered = core
+      .join(comp, core("x") === comp("id"), "left")
+      .select(col("x"), coalesce(col("component"), col("x")).as("cluster"))
+      .localCheckpoint() // border assignment + final membership
+    val borderAssign = nbrs
+      .join(coreClustered.select(col("x").as("nbr"), col("cluster")), "nbr")
+      .groupBy(col("x")).agg(min(col("cluster")).as("bcluster"))
+    ids
+      .join(coreClustered.select(col("x").as("vec_id"),
+        col("cluster").as("ccl")), Seq("vec_id"), "left")
+      .join(borderAssign.select(col("x").as("vec_id"), col("bcluster")),
+        Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        when(col("ccl").isNotNull, lit("core"))
+          .when(col("bcluster").isNotNull, lit("border"))
+          .otherwise(lit("noise")).as("role"),
+        when(col("ccl").isNotNull, col("ccl"))
+          .otherwise(col("bcluster")).as("cluster"))
+  }
+
+  /** Driver entry: DBSCAN of the embedding corpus under cos ≥ τ, pair
+    * mine via the size-routed [[graft.operators.Dedup.embeddingDedup]]
+    * ladder (exact at this surface; SemDeDup cells past it). */
+  def dbscanEmbeddings(embeddings: DataFrame, minCos: Double = 0.4,
+      minPts: Int = 3): DataFrame =
+    dbscan(embeddings.select(col("vec_id")),
+      graft.operators.Dedup.embeddingDedup(embeddings, minCos)
+        .select(col("id_a"), col("id_b")),
+      minPts)
 }

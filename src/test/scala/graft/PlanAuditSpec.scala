@@ -97,7 +97,10 @@ class PlanAuditSpec extends SparkSpec {
       "e_acf",
       // q_chi2: the 1-row grand-total broadcast into the bounded
       // contingency-cell table (the q_benford shape)
-      "q_chi2")
+      "q_chi2",
+      // s_dbscan: rides d_dedup_embed's documented exact O(n²) pair
+      // mine (size-routed to SemDeDup cells past exactMaxRows)
+      "s_dbscan")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val plan = fn(spark, sfDir).queryExecution.sparkPlan.toString
       if (plan.contains("BroadcastNestedLoopJoin") && !allowed(name)) Some(name) else None

@@ -49,6 +49,63 @@ class Round7cOpsSpec extends SparkSpec {
     assert(rows.nonEmpty && rows.forall(_.isNullAt(2)))
   }
 
+  test("dbscan: core bridge merges, borders attach, stragglers are noise") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    // minPts=2: triangles {1,2,3} and {10,11,12} are all-core; node 8
+    // linked to core 3 and core 10 has deg 2 → itself CORE, so density
+    // connectivity merges both triangles into one cluster labelled 1
+    // (the textbook chain rule); node 4 hangs off 1 (deg 1 → border →
+    // 1); 5-6 is an isolated pair (deg 1 each, no core neighbor →
+    // noise); 7 has no pairs at all (noise)
+    val pairs = Seq((1L,2L),(1L,3L),(2L,3L),(10L,11L),(10L,12L),(11L,12L),
+      (1L,4L),(3L,8L),(8L,10L),(5L,6L)).toDF("id_a","id_b")
+    val ids = (Seq(1L,2L,3L,4L,5L,6L,7L,8L,10L,11L,12L)).toDF("vec_id")
+    val got = Similarity.dbscan(ids, pairs, minPts = 2)
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).sortBy(_._1)
+    assert(got.toSeq == Seq(
+      (1L,"core",1L),(2L,"core",1L),(3L,"core",1L),(4L,"border",1L),
+      (5L,"noise",-1L),(6L,"noise",-1L),(7L,"noise",-1L),
+      (8L,"core",1L),
+      (10L,"core",1L),(11L,"core",1L),(12L,"core",1L)))
+  }
+
+  test("dbscan: a border between two clusters takes the MIN cluster") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    // minPts=3: two 4-cliques, every member deg 3 → core, clusters 1
+    // and 10; node 8 linked once into each (deg 2 < 3 → border) is
+    // density-reachable from both and takes min(1, 10) = 1 — the
+    // pinned tie-break classic DBSCAN leaves to scan order
+    val pairs = Seq((1L,2L),(1L,3L),(1L,4L),(2L,3L),(2L,4L),(3L,4L),
+      (10L,11L),(10L,12L),(10L,13L),(11L,12L),(11L,13L),(12L,13L),
+      (4L,8L),(8L,10L)).toDF("id_a","id_b")
+    val ids = Seq(1L,2L,3L,4L,8L,10L,11L,12L,13L).toDF("vec_id")
+    val got = Similarity.dbscan(ids, pairs, minPts = 3)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .sortBy(_._1)
+    assert(got.toSeq == Seq(
+      (1L,"core",1L),(2L,"core",1L),(3L,"core",1L),(4L,"core",1L),
+      (8L,"border",1L),
+      (10L,"core",10L),(11L,"core",10L),(12L,"core",10L),(13L,"core",10L)))
+  }
+
+  test("dbscan: an isolated core keeps its own id as cluster") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    // star: 20 linked to 21,22,23 (deg 3 → core at minPts=3); the
+    // leaves have deg 1 → border; no core-core edge exists, so the
+    // core's component falls back to its own id
+    val pairs = Seq((20L,21L),(20L,22L),(20L,23L)).toDF("id_a","id_b")
+    val ids = Seq(20L,21L,22L,23L).toDF("vec_id")
+    val got = Similarity.dbscan(ids, pairs, minPts = 3)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .sortBy(_._1)
+    assert(got.toSeq == Seq((20L,"core",20L),(21L,"border",20L),
+      (22L,"border",20L),(23L,"border",20L)))
+  }
+
   test("chiSquareCard: hand-computed 2x2 contingency") {
     import spark.implicits._
     import graft.operators.Analytics
