@@ -299,6 +299,7 @@ object SparkEntry {
     // at-scale route feeds ivfSearch output to the same mutual filter)
     "s_knn_graph" -> ((s, d) => Similarity.knnGraph(Tables.embeddings(s, d), 3)),
     "s_dbscan" -> ((s, d) => Similarity.dbscanEmbeddings(Tables.embeddings(s, d))),
+    "s_silhouette" -> ((s, d) => Similarity.silhouette(Tables.embeddings(s, d))),
     // uniform-without-replacement cap of 10 docs per source
     "p_cap_source" -> ((s, d) => Sampling.capPerGroup(Tables.documents(s, d), 10)),
     "s_ann_brute" -> ((s, d) => Similarity.bruteForceTopK(Tables.embeddings(s, d), 5, 10)),
@@ -3134,6 +3135,41 @@ object SparkEntry {
                 strftime(make_timestamp(minu), '%Y-%m-%d %H:%M') AS top_peak_minute,
                 CAST(v AS DOUBLE) / 100.0 AS top_peak_value
          FROM sel WHERE rn = 1""",
+    // silhouette: pair distances on the integer round6 grid, per-label
+    // sums exact, s cross-multiplied in HUGEINT (mirrors Decimal(38,0))
+    // with ONE division; the b-label argmin divides the SAME exact
+    // integers on both engines, ties pinned by label
+    "s_silhouette" ->
+      """WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+                list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+              FROM embeddings),
+         n AS (SELECT vec_id, label, v,
+                sqrt(list_dot_product(v, v)) AS nrm FROM e),
+         grp AS MATERIALIZED (SELECT a.vec_id AS i, a.label AS li,
+                b.label AS lj,
+                sum(1000000 - CAST(floor(list_dot_product(a.v, b.v)
+                    / (a.nrm * b.nrm) * 1000000 + 0.5) AS BIGINT)) AS sd,
+                CAST(count(*) AS BIGINT) AS cnt
+              FROM n a JOIN n b ON a.vec_id <> b.vec_id
+              GROUP BY 1, 2, 3),
+         a_side AS (SELECT i, sd AS sa, cnt AS ca FROM grp WHERE li = lj),
+         b_rank AS (SELECT i, lj, sd, cnt,
+                row_number() OVER (PARTITION BY i
+                    ORDER BY CAST(sd AS DOUBLE) / cnt, lj) AS rn
+              FROM grp WHERE li <> lj),
+         b_side AS (SELECT i, lj AS b_label, sd AS sb, cnt AS cb
+              FROM b_rank WHERE rn = 1)
+         SELECT e.vec_id, e.label, b_side.b_label,
+                CASE WHEN sa IS NULL OR sb IS NULL THEN 0.0
+                     WHEN greatest(CAST(sa AS HUGEINT) * cb,
+                                   CAST(sb AS HUGEINT) * ca) = 0 THEN 0.0
+                     ELSE CAST(CAST(sb AS HUGEINT) * ca
+                               - CAST(sa AS HUGEINT) * cb AS DOUBLE)
+                          / CAST(greatest(CAST(sa AS HUGEINT) * cb,
+                                 CAST(sb AS HUGEINT) * ca) AS DOUBLE) END AS sil
+         FROM e
+         LEFT JOIN a_side ON e.vec_id = a_side.i
+         LEFT JOIN b_side ON e.vec_id = b_side.i""",
     // deterministic DBSCAN: neighbor relation = raw cosine ≥ 0.4 (the
     // d_dedup_embed boundary), core = ≥3 neighbors, cluster = min-id
     // recursive closure of the core-core subgraph, border = min core

@@ -691,4 +691,62 @@ object Similarity {
       graft.operators.Dedup.embeddingDedup(embeddings, minCos)
         .select(col("id_a"), col("id_b")),
       minPts)
+
+  /** EXACT silhouette card for the labeled clustering — the "is this
+    * partition actually separating anything" QA read before trusting
+    * per-label models or a stratified mixture. Per vector: a = mean
+    * cosine DISTANCE to its own label (excl. self), b = the smallest
+    * other-label mean distance (that label emitted as `b_label` — the
+    * confusion neighbor), s = (b−a)/max(a,b).
+    *
+    * Cross-engine exactness: each pair distance is the integer
+    * `1e6 − floor(cos·1e6 + 0.5)` (the round6 grid), so the per-
+    * (vector, label) sums are exact integers; the means never form —
+    * s is computed CROSS-MULTIPLIED, (sb·ca − sa·cb)/max(sa·cb, sb·ca)
+    * in Decimal(38,0)/HUGEINT with ONE closing division. The b-label
+    * argmin does divide doubles, but both engines divide the SAME
+    * exact integers — identical IEEE results — with ties pinned by
+    * label. Singleton clusters take the textbook s = 0.
+    *
+    * Cost: the O(n²) exact pair scan (the knnGraph class — fine to
+    * ~10⁴ vectors; at corpus scale sample vectors per label or switch
+    * to the centroid-based simplified silhouette over
+    * [[coarseCentroids]], same downstream shape). */
+  def silhouette(embeddings: DataFrame): DataFrame = {
+    val e = embeddings.select(col("vec_id"),
+      col("label").cast("long").as("label"), toDouble(col("embedding")).as("v"))
+    val grp = e.select(col("vec_id").as("i"), col("label").as("li"),
+        col("v").as("vi"))
+      .join(broadcast(e.select(col("vec_id").as("j"), col("label").as("lj"),
+        col("v").as("vj"))), col("i") =!= col("j"))
+      .select(col("i"), col("li"), col("lj"),
+        (lit(1000000L) -
+          floor(cosineSim(col("vi"), col("vj")) * 1e6 + 0.5).cast("long"))
+          .as("dmicro"))
+      .groupBy(col("i"), col("li"), col("lj"))
+      .agg(sum(col("dmicro")).as("sd"), count(lit(1)).as("cnt"))
+      .localCheckpoint() // a-side and b-side both scan it
+    val aSide = grp.where(col("li") === col("lj"))
+      .select(col("i").as("vec_id"), col("sd").as("sa"), col("cnt").as("ca"))
+    val bSide = grp.where(col("li") =!= col("lj"))
+      .groupBy(col("i").as("vec_id"))
+      .agg(min(struct(
+        (col("sd").cast("double") / col("cnt")).as("mean_d"),
+        col("lj").as("bl"), col("sd").as("sb"), col("cnt").as("cb"))).as("b"))
+      .select(col("vec_id"), col("b.bl").as("b_label"),
+        col("b.sb").as("sb"), col("b.cb").as("cb"))
+    e.select(col("vec_id"), col("label"))
+      .join(aSide, Seq("vec_id"), "left")
+      .join(bSide, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("label"), col("b_label"),
+        when(col("sa").isNull || col("sb").isNull, lit(0.0))
+          .when(greatest(expr("CAST(sa AS DECIMAL(38,0)) * cb"),
+            expr("CAST(sb AS DECIMAL(38,0)) * ca")) === 0, lit(0.0))
+          .otherwise(
+            expr("CAST(CAST(sb AS DECIMAL(38,0)) * ca" +
+              " - CAST(sa AS DECIMAL(38,0)) * cb AS DOUBLE)") /
+            expr("CAST(greatest(CAST(sa AS DECIMAL(38,0)) * cb," +
+              " CAST(sb AS DECIMAL(38,0)) * ca) AS DOUBLE)"))
+          .as("sil"))
+  }
 }

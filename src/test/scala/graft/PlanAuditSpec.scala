@@ -100,7 +100,11 @@ class PlanAuditSpec extends SparkSpec {
       "q_chi2",
       // s_dbscan: rides d_dedup_embed's documented exact O(n²) pair
       // mine (size-routed to SemDeDup cells past exactMaxRows)
-      "s_dbscan")
+      "s_dbscan",
+      // s_silhouette: the same keyless exact pair scan (documented
+      // scale route: per-label sampling / centroid-based simplified
+      // silhouette)
+      "s_silhouette")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val plan = fn(spark, sfDir).queryExecution.sparkPlan.toString
       if (plan.contains("BroadcastNestedLoopJoin") && !allowed(name)) Some(name) else None

@@ -106,6 +106,41 @@ class Round7cOpsSpec extends SparkSpec {
       (22L,"border",20L),(23L,"border",20L)))
   }
 
+  test("silhouette: orthogonal label pair, singleton, confusion neighbor") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    // labels 0 = {(1,0)×2}, 1 = {(0,1)×2}, 2 = {(.6,.8)} — within-label
+    // distance 0, cross 0↔1 distance 1e6 → s=1 for all four; the
+    // singleton gets the textbook s=0 with b_label = its nearest label
+    // by mean distance: d(2,1)=1−0.8 < d(2,0)=1−0.6 → b_label 1
+    val e = Seq(
+      (1L, Array(1f, 0f), 0L), (2L, Array(1f, 0f), 0L),
+      (3L, Array(0f, 1f), 1L), (4L, Array(0f, 1f), 1L),
+      (5L, Array(0.6f, 0.8f), 2L)).toDF("vec_id", "embedding", "label")
+    val got = Similarity.silhouette(e)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).sortBy(_._1).toSeq
+    // v1: a=0 (to v2), b = min(label1 mean 1e6, label2 mean 4e5) →
+    // b_label 2, s = (4e5·1 − 0)/max(0, 4e5) = 1
+    assert(got == Seq(
+      (1L, 0L, 2L, 1.0), (2L, 0L, 2L, 1.0),
+      (3L, 1L, 2L, 1.0), (4L, 1L, 2L, 1.0),
+      (5L, 2L, 1L, 0.0)))
+  }
+
+  test("silhouette: coincident clusters give the stated 0, not 0/0") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    // two labels, all four vectors identical: sa=0 AND sb=0 → the
+    // max(a,b)=0 guard yields 0 instead of an indeterminate
+    val e = Seq(
+      (1L, Array(1f, 0f), 0L), (2L, Array(1f, 0f), 0L),
+      (3L, Array(1f, 0f), 1L), (4L, Array(1f, 0f), 1L))
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.silhouette(e).collect()
+    assert(got.length == 4 && got.forall(_.getDouble(3) == 0.0))
+  }
+
   test("chiSquareCard: hand-computed 2x2 contingency") {
     import spark.implicits._
     import graft.operators.Analytics
