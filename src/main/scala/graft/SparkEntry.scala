@@ -198,6 +198,11 @@ object SparkEntry {
     "d_dedup_exact" -> ((s, d) => Dedup.exact(Tables.documents(s, d))),
     "d_dedup_ngram" -> ((s, d) => Dedup.ngramJaccard(Tables.documents(s, d), 3, 0.5)),
     "d_dedup_sweep" -> ((s, d) => Dedup.dedupSweep(Tables.documents(s, d))),
+    "d_dedup_eval" -> ((s, d) => Dedup.dedupEval(
+      Dedup.minhashLsh(Tables.documents(s, d), 3, 64, 16, 0.5)
+        .select("id_a", "id_b"),
+      Dedup.ngramJaccard(Tables.documents(s, d), 3, 0.5)
+        .select("id_a", "id_b"))),
     "d_containment" -> ((s, d) => Dedup.containmentPairs(Tables.documents(s, d), 3, 0.6)),
     "d_dedup_minhash" -> ((s, d) => Dedup.minhashLsh(Tables.documents(s, d), 3, 64, 16, 0.5)),
     "d_dedup_simhash" -> ((s, d) => Dedup.simhashNearDup(Tables.documents(s, d), 3)),
@@ -940,6 +945,23 @@ object SparkEntry {
          WHERE CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter) >= 0.5""",
     "d_dedup_ngram" -> ngramJaccardSql,
     "d_dedup_sweep" -> dedupSweepSql,
+    // the eval card MEASURES the "LSH recall is 1.0 on this corpus at
+    // (3,64,16,0.5)" property that d_dedup_minhash's shared oracle and
+    // p_leak_split's mirror lean on: the oracle asserts candidates ==
+    // truth (tp = |truth|, fp = fn = 0), so any params/corpus change
+    // that breaks the property moves fn/fp off 0 and fails LOUDLY here
+    "d_dedup_eval" ->
+      (s"WITH t AS ($ngramJaccardSql)\n" +
+        """SELECT CAST(count(*) AS BIGINT) AS n_truth,
+                  CAST(count(*) AS BIGINT) AS n_cand,
+                  CAST(count(*) AS BIGINT) AS tp,
+                  CAST(0 AS BIGINT) AS fp,
+                  CAST(0 AS BIGINT) AS fn,
+                  CASE WHEN count(*) = 0 THEN NULL
+                       ELSE CAST(count(*) AS DOUBLE) / count(*) END AS precision,
+                  CASE WHEN count(*) = 0 THEN NULL
+                       ELSE CAST(count(*) AS DOUBLE) / count(*) END AS recall
+           FROM t"""),
     // the routed entries take their exact arms at driver scale, so the
     // exact mirrors apply verbatim
     "d_dedup_auto" -> ngramJaccardSql,

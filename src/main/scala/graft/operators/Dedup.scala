@@ -805,4 +805,49 @@ object Dedup {
     val docAgg = ids.agg(docCols.head, docCols.tail: _*)
     pairAgg.crossJoin(broadcast(docAgg))
   }
+
+  /** Precision/recall card of a candidate pair MINER against a ground-
+    * truth pair set — the QA gate run before trusting an approximate
+    * dedup (MinHash-LSH, SimHash, embedding buckets) as the real
+    * thing. Pairs are canonicalized (least, greatest) and
+    * deduplicated on both sides, the comparison is one co-partitioned
+    * full outer join, and the card is a single bounded row: set sizes,
+    * tp/fp/fn, and precision/recall as single exact-integer divisions
+    * (NULL when the denominator set is empty — no fabricated 1.0 on
+    * vacuous input).
+    *
+    * Wired as the `d_dedup_eval` driver entry over (minhashLsh ←
+    * truth ngramJaccard), this turns the "LSH recall is 1.0 on this
+    * corpus at (3,64,16,0.5)" assumption — which `p_leak_split`'s
+    * oracle mirror and `d_dedup_minhash`'s shared oracle both lean
+    * on — into a MEASURED, gate-checked number: any params/corpus
+    * change that drops recall moves `fn` off 0 and fails the oracle
+    * compare loudly instead of silently skewing the mirrors. */
+  def dedupEval(candidates: DataFrame, truth: DataFrame): DataFrame = {
+    def canon(df: DataFrame, flag: String) = df
+      .select(least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"))
+      .distinct()
+      .withColumn(flag, lit(1L))
+    canon(candidates, "in_c")
+      .join(canon(truth, "in_t"), Seq("id_a", "id_b"), "full")
+      .agg(
+        // coalesce the OUTER sums too: both inputs empty must read as
+        // an all-zero card, not a row of NULL counts
+        coalesce(sum(coalesce(col("in_t"), lit(0L))), lit(0L)).as("n_truth"),
+        coalesce(sum(coalesce(col("in_c"), lit(0L))), lit(0L)).as("n_cand"),
+        coalesce(sum(when(col("in_c").isNotNull && col("in_t").isNotNull, 1L)
+          .otherwise(0L)), lit(0L)).as("tp"),
+        coalesce(sum(when(col("in_c").isNotNull && col("in_t").isNull, 1L)
+          .otherwise(0L)), lit(0L)).as("fp"),
+        coalesce(sum(when(col("in_c").isNull && col("in_t").isNotNull, 1L)
+          .otherwise(0L)), lit(0L)).as("fn"))
+      .select(col("n_truth"), col("n_cand"), col("tp"), col("fp"), col("fn"),
+        when(col("n_cand") === 0, lit(null))
+          .otherwise(col("tp").cast("double") / col("n_cand").cast("double"))
+          .as("precision"),
+        when(col("n_truth") === 0, lit(null))
+          .otherwise(col("tp").cast("double") / col("n_truth").cast("double"))
+          .as("recall"))
+  }
 }

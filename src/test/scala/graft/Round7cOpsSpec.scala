@@ -141,6 +141,24 @@ class Round7cOpsSpec extends SparkSpec {
     assert(got.length == 4 && got.forall(_.getDouble(3) == 0.0))
   }
 
+  test("dedupEval: tp/fp/fn with canonicalization, empty gives zero card") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    // candidates {(1,2),(3,4),(5,6)} vs truth {(1,2),(3,4),(7,8)} —
+    // (2,1) reversed and (3,4) duplicated must collapse first
+    val cand = Seq((2L,1L),(1L,2L),(3L,4L),(3L,4L),(5L,6L)).toDF("id_a","id_b")
+    val truth = Seq((1L,2L),(4L,3L),(7L,8L)).toDF("id_a","id_b")
+    val r = Dedup.dedupEval(cand, truth).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4)) == ((3L, 3L, 2L, 1L, 1L)))
+    assert(r.getDouble(5) == 2.0 / 3.0 && r.getDouble(6) == 2.0 / 3.0)
+    // empty on both sides: all-zero counts, NULL rates (no fabricated 1.0)
+    val none = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    val z = Dedup.dedupEval(none, none).collect().head
+    assert((0 to 4).map(z.getLong(_)).forall(_ == 0L))
+    assert(z.isNullAt(5) && z.isNullAt(6))
+  }
+
   test("chiSquareCard: hand-computed 2x2 contingency") {
     import spark.implicits._
     import graft.operators.Analytics
