@@ -179,7 +179,9 @@ object SparkEntry {
     // rather than resting on 100% LSH recall at these params (that
     // equality is still spec-asserted — PipelineSpec "minhashLsh agrees
     // with exact ngramJaccard" — and at corpus scale leakSafeSplit takes
-    // the LSH mine instead, same pairs by that spec)
+    // the LSH mine instead, same pairs by that spec; d_dedup_eval now
+    // also MEASURES that equality at the gate every round: fn/fp move
+    // off 0 and fail the oracle compare if the property ever breaks)
     "p_leak_split" -> ((s, d) => Sampling.leakSafeSplit(Tables.documents(s, d),
       Dedup.ngramJaccard(Tables.documents(s, d), 3, 0.5))),
     "q_gini" -> ((s, d) => Analytics.giniSpend(s, d)),
@@ -400,6 +402,24 @@ object SparkEntry {
           dayAgg(ord.where(col("o_orderkey") % 10 === 0)), Seq("day"))
         .select(col("day"), col("n_orders"),
           (col("rev_cents").cast("double") / 100.0).as("revenue"))
+    }),
+    // retention/TTL purge: pre-1998 orders are deleted INTO the
+    // versioned snapshot family (pre-purge state stays readable by
+    // version) and the kept slice is read BACK from the committed
+    // snapshot — n_snapshot/kept_revenue come from disk, so the oracle
+    // checks the storage round-trip, not just the filter arithmetic
+    "fs_ttl" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val cat = new graft.sources.Catalog(s, d,
+        Some(graft.sources.Catalog.warehouseLayoutRoot(s, d)))
+      cat.dropDerived("snap_orders_ttl") // deterministic v1 each run
+      val card = cat.retentionPurge("orders_ttl", Tables.orders(s, d),
+        expr("unix_micros(o_orderdate) >= 883612800000000"))
+      val snap = cat.readSnapshot("orders_ttl")
+      card.crossJoin(broadcast(snap.agg(count(lit(1)).as("n_snapshot"),
+          sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("kc"))))
+        .select(col("n_kept"), col("n_purged"), col("n_snapshot"),
+          (col("kc").cast("double") / 100.0).as("kept_revenue"))
     }),
     "m_meta" -> ((s, d) => Multimodal.metaExtract(Tables.documents(s, d))),
     // REAL codec round-trips (JDK ImageIO / WAV): payload dimensions are
@@ -945,6 +965,19 @@ object SparkEntry {
          WHERE CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter) >= 0.5""",
     "d_dedup_ngram" -> ngramJaccardSql,
     "d_dedup_sweep" -> dedupSweepSql,
+    // the card's kept/purged split and the snapshot read-back must both
+    // equal the filter arithmetic (1998-01-01 UTC in integer µs)
+    "fs_ttl" ->
+      """SELECT CAST(sum(CASE WHEN epoch_us(o_orderdate) >= 883612800000000
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+                CAST(sum(CASE WHEN epoch_us(o_orderdate) < 883612800000000
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_purged,
+                CAST(sum(CASE WHEN epoch_us(o_orderdate) >= 883612800000000
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_snapshot,
+                CAST(sum(CASE WHEN epoch_us(o_orderdate) >= 883612800000000
+                    THEN CAST(round(o_totalprice * 100) AS BIGINT)
+                    ELSE 0 END) AS DOUBLE) / 100.0 AS kept_revenue
+         FROM orders""",
     // the eval card MEASURES the "LSH recall is 1.0 on this corpus at
     // (3,64,16,0.5)" property that d_dedup_minhash's shared oracle and
     // p_leak_split's mirror lean on: the oracle asserts candidates ==

@@ -272,6 +272,24 @@ class Catalog(spark: SparkSession, baseDir: String,
     spark.read.parquet(s"$derivedDir/snap_$name/v$v")
   }
 
+  /** Retention (TTL) purge — the GDPR/data-lifecycle verb: persist the
+    * rows satisfying `keep` as a NEW version in the [[snapshot]] family
+    * (append-only, so the pre-purge state stays readable by version —
+    * the audit answer to "what exactly did we delete, and what did the
+    * table look like before") and return a one-row audit card of
+    * kept/purged counts. No silent deletes: the purge IS the card.
+    * Counts come from one flagged pass over the input; the snapshot
+    * write re-reads the kept slice (parquet scan, filter pushed down).
+    * Idempotence is the caller's choice: drop the snapshot family
+    * first for a deterministic v1, or let versions accumulate as the
+    * retention schedule fires. */
+  def retentionPurge(name: String, df: DataFrame, keep: Column): DataFrame = {
+    snapshot(name, df.where(keep))
+    df.agg(
+      coalesce(sum(when(keep, 1L).otherwise(0L)), lit(0L)).as("n_kept"),
+      coalesce(sum(when(keep, 0L).otherwise(1L)), lit(0L)).as("n_purged"))
+  }
+
   /** Remove torn-refresh leftovers under [[derivedDir]]: `.tmp`
     * siblings (a crash between a refresh's materialize and swap) and
     * layouts missing their `_SUCCESS` marker (an interrupted first

@@ -104,7 +104,10 @@ class PlanAuditSpec extends SparkSpec {
       // s_silhouette: the same keyless exact pair scan (documented
       // scale route: per-label sampling / centroid-based simplified
       // silhouette)
-      "s_silhouette")
+      "s_silhouette",
+      // fs_ttl: the 1-row snapshot read-back aggregate crossed into
+      // the 1-row audit card (a 1x1 join)
+      "fs_ttl")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val plan = fn(spark, sfDir).queryExecution.sparkPlan.toString
       if (plan.contains("BroadcastNestedLoopJoin") && !allowed(name)) Some(name) else None

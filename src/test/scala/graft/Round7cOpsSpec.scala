@@ -159,6 +159,30 @@ class Round7cOpsSpec extends SparkSpec {
     assert(z.isNullAt(5) && z.isNullAt(6))
   }
 
+  test("retentionPurge: audit card is exact, pre-purge state stays readable") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val root = java.nio.file.Files.createTempDirectory("graft-spec-ttl").toString
+    val cat = new graft.sources.Catalog(spark, root)
+    val t = Seq((1L, 10L), (2L, 20L), (3L, 30L), (4L, 40L)).toDF("id", "age")
+    // purge age > 25 → keeps {1,2}; card 2/2; snapshot v1 = kept slice
+    val c1 = cat.retentionPurge("t", t, col("age") <= 25).collect().head
+    assert((c1.getLong(0), c1.getLong(1)) == ((2L, 2L)))
+    assert(cat.readSnapshot("t").select("id").collect().map(_.getLong(0)).sorted
+      .toSeq == Seq(1L, 2L))
+    // second, tighter purge appends v2; v1 is STILL the 2-row state —
+    // the pre-purge audit trail time travel exists for
+    val c2 = cat.retentionPurge("t", cat.readSnapshot("t"),
+      col("age") <= 15).collect().head
+    assert((c2.getLong(0), c2.getLong(1)) == ((1L, 1L)))
+    assert(cat.snapshotVersions("t") == Seq(1, 2))
+    assert(cat.readSnapshot("t", 1).count() == 2L)
+    assert(cat.readSnapshot("t", 2).select("id").collect().head.getLong(0) == 1L)
+    // empty input: all-zero card, and the empty snapshot still commits
+    val z = cat.retentionPurge("t", t.limit(0), col("age") <= 25).collect().head
+    assert((z.getLong(0), z.getLong(1)) == ((0L, 0L)))
+  }
+
   test("chiSquareCard: hand-computed 2x2 contingency") {
     import spark.implicits._
     import graft.operators.Analytics
