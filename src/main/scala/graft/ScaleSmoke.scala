@@ -477,6 +477,56 @@ object ScaleSmoke {
       operators.Events.peakConcurrency(be)
         .write.format("noop").mode("overwrite").save()
     }
+    // round 7c: graph family on a SYNTHETIC 1M-edge graph (100k nodes,
+    // ~20 avg undirected degree — the distributed rungs, not the
+    // 25-nation broadcast instance), ACF/chi2 at 10× facts, DBSCAN
+    // routed through the SemDeDup-celled scale path
+    locally {
+      val edges = spark.range(1000000).select(
+        concat(lit("n"), col("id") % 100000).as("src"),
+        concat(lit("n"), pmod(xxhash64(col("id")), lit(100000))).as("dst"),
+        (col("id") % 10 + 1).cast("long").as("w"))
+        .localCheckpoint()
+      time("kcore15_1m_edges") {
+        // k=15 against ~20 average degree → a real peel cascade, 8
+        // full distributed rounds (no coalesce pin)
+        operators.Graph.kCore(edges, k = 15, rounds = 8)
+          .write.format("noop").mode("overwrite").save()
+      }
+      time("jaccard_1m_edges") {
+        // raw wedge join: Σ_v deg(v)² ≈ 4e7 intermediate rows — the
+        // honest cost bound of the pair generator at this density
+        operators.Graph.neighborJaccard(edges)
+          .write.format("noop").mode("overwrite").save()
+      }
+    }
+    time("acf_1m_events") {
+      operators.Events.acf(be)
+        .write.format("noop").mode("overwrite").save()
+    }
+    locally {
+      val ord = spark.read.parquet("/root/testdata/sf0.1/orders.parquet")
+      val bigOrd = (0 until 10).map(i =>
+          ord.withColumn("o_orderkey", col("o_orderkey") + lit(i * 100000000L)))
+        .reduce(_ unionAll _)
+      time("chi2_1m_orders") {
+        operators.Analytics.chiSquareCard(bigOrd)
+          .write.format("noop").mode("overwrite").save()
+      }
+    }
+    locally {
+      val emb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+      val emb20k = (0 until 10).map(i =>
+          emb.withColumn("vec_id", col("vec_id") + lit(i * 1000000L)))
+        .reduce(_ unionAll _)
+      time("dbscan_20k_vecs") {
+        // 20k vectors > exactMaxRows → embeddingDedup routes the pair
+        // mine through SemDeDup cells; components + border assignment
+        // run on the mined pair graph, never the corpus cross product
+        operators.Similarity.dbscanEmbeddings(emb20k)
+          .write.format("noop").mode("overwrite").save()
+      }
+    }
     spark.stop()
   }
 }
