@@ -56,6 +56,8 @@ object Shell {
           "gini | audit | vacuum | analyze <tbl> [cols...] | abc | rfm | " +
           "benford | changepoints | publish <src> <dest> | " +
           "explain <sql> | skew <tbl> <col> | histogram <tbl> <col> | " +
+          "kcore [k] | jaccard | dbscan [minPts] | silhouette | chi2 | " +
+          "acf | dedup_eval | ttl <tbl> <col> <micros> | " +
           "exit | <sql>")
       case "ls" :: Nil => cat.list().foreach(println)
       case "stats" :: Nil => cat.stats().show(100, truncate = false)
@@ -176,6 +178,59 @@ object Shell {
         operators.CorpusPipeline.publish(cat, cat.table(src), dest)
           .show(truncate = false)
         println(s"published $src -> ${cat.derivedDir}/$dest")
+      case "kcore" :: rest if rest.length <= 1 =>
+        // cohesive backbone: k-core peel of the trade network
+        val k = rest.headOption.map(_.toInt).getOrElse(3)
+        operators.Graph.kCore(
+            operators.Graph.topKBackbone(
+              operators.Graph.tradeEdges(spark, dir), 3),
+            k = k, rounds = 8, coalesceTo = Some(1))
+          .orderBy(org.apache.spark.sql.functions.col("core_deg").desc,
+            org.apache.spark.sql.functions.col("node"))
+          .show(25, truncate = false)
+      case "jaccard" :: Nil =>
+        // link prediction: unlinked nation pairs with the most shared
+        // trade partners first
+        operators.Graph.nationJaccard(spark, dir)
+          .where(!org.apache.spark.sql.functions.col("linked"))
+          .orderBy(org.apache.spark.sql.functions.col("jac").desc,
+            org.apache.spark.sql.functions.col("node_a"))
+          .show(10, truncate = false)
+      case "dbscan" :: rest if rest.length <= 1 =>
+        val minPts = rest.headOption.map(_.toInt).getOrElse(3)
+        operators.Similarity.dbscanEmbeddings(
+            Tables.embeddings(spark, dir), minPts = minPts)
+          .groupBy("role").count().orderBy("role").show(truncate = false)
+      case "silhouette" :: Nil =>
+        // per-label mean silhouette (display only — the per-vector
+        // card is the oracle-checked object)
+        operators.Similarity.silhouette(Tables.embeddings(spark, dir))
+          .groupBy("label")
+          .agg(org.apache.spark.sql.functions.round(
+            org.apache.spark.sql.functions.avg("sil"), 4).as("mean_sil"),
+            org.apache.spark.sql.functions.count(
+              org.apache.spark.sql.functions.lit(1)).as("n"))
+          .orderBy("label").show(truncate = false)
+      case "chi2" :: Nil =>
+        operators.Analytics.chiSquareCard(Tables.orders(spark, dir))
+          .orderBy("o_orderstatus", "o_orderpriority").show(truncate = false)
+      case "acf" :: Nil =>
+        operators.Events.acf(Tables.events(spark, dir))
+          .orderBy("lg").show(truncate = false)
+      case "dedup_eval" :: Nil =>
+        operators.Dedup.dedupEval(
+          operators.Dedup.minhashLsh(Tables.documents(spark, dir), 3, 64, 16, 0.5)
+            .select("id_a", "id_b"),
+          operators.Dedup.ngramJaccard(Tables.documents(spark, dir), 3, 0.5)
+            .select("id_a", "id_b")).show(truncate = false)
+      case "ttl" :: tbl :: col :: micros :: Nil =>
+        // retention purge: keep rows with <col> ≥ the µs cutoff; the
+        // kept slice lands as a new snapshot version of snap_<tbl>_ttl
+        val card = cat.retentionPurge(s"${tbl}_ttl", cat.table(tbl),
+          org.apache.spark.sql.functions.expr(
+            s"unix_micros($col) >= ${micros.toLong}"))
+        card.show(truncate = false)
+        println(s"snapshot versions: ${cat.snapshotVersions(s"${tbl}_ttl")}")
       case "explain" :: rest if rest.nonEmpty =>
         spark.sql(rest.mkString(" ")).explain("formatted")
       case "skew" :: tbl :: key :: Nil =>

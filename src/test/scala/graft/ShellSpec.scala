@@ -93,6 +93,25 @@ class ShellProcedureSpec extends SparkSpec {
     assert(Shell.execute("changepoints", spark, cat, sfDir))
   }
 
+  test("round-7c verbs: kcore/jaccard/dbscan/silhouette/chi2/acf/ttl") {
+    val cat = new Catalog(spark, sfDir)
+    assert(Shell.execute("kcore", spark, cat, sfDir))
+    assert(Shell.execute("jaccard", spark, cat, sfDir))
+    assert(Shell.execute("dbscan", spark, cat, sfDir))
+    assert(Shell.execute("silhouette", spark, cat, sfDir))
+    assert(Shell.execute("chi2", spark, cat, sfDir))
+    assert(Shell.execute("acf", spark, cat, sfDir))
+    assert(Shell.execute("dedup_eval", spark, cat, sfDir))
+    // ttl writes a snapshot — run it against a writable copy
+    val dir = java.nio.file.Files.createTempDirectory("graft-shell-ttl").toString
+    Tables.orders(spark, sfDir).write.parquet(s"$dir/orders.parquet")
+    val wcat = new Catalog(spark, dir)
+    wcat.registerAll()
+    assert(Shell.execute("ttl orders o_orderdate 883612800000000",
+      spark, wcat, dir))
+    assert(wcat.snapshotVersions("orders_ttl") == Seq(1))
+  }
+
   test("publish and explain verbs run from the shell") {
     val dir = java.nio.file.Files.createTempDirectory("graft-shell-pub").toString
     Tables.documents(spark, sfDir).write.parquet(s"$dir/documents.parquet")
