@@ -90,7 +90,21 @@ object SparkEntry {
     "q9_profit" -> ((s, d) => Analytics.q9ProfitByNation(s, d)),
     "q_regression" -> ((s, d) => Analytics.regressionByFlag(Tables.lineitem(s, d))),
     "q_corr" -> ((s, d) => Analytics.corrQtyPrice(Tables.lineitem(s, d))),
+    // running-peak drawdown: exact cents, per-customer ROWS window on
+    // the (date us, key) total order, display /100 divisions only
+    "q_drawdown" ->
+      """WITH u AS (SELECT o_custkey, o_orderkey, epoch_us(o_orderdate) AS odu,
+                CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+         w AS (SELECT o_custkey, cents,
+                max(cents) OVER (PARTITION BY o_custkey ORDER BY odu, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+               FROM u)
+         SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders,
+                CAST(max(cents) AS DOUBLE) / 100.0 AS peak_value,
+                CAST(max(peak - cents) AS DOUBLE) / 100.0 AS max_drawdown
+         FROM w GROUP BY o_custkey""",
     "q_chi2" -> ((s, d) => Analytics.chiSquareCard(Tables.orders(s, d))),
+    "q_drawdown" -> ((s, d) => Analytics.maxDrawdown(Tables.orders(s, d))),
     "q_bool_bit" -> ((s, d) => Analytics.boolBitProfile(Tables.orders(s, d))),
     "q_array_ops" -> ((s, d) => Analytics.orderBaskets(Tables.lineitem(s, d))),
     "g_pagerank" -> ((s, d) => Graph.nationPagerank(s, d)),
@@ -200,6 +214,7 @@ object SparkEntry {
     "d_dedup_exact" -> ((s, d) => Dedup.exact(Tables.documents(s, d))),
     "d_dedup_ngram" -> ((s, d) => Dedup.ngramJaccard(Tables.documents(s, d), 3, 0.5)),
     "d_dedup_sweep" -> ((s, d) => Dedup.dedupSweep(Tables.documents(s, d))),
+    "d_redundancy" -> ((s, d) => Dedup.redundancy(Tables.documents(s, d))),
     "d_dedup_eval" -> ((s, d) => Dedup.dedupEval(
       Dedup.minhashLsh(Tables.documents(s, d), 3, 64, 16, 0.5)
         .select("id_a", "id_b"),
@@ -307,6 +322,7 @@ object SparkEntry {
     "s_knn_graph" -> ((s, d) => Similarity.knnGraph(Tables.embeddings(s, d), 3)),
     "s_dbscan" -> ((s, d) => Similarity.dbscanEmbeddings(Tables.embeddings(s, d))),
     "s_silhouette" -> ((s, d) => Similarity.silhouette(Tables.embeddings(s, d))),
+    "s_ann_recall" -> ((s, d) => Similarity.annRecall(Tables.embeddings(s, d))),
     // uniform-without-replacement cap of 10 docs per source
     "p_cap_source" -> ((s, d) => Sampling.capPerGroup(Tables.documents(s, d), 10)),
     "s_ann_brute" -> ((s, d) => Similarity.bruteForceTopK(Tables.embeddings(s, d), 5, 10)),
@@ -978,6 +994,40 @@ object SparkEntry {
                     THEN CAST(round(o_totalprice * 100) AS BIGINT)
                     ELSE 0 END) AS DOUBLE) / 100.0 AS kept_revenue
          FROM orders""",
+    // corpus redundancy per source: STRING shingles (count cards have
+    // no verify step to absorb a 64-bit hash collision), integer
+    // counts at three grains, single exact-input divisions
+    "d_redundancy" ->
+      """WITH tok AS (SELECT doc_id,
+             list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS w
+           FROM documents),
+         occ AS (SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+                 FROM tok CROSS JOIN unnest(generate_series(1, len(w) - 2)) AS t(i)
+                 WHERE len(w) >= 3),
+         socc AS MATERIALIZED (SELECT d.source, o.doc_id, o.shingle
+                 FROM occ o JOIN documents d ON o.doc_id = d.doc_id),
+         raw AS (SELECT source, CAST(count(*) AS BIGINT) AS n_occ
+                 FROM socc GROUP BY 1),
+         dg AS (SELECT source, CAST(count(*) AS BIGINT) AS n_doc_sh FROM
+                 (SELECT DISTINCT source, doc_id, shingle FROM socc) GROUP BY 1),
+         di AS (SELECT source, CAST(count(*) AS BIGINT) AS n_distinct FROM
+                 (SELECT DISTINCT source, shingle FROM socc) GROUP BY 1),
+         nd AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+                FROM documents GROUP BY 1)
+         SELECT nd.source, n_docs,
+                COALESCE(n_occ, 0) AS n_occ,
+                COALESCE(n_doc_sh, 0) AS n_doc_sh,
+                COALESCE(n_distinct, 0) AS n_distinct,
+                CASE WHEN COALESCE(n_occ, 0) = 0 THEN NULL
+                     ELSE CAST(n_occ - n_distinct AS DOUBLE)
+                          / CAST(n_occ AS DOUBLE) END AS dup_rate,
+                CASE WHEN COALESCE(n_doc_sh, 0) = 0 THEN NULL
+                     ELSE CAST(n_doc_sh - n_distinct AS DOUBLE)
+                          / CAST(n_doc_sh AS DOUBLE) END AS cross_dup_rate
+         FROM nd
+         LEFT JOIN raw ON nd.source = raw.source
+         LEFT JOIN dg ON nd.source = dg.source
+         LEFT JOIN di ON nd.source = di.source""",
     // the eval card MEASURES the "LSH recall is 1.0 on this corpus at
     // (3,64,16,0.5)" property that d_dedup_minhash's shared oracle and
     // p_leak_split's mirror lean on: the oracle asserts candidates ==
@@ -1247,18 +1297,7 @@ object SparkEntry {
                  FROM e CROSS JOIN cents c) WHERE rn = 1)
          SELECT label, pred_label, CAST(count(*) AS BIGINT) AS n
          FROM a GROUP BY label, pred_label""",
-    "s_ann_brute" ->
-      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
-         n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
-         q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM n WHERE vec_id < 5),
-         scored AS (SELECT query_id, vec_id AS neighbor_id,
-                           list_dot_product(qv, v) / (qn * nrm) AS cos
-                    FROM n CROSS JOIN q WHERE vec_id <> query_id),
-         r AS (SELECT query_id, neighbor_id, cos,
-                      row_number() OVER (PARTITION BY query_id
-                                         ORDER BY cos DESC, neighbor_id) AS rnk
-               FROM scored)
-         SELECT query_id, neighbor_id, floor(cos * 1000000 + 0.5) / 1000000 AS cos, rnk FROM r WHERE rnk <= 10""",
+    "s_ann_brute" -> bruteTopkSql,
     // LSH mirror: the 4 hyperplanes ride into the SQL as double literals
     // (shortest-round-trip strings parse back to identical IEEE doubles),
     // so bucketing + in-bucket scoring replays exactly in DuckDB.
@@ -1287,48 +1326,23 @@ object SparkEntry {
     // probe-join -> top-k. Every stage uses the same arithmetic shape as
     // the Spark side (dot / (sqrt(dot)*sqrt(dot)), scaled-long means),
     // so even the ANN index is value-verified, not rows-only.
-    "s_ann_ivf" ->
-      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
-         seeds AS (SELECT vec_id AS cell_id, v AS cv FROM e
-                   ORDER BY CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15) AS BIGINT), vec_id
-                   LIMIT 16),
-         a1 AS (SELECT vec_id, v, cell_id FROM (
-                  SELECT e.vec_id, e.v, s.cell_id,
-                         row_number() OVER (PARTITION BY e.vec_id ORDER BY
-                           list_dot_product(e.v, s.cv)
-                             / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(s.cv, s.cv))) DESC,
-                           s.cell_id) AS rn
-                  FROM e CROSS JOIN seeds s) WHERE rn = 1),
-         m AS (SELECT cell_id, i AS pos,
-                      sum(CAST(round(list_extract(v, i) * 1073741824.0) AS BIGINT)) AS sx,
-                      count(*) AS n
-               FROM a1 CROSS JOIN unnest(generate_series(1, len(v))) AS t(i)
-               GROUP BY cell_id, i),
-         cents AS (SELECT cell_id, list(CAST(sx AS DOUBLE) / n / 1073741824.0 ORDER BY pos) AS cv
-                   FROM m GROUP BY cell_id),
-         a2 AS (SELECT vec_id, v, cell_id FROM (
-                  SELECT e.vec_id, e.v, c.cell_id,
-                         row_number() OVER (PARTITION BY e.vec_id ORDER BY
-                           list_dot_product(e.v, c.cv)
-                             / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))) DESC,
-                           c.cell_id) AS rn
-                  FROM e CROSS JOIN cents c) WHERE rn = 1),
-         q AS (SELECT vec_id AS query_id, v AS qv, cell_id AS probe_cell FROM (
-                 SELECT e.vec_id, e.v, c.cell_id,
-                        row_number() OVER (PARTITION BY e.vec_id ORDER BY
-                          list_dot_product(e.v, c.cv)
-                            / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))) DESC,
-                          c.cell_id) AS rn
-                 FROM e CROSS JOIN cents c WHERE e.vec_id < 5) WHERE rn <= 4),
-         scored AS (SELECT q.query_id, a2.vec_id AS neighbor_id,
-                           list_dot_product(q.qv, a2.v)
-                             / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(a2.v, a2.v))) AS cos
-                    FROM a2 JOIN q ON a2.cell_id = q.probe_cell AND a2.vec_id <> q.query_id),
-         r AS (SELECT query_id, neighbor_id, cos,
-                      row_number() OVER (PARTITION BY query_id
-                                         ORDER BY cos DESC, neighbor_id) AS rnk
-               FROM scored)
-         SELECT query_id, neighbor_id, floor(cos * 1000000 + 0.5) / 1000000 AS cos, rnk FROM r WHERE rnk <= 10""",
+    "s_ann_ivf" -> ivfTopkSql,
+    // recall@k of the probed search vs the exact top-k: both sides are
+    // the SAME replays the gate already value-checks, composed — the
+    // index-quality number measured each round instead of assumed
+    "s_ann_recall" ->
+      (s"WITH brute AS ($bruteTopkSql),\n ivf AS ($ivfTopkSql)\n" +
+        """SELECT b.query_id,
+                  CAST(sum(CASE WHEN i.neighbor_id IS NOT NULL
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+                  CAST(count(*) AS BIGINT) AS n_true,
+                  CAST(sum(CASE WHEN i.neighbor_id IS NOT NULL
+                      THEN 1 ELSE 0 END) AS DOUBLE)
+                    / CAST(count(*) AS DOUBLE) AS recall
+           FROM brute b
+           LEFT JOIN ivf i ON b.query_id = i.query_id
+                          AND b.neighbor_id = i.neighbor_id
+           GROUP BY b.query_id"""),
     // SemDeDup mirror: same centroid pipeline, intra-cell pair scoring
     "d_dedup_semantic" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
@@ -2750,6 +2764,19 @@ object SparkEntry {
     // chi-square card: (O·N − R·C)²/(R·C·N) per cell in HUGEINT
     // (mirrors Spark's Decimal(38,0)), one double division; expected
     // count floor-scaled to 1e-6 on positive operands
+    // running-peak drawdown: exact cents, per-customer ROWS window on
+    // the (date us, key) total order, display /100 divisions only
+    "q_drawdown" ->
+      """WITH u AS (SELECT o_custkey, o_orderkey, epoch_us(o_orderdate) AS odu,
+                CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+         w AS (SELECT o_custkey, cents,
+                max(cents) OVER (PARTITION BY o_custkey ORDER BY odu, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+               FROM u)
+         SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders,
+                CAST(max(cents) AS DOUBLE) / 100.0 AS peak_value,
+                CAST(max(peak - cents) AS DOUBLE) / 100.0 AS max_drawdown
+         FROM w GROUP BY o_custkey""",
     "q_chi2" ->
       """WITH cells AS (SELECT o_orderstatus, o_orderpriority,
                 CAST(count(*) AS BIGINT) AS obs FROM orders GROUP BY 1, 2),
@@ -3801,6 +3828,62 @@ object SparkEntry {
          GROUP BY user_id"""
 
   /** Shared by d_dedup_ngram and d_dedup_minhash (see note above). */
+  private val bruteTopkSql: String =
+    """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+         q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM n WHERE vec_id < 5),
+         scored AS (SELECT query_id, vec_id AS neighbor_id,
+                           list_dot_product(qv, v) / (qn * nrm) AS cos
+                    FROM n CROSS JOIN q WHERE vec_id <> query_id),
+         r AS (SELECT query_id, neighbor_id, cos,
+                      row_number() OVER (PARTITION BY query_id
+                                         ORDER BY cos DESC, neighbor_id) AS rnk
+               FROM scored)
+         SELECT query_id, neighbor_id, floor(cos * 1000000 + 0.5) / 1000000 AS cos, rnk FROM r WHERE rnk <= 10"""
+
+  private val ivfTopkSql: String =
+    """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         seeds AS (SELECT vec_id AS cell_id, v AS cv FROM e
+                   ORDER BY CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15) AS BIGINT), vec_id
+                   LIMIT 16),
+         a1 AS (SELECT vec_id, v, cell_id FROM (
+                  SELECT e.vec_id, e.v, s.cell_id,
+                         row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                           list_dot_product(e.v, s.cv)
+                             / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(s.cv, s.cv))) DESC,
+                           s.cell_id) AS rn
+                  FROM e CROSS JOIN seeds s) WHERE rn = 1),
+         m AS (SELECT cell_id, i AS pos,
+                      sum(CAST(round(list_extract(v, i) * 1073741824.0) AS BIGINT)) AS sx,
+                      count(*) AS n
+               FROM a1 CROSS JOIN unnest(generate_series(1, len(v))) AS t(i)
+               GROUP BY cell_id, i),
+         cents AS (SELECT cell_id, list(CAST(sx AS DOUBLE) / n / 1073741824.0 ORDER BY pos) AS cv
+                   FROM m GROUP BY cell_id),
+         a2 AS (SELECT vec_id, v, cell_id FROM (
+                  SELECT e.vec_id, e.v, c.cell_id,
+                         row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                           list_dot_product(e.v, c.cv)
+                             / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+                           c.cell_id) AS rn
+                  FROM e CROSS JOIN cents c) WHERE rn = 1),
+         q AS (SELECT vec_id AS query_id, v AS qv, cell_id AS probe_cell FROM (
+                 SELECT e.vec_id, e.v, c.cell_id,
+                        row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                          list_dot_product(e.v, c.cv)
+                            / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+                          c.cell_id) AS rn
+                 FROM e CROSS JOIN cents c WHERE e.vec_id < 5) WHERE rn <= 4),
+         scored AS (SELECT q.query_id, a2.vec_id AS neighbor_id,
+                           list_dot_product(q.qv, a2.v)
+                             / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(a2.v, a2.v))) AS cos
+                    FROM a2 JOIN q ON a2.cell_id = q.probe_cell AND a2.vec_id <> q.query_id),
+         r AS (SELECT query_id, neighbor_id, cos,
+                      row_number() OVER (PARTITION BY query_id
+                                         ORDER BY cos DESC, neighbor_id) AS rnk
+               FROM scored)
+         SELECT query_id, neighbor_id, floor(cos * 1000000 + 0.5) / 1000000 AS cos, rnk FROM r WHERE rnk <= 10"""
+
   private val ngramJaccardSql: String =
     """WITH tok AS (SELECT doc_id,
            list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS w FROM documents),

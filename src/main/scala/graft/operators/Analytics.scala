@@ -1527,6 +1527,32 @@ object Analytics {
           / first(col("t"))).as("share"))
   }
 
+  /** Maximum drawdown of each customer's order-value series — the
+    * "largest drop from a previous peak" pattern card (the classic
+    * running-extrema window shape, stated on spend rather than prices).
+    * Values are exact integer cents; the running peak is a per-customer
+    * ROWS window over the (date µs, order key) total order, so ties and
+    * replays are deterministic, and the drawdown maximum is an integer
+    * aggregate — the only doubles are the /100 display divisions.
+    * Window partitions by customer: bounded by a customer's order
+    * count, never the table. */
+  def maxDrawdown(orders: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("odu"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    orders
+      .select(col("o_custkey"), col("o_orderkey"),
+        expr("unix_micros(o_orderdate)").as("odu"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+      .withColumn("peak", max(col("cents")).over(w))
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"),
+        (max(col("cents")).cast("double") / 100.0).as("peak_value"),
+        (max(col("peak") - col("cents")).cast("double") / 100.0)
+          .as("max_drawdown"))
+  }
+
   /** Chi-square independence card for order status × priority — the
     * "are these two categoricals related" screen run before trusting a
     * stratified sample or a per-segment model. One fact-collapsing

@@ -806,6 +806,47 @@ object Dedup {
     pairAgg.crossJoin(broadcast(docAgg))
   }
 
+  /** Cross-document shingle-redundancy card per source — the corpus-
+    * level "how much of this source is repeated text" metric (the
+    * within-doc twin is `t_repetition`). Two rates over word n-gram
+    * occurrences: `dup_rate` counts every repeat (within AND across
+    * docs) as (occ − distinct)/occ; `cross_dup_rate` first collapses
+    * each doc's own repeats to (doc, shingle) grain, so what remains is
+    * purely cross-document redundancy — the signal a dedup pass will
+    * actually remove. Integer counts, single exact-input divisions,
+    * NULL on a shingle-less source (docs shorter than n words).
+    * STRING shingles, not the 64-bit hashed kind the pair miners use:
+    * a count card has no verification step to absorb a hash collision,
+    * so it measures the exact objects the oracle measures. Three
+    * aggregates over the shingle stream, all keyed by source — linear,
+    * shuffle bounded by distinct shingles per source. */
+  def redundancy(docs: DataFrame, n: Int = 3): DataFrame = {
+    val src = docs.select(col("doc_id"), col("source"))
+    val occ = rawShingles(docs, n).join(src, "doc_id")
+      .localCheckpoint() // three grains scan it
+    val raw = occ.groupBy(col("source")).agg(count(lit(1)).as("n_occ"))
+    val docGrain = occ.select(col("source"), col("doc_id"), col("shingle"))
+      .distinct()
+      .groupBy(col("source")).agg(count(lit(1)).as("n_doc_sh"))
+    val dist = occ.select(col("source"), col("shingle")).distinct()
+      .groupBy(col("source")).agg(count(lit(1)).as("n_distinct"))
+    val nDocs = docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+    nDocs
+      .join(raw, Seq("source"), "left")
+      .join(docGrain, Seq("source"), "left")
+      .join(dist, Seq("source"), "left")
+      .select(col("source"), col("n_docs"),
+        coalesce(col("n_occ"), lit(0L)).as("n_occ"),
+        coalesce(col("n_doc_sh"), lit(0L)).as("n_doc_sh"),
+        coalesce(col("n_distinct"), lit(0L)).as("n_distinct"),
+        when(coalesce(col("n_occ"), lit(0L)) === 0, lit(null))
+          .otherwise((col("n_occ") - col("n_distinct")).cast("double")
+            / col("n_occ").cast("double")).as("dup_rate"),
+        when(coalesce(col("n_doc_sh"), lit(0L)) === 0, lit(null))
+          .otherwise((col("n_doc_sh") - col("n_distinct")).cast("double")
+            / col("n_doc_sh").cast("double")).as("cross_dup_rate"))
+  }
+
   /** Precision/recall card of a candidate pair MINER against a ground-
     * truth pair set — the QA gate run before trusting an approximate
     * dedup (MinHash-LSH, SimHash, embedding buckets) as the real

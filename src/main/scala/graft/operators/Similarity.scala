@@ -692,6 +692,29 @@ object Similarity {
         .select(col("id_a"), col("id_b")),
       minPts)
 
+  /** Recall@k card of the IVF-probed ANN against the exact brute-force
+    * top-k — the index-quality gate (the ANN twin of Dedup.dedupEval):
+    * per query, how many of the true top-k the probed search returned.
+    * Both sides are the SAME deterministic pipelines the driver already
+    * oracle-checks (`s_ann_brute`, `s_ann_ivf`), so the card replays
+    * end-to-end in SQL; integer hit counts, one exact division. A
+    * params/data change that silently costs recall moves the card and
+    * fails the gate loudly — measured, not assumed. */
+  def annRecall(embeddings: DataFrame, maxQueryId: Long = 5,
+      k: Int = 10): DataFrame = {
+    val exact = bruteForceTopK(embeddings, maxQueryId, k)
+      .select(col("query_id"), col("neighbor_id"))
+    val approx = ivfAnn(embeddings, maxQueryId, k)
+      .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
+    exact.join(approx, Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(coalesce(sum(col("hit")), lit(0L)).as("n_hits"),
+        count(lit(1)).as("n_true"))
+      .select(col("query_id"), col("n_hits"), col("n_true"),
+        (col("n_hits").cast("double") / col("n_true").cast("double"))
+          .as("recall"))
+  }
+
   /** EXACT silhouette card for the labeled clustering — the "is this
     * partition actually separating anything" QA read before trusting
     * per-label models or a stratified mixture. Per vector: a = mean
