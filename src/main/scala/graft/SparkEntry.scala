@@ -90,19 +90,6 @@ object SparkEntry {
     "q9_profit" -> ((s, d) => Analytics.q9ProfitByNation(s, d)),
     "q_regression" -> ((s, d) => Analytics.regressionByFlag(Tables.lineitem(s, d))),
     "q_corr" -> ((s, d) => Analytics.corrQtyPrice(Tables.lineitem(s, d))),
-    // running-peak drawdown: exact cents, per-customer ROWS window on
-    // the (date us, key) total order, display /100 divisions only
-    "q_drawdown" ->
-      """WITH u AS (SELECT o_custkey, o_orderkey, epoch_us(o_orderdate) AS odu,
-                CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
-         w AS (SELECT o_custkey, cents,
-                max(cents) OVER (PARTITION BY o_custkey ORDER BY odu, o_orderkey
-                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
-               FROM u)
-         SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders,
-                CAST(max(cents) AS DOUBLE) / 100.0 AS peak_value,
-                CAST(max(peak - cents) AS DOUBLE) / 100.0 AS max_drawdown
-         FROM w GROUP BY o_custkey""",
     "q_chi2" -> ((s, d) => Analytics.chiSquareCard(Tables.orders(s, d))),
     "q_drawdown" -> ((s, d) => Analytics.maxDrawdown(Tables.orders(s, d))),
     "q_bool_bit" -> ((s, d) => Analytics.boolBitProfile(Tables.orders(s, d))),
