@@ -57,7 +57,7 @@ object Shell {
           "benford | changepoints | publish <src> <dest> | " +
           "explain <sql> | skew <tbl> <col> | histogram <tbl> <col> | " +
           "kcore [k] | jaccard | dbscan [minPts] | silhouette | chi2 | " +
-          "acf | dedup_eval | ttl <tbl> <col> <micros> | " +
+          "acf | dedup_eval | drawdown | ttl <tbl> <col> <micros> | " +
           "exit | <sql>")
       case "ls" :: Nil => cat.list().foreach(println)
       case "stats" :: Nil => cat.stats().show(100, truncate = false)
@@ -214,6 +214,12 @@ object Shell {
       case "chi2" :: Nil =>
         operators.Analytics.chiSquareCard(Tables.orders(spark, dir))
           .orderBy("o_orderstatus", "o_orderpriority").show(truncate = false)
+      case "drawdown" :: Nil =>
+        // worst peak-to-trough spenders first — the risk-read ordering
+        operators.Analytics.maxDrawdown(Tables.orders(spark, dir))
+          .orderBy(org.apache.spark.sql.functions.col("max_drawdown").desc,
+            org.apache.spark.sql.functions.col("o_custkey"))
+          .show(10, truncate = false)
       case "acf" :: Nil =>
         operators.Events.acf(Tables.events(spark, dir))
           .orderBy("lg").show(truncate = false)

@@ -702,6 +702,17 @@ object Similarity {
     * fails the gate loudly — measured, not assumed. */
   def annRecall(embeddings: DataFrame, maxQueryId: Long = 5,
       k: Int = 10): DataFrame = {
+    // empty-partition tolerance: the IVF build requires ≥1 vector to
+    // seed centroids; a recall card over nothing is the empty card
+    if (embeddings.isEmpty) {
+      import org.apache.spark.sql.types._
+      return embeddings.sparkSession.createDataFrame(
+        embeddings.sparkSession.sparkContext
+          .emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField("query_id", LongType),
+          StructField("n_hits", LongType), StructField("n_true", LongType),
+          StructField("recall", DoubleType))))
+    }
     val exact = bruteForceTopK(embeddings, maxQueryId, k)
       .select(col("query_id"), col("neighbor_id"))
     val approx = ivfAnn(embeddings, maxQueryId, k)

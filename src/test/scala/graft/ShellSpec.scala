@@ -102,6 +102,7 @@ class ShellProcedureSpec extends SparkSpec {
     assert(Shell.execute("chi2", spark, cat, sfDir))
     assert(Shell.execute("acf", spark, cat, sfDir))
     assert(Shell.execute("dedup_eval", spark, cat, sfDir))
+    assert(Shell.execute("drawdown", spark, cat, sfDir))
     // ttl writes a snapshot — run it against a writable copy
     val dir = java.nio.file.Files.createTempDirectory("graft-shell-ttl").toString
     Tables.orders(spark, sfDir).write.parquet(s"$dir/orders.parquet")
