@@ -3293,7 +3293,8 @@ object SparkEntry {
     "e_cdc_stream" ->
       """WITH latest AS (SELECT user_id, epoch_us(ts) AS last_seq_us,
                 event_type AS last_type, value,
-                row_number() OVER (PARTITION BY user_id ORDER BY ts DESC) AS rn
+                row_number() OVER (PARTITION BY user_id
+                  ORDER BY ts DESC, event_id DESC) AS rn
            FROM events)
          SELECT user_id, last_seq_us, last_type,
                 CAST(CAST(round(value * 100) AS BIGINT) AS DOUBLE) / 100.0 AS last_value

@@ -37,9 +37,28 @@ class Catalog(spark: SparkSession, baseDir: String,
 
   private def hconf = spark.sparkContext.hadoopConfiguration
 
+  /** Committed-state probe, SELF-HEALING for interrupted swaps: a
+    * [[commitSwap]] that crashed between "rename live aside" and
+    * "install tmp" leaves the committed state at `<dir>.bak` — without
+    * recovery the next refresh would see no `_SUCCESS` and silently
+    * re-seed the MV from its delta alone, dropping all accumulated
+    * history with no error. Every read path funnels through here, so
+    * the first touch after a torn swap restores the backup (and a
+    * leftover backup from a COMPLETED install is just deleted). */
   private def hasSuccess(dir: String): Boolean = {
-    val m = new Path(s"$dir/_SUCCESS")
-    m.getFileSystem(hconf).exists(m)
+    val live = new Path(dir)
+    val fs = live.getFileSystem(hconf)
+    def committed(p: Path) = fs.exists(new Path(p, "_SUCCESS"))
+    val bak = new Path(s"$dir.bak")
+    if (fs.exists(bak)) {
+      if (committed(live)) fs.delete(bak, true) // install done, cleanup torn
+      else if (committed(bak)) {                // install torn: restore
+        fs.delete(live, true)
+        if (!fs.rename(bak, live))
+          throw new java.io.IOException(s"swap recovery failed for $dir")
+      }
+    }
+    committed(live)
   }
 
   /** Durable incremental aggregate maintenance (materialized-view
@@ -125,9 +144,19 @@ class Catalog(spark: SparkSession, baseDir: String,
       try out.write(id.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       finally out.close()
     }
-    fs.delete(live, true)
+    // crash-recoverable install: park the committed live state at .bak
+    // BEFORE installing tmp (a crash in the gap leaves .bak committed,
+    // which [[hasSuccess]] restores on the next touch), and delete the
+    // backup only once the new state is in place. The old shape —
+    // delete(live) then rename — had a window where NO committed state
+    // existed and a crash silently reset the MV to its next delta.
+    val bak = new Path(s"$dir.bak")
+    fs.delete(bak, true)
+    if (fs.exists(live) && !fs.rename(live, bak))
+      throw new java.io.IOException(s"$what: backup rename failed")
     if (!fs.rename(tmp, live))
       throw new java.io.IOException(s"$what: swap rename failed")
+    fs.delete(bak, true)
   }
 
   /** Durable CDC (change-data-capture) view maintenance — the

@@ -586,8 +586,15 @@ object EventStream {
     * [[graft.sources.Catalog.refreshCdcMv]]. The event stream is read
     * as a change log: each event upserts its user's row, an 'error'
     * event is a TOMBSTONE (the user's row disappears until a later
-    * event resurrects it), and the event's integer-µs timestamp is the
-    * change sequence. Because the sequence is stored IN the state,
+    * event resurrects it), and the change sequence is the STRUCT
+    * (event µs, event_id) — refreshCdcMv's contract needs sequences
+    * unique per key, and a bare timestamp leaves same-µs events with
+    * no defined winner; the struct's lexicographic order keeps the
+    * time ordering and pins ties by event id (a packed long would
+    * overflow: µs epochs ~1.7e15 leave headroom for a factor of only
+    * ~5e3, less than the event-id range). The oracle pins the same
+    * tie-break (ORDER BY ts DESC, event_id DESC).
+    * Because the sequence is stored IN the state,
     * the final view is microbatch-boundary invariant (spec pins 1-file
     * vs 4-file triggers identical) — unlike a seq-less fold, no batch
     * ordering assumption is needed. Oracle: latest event per user where
@@ -603,7 +610,8 @@ object EventStream {
     cat.dropDerived("events_user_cdc")
     Replay.runForeachBatch(spark, src, maxFilesPerTrigger) { (batch, id) =>
       val changes = batch.where(col("user_id") =!= src.sentinelUser)
-        .select(col("user_id"), col("tsu").as("seq"),
+        .select(col("user_id"),
+          struct(col("tsu").as("us"), col("event_id").as("eid")).as("seq"),
           when(col("event_type") === "error", "d").otherwise("u").as("op"),
           col("event_type").as("last_type"),
           expr("CAST(round(value * 100) AS BIGINT)").as("value_cents"))
@@ -611,7 +619,7 @@ object EventStream {
         Some(id)): Unit
     }
     cat.cdcState("events_user_cdc", "op")
-      .select(col("user_id"), col("seq").as("last_seq_us"),
+      .select(col("user_id"), col("seq.us").as("last_seq_us"),
         col("last_type"),
         (col("value_cents").cast("double") / 100.0).as("last_value"))
   }

@@ -141,6 +141,67 @@ class Round8OpsSpec extends SparkSpec {
     }
   }
 
+  // ---------------------------------------------------------- swap durability
+
+  test("commitSwap: a torn swap restores from .bak instead of re-seeding") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-swapbak").toString
+    val cat = new graft.sources.Catalog(spark, root)
+    cat.refreshAggMv("mv", Seq(("a", 10L)).toDF("k", "n"), Seq("k"))
+    // simulate a crash in the swap window: live was renamed aside, tmp
+    // never installed — the committed state sits at <dir>.bak only
+    val live = java.nio.file.Paths.get(s"${cat.derivedDir}/mv")
+    java.nio.file.Files.move(live,
+      java.nio.file.Paths.get(s"${cat.derivedDir}/mv.bak"))
+    // the old delete-then-rename shape would now silently re-seed from
+    // the delta alone (a=1); recovery must restore the backup first so
+    // the delta MERGES onto history (a=11)
+    val got = cat.refreshAggMv("mv", Seq(("a", 1L)).toDF("k", "n"), Seq("k"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(got.toSeq == Seq(("a", 11L)))
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"${cat.derivedDir}/mv.bak")))
+  }
+
+  test("commitSwap: a stale .bak beside a committed install is cleaned up") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-swapbak2").toString
+    val cat = new graft.sources.Catalog(spark, root)
+    cat.refreshAggMv("mv", Seq(("a", 10L)).toDF("k", "n"), Seq("k"))
+    // crash AFTER install but before backup cleanup: live is committed,
+    // a leftover .bak (with the older state) still exists
+    val bak = java.nio.file.Paths.get(s"${cat.derivedDir}/mv.bak")
+    java.nio.file.Files.createDirectories(bak)
+    java.nio.file.Files.createFile(bak.resolve("_SUCCESS"))
+    val got = cat.refreshAggMv("mv", Seq(("a", 1L)).toDF("k", "n"), Seq("k"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(got.toSeq == Seq(("a", 11L))) // live state won, not the stale bak
+    assert(!java.nio.file.Files.exists(bak))
+  }
+
+  // --------------------------------------------------------- cdc seq ordering
+
+  test("refreshCdcMv: struct (us, eid) sequence pins same-microsecond ties") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-cdctie").toString
+    val cat = new graft.sources.Catalog(spark, root)
+    def change(us: Long, eid: Long, v: Long) =
+      Seq((1L, us, eid, "u", v)).toDF("user_id", "us", "eid", "op", "v")
+        .select(col("user_id"), struct(col("us"), col("eid")).as("seq"),
+          col("op"), col("v"))
+    // two changes in the SAME microsecond: eid 7 must beat eid 3
+    // regardless of arrival order — the raw-timestamp sequence the
+    // replay used before had no defined winner here
+    cat.refreshCdcMv("cdc", change(100L, 7L, 70L), "user_id", "seq", "op")
+    cat.refreshCdcMv("cdc", change(100L, 3L, 30L), "user_id", "seq", "op")
+    val got = cat.cdcState("cdc", "op").select("v").collect()
+    assert(got.map(_.getLong(0)).toSeq == Seq(70L))
+    // and a later microsecond still beats any eid
+    cat.refreshCdcMv("cdc", change(101L, 1L, 11L), "user_id", "seq", "op")
+    val got2 = cat.cdcState("cdc", "op").select("v").collect()
+    assert(got2.map(_.getLong(0)).toSeq == Seq(11L))
+  }
+
   // ------------------------------------------------------------- empty inputs
 
   test("round-8 regularized operators tolerate zero-row inputs") {

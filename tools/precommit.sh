@@ -34,8 +34,10 @@ sbt -batch compile < /dev/null > /tmp/precommit_compile.log 2>&1 || {
 # Driver-entry smoke: any query name whose SparkEntry line is in the
 # staged diff gets re-driven against the oracle.
 if grep -q 'SparkEntry.scala' <<<"$staged"; then
+  # the greps legitimately match nothing when the diff only touches
+  # oracle SQL bodies or comments — don't let pipefail kill the hook
   touched=$(git diff --cached -U0 -- src/main/scala/graft/SparkEntry.scala \
-    | grep -E '^[+-]' | grep -oE '"[a-z0-9_]+" *->' \
+    | { grep -E '^[+-]' || true; } | { grep -oE '"[a-z0-9_]+" *->' || true; } \
     | tr -d '" ' | sed 's/->$//' | sort -u | paste -sd, -)
   if [[ -n "$touched" ]]; then
     echo "precommit: oracle smoke on touched entries: $touched" >&2
