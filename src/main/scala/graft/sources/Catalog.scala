@@ -44,7 +44,15 @@ class Catalog(spark: SparkSession, baseDir: String,
     * re-seed the MV from its delta alone, dropping all accumulated
     * history with no error. Every read path funnels through here, so
     * the first touch after a torn swap restores the backup (and a
-    * leftover backup from a COMPLETED install is just deleted). */
+    * leftover backup from a COMPLETED install is just deleted).
+    *
+    * Because this recovery is DESTRUCTIVE (it deletes and renames), it
+    * extends the caller-serialization contract: reads of a derived
+    * name must be serialized with refreshes of the SAME name — a read
+    * racing an in-flight [[commitSwap]] could restore the backup
+    * inside the writer's rename gap, failing the writer's install
+    * rename. The single scheduler that owns a name's refresh cadence
+    * owns its reads too; distinct names stay independent. */
   private def hasSuccess(dir: String): Boolean = {
     val live = new Path(dir)
     val fs = live.getFileSystem(hconf)
@@ -144,12 +152,22 @@ class Catalog(spark: SparkSession, baseDir: String,
       try out.write(id.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       finally out.close()
     }
-    // crash-recoverable install: park the committed live state at .bak
-    // BEFORE installing tmp (a crash in the gap leaves .bak committed,
-    // which [[hasSuccess]] restores on the next touch), and delete the
-    // backup only once the new state is in place. The old shape —
-    // delete(live) then rename — had a window where NO committed state
-    // existed and a crash silently reset the MV to its next delta.
+    installSwap(dir, fs, what)
+  }
+
+  /** Crash-recoverable install of `<dir>.tmp` over `<dir>`: park the
+    * committed live state at `.bak` BEFORE installing tmp (a crash in
+    * the gap leaves `.bak` committed, which [[hasSuccess]] restores on
+    * the next touch), and delete the backup only once the new state is
+    * in place. The old shape — delete(live) then rename — had a window
+    * where NO committed state existed and a crash silently reset the
+    * state to its next delta. Shared by [[commitSwap]] and
+    * [[saveAnnIndex]] so every derived-state install recovers the same
+    * way. */
+  private def installSwap(dir: String, fs: org.apache.hadoop.fs.FileSystem,
+      what: String): Unit = {
+    val live = new Path(dir)
+    val tmp = new Path(s"$dir.tmp")
     val bak = new Path(s"$dir.bak")
     fs.delete(bak, true)
     if (fs.exists(live) && !fs.rename(live, bak))
@@ -221,13 +239,9 @@ class Catalog(spark: SparkSession, baseDir: String,
       index: graft.operators.Similarity.IvfIndex): Unit = {
     def commit(df: DataFrame, part: String): Unit = {
       val dir = s"$derivedDir/$name/$part"
-      val live = new Path(dir)
-      val tmp = new Path(s"$dir.tmp")
-      val fs = live.getFileSystem(hconf)
-      df.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-      fs.delete(live, true)
-      if (!fs.rename(tmp, live))
-        throw new java.io.IOException(s"saveAnnIndex($name/$part): swap failed")
+      val fs = new Path(dir).getFileSystem(hconf)
+      df.write.mode(SaveMode.Overwrite).parquet(s"$dir.tmp")
+      installSwap(dir, fs, s"saveAnnIndex($name/$part)")
     }
     commit(index.assignments, "assignments")
     commit(index.centroids, "centroids")
@@ -257,6 +271,11 @@ class Catalog(spark: SparkSession, baseDir: String,
     val p = new Path(s"$derivedDir/$name")
     val fs = p.getFileSystem(hconf)
     fs.delete(new Path(s"$derivedDir/$name.tmp"), true)
+    // drop the swap backup too: a committed `.bak` parked by a torn
+    // [[installSwap]] would otherwise RESURRECT the dropped state on
+    // the next [[hasSuccess]] touch — and its batch marker would make
+    // [[alreadyApplied]] skip a fresh replay's lower batch ids
+    fs.delete(new Path(s"$derivedDir/$name.bak"), true)
     fs.delete(p, true)
   }
 
@@ -330,6 +349,13 @@ class Catalog(spark: SparkSession, baseDir: String,
     val fs = base.getFileSystem(hconf)
     if (!fs.exists(base)) 0
     else {
+      // apply swap recovery FIRST: a committed `.bak` parked by a torn
+      // install restores to its live sibling (or is deleted when the
+      // live install completed) — after which any `.bak` still present
+      // is uncommitted debris the `_SUCCESS` rule below removes
+      fs.listStatus(base).toSeq.filter(_.isDirectory).map(_.getPath)
+        .filter(_.getName.endsWith(".bak"))
+        .foreach(p => hasSuccess(p.toString.stripSuffix(".bak")))
       val victims = fs.listStatus(base).toSeq
         .filter(_.isDirectory).map(_.getPath)
         .filter(p => p.getName.endsWith(".tmp") ||

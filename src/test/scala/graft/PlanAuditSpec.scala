@@ -83,6 +83,11 @@ class PlanAuditSpec extends SparkSpec {
       "q_rfm",
       // s_radius: s_ann_brute's keyless shape with a threshold filter
       "s_radius",
+      // s_ann_recall: the recall card's exact arm composes
+      // bruteForceTopK — s_ann_brute's audited bounded-query-broadcast
+      // shape (an exact baseline must scan the corpus per query by
+      // definition); the IVF arm under measurement is equi-joined
+      "s_ann_recall",
       // d_datasheet: 1×1 crosses of the three bounded stat aggregates
       // (the t_vocab_card shape, metric grain after)
       "d_datasheet",

@@ -1,0 +1,67 @@
+package graft
+
+/** Round-9 durability fixtures for the Catalog swap-recovery edges the
+  * round-8 review surfaced: a torn-swap `.bak` must not resurrect
+  * DROPPED state, [[graft.sources.Catalog.vacuumDerived]] must finish
+  * recovery instead of stranding committed backups, and
+  * `saveAnnIndex` must install through the same crash-recoverable
+  * park-at-.bak shape as the MV paths.
+  */
+class Round9DurabilitySpec extends SparkSpec {
+
+  private def p(s: String) = java.nio.file.Paths.get(s)
+
+  test("dropDerived: removes the swap backup so dropped state stays dropped") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-dropbak").toString
+    val cat = new graft.sources.Catalog(spark, root)
+    cat.refreshAggMv("mv", Seq(("a", 10L)).toDF("k", "n"), Seq("k"),
+      batchId = Some(5L))
+    // torn swap: committed state (with its batch-5 marker) parked at .bak
+    java.nio.file.Files.move(p(s"${cat.derivedDir}/mv"),
+      p(s"${cat.derivedDir}/mv.bak"))
+    cat.dropDerived("mv") // live absent mid-tear; drop must still purge
+    assert(!java.nio.file.Files.exists(p(s"${cat.derivedDir}/mv.bak")),
+      "dropDerived left the .bak — the next read would resurrect dropped state")
+    // a post-drop replay starts from scratch: batch 1 must APPLY (the
+    // resurrected batch-5 marker would have made alreadyApplied skip it)
+    val got = cat.refreshAggMv("mv", Seq(("a", 1L)).toDF("k", "n"), Seq("k"),
+      batchId = Some(1L)).collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(got.toSeq == Seq(("a", 1L)))
+  }
+
+  test("vacuumDerived: restores a committed .bak, then sweeps debris") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-vacbak").toString
+    val cat = new graft.sources.Catalog(spark, root)
+    cat.refreshAggMv("mv", Seq(("a", 10L)).toDF("k", "n"), Seq("k"))
+    // torn swap: live renamed aside, a half-written tmp left behind
+    java.nio.file.Files.move(p(s"${cat.derivedDir}/mv"),
+      p(s"${cat.derivedDir}/mv.bak"))
+    java.nio.file.Files.createDirectories(p(s"${cat.derivedDir}/mv.tmp"))
+    assert(cat.vacuumDerived() >= 1) // the tmp at minimum
+    assert(!java.nio.file.Files.exists(p(s"${cat.derivedDir}/mv.bak")))
+    assert(!java.nio.file.Files.exists(p(s"${cat.derivedDir}/mv.tmp")))
+    // the committed state survived the vacuum via restore, not deletion
+    val got = cat.mvState("mv").collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(got.toSeq == Seq(("a", 10L)))
+  }
+
+  test("saveAnnIndex: a torn install self-heals like the MV paths") {
+    val emb = Tables.embeddings(spark, sfDir).limit(200)
+    val root = java.nio.file.Files.createTempDirectory("graft-annbak").toString
+    val cat = new graft.sources.Catalog(spark, root)
+    val built = graft.operators.Similarity.buildIvfIndex(emb, nCells = 4)
+    cat.saveAnnIndex("idx", built)
+    val want = cat.loadAnnIndex("idx").centroids.count()
+    // simulate the crash window: committed centroids parked at .bak,
+    // nothing installed — the OLD delete-then-rename shape left this
+    // state permanently unreadable (loadAnnIndex require fails forever)
+    java.nio.file.Files.move(p(s"${cat.derivedDir}/idx/centroids"),
+      p(s"${cat.derivedDir}/idx/centroids.bak"))
+    val recovered = cat.loadAnnIndex("idx") // first touch restores
+    assert(recovered.centroids.count() == want)
+    assert(!java.nio.file.Files.exists(
+      p(s"${cat.derivedDir}/idx/centroids.bak")))
+  }
+}

@@ -5,7 +5,13 @@
 #   2. If the staged diff touches SparkEntry.scala driver entries, the
 #      touched query names are re-driven through graft.Verify at
 #      sf0.001 and compared against the DuckDB oracle (tools/check.py)
-#      — a smoke of the driver's real gate (which runs at sf0.01).
+#      — a smoke of the driver's real gate (which runs at sf0.01) —
+#      and graft.PlanAuditSpec runs so a new driver entry can never
+#      ship with an unaudited plan shape (the round-8 failure class).
+#   3. The checks run against the STAGED snapshot: if any staged
+#      .scala/.sbt file also has unstaged edits, the index is
+#      materialized via git checkout-index into a temp dir and checked
+#      there, so partial staging cannot sneak a non-compiling tree in.
 #
 # Install:   ln -sf ../../tools/precommit.sh .git/hooks/pre-commit
 # Bypass (emergencies only): GRAFT_SKIP_PRECOMMIT=1 git commit ...
@@ -24,15 +30,29 @@ if ! grep -qE '\.(scala|sbt)$' <<<"$staged"; then
   exit 0
 fi
 
+# If a staged code file also carries unstaged edits, the working tree
+# is NOT the snapshot being committed — materialize the index and run
+# every check from there instead.
+checkdir="."
+unstaged=$(git diff --name-only | grep -E '\.(scala|sbt)$' || true)
+if [[ -n "$unstaged" ]] && grep -qFxf <(echo "$unstaged") <<<"$staged"; then
+  checkdir=$(mktemp -d /tmp/precommit_index.XXXX)
+  echo "precommit: partial staging detected — checking index snapshot at $checkdir" >&2
+  git checkout-index -a --prefix="$checkdir/"
+  trap 'rm -rf "$checkdir"' EXIT
+fi
+
 echo "precommit: sbt compile..." >&2
-sbt -batch compile < /dev/null > /tmp/precommit_compile.log 2>&1 || {
+(cd "$checkdir" && sbt -batch compile < /dev/null) \
+    > /tmp/precommit_compile.log 2>&1 || {
   tail -20 /tmp/precommit_compile.log >&2
   echo "precommit: REFUSED — sbt compile failed" >&2
   exit 1
 }
 
 # Driver-entry smoke: any query name whose SparkEntry line is in the
-# staged diff gets re-driven against the oracle.
+# staged diff gets re-driven against the oracle, and the plan audit
+# runs over the full driver surface.
 if grep -q 'SparkEntry.scala' <<<"$staged"; then
   # the greps legitimately match nothing when the diff only touches
   # oracle SQL bodies or comments — don't let pipefail kill the hook
@@ -51,7 +71,7 @@ if grep -q 'SparkEntry.scala' <<<"$staged"; then
         java.base/sun.util.calendar; do \
           echo --add-opens $p=ALL-UNNAMED; done) \
       -Xmx4g -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
-      -cp "target/scala-2.13/classes:/opt/spark/jars/*" \
+      -cp "$checkdir/target/scala-2.13/classes:/opt/spark/jars/*" \
       graft.Verify /root/testdata/sf0.001 "$out" "$touched" \
         > /tmp/precommit_verify.log 2>&1 || {
       tail -20 /tmp/precommit_verify.log >&2
@@ -65,6 +85,13 @@ if grep -q 'SparkEntry.scala' <<<"$staged"; then
       exit 1
     }
     rm -rf "$out"
+    echo "precommit: plan audit (graft.PlanAuditSpec)..." >&2
+    (cd "$checkdir" && sbt -batch "testOnly graft.PlanAuditSpec" < /dev/null) \
+        > /tmp/precommit_audit.log 2>&1 || {
+      tail -30 /tmp/precommit_audit.log >&2
+      echo "precommit: REFUSED — PlanAuditSpec failed" >&2
+      exit 1
+    }
   fi
 fi
 
