@@ -424,6 +424,14 @@ object ScaleSmoke {
           spark.read.parquet("/tmp/graft_bigemb.parquet"), 5, 0.3)
         .write.format("noop").mode("overwrite").save()
     }
+    // the silhouette scale rung: exact silhouette is O(n²) (1e10 pairs
+    // here — unrunnable); the centroid form is two linear scans + a
+    // labels×dim aggregation, so 50× the vectors costs ~50× the scan
+    time("sil_centroid_100k") {
+      operators.Similarity.silhouetteCentroid(
+          spark.read.parquet("/tmp/graft_bigemb.parquet"))
+        .write.format("noop").mode("overwrite").save()
+    }
     // round 7b fourth wave: behavioral cards at 10× facts
     time("growth_1m_events") {
       operators.Events.growthAccounting(be)

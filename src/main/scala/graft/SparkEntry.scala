@@ -309,6 +309,9 @@ object SparkEntry {
     "s_knn_graph" -> ((s, d) => Similarity.knnGraph(Tables.embeddings(s, d), 3)),
     "s_dbscan" -> ((s, d) => Similarity.dbscanEmbeddings(Tables.embeddings(s, d))),
     "s_silhouette" -> ((s, d) => Similarity.silhouette(Tables.embeddings(s, d))),
+    // the linear-cost corpus-scale rung of s_silhouette
+    "s_silhouette_centroid" ->
+      ((s, d) => Similarity.silhouetteCentroid(Tables.embeddings(s, d))),
     "s_ann_recall" -> ((s, d) => Similarity.annRecall(Tables.embeddings(s, d))),
     // uniform-without-replacement cap of 10 docs per source
     "p_cap_source" -> ((s, d) => Sampling.capPerGroup(Tables.documents(s, d), 10)),
@@ -3239,6 +3242,44 @@ object SparkEntry {
          FROM e
          LEFT JOIN a_side ON e.vec_id = a_side.i
          LEFT JOIN b_side ON e.vec_id = b_side.i""",
+    // simplified silhouette: per-label fixed-point centroids (the
+    // kmeans-oracle mean shape), integer-grid distance to every
+    // centroid, argmin over foreign labels with ties to the smallest
+    // label, one closing division
+    "s_silhouette_centroid" ->
+      """WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+                list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+              FROM embeddings),
+         cm AS (SELECT label, i AS pos,
+                sum(CAST(round(list_extract(v, i) * 1073741824.0) AS BIGINT)) AS sx,
+                count(*) AS n
+              FROM e CROSS JOIN unnest(generate_series(1, len(v))) AS t(i)
+              GROUP BY label, i),
+         c AS (SELECT label AS clabel,
+                list(CAST(sx AS DOUBLE) / n / 1073741824.0 ORDER BY pos) AS cv,
+                max(n) AS cn
+              FROM cm GROUP BY label),
+         d AS MATERIALIZED (SELECT e.vec_id, e.label, c.clabel, c.cn,
+                1000000 - CAST(floor(list_dot_product(e.v, c.cv)
+                    / (sqrt(list_dot_product(e.v, e.v))
+                       * sqrt(list_dot_product(c.cv, c.cv)))
+                    * 1000000 + 0.5) AS BIGINT) AS dmicro
+              FROM e CROSS JOIN c),
+         a_side AS (SELECT vec_id, label, dmicro AS da, cn AS ca
+              FROM d WHERE label = clabel),
+         b_rank AS (SELECT vec_id, clabel, dmicro,
+                row_number() OVER (PARTITION BY vec_id
+                    ORDER BY dmicro, clabel) AS rn
+              FROM d WHERE label <> clabel),
+         b_side AS (SELECT vec_id, clabel AS b_label, dmicro AS db
+              FROM b_rank WHERE rn = 1)
+         SELECT a_side.vec_id, a_side.label, b_side.b_label,
+                CASE WHEN a_side.ca = 1 OR b_side.db IS NULL THEN 0.0
+                     WHEN greatest(a_side.da, b_side.db) = 0 THEN 0.0
+                     ELSE CAST(b_side.db - a_side.da AS DOUBLE)
+                          / CAST(greatest(a_side.da, b_side.db) AS DOUBLE)
+                END AS sil
+         FROM a_side LEFT JOIN b_side ON a_side.vec_id = b_side.vec_id""",
     // deterministic DBSCAN: neighbor relation = raw cosine ≥ 0.4 (the
     // d_dedup_embed boundary), core = ≥3 neighbors, cluster = min-id
     // recursive closure of the core-core subgraph, border = min core

@@ -743,9 +743,8 @@ object Similarity {
     * label. Singleton clusters take the textbook s = 0.
     *
     * Cost: the O(n²) exact pair scan (the knnGraph class — fine to
-    * ~10⁴ vectors; at corpus scale sample vectors per label or switch
-    * to the centroid-based simplified silhouette over
-    * [[coarseCentroids]], same downstream shape). */
+    * ~10⁴ vectors); the corpus-scale rung is IMPLEMENTED as
+    * [[silhouetteCentroid]] — same output shape, linear cost. */
   def silhouette(embeddings: DataFrame): DataFrame = {
     val e = embeddings.select(col("vec_id"),
       col("label").cast("long").as("label"), toDouble(col("embedding")).as("v"))
@@ -781,6 +780,58 @@ object Similarity {
               " - CAST(sa AS DECIMAL(38,0)) * cb AS DOUBLE)") /
             expr("CAST(greatest(CAST(sa AS DECIMAL(38,0)) * cb," +
               " CAST(sb AS DECIMAL(38,0)) * ca) AS DOUBLE)"))
+          .as("sil"))
+  }
+
+  /** SIMPLIFIED (centroid-based) silhouette — the corpus-scale rung of
+    * [[silhouette]], same card shape at LINEAR cost: a(i) = cosine
+    * distance to the vector's OWN label centroid, b(i) = the smallest
+    * distance to another label's centroid (that label emitted as
+    * `b_label`), s = (b−a)/max(a,b). The standard simplification
+    * (Hruschka's simplified silhouette): replacing per-pair means with
+    * the per-label mean vector turns the O(n²) pair scan into one
+    * label-grain aggregation (shuffle bounded at labels×dim rows — the
+    * [[centroidClassify]] fit shape, fixed-point 2^30 coordinate sums
+    * so centroids are order-independent and engine-exact) plus one
+    * bounded ≤|labels| broadcast fanout per vector. The corpus is
+    * scanned twice and never pair-joined, never broadcast — at 100 TB
+    * this is the silhouette you can actually run.
+    *
+    * Cross-engine exactness: centroid coordinates divide the SAME
+    * exact integers in both engines (identical IEEE doubles), each
+    * distance lands on the `1e6 − floor(cos·1e6 + 0.5)` integer grid,
+    * and s is ONE closing division of those integers; the b-argmin
+    * ties pin to the smallest label. Singleton clusters take the
+    * textbook s = 0 (matching [[silhouette]]'s convention). */
+  def silhouetteCentroid(embeddings: DataFrame): DataFrame = {
+    val Scale = (1L << 30).toDouble
+    val e = embeddings.select(col("vec_id"),
+      col("label").cast("long").as("label"), toDouble(col("embedding")).as("v"))
+    val cents = e
+      .select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy(col("label"), col("pos"))
+      .agg(sum(round(col("x") * Scale).cast("long")).as("sx"), count(lit(1)).as("n"))
+      .groupBy(col("label"))
+      .agg(array_sort(collect_list(struct(col("pos"),
+        (col("sx").cast("double") / col("n") / Scale).as("x")))).as("ps"),
+        max(col("n")).as("cn"))
+      .select(col("label").as("clabel"), col("ps.x").as("cv"), col("cn"))
+    val d = e.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("label"), col("clabel"), col("cn"),
+        (lit(1000000L) -
+          floor(cosineSim(col("v"), col("cv")) * 1e6 + 0.5).cast("long"))
+          .as("dmicro"))
+    d.groupBy(col("vec_id"), col("label"))
+      .agg(
+        max(when(col("label") === col("clabel"), col("dmicro"))).as("da"),
+        max(when(col("label") === col("clabel"), col("cn"))).as("ca"),
+        min(when(col("label") =!= col("clabel"),
+          struct(col("dmicro").as("db"), col("clabel").as("bl")))).as("b"))
+      .select(col("vec_id"), col("label"), col("b.bl").as("b_label"),
+        when(col("ca") === 1 || col("b").isNull, lit(0.0))
+          .when(greatest(col("da"), col("b.db")) === 0, lit(0.0))
+          .otherwise((col("b.db") - col("da")).cast("double") /
+            greatest(col("da"), col("b.db")).cast("double"))
           .as("sil"))
   }
 }

@@ -106,10 +106,13 @@ class PlanAuditSpec extends SparkSpec {
       // s_dbscan: rides d_dedup_embed's documented exact O(n²) pair
       // mine (size-routed to SemDeDup cells past exactMaxRows)
       "s_dbscan",
-      // s_silhouette: the same keyless exact pair scan (documented
-      // scale route: per-label sampling / centroid-based simplified
-      // silhouette)
+      // s_silhouette: the same keyless exact pair scan; its scale
+      // route is IMPLEMENTED as s_silhouette_centroid (linear cost)
       "s_silhouette",
+      // s_silhouette_centroid: the bounded ≤|labels|-row centroid
+      // table broadcast-crossed into the corpus scan (the
+      // p_curriculum class of bounded-metadata fanout — no pair scan)
+      "s_silhouette_centroid",
       // fs_ttl: the 1-row snapshot read-back aggregate crossed into
       // the 1-row audit card (a 1x1 join)
       "fs_ttl")
