@@ -498,7 +498,7 @@ object ScaleSmoke {
       time("kcore15_1m_edges") {
         // k=15 against ~20 average degree → a real peel cascade, 8
         // full distributed rounds (no coalesce pin)
-        operators.Graph.kCore(edges, k = 15, rounds = 8)
+        operators.Graph.kCore(edges, k = 15)
           .write.format("noop").mode("overwrite").save()
       }
       time("jaccard_1m_edges") {

@@ -184,7 +184,7 @@ object Shell {
         operators.Graph.kCore(
             operators.Graph.topKBackbone(
               operators.Graph.tradeEdges(spark, dir), 3),
-            k = k, rounds = 8, coalesceTo = Some(1))
+            k = k, coalesceTo = Some(1))
           .orderBy(org.apache.spark.sql.functions.col("core_deg").desc,
             org.apache.spark.sql.functions.col("node"))
           .show(25, truncate = false)

@@ -197,15 +197,23 @@ object Graph {
   }
 
   /** Single-source shortest paths (hop count) by synchronous distance
-    * relaxation, `maxHops` rounds. Each round is the scalable
-    * frontier shape — settled distances ⋈ edges on src, one min
-    * aggregate on dst, one outer join back — with the iteration inputs
-    * `localCheckpoint`ed (the pagerank/BPE idiom) so the plan does not
-    * re-derive the edge pipeline per round. After k rounds every node
-    * whose true distance is ≤ k is settled at its exact distance — the
-    * same contract as a depth-bounded recursive traversal, which is
-    * exactly how the DuckDB oracle replays it (WITH RECURSIVE bounded
-    * at `maxHops`, then min(d) per node): deliberately different
+    * relaxation, run TO CONVERGENCE: the loop stops the first round
+    * that settles no new node (one bounded count per round on the
+    * already-checkpointed distance table — in unit-hop BFS a node is
+    * settled at its exact distance the first round it is reached, so
+    * a stationary settled count means every further round is a no-op),
+    * with `maxHops` as a CONTRACT CAP rather than the stop criterion.
+    * A 100×-diameter graph therefore relaxes fully under the default
+    * instead of silently truncating at a fixed depth; callers whose
+    * oracle replays a bounded recursion pin the cap (the driver entry
+    * passes 8 to match its `WITH RECURSIVE … WHERE d < 8` replay, and
+    * converges inside it). Each round is the scalable frontier shape —
+    * settled distances ⋈ edges on src, one min aggregate on dst, one
+    * outer join back — with the iteration inputs `localCheckpoint`ed
+    * (the pagerank/BPE idiom) so the plan does not re-derive the edge
+    * pipeline per round. After k rounds every node whose true distance
+    * is ≤ k is settled at its exact distance — the same contract as a
+    * depth-bounded recursive traversal: deliberately different
     * formulations, same mathematical object.
     *
     * The graph is first SPARSIFIED to each node's top-`fanout`
@@ -219,7 +227,7 @@ object Graph {
     * appears in `nodes` (both routes then emit exactly the reachable
     * subset). */
   def shortestPaths(edges: DataFrame, nodes: DataFrame, sourceExpr: DataFrame,
-      fanout: Int = 3, maxHops: Int = 8,
+      fanout: Int = 3, maxHops: Int = Int.MaxValue,
       localMaxEdges: Long = 10000L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val byW = Window.partitionBy(col("src"))
@@ -259,7 +267,11 @@ object Graph {
       .select(col("node"),
         when(col("node") === col("__src"), lit(0L)).as("hops"))
       .localCheckpoint()
-    for (_ <- 1 to maxHops) {
+    var settled = dist.where(col("hops").isNotNull).count() // the source
+    var round = 0
+    var converged = false
+    while (!converged && round < maxHops) {
+      round += 1
       val relaxed = sedges
         .join(dist.where(col("hops").isNotNull), col("src") === col("node"))
         .groupBy(col("dst")).agg(min(col("hops") + 1L).as("nh"))
@@ -271,18 +283,23 @@ object Graph {
             .when(col("nh").isNull, col("hops"))
             .otherwise(least(col("hops"), col("nh"))).as("hops"))
         .localCheckpoint()
+      val s2 = dist.where(col("hops").isNotNull).count()
       prev.unpersist()
+      converged = s2 == settled // no new node settled: frontier exhausted
+      settled = s2
     }
     dist.where(col("hops").isNotNull)
   }
 
   /** Driver entry: hop distances from the alphabetically-first nation
-    * over the top-3-partner trade backbone. */
+    * over the top-3-partner trade backbone. The hop cap stays at 8 to
+    * match the oracle's `WHERE d < 8` bounded recursion; the 25-node
+    * backbone converges well inside it. */
   def nationShortestPaths(spark: SparkSession, dir: String): DataFrame = {
     val nat = Tables.nation(spark, dir)
     val nodes = nat.select(col("n_name").as("node"))
     val source = nat.agg(min(col("n_name")).as("__src"))
-    shortestPaths(tradeEdges(spark, dir), nodes, source)
+    shortestPaths(tradeEdges(spark, dir), nodes, source, maxHops = 8)
       .withColumnRenamed("node", "n_name")
   }
 
@@ -345,22 +362,27 @@ object Graph {
   def nationJaccard(spark: SparkSession, dir: String): DataFrame =
     neighborJaccard(topKBackbone(tradeEdges(spark, dir), 3))
 
-  /** `rounds`-round k-core peel of the undirected graph: repeatedly
-    * drop nodes whose degree within the surviving subgraph is < k.
-    * After R rounds the result equals the true k-core whenever the
-    * peel reaches its fixed point within R — the same depth-bounded
-    * contract as [[shortestPaths]], stated so the DuckDB oracle can
-    * replay the rounds as generated CTE pairs (the pagerank idiom).
+  /** k-core peel of the undirected graph — repeatedly drop nodes
+    * whose degree within the surviving subgraph is < k — run TO THE
+    * FIXED POINT: the loop stops the first round that removes no node
+    * (one bounded count per round on the already-checkpointed survivor
+    * set; a round that removes nothing recomputes identical degrees
+    * forever after, so stationary survivor count IS convergence).
     * Peeling converges in ≤ |nodes| rounds always, and in practice in
-    * a handful: each round either removes a node or is the fixed
-    * point. Output: surviving nodes with their core-subgraph degree.
+    * a handful — but a 100×-deeper graph now peels fully instead of
+    * silently stopping at a fixed depth. `maxRounds` remains as a
+    * CONTRACT CAP for callers whose oracle replays a fixed unrolled
+    * depth (the driver entry pins 8 to match its CTE-pair replay;
+    * convergence inside the cap makes the capped and uncapped results
+    * identical there). Output: surviving nodes with their
+    * core-subgraph degree.
     *
     * Every round is two bounded aggregates over the AGGREGATE-grain
     * edge table (degrees among survivors, then the ≥ k filter) — the
     * same scalable iteration shape as [[pagerank]], with the per-round
     * state `localCheckpoint`ed and optionally pinned to one partition
     * for tiny graphs. */
-  def kCore(edges: DataFrame, k: Int = 3, rounds: Int = 8,
+  def kCore(edges: DataFrame, k: Int = 3, maxRounds: Int = Int.MaxValue,
       coalesceTo: Option[Int] = None): DataFrame = {
     def pin(df: DataFrame): DataFrame =
       coalesceTo.map(df.coalesce).getOrElse(df).localCheckpoint()
@@ -370,7 +392,11 @@ object Graph {
       .distinct())
     var alive = pin(und.select(col("a").as("x"))
       .union(und.select(col("b").as("x"))).distinct())
-    for (_ <- 1 to rounds) {
+    var nAlive = alive.count()
+    var round = 0
+    var converged = false
+    while (!converged && round < maxRounds) {
+      round += 1
       val live = und
         .join(alive.select(col("x").as("a")), "a")
         .join(alive.select(col("x").as("b")), "b")
@@ -379,7 +405,10 @@ object Graph {
         .groupBy(col("x")).agg(count(lit(1)).as("deg"))
       val prev = alive
       alive = pin(deg.where(col("deg") >= k).select(col("x")))
+      val n2 = alive.count() // survivors only shrink: equal count = equal set
       prev.unpersist()
+      converged = n2 == nAlive
+      nAlive = n2
     }
     // report degrees within the round-R survivor subgraph, filtered to
     // ≥ k — i.e. round R+1's survivors with their degrees; identical
@@ -392,9 +421,13 @@ object Graph {
       .where(col("core_deg") >= k)
   }
 
-  /** Driver entry: 3-core of the top-3-partner trade backbone. */
+  /** Driver entry: 3-core of the top-3-partner trade backbone. The
+    * round cap stays at 8 — the depth its unrolled CTE oracle replays
+    * — but convergence detection exits as soon as a peel removes
+    * nothing, so the capped and converged results coincide here while
+    * the typical run schedules ~3 rounds instead of always 8. */
   def nationKCore(spark: SparkSession, dir: String): DataFrame =
-    kCore(topKBackbone(tradeEdges(spark, dir), 3), k = 3, rounds = 8,
+    kCore(topKBackbone(tradeEdges(spark, dir), 3), k = 3, maxRounds = 8,
       coalesceTo = Some(1))
       .withColumnRenamed("node", "n_name")
 }

@@ -212,13 +212,13 @@ class Round7cOpsSpec extends SparkSpec {
   }
 
   test("kCore peels the pendant tail, keeps the 4-clique at degree 3") {
-    val got = Graph.kCore(cliquePlusTail, k = 3, rounds = 8)
+    val got = Graph.kCore(cliquePlusTail, k = 3)
       .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
     assert(got.toSeq == Seq(("a",3L),("b",3L),("c",3L),("d",3L)))
   }
 
   test("kCore at k above the max clique degree empties") {
-    assert(Graph.kCore(cliquePlusTail, k = 4, rounds = 8).count() == 0L)
+    assert(Graph.kCore(cliquePlusTail, k = 4).count() == 0L)
   }
 
   test("kCore ignores direction and duplicate/self edges") {
@@ -227,7 +227,7 @@ class Round7cOpsSpec extends SparkSpec {
     val noisy = cliquePlusTail.union(
       Seq(("b","a"),("d","c"),("a","a")).toDF("src","dst")
         .withColumn("w", org.apache.spark.sql.functions.lit(1L)))
-    val got = Graph.kCore(noisy, k = 3, rounds = 8)
+    val got = Graph.kCore(noisy, k = 3)
       .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
     assert(got.toSeq == Seq(("a",3L),("b",3L),("c",3L),("d",3L)))
   }
