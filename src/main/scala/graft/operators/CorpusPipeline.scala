@@ -80,19 +80,75 @@ object CorpusPipeline {
         .otherwise("zh").as("pred_lang"))
   }
 
+  /** ONE fused corpus scan for the whole pipeline (round 9 stage
+    * fusion): quality + language signals, the exact-dedup content
+    * digest, and the MinHash signature (LSH minhashes + distinct
+    * shingle-hash set) all emitted from a single map-only pass. The
+    * token array flows BETWEEN the projections as a column, so the
+    * text is tokenized exactly once; the quality/language filter sits
+    * between scoring and signing, so dropped rows never pay the
+    * k-hash signing. Every expression is the SAME kernel its
+    * standalone operator uses (TextAnalysis signals, md5 digest,
+    * [[Dedup.signatures]]' row-local MinHashSig), so downstream values
+    * — and every oracle — are bit-identical to the unfused stages. */
+  private[graft] def fusedScan(docs: DataFrame, cfg: Config): DataFrame = {
+    import TextAnalysis._
+    val base = docs
+      .select(col("doc_id"), col("text"), tokens(col("text")).as("tk"),
+        md5(encode(col("text"), "UTF-8")).as("h"))
+      .select(col("doc_id"), col("text"), col("tk"), col("h"),
+        length(col("text")).as("nc"),
+        size(col("tk")).as("nw_raw"),
+        length(regexp_replace(col("text"), "[^a-z]", "")).as("na"),
+        length(regexp_replace(col("text"), "[^.!?,;:]", "")).as("np"),
+        hitCount(col("tk"), EnStopwords).as("h_en"),
+        hitCount(col("tk"), EsStopwords).as("h_es"),
+        hitCount(col("tk"), FrStopwords).as("h_fr"),
+        hitCount(col("tk"), DeStopwords).as("h_de"),
+        hitCount(col("tk"), ZhStopwords).as("h_zh"))
+    val nWords = greatest(col("nw_raw"), lit(1))
+    val nChars = greatest(col("nc"), lit(1))
+    val scored = base.select(
+      col("doc_id"), col("text"), col("tk"), col("h"),
+      (col("h_en").cast("double") / nWords * 0.4
+        + least(col("na").cast("double") / nWords / 10.0, lit(1.0)) * 0.3
+        + (lit(1.0) - col("np").cast("double") / nChars) * 0.3).as("quality_score"),
+      when(col("h_en") >= greatest(col("h_es"), col("h_fr"), col("h_de"), col("h_zh")), "en")
+        .when(col("h_es") >= greatest(col("h_fr"), col("h_de"), col("h_zh")), "es")
+        .when(col("h_fr") >= greatest(col("h_de"), col("h_zh")), "fr")
+        .when(col("h_de") >= col("h_zh"), "de")
+        .otherwise("zh").as("pred_lang"))
+    scored
+      .where(col("quality_score") >= cfg.minQuality &&
+        (if (cfg.langs.isEmpty) lit(true) else col("pred_lang").isin(cfg.langs.toSeq: _*)))
+      .select(col("doc_id"), col("text"), col("h"),
+        col("quality_score"), col("pred_lang"),
+        graft.functions.MinHashSig.minhashSig(col("tk"), cfg.shingleN,
+          cfg.numHashes).as("s"))
+  }
+
   /** Run the full preparation. `benchmark` is the eval set to
     * decontaminate against (None skips the stage).
     *
-    * `persistIntermediates` caches the two fan-out points (`unique`
-    * feeds the LSH pair mining AND the cleanup anti-join; `deduped`
-    * feeds decontamination AND the result) with evictable
-    * MEMORY_AND_DISK storage — without it each consumer re-runs the
-    * signal scan + dedup join. A 100 TB deployment should instead
-    * write those stage outputs to storage (Catalog.writeChunked) and
-    * read them back; the in-session persist is for single-run use. */
+    * The pipeline reads the corpus text ONCE ([[fusedScan]]); the
+    * exact-dedup keeper is one `row_number` window over the content
+    * digest (replacing the old aggregate + join-back — one exchange
+    * instead of three), the LSH stage consumes the scan's signatures
+    * ([[Dedup.minhashLshSigned]]) instead of re-tokenizing, and
+    * decontamination explodes the scan's distinct shingle-hash set
+    * instead of re-shingling the surviving corpus.
+    *
+    * `persistIntermediates` caches the two fan-out points (the signed
+    * post-window frame feeds the keeper filter AND the attrition
+    * counts; `deduped` feeds decontamination AND the result) with
+    * evictable MEMORY_AND_DISK storage. A 100 TB deployment should
+    * instead write those stage outputs to storage
+    * (Catalog.writeChunked) and read them back; the in-session persist
+    * is for single-run use. */
   def prepare(docs: DataFrame, benchmark: Option[DataFrame] = None,
       cfg: Config = Config(), audit: Boolean = false,
       persistIntermediates: Boolean = true): Result = {
+    import org.apache.spark.sql.expressions.Window
     import org.apache.spark.storage.StorageLevel
     val steps = Seq.newBuilder[(String, Long)]
     def note(name: String, df: DataFrame): DataFrame = {
@@ -105,54 +161,80 @@ object CorpusPipeline {
       else df
 
     note("input", docs)
-    val scored = signals(docs)
-    // pin the signal scan: it feeds BOTH sides of the exact-dedup join
-    // (the keeper aggregate and the probe), so unpinned it runs twice
-    val filtered = note("after_quality_lang",
-      pin(scored.where(col("quality_score") >= cfg.minQuality &&
-        (if (cfg.langs.isEmpty) lit(true) else col("pred_lang").isin(cfg.langs.toSeq: _*)))))
-
-    // dedup ladder: exact keepers first (clone clusters would turn LSH
-    // buckets quadratic), then near-dup pairs over keepers, then
-    // transitive resolution so chains A~B~C keep exactly one doc
-    val keepers = Dedup.exact(filtered).select(col("keep_id").as("doc_id"))
-    val unique = note("after_exact_dedup", pin(filtered.join(keepers, "doc_id")))
-    val pairs = Dedup.minhashLsh(unique, cfg.shingleN, cfg.numHashes,
-      cfg.bands, cfg.jaccard, cfg.maxBucket)
+    // one corpus read: signals + digest + signatures in the pin.
+    // (A pre-scan repartition to parallelize single-split inputs was
+    // measured and REJECTED: at bench SF the extra exchange + stage
+    // cost more than the single-core signing it spread out, and at
+    // production scale the input has more splits than cores anyway.)
+    val filtered = note("after_quality_lang", pin(fusedScan(docs, cfg)))
+    // exact-dedup losers (every non-min doc_id of a content-hash clone
+    // cluster) rank over a TWO-COLUMN projection of the pin — the only
+    // thing that shuffles is (doc_id, h), never text or signatures —
+    // and come back as a broadcast anti-join. Losers are O(clones):
+    // broadcast-sized whenever exact dedup is feasible at all.
+    val losers = filtered.select(col("doc_id"), col("h"))
+      .withColumn("__rn",
+        row_number().over(Window.partitionBy(col("h")).orderBy(col("doc_id"))))
+      .where(col("__rn") > 1).select(col("doc_id"))
+    val unique = note("after_exact_dedup",
+      filtered.join(broadcast(losers), Seq("doc_id"), "left_anti"))
+    val sigCols = col("doc_id") +:
+      (0 until cfg.numHashes).map(i =>
+        element_at(col("s.mh"), i + 1).as(s"mh$i")) :+ col("s.ss").as("ss")
+    val pairs = Dedup.minhashLshSigned(
+      unique.where(col("s").isNotNull).select(sigCols: _*),
+      cfg.numHashes, cfg.bands, cfg.jaccard, cfg.maxBucket)
     val deduped = note("after_near_dedup", pin(Dedup.applyDedupTransitive(unique, pairs)))
 
     val clean = benchmark match {
       case Some(bench) =>
-        val flagged = Dedup.contamination(deduped, bench, cfg.shingleN, cfg.minSharedShingles)
-          .select(col("doc_id")).distinct()
+        // shared-shingle flags from the scan's distinct shingle sets —
+        // the same values Dedup.contamination derives by re-shingling
+        val corpusShingles = deduped
+          .select(col("doc_id"), explode(col("s.ss")).as("sh"))
+        val benchShingles = Dedup.hashedShingles(bench, cfg.shingleN).distinct()
+          .select(col("h").as("sh"), col("doc_id").as("bench_id"))
+        // no distinct: left_anti below is duplicate-insensitive, and
+        // the extra exchange buys nothing
+        val flagged = corpusShingles.join(broadcast(benchShingles), "sh")
+          .groupBy(col("doc_id"), col("bench_id"))
+          .agg(count(lit(1)).as("n_shared"))
+          .where(col("n_shared") >= cfg.minSharedShingles)
+          .select(col("doc_id"))
         note("after_decontamination", deduped.join(flagged, Seq("doc_id"), "left_anti"))
       case None => deduped
     }
 
     // split assignment is a pure column — no join, stays map-only
     val split = clean.withColumn("split", Sampling.splitColumn(col("doc_id")))
+      .drop("h", "s")
     Result(split, steps.result(), pins.result(), Seq(
       "input" -> docs, "quality_lang" -> filtered, "exact_dedup" -> unique,
       "near_dedup" -> deduped, "decontaminated" -> clean))
   }
 
   /** Attrition report — "where did my data go": surviving document
-    * count after each stage. The counts run EAGERLY against
-    * [[prepare]]'s pinned intermediates (each stage computed once, the
-    * later counts read the cache) and the pins are released before the
-    * 5-literal-row result escapes — a lazily-composed union would hold
-    * the pins forever, because no caller could ever reach `release()`.
-    * The per-stage DROP is the difference of consecutive rows;
-    * cumulative survivor counts are emitted because they are what both
-    * engines can state exactly. */
+    * count after each stage. All five counts run as ONE job — a union
+    * of single-row count aggregates over [[prepare]]'s stage frames
+    * (the pinned intermediates compute once; parallel branches read
+    * the cache) — collected eagerly so the pins can be released before
+    * the 5-literal-row result escapes; a lazily-returned union would
+    * hold the pins forever, because no caller could ever reach
+    * `release()`. The per-stage DROP is the difference of consecutive
+    * rows; cumulative survivor counts are emitted because they are
+    * what both engines can state exactly. */
   def attrition(docs: DataFrame, benchmark: Option[DataFrame] = None,
       cfg: Config = Config()): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val r = prepare(docs, benchmark, cfg)
     try {
-      r.stages.map { case (name, df) => (name, df.count()) }
-        .toDF("stage", "n_docs")
+      val counted = r.stages.map { case (name, df) =>
+          df.agg(count(lit(1)).as("n_docs"))
+            .select(lit(name).as("stage"), col("n_docs"))
+        }.reduce(_ unionAll _)
+        .collect().map(row => (row.getString(0), row.getLong(1)))
+      counted.toSeq.toDF("stage", "n_docs")
     } finally r.release()
   }
 

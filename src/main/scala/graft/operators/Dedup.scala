@@ -237,9 +237,20 @@ object Dedup {
 
   def minhashLsh(
       docs: DataFrame, n: Int = 3, numHashes: Int = 64, bands: Int = 16,
+      threshold: Double = 0.5, maxBucket: Int = 0): DataFrame =
+    minhashLshSigned(signatures(docs, n, numHashes), numHashes, bands,
+      threshold, maxBucket)
+
+  /** [[minhashLsh]] over a PRE-SIGNED frame (doc_id, mh0..mh{k-1},
+    * ss) — the stage-fused corpus-prep path signs documents inside its
+    * one signal scan and hands the signatures straight here, so the
+    * corpus text is never re-tokenized for the LSH stage. Signature
+    * values are the row-local [[signatures]] kernel's, so the pair set
+    * (and every downstream oracle) is identical to the unfused form. */
+  def minhashLshSigned(
+      sig: DataFrame, numHashes: Int = 64, bands: Int = 16,
       threshold: Double = 0.5, maxBucket: Int = 0): DataFrame = {
     val rowsPerBand = numHashes / bands
-    val sig = signatures(docs, n, numHashes)
     val bandedAll = bandKeys(sig, bands, rowsPerBand)
     // the bucket-size window partitions exactly like the self-join below,
     // so the cap costs no extra exchange (ReuseExchange)
