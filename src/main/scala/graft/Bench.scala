@@ -104,6 +104,14 @@ object Bench {
     val line =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec",$diag,"queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
     println(line)
+    // round-8 lesson: the long line above got truncated mid-JSON by the
+    // harness's stdout-tail capture, leaving the official artifact with
+    // no parsed metric at all. Emit a SHORT self-contained summary line
+    // LAST — it always fits in a tail capture, and the complete
+    // per-query record is in the file copy below either way.
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec",$diag,""" +
+      s""""n_queries":${results.size},"n_failed":${failed.size},""" +
+      s""""full_record":"BENCH_LOCAL.json","sf":"$sfDir"}""")
     val spreadJson = spreads.map { case (k, v) => "\"" + k + "\":" + v.fold("null")(fmt) }
       .mkString("{", ",", "}")
     val fileLine = line.dropRight(1) + s""","spreads":$spreadJson}"""

@@ -271,14 +271,24 @@ object CorpusPipeline {
       if (persistIntermediates) { pins += df; df.persist(StorageLevel.MEMORY_AND_DISK) }
       else df
 
-    val filtered = pin(signals(newDocs)
-      .where(col("quality_score") >= cfg.minQuality &&
-        (if (cfg.langs.isEmpty) lit(true) else col("pred_lang").isin(cfg.langs.toSeq: _*))))
-    val keepers = Dedup.exact(filtered).select(col("keep_id").as("doc_id"))
-    val unique = pin(filtered.join(keepers, "doc_id"))
-    val pairs = Dedup.minhashLsh(unique, cfg.shingleN, cfg.numHashes,
+    // the batch rides the same fused scan as [[prepare]]: signals +
+    // digest + signature in one read, the batch signed exactly ONCE
+    // (both the in-batch LSH and the index probe reuse the scan's
+    // signatures — the unfused form re-signed the batch per consumer)
+    val filtered = pin(fusedScan(newDocs, cfg))
+    val losers = filtered.select(col("doc_id"), col("h"))
+      .withColumn("__rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("h")).orderBy(col("doc_id"))))
+      .where(col("__rn") > 1).select(col("doc_id"))
+    val unique = pin(filtered.join(broadcast(losers), Seq("doc_id"), "left_anti"))
+    val sigCols = col("doc_id") +:
+      (0 until cfg.numHashes).map(i =>
+        element_at(col("s.mh"), i + 1).as(s"mh$i")) :+ col("s.ss").as("ss")
+    val signed = unique.where(col("s").isNotNull).select(sigCols: _*)
+    val pairs = Dedup.minhashLshSigned(signed, cfg.numHashes,
       cfg.bands, cfg.jaccard, cfg.maxBucket)
-    val crossIds = Dedup.dedupAgainstIndex(corpusIndex, unique, cfg.shingleN,
+    val crossIds = Dedup.dedupAgainstIndexSigned(corpusIndex, signed,
       cfg.numHashes, cfg.bands, cfg.jaccard, cfg.maxBucket)
       .select(col("new_id").as("doc_id")).distinct()
 
@@ -298,12 +308,21 @@ object CorpusPipeline {
 
     val clean = benchmark match {
       case Some(bench) =>
-        val flagged = Dedup.contamination(admitted, bench, cfg.shingleN, cfg.minSharedShingles)
-          .select(col("doc_id")).distinct()
+        // decontamination from the scan's shingle sets, as in [[prepare]]
+        val benchShingles = Dedup.hashedShingles(bench, cfg.shingleN).distinct()
+          .select(col("h").as("sh"), col("doc_id").as("bench_id"))
+        val flagged = admitted
+          .select(col("doc_id"), explode(col("s.ss")).as("sh"))
+          .join(broadcast(benchShingles), "sh")
+          .groupBy(col("doc_id"), col("bench_id"))
+          .agg(count(lit(1)).as("n_shared"))
+          .where(col("n_shared") >= cfg.minSharedShingles)
+          .select(col("doc_id"))
         admitted.join(flagged, Seq("doc_id"), "left_anti")
       case None => admitted
     }
     val split = clean.withColumn("split", Sampling.splitColumn(col("doc_id")))
+      .drop("h", "s")
     Result(split, Nil, pins.result())
   }
 

@@ -341,6 +341,14 @@ object Dedup {
     crossSetPairs(sigIndex, signatures(newDocs, n, numHashes),
       numHashes, bands, threshold, maxBucket)
 
+  /** [[dedupAgainstIndex]] with the NEW side already signed (the
+    * stage-fused incremental pipeline signs the batch once in its
+    * signal scan and probes the index with the same signatures). */
+  def dedupAgainstIndexSigned(sigIndex: DataFrame, sigNew: DataFrame,
+      numHashes: Int = 64, bands: Int = 16, threshold: Double = 0.5,
+      maxBucket: Int = 0): DataFrame =
+    crossSetPairs(sigIndex, sigNew, numHashes, bands, threshold, maxBucket)
+
   def dedupAgainst(corpus: DataFrame, newDocs: DataFrame, n: Int = 3,
       numHashes: Int = 64, bands: Int = 16, threshold: Double = 0.5,
       maxBucket: Int = 0): DataFrame =
