@@ -151,6 +151,16 @@ object ScaleSmoke {
       operators.Events.anomalies(be)
         .write.format("noop").mode("overwrite").save()
     }
+    // the full fused prep at 20× docs: here the map work (tokenize +
+    // 64-hash signing) dominates scheduling, so the one-scan fusion is
+    // measurable — and the 95%-clone corpus exercises the broadcast
+    // anti-join dedup + capped LSH at their intended scale shape
+    time("corpus_prep_100k") {
+      val r = operators.CorpusPipeline.prepare(bd,
+        cfg = operators.CorpusPipeline.Config(minQuality = 0.2, maxBucket = 100))
+      r.corpus.write.format("noop").mode("overwrite").save()
+      r.release()
+    }
 
     // ANN ladder at 50× the bench vector count (100k vectors): brute
     // force scans the whole corpus per query; LSH/IVF touch one bucket /

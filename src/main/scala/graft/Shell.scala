@@ -56,7 +56,8 @@ object Shell {
           "gini | audit | vacuum | analyze <tbl> [cols...] | abc | rfm | " +
           "benford | changepoints | publish <src> <dest> | " +
           "explain <sql> | skew <tbl> <col> | histogram <tbl> <col> | " +
-          "kcore [k] | jaccard | dbscan [minPts] | silhouette | chi2 | " +
+          "kcore [k] | jaccard | dbscan [minPts] | silhouette | " +
+          "silhouette_centroid | chi2 | " +
           "acf | dedup_eval | drawdown | ttl <tbl> <col> <micros> | " +
           "exit | <sql>")
       case "ls" :: Nil => cat.list().foreach(println)
@@ -201,10 +202,13 @@ object Shell {
         operators.Similarity.dbscanEmbeddings(
             Tables.embeddings(spark, dir), minPts = minPts)
           .groupBy("role").count().orderBy("role").show(truncate = false)
-      case "silhouette" :: Nil =>
+      case (v @ ("silhouette" | "silhouette_centroid")) :: Nil =>
         // per-label mean silhouette (display only — the per-vector
-        // card is the oracle-checked object)
-        operators.Similarity.silhouette(Tables.embeddings(spark, dir))
+        // card is the oracle-checked object); the centroid verb is the
+        // linear corpus-scale rung
+        (if (v == "silhouette_centroid")
+          operators.Similarity.silhouetteCentroid(Tables.embeddings(spark, dir))
+        else operators.Similarity.silhouette(Tables.embeddings(spark, dir)))
           .groupBy("label")
           .agg(org.apache.spark.sql.functions.round(
             org.apache.spark.sql.functions.avg("sil"), 4).as("mean_sil"),
