@@ -20,6 +20,26 @@ object Tables {
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
+  /** Spread a FACT table that arrives in fewer splits than the session
+    * has cores. The local test tables are single-row-group parquet
+    * files — unsplittable, so every map stage over them (tokenizing,
+    * signing, cosine scans, ngram explodes) would otherwise run on ONE
+    * task of a 32-thread session; measured round 9: `s_knn_graph`
+    * 5.9 → 0.8 s, `s_silhouette` 4.4 → 1.1 s from exactly this. The
+    * branch is SELF-DISABLING at scale: a production table has far
+    * more splits than the session has cores, the condition never
+    * fires, and the corpus is never shuffled. Hash-partitioned on the
+    * table's key (round-robin would sort every row for retry
+    * determinism); filters and column pruning still push through the
+    * exchange to the scan. Dimension tables are not spread — they
+    * broadcast. */
+  private def spread(df: DataFrame, key: String): DataFrame = {
+    val sc = df.sparkSession.sparkContext
+    if (df.rdd.getNumPartitions < sc.defaultParallelism)
+      df.repartition(sc.defaultParallelism, col(key))
+    else df
+  }
+
   def region(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "region")
   def nation(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "nation")
   def customer(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "customer")
@@ -30,9 +50,9 @@ object Tables {
   // (round 4 broke on a silent events regeneration; these two would
   // break the same way)
   def orders(spark: SparkSession, dir: String): DataFrame =
-    normalizeTs(load(spark, dir, "orders"), "o_orderdate")
+    spread(normalizeTs(load(spark, dir, "orders"), "o_orderdate"), "o_orderkey")
   def lineitem(spark: SparkSession, dir: String): DataFrame =
-    normalizeTs(load(spark, dir, "lineitem"), "l_shipdate")
+    spread(normalizeTs(load(spark, dir, "lineitem"), "l_shipdate"), "l_orderkey")
   /** `events.ts` has shipped in three parquet flavors across testdata
     * generations; normalize all of them to µs-precision TIMESTAMP (LTZ)
     * so `unix_micros` and `withWatermark` consumers always analyze:
@@ -43,7 +63,7 @@ object Tables {
     *    → cast to TimestampType, exact under the session's UTC timezone;
     *  - timestamp[us] UTC-adjusted → already TimestampType, pass through. */
   def events(spark: SparkSession, dir: String): DataFrame =
-    normalizeTs(load(spark, dir, "events"))
+    spread(normalizeTs(load(spark, dir, "events")), "user_id")
 
   /** Flavor-normalize a `ts` column to TIMESTAMP (LTZ); see [[events]]. */
   def normalizeTs(raw: DataFrame, tsCol: String = "ts"): DataFrame =
@@ -54,6 +74,8 @@ object Tables {
         raw.withColumn(tsCol, col(tsCol).cast(TimestampType))
       case _ => raw
     }
-  def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
-  def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
+  def documents(spark: SparkSession, dir: String): DataFrame =
+    spread(load(spark, dir, "documents"), "doc_id")
+  def embeddings(spark: SparkSession, dir: String): DataFrame =
+    spread(load(spark, dir, "embeddings"), "vec_id")
 }

@@ -679,8 +679,13 @@ object Dedup {
   def embeddingNearDup(embeddings: DataFrame, threshold: Double = 0.4,
       dim: Int = 64): DataFrame = {
     import graft.functions.CosineSimilarity.cosineSim
-    val e = embeddings
+    val e0 = embeddings
       .select(col("vec_id"), VectorFunctions.toDouble(col("embedding")).as("v"))
+    // spread a single-split source so the O(n²) cosine compute runs on
+    // every core, not one task (the Similarity.spread rationale)
+    val sc = embeddings.sparkSession.sparkContext
+    val e = if (e0.rdd.getNumPartitions < sc.defaultParallelism)
+      e0.repartition(sc.defaultParallelism, col("vec_id")) else e0
     val pairs = e.select(col("vec_id").as("id_a"), col("v").as("va"))
       .join(broadcast(e.select(col("vec_id").as("id_b"), col("v").as("vb"))),
         col("id_a") < col("id_b"))

@@ -105,7 +105,7 @@ class BpeSpec extends SparkSpec {
       .orderBy("merge_rank").select("tok_a", "tok_b")
       .as[(String, String)].collect().toSeq
     // map-only: no exchange in the batch plan
-    val plan = Bpe.encode(docs, learned).queryExecution.executedPlan.toString
+    val plan = Bpe.encode(docs, learned).opPlanString
     assert(!plan.contains("Exchange"), s"encode must not shuffle:\n$plan")
     // and the same call tokenizes a stream (append mode, no state)
     val dir = Files.createTempDirectory("graft-bpe-stream").toString

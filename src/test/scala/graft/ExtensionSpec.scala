@@ -35,7 +35,7 @@ class CosineSimilaritySpec extends SparkSpec {
       .select($"vec_id", VectorFunctions.toDouble($"embedding").as("v"))
     val df = e.select(CosineSimilarity.cosineSim($"v", $"v"))
     df.collect() // materialize so AQE finalizes the physical plan
-    val plan = df.queryExecution.executedPlan.toString
+    val plan = df.opPlanString
     // the "*(n)" prefix marks a WholeStageCodegen stage in compact form
     assert("""\*\(\d+\) Project \[cosinesimilarity""".r.findFirstIn(plan).isDefined)
   }
@@ -107,7 +107,7 @@ class NearestCellsSpec extends SparkSpec {
       .select($"vec_id", graft.functions.VectorFunctions.toDouble($"embedding").as("v"))
       .select($"vec_id", element_at(nearestCells($"v", ids, cents, 1), 1).as("cell_id"))
     df.collect()
-    val plan = df.queryExecution.executedPlan.toString
+    val plan = df.opPlanString
     assert(!plan.contains("Exchange"), "assignment must not shuffle")
     assert("""\*\(\d+\) Project""".r.findFirstIn(plan).isDefined,
       "assignment must run inside whole-stage codegen")

@@ -39,8 +39,11 @@ class HitCountSpec extends SparkSpec {
       .createOrReplaceTempView("hc_t")
     val df = spark.sql("SELECT hit_count(tk, array('the')) AS n FROM hc_t")
     assert(df.agg(sum($"n")).as[Long].head() > 0L)
-    val plan = df.queryExecution.executedPlan.toString
+    // execute df itself: the input-spread exchange makes the plan
+    // adaptive, and AQE renders codegen markers only once finalized
+    df.collect()
+    val plan = df.opPlanString
     assert("""\*\(\d+\) Project \[hitcount""".r.findFirstIn(plan).isDefined,
-      "hit_count must run inside whole-stage codegen")
+      s"hit_count must run inside whole-stage codegen:\n$plan")
   }
 }

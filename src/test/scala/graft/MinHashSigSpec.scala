@@ -64,7 +64,7 @@ class MinHashSigSpec extends SparkSpec {
   test("signing stage plans no exchange (map-only scan shape)") {
     // full table (no limit — a GlobalLimit would add its own exchange)
     val plan = Dedup.buildMinhashIndex(Tables.documents(spark, sfDir), 3, 8)
-      .queryExecution.executedPlan.toString
+      .opPlanString
     assert(!plan.contains("Exchange"), s"signature build must not shuffle:\n$plan")
   }
 
@@ -171,7 +171,7 @@ class SimHashSigSpec extends SparkSpec {
     val d = Seq((1L, ""), (2L, "a b c")).toDF("doc_id", "text")
     assert(Dedup.simhashSignatures(d).select("doc_id").as[Long].collect().toSet == Set(2L))
     val plan = Dedup.simhashSignatures(Tables.documents(spark, sfDir))
-      .queryExecution.executedPlan.toString
+      .opPlanString
     assert(!plan.contains("Exchange"), s"simhash signing must not shuffle:\n$plan")
   }
 }
@@ -251,7 +251,7 @@ class RepetitionStatsSpec extends SparkSpec {
     // doc 3: n=3, d=2 -> ttr=0.666667; top word 'a' 2/3; bigrams: "a a","a b" -> 1/2
     assert(out(3L) == ((3L, 0.666667, 0.666667, 0.5)))
     val plan = TextAnalysis.repetition(Tables.documents(spark, sfDir))
-      .queryExecution.executedPlan.toString
+      .opPlanString
     assert(!plan.contains("Exchange"), s"repetition must not shuffle:\n$plan")
   }
 }

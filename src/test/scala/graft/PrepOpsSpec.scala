@@ -25,7 +25,7 @@ class RedactSpec extends SparkSpec {
 
   test("redaction is map-only: no exchange in the plan") {
     val df = TextAnalysis.redact(Tables.events(spark, sfDir), "event_id", "props")
-    assert(!df.queryExecution.executedPlan.toString.contains("Exchange"))
+    assert(!df.opPlanString.contains("Exchange"))
   }
 }
 

@@ -44,7 +44,7 @@ class QualityRulesSpec extends SparkSpec {
   test("gopher rules are map-only and run unchanged on a stream") {
     val docs = Tables.documents(spark, sfDir)
     val plan = TextAnalysis.gopherRules(docs, stops = TextAnalysis.EnStopwords)
-      .queryExecution.executedPlan.toString
+      .opPlanString
     assert(!plan.contains("Exchange"), s"rules must not shuffle:\n$plan")
     val dir = Files.createTempDirectory("graft-gopher-stream").toString
     val src = docs.select($"doc_id", $"text")

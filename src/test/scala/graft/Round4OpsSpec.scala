@@ -44,7 +44,7 @@ class ImportanceWeightsSpec extends SparkSpec {
     val full = TextAnalysis.importanceWeights(docs, col("lang") === "en")
     assert(scored.exceptAll(full).isEmpty && full.exceptAll(scored).isEmpty)
     // and the scorer is map-only: no exchange anywhere in its plan
-    val plan = scored.queryExecution.executedPlan.toString
+    val plan = scored.opPlanString
     assert(!plan.contains("Exchange"), s"fixed-table scoring must not shuffle:\n$plan")
   }
 
@@ -91,7 +91,7 @@ class ImportanceWeightsSpec extends SparkSpec {
   test("the ratio table never exceeds nBuckets rows and the plan broadcasts it") {
     val docs = Tables.documents(spark, sfDir)
     val plan = TextAnalysis.importanceWeights(docs, col("lang") === "en", nBuckets = 64)
-      .queryExecution.executedPlan.toString
+      .opPlanString
     assert(plan.contains("BroadcastHashJoin"), s"ratio join must broadcast:\n$plan")
   }
 }

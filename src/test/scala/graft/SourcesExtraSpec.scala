@@ -19,7 +19,7 @@ class BucketedJoinSpec extends SparkSpec {
     val joined = spark.table("li_bucketed")
       .join(spark.table("o_bucketed"), $"l_orderkey" === $"o_orderkey")
     joined.collect()
-    val plan = joined.queryExecution.executedPlan.toString
+    val plan = joined.opPlanString
     assert(!plan.contains("Exchange hashpartitioning"),
       s"bucketed join should not shuffle:\n$plan")
     assert(joined.count() == cat.table("lineitem").count())
@@ -144,13 +144,13 @@ class IvfAnnSpec extends SparkSpec {
       s"unreachable cells: ${assignedCells -- cents}")
     // the build's assignment stage is a pure scan+project — centroids are
     // baked into the native expression, so there is NO shuffle and no join
-    val plan = index.assignments.queryExecution.executedPlan.toString
+    val plan = index.assignments.opPlanString
     assert(!plan.contains("Exchange"), "index build assignment must be map-only")
   }
 
   test("ivfAnn joins corpus cell_id to a renamed probe_cell (no trivially-true predicate)") {
     val plan = Similarity.ivfAnn(Tables.embeddings(spark, sfDir), 3, 5)
-      .queryExecution.executedPlan.toString
+      .opPlanString
     assert(plan.contains("probe_cell"),
       "probe side must be renamed so the cell join never collapses to one exprId")
   }
