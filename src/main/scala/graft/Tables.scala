@@ -35,7 +35,12 @@ object Tables {
     * broadcast. */
   private def spread(df: DataFrame, key: String): DataFrame = {
     val sc = df.sparkSession.sparkContext
-    if (df.rdd.getNumPartitions < sc.defaultParallelism)
+    // probe via LOGICAL stats (file-index bytes — no job, no physical
+    // planning; the first cut probed df.rdd.getNumPartitions, which
+    // forces a full physical plan per call and cost more driver time
+    // than the exchange it added). A <64 MB fact table is by
+    // definition few-split; anything bigger splits on its own.
+    if (df.queryExecution.optimizedPlan.stats.sizeInBytes <= (64L << 20))
       df.repartition(sc.defaultParallelism, col(key))
     else df
   }
@@ -49,10 +54,15 @@ object Tables {
   // generator as events.ts — normalize their flavor at the edge too
   // (round 4 broke on a silent events regeneration; these two would
   // break the same way)
+  // orders/lineitem are NOT spread: the q-family's per-row compute is
+  // light aggregate work that shuffles on its own keys almost
+  // immediately, so the input exchange is pure added latency —
+  // measured +12 s across the 57-entry q family vs −9 s of wins on
+  // the compute-heavy documents/embeddings/events families
   def orders(spark: SparkSession, dir: String): DataFrame =
-    spread(normalizeTs(load(spark, dir, "orders"), "o_orderdate"), "o_orderkey")
+    normalizeTs(load(spark, dir, "orders"), "o_orderdate")
   def lineitem(spark: SparkSession, dir: String): DataFrame =
-    spread(normalizeTs(load(spark, dir, "lineitem"), "l_shipdate"), "l_orderkey")
+    normalizeTs(load(spark, dir, "lineitem"), "l_shipdate")
   /** `events.ts` has shipped in three parquet flavors across testdata
     * generations; normalize all of them to µs-precision TIMESTAMP (LTZ)
     * so `unix_micros` and `withWatermark` consumers always analyze:

@@ -684,7 +684,7 @@ object Dedup {
     // spread a single-split source so the O(n²) cosine compute runs on
     // every core, not one task (the Similarity.spread rationale)
     val sc = embeddings.sparkSession.sparkContext
-    val e = if (e0.rdd.getNumPartitions < sc.defaultParallelism)
+    val e = if (e0.queryExecution.optimizedPlan.stats.sizeInBytes <= (64L << 20))
       e0.repartition(sc.defaultParallelism, col("vec_id")) else e0
     val pairs = e.select(col("vec_id").as("id_a"), col("v").as("va"))
       .join(broadcast(e.select(col("vec_id").as("id_b"), col("v").as("vb"))),

@@ -36,7 +36,8 @@ object Similarity {
     * retry determinism — pure overhead for an order-free scan. */
   private def spread(df: DataFrame): DataFrame = {
     val sc = df.sparkSession.sparkContext
-    if (df.rdd.getNumPartitions < sc.defaultParallelism)
+    // logical-stats probe, not df.rdd — see Tables.spread
+    if (df.queryExecution.optimizedPlan.stats.sizeInBytes <= (64L << 20))
       df.repartition(sc.defaultParallelism, col("vec_id"))
     else df
   }
