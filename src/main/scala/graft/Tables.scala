@@ -20,27 +20,35 @@ object Tables {
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
-  /** Spread a FACT table that arrives in fewer splits than the session
-    * has cores. The local test tables are single-row-group parquet
-    * files — unsplittable, so every map stage over them (tokenizing,
-    * signing, cosine scans, ngram explodes) would otherwise run on ONE
-    * task of a 32-thread session; measured round 9: `s_knn_graph`
-    * 5.9 → 0.8 s, `s_silhouette` 4.4 → 1.1 s from exactly this. The
-    * branch is SELF-DISABLING at scale: a production table has far
-    * more splits than the session has cores, the condition never
-    * fires, and the corpus is never shuffled. Hash-partitioned on the
-    * table's key (round-robin would sort every row for retry
-    * determinism); filters and column pruning still push through the
-    * exchange to the scan. Dimension tables are not spread — they
-    * broadcast. */
-  private def spread(df: DataFrame, key: String): DataFrame = {
+  /** Spread a SMALL-SPLIT input across the session's cores before a
+    * compute-heavy stage. The local test tables are single-row-group
+    * parquet files — unsplittable, so a heavy map stage over them
+    * (signing, shingling, cosine pair scans, codec work) would
+    * otherwise run on ONE task of a 32-thread session; measured round
+    * 9: `s_knn_graph` 5.9 → 1.4 s, `s_silhouette` 4.4 → 1.5 s,
+    * `t_char_ngrams` 2.4 → 0.7 s from exactly this. Guard rails, both
+    * measured:
+    *  - SELF-DISABLING at scale (> 64 MB): a production table splits
+    *    on its own; the corpus is never shuffled.
+    *  - FLOOR (≤ 256 KB skips): spreading a tiny frame (a benchmark
+    *    side, a fixture) buys nothing and costs a stage.
+    *  - Applied per OPERATOR at the compute-heavy stages — a blanket
+    *    loader-level spread measured +12 s across the light-aggregate
+    *    q family against −9 s of wins elsewhere, because an input
+    *    exchange ahead of work that immediately re-shuffles on its own
+    *    keys is pure latency. (`events` is the loader-level exception:
+    *    its user_id spread partitioning is REUSED by the immediate
+    *    per-user groupBy/window in most event queries.)
+    * Probes LOGICAL stats (file-index bytes — no job; probing
+    * `df.rdd` forces a full physical plan per call and cost more
+    * driver time than the exchange it added). Hash-partitioned on
+    * `key` (round-robin repartition sorts every row for retry
+    * determinism); filters and column pruning push through the
+    * exchange to the scan. */
+  def spreadSmall(df: DataFrame, key: String): DataFrame = {
     val sc = df.sparkSession.sparkContext
-    // probe via LOGICAL stats (file-index bytes — no job, no physical
-    // planning; the first cut probed df.rdd.getNumPartitions, which
-    // forces a full physical plan per call and cost more driver time
-    // than the exchange it added). A <64 MB fact table is by
-    // definition few-split; anything bigger splits on its own.
-    if (df.queryExecution.optimizedPlan.stats.sizeInBytes <= (64L << 20))
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (bytes > (256L << 10) && bytes <= (64L << 20))
       df.repartition(sc.defaultParallelism, col(key))
     else df
   }
@@ -73,7 +81,7 @@ object Tables {
     *    → cast to TimestampType, exact under the session's UTC timezone;
     *  - timestamp[us] UTC-adjusted → already TimestampType, pass through. */
   def events(spark: SparkSession, dir: String): DataFrame =
-    spread(normalizeTs(load(spark, dir, "events")), "user_id")
+    spreadSmall(normalizeTs(load(spark, dir, "events")), "user_id")
 
   /** Flavor-normalize a `ts` column to TIMESTAMP (LTZ); see [[events]]. */
   def normalizeTs(raw: DataFrame, tsCol: String = "ts"): DataFrame =
@@ -84,8 +92,13 @@ object Tables {
         raw.withColumn(tsCol, col(tsCol).cast(TimestampType))
       case _ => raw
     }
+  // documents/embeddings are not spread at the loader: the compute-
+  // heavy operators over them spread their own heavy stage via
+  // [[spreadSmall]], and the light consumers (sampling, cards, the
+  // pin-managed corpus-prep pipeline) measured a net loss paying an
+  // input exchange they don't use
   def documents(spark: SparkSession, dir: String): DataFrame =
-    spread(load(spark, dir, "documents"), "doc_id")
+    load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame =
-    spread(load(spark, dir, "embeddings"), "vec_id")
+    load(spark, dir, "embeddings")
 }

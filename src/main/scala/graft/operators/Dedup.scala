@@ -58,7 +58,7 @@ object Dedup {
     * Hash values are identical (same XXH64 kernel over the same
     * space-joined gram bytes), so every downstream oracle is untouched. */
   def hashedShingles(docs: DataFrame, n: Int): DataFrame =
-    docs
+    graft.Tables.spreadSmall(docs, "doc_id") // heavy tokenise+hash map stage
       .select(col("doc_id"), explode(graft.functions.ShingleHashes.shingleHashes(
         TextAnalysis.tokens(col("text")), n)).as("h"))
 
@@ -202,7 +202,9 @@ object Dedup {
     * (e.g. Catalog.writeBucketed on doc_id) and only new batches are
     * ever re-signed. */
   private def signatures(docs: DataFrame, n: Int, numHashes: Int): DataFrame = {
-    val sig = docs
+    // the k-hash signing is the heavy map stage of the whole minhash
+    // family — spread a single-split input so it runs on every core
+    val sig = graft.Tables.spreadSmall(docs, "doc_id")
       .select(col("doc_id"), graft.functions.MinHashSig.minhashSig(
         TextAnalysis.tokens(col("text")), n, numHashes).as("s"))
       .where(col("s").isNotNull)
@@ -624,7 +626,7 @@ object Dedup {
     * [[TextAnalysis.portableHash60]], which keeps the near-dup output
     * DuckDB-verifiable. */
   def simhashSignatures(docs: DataFrame): DataFrame =
-    docs
+    graft.Tables.spreadSmall(docs, "doc_id") // heavy signing map stage
       .select(col("doc_id"), graft.functions.SimHashSig.simhashSig(
         TextAnalysis.tokens(col("text"))).as("simhash"))
       .where(col("simhash").isNotNull)
@@ -683,9 +685,7 @@ object Dedup {
       .select(col("vec_id"), VectorFunctions.toDouble(col("embedding")).as("v"))
     // spread a single-split source so the O(n²) cosine compute runs on
     // every core, not one task (the Similarity.spread rationale)
-    val sc = embeddings.sparkSession.sparkContext
-    val e = if (e0.queryExecution.optimizedPlan.stats.sizeInBytes <= (64L << 20))
-      e0.repartition(sc.defaultParallelism, col("vec_id")) else e0
+    val e = graft.Tables.spreadSmall(e0, "vec_id")
     val pairs = e.select(col("vec_id").as("id_a"), col("v").as("va"))
       .join(broadcast(e.select(col("vec_id").as("id_b"), col("v").as("vb"))),
         col("id_a") < col("id_b"))

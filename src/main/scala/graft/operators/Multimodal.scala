@@ -158,7 +158,8 @@ object Multimodal {
       seedCol: Column = xxhash64(col("text"))): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col("doc_id"),
+    graft.Tables.spreadSmall(docs, "doc_id") // PNG render+encode is the heavy stage
+      .select(col("doc_id"),
         (lit(8) + pmod(col("n_chars"), lit(57))).cast("int").as("w"),
         (lit(8) + pmod(col("n_chars"), lit(31))).cast("int").as("h"),
         seedCol.as("seed"))

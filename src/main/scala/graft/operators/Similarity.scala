@@ -24,26 +24,18 @@ object Similarity {
 
   val Dim = 64
 
-  /** Spread a small-split vector source across the session's cores:
-    * this module's heavy stages are corpus×queries FLOPS (brute-force
-    * cosine scans, cell assignment), and a single-file local input
-    * would otherwise pin that whole compute to ONE task — measured
-    * round 9: `s_silhouette` 4.4 s single-task vs sub-second spread at
-    * 2000 vectors × 32 cores. The hash repartition moves only the
-    * vector table (no text; ~1 MB here) once; on a production corpus
-    * with ≥cores splits the branch never fires and nothing shuffles.
-    * Hash, not round-robin: plain repartition(n) sorts every row for
-    * retry determinism — pure overhead for an order-free scan. */
-  private def spread(df: DataFrame): DataFrame = {
-    val sc = df.sparkSession.sparkContext
-    // logical-stats probe, not df.rdd — see Tables.spread
-    if (df.queryExecution.optimizedPlan.stats.sizeInBytes <= (64L << 20))
-      df.repartition(sc.defaultParallelism, col("vec_id"))
-    else df
-  }
+  /** The pair-scan ops spread their corpus side via
+    * [[graft.Tables.spreadSmall]]: their compute is corpus×queries
+    * FLOPS, which a single-split local input would pin to ONE task
+    * (measured: `s_silhouette` 4.4 s single-task vs ~1.1 s spread at
+    * 2000 vectors × 32 cores). Cheap map-only stages (IVF assignment,
+    * k-means) deliberately do NOT spread — the exchange measured as a
+    * net loss there. */
+  private def spread(df: DataFrame): DataFrame =
+    graft.Tables.spreadSmall(df, "vec_id")
 
   private def prepared(embeddings: DataFrame): DataFrame =
-    spread(embeddings.select(col("vec_id"), toDouble(col("embedding")).as("v")))
+    embeddings.select(col("vec_id"), toDouble(col("embedding")).as("v"))
 
   private def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -59,7 +51,7 @@ object Similarity {
     * by id predicate). The per-query top-k is a rank-filtered window — at
     * scale the corpus side streams once past the broadcast query set. */
   def bruteForceTopK(embeddings: DataFrame, maxQueryId: Long, k: Int): DataFrame = {
-    val e = prepared(embeddings)
+    val e = spread(prepared(embeddings))
     val q = e.where(col("vec_id") < maxQueryId)
       .select(col("vec_id").as("query_id"), col("v").as("qv"))
     val scored = e.join(broadcast(q), col("vec_id") =!= col("query_id"))
@@ -78,7 +70,7 @@ object Similarity {
     * the SAME threshold to only the probed cells. */
   def radiusSearch(embeddings: DataFrame, maxQueryId: Long,
       minCos: Double): DataFrame = {
-    val e = prepared(embeddings)
+    val e = spread(prepared(embeddings))
     val q = e.where(col("vec_id") < maxQueryId)
       .select(col("vec_id").as("query_id"), col("v").as("qv"))
     e.join(broadcast(q), col("vec_id") =!= col("query_id"))
@@ -499,7 +491,7 @@ object Similarity {
     * [[ivfSearchPq]] over an index instead and feed it to
     * [[mutualKnn]] — the mutual filter is identical either way. */
   def knnGraph(embeddings: DataFrame, k: Int = 3): DataFrame = {
-    val e = prepared(embeddings)
+    val e = spread(prepared(embeddings))
     val q = e.select(col("vec_id").as("query_id"), col("v").as("qv"))
     val scored = e.join(broadcast(q), col("vec_id") =!= col("query_id"))
       .withColumn("cos", cosineSim(col("qv"), col("v")))

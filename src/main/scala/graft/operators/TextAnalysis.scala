@@ -620,7 +620,9 @@ object TextAnalysis {
     * covers the unicode side). */
   def charNgramTop(docs: DataFrame, k: Int = 40): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val grams = docs
+    // the per-char trigram explode is the heavy map stage — spread a
+    // single-split input so it runs on every core (Tables.spreadSmall)
+    val grams = graft.Tables.spreadSmall(docs, "doc_id")
       .where(length(col("text")) >= 3)
       .select(explode(expr(
         "transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))"))
