@@ -517,6 +517,17 @@ object ScaleSmoke {
         operators.Graph.neighborJaccard(edges)
           .write.format("noop").mode("overwrite").save()
       }
+      time("cc_1m_edges") {
+        // ~20 average degree → giant component, diameter ~log n: the
+        // convergence detector should exit in a handful of distributed
+        // min-propagation rounds, not a fixed budget
+        operators.Graph.connectedComponents(edges)
+          .write.format("noop").mode("overwrite").save()
+      }
+      time("lpa_1m_edges") {
+        operators.Graph.labelPropagation(edges, rounds = 4)
+          .write.format("noop").mode("overwrite").save()
+      }
     }
     time("acf_1m_events") {
       operators.Events.acf(be)

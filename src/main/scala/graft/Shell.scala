@@ -56,7 +56,7 @@ object Shell {
           "gini | audit | vacuum | analyze <tbl> [cols...] | abc | rfm | " +
           "benford | changepoints | publish <src> <dest> | " +
           "explain <sql> | skew <tbl> <col> | histogram <tbl> <col> | " +
-          "kcore [k] | jaccard | dbscan [minPts] | silhouette | " +
+          "kcore [k] | cc | lpa [rounds] | jaccard | dbscan [minPts] | silhouette | " +
           "silhouette_centroid | chi2 | " +
           "acf | dedup_eval | drawdown | ttl <tbl> <col> <micros> | " +
           "exit | <sql>")
@@ -189,6 +189,18 @@ object Shell {
           .orderBy(org.apache.spark.sql.functions.col("core_deg").desc,
             org.apache.spark.sql.functions.col("node"))
           .show(25, truncate = false)
+      case "cc" :: Nil =>
+        // reachability read: who trades with whom, transitively
+        operators.Graph.nationComponents(spark, dir)
+          .orderBy("component", "n_name").show(25, truncate = false)
+      case "lpa" :: rest if rest.length <= 1 =>
+        // community read: who CLUSTERS with whom (denser than reachable)
+        val rounds = rest.headOption.map(_.toInt).getOrElse(4)
+        operators.Graph.labelPropagation(
+            operators.Graph.topKBackbone(
+              operators.Graph.tradeEdges(spark, dir), 3),
+            rounds = rounds, coalesceTo = Some(1))
+          .orderBy("community", "node").show(25, truncate = false)
       case "jaccard" :: Nil =>
         // link prediction: unlinked nation pairs with the most shared
         // trade partners first

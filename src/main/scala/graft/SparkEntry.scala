@@ -85,6 +85,9 @@ object SparkEntry {
     "q19_disc_revenue" -> ((s, d) => Analytics.q19DiscRevenue(s, d)),
     "q21_waiting" -> ((s, d) => Analytics.q21WaitingSuppliers(s, d)),
     "q16_partsupp" -> ((s, d) => Analytics.q16SupplierCounts(s, d)),
+    "q2_min_cost" -> ((s, d) => Analytics.q2MinCostSupplier(s, d)),
+    "q11_important" -> ((s, d) => Analytics.q11ImportantStock(s, d)),
+    "q20_promo" -> ((s, d) => Analytics.q20PotentialPromo(s, d)),
     "q_mode" -> ((s, d) => Analytics.modeByGroup(Tables.orders(s, d))),
     "q_cume_dist" -> ((s, d) => Analytics.cumeDistByStatus(Tables.orders(s, d))),
     "q9_profit" -> ((s, d) => Analytics.q9ProfitByNation(s, d)),
@@ -100,6 +103,8 @@ object SparkEntry {
     "g_bfs" -> ((s, d) => Graph.nationShortestPaths(s, d)),
     "g_jaccard" -> ((s, d) => Graph.nationJaccard(s, d)),
     "g_kcore" -> ((s, d) => Graph.nationKCore(s, d)),
+    "g_cc" -> ((s, d) => Graph.nationComponents(s, d)),
+    "g_lpa" -> ((s, d) => Graph.nationCommunities(s, d)),
     "q_yoy" -> ((s, d) => Analytics.yoyRevenue(s, d)),
     "q_range_frame" -> ((s, d) => Analytics.trailingSpend(Tables.orders(s, d))),
     "q_window_funcs" -> ((s, d) => Analytics.windowFunctionProfile(Tables.orders(s, d))),
@@ -2539,6 +2544,57 @@ object SparkEntry {
          WHERE p_brand <> 'Brand#45' AND p_type <> 'MEDIUM'
            AND p_size IN (1, 3, 9, 14, 19, 23, 36, 45)
          GROUP BY 1, 2, 3""",
+    // partsupp derived as traded pairs; supply cost = min traded line
+    // price in exact cents (division-free), min-cost supplier per part
+    // via rank-1 with suppkey tie-break
+    "q2_min_cost" ->
+      """SELECT s_acctbal, s_name, nation, p_partkey, p_name,
+                CAST(cost_cents AS DOUBLE)/100.0 AS cost
+         FROM (
+           SELECT s_acctbal, s_name, nation, p_partkey, p_name, cost_cents,
+                  row_number() OVER (PARTITION BY p_partkey
+                                     ORDER BY cost_cents, s_suppkey) AS rn
+           FROM (SELECT l_partkey, l_suppkey,
+                        min(CAST(round(l_extendedprice*100) AS BIGINT)) AS cost_cents
+                 FROM lineitem GROUP BY 1, 2) ps
+           JOIN part ON l_partkey = p_partkey
+           JOIN (SELECT s_suppkey, s_name, s_acctbal, n_name AS nation
+                 FROM supplier
+                 JOIN nation ON s_nationkey = n_nationkey
+                 JOIN region ON n_regionkey = r_regionkey
+                 WHERE r_name = 'EUROPE') euro ON l_suppkey = s_suppkey
+           WHERE p_type = 'LARGE' AND p_size <= 10)
+         WHERE rn = 1""",
+    // part value = exact-cents sum of the nation's traded line prices;
+    // the 1/1000 threshold compared cross-multiplied in cents
+    "q11_important" ->
+      """WITH vals AS (
+           SELECT l_partkey AS p_partkey,
+                  sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS value_cents
+           FROM lineitem
+           JOIN supplier ON l_suppkey = s_suppkey
+           JOIN nation ON s_nationkey = n_nationkey
+           WHERE n_name = 'NATION_3'
+           GROUP BY 1)
+         SELECT p_partkey, CAST(value_cents AS DOUBLE)/100.0 AS value
+         FROM vals, (SELECT sum(value_cents) AS total_cents FROM vals)
+         WHERE value_cents * 1000 > total_cents * 1""",
+    // availability proxied as all-time traded quantity per pair; the
+    // 2x-the-promo-year threshold is integer-exact on long quantities
+    "q20_promo" ->
+      """SELECT DISTINCT s_suppkey, s_name, s_acctbal, n_name AS nation
+         FROM (
+           SELECT l_partkey, l_suppkey,
+                  sum(CAST(l_quantity AS BIGINT)) AS avail,
+                  sum(CASE WHEN year(l_shipdate) = 1997
+                           THEN CAST(l_quantity AS BIGINT) ELSE 0 END) AS shipped
+           FROM lineitem
+           WHERE l_partkey IN (SELECT p_partkey FROM part
+                               WHERE contains(p_name, 'bolt'))
+           GROUP BY 1, 2)
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN nation ON s_nationkey = n_nationkey
+         WHERE shipped > 0 AND avail > shipped * 2""",
     // cost proxied as 20% of retail x quantity; both legs exact cents
     "q9_profit" ->
       """SELECT n_name AS nation, year(o_orderdate) AS o_year,
@@ -3003,6 +3059,78 @@ object SparkEntry {
          SELECT node AS n_name, CAST(count(*) AS BIGINT) AS core_deg FROM (
             SELECT a AS node FROM fin UNION ALL SELECT b FROM fin)
          GROUP BY node HAVING count(*) >= 3"""
+    },
+    // 8 generated min-propagation rounds (the g_kcore replay idiom);
+    // component id = lexicographic min member name — engine-exact
+    "g_cc" -> {
+      def prop(i: Int): String =
+        s"""comp$i AS MATERIALIZED (
+                 SELECT x, min(c) AS c FROM (
+                   SELECT x, c FROM comp${i - 1}
+                   UNION ALL
+                   SELECT nb.x, p.c FROM nbrs nb
+                   JOIN comp${i - 1} p ON nb.nbr = p.x)
+                 GROUP BY x)"""
+      s"""WITH edges AS (SELECT ns.n_name AS src, nc.n_name AS dst,
+                   CAST(count(*) AS BIGINT) AS w
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation ns ON s.s_nationkey = ns.n_nationkey
+            JOIN nation nc ON c.c_nationkey = nc.n_nationkey
+            GROUP BY ns.n_name, nc.n_name),
+         sedges AS (SELECT src, dst FROM (
+            SELECT src, dst,
+                   row_number() OVER (PARTITION BY src
+                                      ORDER BY w DESC, dst) AS rn
+            FROM edges WHERE src <> dst) WHERE rn <= 3),
+         und AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+                 FROM sedges),
+         nbrs AS MATERIALIZED (SELECT a AS x, b AS nbr FROM und
+                 UNION ALL SELECT b, a FROM und),
+         comp0 AS MATERIALIZED (SELECT DISTINCT x, x AS c FROM nbrs),
+         ${(1 to 8).map(prop).mkString(",")}
+         SELECT x AS n_name, c AS component,
+                CAST(count(*) OVER (PARTITION BY c) AS BIGINT) AS comp_size
+         FROM comp8"""
+    },
+    // 4 generated synchronous LPA rounds; label mode per node, ties to
+    // the smallest label — the pinned total order both engines share
+    "g_lpa" -> {
+      def sweep(i: Int): String =
+        s"""lab$i AS MATERIALIZED (
+                 SELECT x, lbl FROM (
+                   SELECT x, lbl,
+                          row_number() OVER (PARTITION BY x
+                                             ORDER BY n DESC, lbl) AS rn
+                   FROM (SELECT nb.x, p.lbl, count(*) AS n
+                         FROM nbrs nb JOIN lab${i - 1} p ON nb.nbr = p.x
+                         GROUP BY nb.x, p.lbl))
+                 WHERE rn = 1)"""
+      s"""WITH edges AS (SELECT ns.n_name AS src, nc.n_name AS dst,
+                   CAST(count(*) AS BIGINT) AS w
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation ns ON s.s_nationkey = ns.n_nationkey
+            JOIN nation nc ON c.c_nationkey = nc.n_nationkey
+            GROUP BY ns.n_name, nc.n_name),
+         sedges AS (SELECT src, dst FROM (
+            SELECT src, dst,
+                   row_number() OVER (PARTITION BY src
+                                      ORDER BY w DESC, dst) AS rn
+            FROM edges WHERE src <> dst) WHERE rn <= 3),
+         und AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+                 FROM sedges),
+         nbrs AS MATERIALIZED (SELECT a AS x, b AS nbr FROM und
+                 UNION ALL SELECT b, a FROM und),
+         lab0 AS MATERIALIZED (SELECT DISTINCT x, x AS lbl FROM nbrs),
+         ${(1 to 4).map(sweep).mkString(",")}
+         SELECT x AS n_name, lbl AS community,
+                CAST(count(*) OVER (PARTITION BY lbl) AS BIGINT) AS comm_size
+         FROM lab4"""
     },
     // the four ranking functions share one total (cents desc, key)
     // order; percent_rank is the exact division (rank−1)/(n−1)

@@ -938,6 +938,113 @@ object Analytics {
       .agg(sum(col("n_late_items")).as("numwait"))
   }
 
+  /** TPC-H Q2-style minimum-cost supplier (adapted: no partsupp table,
+    * so the part-supplier relation is the traded (partkey, suppkey)
+    * pairs and "supply cost" is the MINIMUM traded line price in exact
+    * integer cents — deterministic, division-free, mirrored in the
+    * oracle): for each qualifying part, the cheapest supplier in the
+    * target region, ties pinned by smallest suppkey.
+    *
+    * The classic correlated `= (SELECT min(ps_supplycost) ...)` becomes
+    * a rank-1 window over the PAIR-grain cost table — never the fact
+    * table. One lineitem shuffle (map-side-combined min per pair), the
+    * filtered part side broadcast, the region-filtered supplier chain
+    * left to Catalyst (auto-broadcast under threshold, shuffle join
+    * beyond — the supplier table is region-fraction-sized, so a forced
+    * hint would be wrong at extreme SF). */
+  def q2MinCostSupplier(spark: SparkSession, dir: String,
+      regionName: String = "EUROPE", partType: String = "LARGE",
+      maxSize: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val euro = Tables.supplier(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)
+        .join(broadcast(Tables.region(spark, dir)
+          .where(col("r_name") === regionName)),
+          col("n_regionkey") === col("r_regionkey"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_name"), col("s_acctbal"),
+        col("n_name").as("nation"))
+    val parts = Tables.part(spark, dir)
+      .where(col("p_type") === partType && col("p_size") <= maxSize)
+      .select(col("p_partkey"), col("p_name"))
+    val pairCost = Tables.lineitem(spark, dir)
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(min(cents(col("l_extendedprice"))).as("cost_cents"))
+    val w = Window.partitionBy(col("p_partkey"))
+      .orderBy(col("cost_cents"), col("s_suppkey"))
+    pairCost
+      .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      .join(euro, col("l_suppkey") === col("s_suppkey"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("s_acctbal"), col("s_name"), col("nation"),
+        col("p_partkey"), col("p_name"),
+        (col("cost_cents").cast("double") / 100.0).as("cost"))
+  }
+
+  /** TPC-H Q11-style important stock (adapted: part "value" held by a
+    * nation's suppliers is the exact-cents sum of their traded line
+    * prices): parts whose value exceeds `permil`/1000 of the nation's
+    * total. The scalar-subquery threshold never becomes a double — the
+    * comparison is cross-multiplied in integer cents
+    * (value·1000 > Σvalue·permil), so membership is engine-exact at the
+    * boundary. One fact shuffle on partkey after a broadcast
+    * supplier-filter semi join; the 1-row grand total broadcasts into
+    * the part-grain frame (the q_abc shape). */
+  def q11ImportantStock(spark: SparkSession, dir: String,
+      nationName: String = "NATION_3", permil: Int = 1): DataFrame = {
+    val suppN = Tables.supplier(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)
+        .where(col("n_name") === nationName)),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"))
+    val vals = Tables.lineitem(spark, dir)
+      .join(broadcast(suppN), col("l_suppkey") === col("s_suppkey"),
+        "left_semi")
+      .groupBy(col("l_partkey").as("p_partkey"))
+      .agg(sum(cents(col("l_extendedprice"))).as("value_cents"))
+    val total = vals.agg(sum(col("value_cents")).as("total_cents"))
+    vals.crossJoin(broadcast(total))
+      .where(col("value_cents") * 1000 > col("total_cents") * permil)
+      .select(col("p_partkey"),
+        (col("value_cents").cast("double") / 100.0).as("value"))
+  }
+
+  /** TPC-H Q20-style potential part promotion (adapted: no partsupp
+    * availqty, so "excess availability" is a pair whose ALL-TIME traded
+    * quantity exceeds twice its `promoYear` shipments — most of the
+    * relationship's volume sits outside the promo year): the distinct
+    * suppliers holding such a pair for a name-matched part, with their
+    * nation. Quantities are integral in this schema, summed as longs —
+    * the 2× threshold is integer-exact.
+    *
+    * The classic nested EXISTS/IN chain is one pair-grain aggregate
+    * with a conditional sum (availability and promo-year shipments from
+    * the SAME scan — no lineitem self-join), then a distinct over the
+    * tiny qualifying set and broadcast name joins. */
+  def q20PotentialPromo(spark: SparkSession, dir: String,
+      namePattern: String = "bolt", promoYear: Int = 1997): DataFrame = {
+    val parts = Tables.part(spark, dir)
+      .where(col("p_name").contains(namePattern))
+      .select(col("p_partkey"))
+    val suppNation = Tables.supplier(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_name"), col("s_acctbal"),
+        col("n_name").as("nation"))
+    Tables.lineitem(spark, dir)
+      .join(broadcast(parts), col("l_partkey") === col("p_partkey"),
+        "left_semi")
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(sum(col("l_quantity").cast("long")).as("avail"),
+        sum(when(year(col("l_shipdate")) === promoYear,
+          col("l_quantity").cast("long")).otherwise(0L)).as("shipped"))
+      .where(col("shipped") > 0 && col("avail") > col("shipped") * 2)
+      .select(col("l_suppkey")).distinct()
+      .join(suppNation, col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("s_acctbal"), col("nation"))
+  }
+
   /** Pearson correlation + population covariance of quantity vs price
     * per return flag, computed from EXACT integer-cents moment sums
     * (n, Σx, Σy, Σx², Σy², Σxy as DECIMAL(38,0)) rather than the

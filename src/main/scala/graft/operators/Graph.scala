@@ -430,4 +430,122 @@ object Graph {
     kCore(topKBackbone(tradeEdges(spark, dir), 3), k = 3, maxRounds = 8,
       coalesceTo = Some(1))
       .withColumnRenamed("node", "n_name")
+
+  /** Connected components by min-label propagation on the undirected
+    * graph, run TO THE FIXED POINT: each round every node takes the
+    * MIN of its own component label and its neighbors' — a monotone
+    * lattice descent (labels only ever decrease), so "no label changed"
+    * is convergence and the loop detects it with one bounded node-grain
+    * count per round. Converges in ≤ diameter rounds; `maxRounds`
+    * remains as the CONTRACT CAP for fixed-depth oracle replays (the
+    * driver entry pins 8 to match its unrolled CTE; convergence inside
+    * the cap makes capped and uncapped identical there). Labels are the
+    * node names themselves (lexicographic min — a total order both
+    * engines share), so the component id is its smallest member: no
+    * hash, no salt, engine-exact.
+    *
+    * Every round is one neighbor join + one min-aggregate over the
+    * AGGREGATE-grain edge table with the state `localCheckpoint`ed —
+    * the [[pagerank]] iteration shape; min-propagation beats
+    * pointer-jumping here because the per-round state is one row per
+    * node (Dedup.components keeps the two-phase hash-to-min + pointer
+    * jump for the billion-pair dedup graphs where round count
+    * dominates). */
+  def connectedComponents(edges: DataFrame, maxRounds: Int = Int.MaxValue,
+      coalesceTo: Option[Int] = None): DataFrame = {
+    def pin(df: DataFrame): DataFrame =
+      coalesceTo.map(df.coalesce).getOrElse(df).localCheckpoint()
+    val und = pin(edges.where(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct())
+    val nbrs = pin(und.select(col("a").as("x"), col("b").as("nbr"))
+      .union(und.select(col("b").as("x"), col("a").as("nbr"))))
+    var comp = pin(nbrs.select(col("x")).distinct()
+      .select(col("x"), col("x").as("c")))
+    var converged = false
+    var round = 0
+    while (!converged && round < maxRounds) {
+      round += 1
+      val prev = comp
+      comp = pin(comp
+        .union(nbrs.join(comp.select(col("x").as("nbr"), col("c")), "nbr")
+          .select(col("x"), col("c")))
+        .groupBy(col("x")).agg(min(col("c")).as("c")))
+      // monotone: labels only decrease, so any change shows up as a
+      // strict inequality — one bounded node-grain count
+      val changed = comp.join(prev.select(col("x"), col("c").as("pc")), "x")
+        .where(col("c") =!= col("pc")).count()
+      prev.unpersist()
+      converged = changed == 0
+    }
+    comp.select(col("x").as("node"), col("c").as("component"))
+  }
+
+  /** Driver entry: components of the top-3-partner trade backbone with
+    * their sizes. Cap 8 mirrors the unrolled oracle CTE depth. */
+  def nationComponents(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val comp = connectedComponents(topKBackbone(tradeEdges(spark, dir), 3),
+      maxRounds = 8, coalesceTo = Some(1))
+    comp.withColumn("comp_size",
+        count(lit(1)).over(Window.partitionBy(col("component"))))
+      .select(col("node").as("n_name"), col("component"), col("comp_size"))
+  }
+
+  /** Synchronous label propagation communities (LPA, Raghavan et al.
+    * 2007), made DETERMINISTIC: each of exactly `rounds` rounds every
+    * node adopts the most frequent label among its neighbors, ties to
+    * the lexicographically smallest label — a total order, so the
+    * replay is engine-exact (classic LPA breaks ties randomly and
+    * visits nodes in random order; synchronous sweeps + pinned ties
+    * trade some convergence speed for reproducibility). Fixed depth is
+    * the honest contract here: synchronous LPA can 2-cycle on bipartite
+    * structures, so unlike [[kCore]]/[[connectedComponents]] there is
+    * no monotone fixed point to detect — callers pick the depth, the
+    * oracle replays it.
+    *
+    * Per round: one neighbor join, one (node, label) count aggregate,
+    * one rank-1 window over the COUNT table (never the fact table) —
+    * node/edge-grain state, `localCheckpoint`ed, the [[pagerank]]
+    * shape. */
+  def labelPropagation(edges: DataFrame, rounds: Int = 4,
+      coalesceTo: Option[Int] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def pin(df: DataFrame): DataFrame =
+      coalesceTo.map(df.coalesce).getOrElse(df).localCheckpoint()
+    val und = pin(edges.where(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct())
+    val nbrs = pin(und.select(col("a").as("x"), col("b").as("nbr"))
+      .union(und.select(col("b").as("x"), col("a").as("nbr"))))
+    var lab = pin(nbrs.select(col("x")).distinct()
+      .select(col("x"), col("x").as("lbl")))
+    val w = Window.partitionBy(col("x"))
+      .orderBy(col("n").desc, col("lbl"))
+    for (_ <- 1 to rounds) {
+      val prev = lab
+      lab = pin(nbrs
+        .join(lab.select(col("x").as("nbr"), col("lbl")), "nbr")
+        .groupBy(col("x"), col("lbl")).agg(count(lit(1)).as("n"))
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select(col("x"), col("lbl")))
+      prev.unpersist()
+    }
+    lab.select(col("x").as("node"), col("lbl").as("community"))
+  }
+
+  /** Driver entry: 4-round LPA communities of the trade backbone with
+    * community sizes — the "who clusters with whom" card next to
+    * [[nationComponents]]' "who is reachable from whom". */
+  def nationCommunities(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    labelPropagation(topKBackbone(tradeEdges(spark, dir), 3),
+      rounds = 4, coalesceTo = Some(1))
+      .withColumn("comm_size",
+        count(lit(1)).over(Window.partitionBy(col("community"))))
+      .select(col("node").as("n_name"), col("community"), col("comm_size"))
+  }
 }

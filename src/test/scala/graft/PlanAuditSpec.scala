@@ -72,6 +72,10 @@ class PlanAuditSpec extends SparkSpec {
       // distinct-value frame (q_lorenz adds the 10-row decile-range
       // table — bounded ≤10× fan-out on value-grain rows)
       "q_abc", "q_lorenz",
+      // q11_important: the 1-row grand-total broadcast into the
+      // part-grain value frame (the q_abc shape; the fact scan itself
+      // is an equi semi join + keyed aggregate)
+      "q11_important",
       // q_benford: the 1-row order-count aggregate into the 9-row card
       "q_benford",
       // q_basket_rules: the 1-row basket-universe count into the
