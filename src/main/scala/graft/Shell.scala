@@ -59,7 +59,8 @@ object Shell {
           "kcore [k] | cc | lpa [rounds] | jaccard | dbscan [minPts] | silhouette | " +
           "silhouette_centroid | chi2 | " +
           "acf | dedup_eval | drawdown | ttl <tbl> <col> <micros> | " +
-          "exit | <sql>")
+          "quality_model | quality_scores | attribution [days] | " +
+          "token_budget [tokens] | exit | <sql>")
       case "ls" :: Nil => cat.list().foreach(println)
       case "stats" :: Nil => cat.stats().show(100, truncate = false)
       case "nodes" :: Nil => cat.executorStats().show(100, truncate = false)
@@ -239,6 +240,24 @@ object Shell {
       case "acf" :: Nil =>
         operators.Events.acf(Tables.events(spark, dir))
           .orderBy("lg").show(truncate = false)
+      case "quality_model" :: Nil =>
+        // the distilled gopher gate: weights + training accuracy
+        operators.QualityModel.trainCard(Tables.documents(spark, dir))
+          .show(truncate = false)
+      case "quality_scores" :: Nil =>
+        // soft keep-scores, worst documents first (the drop review)
+        operators.QualityModel.trainAndScore(Tables.documents(spark, dir))
+          .orderBy("p_keep", "doc_id").show(10, truncate = false)
+      case "attribution" :: rest if rest.length <= 1 =>
+        val days = rest.headOption.map(_.toInt).getOrElse(7)
+        operators.Events.attributionCard(Tables.events(spark, dir), days)
+          .orderBy("channel").show(truncate = false)
+      case "token_budget" :: rest if rest.length <= 1 =>
+        // best-first budget fill; show the cut boundary (last docs in)
+        val budget = rest.headOption.map(_.toLong).getOrElse(12000L)
+        operators.Sampling.tokenBudget(Tables.documents(spark, dir), budget)
+          .orderBy(org.apache.spark.sql.functions.col("cum_tokens").desc)
+          .show(10, truncate = false)
       case "dedup_eval" :: Nil =>
         operators.Dedup.dedupEval(
           operators.Dedup.minhashLsh(Tables.documents(spark, dir), 3, 64, 16, 0.5)

@@ -279,6 +279,9 @@ object SparkEntry {
     "p_split" -> ((s, d) => Sampling.hashSplit(Tables.documents(s, d))),
     "p_sample" -> ((s, d) => Sampling.stratifiedSample(Tables.documents(s, d))),
     "p_pack" -> ((s, d) => Sampling.packSequences(Tables.documents(s, d))),
+    // best-first token-budget fill: global quality-ranked cumulative
+    // token sum on the audited two-level bucket-monotone scan
+    "p_token_budget" -> ((s, d) => Sampling.tokenBudget(Tables.documents(s, d))),
     "p_wsample" -> ((s, d) => Sampling.weightedSample(Tables.documents(s, d), "n_chars")),
     "p_shuffle" -> ((s, d) => Sampling.shuffleOrder(Tables.documents(s, d))),
     // the shard data-card over the deterministic shuffle assignment
@@ -325,6 +328,12 @@ object SparkEntry {
     "s_ann_ivf" -> ((s, d) => Similarity.ivfAnn(Tables.embeddings(s, d), 5, 10)),
     "t_token_count" -> ((s, d) => TextAnalysis.tokenCounts(Tables.documents(s, d))),
     "t_quality" -> ((s, d) => TextAnalysis.quality(Tables.documents(s, d))),
+    // trainable quality model: 3 full-batch GD steps (bounded 1-row
+    // collect each — the Bpe fixed-point pattern), engine-exact via the
+    // rational sigmoid + fixed-point long gradient sums
+    "t_quality_model" -> ((s, d) => QualityModel.trainCard(Tables.documents(s, d))),
+    // the composed gate: train, then the map-only per-doc scorer
+    "t_quality_scores" -> ((s, d) => QualityModel.trainAndScore(Tables.documents(s, d))),
     // stopword set adapted to the synthetic vocabulary (the published
     // 8-word set shares only 'the' with this corpus — every doc would
     // fail the >=2-distinct rule vacuously)
@@ -570,6 +579,10 @@ object SparkEntry {
     }),
     "e_deseason" -> ((s, d) => Events.deseasonOutliers(Tables.events(s, d))),
     "e_acf" -> ((s, d) => Events.acf(Tables.events(s, d))),
+    // last-touch multi-channel attribution with a 7-day lookback:
+    // one user-partitioned window (reuses the loader spread) + a
+    // 3-row channel rollup with exact-cents revenue
+    "e_attribution" -> ((s, d) => Events.attributionCard(Tables.events(s, d))),
     "fs_analyze" -> ((s, d) => graft.sources.Catalog.analyzeColumns(
       Tables.lineitem(s, d),
       Seq("l_orderkey", "l_partkey", "l_suppkey", "l_returnflag", "l_linestatus"))),
@@ -1418,6 +1431,83 @@ object SparkEntry {
                       + (1.0 - CAST(n_punct AS DOUBLE) / greatest(n_chars_text, 1)) * 0.3)
                       * 1000000 + 0.5) / 1000000 AS quality_score
          FROM b""",
+    // 3 GD steps unrolled as CTEs (the pagerank-oracle pattern): each
+    // iteration's weights are scalar columns cross-joined back into the
+    // feature frame; the rational sigmoid and fixed-point nano-unit
+    // gradient sums replay Spark's arithmetic to the bit
+    "t_quality_model" ->
+      s"""WITH f AS ($QualityFeatureSql),
+         nn AS (SELECT count(*) AS n FROM f),
+         za AS (SELECT y, x1, x2, x3,
+                       0.0 + 0.0 * x1 + 0.0 * x2 + 0.0 * x3 AS z FROM f),
+         ga AS (SELECT $GradSumSql FROM za),
+         wa AS (SELECT 0.0 - 0.5 * (CAST(g0 AS DOUBLE) / 1000000000.0 / CAST(n AS DOUBLE)) AS w0,
+                       0.0 - 0.5 * (CAST(g1 AS DOUBLE) / 1000000000.0 / CAST(n AS DOUBLE)) AS w1,
+                       0.0 - 0.5 * (CAST(g2 AS DOUBLE) / 1000000000.0 / CAST(n AS DOUBLE)) AS w2,
+                       0.0 - 0.5 * (CAST(g3 AS DOUBLE) / 1000000000.0 / CAST(n AS DOUBLE)) AS w3
+                FROM ga, nn),
+         zb AS (SELECT y, x1, x2, x3,
+                       w0 + w1 * x1 + w2 * x2 + w3 * x3 AS z FROM f, wa),
+         gb AS (SELECT $GradSumSql FROM zb),
+         wb AS (SELECT w0 - 0.5 * (CAST(g0 AS DOUBLE) / 1000000000.0 / CAST(n AS DOUBLE)) AS w0,
+                       w1 - 0.5 * (CAST(g1 AS DOUBLE) / 1000000000.0 / CAST(n AS DOUBLE)) AS w1,
+                       w2 - 0.5 * (CAST(g2 AS DOUBLE) / 1000000000.0 / CAST(n AS DOUBLE)) AS w2,
+                       w3 - 0.5 * (CAST(g3 AS DOUBLE) / 1000000000.0 / CAST(n AS DOUBLE)) AS w3
+                FROM gb, wa, nn),
+         zc AS (SELECT y, x1, x2, x3,
+                       w0 + w1 * x1 + w2 * x2 + w3 * x3 AS z FROM f, wb),
+         gc AS (SELECT $GradSumSql FROM zc),
+         wc AS (SELECT w0 - 0.5 * (CAST(g0 AS DOUBLE) / 1000000000.0 / CAST(n AS DOUBLE)) AS w0,
+                       w1 - 0.5 * (CAST(g1 AS DOUBLE) / 1000000000.0 / CAST(n AS DOUBLE)) AS w1,
+                       w2 - 0.5 * (CAST(g2 AS DOUBLE) / 1000000000.0 / CAST(n AS DOUBLE)) AS w2,
+                       w3 - 0.5 * (CAST(g3 AS DOUBLE) / 1000000000.0 / CAST(n AS DOUBLE)) AS w3
+                FROM gc, wb, nn),
+         zf AS (SELECT y, w0 + w1 * x1 + w2 * x2 + w3 * x3 AS z FROM f, wc),
+         ac AS (SELECT CAST(sum(CASE WHEN ((0.5 + z / (2.0 * (1.0 + abs(z)))) >= 0.5) = (y = 1.0)
+                                     THEN 1 ELSE 0 END) AS DOUBLE)
+                         / CAST(count(*) AS DOUBLE) AS acc,
+                       CAST(count(*) AS DOUBLE) AS nd
+                FROM zf)
+         SELECT term, floor(value * 1000000 + 0.5) / 1000000 AS value FROM (
+           SELECT 'acc' AS term, acc AS value FROM ac
+           UNION ALL SELECT 'bias', w0 FROM wc
+           UNION ALL SELECT 'n_docs', nd FROM ac
+           UNION ALL SELECT 'w_alpha', w3 FROM wc
+           UNION ALL SELECT 'w_stop', w2 FROM wc
+           UNION ALL SELECT 'w_words', w1 FROM wc)
+         ORDER BY term""",
+    // same unrolled training, then the map-only scorer over doc ids
+    "t_quality_scores" ->
+      s"""WITH f AS ($QualityFeatureSql),
+         fid AS ($QualityFeatureIdSql),
+         nn AS (SELECT count(*) AS n FROM f),
+         za AS (SELECT y, x1, x2, x3,
+                       0.0 + 0.0 * x1 + 0.0 * x2 + 0.0 * x3 AS z FROM f),
+         ga AS (SELECT $GradSumSql FROM za),
+         wa AS (SELECT 0.0 - 0.5 * (CAST(g0 AS DOUBLE) / 1000000000.0 / CAST(n AS DOUBLE)) AS w0,
+                       0.0 - 0.5 * (CAST(g1 AS DOUBLE) / 1000000000.0 / CAST(n AS DOUBLE)) AS w1,
+                       0.0 - 0.5 * (CAST(g2 AS DOUBLE) / 1000000000.0 / CAST(n AS DOUBLE)) AS w2,
+                       0.0 - 0.5 * (CAST(g3 AS DOUBLE) / 1000000000.0 / CAST(n AS DOUBLE)) AS w3
+                FROM ga, nn),
+         zb AS (SELECT y, x1, x2, x3,
+                       w0 + w1 * x1 + w2 * x2 + w3 * x3 AS z FROM f, wa),
+         gb AS (SELECT $GradSumSql FROM zb),
+         wb AS (SELECT w0 - 0.5 * (CAST(g0 AS DOUBLE) / 1000000000.0 / CAST(n AS DOUBLE)) AS w0,
+                       w1 - 0.5 * (CAST(g1 AS DOUBLE) / 1000000000.0 / CAST(n AS DOUBLE)) AS w1,
+                       w2 - 0.5 * (CAST(g2 AS DOUBLE) / 1000000000.0 / CAST(n AS DOUBLE)) AS w2,
+                       w3 - 0.5 * (CAST(g3 AS DOUBLE) / 1000000000.0 / CAST(n AS DOUBLE)) AS w3
+                FROM gb, wa, nn),
+         zc AS (SELECT y, x1, x2, x3,
+                       w0 + w1 * x1 + w2 * x2 + w3 * x3 AS z FROM f, wb),
+         gc AS (SELECT $GradSumSql FROM zc),
+         wc AS (SELECT w0 - 0.5 * (CAST(g0 AS DOUBLE) / 1000000000.0 / CAST(n AS DOUBLE)) AS w0,
+                       w1 - 0.5 * (CAST(g1 AS DOUBLE) / 1000000000.0 / CAST(n AS DOUBLE)) AS w1,
+                       w2 - 0.5 * (CAST(g2 AS DOUBLE) / 1000000000.0 / CAST(n AS DOUBLE)) AS w2,
+                       w3 - 0.5 * (CAST(g3 AS DOUBLE) / 1000000000.0 / CAST(n AS DOUBLE)) AS w3
+                FROM gc, wb, nn)
+         SELECT doc_id,
+                floor((0.5 + z / (2.0 * (1.0 + abs(z)))) * 1000000 + 0.5) / 1000000 AS p_keep
+         FROM (SELECT doc_id, w0 + w1 * x1 + w2 * x2 + w3 * x3 AS z FROM fid, wc)""",
     "t_lang_id" ->
       """WITH t AS (SELECT doc_id, lang AS declared_lang,
                 list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS w FROM documents),
@@ -1868,6 +1958,36 @@ object SparkEntry {
          SELECT doc_id, n_tokens, global_start,
                 CAST(global_start // 2048 AS BIGINT) AS seq_id
          FROM c""",
+    // best-first budget fill: quality micro-units packed with doc_id
+    // into one collision-free BIGINT order key, cumulative token sum,
+    // prefix cut at the budget
+    "p_token_budget" ->
+      """WITH b AS (
+           SELECT doc_id, length(text) AS n_chars_text,
+                  len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS n_words,
+                  length(regexp_replace(text, '[^a-z]', '', 'g')) AS n_alpha,
+                  length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS n_punct,
+                  len(list_filter(regexp_split_to_array(text, '\s+'),
+                      x -> x IN ('the','a','of','and','to','is','in','that','it','as'))) AS stop_hits
+           FROM documents),
+         q AS (
+           SELECT doc_id, n_words AS ws_tokens,
+                  floor((CAST(stop_hits AS DOUBLE) / greatest(n_words, 1) * 0.4
+                        + least(CAST(n_alpha AS DOUBLE) / greatest(n_words, 1) / 10.0, 1.0) * 0.3
+                        + (1.0 - CAST(n_punct AS DOUBLE) / greatest(n_chars_text, 1)) * 0.3)
+                        * 1000000 + 0.5) / 1000000 AS quality_score
+           FROM b),
+         k AS (
+           SELECT doc_id, quality_score, ws_tokens,
+                  (2000000 - CAST(round(quality_score * 1000000) AS BIGINT))
+                    * 10000000000 + doc_id AS key
+           FROM q)
+         SELECT doc_id, quality_score, ws_tokens, cum_tokens FROM (
+           SELECT doc_id, quality_score, ws_tokens,
+                  CAST(sum(ws_tokens) OVER (ORDER BY key
+                                            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+           FROM k)
+         WHERE cum_tokens <= 12000""",
     "p_shuffle" ->
       """WITH s AS (
            SELECT doc_id,
@@ -3544,6 +3664,30 @@ object SparkEntry {
                      ELSE CAST(sum(CAST(ya AS HUGEINT) * yb) AS DOUBLE)
                           / CAST((SELECT den FROM den) AS DOUBLE) END AS acf
          FROM pairs GROUP BY lg""",
+    // last-touch attribution: the winning touch travels as ONE packed
+    // BIGINT (µs·4 + channel code) under max() — no IGNORE-NULLS
+    // ordering to disagree on; same-µs click/view resolve to the
+    // higher code (view) in both engines by the same integer max
+    "e_attribution" ->
+      """WITH u AS (
+           SELECT user_id, epoch_us(ts) AS tsu, value,
+                  CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_p,
+                  CASE WHEN event_type = 'click' THEN epoch_us(ts) * 4 + 1
+                       WHEN event_type = 'view' THEN epoch_us(ts) * 4 + 2 END AS packed
+           FROM events WHERE event_type IN ('click', 'view', 'purchase')),
+         w AS (
+           SELECT user_id, tsu, value, is_p,
+                  max(packed) OVER (PARTITION BY user_id ORDER BY tsu, is_p
+                                    ROWS UNBOUNDED PRECEDING) AS lastt
+           FROM u),
+         c AS (
+           SELECT value,
+                  CASE WHEN lastt IS NULL OR tsu - lastt // 4 > 604800000000 THEN 'none'
+                       WHEN lastt % 4 = 1 THEN 'click' ELSE 'view' END AS channel
+           FROM w WHERE is_p = 1)
+         SELECT channel, CAST(count(*) AS BIGINT) AS n_conversions,
+                CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS revenue
+         FROM c GROUP BY 1""",
     // ties-included top-3 ≡ rank() ≤ 3 (the Spark side filters on the
     // 3rd-largest |resid| from the map-side topk aggregate)
     "e_deseason" ->
@@ -3919,6 +4063,59 @@ object SparkEntry {
 
   /** Shared by d_containment and d_containment_auto (the routed entry
     * takes the exact arm at driver scale). */
+  /** Shared feature frame for the t_quality_model / t_quality_scores
+    * oracles: label = the Gopher five-rule verdict (all-integer
+    * comparisons — the t_gopher_rules oracle text), features are
+    * exact-integer pairs divided once (the t_quality recipe), so the
+    * doubles are engine-identical. */
+  private val QualityFeatureSql: String =
+    """SELECT CASE WHEN (nw BETWEEN 50 AND 100000)
+                    AND (swl >= nw * 3 AND swl <= nw * 10)
+                    AND (nsym * 10 < nw) AND (nalpha * 5 > nw * 4)
+                    AND (nstop >= 2) THEN 1.0 ELSE 0.0 END AS y,
+              CAST(nw AS DOUBLE) / 100.0 AS x1,
+              CAST(sh AS DOUBLE) / CAST(greatest(nw, 1) AS DOUBLE) AS x2,
+              CAST(na AS DOUBLE) / CAST(greatest(nc, 1) AS DOUBLE) AS x3
+       FROM (
+         SELECT len(tk) AS nw,
+                len(list_filter(tk, x -> x IN ('the','a','of','and','to','is','in','that','it','as'))) AS sh,
+                length(regexp_replace(text, '[^a-z]', '', 'g')) AS na,
+                length(text) AS nc,
+                length(regexp_replace(text, '\s', '', 'g')) AS swl,
+                length(text) - length(replace(text, '#', ''))
+                  + (length(text) - length(replace(text, '...', ''))) // 3 AS nsym,
+                len(list_filter(tk, x -> regexp_matches(x, '[a-zA-Z]'))) AS nalpha,
+                len(list_filter(['the','a','of','and','to','is','in','that','it','as'],
+                    s -> list_contains(tk, s))) AS nstop
+         FROM (SELECT text,
+                      list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS tk
+               FROM documents))"""
+
+  /** [[QualityFeatureSql]] with doc_id kept (labels not needed), for
+    * the scoring path. */
+  private val QualityFeatureIdSql: String =
+    """SELECT doc_id,
+              CAST(nw AS DOUBLE) / 100.0 AS x1,
+              CAST(sh AS DOUBLE) / CAST(greatest(nw, 1) AS DOUBLE) AS x2,
+              CAST(na AS DOUBLE) / CAST(greatest(nc, 1) AS DOUBLE) AS x3
+       FROM (
+         SELECT doc_id, len(tk) AS nw,
+                len(list_filter(tk, x -> x IN ('the','a','of','and','to','is','in','that','it','as'))) AS sh,
+                length(regexp_replace(text, '[^a-z]', '', 'g')) AS na,
+                length(text) AS nc
+         FROM (SELECT doc_id, text,
+                      list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS tk
+               FROM documents))"""
+
+  /** One GD step's fixed-point gradient sums: per-row nano-unit longs
+    * under the rational sigmoid, summed order-free (QualityModel.gFix
+    * mirrored textually). */
+  private val GradSumSql: String =
+    """sum(CAST(floor((((0.5 + z / (2.0 * (1.0 + abs(z)))) - y) * 1.0) * 1000000000.0 + 0.5) AS BIGINT)) AS g0,
+       sum(CAST(floor((((0.5 + z / (2.0 * (1.0 + abs(z)))) - y) * x1) * 1000000000.0 + 0.5) AS BIGINT)) AS g1,
+       sum(CAST(floor((((0.5 + z / (2.0 * (1.0 + abs(z)))) - y) * x2) * 1000000000.0 + 0.5) AS BIGINT)) AS g2,
+       sum(CAST(floor((((0.5 + z / (2.0 * (1.0 + abs(z)))) - y) * x3) * 1000000000.0 + 0.5) AS BIGINT)) AS g3"""
+
   private val containmentSql: String =
     """WITH tok AS (SELECT doc_id,
            list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS w FROM documents),

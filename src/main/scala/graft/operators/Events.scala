@@ -968,4 +968,52 @@ object Events {
           .otherwise(col("num").cast("double") / col("den").cast("double"))
           .as("acf"))
   }
+
+  /** Last-touch marketing attribution: every purchase is credited to
+    * the LATEST prior click/view by the same user within a lookback
+    * window, then rolled up to a channel card (conversions + exact-
+    * cents revenue per channel, 'none' = outside the window or no
+    * touch at all).
+    *
+    * Differs from the e_asof family on three axes: multi-channel
+    * touches (click AND view compete), a bounded lookback (stale
+    * touches don't get credit), and revenue attribution.
+    *
+    * Scale shape: one window over the user_id partitioning (which the
+    * events loader's spread already established), then a 3-row channel
+    * aggregate — no joins, no driver data. Engine determinism: the
+    * winning touch is carried as ONE packed long (µs·4 + channel code)
+    * under max(), so there is no IGNORE-NULLS ordering to disagree on;
+    * a click and a view in the same microsecond resolve to the higher
+    * code (view) in both engines by the same integer max. */
+  def attributionCard(events: DataFrame, lookbackDays: Int = 7): DataFrame = {
+    val lookbackUs = lookbackDays * 86400000000L
+    val u = events
+      .filter(col("event_type").isin("click", "view", "purchase"))
+      .select(
+        col("user_id"),
+        unix_micros(col("ts")).as("tsu"),
+        col("value"),
+        // doubles as the tie-break: a same-µs touch sorts BEFORE the
+        // purchase it may convert
+        when(col("event_type") === "purchase", 1).otherwise(0).as("is_p"),
+        when(col("event_type") === "click", unix_micros(col("ts")) * 4 + 1)
+          .when(col("event_type") === "view", unix_micros(col("ts")) * 4 + 2)
+          .as("packed"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("tsu"), col("is_p"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val conv = u
+      .withColumn("lastt", max(col("packed")).over(w))
+      .filter(col("is_p") === 1)
+      .withColumn("attributed",
+        col("lastt").isNotNull && (col("tsu") - expr("lastt div 4")) <= lookbackUs)
+      .select(col("value"),
+        when(!col("attributed"), "none")
+          .when(expr("lastt % 4") === 1, "click")
+          .otherwise("view").as("channel"))
+    conv.groupBy(col("channel"))
+      .agg(count(lit(1)).as("n_conversions"),
+        moneySum(col("value")).as("revenue"))
+  }
 }

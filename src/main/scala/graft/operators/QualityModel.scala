@@ -1,0 +1,157 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Trainable quality classifier: full-batch gradient descent over
+  * cheap per-document text features, reproducible to the bit across
+  * engines and cluster layouts.
+  *
+  * The pipeline stage this re-expresses is model-based quality
+  * filtering by HEURISTIC-LABEL DISTILLATION (the fastText-classifier
+  * recipe: train a cheap model on labels produced by a rule gate, then
+  * deploy the model's SOFT score where the brittle rule boundary would
+  * misrank): the label is the Gopher rule-gate verdict
+  * ([[TextAnalysis.gopherRules]]'s five integer-exact rules), the
+  * features are three surface signals (word count, stop-word ratio,
+  * alpha ratio). The training loop is the Spark-native shape: each
+  * iteration is ONE map-side-combinable aggregate over the feature
+  * table (4 longs + a count to the driver — bounded metadata), so an
+  * epoch at 100 TB is a single pass with no shuffle beyond the final
+  * 1-row combine, and the iteration count is a fixed hyperparameter,
+  * not a data-dependent loop.
+  *
+  * Two determinism devices make the result engine-exact (the same
+  * rules the rest of the repo uses — see Exact.round6):
+  *  - the activation is the RATIONAL sigmoid 0.5 + z/(2(1+|z|)) —
+  *    only +,*,/,abs, all IEEE-correctly-rounded in both engines,
+  *    unlike exp() whose last ulp is libm-specific;
+  *  - per-document gradients are rounded to integer NANO-units and
+  *    summed as longs, so the distributed sum is ORDER-FREE (double
+  *    sums are partition-order-dependent; long sums commute exactly).
+  *    Bound: |per-doc grad| ≤ 2e9 nano-units, so the long sum is safe
+  *    to ~4e9 documents per job; past that, widen to decimal(38,0).
+  *
+  * Reference analog: the scoring half of quality filtering
+  * (reference: mapreduce_plugin_mock/reviews.go computes per-record
+  * derived scores map-side); training is new surface the reference
+  * lacks.
+  */
+object QualityModel {
+
+  /** Learning rate: fixed, part of the op's contract (the oracle
+    * replays the same constant). */
+  private val Lr = 0.5
+  private val NanoScale = 1.0e9
+
+  /** Per-doc features, each an exact-integer pair divided ONCE (the
+    * engine-identical double recipe): bias, words/100, stop-word
+    * ratio, alpha-char ratio. Label = the Gopher five-rule verdict
+    * (all-integer comparisons — exact in any engine). `withId` keeps
+    * doc_id for the scoring path. */
+  private[graft] def features(docs: DataFrame, withId: Boolean = false): DataFrame = {
+    import TextAnalysis.{tokens, hitCount, EnStopwords}
+    val idCols = if (withId) Seq(col("doc_id")) else Seq.empty
+    val base = docs
+      .select(idCols ++ Seq(col("text"), tokens(col("text")).as("tk")): _*)
+      .select(idCols ++ Seq(
+        size(col("tk")).as("nw"),
+        hitCount(col("tk"), EnStopwords).as("sh"),
+        length(regexp_replace(col("text"), "[^a-z]", "")).as("na"),
+        length(col("text")).as("nc"),
+        // gopher-rule inputs (TextAnalysis.gopherRules, EnStopwords)
+        length(regexp_replace(col("text"), "\\s", "")).as("swl"),
+        (length(col("text")) - length(expr("replace(text, '#', '')")) +
+          expr("(length(text) - length(replace(text, '...', ''))) div 3"))
+          .as("nsym"),
+        size(filter(col("tk"), w => w.rlike("[a-zA-Z]"))).as("nalpha"),
+        size(filter(typedLit(EnStopwords), s => array_contains(col("tk"), s)))
+          .as("nstop")): _*)
+    base.select(idCols ++ Seq(
+      when(col("nw").between(50, 100000)
+          && col("swl") >= col("nw") * 3 && col("swl") <= col("nw") * 10
+          && col("nsym") * 10 < col("nw")
+          && col("nalpha") * 5 > col("nw") * 4
+          && col("nstop") >= 2, 1.0).otherwise(0.0).as("y"),
+      (col("nw").cast("double") / 100.0).as("x1"),
+      (col("sh").cast("double") / greatest(col("nw"), lit(1)).cast("double")).as("x2"),
+      (col("na").cast("double") / greatest(col("nc"), lit(1)).cast("double")).as("x3")): _*)
+  }
+
+  /** z = ((w0 + w1·x1) + w2·x2) + w3·x3 — explicit left association,
+    * mirrored textually in the oracle SQL. */
+  private def zOf(w: Array[Double]): Column =
+    lit(w(0)) + lit(w(1)) * col("x1") + lit(w(2)) * col("x2") + lit(w(3)) * col("x3")
+
+  /** Rational sigmoid: 0.5 + z / (2·(1+|z|)). */
+  private def sig(z: Column): Column =
+    lit(0.5) + z / (lit(2.0) * (lit(1.0) + abs(z)))
+
+  /** One fixed-point gradient component: floor(((p−y)·x)·1e9 + 0.5)
+    * as a long. */
+  private def gFix(p: Column, x: Column): Column =
+    floor(((p - col("y")) * x) * NanoScale + 0.5).cast("long")
+
+  /** `iters` full-batch steps from w = 0. One bounded 1-row collect
+    * per step (the Bpe.encode / Graph fixed-point pattern). */
+  private[graft] def train(feats: DataFrame, iters: Int): Array[Double] = {
+    var w = Array(0.0, 0.0, 0.0, 0.0)
+    var i = 0
+    while (i < iters) {
+      val p = sig(zOf(w))
+      val row = feats.agg(
+        sum(gFix(p, lit(1.0))).as("g0"),
+        sum(gFix(p, col("x1"))).as("g1"),
+        sum(gFix(p, col("x2"))).as("g2"),
+        sum(gFix(p, col("x3"))).as("g3"),
+        count(lit(1)).as("n")).collect()(0)
+      val n = row.getLong(4)
+      w = Array.tabulate(4) { j =>
+        // identical shape to the oracle's update:
+        // w − 0.5·((g/1e9)/n), all left-associated divides
+        w(j) - Lr * (row.getLong(j).toDouble / NanoScale / n.toDouble)
+      }
+      i += 1
+    }
+    w
+  }
+
+  /** Train and return the model card: one (term, value) row per weight
+    * plus the training accuracy and document count, values
+    * 6-decimal-floored like every other card. */
+  def trainCard(docs: DataFrame, iters: Int = 3): DataFrame = {
+    import graft.functions.Exact.round6
+    val feats = features(docs).persist()
+    val w = train(feats, iters)
+    val pFinal = sig(zOf(w))
+    feats.agg(
+        (sum(when((pFinal >= 0.5) === (col("y") === 1.0), 1L).otherwise(0L)).cast("double")
+          / count(lit(1)).cast("double")).as("acc"),
+        count(lit(1)).cast("double").as("n"))
+      .select(explode(map(
+        lit("acc"), col("acc"),
+        lit("bias"), lit(w(0)),
+        lit("n_docs"), col("n"),
+        lit("w_alpha"), lit(w(3)),
+        lit("w_stop"), lit(w(2)),
+        lit("w_words"), lit(w(1)))).as(Seq("term", "value")))
+      .select(col("term"), round6(col("value")).as("value"))
+      .orderBy("term")
+  }
+
+  /** Score every document with a trained weight vector: map-only, one
+    * row per doc with the rational-sigmoid probability. The 100 TB
+    * shape of inference — no shuffle at all. */
+  def score(docs: DataFrame, w: Array[Double]): DataFrame = {
+    import graft.functions.Exact.round6
+    require(w.length == 4, "weight vector is (bias, words, stop, alpha)")
+    features(docs, withId = true)
+      .select(col("doc_id"), round6(sig(zOf(w))).as("p_keep"))
+  }
+
+  /** Train on the corpus, then score it: the composed keep/drop gate.
+    * Training happens at DataFrame-construction time (bounded driver
+    * loop); the returned plan is the map-only scorer. */
+  def trainAndScore(docs: DataFrame, iters: Int = 3): DataFrame =
+    score(docs, train(features(docs).persist(), iters))
+}

@@ -395,4 +395,34 @@ object Sampling {
         coalesce(col("component"), docs("doc_id")).as("root"))
       .withColumn("split", splitColumn(col("root")))
   }
+
+  /** Fill a training token budget by quality rank: documents are
+    * ordered best-first (quality desc, doc_id tie-break) and the
+    * prefix whose CUMULATIVE whitespace-token count fits the budget is
+    * kept — the "pick the best N-billion tokens" selection step of a
+    * data-constrained training run (prefix cut, not a knapsack: a doc
+    * that overflows the budget ends the prefix).
+    *
+    * Scale shape: the global best-first cumulative sum rides the
+    * audited two-level bucket-monotone scan ([[Cumulative.runningSum]]
+    * — per-bucket windows + a ≤128-row offset table), NOT a
+    * single-partition window. The order key is ONE collision-free
+    * long — (quality micro-units, descending) ⊕ doc_id — so ties are
+    * impossible and the cumsum is engine-exact. Contract: doc_id <
+    * 1e10 (the packing headroom; a 100 TB corpus with wider ids would
+    * widen the key to decimal(38)). */
+  def tokenBudget(docs: DataFrame, budget: Long = 12000L): DataFrame = {
+    val q = TextAnalysis.quality(docs)
+      .select(col("doc_id"), col("n_words").as("ws_tokens"), col("quality_score"))
+      // quality_score is round6-floored: ·1e6 sits on an integer ±1 ulp,
+      // so round() recovers the exact micro-units (the Exact.cents rule)
+      .withColumn("__key",
+        (lit(2000000L) - round(col("quality_score") * 1000000).cast("long"))
+          * 10000000000L + col("doc_id"))
+      .withColumn("__g", lit(1))
+    Cumulative.runningSum(q, Seq("__g"), "__key", "ws_tokens", "cum_tokens")
+      .filter(col("cum_tokens") <= budget)
+      .select(col("doc_id"), col("quality_score"), col("ws_tokens"),
+        col("cum_tokens"))
+  }
 }

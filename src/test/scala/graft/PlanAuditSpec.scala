@@ -119,7 +119,10 @@ class PlanAuditSpec extends SparkSpec {
       "s_silhouette_centroid",
       // fs_ttl: the 1-row snapshot read-back aggregate crossed into
       // the 1-row audit card (a 1x1 join)
-      "fs_ttl")
+      "fs_ttl",
+      // p_token_budget: runningSum's 1-row bounds broadcast over the
+      // constant __g group (the q_abc shape — bounded metadata)
+      "p_token_budget")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val plan = fn(spark, sfDir).queryExecution.sparkPlan.toString
       if (plan.contains("BroadcastNestedLoopJoin") && !allowed(name)) Some(name) else None
@@ -149,9 +152,13 @@ class PlanAuditSpec extends SparkSpec {
     // same bounded-metadata shape as q_skyline/d_drift_ks
     // fs_histogram / e_concurrency: same constant-__g runningSum shape
     // as q_abc (bounded bucket-offset window)
+    // p_token_budget: runningSum over the constant __g group — the
+    // ≤128-row bucket-offset window folds formally unpartitioned, the
+    // same bounded-metadata shape as q_abc/q_skyline
     val allowed = Set("p_pack", "p_shuffle", "p_manifest", "t_char_ngrams",
       "e_late_audit", "d_drift_ks", "q_skyline", "p_interleave",
-      "q_abc", "q_lorenz", "fs_histogram", "e_concurrency")
+      "q_abc", "q_lorenz", "fs_histogram", "e_concurrency",
+      "p_token_budget")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val plan = fn(spark, sfDir).queryExecution.optimizedPlan.toString
       val specs = "windowspecdefinition\\(([^)]*)\\)".r

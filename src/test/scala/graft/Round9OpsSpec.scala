@@ -1,0 +1,188 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Events, QualityModel, Sampling}
+
+/** Hand-computed fixtures for the round-9 additions: the trainable
+  * quality model (t_quality_model / t_quality_scores), last-touch
+  * attribution (e_attribution), and the token-budget fill
+  * (p_token_budget). Each fixture recomputes the expected result with
+  * PLAIN SCALA arithmetic (no Column DSL), so a bug in the operator
+  * can't hide in a shared formula.
+  */
+class Round9OpsSpec extends SparkSpec {
+
+  // ------------------------------------------------------- quality model
+
+  /** Pure-Scala replica of the training recipe: rational sigmoid,
+    * nano-unit fixed-point gradient sums, lr 0.5 — independent of the
+    * Column implementation. */
+  private def referenceTrain(
+      feats: Seq[(Double, Double, Double, Double)], iters: Int): Array[Double] = {
+    var w = Array(0.0, 0.0, 0.0, 0.0)
+    for (_ <- 0 until iters) {
+      val g = Array.fill(4)(0L)
+      for ((y, x1, x2, x3) <- feats) {
+        val z = w(0) + w(1) * x1 + w(2) * x2 + w(3) * x3
+        val p = 0.5 + z / (2.0 * (1.0 + math.abs(z)))
+        val xs = Array(1.0, x1, x2, x3)
+        for (j <- 0 until 4)
+          g(j) += math.floor(((p - y) * xs(j)) * 1.0e9 + 0.5).toLong
+      }
+      w = Array.tabulate(4)(j =>
+        w(j) - 0.5 * (g(j).toDouble / 1.0e9 / feats.size.toDouble))
+    }
+    w
+  }
+
+  // two gopher-passing docs (≥50 words, clean shape, ≥2 distinct
+  // stopwords) and two failing ones (too short) — labels known by
+  // construction, hardcoded below rather than derived
+  private val fixtureDocs = Seq(
+    (1L, ("the of" + " word" * 58).trim, 1.0),
+    (2L, ("it is" + " data" * 55).trim, 1.0),
+    (3L, "short doc", 0.0),
+    (4L, "tiny", 0.0))
+
+  private def fixtureFeatures: Seq[(Double, Double, Double, Double)] =
+    fixtureDocs.map { case (_, text, y) =>
+      val tk = text.split("\\s+").filter(_.nonEmpty)
+      val stop = Set("the", "a", "of", "and", "to", "is", "in", "that", "it", "as")
+      val nw = tk.length
+      val sh = tk.count(stop.contains)
+      val na = text.count(c => c >= 'a' && c <= 'z')
+      val nc = text.length
+      (y, nw.toDouble / 100.0,
+        sh.toDouble / math.max(nw, 1).toDouble,
+        na.toDouble / math.max(nc, 1).toDouble)
+    }
+
+  test("trainCard matches the pure-Scala reference on a hand fixture") {
+    import spark.implicits._
+    val docs = fixtureDocs.map { case (id, t, _) => (id, t) }.toDF("doc_id", "text")
+    val w = referenceTrain(fixtureFeatures, 3)
+    def r6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    val got = QualityModel.trainCard(docs).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got("bias") == r6(w(0)))
+    assert(got("w_words") == r6(w(1)))
+    assert(got("w_stop") == r6(w(2)))
+    assert(got("w_alpha") == r6(w(3)))
+    assert(got("n_docs") == 4.0)
+    // word count separates the fixture cleanly within 3 steps
+    assert(got("acc") == 1.0)
+  }
+
+  test("trainAndScore ranks the rule-passing docs above the failing ones") {
+    import spark.implicits._
+    val docs = fixtureDocs.map { case (id, t, _) => (id, t) }.toDF("doc_id", "text")
+    val scores = QualityModel.trainAndScore(docs).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(scores.size == 4)
+    assert(math.min(scores(1L), scores(2L)) > math.max(scores(3L), scores(4L)))
+    // and the probabilities match the reference weights' sigmoid
+    val w = referenceTrain(fixtureFeatures, 3)
+    val expected = fixtureFeatures.map { case (_, x1, x2, x3) =>
+      val z = w(0) + w(1) * x1 + w(2) * x2 + w(3) * x3
+      math.floor((0.5 + z / (2.0 * (1.0 + math.abs(z)))) * 1e6 + 0.5) / 1e6
+    }
+    assert(Seq(scores(1L), scores(2L), scores(3L), scores(4L)) == expected)
+  }
+
+  test("trainCard distills the gopher gate better than the majority class") {
+    val docs = Tables.documents(spark, sfDir)
+    val got = QualityModel.trainCard(docs).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // gopher-pass is 234/500 at sf0.01 → majority class = 0.532; the
+    // distilled model measured 0.846 (pre-computed replica) — gate at
+    // a conservative 0.7 so the assert survives testdata regeneration
+    assert(got("acc") > 0.7, s"distillation no better than majority: ${got("acc")}")
+    assert(got("n_docs") == 500.0)
+  }
+
+  // --------------------------------------------------------- attribution
+
+  test("attributionCard: last touch wins, window bounds honored, by hand") {
+    import spark.implicits._
+    val base = 1700000000000000L // µs
+    val day = 86400000000L
+    val ev = Seq(
+      // user 1: click then view then purchase → view (latest touch)
+      (101L, base, 1L, "click", 0.0),
+      (102L, base + 1000L, 1L, "view", 0.0),
+      (103L, base + 2000L, 1L, "purchase", 10.0),
+      // user 2: click 1h before purchase → click
+      (201L, base, 2L, "click", 0.0),
+      (202L, base + 3600000000L, 2L, "purchase", 20.0),
+      // user 3: touch 8 days before purchase → outside lookback → none
+      (301L, base, 3L, "view", 0.0),
+      (302L, base + 8 * day, 3L, "purchase", 40.0),
+      // user 4: purchase with no touch at all → none
+      (401L, base, 4L, "purchase", 80.0),
+      // user 5: click and view in the SAME µs, purchase later →
+      // higher packed code (view) wins deterministically
+      (501L, base, 5L, "click", 0.0),
+      (502L, base, 5L, "view", 0.0),
+      (503L, base + 1000L, 5L, "purchase", 160.0),
+      // user 6: touch in the same µs as the purchase → attributed
+      // (touch sorts before the purchase by the is_p tie-break)
+      (601L, base, 6L, "click", 0.0),
+      (602L, base, 6L, "purchase", 320.0))
+      .toDF("event_id", "tsu", "user_id", "event_type", "value")
+      .withColumn("ts", timestamp_micros(col("tsu"))).drop("tsu")
+    val got = Events.attributionCard(ev).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
+    assert(got.toSeq == Seq(
+      ("click", 2L, 340.0), // users 2 and 6
+      ("none", 2L, 120.0),  // users 3 and 4
+      ("view", 2L, 170.0))) // users 1 and 5
+  }
+
+  test("attributionCard: empty input yields an empty card") {
+    import spark.implicits._
+    val ev = Seq.empty[(Long, Long, Long, String, Double)]
+      .toDF("event_id", "tsu", "user_id", "event_type", "value")
+      .withColumn("ts", timestamp_micros(col("tsu"))).drop("tsu")
+    assert(Events.attributionCard(ev).count() == 0)
+  }
+
+  // -------------------------------------------------------- token budget
+
+  test("tokenBudget keeps the best-first prefix, cut exactly at the budget") {
+    import spark.implicits._
+    // quality is driven by the stopword ratio here. Hand-ranked: doc 2
+    // beats doc 1 on the avg-word-len term (10/4/10 = 0.25 vs
+    // 12/5/10 = 0.24), both far above the stopword-free docs 3/4; the
+    // budget 9 fits exactly docs {2 (4 tokens), 1 (5 tokens)} and the
+    // next-ranked doc would overflow → strict prefix cut
+    val docs = Seq(
+      (1L, "the and of is to", "en"),        // 5 tokens, all stopwords
+      (2L, "the and of is", "en"),           // 4 tokens, all stopwords
+      (3L, "zz yy xx ww vv uu", "en"),       // 6 tokens, no stopwords
+      (4L, "qq rr ss tt", "en"))             // 4 tokens, no stopwords
+      .toDF("doc_id", "text", "lang")
+    val got = Sampling.tokenBudget(docs, budget = 9L).collect()
+      .map(r => (r.getLong(0), r.getInt(2), r.getLong(3))).sortBy(_._1)
+    assert(got.toSeq == Seq((1L, 5, 9L), (2L, 4, 4L)))
+  }
+
+  test("tokenBudget ties break by doc_id and the cut is a strict prefix") {
+    import spark.implicits._
+    // identical texts → identical quality → key falls back to doc_id;
+    // budget 6 fits exactly two of the three 3-token docs
+    val docs = Seq(
+      (30L, "aa bb cc", "en"),
+      (10L, "aa bb cc", "en"),
+      (20L, "aa bb cc", "en"))
+      .toDF("doc_id", "text", "lang")
+    val got = Sampling.tokenBudget(docs, budget = 6L).collect()
+      .map(r => (r.getLong(0), r.getLong(3))).sortBy(_._2)
+    assert(got.toSeq == Seq((10L, 3L), (20L, 6L)))
+  }
+
+  test("tokenBudget: empty corpus selects nothing") {
+    import spark.implicits._
+    val docs = Seq.empty[(Long, String, String)].toDF("doc_id", "text", "lang")
+    assert(Sampling.tokenBudget(docs).count() == 0)
+  }
+}
