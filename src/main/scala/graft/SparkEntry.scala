@@ -334,6 +334,10 @@ object SparkEntry {
     "t_quality_model" -> ((s, d) => QualityModel.trainCard(Tables.documents(s, d))),
     // the composed gate: train, then the map-only per-doc scorer
     "t_quality_scores" -> ((s, d) => QualityModel.trainAndScore(Tables.documents(s, d))),
+    // the trained gate deployed on a REAL checkpointed document stream
+    // (train batch-side, score+filter stateless in-stream): emitted
+    // multiset ≡ the batch filter, which the oracle replays
+    "d_quality_stream" -> ((s, d) => streaming.DocStream.qualityGateReplay(s, d)),
     // stopword set adapted to the synthetic vocabulary (the published
     // 8-word set shares only 'the' with this corpus — every doc would
     // fail the >=2-distinct rule vacuously)
@@ -1477,37 +1481,11 @@ object SparkEntry {
            UNION ALL SELECT 'w_words', w1 FROM wc)
          ORDER BY term""",
     // same unrolled training, then the map-only scorer over doc ids
-    "t_quality_scores" ->
-      s"""WITH f AS ($QualityFeatureSql),
-         fid AS ($QualityFeatureIdSql),
-         nn AS (SELECT count(*) AS n FROM f),
-         za AS (SELECT y, x1, x2, x3,
-                       0.0 + 0.0 * x1 + 0.0 * x2 + 0.0 * x3 AS z FROM f),
-         ga AS (SELECT $GradSumSql FROM za),
-         wa AS (SELECT 0.0 - 0.5 * (CAST(g0 AS DOUBLE) / 1000000000.0 / CAST(n AS DOUBLE)) AS w0,
-                       0.0 - 0.5 * (CAST(g1 AS DOUBLE) / 1000000000.0 / CAST(n AS DOUBLE)) AS w1,
-                       0.0 - 0.5 * (CAST(g2 AS DOUBLE) / 1000000000.0 / CAST(n AS DOUBLE)) AS w2,
-                       0.0 - 0.5 * (CAST(g3 AS DOUBLE) / 1000000000.0 / CAST(n AS DOUBLE)) AS w3
-                FROM ga, nn),
-         zb AS (SELECT y, x1, x2, x3,
-                       w0 + w1 * x1 + w2 * x2 + w3 * x3 AS z FROM f, wa),
-         gb AS (SELECT $GradSumSql FROM zb),
-         wb AS (SELECT w0 - 0.5 * (CAST(g0 AS DOUBLE) / 1000000000.0 / CAST(n AS DOUBLE)) AS w0,
-                       w1 - 0.5 * (CAST(g1 AS DOUBLE) / 1000000000.0 / CAST(n AS DOUBLE)) AS w1,
-                       w2 - 0.5 * (CAST(g2 AS DOUBLE) / 1000000000.0 / CAST(n AS DOUBLE)) AS w2,
-                       w3 - 0.5 * (CAST(g3 AS DOUBLE) / 1000000000.0 / CAST(n AS DOUBLE)) AS w3
-                FROM gb, wa, nn),
-         zc AS (SELECT y, x1, x2, x3,
-                       w0 + w1 * x1 + w2 * x2 + w3 * x3 AS z FROM f, wb),
-         gc AS (SELECT $GradSumSql FROM zc),
-         wc AS (SELECT w0 - 0.5 * (CAST(g0 AS DOUBLE) / 1000000000.0 / CAST(n AS DOUBLE)) AS w0,
-                       w1 - 0.5 * (CAST(g1 AS DOUBLE) / 1000000000.0 / CAST(n AS DOUBLE)) AS w1,
-                       w2 - 0.5 * (CAST(g2 AS DOUBLE) / 1000000000.0 / CAST(n AS DOUBLE)) AS w2,
-                       w3 - 0.5 * (CAST(g3 AS DOUBLE) / 1000000000.0 / CAST(n AS DOUBLE)) AS w3
-                FROM gc, wb, nn)
-         SELECT doc_id,
-                floor((0.5 + z / (2.0 * (1.0 + abs(z)))) * 1000000 + 0.5) / 1000000 AS p_keep
-         FROM (SELECT doc_id, w0 + w1 * x1 + w2 * x2 + w3 * x3 AS z FROM fid, wc)""",
+    "t_quality_scores" -> QualityScoresSql,
+    // the streaming gate is stateless, so its emitted multiset is the
+    // batch scorer + threshold exactly
+    "d_quality_stream" ->
+      s"""SELECT * FROM ($QualityScoresSql) g WHERE p_keep >= 0.5""",
     "t_lang_id" ->
       """WITH t AS (SELECT doc_id, lang AS declared_lang,
                 list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS w FROM documents),
@@ -4115,6 +4093,41 @@ object SparkEntry {
        sum(CAST(floor((((0.5 + z / (2.0 * (1.0 + abs(z)))) - y) * x1) * 1000000000.0 + 0.5) AS BIGINT)) AS g1,
        sum(CAST(floor((((0.5 + z / (2.0 * (1.0 + abs(z)))) - y) * x2) * 1000000000.0 + 0.5) AS BIGINT)) AS g2,
        sum(CAST(floor((((0.5 + z / (2.0 * (1.0 + abs(z)))) - y) * x3) * 1000000000.0 + 0.5) AS BIGINT)) AS g3"""
+
+  /** Unrolled training + the map-only scorer: the t_quality_scores
+    * oracle, reused by d_quality_stream (the stateless streaming gate
+    * is the batch scorer + threshold exactly). */
+  private val QualityScoresSql: String =
+    s"""WITH f AS ($QualityFeatureSql),
+         fid AS ($QualityFeatureIdSql),
+         nn AS (SELECT count(*) AS n FROM f),
+         za AS (SELECT y, x1, x2, x3,
+                       0.0 + 0.0 * x1 + 0.0 * x2 + 0.0 * x3 AS z FROM f),
+         ga AS (SELECT $GradSumSql FROM za),
+         wa AS (SELECT 0.0 - 0.5 * (CAST(g0 AS DOUBLE) / 1000000000.0 / CAST(n AS DOUBLE)) AS w0,
+                       0.0 - 0.5 * (CAST(g1 AS DOUBLE) / 1000000000.0 / CAST(n AS DOUBLE)) AS w1,
+                       0.0 - 0.5 * (CAST(g2 AS DOUBLE) / 1000000000.0 / CAST(n AS DOUBLE)) AS w2,
+                       0.0 - 0.5 * (CAST(g3 AS DOUBLE) / 1000000000.0 / CAST(n AS DOUBLE)) AS w3
+                FROM ga, nn),
+         zb AS (SELECT y, x1, x2, x3,
+                       w0 + w1 * x1 + w2 * x2 + w3 * x3 AS z FROM f, wa),
+         gb AS (SELECT $GradSumSql FROM zb),
+         wb AS (SELECT w0 - 0.5 * (CAST(g0 AS DOUBLE) / 1000000000.0 / CAST(n AS DOUBLE)) AS w0,
+                       w1 - 0.5 * (CAST(g1 AS DOUBLE) / 1000000000.0 / CAST(n AS DOUBLE)) AS w1,
+                       w2 - 0.5 * (CAST(g2 AS DOUBLE) / 1000000000.0 / CAST(n AS DOUBLE)) AS w2,
+                       w3 - 0.5 * (CAST(g3 AS DOUBLE) / 1000000000.0 / CAST(n AS DOUBLE)) AS w3
+                FROM gb, wa, nn),
+         zc AS (SELECT y, x1, x2, x3,
+                       w0 + w1 * x1 + w2 * x2 + w3 * x3 AS z FROM f, wb),
+         gc AS (SELECT $GradSumSql FROM zc),
+         wc AS (SELECT w0 - 0.5 * (CAST(g0 AS DOUBLE) / 1000000000.0 / CAST(n AS DOUBLE)) AS w0,
+                       w1 - 0.5 * (CAST(g1 AS DOUBLE) / 1000000000.0 / CAST(n AS DOUBLE)) AS w1,
+                       w2 - 0.5 * (CAST(g2 AS DOUBLE) / 1000000000.0 / CAST(n AS DOUBLE)) AS w2,
+                       w3 - 0.5 * (CAST(g3 AS DOUBLE) / 1000000000.0 / CAST(n AS DOUBLE)) AS w3
+                FROM gc, wb, nn)
+         SELECT doc_id,
+                floor((0.5 + z / (2.0 * (1.0 + abs(z)))) * 1000000 + 0.5) / 1000000 AS p_keep
+         FROM (SELECT doc_id, w0 + w1 * x1 + w2 * x2 + w3 * x3 AS z FROM fid, wc)"""
 
   private val containmentSql: String =
     """WITH tok AS (SELECT doc_id,

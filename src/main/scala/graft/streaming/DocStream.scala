@@ -193,4 +193,26 @@ object DocStream {
         handle(graft.operators.Dedup.dedupAgainstIndex(
           sigIndex, batch, n, numHashes, bands, threshold), id)
       }
+
+  /** ORACLE-VISIBLE streaming replay of the TRAINED quality gate —
+    * the train-batch → deploy-stream split of model-based filtering:
+    * weights come from the batch corpus ([[graft.operators.QualityModel
+    * .train]], 3 GD steps, driver-side bounded loop), then every
+    * arriving document is scored by the map-only rational-sigmoid
+    * scorer and kept at p ≥ 0.5. The gate is STATELESS (a projection +
+    * filter: no watermark, no state store, append mode trivially
+    * correct), so the emitted multiset equals the batch filter exactly
+    * — which the oracle replays with the same unrolled-GD SQL as
+    * t_quality_scores plus the threshold. The checkpointed multi-file
+    * source makes it a REAL multi-trigger run, not a single-batch
+    * formality. */
+  def qualityGateReplay(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.operators.QualityModel
+    val docs = graft.Tables.documents(spark, sfDir)
+    val w = QualityModel.train(QualityModel.features(docs).persist(), 3)
+    val (dir, schema) = Replay.docSource(spark, sfDir)
+    Replay.runFrom(spark, dir, schema, maxFilesPerTrigger = 2) { stream =>
+      QualityModel.score(stream, w).where(col("p_keep") >= 0.5)
+    }
+  }
 }

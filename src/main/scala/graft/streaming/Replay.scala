@@ -107,11 +107,20 @@ object Replay {
     * source as 3 genuine microbatches (4+4 range files, then the
     * sentinel). */
   def run(spark: SparkSession, src: Source, maxFilesPerTrigger: Int = 4)(
+      build: DataFrame => DataFrame): DataFrame =
+    runFrom(spark, src.dir, src.schema, maxFilesPerTrigger)(build)
+
+  /** The generic file-source replay behind [[run]]: any parquet dir +
+    * schema. STATELESS transforms (map/filter gates) need no event-time
+    * ordering or sentinel, so sources other than the ordered events
+    * copy can use this directly. */
+  def runFrom(spark: SparkSession, srcDir: String, schema: StructType,
+      maxFilesPerTrigger: Int = 4)(
       build: DataFrame => DataFrame): DataFrame = {
     val runDir = root.resolve(s"run-${runCounter.incrementAndGet()}")
-    val stream = spark.readStream.schema(src.schema)
+    val stream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
-      .parquet(src.dir)
+      .parquet(srcDir)
     val q = build(stream)
       .writeStream.format("parquet")
       .option("checkpointLocation", runDir.resolve("ckpt").toString)
@@ -120,6 +129,24 @@ object Replay {
     try q.processAllAvailable() finally q.stop()
     spark.read.parquet(runDir.resolve("out").toString)
   }
+
+  /** Build (once per JVM per sfDir) a multi-file documents replay
+    * source for the STATELESS document-gate replays. No ordering, no
+    * sentinel: a map/filter stream has no watermark to feed, any file
+    * order replays to the same multiset. */
+  def docSource(spark: SparkSession, sfDir: String,
+      nFiles: Int = 6): (String, StructType) =
+    docSources.getOrElseUpdate(sfDir, synchronized {
+      val batch = graft.Tables.documents(spark, sfDir)
+      val dir = root.resolve(
+        s"docsrc-${sfDir.replaceAll("[^A-Za-z0-9.]", "_")}")
+      batch.repartition(nFiles)
+        .write.mode("overwrite").parquet(dir.toString)
+      (dir.toString, batch.schema)
+    })
+
+  private val docSources =
+    scala.collection.concurrent.TrieMap[String, (String, StructType)]()
 
   /** Run one checkpointed FOREACH-BATCH replay over the shared source:
     * each microbatch DataFrame is handed to `each` — the pattern for

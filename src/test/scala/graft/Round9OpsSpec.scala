@@ -100,6 +100,17 @@ class Round9OpsSpec extends SparkSpec {
     assert(got("n_docs") == 500.0)
   }
 
+  test("streaming quality gate emits exactly the batch filter's multiset") {
+    val docs = Tables.documents(spark, sfDir)
+    val batch = QualityModel.trainAndScore(docs)
+      .where(org.apache.spark.sql.functions.col("p_keep") >= 0.5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).sorted
+    val streamed = streaming.DocStream.qualityGateReplay(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).sorted
+    assert(streamed.nonEmpty)
+    assert(streamed.toSeq == batch.toSeq)
+  }
+
   // --------------------------------------------------------- attribution
 
   test("attributionCard: last touch wins, window bounds honored, by hand") {
