@@ -324,6 +324,10 @@ object SparkEntry {
     // uniform-without-replacement cap of 10 docs per source
     "p_cap_source" -> ((s, d) => Sampling.capPerGroup(Tables.documents(s, d), 10)),
     "s_ann_brute" -> ((s, d) => Similarity.bruteForceTopK(Tables.embeddings(s, d), 5, 10)),
+    // MMR diversified rerank of the exact top-10: greedy
+    // λ·rel − (1−λ)·max-sim-to-picked, 5 picks per query — bounded
+    // per-query work after the audited candidate scan
+    "s_mmr" -> ((s, d) => Similarity.mmrRerank(Tables.embeddings(s, d))),
     "s_ann_lsh" -> ((s, d) => Similarity.lshAnn(Tables.embeddings(s, d), 5, 10)),
     "s_ann_ivf" -> ((s, d) => Similarity.ivfAnn(Tables.embeddings(s, d), 5, 10)),
     "t_token_count" -> ((s, d) => TextAnalysis.tokenCounts(Tables.documents(s, d))),
@@ -1310,6 +1314,9 @@ object SparkEntry {
          SELECT label, pred_label, CAST(count(*) AS BIGINT) AS n
          FROM a GROUP BY label, pred_label""",
     "s_ann_brute" -> bruteTopkSql,
+    // greedy MMR unrolled: sel1..sel5 accumulate picks, each step an
+    // argmax over the remaining candidates' 0.7·rel − 0.3·max-sim
+    "s_mmr" -> mmrSql,
     // LSH mirror: the 4 hyperplanes ride into the SQL as double literals
     // (shortest-round-trip strings parse back to identical IEEE doubles),
     // so bucketing + in-bucket scoring replays exactly in DuckDB.
@@ -4207,6 +4214,62 @@ object SparkEntry {
                                          ORDER BY cos DESC, neighbor_id) AS rnk
                FROM scored)
          SELECT query_id, neighbor_id, floor(cos * 1000000 + 0.5) / 1000000 AS cos, rnk FROM r WHERE rnk <= 10"""
+
+  /** MMR oracle: bruteTopkSql's candidate generation, pairwise
+    * candidate sims, then kOut−1 generated greedy steps. Scores are
+    * 6-decimal-floored BEFORE the argmax (mirroring the Spark side);
+    * λ and its complement are the literals 0.7 / 0.3 in both engines
+    * (1−0.7 computed at runtime is 0.30000000000000004). */
+  private val mmrSql: String = {
+    val steps = (2 to 5).map { i =>
+      s"""
+         m$i AS (SELECT c.query_id, c.neighbor_id, c.rel, max(s.sim) AS maxsim
+                 FROM cand c
+                 JOIN sims s ON c.query_id = s.query_id AND c.neighbor_id = s.id_a
+                 JOIN sel${i - 1} p ON s.query_id = p.query_id AND s.id_b = p.neighbor_id
+                 WHERE NOT EXISTS (SELECT 1 FROM sel${i - 1} x
+                                   WHERE x.query_id = c.query_id
+                                     AND x.neighbor_id = c.neighbor_id)
+                 GROUP BY 1, 2, 3),
+         s$i AS (SELECT query_id, neighbor_id, score, $i AS pick FROM (
+                   SELECT query_id, neighbor_id, score,
+                          row_number() OVER (PARTITION BY query_id
+                                             ORDER BY score DESC, neighbor_id) AS rnk
+                   FROM (SELECT query_id, neighbor_id,
+                                floor((0.7 * rel - 0.3 * maxsim) * 1000000 + 0.5) / 1000000 AS score
+                         FROM m$i)) WHERE rnk = 1),
+         sel$i AS (SELECT query_id, neighbor_id, score, pick FROM sel${i - 1}
+                   UNION ALL SELECT query_id, neighbor_id, score, pick FROM s$i)"""
+    }.mkString(",")
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+         q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM n WHERE vec_id < 5),
+         scored AS (SELECT query_id, vec_id AS neighbor_id,
+                           list_dot_product(qv, v) / (qn * nrm) AS cos
+                    FROM n CROSS JOIN q WHERE vec_id <> query_id),
+         cand AS (SELECT query_id, neighbor_id,
+                         floor(cos * 1000000 + 0.5) / 1000000 AS rel
+                  FROM (SELECT query_id, neighbor_id, cos,
+                               row_number() OVER (PARTITION BY query_id
+                                                  ORDER BY cos DESC, neighbor_id) AS rnk
+                        FROM scored)
+                  WHERE rnk <= 10),
+         ce AS (SELECT query_id, neighbor_id, v, nrm
+                FROM cand JOIN n ON neighbor_id = vec_id),
+         sims AS (SELECT a.query_id, a.neighbor_id AS id_a, b.neighbor_id AS id_b,
+                         floor(list_dot_product(a.v, b.v) / (a.nrm * b.nrm)
+                               * 1000000 + 0.5) / 1000000 AS sim
+                  FROM ce a JOIN ce b ON a.query_id = b.query_id
+                  WHERE a.neighbor_id <> b.neighbor_id),
+         sel1 AS (SELECT query_id, neighbor_id, score, 1 AS pick FROM (
+                    SELECT query_id, neighbor_id, score,
+                           row_number() OVER (PARTITION BY query_id
+                                              ORDER BY score DESC, neighbor_id) AS rnk
+                    FROM (SELECT query_id, neighbor_id,
+                                 floor(0.7 * rel * 1000000 + 0.5) / 1000000 AS score
+                          FROM cand)) WHERE rnk = 1),$steps
+         SELECT query_id, neighbor_id, score, pick FROM sel5"""
+  }
 
   private val ivfTopkSql: String =
     """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),

@@ -844,4 +844,73 @@ object Similarity {
             greatest(col("da"), col("b.db")).cast("double"))
           .as("sil"))
   }
+
+  /** MMR (maximal-marginal-relevance) diversified rerank of the exact
+    * top-k: greedy pick-by-pick selection maximizing
+    * λ·rel(c) − (1−λ)·max_{s∈S} sim(c, s) — the standard retrieval
+    * re-ranker that trades raw similarity against redundancy with the
+    * already-picked set (a near-duplicate of pick 1 never fills slot
+    * 2). λ and its complement are SEPARATE literals (0.7 / 0.3), never
+    * `1 − λ` computed at runtime — 1−0.7 is 0.30000000000000004 in
+    * IEEE and the oracle replays the literal 0.3.
+    *
+    * Scale shape: candidate generation is [[bruteForceTopK]]'s audited
+    * one-pass scan (or any ANN source — the greedy only sees the
+    * candidate table); everything after is bounded per query
+    * (≤ kCand² pairwise sims, kOut unrolled selection steps, each an
+    * equi-join + query-partitioned rank — never corpus-grain). Scores
+    * are 6-decimal-floored BEFORE ranking so the argmax replays
+    * identically in any engine; ties break by neighbor id. */
+  def mmrRerank(embeddings: DataFrame, maxQueryId: Long = 5,
+      kCand: Int = 10, kOut: Int = 5,
+      lam: Double = 0.7, lamC: Double = 0.3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.Exact.round6
+    val cand = bruteForceTopK(embeddings, maxQueryId, kCand)
+      .select(col("query_id"), col("neighbor_id"), col("cos").as("rel"))
+      .localCheckpoint() // referenced by every unrolled step
+    val e = prepared(embeddings)
+    val ce = cand.join(e, col("neighbor_id") === col("vec_id"))
+      .select(col("query_id"), col("neighbor_id"), col("v"))
+    val sims = ce.alias("a").join(ce.alias("b"), Seq("query_id"))
+      .where(col("a.neighbor_id") =!= col("b.neighbor_id"))
+      .select(col("query_id"), col("a.neighbor_id").as("id_a"),
+        col("b.neighbor_id").as("id_b"),
+        round6(cosineSim(col("a.v"), col("b.v"))).as("sim"))
+      .localCheckpoint() // ≤ kCand² rows per query, joined kOut−1 times
+    val rank1 = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id"))
+    var selected = cand
+      .withColumn("score", round6(lit(lam) * col("rel")))
+      .withColumn("rnk", row_number().over(rank1))
+      .where(col("rnk") === 1)
+      .select(col("query_id"), col("neighbor_id"), col("score"),
+        lit(1).as("pick"))
+      .localCheckpoint()
+    var step = 2
+    while (step <= kOut) {
+      val simToSel = sims
+        .join(selected.select(col("query_id"), col("neighbor_id").as("id_b")),
+          Seq("query_id", "id_b"))
+        .groupBy(col("query_id"), col("id_a"))
+        .agg(max(col("sim")).as("maxsim"))
+        .select(col("query_id"), col("id_a").as("neighbor_id"), col("maxsim"))
+      val pick = cand
+        .join(selected.select(col("query_id"), col("neighbor_id")),
+          Seq("query_id", "neighbor_id"), "left_anti")
+        .join(simToSel, Seq("query_id", "neighbor_id"))
+        .withColumn("score",
+          round6(lit(lam) * col("rel") - lit(lamC) * col("maxsim")))
+        .withColumn("rnk", row_number().over(rank1))
+        .where(col("rnk") === 1)
+        .select(col("query_id"), col("neighbor_id"), col("score"),
+          lit(step).as("pick"))
+      // checkpoint per step: `selected` is referenced twice per step
+      // (anti-join + sim probe) — without the pin the plan doubles
+      // each round (the d_components lesson); ≤ queries·kOut rows
+      selected = selected.unionByName(pick).localCheckpoint()
+      step += 1
+    }
+    selected
+  }
 }

@@ -87,6 +87,10 @@ class PlanAuditSpec extends SparkSpec {
       "q_rfm",
       // s_radius: s_ann_brute's keyless shape with a threshold filter
       "s_radius",
+      // s_mmr: candidate generation rides s_ann_brute's audited
+      // bounded-query-broadcast scan; the greedy rerank after it is
+      // all equi-joins at per-query candidate grain
+      "s_mmr",
       // s_ann_recall: the recall card's exact arm composes
       // bruteForceTopK — s_ann_brute's audited bounded-query-broadcast
       // shape (an exact baseline must scan the corpus per query by

@@ -157,6 +157,82 @@ class Round9OpsSpec extends SparkSpec {
     assert(Events.attributionCard(ev).count() == 0)
   }
 
+  // ----------------------------------------------------------------- mmr
+
+  /** Pure-Scala MMR replica: float→double casts, dot/(‖a‖·‖b‖) cosine,
+    * 6-decimal floors before every argmax, neighbor-id tie-breaks. */
+  private def referenceMmr(vecs: Map[Long, Array[Float]], queryId: Long,
+      kCand: Int, kOut: Int): Seq[(Long, Long, Double, Int)] = {
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val (ad, bd) = (a.map(_.toDouble), b.map(_.toDouble))
+      val dot = ad.zip(bd).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(ad.map(x => x * x).sum) * math.sqrt(bd.map(x => x * x).sum))
+    }
+    val q = vecs(queryId)
+    val cand = vecs.keys.filter(_ != queryId).toSeq
+      .map(id => id -> cos(q, vecs(id)))
+      .sortBy { case (id, c) => (-c, id) }.take(kCand)
+      .map { case (id, c) => id -> r6(c) }.toMap
+    var selected = Vector.empty[(Long, Long, Double, Int)]
+    for (step <- 1 to kOut) {
+      val scored = cand.filterNot { case (id, _) =>
+        selected.exists(_._2 == id) }.toSeq.map { case (id, rel) =>
+        val maxsim =
+          if (selected.isEmpty) None
+          else Some(selected.map(s => r6(cos(vecs(id), vecs(s._2)))).max)
+        val score = maxsim match {
+          case None => r6(0.7 * rel)
+          case Some(ms) => r6(0.7 * rel - 0.3 * ms)
+        }
+        (id, score)
+      }
+      val (id, score) = scored.minBy { case (i, s) => (-s, i) }
+      selected :+= ((queryId, id, score, step))
+    }
+    selected
+  }
+
+  test("mmrRerank: diversity displaces the redundant near-duplicate") {
+    import spark.implicits._
+    // id 1 and id 2 are near-identical and both closest to the query;
+    // id 3 is equally relevant but diverse. Relevance-only top-2 is
+    // {2, 1}; MMR must hand slot 2 to the diverse candidate instead.
+    val vecs = Map[Long, Array[Float]](
+      0L -> Array(1f, 0f, 0f),
+      1L -> Array(0.9f, 0.1f, 0f),
+      2L -> Array(0.9f, 0.0999f, 0.001f),
+      3L -> Array(0.9f, 0f, 0.1f))
+    val emb = vecs.toSeq.sortBy(_._1)
+      .map { case (id, v) => (id, v.toSeq, 0) }
+      .toDF("vec_id", "embedding", "label")
+      .selectExpr("vec_id", "CAST(embedding AS ARRAY<FLOAT>) AS embedding", "label")
+    val got = operators.Similarity.mmrRerank(emb, maxQueryId = 1, kCand = 3, kOut = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .sortBy(_._4)
+    val want = referenceMmr(vecs, 0L, kCand = 3, kOut = 2)
+    assert(got.toSeq == want)
+    // the semantic claim, independent of the replica: the second pick
+    // is the diverse candidate, not the near-duplicate
+    assert(got(1)._2 == 3L)
+  }
+
+  test("mmrRerank on the corpus: 5 distinct picks per query from the top-10") {
+    val cand = operators.Similarity
+      .bruteForceTopK(Tables.embeddings(spark, sfDir), 5, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = operators.Similarity.mmrRerank(Tables.embeddings(spark, sfDir))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    assert(got.length == 25) // 5 queries × 5 picks
+    got.groupBy(_._1).foreach { case (q, rows) =>
+      assert(rows.map(_._2).distinct.length == 5, s"repeated pick for query $q")
+      assert(rows.map(_._4).sorted.toSeq == Seq(1, 2, 3, 4, 5))
+    }
+    // every pick came from the candidate set — the rerank never
+    // invents a neighbor
+    assert(got.forall { case (q, n, _, _) => cand((q, n)) })
+  }
+
   // -------------------------------------------------------- token budget
 
   test("tokenBudget keeps the best-first prefix, cut exactly at the budget") {
