@@ -556,6 +556,28 @@ object ScaleSmoke {
           .write.format("noop").mode("overwrite").save()
       }
     }
+    time("quality_model_100k") {
+      // 3 GD passes + the card pass over 100k docs: cost must stay
+      // ~4× one corpus scan (each step is one map-side-combinable
+      // aggregate with a 1-row combine — no shuffle to grow)
+      operators.QualityModel.trainCard(bd)
+        .write.format("noop").mode("overwrite").save()
+    }
+    time("quality_scores_100k") {
+      // train + the map-only scorer: inference adds one projection pass
+      operators.QualityModel.trainAndScore(bd)
+        .write.format("noop").mode("overwrite").save()
+    }
+    time("token_budget_100k") {
+      // global best-first cumsum at 100k docs on the two-level scan
+      operators.Sampling.tokenBudget(bd, budget = 1000000L)
+        .write.format("noop").mode("overwrite").save()
+    }
+    time("attribution_1m") {
+      // one user-partitioned window + 3-row rollup over 1M events
+      operators.Events.attributionCard(be)
+        .write.format("noop").mode("overwrite").save()
+    }
     spark.stop()
   }
 }
