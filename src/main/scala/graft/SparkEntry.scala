@@ -408,6 +408,26 @@ object SparkEntry {
     // fact table was aggregated into a PERSISTED base state and every
     // 10th order arrives as the delta batch; the merge must equal the
     // oracle's full recompute (count/cents sums combine algebraically)
+    // append-only JOIN view: two exactly-once segment appends
+    // (Δorders ⋈ customer), read back as the union of committed
+    // segments — the view itself is never rewritten
+    "fs_mv_join" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val cat = new graft.sources.Catalog(s, d,
+        Some(graft.sources.Catalog.warehouseLayoutRoot(s, d)))
+      cat.dropDerived("orders_cust")
+      val fact = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("price_cents"))
+      val dim = Tables.customer(s, d)
+        .select(col("c_custkey").as("o_custkey"), col("c_nationkey"))
+      cat.appendJoinMv("orders_cust",
+        fact.where(col("o_orderkey") % 10 =!= 0), dim, Seq("o_custkey"), Some(1L))
+      cat.appendJoinMv("orders_cust",
+          fact.where(col("o_orderkey") % 10 === 0), dim, Seq("o_custkey"), Some(2L))
+        .select(col("o_orderkey"), col("o_custkey"),
+          (col("price_cents").cast("double") / 100.0).as("price"),
+          col("c_nationkey"))
+    }),
     "fs_incr_agg" -> ((s, d) => {
       import org.apache.spark.sql.functions._
       val ord = Tables.orders(s, d)
@@ -2893,6 +2913,14 @@ object SparkEntry {
                 CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
                   / 100.0 AS revenue
          FROM orders GROUP BY 1""",
+    // the segment union must equal the plain join — appends lose and
+    // duplicate nothing
+    "fs_mv_join" ->
+      """SELECT o_orderkey, o_custkey,
+                CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS DOUBLE)
+                  / 100.0 AS price,
+                c_nationkey
+         FROM orders JOIN customer ON o_custkey = c_custkey""",
     // regression from exact integer moments; only the slope divides
     // moments accumulate in HUGEINT (mirrors Spark's Decimal(38,0) —
     // no wrap, no raise) and emit as doubles; slope operands are the

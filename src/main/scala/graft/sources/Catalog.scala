@@ -258,6 +258,61 @@ class Catalog(spark: SparkSession, baseDir: String,
       spark.read.parquet(s"$derivedDir/$name/centroids"))
   }
 
+  /** APPEND-ONLY incremental JOIN view: each refresh joins the fact
+    * DELTA against the dimension and lands the result as a NEW
+    * immutable `_SUCCESS`-committed segment under
+    * `derivedDir/<name>/seg_*` — the view is never rewritten (contrast
+    * [[refreshAggMv]], which must re-merge counters), so refresh cost
+    * is O(|Δfact ⋈ dim|) in compute AND write, independent of view
+    * size — the only append shape that survives a 100 TB view.
+    * Correct for exactly the append-only-fact × refresh-time-fixed-
+    * dimension case (the ΔA⋈B term of the delta-join identity; a
+    * mutating dimension or retracting fact needs the CDC/upsert paths).
+    *
+    * EXACTLY-ONCE: the batch id IS the segment name (`seg_b<id>`) — a
+    * retry of a committed batch finds its segment's `_SUCCESS` and
+    * no-ops; a torn write (no `_SUCCESS`) is invisible to readers and
+    * overwritten by the retry. No cross-file marker to race: the
+    * parquet commit protocol is the whole transaction. Without a
+    * batch id, segments are ordinals with no idempotence claim.
+    * Same serialization contract as [[refreshAggMv]] per name. */
+  def appendJoinMv(name: String, factDelta: DataFrame, dim: DataFrame,
+      keys: Seq[String], batchId: Option[Long] = None): DataFrame = {
+    val dir = s"$derivedDir/$name"
+    val fs = new Path(dir).getFileSystem(hconf)
+    val segName = batchId.map(id => s"seg_b$id")
+      .getOrElse(s"seg_${joinMvSegments(name).size + 1}")
+    val segPath = new Path(s"$dir/$segName")
+    if (!fs.exists(new Path(segPath, "_SUCCESS"))) {
+      fs.delete(segPath, true) // torn-retry debris, never committed
+      factDelta.join(dim, keys)
+        .write.mode(SaveMode.ErrorIfExists).parquet(segPath.toString)
+      // outer-level marker: the layout reads as committed to
+      // vacuumDerived (the snapshot-family convention)
+      fs.create(new Path(dir, "_SUCCESS"), true).close()
+    }
+    readJoinMv(name)
+  }
+
+  /** Committed segments of an [[appendJoinMv]] view, sorted. */
+  def joinMvSegments(name: String): Seq[String] = {
+    val outer = new Path(s"$derivedDir/$name")
+    val fs = outer.getFileSystem(hconf)
+    if (!fs.exists(outer)) Seq.empty
+    else fs.listStatus(outer).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith("seg_"))
+      .filter(s => fs.exists(new Path(outer, s"$s/_SUCCESS")))
+      .sorted
+  }
+
+  /** Union read of every committed [[appendJoinMv]] segment (throws
+    * when none exist — a torn-only view never serves). */
+  def readJoinMv(name: String): DataFrame = {
+    val segs = joinMvSegments(name)
+    require(segs.nonEmpty, s"no committed join-MV segments: $name")
+    spark.read.parquet(segs.map(s => s"$derivedDir/$name/$s"): _*)
+  }
+
   /** Current committed MV state (throws if [[refreshAggMv]] has never
     * committed `name`). */
   def mvState(name: String): DataFrame = {

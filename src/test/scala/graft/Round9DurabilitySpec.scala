@@ -64,4 +64,54 @@ class Round9DurabilitySpec extends SparkSpec {
     assert(!java.nio.file.Files.exists(
       p(s"${cat.derivedDir}/idx/centroids.bak")))
   }
+
+  // ------------------------------------------------- append-only join MV
+
+  test("appendJoinMv: a retried batch id appends nothing (exactly-once)") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-jmv").toString
+    val cat = new graft.sources.Catalog(spark, root)
+    val dim = Seq((1L, "x"), (2L, "y")).toDF("k", "name")
+    val d1 = Seq((1L, 10L), (2L, 20L)).toDF("k", "v")
+    assert(cat.appendJoinMv("jv", d1, dim, Seq("k"), Some(1L)).count() == 2)
+    // the at-least-once retry: same batch id, same (or corrupt) delta
+    assert(cat.appendJoinMv("jv", d1, dim, Seq("k"), Some(1L)).count() == 2)
+    // a NEW batch appends; history is untouched (no rewrite)
+    val got = cat.appendJoinMv("jv", Seq((2L, 30L)).toDF("k", "v"),
+        dim, Seq("k"), Some(2L))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sorted
+    assert(got.toSeq == Seq((1L, 10L, "x"), (2L, 20L, "y"), (2L, 30L, "y")))
+    assert(cat.joinMvSegments("jv") == Seq("seg_b1", "seg_b2"))
+  }
+
+  test("appendJoinMv: a torn segment is invisible and the retry heals it") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-jmvtorn").toString
+    val cat = new graft.sources.Catalog(spark, root)
+    val dim = Seq((1L, "x")).toDF("k", "name")
+    cat.appendJoinMv("jv", Seq((1L, 10L)).toDF("k", "v"), dim, Seq("k"), Some(1L))
+    // crash mid-write of batch 2: segment dir exists, no _SUCCESS
+    val torn = p(s"${cat.derivedDir}/jv/seg_b2")
+    java.nio.file.Files.createDirectories(torn)
+    java.nio.file.Files.writeString(torn.resolve("part-junk.parquet"), "garbage")
+    assert(cat.joinMvSegments("jv") == Seq("seg_b1"), "torn segment served")
+    assert(cat.readJoinMv("jv").count() == 1)
+    // the retry overwrites the debris and commits
+    val got = cat.appendJoinMv("jv", Seq((1L, 99L)).toDF("k", "v"),
+      dim, Seq("k"), Some(2L))
+    assert(got.count() == 2)
+    assert(cat.joinMvSegments("jv") == Seq("seg_b1", "seg_b2"))
+  }
+
+  test("appendJoinMv: a fresh Catalog instance resumes from disk alone") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-jmvres").toString
+    val dim = Seq((1L, "x")).toDF("k", "name")
+    new graft.sources.Catalog(spark, root)
+      .appendJoinMv("jv", Seq((1L, 10L)).toDF("k", "v"), dim, Seq("k"), Some(1L))
+    val fresh = new graft.sources.Catalog(spark, root)
+    assert(fresh.readJoinMv("jv").count() == 1)
+    assert(fresh.appendJoinMv("jv", Seq((1L, 20L)).toDF("k", "v"),
+      dim, Seq("k"), Some(2L)).count() == 2)
+  }
 }
