@@ -611,6 +611,9 @@ object SparkEntry {
     // one user-partitioned window (reuses the loader spread) + a
     // 3-row channel rollup with exact-cents revenue
     "e_attribution" -> ((s, d) => Events.attributionCard(Tables.events(s, d))),
+    // Welch two-sample t per event-type pair: integer-exact moments,
+    // fixed double shapes for mean/s²/t/df (the q_chi2 class)
+    "q_ttest" -> ((s, d) => Analytics.welchTTest(Tables.events(s, d))),
     "fs_analyze" -> ((s, d) => graft.sources.Catalog.analyzeColumns(
       Tables.lineitem(s, d),
       Seq("l_orderkey", "l_partkey", "l_suppkey", "l_returnflag", "l_linestatus"))),
@@ -3677,6 +3680,42 @@ object SparkEntry {
                      ELSE CAST(sum(CAST(ya AS HUGEINT) * yb) AS DOUBLE)
                           / CAST((SELECT den FROM den) AS DOUBLE) END AS acf
          FROM pairs GROUP BY lg""",
+    // Welch t: integer-exact moments (n, Σcents, HUGEINT Σcents²),
+    // then the same double shapes as the Spark side — two nested
+    // divisions for sea/seb, one sqrt, the Welch–Satterthwaite df
+    "q_ttest" ->
+      """WITH m AS (
+           SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                  sum(CAST(round(value * 100) AS BIGINT)) AS s,
+                  sum(CAST(CAST(round(value * 100) AS BIGINT) AS HUGEINT)
+                      * CAST(round(value * 100) AS BIGINT)) AS q
+           FROM events GROUP BY 1),
+         p AS (
+           SELECT a.event_type AS type_a, b.event_type AS type_b,
+                  a.n AS na, b.n AS nb, a.s AS sa, b.s AS sb,
+                  a.q AS qa, b.q AS qb
+           FROM m a JOIN m b ON a.event_type < b.event_type),
+         c AS (
+           SELECT type_a, type_b, na, nb,
+                  CAST(sa AS DOUBLE) / CAST(na AS DOUBLE) AS ma,
+                  CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE) AS mb,
+                  CAST(na * qa - CAST(sa AS HUGEINT) * sa AS DOUBLE)
+                    / CAST(na * (na - 1) AS DOUBLE) / CAST(na AS DOUBLE) AS sea,
+                  CAST(nb * qb - CAST(sb AS HUGEINT) * sb AS DOUBLE)
+                    / CAST(nb * (nb - 1) AS DOUBLE) / CAST(nb AS DOUBLE) AS seb
+           FROM p)
+         SELECT type_a, type_b, na, nb,
+                floor(ma / 100.0 * 1000000 + 0.5) / 1000000 AS mean_a,
+                floor(mb / 100.0 * 1000000 + 0.5) / 1000000 AS mean_b,
+                CASE WHEN na < 2 OR nb < 2 OR sea + seb = 0.0 THEN NULL
+                     ELSE floor((ma - mb) / sqrt(sea + seb) * 1000000 + 0.5)
+                          / 1000000 END AS t_stat,
+                CASE WHEN na < 2 OR nb < 2 OR sea + seb = 0.0 THEN NULL
+                     ELSE floor((sea + seb) * (sea + seb)
+                          / (sea * sea / CAST(na - 1 AS DOUBLE)
+                             + seb * seb / CAST(nb - 1 AS DOUBLE))
+                          * 1000000 + 0.5) / 1000000 END AS df
+         FROM c""",
     // last-touch attribution: the winning touch travels as ONE packed
     // BIGINT (µs·4 + channel code) under max() — no IGNORE-NULLS
     // ordering to disagree on; same-µs click/view resolve to the

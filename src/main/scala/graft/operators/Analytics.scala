@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.Exact._
@@ -1700,5 +1700,59 @@ object Analytics {
           "   - CAST(r_tot AS DECIMAL(38,0)) * c_tot) AS DOUBLE)" +
           " / CAST(CAST(r_tot AS DECIMAL(38,0)) * c_tot * n_tot AS DOUBLE)")
           .as("contrib"))
+  }
+
+  /** Welch two-sample t card for every pair of event types — the A/B
+    * significance primitive (does channel a's value differ from b's,
+    * without assuming equal variances?). Exactness recipe (the q_chi2 /
+    * e_acf class): per-group moments are INTEGER-EXACT — n, Σv (cents,
+    * long), Σv² (Decimal(38,0): v² ≤ 1e14 × 1e6 rows ≈ 1e20 of the 38
+    * digits) — the variance numerator n·Q − S² stays decimal-exact, and
+    * each of mean / s² / t / df is a fixed SHAPE of double ops both
+    * engines replay identically (one division for s², sqrt for t,
+    * Welch–Satterthwaite for df). n < 2 on either side, or two
+    * zero-variance groups, have no t to report: stated NULL, never an
+    * ANSI divide error or an Infinity in the hash.
+    *
+    * Scale shape: one map-side-combinable moments aggregate collapses
+    * the fact table to |types| rows; the pair frame is a bounded
+    * self-cross of that card (the q_kmv_join class of 1-row-aggregate
+    * nested-loop joins — ≤|types|² metadata rows, never the corpus). */
+  def welchTTest(events: DataFrame): DataFrame = {
+    import graft.functions.Exact.round6
+    val v = expr("CAST(round(value * 100) AS BIGINT)")
+    val m = events
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(v).as("s"),
+        sum(v.cast("decimal(19,0)") * v).as("q"))
+    val a = m.select(col("event_type").as("type_a"), col("n").as("na"),
+      col("s").as("sa"), col("q").as("qa"))
+    val b = m.select(col("event_type").as("type_b"), col("n").as("nb"),
+      col("s").as("sb"), col("q").as("qb"))
+    def mean(s: Column, n: Column): Column =
+      s.cast("double") / n.cast("double")
+    // sample variance in cents²: (n·Q − S²) / (n·(n−1)), numerator
+    // decimal-exact, ONE double division
+    def s2(n: Column, s: Column, q: Column): Column =
+      (n.cast("decimal(38,0)") * q
+        - s.cast("decimal(38,0)") * s.cast("decimal(38,0)")).cast("double") /
+        (n * (n - 1)).cast("double")
+    val va = s2(col("na"), col("sa"), col("qa"))
+    val vb = s2(col("nb"), col("sb"), col("qb"))
+    val sea = va / col("na").cast("double")
+    val seb = vb / col("nb").cast("double")
+    val se = sea + seb
+    a.join(b, col("type_a") < col("type_b"))
+      .select(col("type_a"), col("type_b"), col("na"), col("nb"),
+        round6(mean(col("sa"), col("na")) / 100.0).as("mean_a"),
+        round6(mean(col("sb"), col("nb")) / 100.0).as("mean_b"),
+        when(col("na") < 2 || col("nb") < 2 || se === 0.0, lit(null))
+          .otherwise(round6(
+            (mean(col("sa"), col("na")) - mean(col("sb"), col("nb")))
+              / sqrt(se))).as("t_stat"),
+        when(col("na") < 2 || col("nb") < 2 || se === 0.0, lit(null))
+          .otherwise(round6(se * se /
+            (sea * sea / (col("na") - 1).cast("double")
+              + seb * seb / (col("nb") - 1).cast("double")))).as("df"))
   }
 }

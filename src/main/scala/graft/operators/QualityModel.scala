@@ -106,6 +106,10 @@ object QualityModel {
         sum(gFix(p, col("x3"))).as("g3"),
         count(lit(1)).as("n")).collect()(0)
       val n = row.getLong(4)
+      // empty corpus: gradient sums are SQL nulls and there is nothing
+      // to fit — the zero vector is the defined model (empty-input
+      // contract; scoring then emits p = 0.5 for everything)
+      if (n == 0L) return w
       w = Array.tabulate(4) { j =>
         // identical shape to the oracle's update:
         // w − 0.5·((g/1e9)/n), all left-associated divides

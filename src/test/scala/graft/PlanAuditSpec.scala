@@ -91,6 +91,9 @@ class PlanAuditSpec extends SparkSpec {
       // bounded-query-broadcast scan; the greedy rerank after it is
       // all equi-joins at per-query candidate grain
       "s_mmr",
+      // q_ttest: the ≤|types|²-row theta self-cross of the |types|-row
+      // moments aggregate (the q_kmv_join bounded-metadata class)
+      "q_ttest",
       // s_ann_recall: the recall card's exact arm composes
       // bruteForceTopK — s_ann_brute's audited bounded-query-broadcast
       // shape (an exact baseline must scan the corpus per query by

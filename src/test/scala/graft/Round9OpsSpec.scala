@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.{Events, QualityModel, Sampling}
+import graft.operators.{Analytics, Events, QualityModel, Sampling}
 
 /** Hand-computed fixtures for the round-9 additions: the trainable
   * quality model (t_quality_model / t_quality_scores), last-touch
@@ -157,6 +157,24 @@ class Round9OpsSpec extends SparkSpec {
     assert(Events.attributionCard(ev).count() == 0)
   }
 
+  test("quality model: empty corpus yields the zero model, not a crash") {
+    import spark.implicits._
+    val docs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val card = QualityModel.trainCard(docs).collect()
+      .map(r => r.getString(0) -> r.get(1)).toMap
+    assert(card("bias") == 0.0 && card("w_words") == 0.0)
+    assert(card("n_docs") == 0.0)
+    assert(card("acc") == null) // 0/0 accuracy is undefined, stated as null
+    assert(QualityModel.trainAndScore(docs).count() == 0)
+  }
+
+  test("mmrRerank: empty embeddings select nothing") {
+    import spark.implicits._
+    val emb = Seq.empty[(Long, Seq[Float], Int)]
+      .toDF("vec_id", "embedding", "label")
+    assert(operators.Similarity.mmrRerank(emb).count() == 0)
+  }
+
   // ----------------------------------------------------------------- mmr
 
   /** Pure-Scala MMR replica: float→double casts, dot/(‖a‖·‖b‖) cosine,
@@ -231,6 +249,50 @@ class Round9OpsSpec extends SparkSpec {
     // every pick came from the candidate set — the rerank never
     // invents a neighbor
     assert(got.forall { case (q, n, _, _) => cand((q, n)) })
+  }
+
+  // --------------------------------------------------------------- ttest
+
+  test("welchTTest matches a pure-Scala Welch computation by hand") {
+    import spark.implicits._
+    // groups in cents: a = {100, 200, 300}, b = {400, 400, 700, 900}
+    val ev = (Seq(1.0, 2.0, 3.0).map(("a", _)) ++
+      Seq(4.0, 4.0, 7.0, 9.0).map(("b", _)))
+      .toDF("event_type", "value")
+    def welch(xs: Seq[Long], ys: Seq[Long]) = {
+      def m(v: Seq[Long]) = v.sum.toDouble / v.size.toDouble
+      def s2(v: Seq[Long]) = {
+        val n = v.size.toLong
+        (n * v.map(x => x * x).sum - v.sum * v.sum).toDouble /
+          (n * (n - 1)).toDouble
+      }
+      val (sea, seb) = (s2(xs) / xs.size.toDouble, s2(ys) / ys.size.toDouble)
+      val se = sea + seb
+      val t = (m(xs) - m(ys)) / math.sqrt(se)
+      val df = se * se /
+        (sea * sea / (xs.size - 1).toDouble + seb * seb / (ys.size - 1).toDouble)
+      def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+      (r6(t), r6(df), r6(m(xs) / 100.0), r6(m(ys) / 100.0))
+    }
+    val (t, df, ma, mb) = welch(Seq(100L, 200L, 300L), Seq(400L, 400L, 700L, 900L))
+    val got = Analytics.welchTTest(ev).collect()
+    assert(got.length == 1)
+    val r = got(0)
+    assert((r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)) ==
+      ("a", "b", 3L, 4L))
+    assert((r.getDouble(4), r.getDouble(5), r.getDouble(6), r.getDouble(7)) ==
+      (ma, mb, t, df))
+  }
+
+  test("welchTTest: singleton and zero-variance groups report NULL, not errors") {
+    import spark.implicits._
+    val ev = Seq(("a", 1.0), ("b", 2.0), ("b", 2.0),
+      ("c", 3.0), ("c", 3.0)).toDF("event_type", "value")
+    val got = Analytics.welchTTest(ev).collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.get(6))).toMap
+    assert(got.size == 3)
+    assert(got(("a", "b")) == null) // n_a = 1: no variance to estimate
+    assert(got(("b", "c")) == null) // both variances 0: se = 0
   }
 
   // -------------------------------------------------------- token budget
