@@ -328,6 +328,8 @@ object SparkEntry {
     // λ·rel − (1−λ)·max-sim-to-picked, 5 picks per query — bounded
     // per-query work after the audited candidate scan
     "s_mmr" -> ((s, d) => Similarity.mmrRerank(Tables.embeddings(s, d))),
+    // the 100× form: same greedy rerank fed by the IVF candidate scan
+    "s_mmr_ivf" -> ((s, d) => Similarity.mmrRerankIvf(Tables.embeddings(s, d))),
     "s_ann_lsh" -> ((s, d) => Similarity.lshAnn(Tables.embeddings(s, d), 5, 10)),
     "s_ann_ivf" -> ((s, d) => Similarity.ivfAnn(Tables.embeddings(s, d), 5, 10)),
     "t_token_count" -> ((s, d) => TextAnalysis.tokenCounts(Tables.documents(s, d))),
@@ -1340,6 +1342,7 @@ object SparkEntry {
     // greedy MMR unrolled: sel1..sel5 accumulate picks, each step an
     // argmax over the remaining candidates' 0.7·rel − 0.3·max-sim
     "s_mmr" -> mmrSql,
+    "s_mmr_ivf" -> mmrIvfSql,
     // LSH mirror: the 4 hyperplanes ride into the SQL as double literals
     // (shortest-round-trip strings parse back to identical IEEE doubles),
     // so bucketing + in-bucket scoring replays exactly in DuckDB.
@@ -4282,12 +4285,14 @@ object SparkEntry {
                FROM scored)
          SELECT query_id, neighbor_id, floor(cos * 1000000 + 0.5) / 1000000 AS cos, rnk FROM r WHERE rnk <= 10"""
 
-  /** MMR oracle: bruteTopkSql's candidate generation, pairwise
-    * candidate sims, then kOut−1 generated greedy steps. Scores are
-    * 6-decimal-floored BEFORE the argmax (mirroring the Spark side);
-    * λ and its complement are the literals 0.7 / 0.3 in both engines
-    * (1−0.7 computed at runtime is 0.30000000000000004). */
-  private val mmrSql: String = {
+  /** Shared MMR greedy tail: expects CTEs `n` (vec_id, v, nrm) and
+    * `cand` (query_id, neighbor_id, rel) already in scope, continues
+    * the WITH list (pairwise sims + sel1..sel5) and closes with the
+    * final select. Scores are 6-decimal-floored BEFORE the argmax
+    * (mirroring the Spark side); λ and its complement are the literals
+    * 0.7 / 0.3 in both engines (1−0.7 computed at runtime is
+    * 0.30000000000000004). */
+  private val mmrTailSql: String = {
     val steps = (2 to 5).map { i =>
       s"""
          m$i AS (SELECT c.query_id, c.neighbor_id, c.rel, max(s.sim) AS maxsim
@@ -4308,20 +4313,7 @@ object SparkEntry {
          sel$i AS (SELECT query_id, neighbor_id, score, pick FROM sel${i - 1}
                    UNION ALL SELECT query_id, neighbor_id, score, pick FROM s$i)"""
     }.mkString(",")
-    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
-         n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
-         q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM n WHERE vec_id < 5),
-         scored AS (SELECT query_id, vec_id AS neighbor_id,
-                           list_dot_product(qv, v) / (qn * nrm) AS cos
-                    FROM n CROSS JOIN q WHERE vec_id <> query_id),
-         cand AS (SELECT query_id, neighbor_id,
-                         floor(cos * 1000000 + 0.5) / 1000000 AS rel
-                  FROM (SELECT query_id, neighbor_id, cos,
-                               row_number() OVER (PARTITION BY query_id
-                                                  ORDER BY cos DESC, neighbor_id) AS rnk
-                        FROM scored)
-                  WHERE rnk <= 10),
-         ce AS (SELECT query_id, neighbor_id, v, nrm
+    s"""ce AS (SELECT query_id, neighbor_id, v, nrm
                 FROM cand JOIN n ON neighbor_id = vec_id),
          sims AS (SELECT a.query_id, a.neighbor_id AS id_a, b.neighbor_id AS id_b,
                          floor(list_dot_product(a.v, b.v) / (a.nrm * b.nrm)
@@ -4338,8 +4330,28 @@ object SparkEntry {
          SELECT query_id, neighbor_id, score, pick FROM sel5"""
   }
 
-  private val ivfTopkSql: String =
-    """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+  /** MMR over the exact top-10 (bruteTopkSql's candidate chain). */
+  private val mmrSql: String =
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+         q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM n WHERE vec_id < 5),
+         scored AS (SELECT query_id, vec_id AS neighbor_id,
+                           list_dot_product(qv, v) / (qn * nrm) AS cos
+                    FROM n CROSS JOIN q WHERE vec_id <> query_id),
+         cand AS (SELECT query_id, neighbor_id,
+                         floor(cos * 1000000 + 0.5) / 1000000 AS rel
+                  FROM (SELECT query_id, neighbor_id, cos,
+                               row_number() OVER (PARTITION BY query_id
+                                                  ORDER BY cos DESC, neighbor_id) AS rnk
+                        FROM scored)
+                  WHERE rnk <= 10),
+         $mmrTailSql"""
+
+  /** IVF candidate chain (seeds → Lloyd pass → assignment → probed
+    * scoring → ranked `r`), shared by the top-k oracle and the
+    * IVF-candidate MMR oracle. */
+  private val ivfChainSql: String =
+    """e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
          seeds AS (SELECT vec_id AS cell_id, v AS cv FROM e
                    ORDER BY CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15) AS BIGINT), vec_id
                    LIMIT 16),
@@ -4378,8 +4390,20 @@ object SparkEntry {
          r AS (SELECT query_id, neighbor_id, cos,
                       row_number() OVER (PARTITION BY query_id
                                          ORDER BY cos DESC, neighbor_id) AS rnk
-               FROM scored)
+               FROM scored)"""
+
+  private val ivfTopkSql: String =
+    s"""WITH $ivfChainSql
          SELECT query_id, neighbor_id, floor(cos * 1000000 + 0.5) / 1000000 AS cos, rnk FROM r WHERE rnk <= 10"""
+
+  /** MMR over the IVF candidates — the scale-path rerank's oracle. */
+  private val mmrIvfSql: String =
+    s"""WITH $ivfChainSql,
+         n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+         cand AS (SELECT query_id, neighbor_id,
+                         floor(cos * 1000000 + 0.5) / 1000000 AS rel
+                  FROM r WHERE rnk <= 10),
+         $mmrTailSql"""
 
   private val ngramJaccardSql: String =
     """WITH tok AS (SELECT doc_id,

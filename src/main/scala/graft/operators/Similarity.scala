@@ -863,12 +863,31 @@ object Similarity {
     * identically in any engine; ties break by neighbor id. */
   def mmrRerank(embeddings: DataFrame, maxQueryId: Long = 5,
       kCand: Int = 10, kOut: Int = 5,
-      lam: Double = 0.7, lamC: Double = 0.3): DataFrame = {
+      lam: Double = 0.7, lamC: Double = 0.3): DataFrame =
+    mmrRerankFrom(
+      bruteForceTopK(embeddings, maxQueryId, kCand)
+        .select(col("query_id"), col("neighbor_id"), col("cos").as("rel")),
+      embeddings, kOut, lam, lamC)
+
+  /** The 100× form of [[mmrRerank]]: candidates from the IVF index
+    * scan instead of the exact pass — same greedy, same bounded
+    * per-query rerank; only the candidate source pays corpus cost. */
+  def mmrRerankIvf(embeddings: DataFrame, maxQueryId: Long = 5,
+      kCand: Int = 10, kOut: Int = 5): DataFrame =
+    mmrRerankFrom(
+      ivfAnn(embeddings, maxQueryId, kCand)
+        .select(col("query_id"), col("neighbor_id"), col("cos").as("rel")),
+      embeddings, kOut, 0.7, 0.3)
+
+  /** Greedy MMR over an arbitrary candidate table (query_id,
+    * neighbor_id, rel) — the rerank is candidate-source-agnostic:
+    * exact top-k, IVF, or any external retriever feed the same
+    * selection. */
+  def mmrRerankFrom(candidates: DataFrame, embeddings: DataFrame,
+      kOut: Int = 5, lam: Double = 0.7, lamC: Double = 0.3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import graft.functions.Exact.round6
-    val cand = bruteForceTopK(embeddings, maxQueryId, kCand)
-      .select(col("query_id"), col("neighbor_id"), col("cos").as("rel"))
-      .localCheckpoint() // referenced by every unrolled step
+    val cand = candidates.localCheckpoint() // referenced by every step
     val e = prepared(embeddings)
     val ce = cand.join(e, col("neighbor_id") === col("vec_id"))
       .select(col("query_id"), col("neighbor_id"), col("v"))

@@ -251,6 +251,19 @@ class Round9OpsSpec extends SparkSpec {
     assert(got.forall { case (q, n, _, _) => cand((q, n)) })
   }
 
+  test("mmrRerankIvf: the scale path picks only from the IVF candidates") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val cand = operators.Similarity.ivfAnn(emb, 5, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = operators.Similarity.mmrRerankIvf(emb)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
+    assert(got.length == 25)
+    assert(got.forall { case (q, n, _) => cand((q, n)) })
+    got.groupBy(_._1).foreach { case (q, rows) =>
+      assert(rows.map(_._2).distinct.length == 5, s"repeated pick for query $q")
+    }
+  }
+
   // --------------------------------------------------------------- ttest
 
   test("welchTTest matches a pure-Scala Welch computation by hand") {
