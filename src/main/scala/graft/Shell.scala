@@ -60,7 +60,7 @@ object Shell {
           "silhouette_centroid | chi2 | " +
           "acf | dedup_eval | drawdown | ttl <tbl> <col> <micros> | " +
           "quality_model | quality_scores | attribution [days] | " +
-          "token_budget [tokens] | mmr [k] | ttest | exit | <sql>")
+          "token_budget [tokens] | mmr [k] | ttest | anova | exit | <sql>")
       case "ls" :: Nil => cat.list().foreach(println)
       case "stats" :: Nil => cat.stats().show(100, truncate = false)
       case "nodes" :: Nil => cat.executorStats().show(100, truncate = false)
@@ -240,6 +240,9 @@ object Shell {
       case "acf" :: Nil =>
         operators.Events.acf(Tables.events(spark, dir))
           .orderBy("lg").show(truncate = false)
+      case "anova" :: Nil =>
+        operators.Analytics.anovaCard(Tables.events(spark, dir))
+          .show(truncate = false)
       case "ttest" :: Nil =>
         // A/B read: which channel pairs differ significantly on value
         operators.Analytics.welchTTest(Tables.events(spark, dir))

@@ -616,6 +616,9 @@ object SparkEntry {
     // Welch two-sample t per event-type pair: integer-exact moments,
     // fixed double shapes for mean/s²/t/df (the q_chi2 class)
     "q_ttest" -> ((s, d) => Analytics.welchTTest(Tables.events(s, d))),
+    // one-way ANOVA across all types: same exact moments, micro-unit
+    // fixed-point cross-group sum, F + eta² card
+    "q_anova" -> ((s, d) => Analytics.anovaCard(Tables.events(s, d))),
     "fs_analyze" -> ((s, d) => graft.sources.Catalog.analyzeColumns(
       Tables.lineitem(s, d),
       Seq("l_orderkey", "l_partkey", "l_suppkey", "l_returnflag", "l_linestatus"))),
@@ -3718,6 +3721,41 @@ object SparkEntry {
                           / (sea * sea / CAST(na - 1 AS DOUBLE)
                              + seb * seb / CAST(nb - 1 AS DOUBLE))
                           * 1000000 + 0.5) / 1000000 END AS df
+         FROM c""",
+    // ANOVA: same integer moments; the cross-group Σ S²/n rides
+    // micro-unit longs so the k-term sum is order-free
+    "q_anova" ->
+      """WITH m AS (
+           SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                  sum(CAST(round(value * 100) AS BIGINT)) AS s,
+                  sum(CAST(CAST(round(value * 100) AS BIGINT) AS HUGEINT)
+                      * CAST(round(value * 100) AS BIGINT)) AS q
+           FROM events GROUP BY 1),
+         g AS (
+           SELECT n, q, s AS sg,
+                  CAST(floor(CAST(CAST(s AS HUGEINT) * s AS DOUBLE)
+                             / CAST(n AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS t6
+           FROM m),
+         a AS (
+           SELECT CAST(count(*) AS BIGINT) AS k, CAST(sum(n) AS BIGINT) AS nn,
+                  sum(sg) AS st, sum(q) AS qt, CAST(sum(t6) AS BIGINT) AS t6
+           FROM g),
+         c AS (
+           SELECT k, nn,
+                  CAST(t6 AS DOUBLE) / 1000000.0
+                    - CAST(CAST(st AS HUGEINT) * st AS DOUBLE) / CAST(nn AS DOUBLE) AS ssb,
+                  CAST(qt AS DOUBLE) - CAST(t6 AS DOUBLE) / 1000000.0 AS ssw
+           FROM a)
+         SELECT k, nn AS n,
+                floor(ssb * 1000000 + 0.5) / 1000000 AS ss_between,
+                floor(ssw * 1000000 + 0.5) / 1000000 AS ss_within,
+                CASE WHEN k < 2 OR nn <= k OR ssw = 0.0 THEN NULL
+                     ELSE floor((ssb / CAST(k - 1 AS DOUBLE))
+                          / (ssw / CAST(nn - k AS DOUBLE)) * 1000000 + 0.5)
+                          / 1000000 END AS f_stat,
+                CASE WHEN k < 2 OR nn <= k OR ssw = 0.0 THEN NULL
+                     ELSE floor(ssb / (ssb + ssw) * 1000000 + 0.5)
+                          / 1000000 END AS eta_sq
          FROM c""",
     // last-touch attribution: the winning touch travels as ONE packed
     // BIGINT (µs·4 + channel code) under max() — no IGNORE-NULLS

@@ -1718,6 +1718,49 @@ object Analytics {
     * the fact table to |types| rows; the pair frame is a bounded
     * self-cross of that card (the q_kmv_join class of 1-row-aggregate
     * nested-loop joins — ≤|types|² metadata rows, never the corpus). */
+  /** One-way ANOVA card across ALL event types — the k-group
+    * completion of [[welchTTest]] (is ANY channel different, before
+    * asking which pair): F = (SSB/(k−1)) / (SSW/(N−k)) with η² effect
+    * size. Exactness: per-group moments are integer-exact; the one
+    * cross-group rational Σ S_g²/n_g is accumulated as MICRO-UNIT
+    * LONGS (each group's S²/n floored to 1e-6 before the sum — the
+    * QualityModel gradient trick), so the k-term sum is order-free;
+    * SSB/SSW/F/η² are then fixed double shapes over exact components.
+    * Degenerate inputs (k<2, N≤k, zero within-variance) report NULL.
+    * One moments aggregate + a 1-row combine — nothing past |types|
+    * rows ever exists. */
+  def anovaCard(events: DataFrame): DataFrame = {
+    import graft.functions.Exact.round6
+    val v = expr("CAST(round(value * 100) AS BIGINT)")
+    val g = events.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(v).as("s"),
+        sum(v.cast("decimal(19,0)") * v).as("q"))
+      // S_g²/n_g in 1e-6 fixed point: decimal-exact square, ONE double
+      // division, floored — summable as longs across groups
+      .select(col("n"), col("q"),
+        col("s").as("sg"),
+        floor((col("s").cast("decimal(38,0)") * col("s").cast("decimal(38,0)"))
+          .cast("double") / col("n").cast("double") * 1000000.0 + 0.5)
+          .cast("long").as("t6"))
+    val agg = g.agg(count(lit(1)).as("k"), sum(col("n")).as("nn"),
+      sum(col("sg")).as("st"), sum(col("q")).as("qt"), sum(col("t6")).as("t6"))
+    val between = col("t6").cast("double") / 1000000.0 -
+      (col("st").cast("decimal(38,0)") * col("st").cast("decimal(38,0)"))
+        .cast("double") / col("nn").cast("double")
+    val within = col("qt").cast("double") -
+      col("t6").cast("double") / 1000000.0
+    val degenerate = col("k") < 2 || col("nn") <= col("k") || within === 0.0
+    agg.select(
+      col("k"), col("nn").as("n"),
+      round6(between).as("ss_between"),
+      round6(within).as("ss_within"),
+      when(degenerate, lit(null)).otherwise(round6(
+        (between / (col("k") - 1).cast("double")) /
+          (within / (col("nn") - col("k")).cast("double")))).as("f_stat"),
+      when(degenerate, lit(null)).otherwise(round6(
+        between / (between + within))).as("eta_sq"))
+  }
+
   def welchTTest(events: DataFrame): DataFrame = {
     import graft.functions.Exact.round6
     val v = expr("CAST(round(value * 100) AS BIGINT)")

@@ -308,6 +308,43 @@ class Round9OpsSpec extends SparkSpec {
     assert(got(("b", "c")) == null) // both variances 0: se = 0
   }
 
+  test("anovaCard matches a pure-Scala one-way ANOVA by hand") {
+    import spark.implicits._
+    val groups = Map(
+      "a" -> Seq(100L, 200L, 300L),
+      "b" -> Seq(400L, 400L, 700L, 900L),
+      "c" -> Seq(50L, 60L))
+    val ev = groups.toSeq.flatMap { case (t, vs) =>
+      vs.map(v => (t, v.toDouble / 100.0)) }.toDF("event_type", "value")
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    // replica: micro-unit t6 per group, then the double shapes
+    val t6 = groups.values.map(vs =>
+      math.floor((vs.sum.toDouble * vs.sum.toDouble) / vs.size.toDouble
+        * 1e6 + 0.5).toLong).sum
+    val (k, nn) = (groups.size.toLong, groups.values.map(_.size).sum.toLong)
+    val st = groups.values.map(_.sum).sum
+    val qt = groups.values.flatten.map(v => v * v).sum
+    val ssb = t6.toDouble / 1e6 - (st.toDouble * st.toDouble) / nn.toDouble
+    val ssw = qt.toDouble - t6.toDouble / 1e6
+    val f = (ssb / (k - 1).toDouble) / (ssw / (nn - k).toDouble)
+    val r = Analytics.anovaCard(ev).collect()(0)
+    assert((r.getLong(0), r.getLong(1)) == (k, nn))
+    assert(r.getDouble(2) == r6(ssb) && r.getDouble(3) == r6(ssw))
+    assert(r.getDouble(4) == r6(f))
+    assert(r.getDouble(5) == r6(ssb / (ssb + ssw)))
+  }
+
+  test("anovaCard: degenerate inputs report NULL F") {
+    import spark.implicits._
+    // one group only → k < 2
+    val one = Seq(("a", 1.0), ("a", 2.0)).toDF("event_type", "value")
+    assert(Analytics.anovaCard(one).collect()(0).get(4) == null)
+    // every group constant → zero within-variance
+    val const = Seq(("a", 1.0), ("a", 1.0), ("b", 2.0), ("b", 2.0))
+      .toDF("event_type", "value")
+    assert(Analytics.anovaCard(const).collect()(0).get(4) == null)
+  }
+
   // -------------------------------------------------------- token budget
 
   test("tokenBudget keeps the best-first prefix, cut exactly at the budget") {
