@@ -294,6 +294,38 @@ class Catalog(spark: SparkSession, baseDir: String,
     readJoinMv(name)
   }
 
+  /** Fold every committed [[appendJoinMv]] segment into ONE — the
+    * operational counterpart of append-only maintenance (segments
+    * accumulate one per refresh; reads pay a file-listing + union per
+    * segment until someone compacts). The new single-segment layout is
+    * built in `<dir>.tmp` and installed by the shared crash-recoverable
+    * swap, so a torn compaction never loses the view.
+    *
+    * Exactly-once across the compaction: the merged segment KEEPS the
+    * highest applied batch name (`seg_b<maxId>`), so a retry of the
+    * LATEST batch still finds its `_SUCCESS` and no-ops — the only
+    * retry that can occur under the monotone-batch-id contract
+    * ([[alreadyApplied]]'s note; Structured Streaming replays only the
+    * last uncommitted batch). Compaction itself must be serialized
+    * with refreshes of the name, like every other mutation. */
+  def compactJoinMv(name: String): DataFrame = {
+    val segs = joinMvSegments(name)
+    require(segs.nonEmpty, s"no committed join-MV segments: $name")
+    if (segs.size > 1) {
+      val dir = s"$derivedDir/$name"
+      val fs = new Path(dir).getFileSystem(hconf)
+      val maxB = segs.filter(_.startsWith("seg_b")).map(_.drop(5).toLong)
+        .maxOption
+      val segName = maxB.map(id => s"seg_b$id").getOrElse("seg_1")
+      fs.delete(new Path(s"$dir.tmp"), true)
+      readJoinMv(name)
+        .write.mode(SaveMode.ErrorIfExists).parquet(s"$dir.tmp/$segName")
+      fs.create(new Path(s"$dir.tmp/_SUCCESS"), true).close()
+      installSwap(dir, fs, s"compactJoinMv($name)")
+    }
+    readJoinMv(name)
+  }
+
   /** Committed segments of an [[appendJoinMv]] view, sorted. */
   def joinMvSegments(name: String): Seq[String] = {
     val outer = new Path(s"$derivedDir/$name")

@@ -103,6 +103,29 @@ class Round9DurabilitySpec extends SparkSpec {
     assert(cat.joinMvSegments("jv") == Seq("seg_b1", "seg_b2"))
   }
 
+  test("compactJoinMv: folds segments, keeps rows, preserves latest-batch no-op") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-jmvcomp").toString
+    val cat = new graft.sources.Catalog(spark, root)
+    val dim = Seq((1L, "x"), (2L, "y")).toDF("k", "name")
+    cat.appendJoinMv("jv", Seq((1L, 10L)).toDF("k", "v"), dim, Seq("k"), Some(1L))
+    cat.appendJoinMv("jv", Seq((2L, 20L)).toDF("k", "v"), dim, Seq("k"), Some(2L))
+    cat.appendJoinMv("jv", Seq((1L, 30L)).toDF("k", "v"), dim, Seq("k"), Some(3L))
+    val before = cat.readJoinMv("jv").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sorted.toSeq
+    assert(cat.compactJoinMv("jv").count() == 3)
+    assert(cat.joinMvSegments("jv") == Seq("seg_b3"), "not folded to one segment")
+    val after = cat.readJoinMv("jv").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sorted.toSeq
+    assert(after == before, "compaction changed the view contents")
+    // the only possible retry (latest batch) still no-ops
+    assert(cat.appendJoinMv("jv", Seq((9L, 99L)).toDF("k", "v"),
+      dim, Seq("k"), Some(3L)).count() == 3)
+    // and the next real batch appends normally
+    assert(cat.appendJoinMv("jv", Seq((2L, 40L)).toDF("k", "v"),
+      dim, Seq("k"), Some(4L)).count() == 4)
+  }
+
   test("appendJoinMv: a fresh Catalog instance resumes from disk alone") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft-jmvres").toString
