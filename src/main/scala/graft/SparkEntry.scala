@@ -123,6 +123,9 @@ object SparkEntry {
     "e_tumbling" -> ((s, d) => Events.tumblingHourly(Tables.events(s, d))),
     // the watermarked tumbling-window aggregation as a real checkpointed run
     "e_tumbling_stream" -> ((s, d) => streaming.EventStream.tumblingCountsReplay(s, d)),
+    // CHAINED streaming jobs: windowed-count stream → committed sink →
+    // second stream ranking each finalized hour's top-3 in state
+    "e_topk_stream" -> ((s, d) => streaming.EventStream.topHourlyReplay(s, d)),
     "e_sliding" -> ((s, d) => Events.slidingCounts(Tables.events(s, d))),
     "e_sliding_distinct" -> ((s, d) => Events.slidingDistinctUsers(Tables.events(s, d))),
     // the watermarked sliding-window aggregation as a real checkpointed run
@@ -871,6 +874,18 @@ object SparkEntry {
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS hour_start,
                 event_type, count(*) AS cnt, CAST(sum(CAST(round((value) * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_value
          FROM events GROUP BY 1, 2""",
+    // the chained replay emits each hour's ranked top-3 exactly once;
+    // the batch rank over hourly counts replays it (ties → event_type)
+    "e_topk_stream" ->
+      """WITH h AS (SELECT epoch_us(ts) // 3600000000 AS hr, event_type,
+                           CAST(count(*) AS BIGINT) AS cnt
+                    FROM events GROUP BY 1, 2)
+         SELECT hr, event_type, cnt, rnk FROM (
+           SELECT hr, event_type, cnt,
+                  row_number() OVER (PARTITION BY hr
+                                     ORDER BY cnt DESC, event_type) AS rnk
+           FROM h)
+         WHERE rnk <= 3""",
     // sessionize CTE + deterministic ORDER/LIMIT (exact-cents sums, so
     // the top-k cut is engine-exact; ties totally ordered)
     "e_top_sessions" ->

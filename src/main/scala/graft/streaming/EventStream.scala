@@ -346,6 +346,94 @@ object EventStream {
       }
   }
 
+  case class TopKState(counts: List[(String, Long)])
+  case class TopKOut(hr: Long, event_type: String, cnt: Long, rnk: Int)
+
+  /** Streaming TOP-K per finalized hour — the rank-over-stream shape
+    * append mode cannot express with window functions: a
+    * flatMapGroupsWithState keyed by the HOUR buffers that hour's
+    * per-type counts (≤|types| rows — bounded metadata, never raw
+    * events: the raw grain was already collapsed by the upstream
+    * windowed-count stage) and emits the ranked top k exactly once,
+    * when the event-time watermark passes the hour end. Ties break by
+    * event_type; the timeout is clamped above the current watermark
+    * (an input row whose hour is already old must still register a
+    * legal timeout). */
+  def hourlyTopK(counts: DataFrame, k: Int = 3,
+      watermarkDelay: String = "2 hours")(
+      implicit spark: SparkSession): Dataset[TopKOut] = {
+    import spark.implicits._
+    counts
+      .select(col("hour_start"), col("event_type"), col("cnt"))
+      .withWatermark("hour_start", watermarkDelay)
+      .as[(java.sql.Timestamp, String, Long)]
+      .groupByKey(_._1.getTime)
+      .flatMapGroupsWithState[TopKState, TopKOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (hourMs, rows, state: GroupState[TopKState]) =>
+          if (state.hasTimedOut) {
+            val acc = state.get.counts
+            state.remove()
+            acc.sortBy { case (t, c) => (-c, t) }.take(k).zipWithIndex
+              .map { case ((t, c), i) =>
+                TopKOut(hourMs * 1000L / 3600000000L, t, c, i + 1) }
+              .iterator
+          } else {
+            val acc = state.getOption.map(_.counts).getOrElse(Nil) ++
+              rows.map(r => (r._2, r._3))
+            state.update(TopKState(acc))
+            state.setTimeoutTimestamp(
+              math.max(hourMs + 3600000L, state.getCurrentWatermarkMs() + 1L))
+            Iterator.empty
+          }
+      }
+  }
+
+  /** ORACLE-VISIBLE CHAINED streaming replay: stage 1 is the real
+    * watermarked windowed-count stream ([[windowedCounts]], finalized
+    * append-mode windows → a committed parquet sink), stage 2 a SECOND
+    * checkpointed stream over that sink running [[hourlyTopK]] — the
+    * standard pipeline-of-streaming-jobs production pattern, each
+    * stage independently checkpointed and restartable. Stage 1's sink
+    * holds only finalized REAL windows (the source sentinel's own
+    * window never finalizes), so stage 2 gets its own far-future
+    * watermark pusher appended with newest mtime = last trigger. */
+  def topHourlyReplay(spark: SparkSession, sfDir: String,
+      k: Int = 3): DataFrame = {
+    implicit val s: SparkSession = spark
+    import spark.implicits._
+    val src = Replay.source(spark, sfDir)
+    val stage1 = Replay.run(spark, src) { stream =>
+      windowedCounts(stream.select(col("ts"), col("event_type"), col("value")))
+    }
+    // the HANDOFF CONTRACT between chained streams, learned twice:
+    //  - every hour's rows must reach stage 2 event-time-ordered and
+    //    together (a partially-arrived hour races its own timeout and
+    //    emits a partial top-k — observed with the raw 32-file sink:
+    //    hash-partitioned files each spanning the whole hour range);
+    //  - the finalized sink CANNOT be streamed in place with a
+    //    hand-appended sentinel: a streaming sink carries a
+    //    _spark_metadata log, and a file source pointed at it reads
+    //    the file list FROM THE LOG — appended files are invisible
+    //    (observed: stage 2 stopped at logOffset 1, tail hours never
+    //    flushed).
+    // orderedHandoff re-materializes the committed counts (hours ×
+    // types — metadata grain, never raw events) as a log-free
+    // range-ordered feed with a far-future watermark-pusher row, the
+    // same recipe the primary replay source uses.
+    val sentinelHrUs = (src.maxTsu / 3600000000L + 6L) * 3600000000L
+    val sentinel = Seq((new java.sql.Timestamp(sentinelHrUs / 1000L),
+        "view", 0L, 0.0))
+      .toDF("hour_start", "event_type", "cnt", "sum_value")
+    val (handoff, schema) =
+      Replay.orderedHandoff(stage1, "hour_start", sentinel)
+    Replay.runFrom(spark, handoff, schema, maxFilesPerTrigger = 2) { counts =>
+      hourlyTopK(counts, k).toDF()
+    }
+      .where(col("hr") <= src.maxTsu / 3600000000L)
+      .select(col("hr"), col("event_type"), col("cnt"), col("rnk"))
+  }
+
   /** ORACLE-VISIBLE streaming replay of the watermarked STREAM-STREAM
     * time-bounded join ([[purchaseViewJoin]]): [[Replay]]'s shared
     * ordered source → checkpointed-parquet shape. An inner stream-stream

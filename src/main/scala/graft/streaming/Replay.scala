@@ -116,7 +116,17 @@ object Replay {
     * copy can use this directly. */
   def runFrom(spark: SparkSession, srcDir: String, schema: StructType,
       maxFilesPerTrigger: Int = 4)(
-      build: DataFrame => DataFrame): DataFrame = {
+      build: DataFrame => DataFrame): DataFrame =
+    spark.read.parquet(
+      runToDir(spark, srcDir, schema, maxFilesPerTrigger)(build))
+
+  /** [[runFrom]] returning the SINK DIRECTORY instead of reading it
+    * back — the hook for CHAINED streaming jobs (stage 2 streams from
+    * stage 1's committed sink, the standard pipeline-of-streams
+    * production pattern). */
+  def runToDir(spark: SparkSession, srcDir: String, schema: StructType,
+      maxFilesPerTrigger: Int = 4)(
+      build: DataFrame => DataFrame): String = {
     val runDir = root.resolve(s"run-${runCounter.incrementAndGet()}")
     val stream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
@@ -127,7 +137,38 @@ object Replay {
       .outputMode("append")
       .start(runDir.resolve("out").toString)
     try q.processAllAvailable() finally q.stop()
-    spark.read.parquet(runDir.resolve("out").toString)
+    runDir.resolve("out").toString
+  }
+
+  /** Materialize a mid-pipeline handoff as an event-time-ORDERED plain
+    * file feed for the next chained stream: range-partitioned on
+    * `tsCol` with ascending mtimes (trigger order == event-time order,
+    * the [[source]] recipe), plus `sentinel` as the newest file — the
+    * next stage's watermark pusher. Needed because a STREAMING SINK
+    * carries a `_spark_metadata` log: a FileStreamSource pointed at it
+    * reads the file list from the log, so hand-appended files (a
+    * sentinel) are INVISIBLE — the handoff must be re-materialized
+    * into a log-free dir before the next stream can consume it with
+    * its own sentinel. */
+  def orderedHandoff(df: DataFrame, tsCol: String, sentinel: DataFrame,
+      nFiles: Int = 4): (String, StructType) = {
+    val dir = root.resolve(s"handoff-${runCounter.incrementAndGet()}")
+    df.repartitionByRange(nFiles, col(tsCol))
+      .sortWithinPartitions(col(tsCol))
+      .write.mode("overwrite").parquet(dir.toString)
+    val now = System.currentTimeMillis()
+    val parts = dir.toFile.listFiles()
+      .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+    parts.zipWithIndex.foreach { case (f, i) =>
+      Files.setLastModifiedTime(f.toPath,
+        FileTime.fromMillis(now - (parts.length - i) * 2000L)): Unit
+    }
+    sentinel.coalesce(1).write.mode("append").parquet(dir.toString)
+    dir.toFile.listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.lastModified() >= now)
+      .foreach(f => Files.setLastModifiedTime(f.toPath,
+        FileTime.fromMillis(now + 60000L)): Unit)
+    (dir.toString, df.schema)
   }
 
   /** Build (once per JVM per sfDir) a multi-file documents replay
