@@ -578,6 +578,23 @@ object ScaleSmoke {
       operators.Events.attributionCard(be)
         .write.format("noop").mode("overwrite").save()
     }
+    time("mv_join_1m") {
+      // append-only join view at 1M fact rows: two segment appends +
+      // compaction — refresh cost must track delta size, not view size
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-scale-jmv").toString
+      val cat = new graft.sources.Catalog(spark, root)
+      val fact = be.select(col("event_id"), col("user_id"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("v_cents"))
+      val dim = be.select(col("user_id")).distinct()
+        .withColumn("segment", pmod(col("user_id"), lit(10)))
+      cat.appendJoinMv("ev1m", fact.where(col("event_id") % 10 =!= 0),
+        dim, Seq("user_id"), Some(1L))
+      cat.appendJoinMv("ev1m", fact.where(col("event_id") % 10 === 0),
+        dim, Seq("user_id"), Some(2L))
+      cat.compactJoinMv("ev1m")
+        .write.format("noop").mode("overwrite").save()
+    }
     spark.stop()
   }
 }

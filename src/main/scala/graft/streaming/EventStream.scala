@@ -399,7 +399,7 @@ object EventStream {
     * window never finalizes), so stage 2 gets its own far-future
     * watermark pusher appended with newest mtime = last trigger. */
   def topHourlyReplay(spark: SparkSession, sfDir: String,
-      k: Int = 3): DataFrame = {
+      k: Int = 3, maxFilesPerTrigger: Int = 2): DataFrame = {
     implicit val s: SparkSession = spark
     import spark.implicits._
     val src = Replay.source(spark, sfDir)
@@ -427,7 +427,7 @@ object EventStream {
       .toDF("hour_start", "event_type", "cnt", "sum_value")
     val (handoff, schema) =
       Replay.orderedHandoff(stage1, "hour_start", sentinel)
-    Replay.runFrom(spark, handoff, schema, maxFilesPerTrigger = 2) { counts =>
+    Replay.runFrom(spark, handoff, schema, maxFilesPerTrigger) { counts =>
       hourlyTopK(counts, k).toDF()
     }
       .where(col("hr") <= src.maxTsu / 3600000000L)

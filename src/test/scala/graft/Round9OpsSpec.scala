@@ -111,6 +111,26 @@ class Round9OpsSpec extends SparkSpec {
     assert(streamed.toSeq == batch.toSeq)
   }
 
+  test("chained top-k replay is trigger-granularity invariant and equals batch") {
+    import org.apache.spark.sql.expressions.Window
+    val batch = Tables.events(spark, sfDir)
+      .groupBy(expr("unix_micros(ts) div 3600000000").as("hr"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("rnk", row_number().over(Window.partitionBy(col("hr"))
+        .orderBy(col("cnt").desc, col("event_type"))))
+      .where(col("rnk") <= 3)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getInt(3)))
+      .sorted.toSeq
+    def streamed(mfpt: Int) =
+      streaming.EventStream.topHourlyReplay(spark, sfDir, maxFilesPerTrigger = mfpt)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getInt(3)))
+        .sorted.toSeq
+    // one file per trigger (max microbatch count) and the default must
+    // both equal the batch rank — the handoff's ordering contract
+    assert(streamed(1) == batch)
+    assert(streamed(2) == batch)
+  }
+
   // --------------------------------------------------------- attribution
 
   test("attributionCard: last touch wins, window bounds honored, by hand") {

@@ -113,6 +113,17 @@ class ShellProcedureSpec extends SparkSpec {
     assert(wcat.snapshotVersions("orders_ttl") == Seq(1))
   }
 
+  test("round-9 verbs: quality/attribution/token_budget/mmr/ttest/anova") {
+    val cat = new Catalog(spark, sfDir)
+    assert(Shell.execute("quality_model", spark, cat, sfDir))
+    assert(Shell.execute("quality_scores", spark, cat, sfDir))
+    assert(Shell.execute("attribution 7", spark, cat, sfDir))
+    assert(Shell.execute("token_budget 5000", spark, cat, sfDir))
+    assert(Shell.execute("mmr 3", spark, cat, sfDir))
+    assert(Shell.execute("ttest", spark, cat, sfDir))
+    assert(Shell.execute("anova", spark, cat, sfDir))
+  }
+
   test("publish and explain verbs run from the shell") {
     val dir = java.nio.file.Files.createTempDirectory("graft-shell-pub").toString
     Tables.documents(spark, sfDir).write.parquet(s"$dir/documents.parquet")
