@@ -131,6 +131,56 @@ class Round9OpsSpec extends SparkSpec {
     assert(streamed(2) == batch)
   }
 
+  test("hourlyTopK state survives a checkpointed restart mid-stream") {
+    import spark.implicits._
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val counts = Tables.events(spark, sfDir)
+      .groupBy(date_trunc("hour", col("ts")).as("hour_start"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+    val (mn, mx) = counts.agg(min(unix_micros(col("hour_start"))),
+      max(unix_micros(col("hour_start")))).as[(Long, Long)].head()
+    val cutUs = mn + (mx - mn) * 6 / 10
+    val root = java.nio.file.Files.createTempDirectory("graft-topk-restart")
+    val (srcDir, out, ckpt) =
+      (s"$root/src", s"$root/out", s"$root/ckpt")
+    // the first 60% of hours arrive, one ordered file
+    counts.where(unix_micros(col("hour_start")) <= cutUs)
+      .coalesce(1).write.mode("append").parquet(srcDir)
+    def start() = spark.readStream.schema(counts.schema).parquet(srcDir)
+      .transform(df => streaming.EventStream.hourlyTopK(df, 3).toDF())
+      .writeStream.format("parquet").option("checkpointLocation", ckpt)
+      .outputMode("append").start(out)
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    val emittedEarly = spark.read.parquet(out).count()
+    // hours near the first batch's watermark are still IN STATE here —
+    // the restart must recover them from the state store, not the input
+    assert(emittedEarly > 0)
+    // the rest of the hours + the watermark pusher land while DOWN
+    val sentUs = (mx / 3600000000L + 6L) * 3600000000L
+    counts.where(unix_micros(col("hour_start")) > cutUs)
+      .unionByName(Seq((new java.sql.Timestamp(sentUs / 1000L), "view", 0L))
+        .toDF("hour_start", "event_type", "cnt"))
+      .coalesce(1).write.mode("append").parquet(srcDir)
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    val got = spark.read.parquet(out)
+      .where(col("hr") <= mx / 3600000000L)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getInt(3)))
+      .sorted.toSeq
+    assert(emittedEarly < got.length, "nothing crossed the restart in state")
+    val want = counts
+      .withColumn("hr", expr("unix_micros(hour_start) div 3600000000"))
+      .withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("hr"))
+          .orderBy(col("cnt").desc, col("event_type"))))
+      .where(col("rnk") <= 3)
+      .select(col("hr"), col("event_type"), col("cnt"), col("rnk"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getInt(3)))
+      .sorted.toSeq
+    assert(got == want, "restarted stream diverged from the batch rank")
+  }
+
   // --------------------------------------------------------- attribution
 
   test("attributionCard: last touch wins, window bounds honored, by hand") {
