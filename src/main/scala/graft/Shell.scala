@@ -60,7 +60,8 @@ object Shell {
           "silhouette_centroid | chi2 | " +
           "acf | dedup_eval | drawdown | ttl <tbl> <col> <micros> | " +
           "quality_model | quality_scores | attribution [days] | " +
-          "token_budget [tokens] | mmr [k] | ttest | anova | exit | <sql>")
+          "token_budget [tokens] | mmr [k] | ttest | anova | survival | " +
+          "exit | <sql>")
       case "ls" :: Nil => cat.list().foreach(println)
       case "stats" :: Nil => cat.stats().show(100, truncate = false)
       case "nodes" :: Nil => cat.executorStats().show(100, truncate = false)
@@ -240,6 +241,10 @@ object Shell {
       case "acf" :: Nil =>
         operators.Events.acf(Tables.events(spark, dir))
           .orderBy("lg").show(truncate = false)
+      case "survival" :: Nil =>
+        // churn read: how fast do reorder intervals die off
+        operators.Analytics.kaplanMeier(Tables.orders(spark, dir))
+          .orderBy("t_days").show(15, truncate = false)
       case "anova" :: Nil =>
         operators.Analytics.anovaCard(Tables.events(spark, dir))
           .show(truncate = false)

@@ -622,6 +622,9 @@ object SparkEntry {
     // one-way ANOVA across all types: same exact moments, micro-unit
     // fixed-point cross-group sum, F + eta² card
     "q_anova" -> ((s, d) => Analytics.anovaCard(Tables.events(s, d))),
+    // Kaplan-Meier survival of reorder gaps (censoring-aware): integer
+    // risk sets on the two-level scan, fixed-point log-survival
+    "q_survival" -> ((s, d) => Analytics.kaplanMeier(Tables.orders(s, d))),
     "fs_analyze" -> ((s, d) => graft.sources.Catalog.analyzeColumns(
       Tables.lineitem(s, d),
       Seq("l_orderkey", "l_partkey", "l_suppkey", "l_returnflag", "l_linestatus"))),
@@ -3737,6 +3740,44 @@ object SparkEntry {
                              + seb * seb / CAST(nb - 1 AS DOUBLE))
                           * 1000000 + 0.5) / 1000000 END AS df
          FROM c""",
+    // Kaplan-Meier: integer risk sets (inclusive cumulation backed out
+    // by the own row), ln terms floored to 1e-12 fixed point before the
+    // ordered sum, one exp at the end; a d=n step zeroes the curve via
+    // the flag cumulation (never ln(0) in the sum)
+    "q_survival" ->
+      """WITH o AS (SELECT o_custkey, epoch_us(o_orderdate) AS du, o_orderkey FROM orders),
+         hz AS (SELECT max(du) AS hz FROM o),
+         g AS (SELECT o_custkey, du,
+                      lead(du) OVER (PARTITION BY o_custkey
+                                     ORDER BY du, o_orderkey) AS nxt
+               FROM o),
+         dur AS (SELECT CASE WHEN nxt IS NOT NULL THEN (nxt - du) // 86400000000
+                             ELSE (hz - du) // 86400000000 END AS t,
+                        CASE WHEN nxt IS NOT NULL THEN 1 ELSE 0 END AS ev
+                 FROM g, hz),
+         byt AS (SELECT t, CAST(sum(ev) AS BIGINT) AS d,
+                        CAST(count(*) AS BIGINT) AS dc
+                 FROM dur GROUP BY 1),
+         tot AS (SELECT CAST(sum(dc) AS BIGINT) AS n_total FROM byt),
+         risk AS (SELECT t, d,
+                         CAST(n_total - sum(dc) OVER (ORDER BY t
+                              ROWS UNBOUNDED PRECEDING) + dc AS BIGINT) AS n
+                  FROM byt, tot),
+         ev AS (SELECT t, d, n,
+                       CASE WHEN d = n THEN 0
+                            ELSE CAST(floor(ln(1.0 - CAST(d AS DOUBLE) / CAST(n AS DOUBLE))
+                                 * 1000000000000.0 + 0.5) AS BIGINT) END AS lnf,
+                       CASE WHEN d = n THEN 1 ELSE 0 END AS z
+                FROM risk WHERE d > 0),
+         s AS (SELECT t, d, n,
+                      CAST(sum(lnf) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_ln,
+                      CAST(sum(z) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_z
+               FROM ev)
+         SELECT t AS t_days, n AS n_risk, d AS n_events,
+                CASE WHEN cum_z > 0 THEN 0.0
+                     ELSE floor(exp(CAST(cum_ln AS DOUBLE) / 1000000000000.0)
+                          * 1000000 + 0.5) / 1000000 END AS survival
+         FROM s""",
     // ANOVA: same integer moments; the cross-group Σ S²/n rides
     // micro-unit longs so the k-term sum is order-free
     "q_anova" ->

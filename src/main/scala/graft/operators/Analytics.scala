@@ -1718,6 +1718,75 @@ object Analytics {
     * the fact table to |types| rows; the pair frame is a bounded
     * self-cross of that card (the q_kmv_join class of 1-row-aggregate
     * nested-loop joins — ≤|types|² metadata rows, never the corpus). */
+  /** Kaplan–Meier survival curve over customer REORDER gaps — the
+    * churn/survival read ("what fraction of reorder intervals survive
+    * past t days?"): every consecutive order pair contributes an
+    * EVENT duration (the gap), every customer's last order contributes
+    * a CENSORED duration (still alive at the observation horizon —
+    * dropping these, the classic mistake, biases survival low). At
+    * each distinct event time t: S(t) = Π_{u≤t} (1 − d_u/n_u) with
+    * d = events at u, n = at-risk (duration ≥ u).
+    *
+    * Determinism recipe: risk sets are pure integer cumulations on
+    * the audited two-level scan; the product is accumulated as
+    * FIXED-POINT log-survival (each ln(1−d/n) floored to 1e-12 before
+    * the sum — the order-free-long-sum rule; a double sum's bucket
+    * totals would be partition-order-dependent), exp'd once at the
+    * end. ln/exp cross-engine parity follows the t_tfidf precedent
+    * (log is matching-in-practice; the 1e-12 floor and 6-decimal
+    * output absorb ulp).
+    *
+    * Scale shape: one customer-partitioned lead() window over orders,
+    * then everything lives at DAY grain (calendar-bounded metadata);
+    * the horizon and duration-total are 1-row broadcasts (the q_rfm
+    * class). */
+  def kaplanMeier(orders: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.Exact.round6
+    val dayUs = 86400000000L
+    val o = orders.select(col("o_custkey"),
+      unix_micros(col("o_orderdate")).as("du"), col("o_orderkey"))
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("du"), col("o_orderkey"))
+    val horizon = o.agg(max(col("du")).as("hz"))
+    val dur = o.withColumn("nxt", lead(col("du"), 1).over(w))
+      .crossJoin(broadcast(horizon))
+      .select(
+        when(col("nxt").isNotNull, expr(s"(nxt - du) div $dayUs"))
+          .otherwise(expr(s"(hz - du) div $dayUs")).as("t"),
+        when(col("nxt").isNotNull, 1L).otherwise(0L).as("ev"))
+    val byT = dur.groupBy(col("t"))
+      .agg(sum(col("ev")).as("d"),
+        sum(lit(1L) - col("ev")).as("cens"))
+      .withColumn("dc", col("d") + col("cens"))
+      .withColumn("__g", lit(1))
+      .localCheckpoint() // two cumulative scans + the total read it
+    val total = byT.agg(sum(col("dc")).as("n_total"))
+    // inclusive cumulation of departures, then back out the own row:
+    // n_t = total − (everything that left strictly before t)
+    val risk = Cumulative.runningSum(byT, Seq("__g"), "t", "dc", "cum_dc")
+      .crossJoin(broadcast(total))
+      .withColumn("n", col("n_total") - col("cum_dc") + col("dc"))
+    // a step where EVERYONE at risk dies (d = n) sends the curve to an
+    // exact 0 — flagged and cumulated separately rather than letting
+    // ln(0) = −∞ poison the fixed-point sum differently per engine
+    val events = risk.where(col("d") > 0)
+      .withColumn("z", when(col("d") === col("n"), 1L).otherwise(0L))
+      .withColumn("lnf",
+        when(col("d") === col("n"), 0L).otherwise(
+          floor(log(lit(1.0) - col("d").cast("double") / col("n").cast("double"))
+            * 1.0e12 + 0.5).cast("long")))
+      .select(col("t"), col("d"), col("n"), col("lnf"), col("z"))
+      .withColumn("__g", lit(1))
+      .localCheckpoint()
+    Cumulative.runningSums(events, Seq("__g"), "t",
+        Seq("lnf" -> "cum_ln", "z" -> "cum_z"))
+      .select(col("t").as("t_days"), col("n").as("n_risk"),
+        col("d").as("n_events"),
+        when(col("cum_z") > 0, 0.0).otherwise(
+          round6(exp(col("cum_ln").cast("double") / 1.0e12))).as("survival"))
+  }
+
   /** One-way ANOVA card across ALL event types — the k-group
     * completion of [[welchTTest]] (is ANY channel different, before
     * asking which pair): F = (SSB/(k−1)) / (SSW/(N−k)) with η² effect

@@ -94,6 +94,10 @@ class PlanAuditSpec extends SparkSpec {
       // q_ttest: the ≤|types|²-row theta self-cross of the |types|-row
       // moments aggregate (the q_kmv_join bounded-metadata class)
       "q_ttest",
+      // q_survival: the 1-row horizon + duration-total broadcasts (the
+      // q_rfm max-date class) + runningSum's bounds over the constant
+      // __g group at calendar-bounded day grain
+      "q_survival",
       // s_ann_recall: the recall card's exact arm composes
       // bruteForceTopK — s_ann_brute's audited bounded-query-broadcast
       // shape (an exact baseline must scan the corpus per query by
@@ -162,10 +166,12 @@ class PlanAuditSpec extends SparkSpec {
     // p_token_budget: runningSum over the constant __g group — the
     // ≤128-row bucket-offset window folds formally unpartitioned, the
     // same bounded-metadata shape as q_abc/q_skyline
+    // q_survival: two constant-__g runningSum passes at calendar-
+    // bounded DAY grain (the e_acf bounded-calendar class)
     val allowed = Set("p_pack", "p_shuffle", "p_manifest", "t_char_ngrams",
       "e_late_audit", "d_drift_ks", "q_skyline", "p_interleave",
       "q_abc", "q_lorenz", "fs_histogram", "e_concurrency",
-      "p_token_budget")
+      "p_token_budget", "q_survival")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val plan = fn(spark, sfDir).queryExecution.optimizedPlan.toString
       val specs = "windowspecdefinition\\(([^)]*)\\)".r

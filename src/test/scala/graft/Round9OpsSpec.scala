@@ -415,6 +415,52 @@ class Round9OpsSpec extends SparkSpec {
     assert(Analytics.anovaCard(const).collect()(0).get(4) == null)
   }
 
+  // ------------------------------------------------------------ survival
+
+  test("kaplanMeier matches a pure-Scala KM with censoring by hand") {
+    import spark.implicits._
+    // cust 1: orders day 0, 2, 5 → event gaps {2, 3}, censored at
+    // horizon(10)−5 = 5; cust 2: day 0, 3 → event gap {3}, censored 7;
+    // cust 3: single order day 10 (THE horizon) → censored 0
+    val day = 86400000000L
+    val orders = Seq(
+      (1L, 11L, 0L), (1L, 12L, 2L), (1L, 13L, 5L),
+      (2L, 21L, 0L), (2L, 22L, 3L),
+      (3L, 31L, 10L))
+      .toDF("o_custkey", "o_orderkey", "dday")
+      .withColumn("o_orderdate", timestamp_micros(col("dday") * day))
+      .drop("dday")
+    // durations: events {2,3,3}, censored {5,7,0}
+    // risk sets (≥t): t=2 → n=5 (0-censored already gone at t=0? no:
+    // n_t counts duration ≥ t: {2,3,3,5,7} → 5), d=1 → S=0.8
+    // t=3 → n=4 ({3,3,5,7}), d=2 → S=0.8·(1−2/4)=0.4
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    def fx(x: Double) = math.floor(x * 1e12 + 0.5).toLong
+    val s2 = r6(math.exp(fx(math.log(1.0 - 1.0 / 5.0)).toDouble / 1e12))
+    val s3 = r6(math.exp((fx(math.log(1.0 - 1.0 / 5.0))
+      + fx(math.log(1.0 - 2.0 / 4.0))).toDouble / 1e12))
+    val got = Analytics.kaplanMeier(orders).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(_._1)
+    assert(got.toSeq == Seq((2L, 5L, 1L, s2), (3L, 4L, 2L, s3)))
+  }
+
+  test("kaplanMeier: a step that exhausts the risk set zeroes the curve") {
+    import spark.implicits._
+    val day = 86400000000L
+    // both customers: single gap of 4 days, last orders AT the horizon
+    // → censored durations are 0, so at t=4 the whole risk set dies
+    val orders = Seq(
+      (1L, 11L, 0L), (1L, 12L, 4L),
+      (2L, 21L, 0L), (2L, 22L, 4L))
+      .toDF("o_custkey", "o_orderkey", "dday")
+      .withColumn("o_orderdate", timestamp_micros(col("dday") * day))
+      .drop("dday")
+    val got = Analytics.kaplanMeier(orders).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq == Seq((4L, 2L, 2L, 0.0)))
+  }
+
   // -------------------------------------------------------- token budget
 
   test("tokenBudget keeps the best-first prefix, cut exactly at the budget") {

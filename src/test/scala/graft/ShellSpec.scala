@@ -122,6 +122,7 @@ class ShellProcedureSpec extends SparkSpec {
     assert(Shell.execute("mmr 3", spark, cat, sfDir))
     assert(Shell.execute("ttest", spark, cat, sfDir))
     assert(Shell.execute("anova", spark, cat, sfDir))
+    assert(Shell.execute("survival", spark, cat, sfDir))
   }
 
   test("publish and explain verbs run from the shell") {
