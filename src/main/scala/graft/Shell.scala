@@ -61,6 +61,7 @@ object Shell {
           "acf | dedup_eval | drawdown | ttl <tbl> <col> <micros> | " +
           "quality_model | quality_scores | attribution [days] | " +
           "token_budget [tokens] | mmr [k] | ttest | anova | survival | " +
+          "mwu [typeA typeB] | attribution_multi | harmonic | " +
           "exit | <sql>")
       case "ls" :: Nil => cat.list().foreach(println)
       case "stats" :: Nil => cat.stats().show(100, truncate = false)
@@ -248,6 +249,25 @@ object Shell {
       case "anova" :: Nil =>
         operators.Analytics.anovaCard(Tables.events(spark, dir))
           .show(truncate = false)
+      case "mwu" :: rest if rest.length <= 2 =>
+        // nonparametric read: is click engagement stochastically
+        // larger than view (rank-based, no normality assumption)
+        val ta = rest.headOption.getOrElse("click")
+        val tb = rest.drop(1).headOption.getOrElse("view")
+        operators.Analytics.mannWhitneyU(Tables.events(spark, dir), ta, tb)
+          .show(truncate = false)
+      case "attribution_multi" :: Nil =>
+        // budget read: channel credit under linear + U-shaped schemes
+        // (compare against last-touch from the `attribution` verb)
+        operators.Events.multiTouchAttribution(Tables.events(spark, dir))
+          .orderBy("channel").show(truncate = false)
+      case "harmonic" :: Nil =>
+        // centrality read: who sits closest to everyone in the trade
+        // backbone (defined even where the graph is disconnected)
+        operators.Graph.nationHarmonic(spark, dir)
+          .orderBy(org.apache.spark.sql.functions.col("harmonic").desc,
+            org.apache.spark.sql.functions.col("n_name"))
+          .show(25, truncate = false)
       case "ttest" :: Nil =>
         // A/B read: which channel pairs differ significantly on value
         operators.Analytics.welchTTest(Tables.events(spark, dir))

@@ -105,6 +105,9 @@ object SparkEntry {
     "g_kcore" -> ((s, d) => Graph.nationKCore(s, d)),
     "g_cc" -> ((s, d) => Graph.nationComponents(s, d)),
     "g_lpa" -> ((s, d) => Graph.nationCommunities(s, d)),
+    // harmonic centrality from converged all-pairs hops over the
+    // same top-3 backbone g_bfs walks (integer micro-unit 1/d sums)
+    "g_harmonic" -> ((s, d) => Graph.nationHarmonic(s, d)),
     "q_yoy" -> ((s, d) => Analytics.yoyRevenue(s, d)),
     "q_range_frame" -> ((s, d) => Analytics.trailingSpend(Tables.orders(s, d))),
     "q_window_funcs" -> ((s, d) => Analytics.windowFunctionProfile(Tables.orders(s, d))),
@@ -625,6 +628,15 @@ object SparkEntry {
     // Kaplan-Meier survival of reorder gaps (censoring-aware): integer
     // risk sets on the two-level scan, fixed-point log-survival
     "q_survival" -> ((s, d) => Analytics.kaplanMeier(Tables.orders(s, d))),
+    // Mann-Whitney U click-vs-view: tie-aware midranks at distinct-
+    // value grain on the two-level scan, doubled-rank integers, one
+    // fixed z shape (the nonparametric sibling of q_ttest)
+    "q_mwu" -> ((s, d) => Analytics.mannWhitneyU(Tables.events(s, d))),
+    // multi-touch attribution (linear + U-shaped position): one
+    // user-keyed equi-join with the lookback as a range predicate,
+    // purchase-partitioned windows, integer cent·bp credit
+    "e_attribution_multi" -> ((s, d) =>
+      Events.multiTouchAttribution(Tables.events(s, d))),
     "fs_analyze" -> ((s, d) => graft.sources.Catalog.analyzeColumns(
       Tables.lineitem(s, d),
       Seq("l_orderkey", "l_partkey", "l_suppkey", "l_returnflag", "l_linestatus"))),
@@ -3837,6 +3849,104 @@ object SparkEntry {
          SELECT channel, CAST(count(*) AS BIGINT) AS n_conversions,
                 CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS revenue
          FROM c GROUP BY 1""",
+    // Mann-Whitney U: doubled midranks (2·cum − cnt + 1) keep every
+    // rank an integer; R, 2U, and the tie term are HUGEINT-exact; z is
+    // the one fixed double shape, floored to 1e-6 like the Spark side
+    "q_mwu" ->
+      """WITH f AS (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v
+                FROM events WHERE event_type IN ('click', 'view')),
+         vc AS (SELECT v,
+                  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+                  CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS cb
+                FROM f GROUP BY 1),
+         c AS (SELECT ca, cb, ca + cb AS cnt,
+                      sum(ca + cb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum
+               FROM vc),
+         r AS (SELECT ca, cb, cnt, 2 * cum - cnt + 1 AS rank2 FROM c),
+         a AS (SELECT coalesce(CAST(sum(ca) AS BIGINT), 0) AS na,
+                      coalesce(CAST(sum(cb) AS BIGINT), 0) AS nb,
+                      coalesce(sum(CAST(ca AS HUGEINT) * rank2), 0) AS ra2,
+                      coalesce(sum(CAST(cnt AS HUGEINT) * cnt * cnt - cnt), 0) AS tsum
+               FROM r),
+         s AS (SELECT na, nb,
+                      ra2 - CAST(na AS HUGEINT) * (na + 1) AS ua2,
+                      CAST(na AS HUGEINT) * nb AS mu2,
+                      CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) / 12.0 *
+                        (CAST(na + nb + 1 AS DOUBLE) - CAST(tsum AS DOUBLE) /
+                          (CAST(na + nb AS DOUBLE) * CAST(na + nb - 1 AS DOUBLE))) AS sigma2
+               FROM a)
+         SELECT 'click' AS type_a, 'view' AS type_b, na AS n_a, nb AS n_b,
+                CASE WHEN na < 1 OR nb < 1 THEN NULL
+                     ELSE CAST(ua2 AS DOUBLE) / 2.0 END AS u_stat,
+                CASE WHEN na < 1 OR nb < 1 OR sigma2 <= 0.0 THEN NULL
+                     ELSE floor(CAST(ua2 - mu2 AS DOUBLE) / (2.0 * sqrt(sigma2))
+                          * 1000000 + 0.5) / 1000000 END AS z_score
+         FROM s""",
+    // multi-touch attribution: integer cent·basis-point credit, weights
+    // summing to exactly 10000 per purchase (remainders to the earliest
+    // positions — a stated rule both engines apply identically)
+    "e_attribution_multi" ->
+      """WITH p AS (SELECT user_id AS pu, epoch_us(ts) AS ptsu, event_id AS pid,
+                  CAST(round(value * 100) AS BIGINT) AS cents
+                FROM events WHERE event_type = 'purchase'),
+         t AS (SELECT user_id AS tu, epoch_us(ts) AS ttsu, event_id AS tid,
+                      event_type AS touch_channel
+               FROM events WHERE event_type IN ('click', 'view')),
+         j AS (SELECT p.pid, p.cents, t.ttsu, t.tid, t.touch_channel
+               FROM p LEFT JOIN t ON p.pu = t.tu AND t.ttsu <= p.ptsu
+                                 AND t.ttsu > p.ptsu - 604800000000),
+         w AS (SELECT pid, cents, touch_channel,
+                      CAST(count(tid) OVER (PARTITION BY pid) AS BIGINT) AS n,
+                      row_number() OVER (PARTITION BY pid ORDER BY ttsu, tid) AS pos
+               FROM j),
+         b AS (SELECT cents,
+                      CASE WHEN n = 0 THEN 'none' ELSE touch_channel END AS channel,
+                      CASE WHEN n = 0 THEN 10000
+                           ELSE 10000 // n +
+                                CASE WHEN pos <= 10000 % n THEN 1 ELSE 0 END END AS lin_bp,
+                      CASE WHEN n <= 1 THEN 10000
+                           WHEN n = 2 THEN 5000
+                           WHEN pos = 1 OR pos = n THEN 4000
+                           ELSE 2000 // (n - 2) +
+                                CASE WHEN pos - 1 <= 2000 % (n - 2) THEN 1 ELSE 0 END
+                      END AS pos_bp
+               FROM w)
+         SELECT channel, CAST(count(*) AS BIGINT) AS n_credits,
+                CAST(sum(CAST(cents AS HUGEINT) * lin_bp) AS DOUBLE) / 1000000.0 AS linear_revenue,
+                CAST(sum(CAST(cents AS HUGEINT) * pos_bp) AS DOUBLE) / 1000000.0 AS position_revenue
+         FROM b GROUP BY 1""",
+    // harmonic centrality: min-hop distances from EVERY source by the
+    // same bounded recursion g_bfs replays, integer micro-unit 1/d
+    // terms (1000000 // hops) so the per-node sum is order-free
+    "g_harmonic" ->
+      """WITH RECURSIVE edges AS (SELECT ns.n_name AS src, nc.n_name AS dst,
+                   CAST(count(*) AS BIGINT) AS w
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation ns ON s.s_nationkey = ns.n_nationkey
+            JOIN nation nc ON c.c_nationkey = nc.n_nationkey
+            GROUP BY ns.n_name, nc.n_name),
+         sedges AS (SELECT src, dst FROM (
+            SELECT src, dst,
+                   row_number() OVER (PARTITION BY src
+                                      ORDER BY w DESC, dst) AS rn
+            FROM edges WHERE src <> dst) WHERE rn <= 3),
+         r(s, node, d) AS (
+            SELECT n_name, n_name, 0 FROM nation
+            UNION
+            SELECT r.s, e.dst, r.d + 1
+            FROM r JOIN sedges e ON e.src = r.node
+            WHERE r.d < 8),
+         m AS (SELECT s, node, CAST(min(d) AS BIGINT) AS hops
+               FROM r GROUP BY 1, 2),
+         sc AS (SELECT s, CAST(count(*) AS BIGINT) AS nr,
+                       CAST(sum(1000000 // hops) AS BIGINT) AS h6
+                FROM m WHERE hops > 0 GROUP BY 1)
+         SELECT n.n_name, coalesce(sc.nr, 0) AS n_reach,
+                CAST(coalesce(sc.h6, 0) AS DOUBLE) / 1000000.0 AS harmonic
+         FROM nation n LEFT JOIN sc ON n.n_name = sc.s""",
     // ties-included top-3 ≡ rank() ≤ 3 (the Spark side filters on the
     // 3rd-largest |resid| from the map-side topk aggregate)
     "e_deseason" ->

@@ -1867,4 +1867,63 @@ object Analytics {
             (sea * sea / (col("na") - 1).cast("double")
               + seb * seb / (col("nb") - 1).cast("double")))).as("df"))
   }
+
+  /** Mann-Whitney U (Wilcoxon rank-sum) between two event types'
+    * values — the NONPARAMETRIC sibling of [[welchTTest]] (rank-based,
+    * so a heavy-tailed or ordinal metric needs no normality
+    * assumption). Tie-aware: every computation runs at DISTINCT-VALUE
+    * grain with midranks, the textbook tie correction
+    * T = Σ(t³−t) enters the variance, and the normal-approximation z
+    * uses μ = n_a·n_b/2, σ² = (n_a·n_b/12)·((n+1) − T/(n(n−1))).
+    *
+    * Exactness (the cross-engine contract): ranks are carried DOUBLED
+    * (`rank2` = twice the midrank = 2·cum − cnt + 1 — always an
+    * integer), so the rank sum R_a, U_a (as 2U_a = 2R_a − n_a(n_a+1))
+    * and the tie term are all integer-exact decimals; z is then one
+    * fixed double shape over exact components, floored to 1e-6.
+    *
+    * Scale shape: one filter+aggregate to the distinct-cents-value
+    * grain, [[Cumulative.runningSum]]'s two-level bucket-monotone scan
+    * for the value-ordered prefix (near-unique values never serialize
+    * into one window task), one 1-row combine. Nothing past the
+    * distinct-value table ever exists; degenerate inputs (an empty
+    * group, or every value tied → σ² = 0) report NULL rather than
+    * dividing by zero. */
+  def mannWhitneyU(events: DataFrame, typeA: String = "click",
+      typeB: String = "view"): DataFrame = {
+    val v = expr("CAST(round(value * 100) AS BIGINT)")
+    val vc = events
+      .filter(col("event_type").isin(typeA, typeB))
+      .groupBy(v.as("v"))
+      .agg(
+        sum(when(col("event_type") === typeA, 1L).otherwise(0L)).as("ca"),
+        sum(when(col("event_type") === typeB, 1L).otherwise(0L)).as("cb"))
+      .withColumn("cnt", col("ca") + col("cb"))
+      .withColumn("__g", lit(1))
+    val ranked = Cumulative.runningSum(vc, Seq("__g"), "v", "cnt", "cum")
+      .withColumn("rank2", lit(2L) * col("cum") - col("cnt") + 1L)
+    val m = ranked.agg(
+      coalesce(sum(col("ca")), lit(0L)).as("na"),
+      coalesce(sum(col("cb")), lit(0L)).as("nb"),
+      coalesce(sum(col("ca").cast("decimal(38,0)") * col("rank2")),
+        lit(0).cast("decimal(38,0)")).as("ra2"),
+      coalesce(sum(col("cnt").cast("decimal(38,0)") * col("cnt") * col("cnt")
+        - col("cnt")), lit(0).cast("decimal(38,0)")).as("tsum"))
+    val nn = col("na") + col("nb")
+    // 2·U_a and 2·μ, both exact integers (halving waits for the end)
+    val ua2 = col("ra2") - col("na").cast("decimal(38,0)") * (col("na") + 1L)
+    val mu2 = col("na").cast("decimal(38,0)") * col("nb")
+    val sigma2 = col("na").cast("double") * col("nb").cast("double") / 12.0 *
+      ((nn + 1L).cast("double") - col("tsum").cast("double") /
+        (nn.cast("double") * (nn - 1L).cast("double")))
+    val empty = col("na") < 1L || col("nb") < 1L
+    m.select(
+      lit(typeA).as("type_a"), lit(typeB).as("type_b"),
+      col("na").as("n_a"), col("nb").as("n_b"),
+      when(empty, lit(null))
+        .otherwise(ua2.cast("double") / 2.0).as("u_stat"),
+      when(empty || sigma2 <= 0.0, lit(null))
+        .otherwise(round6((ua2 - mu2).cast("double")
+          / (lit(2.0) * sqrt(sigma2)))).as("z_score"))
+  }
 }

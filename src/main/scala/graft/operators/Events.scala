@@ -1016,4 +1016,70 @@ object Events {
       .agg(count(lit(1)).as("n_conversions"),
         moneySum(col("value")).as("revenue"))
   }
+
+  /** Multi-touch marketing attribution: every purchase's revenue is
+    * SPLIT across ALL prior click/view touches by the same user within
+    * the lookback window, under two credit schemes side by side —
+    * linear (equal shares) and position-based (U-shaped: 40% first
+    * touch, 40% last, 20% spread over the middles; n=1 → 100%,
+    * n=2 → 50/50). The per-channel card these roll up to is what an
+    * actual budget review compares against [[attributionCard]]'s
+    * last-touch numbers.
+    *
+    * Exactness: credit is integer CENT·BASIS-POINT units end to end —
+    * per-purchase weights are basis points summing to exactly 10 000
+    * (integer division, remainder assigned to the EARLIEST positions —
+    * a stated rule, not float residue), per-touch credit is
+    * cents × bp (exact long), channel totals are decimal sums of
+    * those, and dollars appear once at the end as one fixed division.
+    * Touch order (and thus positions and remainders) is total:
+    * (ts, event_id). A purchase with NO in-window touch credits
+    * channel 'none' in full under both schemes.
+    *
+    * Scale shape: one equi-join on user_id (the shuffle key both sides
+    * already spread on) with the lookback as a join-range predicate,
+    * then two windows PARTITIONED BY PURCHASE (per-purchase touch
+    * count is bounded by one user's lookback-window activity — never
+    * corpus grain), then a ≤3-row channel aggregate. */
+  def multiTouchAttribution(events: DataFrame, lookbackDays: Int = 7): DataFrame = {
+    val lookbackUs = lookbackDays * 86400000000L
+    val p = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("pu"), unix_micros(col("ts")).as("ptsu"),
+        col("event_id").as("pid"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+    val t = events.filter(col("event_type").isin("click", "view"))
+      .select(col("user_id").as("tu"), unix_micros(col("ts")).as("ttsu"),
+        col("event_id").as("tid"), col("event_type").as("touch_channel"))
+    // same-µs touch counts as before the purchase (attributionCard's
+    // tie rule); the window lower bound is exclusive
+    val joined = p.join(t,
+      col("pu") === col("tu") && col("ttsu") <= col("ptsu") &&
+        col("ttsu") > col("ptsu") - lookbackUs, "left")
+    val byP = Window.partitionBy(col("pid"))
+    val byPos = Window.partitionBy(col("pid"))
+      .orderBy(col("ttsu"), col("tid"))
+    val credited = joined
+      .withColumn("n", count(col("tid")).over(byP))
+      .withColumn("pos", row_number().over(byPos))
+      .withColumn("lin_bp",
+        when(col("n") === 0, 10000L)
+          .otherwise(expr("10000 div n") +
+            when(col("pos") <= lit(10000L) % col("n"), 1L).otherwise(0L)))
+      .withColumn("pos_bp",
+        when(col("n") <= 1, 10000L)
+          .when(col("n") === 2, 5000L)
+          .when(col("pos") === 1 || col("pos") === col("n"), 4000L)
+          .otherwise(expr("2000 div (n - 2)") +
+            when(col("pos") - 1 <= lit(2000L) % (col("n") - 2), 1L)
+              .otherwise(0L)))
+      .select(
+        when(col("n") === 0, "none").otherwise(col("touch_channel"))
+          .as("channel"),
+        (col("cents").cast("decimal(38,0)") * col("lin_bp")).as("lin_cbp"),
+        (col("cents").cast("decimal(38,0)") * col("pos_bp")).as("pos_cbp"))
+    credited.groupBy(col("channel"))
+      .agg(count(lit(1)).as("n_credits"),
+        (sum(col("lin_cbp")).cast("double") / 1000000.0).as("linear_revenue"),
+        (sum(col("pos_cbp")).cast("double") / 1000000.0).as("position_revenue"))
+  }
 }

@@ -318,6 +318,103 @@ object Graph {
       .select(col("src"), col("dst"))
   }
 
+  /** ALL-PAIRS hop distances over the sparsified backbone — the
+    * multi-source generalization of [[shortestPaths]], keyed by
+    * (src_node, node) instead of node. Same contract: run TO
+    * CONVERGENCE (a round that settles no new pair ends the loop) with
+    * `maxHops` as a cap, over the top-`fanout` backbone. Same size
+    * routing: the backbone is aggregate-grain (≤ |nodes|·fanout rows),
+    * so below `localMaxEdges` one bounded collect and a driver BFS per
+    * source replaces |V| rounds of job scheduling; past it the
+    * distributed form relaxes every source SIMULTANEOUSLY — each round
+    * is one settled ⋈ edges equi-join on the edge src plus one
+    * (src_node, dst) min-aggregate, so the round count is the graph
+    * DIAMETER, not |V|·diameter (the win over calling shortestPaths
+    * per source). State is O(reachable pairs) — at aggregate grain by
+    * construction, never fact grain.
+    *
+    * Returns (src_node, node, hops) for reachable pairs, hops ≥ 0
+    * (the 0-row is the source itself). */
+  def allPairsHops(edges: DataFrame, nodes: DataFrame,
+      fanout: Int = 3, maxHops: Int = Int.MaxValue,
+      localMaxEdges: Long = 10000L): DataFrame = {
+    val sedges = topKBackbone(edges, fanout).localCheckpoint()
+    if (sedges.count() <= localMaxEdges) {
+      val adj = sedges.collect()
+        .map(r => (r.getString(0), r.getString(1)))
+        .groupBy(_._1).map { case (s, a) => (s, a.map(_._2)) }
+      val srcs = nodes.collect().map(_.getString(0))
+      val spark = edges.sparkSession
+      import spark.implicits._
+      return srcs.toSeq.flatMap { src =>
+        val dist = scala.collection.mutable.LinkedHashMap(src -> 0L)
+        var frontier = Seq(src)
+        var d = 0L
+        while (frontier.nonEmpty && d < maxHops) {
+          d += 1
+          frontier = frontier
+            .flatMap(u => adj.getOrElse(u, Array.empty[String]))
+            .distinct.filterNot(dist.contains)
+          frontier.foreach(v => dist(v) = d)
+        }
+        dist.toSeq.map { case (n, h) => (src, n, h) }
+      }.toDF("src_node", "node", "hops")
+    }
+    // distributed: settled pairs grow monotonically; in unit-hop BFS a
+    // pair is settled at its exact distance the first round it appears,
+    // so the anti-join keeps first-reach = min-hop
+    var settled = nodes
+      .select(col("node").as("src_node"), col("node"), lit(0L).as("hops"))
+      .localCheckpoint()
+    var round = 0
+    var converged = false
+    while (!converged && round < maxHops) {
+      round += 1
+      val frontier = settled.where(col("hops") === (round - 1).toLong)
+      val relaxed = sedges
+        .join(frontier, col("src") === col("node"))
+        .groupBy(col("src_node"), col("dst"))
+        .agg((min(col("hops")) + 1L).as("nh"))
+        .select(col("src_node"), col("dst").as("node"), col("nh").as("hops"))
+      val newly = relaxed
+        .join(settled.select(col("src_node"), col("node")),
+          Seq("src_node", "node"), "left_anti")
+        .localCheckpoint()
+      val nNew = newly.count()
+      if (nNew == 0) converged = true
+      else {
+        val prev = settled
+        settled = prev.union(newly).localCheckpoint()
+        prev.unpersist()
+      }
+    }
+    settled
+  }
+
+  /** Harmonic centrality of the nation trade backbone: for each node,
+    * Σ over the OTHER reachable nodes of 1/hops — the centrality that
+    * stays defined on disconnected graphs (unreachable contributes 0,
+    * no ∞-mean pathology). Built on [[allPairsHops]]' converged
+    * distances with the driver's usual hop cap matching the oracle's
+    * bounded recursion. Exactness: each pair contributes the INTEGER
+    * micro-unit `1e6 div hops` (floor), so the per-node sum is
+    * order-free; the /1e6 happens once at the end. Nodes reaching
+    * nothing still appear, with n_reach = 0 and harmonic = 0. */
+  def nationHarmonic(spark: SparkSession, dir: String): DataFrame = {
+    val nat = Tables.nation(spark, dir)
+    val nodes = nat.select(col("n_name").as("node"))
+    val d = allPairsHops(tradeEdges(spark, dir), nodes, maxHops = 8)
+    val scores = d.where(col("hops") > 0L)
+      .groupBy(col("src_node"))
+      .agg(count(lit(1)).as("nr"),
+        sum(expr("1000000 div hops")).as("h6"))
+    nodes.join(scores, col("node") === col("src_node"), "left")
+      .select(col("node").as("n_name"),
+        coalesce(col("nr"), lit(0L)).as("n_reach"),
+        (coalesce(col("h6"), lit(0L)).cast("double") / 1000000.0)
+          .as("harmonic"))
+  }
+
   /** Neighbor-set Jaccard over the undirected graph — the classic
     * link-prediction card. For every unordered pair (a < b) with at
     * least one common neighbor: |N(a)∩N(b)|, |N(a)∪N(b)| (inclusion–

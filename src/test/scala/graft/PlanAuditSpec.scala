@@ -133,7 +133,10 @@ class PlanAuditSpec extends SparkSpec {
       "fs_ttl",
       // p_token_budget: runningSum's 1-row bounds broadcast over the
       // constant __g group (the q_abc shape — bounded metadata)
-      "p_token_budget")
+      "p_token_budget",
+      // q_mwu: runningSum's 1-row bounds broadcast over the constant
+      // __g group at distinct-cents-value grain (the q_abc shape)
+      "q_mwu")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val plan = fn(spark, sfDir).queryExecution.sparkPlan.toString
       if (plan.contains("BroadcastNestedLoopJoin") && !allowed(name)) Some(name) else None
@@ -168,10 +171,12 @@ class PlanAuditSpec extends SparkSpec {
     // same bounded-metadata shape as q_abc/q_skyline
     // q_survival: two constant-__g runningSum passes at calendar-
     // bounded DAY grain (the e_acf bounded-calendar class)
+    // q_mwu: one constant-__g runningSum pass at distinct-cents-value
+    // grain — the same ≤128-row bucket-offset window as q_abc
     val allowed = Set("p_pack", "p_shuffle", "p_manifest", "t_char_ngrams",
       "e_late_audit", "d_drift_ks", "q_skyline", "p_interleave",
       "q_abc", "q_lorenz", "fs_histogram", "e_concurrency",
-      "p_token_budget", "q_survival")
+      "p_token_budget", "q_survival", "q_mwu")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val plan = fn(spark, sfDir).queryExecution.optimizedPlan.toString
       val specs = "windowspecdefinition\\(([^)]*)\\)".r

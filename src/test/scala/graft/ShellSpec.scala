@@ -123,6 +123,10 @@ class ShellProcedureSpec extends SparkSpec {
     assert(Shell.execute("ttest", spark, cat, sfDir))
     assert(Shell.execute("anova", spark, cat, sfDir))
     assert(Shell.execute("survival", spark, cat, sfDir))
+    assert(Shell.execute("mwu", spark, cat, sfDir))
+    assert(Shell.execute("mwu click error", spark, cat, sfDir))
+    assert(Shell.execute("attribution_multi", spark, cat, sfDir))
+    assert(Shell.execute("harmonic", spark, cat, sfDir))
   }
 
   test("publish and explain verbs run from the shell") {
