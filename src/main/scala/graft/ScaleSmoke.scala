@@ -595,6 +595,37 @@ object ScaleSmoke {
       cat.compactJoinMv("ev1m")
         .write.format("noop").mode("overwrite").save()
     }
+    time("mwu_1m") {
+      // rank test at 1M events: one value-grain aggregate + the
+      // two-level prefix scan + a 1-row combine — scan-bound
+      operators.Analytics.mannWhitneyU(be)
+        .write.format("noop").mode("overwrite").save()
+    }
+    time("attribution_multi_1m") {
+      // user-keyed purchases⋈touches + purchase-partitioned windows at
+      // 1M events: join fan-out bounded by one user's lookback window
+      operators.Events.multiTouchAttribution(be)
+        .write.format("noop").mode("overwrite").save()
+    }
+    time("allpairs_2k_dist") {
+      // the distributed multi-source BFS on a 2000-node synthetic
+      // backbone (forced past the driver route): a 3-out-permutation
+      // expander (dst = a·id+b mod n, a coprime to n), so the diameter
+      // is ~log₃ n ≈ 7 — rounds stay the DIAMETER while settled state
+      // grows to all ~4M reachable pairs, the shape the operator must
+      // carry at corpus scale
+      val n = 2000
+      val nodes = spark.range(n).selectExpr("format_string('v%05d', id) AS node")
+      val edges = Seq((3L, 1L), (7L, 3L), (11L, 5L)).map { case (a, b) =>
+        spark.range(n).selectExpr(
+          "format_string('v%05d', id) AS src",
+          s"format_string('v%05d', ($a * id + $b) % $n) AS dst",
+          s"$a AS w")
+      }.reduce(_ unionAll _)
+      operators.Graph.allPairsHops(edges, nodes,
+          fanout = 3, localMaxEdges = 0L)
+        .write.format("noop").mode("overwrite").save()
+    }
     spark.stop()
   }
 }
