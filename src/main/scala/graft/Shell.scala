@@ -249,12 +249,16 @@ object Shell {
       case "anova" :: Nil =>
         operators.Analytics.anovaCard(Tables.events(spark, dir))
           .show(truncate = false)
-      case "mwu" :: rest if rest.length <= 2 =>
+      case "mwu" :: rest =>
         // nonparametric read: is click engagement stochastically
         // larger than view (rank-based, no normality assumption)
         val ta = rest.headOption.getOrElse("click")
         val tb = rest.drop(1).headOption.getOrElse("view")
-        operators.Analytics.mannWhitneyU(Tables.events(spark, dir), ta, tb)
+        if (rest.length > 2) println("usage: mwu [typeA typeB]")
+        else if (ta == tb) println(
+          s"mwu needs two distinct event types, got '$ta' twice")
+        else operators.Analytics
+          .mannWhitneyU(Tables.events(spark, dir), ta, tb)
           .show(truncate = false)
       case "attribution_multi" :: Nil =>
         // budget read: channel credit under linear + U-shaped schemes

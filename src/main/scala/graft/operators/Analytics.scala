@@ -1891,6 +1891,9 @@ object Analytics {
     * dividing by zero. */
   def mannWhitneyU(events: DataFrame, typeA: String = "click",
       typeB: String = "view"): DataFrame = {
+    require(typeA != typeB,
+      s"mannWhitneyU needs two DISTINCT event types, got '$typeA' twice " +
+        "(each row would count in both groups, inflating every rank)")
     val v = expr("CAST(round(value * 100) AS BIGINT)")
     val vc = events
       .filter(col("event_type").isin(typeA, typeB))

@@ -339,7 +339,11 @@ object Graph {
       fanout: Int = 3, maxHops: Int = Int.MaxValue,
       localMaxEdges: Long = 10000L): DataFrame = {
     val sedges = topKBackbone(edges, fanout).localCheckpoint()
-    if (sedges.count() <= localMaxEdges) {
+    // the driver route collects BOTH the backbone and the node list and
+    // materializes all reachable pairs driver-side, so gate on whichever
+    // is larger — a sparse graph with a huge (mostly isolated) node list
+    // must still take the distributed route
+    if (math.max(sedges.count(), nodes.count()) <= localMaxEdges) {
       val adj = sedges.collect()
         .map(r => (r.getString(0), r.getString(1)))
         .groupBy(_._1).map { case (s, a) => (s, a.map(_._2)) }
