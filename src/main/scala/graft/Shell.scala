@@ -62,7 +62,9 @@ object Shell {
           "quality_model | quality_scores | attribution [days] | " +
           "token_budget [tokens] | mmr [k] | ttest | anova | survival | " +
           "mwu [typeA typeB] | attribution_multi | harmonic | " +
-          "exit | <sql>")
+          "exit | <sql>  (SQL reaches the operator TVFs too: " +
+          "graft_asof(dir) graft_dedup_minhash(dir[,bands]) " +
+          "graft_mmr(dir[,maxq]) graft_funnel(dir))")
       case "ls" :: Nil => cat.list().foreach(println)
       case "stats" :: Nil => cat.stats().show(100, truncate = false)
       case "nodes" :: Nil => cat.executorStats().show(100, truncate = false)

@@ -660,6 +660,14 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_lines"),
           (sum(col("price_c")).cast("double") / 100.0).as("revenue"))
     }),
+    // SQL FRONT DOOR (graft.functions.TableFunctions): the same
+    // operators reached as SQL table functions — resolved at analysis
+    // into the operator's own plan, so these must match the operator
+    // oracles verbatim (a drift here = TVF registration rot)
+    "sql_asof" -> ((s, d) => s.sql(s"SELECT * FROM graft_asof('$d')")),
+    "sql_dedup_minhash" ->
+      ((s, d) => s.sql(s"SELECT * FROM graft_dedup_minhash('$d')")),
+    "sql_mmr" -> ((s, d) => s.sql(s"SELECT * FROM graft_mmr('$d')")),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -796,19 +804,7 @@ object SparkEntry {
                                   ROWS UNBOUNDED PRECEDING) AS next_purchase_us
            FROM u)
          SELECT user_id, tsu AS view_us, next_purchase_us FROM w WHERE is_v = 1""",
-    "e_asof" ->
-      """WITH u AS (
-           SELECT user_id, epoch_us(ts) AS tsu,
-                  CASE WHEN event_type = 'view' THEN epoch_us(ts) END AS view_ts,
-                  CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_p,
-                  CASE WHEN event_type = 'view' THEN 0 ELSE 1 END AS ord
-           FROM events WHERE event_type IN ('view', 'purchase')),
-         w AS (
-           SELECT user_id, tsu, is_p,
-                  max(view_ts) OVER (PARTITION BY user_id ORDER BY tsu, ord
-                                     ROWS UNBOUNDED PRECEDING) AS last_view_us
-           FROM u)
-         SELECT user_id, tsu AS purchase_us, last_view_us FROM w WHERE is_p = 1""",
+    "e_asof" -> asOfSql,
     // the streaming replay finalizes every real event (sentinel-driven
     // watermark), so the batch as-of oracle checks it exactly
     "e_asof_stream" ->
@@ -4318,6 +4314,11 @@ object SparkEntry {
                   / 100.0 AS revenue
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          GROUP BY o_orderpriority""",
+    // SQL-front-door twins: the TVF resolves to the operator's own
+    // plan, so each reuses that operator's oracle verbatim
+    "sql_asof" -> asOfSql,
+    "sql_dedup_minhash" -> ngramJaccardSql,
+    "sql_mmr" -> mmrSql,
   )
 
   /** Shared by d_containment and d_containment_auto (the routed entry
@@ -4533,6 +4534,22 @@ object SparkEntry {
                           FROM cand)) WHERE rnk = 1),$steps
          SELECT query_id, neighbor_id, score, pick FROM sel5"""
   }
+
+  /** As-of purchase attribution (shared by e_asof and its SQL-front-door
+    * twin sql_asof — graft_asof resolves to the same plan). */
+  private val asOfSql: String =
+    """WITH u AS (
+           SELECT user_id, epoch_us(ts) AS tsu,
+                  CASE WHEN event_type = 'view' THEN epoch_us(ts) END AS view_ts,
+                  CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_p,
+                  CASE WHEN event_type = 'view' THEN 0 ELSE 1 END AS ord
+           FROM events WHERE event_type IN ('view', 'purchase')),
+         w AS (
+           SELECT user_id, tsu, is_p,
+                  max(view_ts) OVER (PARTITION BY user_id ORDER BY tsu, ord
+                                     ROWS UNBOUNDED PRECEDING) AS last_view_us
+           FROM u)
+         SELECT user_id, tsu AS purchase_us, last_view_us FROM w WHERE is_p = 1"""
 
   /** MMR over the exact top-10 (bruteTopkSql's candidate chain). */
   private val mmrSql: String =

@@ -185,6 +185,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("decayed_sum"),
       new ExpressionInfo(classOf[DecayedSum].getName, "decayed_sum"),
       (exprs: Seq[Expression]) => DecayedSum(exprs(0), exprs(1))))
+    TableFunctions.register(ext)
     ext.injectOptimizerRule(session => graft.plans.ApproximateRewrite(session))
     ext.injectOptimizerRule(session => graft.plans.RangeJoinRewrite(session))
     ext.injectOptimizerRule(session => graft.plans.AutoLadderRewrite(session))

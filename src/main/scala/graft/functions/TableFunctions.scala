@@ -1,0 +1,110 @@
+package graft.functions
+
+import org.apache.spark.sql.{DataFrame, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** SQL FRONT DOOR for the operator library: graft's whole-operator
+  * entry points (as-of attribution, MinHash-LSH dedup, MMR rerank, the
+  * 3-step funnel) registered as SQL TABLE FUNCTIONS, so a non-Scala
+  * user reaches them from any SQL surface the session serves
+  * (`graft.Shell`, a Thrift server, a notebook):
+  *
+  * {{{
+  *   SELECT * FROM graft_asof('/data/sf0.01')
+  *   SELECT * FROM graft_dedup_minhash('/data/sf0.01')
+  *   SELECT * FROM graft_mmr('/data/sf0.01', 5)
+  *   SELECT * FROM graft_funnel('/data/sf0.01')
+  * }}}
+  *
+  * This mirrors the reference client's ad-hoc job submission
+  * (reference: dfs/client/cli.go — a user names a job and a data dir,
+  * the engine runs the canned computation) re-expressed on Spark's own
+  * extension point: `SparkSessionExtensions.injectTableFunction`
+  * resolves the call during ANALYSIS into the operator's full logical
+  * plan, so Catalyst optimizes straight through it — the SQL spelling
+  * and the Scala spelling produce the SAME physical plan (pushdown,
+  * broadcast, AQE all apply; nothing is materialized at the boundary).
+  *
+  * Arguments must be FOLDABLE literals (they parameterize plan
+  * construction, not row evaluation); a non-literal argument is an
+  * analysis-time error with a usage message, matching how Spark's own
+  * `range(...)` TVF treats its arguments.
+  */
+object TableFunctions {
+
+  /** Resolve TVF argument `i` as a string literal. */
+  private def strArg(fn: String, exprs: Seq[Expression], i: Int): String =
+    exprs.lift(i) match {
+      case Some(Literal(s: UTF8String, StringType)) => s.toString
+      case other => throw new IllegalArgumentException(
+        s"$fn: argument ${i + 1} must be a string literal (the table " +
+          s"directory), got ${other.map(_.sql).getOrElse("nothing")}")
+    }
+
+  /** Resolve optional TVF argument `i` as a long literal. */
+  private def longArg(fn: String, exprs: Seq[Expression], i: Int,
+      dflt: Long): Long =
+    exprs.lift(i) match {
+      case None => dflt
+      case Some(Literal(v: Integer, IntegerType)) => v.toLong
+      case Some(Literal(v: java.lang.Long, LongType)) => v.longValue()
+      case Some(other) => throw new IllegalArgumentException(
+        s"$fn: argument ${i + 1} must be an integer literal, got ${other.sql}")
+    }
+
+  private def maxArgs(fn: String, exprs: Seq[Expression], n: Int): Unit =
+    if (exprs.length > n) throw new IllegalArgumentException(
+      s"$fn takes at most $n arguments, got ${exprs.length}")
+
+  /** One TVF: `build` runs at analysis time on the ACTIVE session and
+    * returns the operator's DataFrame; the analyzed plan becomes the
+    * relation the outer query selects from. */
+  private def tvf(ext: SparkSessionExtensions, name: String,
+      usage: String)(build: (SparkSession, Seq[Expression]) => DataFrame): Unit =
+    ext.injectTableFunction((
+      new FunctionIdentifier(name),
+      new ExpressionInfo(TableFunctions.getClass.getName, name, usage),
+      (exprs: Seq[Expression]) => {
+        val spark = SparkSession.active
+        build(spark, exprs).queryExecution.analyzed: LogicalPlan
+      }))
+
+  /** Register the operator TVFs (called from [[GraftExtensions]]). */
+  def register(ext: SparkSessionExtensions): Unit = {
+    tvf(ext, "graft_asof",
+      "graft_asof(dir) - as-of purchase attribution over <dir>/events") {
+      (spark, exprs) =>
+        maxArgs("graft_asof", exprs, 1)
+        graft.operators.AsOfJoin.purchaseAttribution(
+          graft.Tables.events(spark, strArg("graft_asof", exprs, 0)))
+    }
+    tvf(ext, "graft_dedup_minhash",
+      "graft_dedup_minhash(dir[, bands]) - MinHash-LSH near-dup pairs " +
+        "over <dir>/documents") { (spark, exprs) =>
+      maxArgs("graft_dedup_minhash", exprs, 2)
+      graft.operators.Dedup.minhashLsh(
+        graft.Tables.documents(spark,
+          strArg("graft_dedup_minhash", exprs, 0)),
+        bands = longArg("graft_dedup_minhash", exprs, 1, 16L).toInt)
+    }
+    tvf(ext, "graft_mmr",
+      "graft_mmr(dir[, max_query_id]) - greedy MMR rerank over " +
+        "<dir>/embeddings") { (spark, exprs) =>
+      maxArgs("graft_mmr", exprs, 2)
+      graft.operators.Similarity.mmrRerank(
+        graft.Tables.embeddings(spark, strArg("graft_mmr", exprs, 0)),
+        maxQueryId = longArg("graft_mmr", exprs, 1, 5L))
+    }
+    tvf(ext, "graft_funnel",
+      "graft_funnel(dir) - view>click>purchase funnel over <dir>/events") {
+      (spark, exprs) =>
+        maxArgs("graft_funnel", exprs, 1)
+        graft.operators.Events.funnel(
+          graft.Tables.events(spark, strArg("graft_funnel", exprs, 0)))
+    }
+  }
+}
