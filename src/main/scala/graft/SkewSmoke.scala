@@ -76,6 +76,21 @@ object SkewSmoke {
         .agg(sum(col("v") * col("w")).as("s"))
         .write.format("noop").mode("overwrite").save()
     }
+    // the AUTO form: same plain-spelled join as phase 1, salted by
+    // AutoSaltRewrite off the preflight-registered ratio — the measured
+    // proof that detect→rewrite reproduces the hand-salted profile
+    operators.Skew.preflight(left, "k")
+    spark.conf.set("spark.graft.autoSalt.factor", "8")
+    spark.conf.set("spark.graft.autoSalt.maxBroadcastBytes", "0")
+    try phase("auto_salt") {
+      left.join(right, "k")
+        .agg(sum(col("v") * col("w")).as("s"))
+        .write.format("noop").mode("overwrite").save()
+    } finally {
+      spark.conf.unset("spark.graft.autoSalt.factor")
+      spark.conf.unset("spark.graft.autoSalt.maxBroadcastBytes")
+      operators.Skew.clearHotKeys()
+    }
 
     // per-group cap under the same 50%-hot skew (20 source-like
     // groups): InferWindowGroupLimit turns `row_number ≤ k` into a

@@ -507,6 +507,11 @@ object SparkEntry {
     }),
     "q_salted_agg" -> ((s, d) =>
       Skew.saltedAgg(Tables.lineitem(s, d), "l_returnflag", "l_extendedprice")),
+    // measured auto-salt: preflight registers l_returnflag's skew
+    // ratio, AutoSaltRewrite salts the plain-spelled join, the plain
+    // join's oracle verifies the rewrite preserved semantics
+    "q_salted_auto" -> ((s, d) =>
+      Skew.autoSaltedFlagRevenue(Tables.lineitem(s, d))),
     // E. storage engine introspection (DFS cluster-stats analog)
     "fs_stats" -> ((s, d) => new graft.sources.Catalog(s, d).rowCounts()),
     // hive-partitioned layout: the status filter is answered from the
@@ -2223,6 +2228,14 @@ object SparkEntry {
     "q_salted_agg" ->
       """SELECT l_returnflag, count(*) AS cnt,
                 CAST(sum(CAST(round((l_extendedprice) * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_value
+         FROM lineitem GROUP BY l_returnflag""",
+    // the auto-salted join's oracle is the PLAIN join (collapsed to the
+    // equivalent direct aggregate — the dim holds every flag by
+    // construction): the rewrite must be invisible in the values
+    "q_salted_auto" ->
+      """SELECT concat('flag_', l_returnflag) AS flag_label,
+                count(*) AS n_lines,
+                CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS revenue
          FROM lineitem GROUP BY l_returnflag""",
     // Morton interleave is pure bit arithmetic — identical in any engine
     "fs_zorder" -> {

@@ -189,6 +189,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectOptimizerRule(session => graft.plans.ApproximateRewrite(session))
     ext.injectOptimizerRule(session => graft.plans.RangeJoinRewrite(session))
     ext.injectOptimizerRule(session => graft.plans.AutoLadderRewrite(session))
+    ext.injectOptimizerRule(session => graft.plans.AutoSaltRewrite(session))
     ext.injectPlannerStrategy(session => new graft.plans.AsOfJoinStrategy(session))
   }
 }

@@ -47,6 +47,87 @@ object Skew {
       .drop("__salt")
   }
 
+  /** HOT-KEY REGISTRY feeding [[graft.plans.AutoSaltRewrite]]: the
+    * measured skew ratio per join-key column name (lower-cased). The
+    * production flow is preflight-then-plan — [[preflight]] runs the
+    * bounded [[graft.sources.Catalog.skewCard]] measurement once per
+    * key (O(nBuckets) result, one pass over the frame) and records the
+    * ratio here; the optimizer rule then salts every LATER join on
+    * that key automatically, so the decision is driven by MEASUREMENT,
+    * not by a caller hand-naming hot keys. JVM-wide like Spark's own
+    * function registry; keys are column names because the rewrite
+    * matches join conditions, which see attributes, not tables. */
+  private val hotKeys =
+    scala.collection.concurrent.TrieMap[String, Double]()
+
+  /** Measured skew ratio for a key column, if preflighted. */
+  def hotRatio(keyName: String): Option[Double] =
+    hotKeys.get(keyName.toLowerCase(java.util.Locale.ROOT))
+
+  /** Record a measured ratio (normally via [[preflight]]). */
+  def registerHot(keyName: String, ratio: Double): Unit =
+    hotKeys.put(keyName.toLowerCase(java.util.Locale.ROOT), ratio): Unit
+
+  /** Drop all recorded ratios (spec hygiene / re-measurement). */
+  def clearHotKeys(): Unit = hotKeys.clear()
+
+  /** Run the shuffle-skew preflight for `keyName` on `df` and register
+    * the measured ratio: max-bucket/avg-bucket over `nBuckets`
+    * hash-partitions — exactly the imbalance the key's shuffle will
+    * exhibit (1.0 = even). Returns the ratio. */
+  def preflight(df: DataFrame, keyName: String, nBuckets: Int = 32): Double = {
+    val ratio = graft.sources.Catalog.skewCard(df, col(keyName), nBuckets)
+      .select("skew_ratio").head().getDouble(0)
+    registerHot(keyName, ratio)
+    ratio
+  }
+
+  /** End-to-end demo of the MEASURED auto-salt flow, written as the
+    * PLAIN join (revenue per flag label through a derived 3-value flag
+    * dimension — a textbook hot-key join: each of the 3 keys owns ~⅓
+    * of the fact table, so an unsalted shuffle pins 3 reducers):
+    * [[preflight]] measures `l_returnflag`'s bucket skew (≈ 32/3 ≳ 10×
+    * on any real split), the registered ratio arms
+    * [[graft.plans.AutoSaltRewrite]], and the EXECUTED plan is the
+    * salted join — verified against the plain join's oracle, because
+    * the rewrite is semantics-preserving.
+    *
+    * Conf scoping follows `Events.maintenanceWindowCountsAuto`: set,
+    * optimize eagerly, restore in a finally, return the already-
+    * rewritten plan. `maxBroadcastBytes` is pinned to 0 (guard off)
+    * for the demo because at driver scale the 3-row dimension's file-
+    * derived size estimate is unstable across testdata regenerations —
+    * the guard's no-fire behavior is spec-pinned separately. The
+    * require() makes a silent no-fire a loud failure rather than a
+    * vacuous pass of the plain plan. */
+  def autoSaltedFlagRevenue(lineitem: DataFrame, factor: Int = 8): DataFrame = {
+    import graft.functions.Exact.cents
+    val li = lineitem.select(col("l_returnflag"),
+      cents(col("l_extendedprice")).as("price_c"))
+    val dim = lineitem.select(col("l_returnflag")).distinct()
+      .withColumn("flag_label", concat(lit("flag_"), col("l_returnflag")))
+    val plain = li.join(dim, "l_returnflag")
+      .groupBy(col("flag_label"))
+      .agg(count(lit(1)).as("n_lines"),
+        (sum(col("price_c")).cast("double") / 100.0).as("revenue"))
+    preflight(li, "l_returnflag")
+    val spark = lineitem.sparkSession
+    val scoped = Seq(
+      "spark.graft.autoSalt.factor" -> factor.toString,
+      "spark.graft.autoSalt.maxBroadcastBytes" -> "0")
+    val previous = scoped.map { case (k, _) => k -> spark.conf.getOption(k) }
+    scoped.foreach { case (k, v) => spark.conf.set(k, v) }
+    val optimized =
+      try plain.queryExecution.optimizedPlan
+      finally previous.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
+    require(optimized.toString.contains("__graft_salt"),
+      "auto-salt rewrite did not fire on the measured hot key")
+    org.apache.spark.sql.graftbridge.Bridge.ofRows(spark, optimized)
+  }
+
   /** Two-stage salted aggregation for skewed group keys: stage 1
     * aggregates (key, salt) partials so a hot key's rows spread over
     * `saltFactor` reducers; stage 2 combines the ≤ saltFactor partials

@@ -1,0 +1,124 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import graft.operators.Skew
+
+/** AutoSaltRewrite: measured-skew-driven join salting. Pins (a) the
+  * rewrite fires on a registered hot key and preserves the plain
+  * join's values exactly, (b) every no-fire guard — rule off, ratio
+  * under threshold, broadcast-able right side, already-salted join —
+  * and (c) the end-to-end entry (preflight → rewrite → values). */
+class AutoSaltSpec extends SparkSpec {
+
+  private def withConf(pairs: (String, String)*)(body: => Unit): Unit = {
+    val prev = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body
+    finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  // a join whose left key is 'hotkey': 2000 facts over 3 key values,
+  // right side a 3-row derived dim (distinct over the facts, so its
+  // size ESTIMATE stays fact-derived — big enough to clear the
+  // broadcast guard when the guard is off)
+  private def facts = spark.range(2000).select(
+    (col("id") % 3).as("hotkey"), (col("id") % 97).as("v"))
+  private def dim = facts.select(col("hotkey")).distinct()
+    .withColumn("label", concat(lit("k"), col("hotkey")))
+  private def plainJoin = facts.join(dim, "hotkey")
+    .groupBy(col("label")).agg(count(lit(1)).as("n"), sum(col("v")).as("s"))
+
+  private def optimizedWithRule(fire: Boolean = true): String = {
+    Skew.clearHotKeys()
+    Skew.registerHot("hotkey", if (fire) 10.0 else 1.1)
+    var plan = ""
+    withConf("spark.graft.autoSalt.factor" -> "4",
+      "spark.graft.autoSalt.maxBroadcastBytes" -> "0") {
+      plan = plainJoin.queryExecution.optimizedPlan.toString
+    }
+    Skew.clearHotKeys()
+    plan
+  }
+
+  test("fires on a registered hot key and keeps values identical") {
+    Skew.clearHotKeys()
+    Skew.registerHot("hotkey", 10.0)
+    var salted: Set[Row] = Set.empty
+    withConf("spark.graft.autoSalt.factor" -> "4",
+      "spark.graft.autoSalt.maxBroadcastBytes" -> "0") {
+      val df = plainJoin
+      assert(df.queryExecution.optimizedPlan.toString.contains("__graft_salt"),
+        "rewrite should fire")
+      salted = df.collect().toSet
+    }
+    Skew.clearHotKeys()
+    assert(salted == plainJoin.collect().toSet)
+  }
+
+  test("ratio below minRatio: no rewrite") {
+    assert(!optimizedWithRule(fire = false).contains("__graft_salt"))
+  }
+
+  test("rule off (factor unset): no rewrite even with a hot key") {
+    Skew.clearHotKeys()
+    Skew.registerHot("hotkey", 10.0)
+    assert(!plainJoin.queryExecution.optimizedPlan.toString
+      .contains("__graft_salt"))
+    Skew.clearHotKeys()
+  }
+
+  test("broadcast-able right side: guard blocks the rewrite") {
+    Skew.clearHotKeys()
+    Skew.registerHot("r_regionkey", 10.0)
+    withConf("spark.graft.autoSalt.factor" -> "4") {
+      // region is a tiny parquet leaf: its size estimate sits far under
+      // the session broadcast threshold, so salting would only add cost
+      val n = Tables.nation(spark, sfDir)
+        .select(col("n_nationkey"), col("n_regionkey").as("r_regionkey"))
+      val r = Tables.region(spark, sfDir)
+      val j = n.join(r, "r_regionkey")
+      assert(!j.queryExecution.optimizedPlan.toString.contains("__graft_salt"))
+    }
+    Skew.clearHotKeys()
+  }
+
+  test("hand-salted join is not re-salted (fixed point)") {
+    Skew.clearHotKeys()
+    Skew.registerHot("hotkey", 10.0)
+    Skew.registerHot("__graft_salt", 10.0) // worst case: salt key itself hot
+    withConf("spark.graft.autoSalt.factor" -> "4",
+      "spark.graft.autoSalt.maxBroadcastBytes" -> "0") {
+      val hand = Skew.saltedJoin(
+        facts, dim.withColumnRenamed("label", "lbl"), "hotkey", 4)
+      val plan = hand.queryExecution.optimizedPlan.toString
+      // exactly the hand salt's one replication, not a second layer
+      assert(!plan.contains("__graft_salt_l"))
+    }
+    Skew.clearHotKeys()
+  }
+
+  test("preflight measures and registers the fs_skew ratio") {
+    Skew.clearHotKeys()
+    val ratio = Skew.preflight(facts, "hotkey")
+    // 3 keys over 32 buckets: the hottest bucket carries ≥ 1/3 of rows
+    assert(ratio >= 4.0)
+    assert(Skew.hotRatio("HOTKEY").contains(ratio))
+    Skew.clearHotKeys()
+  }
+
+  test("entry: auto-salted flag revenue equals the plain aggregate") {
+    val li = Tables.lineitem(spark, sfDir)
+    val auto = Skew.autoSaltedFlagRevenue(li, factor = 4).collect().toSet
+    val plain = li.groupBy(concat(lit("flag_"), col("l_returnflag")).as("flag_label"))
+      .agg(count(lit(1)).as("n_lines"),
+        (sum(graft.functions.Exact.cents(col("l_extendedprice")))
+          .cast("double") / 100.0).as("revenue"))
+      .collect().toSet
+    Skew.clearHotKeys()
+    assert(auto == plain)
+  }
+}
