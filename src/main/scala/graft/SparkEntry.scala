@@ -136,6 +136,10 @@ object SparkEntry {
     "e_sessionize" -> ((s, d) => Events.sessionize(Tables.events(s, d))),
     // the stateful streaming sessionizer as a real checkpointed run
     "e_session_stream" -> ((s, d) => streaming.EventStream.sessionizeReplay(s, d)),
+    // identical replay under the RocksDB state store (the 100 TB
+    // session-state deployment shape); same oracle as e_session_stream
+    "e_session_rocksdb" ->
+      ((s, d) => streaming.EventStream.sessionizeReplayRocksDb(s, d)),
     // the watermarked stream-stream join as a real checkpointed run
     "e_ssjoin_stream" -> ((s, d) => streaming.EventStream.purchaseViewJoinReplay(s, d)),
     "e_top_sessions" -> ((s, d) => Events.topSessions(Tables.events(s, d))),
@@ -966,23 +970,10 @@ object SparkEntry {
     // the streaming sessionizer's closed-session multiset equals the
     // batch sessionization (sentinel-driven watermark closes every
     // real session); same lag/cumsum mirror, grouped without session_id
-    "e_session_stream" ->
-      """WITH g AS (
-           SELECT user_id, epoch_us(ts) AS tsu,
-                  lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)) AS prev
-           FROM events),
-         s AS (
-           SELECT user_id, tsu,
-                  CASE WHEN prev IS NULL OR tsu - prev > 1800000000 THEN 1 ELSE 0 END AS is_new
-           FROM g),
-         t AS (
-           SELECT user_id, tsu,
-                  CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY tsu
-                                         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
-           FROM s)
-         SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
-                min(tsu) AS start_us, max(tsu) AS end_us
-         FROM t GROUP BY user_id, session_id""",
+    "e_session_stream" -> sessionStreamSql,
+    // same sessions, RocksDB state store: the provider changes where
+    // state lives, never what it holds
+    "e_session_rocksdb" -> sessionStreamSql,
     // inner stream-stream join emits every pair once both sides arrive,
     // so the replay equals the plain batch theta join
     "e_ssjoin_stream" ->
@@ -4547,6 +4538,28 @@ object SparkEntry {
                           FROM cand)) WHERE rnk = 1),$steps
          SELECT query_id, neighbor_id, score, pick FROM sel5"""
   }
+
+  /** Closed-session multiset of the streaming sessionizer (shared by
+    * e_session_stream and its RocksDB-state-store twin
+    * e_session_rocksdb): the batch lag/cumsum sessionization, grouped
+    * without session_id. */
+  private val sessionStreamSql: String =
+    """WITH g AS (
+           SELECT user_id, epoch_us(ts) AS tsu,
+                  lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)) AS prev
+           FROM events),
+         s AS (
+           SELECT user_id, tsu,
+                  CASE WHEN prev IS NULL OR tsu - prev > 1800000000 THEN 1 ELSE 0 END AS is_new
+           FROM g),
+         t AS (
+           SELECT user_id, tsu,
+                  CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY tsu
+                                         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+           FROM s)
+         SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+                min(tsu) AS start_us, max(tsu) AS end_us
+         FROM t GROUP BY user_id, session_id"""
 
   /** As-of purchase attribution (shared by e_asof and its SQL-front-door
     * twin sql_asof — graft_asof resolves to the same plan). */

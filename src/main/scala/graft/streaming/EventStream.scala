@@ -536,11 +536,25 @@ object EventStream {
     * (user, n_events, start, end) multiset therefore equals the batch
     * sessionization's — which the oracle mirrors with the lag/cumsum
     * SQL. */
-  def sessionizeReplay(spark: SparkSession, sfDir: String): DataFrame = {
+  def sessionizeReplay(spark: SparkSession, sfDir: String): DataFrame =
+    sessionizeReplayWith(spark, sfDir, stateStoreProvider = None)
+
+  /** [[sessionizeReplay]] under Spark's ROCKSDB state store — the
+    * 100 TB deployment shape: session state lives on executor local
+    * disk (incremental-checkpointed to the checkpoint location)
+    * instead of the default in-memory HDFS-backed map, so state size
+    * is bounded by disk, not heap. The provider changes WHERE state
+    * lives, never WHAT it holds — this replay runs against the exact
+    * e_session_stream oracle to pin that. */
+  def sessionizeReplayRocksDb(spark: SparkSession, sfDir: String): DataFrame =
+    sessionizeReplayWith(spark, sfDir, Some(Replay.RocksDbProvider))
+
+  private def sessionizeReplayWith(spark: SparkSession, sfDir: String,
+      stateStoreProvider: Option[String]): DataFrame = {
     import spark.implicits._
     implicit val s: SparkSession = spark
     val src = Replay.source(spark, sfDir)
-    Replay.run(spark, src) { stream =>
+    Replay.run(spark, src, stateStoreProvider = stateStoreProvider) { stream =>
       sessionize(stream.select(col("user_id"), col("tsu"), col("value"))
         .as[Event]).toDF()
     }

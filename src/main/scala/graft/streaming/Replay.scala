@@ -106,39 +106,67 @@ object Replay {
     * is correct (see ordering note above); the default replays the
     * source as 3 genuine microbatches (4+4 range files, then the
     * sentinel). */
-  def run(spark: SparkSession, src: Source, maxFilesPerTrigger: Int = 4)(
+  def run(spark: SparkSession, src: Source, maxFilesPerTrigger: Int = 4,
+      stateStoreProvider: Option[String] = None)(
       build: DataFrame => DataFrame): DataFrame =
-    runFrom(spark, src.dir, src.schema, maxFilesPerTrigger)(build)
+    runFrom(spark, src.dir, src.schema, maxFilesPerTrigger,
+      stateStoreProvider)(build)
 
   /** The generic file-source replay behind [[run]]: any parquet dir +
     * schema. STATELESS transforms (map/filter gates) need no event-time
     * ordering or sentinel, so sources other than the ordered events
     * copy can use this directly. */
   def runFrom(spark: SparkSession, srcDir: String, schema: StructType,
-      maxFilesPerTrigger: Int = 4)(
+      maxFilesPerTrigger: Int = 4,
+      stateStoreProvider: Option[String] = None)(
       build: DataFrame => DataFrame): DataFrame =
     spark.read.parquet(
-      runToDir(spark, srcDir, schema, maxFilesPerTrigger)(build))
+      runToDir(spark, srcDir, schema, maxFilesPerTrigger,
+        stateStoreProvider)(build))
 
   /** [[runFrom]] returning the SINK DIRECTORY instead of reading it
     * back — the hook for CHAINED streaming jobs (stage 2 streams from
     * stage 1's committed sink, the standard pipeline-of-streams
     * production pattern). */
   def runToDir(spark: SparkSession, srcDir: String, schema: StructType,
-      maxFilesPerTrigger: Int = 4)(
+      maxFilesPerTrigger: Int = 4,
+      stateStoreProvider: Option[String] = None)(
       build: DataFrame => DataFrame): String = {
     val runDir = root.resolve(s"run-${runCounter.incrementAndGet()}")
     val stream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(srcDir)
-    val q = build(stream)
-      .writeStream.format("parquet")
-      .option("checkpointLocation", runDir.resolve("ckpt").toString)
-      .outputMode("append")
-      .start(runDir.resolve("out").toString)
+    // the state-store provider is captured from the session conf when
+    // the query STARTS (it rides in the checkpoint from then on), so
+    // scoping the conf around start() pins it per-replay without
+    // leaking into the session: at 100 TB session/top-k state the
+    // production choice is RocksDB
+    // (org.apache.spark.sql.execution.streaming.state
+    // .RocksDBStateStoreProvider — disk-backed, incremental-checkpoint)
+    // while small-state replays keep the default in-memory HDFS-backed
+    // provider
+    val confKey = "spark.sql.streaming.stateStore.providerClass"
+    val previous = spark.conf.getOption(confKey)
+    stateStoreProvider.foreach(spark.conf.set(confKey, _))
+    val q =
+      try build(stream)
+        .writeStream.format("parquet")
+        .option("checkpointLocation", runDir.resolve("ckpt").toString)
+        .outputMode("append")
+        .start(runDir.resolve("out").toString)
+      finally if (stateStoreProvider.isDefined) previous match {
+        case Some(v) => spark.conf.set(confKey, v)
+        case None => spark.conf.unset(confKey)
+      }
     try q.processAllAvailable() finally q.stop()
     runDir.resolve("out").toString
   }
+
+  /** Fully-qualified class name of Spark's RocksDB state-store
+    * provider — the disk-backed store whose state size is bounded by
+    * local disk instead of executor heap. */
+  val RocksDbProvider: String =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
 
   /** Materialize a mid-pipeline handoff as an event-time-ORDERED plain
     * file feed for the next chained stream: range-partitioned on
