@@ -463,6 +463,28 @@ object SparkEntry {
         .select(col("day"), col("n_orders"),
           (col("rev_cents").cast("double") / 100.0).as("revenue"))
     }),
+    // bounded-sketch MV rung: a distinct-parts-per-flag KMV sketch
+    // maintained INCREMENTALLY over three thirds of lineitem — the
+    // refreshed estimate must equal the from-scratch sketch exactly
+    // (KMV merge is lossless for the k smallest), which the oracle's
+    // whole-table rebuild checks
+    "fs_incr_kmv" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val li = Tables.lineitem(s, d).select(col("l_returnflag"),
+        operators.TextAnalysis.portableHash60(col("l_partkey")).as("h"),
+        col("l_orderkey"))
+      val cat = new graft.sources.Catalog(s, d,
+        Some(graft.sources.Catalog.warehouseLayoutRoot(s, d)))
+      cat.dropDerived("kmv_flag_parts")
+      (0 until 3).foreach { b => // arrival-order thirds, orderkey-keyed
+        cat.refreshKmvMv("kmv_flag_parts",
+          li.where(pmod(col("l_orderkey"), lit(3)) === b),
+          Seq("l_returnflag"), "h", 64)
+      }
+      cat.kmvMvEstimate("kmv_flag_parts", Seq("l_returnflag"), 64)
+        .select(col("l_returnflag"), col("hk").as("hk_parts"),
+          col("est").as("est_parts"))
+    }),
     // retention/TTL purge: pre-1998 orders are deleted INTO the
     // versioned snapshot family (pre-purge state stays readable by
     // version) and the kept slice is read BACK from the committed
@@ -2220,6 +2242,23 @@ object SparkEntry {
       """SELECT l_returnflag, count(*) AS cnt,
                 CAST(sum(CAST(round((l_extendedprice) * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_value
          FROM lineitem GROUP BY l_returnflag""",
+    // the incrementally-refreshed KMV state must equal the from-scratch
+    // sketch over ALL history — same md5-prefix hash, same
+    // (k-1)·2^60/h_k estimate shape as q_kmv
+    "fs_incr_kmv" ->
+      """WITH hp AS (SELECT DISTINCT l_returnflag,
+             CAST('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 15) AS BIGINT) AS h
+           FROM lineitem),
+         rp AS (SELECT l_returnflag, h,
+                row_number() OVER (PARTITION BY l_returnflag ORDER BY h) AS rn,
+                count(*) OVER (PARTITION BY l_returnflag) AS d FROM hp)
+         SELECT l_returnflag,
+                CAST(max(CASE WHEN rn = 64 THEN h END) AS BIGINT) AS hk_parts,
+                CASE WHEN max(d) < 64 THEN CAST(max(d) AS DOUBLE)
+                     ELSE 63.0 * CAST(1152921504606846976 AS DOUBLE)
+                          / CAST(max(CASE WHEN rn = 64 THEN h END) AS DOUBLE)
+                END AS est_parts
+         FROM rp GROUP BY l_returnflag""",
     // the auto-salted join's oracle is the PLAIN join (collapsed to the
     // equivalent direct aggregate — the dim holds every flag by
     // construction): the rewrite must be invisible in the values

@@ -212,6 +212,62 @@ class Catalog(spark: SparkSession, baseDir: String,
   def cdcState(name: String, opCol: String): DataFrame =
     mvState(name).where(col(opCol) === "u").drop(opCol)
 
+  /** Durable KMV-sketch MV — the BOUNDED-SKETCH rung of the MV family,
+    * for the aggregate [[refreshAggMv]] can't maintain: distinct
+    * counts aren't algebraic (a count per batch can't be summed), but
+    * the KMV sketch IS mergeable — the k smallest distinct hashes of
+    * A ∪ B are recoverable from (k smallest of A) ∪ B, so per-key
+    * sketch state refreshes incrementally with the same
+    * O(|stored keys|·k + |delta|) cost profile as the counter MV, and
+    * the refreshed sketch is IDENTICAL to one built from scratch over
+    * all history (not merely close — the estimate is a pure function
+    * of the state, so batch boundaries are invisible; the invariance
+    * spec pins this).
+    *
+    * State is plain parquet at (keys, h) grain, ≤ k rows per key —
+    * bounded regardless of history size, which is the 100 TB point:
+    * a distinct-customers-per-segment card over a year of history
+    * costs k longs per segment, not a year of customer ids. The merge
+    * runs through [[graft.functions.KmvSketch.Kmv]]'s bounded
+    * mergeable buffer (map-side combine ships ≤ k longs per key per
+    * task) and explodes back to rows for the swap. `hashCol` must be
+    * uniform on [0, 2⁶⁰) — use `TextAnalysis.portableHash60`, which
+    * keeps the whole state engine-portable (the DuckDB oracle rebuilds
+    * it with md5 + row_number). Same exactly-once `batchId` guard and
+    * caller-serialization contract as [[refreshAggMv]]. */
+  def refreshKmvMv(name: String, delta: DataFrame, keys: Seq[String],
+      hashCol: String, k: Int, batchId: Option[Long] = None): DataFrame = {
+    val dir = s"$derivedDir/$name"
+    if (alreadyApplied(dir, batchId)) return spark.read.parquet(dir)
+    val d = delta.select(keys.map(col) :+ col(hashCol).as("h"): _*)
+    val all =
+      if (hasSuccess(dir)) spark.read.parquet(dir).unionByName(d) else d
+    val merged = all.groupBy(keys.map(col): _*)
+      .agg(graft.functions.KmvSketch.kmv(col("h"), k).as("__buf"))
+      .select(keys.map(col) :+ explode(col("__buf")).as("h"): _*)
+    commitSwap(dir, merged, batchId, s"refreshKmvMv($name)")
+    spark.read.parquet(dir)
+  }
+
+  /** Distinct-count estimates from a [[refreshKmvMv]] state: per key,
+    * exact when fewer than k hashes are stored (the state then IS the
+    * distinct hash set), else (k−1)·2⁶⁰/h₍ₖ₎ — and because the state
+    * keeps exactly the k smallest, h₍ₖ₎ is simply max(h). The
+    * expression shape mirrors `KmvSketch.estimate` (and the oracle SQL)
+    * so the double arithmetic is bit-identical cross-engine. */
+  def kmvMvEstimate(name: String, keys: Seq[String], k: Int): DataFrame = {
+    require(hasSuccess(s"$derivedDir/$name"),
+      s"no committed kmv state: $name")
+    spark.read.parquet(s"$derivedDir/$name")
+      .groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("__n"), max(col("h")).as("__hk"))
+      .select(keys.map(col) :+
+        when(col("__n") === k, col("__hk")).as("hk") :+
+        when(col("__n") < k, col("__n").cast("double"))
+          .otherwise(lit((k - 1).toDouble) * lit(1152921504606846976.0) /
+            col("__hk").cast("double")).as("est"): _*)
+  }
+
   /** Commit ANY derived table as Catalog-owned durable state — the
     * generic form of the MV/ANN persistence: tmp-swap + `_SUCCESS`, a
     * fresh session reads it back with [[loadDerived]]. The production
