@@ -55,13 +55,13 @@ object Shell {
           "ann <src> [k] | pagerank [iters] | triangles | degrees | bfs | " +
           "gini | audit | vacuum | analyze <tbl> [cols...] | abc | rfm | " +
           "benford | changepoints | publish <src> <dest> | " +
-          "explain <sql> | skew <tbl> <col> | histogram <tbl> <col> | " +
+          "explain <sql> | doctor <sql> | skew <tbl> <col> | histogram <tbl> <col> | " +
           "kcore [k] | cc | lpa [rounds] | jaccard | dbscan [minPts] | silhouette | " +
           "silhouette_centroid | chi2 | " +
           "acf | dedup_eval | drawdown | ttl <tbl> <col> <micros> | " +
           "quality_model | quality_scores | attribution [days] | " +
           "token_budget [tokens] | mmr [k] | ttest | anova | survival | " +
-          "mwu [typeA typeB] | attribution_multi | harmonic | " +
+          "mwu [typeA typeB] | attribution_multi | harmonic | ndcg | " +
           "exit | <sql>  (SQL reaches the operator TVFs too: " +
           "graft_asof(dir) graft_dedup_minhash(dir[,bands]) " +
           "graft_mmr(dir[,maxq]) graft_funnel(dir))")
@@ -278,6 +278,16 @@ object Shell {
         // A/B read: which channel pairs differ significantly on value
         operators.Analytics.welchTTest(Tables.events(spark, dir))
           .orderBy("type_a", "type_b").show(truncate = false)
+      case "doctor" :: rest if rest.nonEmpty =>
+        // plan lint, nothing executed: the pre-commit scale audit for
+        // YOUR query — cartesian/BNLJ/unpartitioned-window/1-task sinks
+        val findings = plans.PlanDoctor.lint(spark.sql(rest.mkString(" ")))
+        if (findings.isEmpty) println("plan clean: no scale-killers found")
+        else findings.show(truncate = false)
+      case "ndcg" :: Nil =>
+        // rank-aware index quality: where do the true neighbors land
+        operators.Similarity.ndcgCard(Tables.embeddings(spark, dir))
+          .orderBy("query_id").show(truncate = false)
       case "mmr" :: rest if rest.length <= 1 =>
         // diversified neighbor read: redundant near-dups demoted
         val k = rest.headOption.map(_.toInt).getOrElse(5)

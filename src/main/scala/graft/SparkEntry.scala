@@ -190,6 +190,24 @@ object SparkEntry {
       graft.sources.Catalog.applyCdc(base,
         del.unionAll(up1).unionAll(up2), "doc_id", "seq", "op")
     }),
+    // the same change-log read as TYPE-2 history: every version with
+    // its validity interval, tombstones close history without becoming
+    // versions (keys ending 1: v1 closed by v2, v2 current; keys
+    // ending 6: v1 closed by the delete, no current row)
+    "fs_scd2" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{col, lit}
+      val base = Tables.documents(s, d).select(col("doc_id"), col("n_chars"))
+      val ch = base.where(col("doc_id") % 5 === 1)
+        .select(col("doc_id"), col("n_chars"),
+          lit(1L).as("seq"), lit("u").as("op"))
+        .unionAll(base.where(col("doc_id") % 10 === 1)
+          .select(col("doc_id"), (col("n_chars") + 7000L).as("n_chars"),
+            lit(2L).as("seq"), lit("u").as("op")))
+        .unionAll(base.where(col("doc_id") % 10 === 6)
+          .select(col("doc_id"), lit(null).cast("long").as("n_chars"),
+            lit(3L).as("seq"), lit("d").as("op")))
+      graft.sources.Catalog.scd2History(ch, "doc_id", "seq", "op")
+    }),
     // leakage-safe split from the EXACT n-gram Jaccard pair mine, so the
     // mirror to the oracle's exact-pair recursive closure is structural
     // rather than resting on 100% LSH recall at these params (that
@@ -331,6 +349,10 @@ object SparkEntry {
     "s_silhouette_centroid" ->
       ((s, d) => Similarity.silhouetteCentroid(Tables.embeddings(s, d))),
     "s_ann_recall" -> ((s, d) => Similarity.annRecall(Tables.embeddings(s, d))),
+    // rank-aware sibling of the recall gate: harmonic-discount nDCG@10
+    // of the IVF ranking vs exact (integer lcm weights — no libm in
+    // the hashed output), measured each round instead of assumed
+    "s_ndcg" -> ((s, d) => Similarity.ndcgCard(Tables.embeddings(s, d))),
     // uniform-without-replacement cap of 10 docs per source
     "p_cap_source" -> ((s, d) => Sampling.capPerGroup(Tables.documents(s, d), 10)),
     "s_ann_brute" -> ((s, d) => Similarity.bruteForceTopK(Tables.embeddings(s, d), 5, 10)),
@@ -1422,6 +1444,28 @@ object SparkEntry {
     // recall@k of the probed search vs the exact top-k: both sides are
     // the SAME replays the gate already value-checks, composed — the
     // index-quality number measured each round instead of assumed
+    // rank-aware index quality: harmonic-discount nDCG@10, every
+    // weight the exact integer 27720/(p+1) (lcm(2..11) = 27720), dcg
+    // and idcg integer sums, ONE closing double division — no libm in
+    // a hashed output (the q_benford rationale)
+    "s_ndcg" ->
+      (s"WITH brute AS ($bruteTopkSql),\n ivf AS ($ivfTopkSql),\n" +
+        """j AS (SELECT i.query_id, i.rnk AS pos,
+                  coalesce(11 - b.rnk, 0) AS rel
+           FROM ivf i LEFT JOIN brute b
+             ON i.query_id = b.query_id AND i.neighbor_id = b.neighbor_id),
+         d AS (SELECT query_id, sum(rel * (27720 // (pos + 1))) AS dcg_scaled
+               FROM j GROUP BY query_id),
+         id AS (SELECT query_id,
+                       sum((11 - rnk) * (27720 // (rnk + 1))) AS idcg_scaled
+                FROM brute GROUP BY query_id)
+         SELECT id.query_id,
+                CAST(coalesce(d.dcg_scaled, 0) AS BIGINT) AS dcg_scaled,
+                CAST(id.idcg_scaled AS BIGINT) AS idcg_scaled,
+                floor(CAST(coalesce(d.dcg_scaled, 0) AS DOUBLE)
+                      / CAST(id.idcg_scaled AS DOUBLE) * 1000000 + 0.5)
+                  / 1000000 AS ndcg
+         FROM id LEFT JOIN d ON id.query_id = d.query_id"""),
     "s_ann_recall" ->
       (s"WITH brute AS ($bruteTopkSql),\n ivf AS ($ivfTopkSql)\n" +
         """SELECT b.query_id,
@@ -2616,6 +2660,24 @@ object SparkEntry {
          UNION ALL
          SELECT doc_id, source, n_chars + 9000 AS n_chars FROM documents
          WHERE doc_id % 10 = 1""",
+    // the lead-window mirror: an upsert's validity runs to the next
+    // change (upsert or tombstone); unclosed versions are current
+    "fs_scd2" ->
+      """WITH ch AS (
+           SELECT doc_id, n_chars, CAST(1 AS BIGINT) AS seq, 'u' AS op
+           FROM documents WHERE doc_id % 5 = 1
+           UNION ALL
+           SELECT doc_id, n_chars + 7000, CAST(2 AS BIGINT), 'u'
+           FROM documents WHERE doc_id % 10 = 1
+           UNION ALL
+           SELECT doc_id, CAST(NULL AS BIGINT), CAST(3 AS BIGINT), 'd'
+           FROM documents WHERE doc_id % 10 = 6),
+         h AS (SELECT doc_id, n_chars, op, seq AS valid_from,
+                      lead(seq) OVER (PARTITION BY doc_id ORDER BY seq) AS valid_to
+               FROM ch)
+         SELECT doc_id, n_chars, valid_from, valid_to,
+                valid_to IS NULL AS is_current
+         FROM h WHERE op = 'u'""",
     // the oracle recomputes from scratch; equality proves the
     // stream-maintained MV state (microbatch deltas merged into the
     // durable Catalog state) reconstructs the full aggregate

@@ -736,6 +736,54 @@ object Similarity {
           .as("recall"))
   }
 
+  /** RANK-AWARE index-quality card — the companion [[annRecall]] can't
+    * be: recall@k treats position 1 and position k alike, but a
+    * retrieval stack cares WHERE the true neighbors land. Harmonic-
+    * discount nDCG@k of the IVF ranking against the exact top-k:
+    * relevance of the IVF result at position p is (k+1 − exact_rank)
+    * when that neighbor is in the exact top-k, else 0; the position
+    * discount is 1/(p+1).
+    *
+    * Cross-engine exactness (why harmonic, not log₂): the classic
+    * log₂ discount puts libm inside a hashed output — the repo-wide
+    * no-go (q_benford's rationale). With the harmonic discount every
+    * weight is the EXACT integer lcm(2..k+1)/(p+1), so dcg/idcg are
+    * integer sums and nDCG is ONE closing double division, identical
+    * IEEE in any engine.
+    *
+    * Scale shape: both rankings are the audited searches themselves
+    * (corpus streamed once each); everything after is query-grain —
+    * one ≤k-row join per query and two bounded aggregates. */
+  def ndcgCard(embeddings: DataFrame, maxQueryId: Long = 5,
+      k: Int = 10): DataFrame = {
+    require(k >= 1 && k <= 24, "ndcgCard: k in [1, 24] (lcm fits a long)")
+    val weightLcm = (2 to k + 1).foldLeft(1L) { (acc, i) =>
+      val g = BigInt(acc).gcd(BigInt(i)).toLong; acc / g * i
+    }
+    val exact = bruteForceTopK(embeddings, maxQueryId, k)
+      .select(col("query_id"), col("neighbor_id"), col("rnk").as("erank"))
+      .localCheckpoint() // feeds rel AND idcg; one window pass, not two
+    val approx = ivfAnn(embeddings, maxQueryId, k)
+      .select(col("query_id"), col("neighbor_id"), col("rnk").as("pos"))
+    val dcg = approx.join(exact, Seq("query_id", "neighbor_id"), "left")
+      .select(col("query_id"),
+        (coalesce(lit(k + 1L) - col("erank"), lit(0L)) *
+          expr(s"$weightLcm div (pos + 1)")).as("w"))
+      .groupBy(col("query_id")).agg(sum(col("w")).as("dcg_scaled"))
+    val idcg = exact
+      .select(col("query_id"),
+        ((lit(k + 1L) - col("erank")) *
+          expr(s"$weightLcm div (erank + 1)")).as("w"))
+      .groupBy(col("query_id")).agg(sum(col("w")).as("idcg_scaled"))
+    idcg.join(dcg, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("dcg_scaled"), lit(0L)).as("dcg_scaled"),
+        col("idcg_scaled"),
+        graft.functions.Exact.round6(
+          coalesce(col("dcg_scaled"), lit(0L)).cast("double")
+            / col("idcg_scaled").cast("double")).as("ndcg"))
+  }
+
   /** EXACT silhouette card for the labeled clustering — the "is this
     * partition actually separating anything" QA read before trusting
     * per-label models or a stratified mixture. Per vector: a = mean

@@ -1,0 +1,108 @@
+package graft.plans
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+
+/** USER-FACING plan linter — the pre-commit plan audit
+  * (PlanAuditSpec's scale-killer sweep) packaged as a library call, so
+  * a pipeline author gets the same "will this survive 100×" review on
+  * THEIR query before it ships: `PlanDoctor.lint(df)` (or the Shell's
+  * `doctor <sql>`) plans the frame — nothing is executed — and returns
+  * one row per finding.
+  *
+  * Rules (severity `error` = degrades super-linearly with data size,
+  * `warn` = legitimate only for bounded/metadata inputs — the audit
+  * spec's allow-list classes):
+  *
+  *  - `cartesian_product` (error): an equi-join lost its keys; O(n·m)
+  *    at any scale.
+  *  - `broadcast_nested_loop` (warn): fine when the broadcast side is
+  *    a 1-row aggregate or a bounded query set (the documented
+  *    classes); anywhere else it is the cartesian cliff wearing a
+  *    broadcast.
+  *  - `unpartitioned_window` (error): every row through ONE task —
+  *    the single-reducer cliff. Allowed only for provably bounded
+  *    frames (the two-level prefix-sum's ≤128-row offset window).
+  *  - `single_partition_exchange` (warn): a global sort/limit/
+  *    coalesce(1) funnels the plan through one task; fine for tiny
+  *    outputs, fatal mid-pipeline.
+  *  - `unfiltered_wide_scan` (info): a parquet scan with neither
+  *    pushed filters nor partition filters reading a wide schema —
+  *    the "did you mean to read everything" nudge (legitimate for
+  *    genuine full-corpus passes).
+  *
+  * The detection primitives are shared with the pre-commit audit
+  * (same strings, same regex), so the library lint and the repo gate
+  * can never drift. */
+object PlanDoctor {
+
+  /** True when the physical plan contains a cartesian product. */
+  def hasCartesian(df: DataFrame): Boolean =
+    df.queryExecution.sparkPlan.toString.contains("CartesianProduct")
+
+  /** True when the physical plan contains a broadcast nested loop. */
+  def hasBnlj(df: DataFrame): Boolean =
+    df.queryExecution.sparkPlan.toString.contains("BroadcastNestedLoopJoin")
+
+  /** True when any window spec in the optimized plan has no partition
+    * expressions (first spec argument is already a sort order). */
+  def hasUnpartitionedWindow(df: DataFrame): Boolean =
+    windowSpecs(df.queryExecution.optimizedPlan.toString)
+      .exists(_.split(",").head.trim.matches(".*\\b(ASC|DESC)\\b.*"))
+
+  private[graft] def windowSpecs(optimizedPlan: String): Seq[String] =
+    "windowspecdefinition\\(([^)]*)\\)".r
+      .findAllMatchIn(optimizedPlan).map(_.group(1)).toSeq
+
+  /** Lint `df`'s plans (analysis + planning only; never executes).
+    * Returns (rule, severity, detail) rows, empty when clean. */
+  def lint(df: DataFrame): DataFrame = {
+    val physical = df.queryExecution.sparkPlan.toString
+    val executed = df.queryExecution.executedPlan.toString
+    val findings = scala.collection.mutable.ListBuffer[(String, String, String)]()
+
+    if (physical.contains("CartesianProduct"))
+      findings += (("cartesian_product", "error",
+        "join without keys: O(left x right) rows at any scale"))
+
+    if (physical.contains("BroadcastNestedLoopJoin"))
+      findings += (("broadcast_nested_loop", "warn",
+        "keyless broadcast join: fine only when the broadcast side is " +
+          "bounded metadata (1-row aggregate / small query set)"))
+
+    if (hasUnpartitionedWindow(df))
+      findings += (("unpartitioned_window", "error",
+        "window with no PARTITION BY: all rows through one task"))
+
+    if (executed.contains("Exchange SinglePartition"))
+      findings += (("single_partition_exchange", "warn",
+        "global sort/limit/coalesce(1): one task carries the full input"))
+
+    // scans with no pushed-down filters AND a wide projection: the
+    // executed-plan scan line carries the output column list and
+    // PushedFilters (ReadSchema truncates, the bracket list doesn't
+    // until maxToStringFields — "more fields" marks that case)
+    val scanRe = ("FileScan parquet \\[([^\\]]*)\\][^\\n]*").r
+    scanRe.findAllMatchIn(executed).foreach { m =>
+      val line = m.matched
+      val noPush = line.contains("PushedFilters: []")
+      val cols = m.group(1)
+      val wide = cols.split(",").length >= 8 || cols.contains("more fields")
+      if (noPush && wide)
+        findings += (("unfiltered_wide_scan", "info",
+          "parquet scan with no pushed filters reading 8+ columns - " +
+            "intended full pass, or a missed filter/projection?"))
+    }
+
+    toDf(df.sparkSession, findings.toList.distinct)
+  }
+
+  private def toDf(spark: SparkSession,
+      rows: List[(String, String, String)]): DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        rows.map { case (r, s, d) => Row(r, s, d) }, 1),
+      StructType(Seq(StructField("rule", StringType, nullable = false),
+        StructField("severity", StringType, nullable = false),
+        StructField("detail", StringType, nullable = false))))
+}

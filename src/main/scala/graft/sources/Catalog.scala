@@ -929,6 +929,32 @@ object Catalog {
     updates.unionByName(
       base.join(updates.select(col(key)), Seq(key), "left_anti"))
 
+  /** TYPE-2 HISTORY (SCD2) from a CDC change log — the third read of
+    * the same change stream ([[applyCdc]] folds to current state,
+    * `refreshCdcMv` keeps latest-wins durable state; this one keeps
+    * EVERY version with its validity interval): each upsert at
+    * sequence s opens a version valid over [s, next-change-seq); the
+    * next change — upsert OR tombstone — closes it; a version nothing
+    * closed is current. Tombstones close history but are not versions
+    * themselves (a deleted key simply has no current row — auditable
+    * deletes, same stance as the snapshot family).
+    *
+    * One key-partitioned `lead` window over the CHANGE LOG (change
+    * grain, never fact grain) — at 100 TB the width is the number of
+    * changes per key, which CDC logs bound naturally. Caller contract
+    * matches [[applyCdc]]: `seqCol` unique per key. */
+  def scd2History(changes: DataFrame, key: String,
+      seqCol: String, opCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(key)).orderBy(col(seqCol))
+    changes
+      .withColumn("valid_to", lead(col(seqCol), 1).over(w))
+      .where(col(opCol) === "u")
+      .withColumn("valid_from", col(seqCol))
+      .withColumn("is_current", col("valid_to").isNull)
+      .drop(seqCol, opCol)
+  }
+
   /** A writable Catalog layout root for a READ-ONLY base dir: derived
     * state lands under the session's warehouse dir, namespaced by the
     * base dir so two Catalogs over different data never collide. The

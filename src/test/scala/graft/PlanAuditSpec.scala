@@ -8,10 +8,12 @@ package graft
   */
 class PlanAuditSpec extends SparkSpec {
 
+  // detection primitives shared with the user-facing linter
+  // (plans.PlanDoctor) — the library lint and this gate cannot drift
+
   test("no query plans a CartesianProduct") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
-      val plan = fn(spark, sfDir).queryExecution.sparkPlan.toString
-      if (plan.contains("CartesianProduct")) Some(name) else None
+      if (plans.PlanDoctor.hasCartesian(fn(spark, sfDir))) Some(name) else None
     }
     assert(offenders.isEmpty, s"cartesian products in: $offenders")
   }
@@ -138,8 +140,8 @@ class PlanAuditSpec extends SparkSpec {
       // __g group at distinct-cents-value grain (the q_abc shape)
       "q_mwu")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
-      val plan = fn(spark, sfDir).queryExecution.sparkPlan.toString
-      if (plan.contains("BroadcastNestedLoopJoin") && !allowed(name)) Some(name) else None
+      if (plans.PlanDoctor.hasBnlj(fn(spark, sfDir)) && !allowed(name))
+        Some(name) else None
     }
     assert(offenders.isEmpty, s"unexpected nested-loop joins in: $offenders")
   }
@@ -177,14 +179,12 @@ class PlanAuditSpec extends SparkSpec {
       "e_late_audit", "d_drift_ks", "q_skyline", "p_interleave",
       "q_abc", "q_lorenz", "fs_histogram", "e_concurrency",
       "p_token_budget", "q_survival", "q_mwu")
+    // partition expressions precede the sort orders; a spec whose
+    // FIRST argument is already a sort order has no partition at all
+    // (the check itself lives in PlanDoctor.hasUnpartitionedWindow)
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
-      val plan = fn(spark, sfDir).queryExecution.optimizedPlan.toString
-      val specs = "windowspecdefinition\\(([^)]*)\\)".r
-        .findAllMatchIn(plan).map(_.group(1)).toSeq
-      // partition expressions precede the sort orders; a spec whose
-      // FIRST argument is already a sort order has no partition at all
-      val unpartitioned = specs.exists(_.split(",").head.trim.matches(".*\\b(ASC|DESC)\\b.*"))
-      if (unpartitioned && !allowed(name)) Some(name) else None
+      if (plans.PlanDoctor.hasUnpartitionedWindow(fn(spark, sfDir)) &&
+        !allowed(name)) Some(name) else None
     }
     assert(offenders.isEmpty, s"unpartitioned windows in: $offenders")
   }
