@@ -353,6 +353,25 @@ object SparkEntry {
     // of the IVF ranking vs exact (integer lcm weights — no libm in
     // the hashed output), measured each round instead of assumed
     "s_ndcg" -> ((s, d) => Similarity.ndcgCard(Tables.embeddings(s, d))),
+    // incremental index maintenance: centroids frozen on the 80% base,
+    // the 20% delta upserted as a committed segment (FAISS add());
+    // search over the segmented index == the oracle's rebuild against
+    // the same base-only centroids — batch boundaries invisible
+    "s_ann_upsert" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val emb = Tables.embeddings(s, d)
+      val cat = new graft.sources.Catalog(s, d,
+        Some(graft.sources.Catalog.warehouseLayoutRoot(s, d)))
+      cat.dropDerived("ann_upsert_idx")
+      cat.saveAnnIndex("ann_upsert_idx",
+        Similarity.buildIvfIndex(emb.where(col("vec_id") % 5 =!= 0)))
+      cat.upsertAnnIndex("ann_upsert_idx",
+        emb.where(col("vec_id") % 5 === 0), batchId = 1L)
+      val idx = cat.loadAnnIndex("ann_upsert_idx")
+      val queries = idx.assignments.where(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"))
+      Similarity.ivfSearch(idx, queries, k = 10, nProbe = 4)
+    }),
     // uniform-without-replacement cap of 10 docs per source
     "p_cap_source" -> ((s, d) => Sampling.capPerGroup(Tables.documents(s, d), 10)),
     "s_ann_brute" -> ((s, d) => Similarity.bruteForceTopK(Tables.embeddings(s, d), 5, 10)),
@@ -1441,6 +1460,9 @@ object SparkEntry {
     // the Spark side (dot / (sqrt(dot)*sqrt(dot)), scaled-long means),
     // so even the ANN index is value-verified, not rows-only.
     "s_ann_ivf" -> ivfTopkSql,
+    // upserted-index search == rebuild against the same frozen
+    // centroids (the chain's centroid stages filtered to the base)
+    "s_ann_upsert" -> ivfUpsertSql,
     // recall@k of the probed search vs the exact top-k: both sides are
     // the SAME replays the gate already value-checks, composed — the
     // index-quality number measured each round instead of assumed
@@ -4696,20 +4718,24 @@ object SparkEntry {
          $mmrTailSql"""
 
   /** IVF candidate chain (seeds → Lloyd pass → assignment → probed
-    * scoring → ranked `r`), shared by the top-k oracle and the
-    * IVF-candidate MMR oracle. */
-  private val ivfChainSql: String =
-    """e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
-         seeds AS (SELECT vec_id AS cell_id, v AS cv FROM e
+    * scoring → ranked `r`), shared by the top-k oracle, the
+    * IVF-candidate MMR oracle, and (via `baseWhere`) the upsert
+    * oracle: the CENTROID stages (seeds, Lloyd) run over the filtered
+    * base corpus only, while the assignment + search stages cover
+    * everything — exactly the frozen-centroid upsert contract. */
+  private def ivfChainSqlFrom(baseWhere: String): String =
+    s"""e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         eb AS (SELECT vec_id, v FROM e WHERE $baseWhere),
+         seeds AS (SELECT vec_id AS cell_id, v AS cv FROM eb
                    ORDER BY CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15) AS BIGINT), vec_id
                    LIMIT 16),
          a1 AS (SELECT vec_id, v, cell_id FROM (
-                  SELECT e.vec_id, e.v, s.cell_id,
-                         row_number() OVER (PARTITION BY e.vec_id ORDER BY
-                           list_dot_product(e.v, s.cv)
-                             / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(s.cv, s.cv))) DESC,
+                  SELECT eb.vec_id, eb.v, s.cell_id,
+                         row_number() OVER (PARTITION BY eb.vec_id ORDER BY
+                           list_dot_product(eb.v, s.cv)
+                             / (sqrt(list_dot_product(eb.v, eb.v)) * sqrt(list_dot_product(s.cv, s.cv))) DESC,
                            s.cell_id) AS rn
-                  FROM e CROSS JOIN seeds s) WHERE rn = 1),
+                  FROM eb CROSS JOIN seeds s) WHERE rn = 1),""" + """
          m AS (SELECT cell_id, i AS pos,
                       sum(CAST(round(list_extract(v, i) * 1073741824.0) AS BIGINT)) AS sx,
                       count(*) AS n
@@ -4740,8 +4766,16 @@ object SparkEntry {
                                          ORDER BY cos DESC, neighbor_id) AS rnk
                FROM scored)"""
 
+  private val ivfChainSql: String = ivfChainSqlFrom("TRUE")
+
   private val ivfTopkSql: String =
     s"""WITH $ivfChainSql
+         SELECT query_id, neighbor_id, floor(cos * 1000000 + 0.5) / 1000000 AS cos, rnk FROM r WHERE rnk <= 10"""
+
+  /** The upsert oracle: centroids from the 80% base only, assignment
+    * + search over everything — the frozen-centroid contract. */
+  private val ivfUpsertSql: String =
+    s"""WITH ${ivfChainSqlFrom("vec_id % 5 <> 0")}
          SELECT query_id, neighbor_id, floor(cos * 1000000 + 0.5) / 1000000 AS cos, rnk FROM r WHERE rnk <= 10"""
 
   /** MMR over the IVF candidates — the scale-path rerank's oracle. */

@@ -227,6 +227,22 @@ object Similarity {
     IvfIndex(assignCells(e, centroids, "vec_id", 1), centroids)
   }
 
+  /** INDEX UPSERT: assign NEW vectors against a FROZEN centroid table.
+    * Standard IVF practice (FAISS `add()`) keeps centroids fixed
+    * between rebuilds, which is exactly what makes the upsert EXACT:
+    * cell assignment is a pure per-vector function of the centroids,
+    * so (old assignments) ∪ (delta assigned against the same
+    * centroids) IS the table a full rebuild over those centroids
+    * would produce — search over the upserted index equals search
+    * over the rebuild, batch boundaries invisible. Map-only (the
+    * centroid set rides in the `nearest_cells` literal), zero
+    * shuffles, cost O(|delta|·nCells) — the index stays fresh at
+    * 100 TB without ever re-touching the corpus. Re-cluster (a real
+    * rebuild) only when drift erodes the recall gate's floor —
+    * measured by `s_ann_recall`/`s_ndcg`, not assumed. */
+  def assignNew(newVectors: DataFrame, centroids: DataFrame): DataFrame =
+    assignCells(prepared(newVectors), centroids, "vec_id", 1)
+
   /** Probe-only IVF search against a prebuilt index: queries are scored
     * against the (tiny, broadcast) centroid set to pick nProbe cells,
     * then join only those cells' vectors. The corpus is never re-scored.

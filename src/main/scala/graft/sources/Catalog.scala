@@ -303,14 +303,52 @@ class Catalog(spark: SparkSession, baseDir: String,
     commit(index.centroids, "centroids")
   }
 
+  /** INCREMENTAL ANN index maintenance — new vectors join a committed
+    * index WITHOUT a rebuild: the delta is assigned against the
+    * FROZEN centroid table (`Similarity.assignNew` — map-only, the
+    * FAISS `add()` shape) and lands as a NEW immutable segment
+    * (`assignments_seg_b<id>`), the [[appendJoinMv]] convention: the
+    * batch id IS the segment name, so a retried batch finds its
+    * `_SUCCESS` and no-ops (exactly-once with no cross-file marker),
+    * a torn write is invisible to [[loadAnnIndex]] and overwritten by
+    * the retry. Refresh cost O(|delta|) in compute AND write,
+    * independent of index size — at 100 TB the index stays fresh
+    * without re-touching the corpus. Because assignment is a pure
+    * function of the frozen centroids, search over the segmented
+    * index EQUALS search over a monolithic rebuild against the same
+    * centroids (spec + the s_ann_upsert oracle pin this). */
+  def upsertAnnIndex(name: String, newVectors: DataFrame,
+      batchId: Long): Unit = {
+    require(hasSuccess(s"$derivedDir/$name/centroids"),
+      s"no committed ANN index to upsert: $name")
+    val segDir = s"$derivedDir/$name/assignments_seg_b$batchId"
+    if (hasSuccess(segDir)) return // retry of a committed batch: no-op
+    val centroids = spark.read.parquet(s"$derivedDir/$name/centroids")
+    graft.operators.Similarity.assignNew(newVectors, centroids)
+      .write.mode(SaveMode.Overwrite).parquet(segDir)
+  }
+
   /** Load a [[saveAnnIndex]]-committed index (throws when either half
-    * is missing its `_SUCCESS` marker — a torn save never serves). */
+    * is missing its `_SUCCESS` marker — a torn save never serves).
+    * Assignments are the base table plus every COMMITTED upsert
+    * segment; a torn segment (no `_SUCCESS`) is skipped — the
+    * append-only read rule shared with the join-MV family. */
   def loadAnnIndex(name: String): graft.operators.Similarity.IvfIndex = {
     require(hasSuccess(s"$derivedDir/$name/assignments") &&
       hasSuccess(s"$derivedDir/$name/centroids"),
       s"no committed ANN index: $name")
-    graft.operators.Similarity.IvfIndex(
-      spark.read.parquet(s"$derivedDir/$name/assignments"),
+    val root = new Path(s"$derivedDir/$name")
+    val fs = root.getFileSystem(hconf)
+    val segs = fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory &&
+        s.getPath.getName.startsWith("assignments_seg_"))
+      .map(_.getPath.toString)
+      .filter(hasSuccess)
+      .sorted
+    val assignments = (s"$derivedDir/$name/assignments" +: segs)
+      .map(spark.read.parquet(_))
+      .reduce(_ unionByName _)
+    graft.operators.Similarity.IvfIndex(assignments,
       spark.read.parquet(s"$derivedDir/$name/centroids"))
   }
 

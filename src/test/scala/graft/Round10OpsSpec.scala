@@ -102,3 +102,60 @@ class NdcgSpec extends SparkSpec {
     }
   }
 }
+
+class AnnUpsertSpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+  import graft.operators.Similarity
+
+  private def freshCat() = new Catalog(spark, sfDir,
+    Some(java.nio.file.Files.createTempDirectory("graft-annup").toString))
+
+  private def neighborSets(df: org.apache.spark.sql.DataFrame) =
+    df.select(col("query_id"), col("neighbor_id"), col("rnk"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+
+  test("upserted index == monolithic rebuild against the same centroids") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val cat = freshCat()
+    val base = emb.where(col("vec_id") % 5 =!= 0)
+    val delta = emb.where(col("vec_id") % 5 === 0)
+    cat.saveAnnIndex("idx", Similarity.buildIvfIndex(base))
+    cat.upsertAnnIndex("idx", delta, batchId = 1L)
+    val upserted = cat.loadAnnIndex("idx")
+    val queries = upserted.assignments.where(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    // the rebuild: ALL vectors assigned against the SAME frozen centroids
+    val rebuilt = Similarity.IvfIndex(
+      Similarity.assignNew(emb, upserted.centroids), upserted.centroids)
+    assert(neighborSets(Similarity.ivfSearch(upserted, queries, 10)) ==
+      neighborSets(Similarity.ivfSearch(rebuilt, queries, 10)))
+    // and the segment really carries the delta
+    assert(upserted.assignments.count() == emb.count())
+  }
+
+  test("retried batch id is a no-op; torn segment is invisible") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val cat = freshCat()
+    cat.saveAnnIndex("idx",
+      Similarity.buildIvfIndex(emb.where(col("vec_id") % 5 =!= 0)))
+    cat.upsertAnnIndex("idx", emb.where(col("vec_id") % 5 === 0), 1L)
+    val n1 = cat.loadAnnIndex("idx").assignments.count()
+    // retry of batch 1 with CORRUPT contents: the committed segment wins
+    cat.upsertAnnIndex("idx", emb.limit(3), 1L)
+    assert(cat.loadAnnIndex("idx").assignments.count() == n1)
+    // torn segment: a directory without _SUCCESS never serves
+    val torn = new java.io.File(
+      s"${cat.derivedDir}/idx/assignments_seg_b9")
+    assert(torn.mkdirs())
+    java.nio.file.Files.writeString(
+      torn.toPath.resolve("part-junk.parquet"), "not parquet")
+    assert(cat.loadAnnIndex("idx").assignments.count() == n1)
+  }
+
+  test("upsert against a missing index refuses") {
+    val cat = freshCat()
+    intercept[IllegalArgumentException] {
+      cat.upsertAnnIndex("nope", Tables.embeddings(spark, sfDir), 1L)
+    }
+  }
+}
