@@ -647,6 +647,10 @@ object SparkEntry {
       Events.peakConcurrency(Tables.events(s, d))),
     "t_lang_profile" -> ((s, d) =>
       TextAnalysis.langProfile(Tables.documents(s, d))),
+    // release-governance read: how much of the corpus hides in
+    // quasi-identifier classes of >= 5, and the l-diversity floor
+    "d_kanon" -> ((s, d) =>
+      TextAnalysis.kAnonymityCard(Tables.documents(s, d))),
     // ingest-gate contract card: every rule's violation count must be 0
     "fs_contract" -> ((s, d) => {
       import org.apache.spark.sql.functions.col
@@ -2172,6 +2176,23 @@ object SparkEntry {
          FROM r""",
     // independent per-pattern counting on the RAW text (no rule
     // ordering); the patterns are PiiRules' exact email/IP/phone
+    // equivalence classes on the QI grid, then one bounded re-agg;
+    // the sensitive bit is position('@'), identical in both engines
+    "d_kanon" ->
+      """WITH c AS (SELECT source, lang, n_chars // 500 AS bucket,
+                  count(*) AS sz,
+                  count(DISTINCT CASE WHEN position('@' IN text) > 0
+                                      THEN 1 ELSE 0 END) AS l
+           FROM documents GROUP BY 1, 2, 3)
+         SELECT CAST(sum(sz) AS BIGINT) AS n_rows,
+                CAST(count(*) AS BIGINT) AS n_classes,
+                CAST(min(sz) AS BIGINT) AS min_class_size,
+                CAST(coalesce(sum(CASE WHEN sz < 5 THEN sz END), 0) AS BIGINT) AS rows_below_k,
+                CAST(coalesce(sum(CASE WHEN sz < 5 THEN 1 END), 0) AS BIGINT) AS classes_below_k,
+                floor(CAST(coalesce(sum(CASE WHEN sz >= 5 THEN sz END), 0) AS DOUBLE)
+                      / CAST(sum(sz) AS DOUBLE) * 1000000 + 0.5) / 1000000 AS anonymous_frac,
+                CAST(min(l) AS BIGINT) AS min_l
+         FROM c""",
     "d_pii_audit" ->
       """WITH h AS (SELECT event_type,
              CAST(len(regexp_extract_all(props,

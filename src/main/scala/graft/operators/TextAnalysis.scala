@@ -868,6 +868,39 @@ object TextAnalysis {
     * |sources|² (never the corpus), canonical a<b orientation.
     * Output ≤ C(|sources|,2) rows with both set sizes, the
     * intersection, and one closing division. */
+  /** K-ANONYMITY governance card — the re-identification read a
+    * training-data release needs next to [[piiAudit]]'s find-and-count:
+    * rows are grouped into EQUIVALENCE CLASSES by quasi-identifier
+    * (source, lang, length bucket — the attributes a joiner could link
+    * on), and the card reports how much of the corpus hides in classes
+    * of at least k (plus the l-diversity floor: the minimum number of
+    * distinct sensitive values — here "contains an @-address" — any
+    * class exposes; l = 1 means some class is homogeneous and
+    * membership alone leaks the sensitive bit).
+    *
+    * Scale shape: one map-side-combinable aggregate to CLASS grain
+    * (bounded by the QI grid, never row grain past the first shuffle),
+    * one 1-row re-aggregate. All counters integer-exact; the one
+    * fraction is a single 6-decimal-floored division. */
+  def kAnonymityCard(docs: DataFrame, k: Int = 5): DataFrame = {
+    import graft.functions.Exact.round6
+    val classes = docs
+      .groupBy(col("source"), col("lang"), expr("n_chars div 500").as("bucket"))
+      .agg(count(lit(1)).as("sz"),
+        countDistinct(when(instr(col("text"), "@") > 0, 1).otherwise(0))
+          .as("l"))
+    classes.agg(
+      sum(col("sz")).as("n_rows"),
+      count(lit(1)).as("n_classes"),
+      min(col("sz")).as("min_class_size"),
+      coalesce(sum(when(col("sz") < k, col("sz"))), lit(0L))
+        .as("rows_below_k"),
+      coalesce(sum(when(col("sz") < k, 1L)), lit(0L)).as("classes_below_k"),
+      round6(coalesce(sum(when(col("sz") >= k, col("sz"))), lit(0L))
+        .cast("double") / sum(col("sz")).cast("double")).as("anonymous_frac"),
+      min(col("l")).as("min_l"))
+  }
+
   def sourceOverlap(docs: DataFrame): DataFrame = {
     import graft.functions.Exact.round6
     val sw = docs.select(col("source"), explode(tokens(col("text"))).as("w"))

@@ -159,3 +159,36 @@ class AnnUpsertSpec extends SparkSpec {
     }
   }
 }
+
+class KAnonymitySpec extends SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  test("planted classes: counts, k-violations, and the l floor by hand") {
+    // class A (web, en, bucket 0): 6 rows, sensitive values both ways -> l=2
+    // class B (web, de, bucket 0): 2 rows (< k), all without '@'   -> l=1
+    // class C (lab, en, bucket 1): 3 rows (< k), all with '@'      -> l=1
+    val docs = (
+      (1 to 6).map(i => (i.toLong, if (i % 2 == 0) "a@b c" else "plain",
+        "en", "web", 100L)) ++
+      (7 to 8).map(i => (i.toLong, "plain", "de", "web", 100L)) ++
+      (9 to 11).map(i => (i.toLong, "x@y", "en", "lab", 600L))
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = operators.TextAnalysis.kAnonymityCard(docs, k = 5).head()
+    assert(r.getAs[Long]("n_rows") == 11L)
+    assert(r.getAs[Long]("n_classes") == 3L)
+    assert(r.getAs[Long]("min_class_size") == 2L)
+    assert(r.getAs[Long]("rows_below_k") == 5L)    // B(2) + C(3)
+    assert(r.getAs[Long]("classes_below_k") == 2L)
+    assert(r.getAs[Double]("anonymous_frac") == math.floor(6.0 / 11 * 1e6 + 0.5) / 1e6)
+    assert(r.getAs[Long]("min_l") == 1L)
+  }
+
+  test("fully anonymous corpus: zero violations, frac 1.0") {
+    val docs = (1 to 10).map(i => (i.toLong, "t", "en", "web", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = operators.TextAnalysis.kAnonymityCard(docs, k = 5).head()
+    assert(r.getAs[Long]("rows_below_k") == 0L)
+    assert(r.getAs[Double]("anonymous_frac") == 1.0)
+  }
+}
