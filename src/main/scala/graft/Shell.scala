@@ -64,7 +64,7 @@ object Shell {
           "mwu [typeA typeB] | attribution_multi | harmonic | ndcg | " +
           "exit | <sql>  (SQL reaches the operator TVFs too: " +
           "graft_asof(dir) graft_dedup_minhash(dir[,bands]) " +
-          "graft_mmr(dir[,maxq]) graft_funnel(dir))")
+          "graft_mmr(dir[,maxq]) graft_funnel(dir) graft_kanon(dir[,k]))")
       case "ls" :: Nil => cat.list().foreach(println)
       case "stats" :: Nil => cat.stats().show(100, truncate = false)
       case "nodes" :: Nil => cat.executorStats().show(100, truncate = false)

@@ -56,6 +56,9 @@ object SparkEntry {
     "q_string_agg" -> ((s, d) => Analytics.statusRollcall(Tables.lineitem(s, d))),
     "q_sketch" -> ((s, d) => Analytics.sketchSummary(Tables.lineitem(s, d))),
     "q_kmv" -> ((s, d) => Analytics.kmvSummary(Tables.lineitem(s, d))),
+    // count-min frequency sketch: d x w counters regardless of input,
+    // est >= exact always (the overcount column is the proof)
+    "q_cms" -> ((s, d) => Analytics.cmsFrequency(Tables.lineitem(s, d))),
     "q_kmv_join" -> ((s, d) => Analytics.kmvJoinEstimate(
       Tables.lineitem(s, d), "l_partkey", Tables.part(s, d), "p_partkey")),
     "q_qsketch" -> ((s, d) => Analytics.quantileSketch(Tables.lineitem(s, d))),
@@ -1957,6 +1960,26 @@ object SparkEntry {
          FROM est""",
     // 2^60 is a power of two (double-exact); the arithmetic shape matches
     // the Spark side verbatim so the IEEE result is bit-identical.
+    // every CMS counter replays via the same md5-prefix hash; the
+    // estimate is a min over d bounded counter lookups
+    "q_cms" ->
+      """WITH c AS (SELECT j,
+                CAST('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || CAST(l_partkey AS VARCHAR)), 1, 15) AS BIGINT) % 256 AS bucket,
+                count(*) AS cnt
+           FROM lineitem CROSS JOIN unnest(generate_series(0, 3)) AS t(j)
+           GROUP BY 1, 2),
+         k AS (SELECT g AS l_partkey FROM generate_series(1, 10) AS s(g)),
+         p AS (SELECT l_partkey, j,
+                CAST('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || CAST(l_partkey AS VARCHAR)), 1, 15) AS BIGINT) % 256 AS bucket
+               FROM k CROSS JOIN unnest(generate_series(0, 3)) AS t(j)),
+         e AS (SELECT l_partkey, min(coalesce(cnt, 0)) AS est
+               FROM p LEFT JOIN c USING (j, bucket) GROUP BY 1),
+         x AS (SELECT l_partkey, count(*) AS exact
+               FROM lineitem WHERE l_partkey <= 10 GROUP BY 1)
+         SELECT e.l_partkey, CAST(e.est AS BIGINT) AS est,
+                CAST(coalesce(x.exact, 0) AS BIGINT) AS exact,
+                CAST(e.est - coalesce(x.exact, 0) AS BIGINT) AS overcount
+         FROM e LEFT JOIN x ON e.l_partkey = x.l_partkey""",
     "q_kmv" ->
       """WITH hp AS (SELECT DISTINCT l_returnflag,
              CAST('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 15) AS BIGINT) AS h

@@ -106,5 +106,13 @@ object TableFunctions {
         graft.operators.Events.funnel(
           graft.Tables.events(spark, strArg("graft_funnel", exprs, 0)))
     }
+    tvf(ext, "graft_kanon",
+      "graft_kanon(dir[, k]) - k-anonymity governance card over " +
+        "<dir>/documents") { (spark, exprs) =>
+      maxArgs("graft_kanon", exprs, 2)
+      graft.operators.TextAnalysis.kAnonymityCard(
+        graft.Tables.documents(spark, strArg("graft_kanon", exprs, 0)),
+        k = longArg("graft_kanon", exprs, 1, 5L).toInt)
+    }
   }
 }

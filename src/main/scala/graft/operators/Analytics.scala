@@ -274,6 +274,49 @@ object Analytics {
         approx_count_distinct(col("l_suppkey")).as("approx_supps"),
         percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("approx_median_price"))
 
+  /** COUNT-MIN SKETCH frequency estimation — the third portable-sketch
+    * family (KMV answers "how many distinct", top-k answers "which
+    * exact heavy hitters", CMS answers "how often does THIS key occur"
+    * in bounded space): d independent hash rows × w buckets, each
+    * counter the count of keys landing in that (row, bucket), estimate
+    * = min over rows — the textbook one-sided bound (CMS NEVER
+    * underestimates: every counter includes the key's own count plus
+    * non-negative collisions; the spec pins est ≥ exact per key and
+    * the entry emits the overcount explicitly).
+    *
+    * Spark-first shape: the sketch IS a relational aggregate — rows
+    * explode ×d (map-only), one groupBy to the (row, bucket) grain, so
+    * the sketch is d·w counters REGARDLESS of input size and map-side
+    * combine bounds the shuffle at d·w per task. Probing is a
+    * broadcast join of (key × d) probes against the counter table.
+    * Hashing is [[TextAnalysis.portableHash60]](j, ":", key), so every
+    * counter — not just the estimates — replays in DuckDB. */
+  def cmsFrequency(lineitem: DataFrame, d: Int = 4, w: Int = 256,
+      maxKey: Long = 10): DataFrame = {
+    import TextAnalysis.portableHash60
+    def bucket(j: Column, key: Column) =
+      pmod(portableHash60(j, lit(":"), key), lit(w.toLong))
+    val rows = lineitem.select(col("l_partkey"))
+    val counters = rows
+      .select(col("l_partkey"), explode(sequence(lit(0), lit(d - 1))).as("j"))
+      .groupBy(col("j"), bucket(col("j"), col("l_partkey")).as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+    val probes = rows.sparkSession.range(1, maxKey + 1)
+      .select(col("id").as("l_partkey"),
+        explode(sequence(lit(0), lit(d - 1))).as("j"))
+      .select(col("l_partkey"), col("j"),
+        bucket(col("j"), col("l_partkey")).as("bucket"))
+    val est = probes.join(counters, Seq("j", "bucket"), "left")
+      .groupBy(col("l_partkey"))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
+    val exact = rows.where(col("l_partkey") <= maxKey)
+      .groupBy(col("l_partkey")).agg(count(lit(1)).as("exact"))
+    est.join(exact, Seq("l_partkey"), "left")
+      .select(col("l_partkey"), col("est"),
+        coalesce(col("exact"), lit(0L)).as("exact"),
+        (col("est") - coalesce(col("exact"), lit(0L))).as("overcount"))
+  }
+
   /** KMV distinct-count sketch summary — the oracle-CHECKABLE sketch
     * (vs [[sketchSummary]]'s HLL, whose bucket layout is engine-private
     * and can only ever be rows-only verified). Same bounded-buffer

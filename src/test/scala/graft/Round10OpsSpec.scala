@@ -192,3 +192,40 @@ class KAnonymitySpec extends SparkSpec {
     assert(r.getAs[Double]("anonymous_frac") == 1.0)
   }
 }
+
+class CmsSpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+
+  test("CMS never underestimates and is exact absent collisions") {
+    import spark.implicits._
+    // 3 keys with known counts in a wide sketch (collisions vanishingly
+    // unlikely at 3 keys x 4096 buckets; est == exact then)
+    val df = (Seq.fill(7)(1L) ++ Seq.fill(3)(2L) ++ Seq.fill(11)(3L))
+      .toDF("l_partkey")
+    val r = operators.Analytics.cmsFrequency(df, d = 4, w = 4096, maxKey = 4)
+      .collect().map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2)))).toMap
+    assert(r(1L) == ((7L, 7L)))
+    assert(r(2L) == ((3L, 3L)))
+    assert(r(3L) == ((11L, 11L)))
+    assert(r(4L)._2 == 0L) // absent key: exact 0, est >= 0
+  }
+
+  test("one-sided error on real data: est >= exact for every probe") {
+    val rows = operators.Analytics
+      .cmsFrequency(Tables.lineitem(spark, sfDir)).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) >= r.getLong(2), s"underestimate at ${r.getLong(0)}")
+      assert(r.getLong(3) == r.getLong(1) - r.getLong(2))
+    }
+  }
+
+  test("the sketch is d*w-bounded: tiny w forces visible overcounts") {
+    import spark.implicits._
+    val df = (1L to 2000L).toDF("l_partkey") // 2000 distinct keys
+    val rows = operators.Analytics
+      .cmsFrequency(df, d = 2, w = 8, maxKey = 5).collect()
+    // every counter absorbs ~250 keys; est must wildly exceed exact=1
+    rows.foreach(r => assert(r.getLong(1) > r.getLong(2)))
+  }
+}

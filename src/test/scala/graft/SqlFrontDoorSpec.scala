@@ -51,6 +51,13 @@ class SqlFrontDoorSpec extends SparkSpec {
     assert(sql.queryExecution.executedPlan.toString.contains("Scan parquet"))
   }
 
+  test("graft_kanon(dir, k) forwards the k literal") {
+    val sql = spark.sql(s"SELECT * FROM graft_kanon('$sfDir', 3)")
+    val scala_ = operators.TextAnalysis.kAnonymityCard(
+      Tables.documents(spark, sfDir), k = 3)
+    assert(rows(sql) == rows(scala_))
+  }
+
   test("non-literal / bad-arity arguments fail at analysis with usage") {
     val e1 = intercept[Exception] {
       spark.sql(s"SELECT * FROM graft_asof(rand())").collect()
