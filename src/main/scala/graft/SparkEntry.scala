@@ -163,6 +163,9 @@ object SparkEntry {
     "e_interval_join" -> ((s, d) => Events.maintenanceWindowCounts(Tables.events(s, d))),
     "e_interval_auto" -> ((s, d) => Events.maintenanceWindowCountsAuto(Tables.events(s, d))),
     "e_funnel" -> ((s, d) => Events.funnel(Tables.events(s, d))),
+    // path mining: which event-type orders actually happen (funnel
+    // checks ONE hypothesized order; this surfaces the real ones)
+    "e_paths" -> ((s, d) => Events.topPaths(Tables.events(s, d))),
     "e_retention" -> ((s, d) => Events.retention(Tables.events(s, d))),
     "e_anomaly" -> ((s, d) => Events.anomalies(Tables.events(s, d))),
     "e_dow_hour" -> ((s, d) => Events.dowHourHeatmap(Tables.events(s, d))),
@@ -2386,6 +2389,27 @@ object SparkEntry {
     },
     // strict-sequence funnel: each stage's min is taken only over events
     // strictly after the previous stage's min
+    // path order pinned by (tsu, event_id) on BOTH sides — same-µs
+    // events would otherwise make the path string engine-dependent
+    "e_paths" ->
+      """WITH g AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS tsu,
+                  lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                          ORDER BY epoch_us(ts), event_id) AS prev
+           FROM events),
+         s AS (SELECT user_id, event_id, event_type, tsu,
+                      CASE WHEN prev IS NULL OR tsu - prev > 1800000000
+                           THEN 1 ELSE 0 END AS is_new
+               FROM g),
+         t AS (SELECT user_id, event_id, event_type, tsu,
+                      sum(is_new) OVER (PARTITION BY user_id ORDER BY tsu, event_id
+                                        ROWS UNBOUNDED PRECEDING) AS session_id
+               FROM s),
+         p AS (SELECT user_id, session_id,
+                      string_agg(event_type, '>' ORDER BY tsu, event_id) AS path
+               FROM t GROUP BY 1, 2)
+         SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+         FROM p GROUP BY path
+         ORDER BY n_sessions DESC, path LIMIT 15""",
     "e_funnel" ->
       """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS tsu FROM events),
          s1 AS (SELECT user_id, min(tsu) AS t1 FROM e WHERE event_type = 'view' GROUP BY 1),

@@ -135,6 +135,42 @@ object Events {
       .orderBy(col("sum_value").desc, col("user_id"), col("session_id"))
       .limit(k)
 
+  /** TOP SESSION PATHS — path mining over the sessionized stream: each
+    * session collapses to its ordered event-type string ("view>view>
+    * purchase"), then a global count-per-path top-k. The product-
+    * analytics read next to [[funnel]] (which checks ONE hypothesized
+    * order; paths SURFACE the orders that actually happen).
+    *
+    * Determinism is the whole trick: within-session order is pinned by
+    * (tsu, event_id) — same-microsecond events would otherwise make
+    * the path string engine-dependent — via `array_sort` over
+    * (tsu, event_id, type) structs (struct ordering = field order);
+    * the top-k ties break on the path string. Scale shape: one
+    * user-keyed window + one (user, session) aggregate (both
+    * co-partitioned after the first shuffle), the path table is
+    * session grain, and sort+limit plans as TakeOrderedAndProject —
+    * a bounded heap per partition, never a global sort. */
+  def topPaths(events: DataFrame, gapUs: Long = 1800000000L,
+      k: Int = 15): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = events.select(col("user_id"), col("event_id"),
+      col("event_type"), unix_micros(col("ts")).as("tsu"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("tsu"), col("event_id"))
+    val s = e.withColumn("prev", lag(col("tsu"), 1).over(w))
+      .withColumn("is_new", when(col("prev").isNull ||
+        col("tsu") - col("prev") > gapUs, 1L).otherwise(0L))
+      .withColumn("session_id", sum(col("is_new")).over(w))
+    val paths = s.groupBy(col("user_id"), col("session_id"))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("tsu"), col("event_id"),
+          col("event_type")))),
+        x => x.getField("event_type")), ">").as("path"))
+    paths.groupBy(col("path")).agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path"))
+      .limit(k)
+  }
+
   /** Hourly resample with gap fill: per user, a dense hour grid from
     * their first to last event with zero counts for silent hours — the
     * time-series regularization step before any windowed model sees the

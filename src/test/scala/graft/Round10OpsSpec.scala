@@ -229,3 +229,39 @@ class CmsSpec extends SparkSpec {
     rows.foreach(r => assert(r.getLong(1) > r.getLong(2)))
   }
 }
+
+class TopPathsSpec extends SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  private def ev(rows: Seq[(Long, Long, String, Long)]) =
+    rows.toDF("event_id", "user_id", "event_type", "tsu")
+      .withColumn("ts", timestamp_micros(col("tsu")))
+
+  test("sessions split on the gap; paths ordered and counted by hand") {
+    val m = 60000000L // a minute in us
+    val df = ev(Seq(
+      // user 1, session 1: view > click   session 2 (gap > 30m): view
+      (1L, 1L, "view", 0L), (2L, 1L, "click", m),
+      (3L, 1L, "view", 200 * m),
+      // user 2, one session: view > click
+      (4L, 2L, "view", 0L), (5L, 2L, "click", 5 * m)))
+    val got = operators.Events.topPaths(df).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toList
+    assert(got == List(("view>click", 2L), ("view", 1L)))
+  }
+
+  test("same-microsecond events order by event_id, not arrival luck") {
+    val df = ev(Seq(
+      (9L, 1L, "b_second", 0L), (4L, 1L, "a_first", 0L)))
+    val got = operators.Events.topPaths(df).collect()
+    // event_id 4 < 9 pins a_first before b_second despite equal tsu
+    assert(got.map(_.getString(0)).toList == List("a_first>b_second"))
+  }
+
+  test("top-k plans as a bounded heap, not a global sort") {
+    val plan = operators.Events.topPaths(Tables.events(spark, sfDir))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"))
+  }
+}
