@@ -62,6 +62,7 @@ object Shell {
           "quality_model | quality_scores | attribution [days] | " +
           "token_budget [tokens] | mmr [k] | ttest | anova | survival | " +
           "mwu [typeA typeB] | attribution_multi | harmonic | ndcg | " +
+          "kanon [k] | paths [k] | " +
           "exit | <sql>  (SQL reaches the operator TVFs too: " +
           "graft_asof(dir) graft_dedup_minhash(dir[,bands]) " +
           "graft_mmr(dir[,maxq]) graft_funnel(dir) graft_kanon(dir[,k]))")
@@ -284,6 +285,17 @@ object Shell {
         val findings = plans.PlanDoctor.lint(spark.sql(rest.mkString(" ")))
         if (findings.isEmpty) println("plan clean: no scale-killers found")
         else findings.show(truncate = false)
+      case "kanon" :: rest if rest.length <= 1 =>
+        // release-governance read: how much of the corpus hides in
+        // QI classes of >= k, and the l-diversity floor
+        val k = rest.headOption.map(_.toInt).getOrElse(5)
+        operators.TextAnalysis.kAnonymityCard(Tables.documents(spark, dir), k)
+          .show(truncate = false)
+      case "paths" :: rest if rest.length <= 1 =>
+        // which event-type orders actually happen, by session count
+        val k = rest.headOption.map(_.toInt).getOrElse(15)
+        operators.Events.topPaths(Tables.events(spark, dir), k = k)
+          .show(k, truncate = false)
       case "ndcg" :: Nil =>
         // rank-aware index quality: where do the true neighbors land
         operators.Similarity.ndcgCard(Tables.embeddings(spark, dir))
