@@ -626,6 +626,80 @@ object ScaleSmoke {
           fanout = 3, localMaxEdges = 0L)
         .write.format("noop").mode("overwrite").save()
     }
+    // ---- round 10 additions ----
+    time("cms_1m") {
+      // count-min at 1M events' user ids: d×w counters regardless of
+      // input — the whole reduce side is 4×256 rows, scan-bound
+      operators.Analytics.cmsFrequency(
+          be.select(col("user_id").as("l_partkey")))
+        .write.format("noop").mode("overwrite").save()
+    }
+    time("paths_1m") {
+      // path mining at 1M events: user-keyed window + session-grain
+      // aggregate + bounded-heap top-k — no global sort anywhere
+      operators.Events.topPaths(be)
+        .write.format("noop").mode("overwrite").save()
+    }
+    time("kanon_100k") {
+      // class-grain aggregate at 100k docs: shuffle bounded by the QI
+      // grid, never row grain past the map-side combine
+      operators.TextAnalysis.kAnonymityCard(bd)
+        .write.format("noop").mode("overwrite").save()
+    }
+    time("scd2_1m") {
+      // type-2 history over a 1M-row synthetic change log: one
+      // key-partitioned lead window at change grain
+      val ch = be.select(col("event_id").as("k"), col("user_id").as("v"),
+        pmod(col("event_id"), lit(3L)).as("seq"),
+        when(pmod(col("event_id"), lit(7L)) === 0L, "d").otherwise("u").as("op"))
+      graft.sources.Catalog.scd2History(ch, "k", "seq", "op")
+        .write.format("noop").mode("overwrite").save()
+    }
+    time("kmv_mv_1m") {
+      // bounded-sketch MV at 1M events: two arrival-order refreshes,
+      // state ≤ k hashes per event type regardless of history
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-scale-kmv").toString
+      val cat = new graft.sources.Catalog(spark, root)
+      val h = be.select(col("event_type"),
+        operators.TextAnalysis.portableHash60(col("user_id")).as("h"),
+        col("event_id"))
+      cat.refreshKmvMv("u1m", h.where(col("event_id") % 2 === 0),
+        Seq("event_type"), "h", 64)
+      cat.refreshKmvMv("u1m", h.where(col("event_id") % 2 =!= 0),
+        Seq("event_type"), "h", 64)
+      cat.kmvMvEstimate("u1m", Seq("event_type"), 64)
+        .write.format("noop").mode("overwrite").save()
+    }
+    time("ann_upsert_40k") {
+      // index upsert at 40k vectors (20× bench embeddings): delta
+      // assignment is map-only against the frozen broadcast centroids
+      val bigv = (0 until 20).map(i => spark.read
+          .parquet("/root/testdata/sf0.1/embeddings.parquet")
+          .withColumn("vec_id", col("vec_id") + lit(i * 1000000L)))
+        .reduce(_ unionAll _)
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-scale-ann").toString
+      val cat = new graft.sources.Catalog(spark, root)
+      cat.saveAnnIndex("big",
+        operators.Similarity.buildIvfIndex(bigv.where(col("vec_id") % 5 =!= 0)))
+      cat.upsertAnnIndex("big", bigv.where(col("vec_id") % 5 === 0), 1L)
+      val idx = cat.loadAnnIndex("big")
+      val qs = idx.assignments.where(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"))
+      operators.Similarity.ivfSearch(idx, qs, 10)
+        .write.format("noop").mode("overwrite").save()
+    }
+    time("ndcg_40k") {
+      // both searches stream the 40k corpus once; everything after is
+      // query-grain (5 queries × ≤10 rows)
+      val bigv = (0 until 20).map(i => spark.read
+          .parquet("/root/testdata/sf0.1/embeddings.parquet")
+          .withColumn("vec_id", col("vec_id") + lit(i * 1000000L)))
+        .reduce(_ unionAll _)
+      operators.Similarity.ndcgCard(bigv)
+        .write.format("noop").mode("overwrite").save()
+    }
     spark.stop()
   }
 }
