@@ -143,6 +143,10 @@ object SparkEntry {
     // session-state deployment shape); same oracle as e_session_stream
     "e_session_rocksdb" ->
       ((s, d) => streaming.EventStream.sessionizeReplayRocksDb(s, d)),
+    // the CMS sketch maintained AS a streaming MV: per-microbatch
+    // d x w counter deltas folded by refreshAggMv == the batch sketch
+    "e_cms_stream" ->
+      ((s, d) => streaming.EventStream.cmsMaintenanceReplay(s, d)),
     // the watermarked stream-stream join as a real checkpointed run
     "e_ssjoin_stream" -> ((s, d) => streaming.EventStream.purchaseViewJoinReplay(s, d)),
     "e_top_sessions" -> ((s, d) => Events.topSessions(Tables.events(s, d))),
@@ -1963,6 +1967,26 @@ object SparkEntry {
          FROM est""",
     // 2^60 is a power of two (double-exact); the arithmetic shape matches
     // the Spark side verbatim so the IEEE result is bit-identical.
+    // the stream-maintained CMS state must equal the batch sketch —
+    // same counters CTE over events, probes on user ids 1..10
+    "e_cms_stream" ->
+      """WITH c AS (SELECT j,
+                CAST('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) % 256 AS bucket,
+                count(*) AS cnt
+           FROM events CROSS JOIN unnest(generate_series(0, 3)) AS t(j)
+           GROUP BY 1, 2),
+         k AS (SELECT g AS user_id FROM generate_series(1, 10) AS s(g)),
+         p AS (SELECT user_id, j,
+                CAST('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) % 256 AS bucket
+               FROM k CROSS JOIN unnest(generate_series(0, 3)) AS t(j)),
+         e AS (SELECT user_id, min(coalesce(cnt, 0)) AS est
+               FROM p LEFT JOIN c USING (j, bucket) GROUP BY 1),
+         x AS (SELECT user_id, count(*) AS exact
+               FROM events WHERE user_id <= 10 GROUP BY 1)
+         SELECT e.user_id, CAST(e.est AS BIGINT) AS est,
+                CAST(coalesce(x.exact, 0) AS BIGINT) AS exact,
+                CAST(e.est - coalesce(x.exact, 0) AS BIGINT) AS overcount
+         FROM e LEFT JOIN x ON e.user_id = x.user_id""",
     // every CMS counter replays via the same md5-prefix hash; the
     // estimate is a min over d bounded counter lookups
     "q_cms" ->

@@ -291,24 +291,37 @@ object Analytics {
     * broadcast join of (key × d) probes against the counter table.
     * Hashing is [[TextAnalysis.portableHash60]](j, ":", key), so every
     * counter — not just the estimates — replays in DuckDB. */
+  private def cmsBucket(j: Column, key: Column, w: Int): Column =
+    pmod(TextAnalysis.portableHash60(j, lit(":"), key), lit(w.toLong))
+
+  /** One batch's CMS counter delta at (j, bucket) grain — ALGEBRAIC
+    * (plain counts), so the sketch is maintainable by any counter-sum
+    * machinery: `cmsFrequency` aggregates it in one shot, the
+    * streaming replay folds per-microbatch deltas through
+    * `Catalog.refreshAggMv` and lands on the identical counters. */
+  private[graft] def cmsCounterDelta(keys: DataFrame, keyCol: String,
+      d: Int, w: Int): DataFrame =
+    keys.select(col(keyCol).as("k"), explode(sequence(lit(0), lit(d - 1))).as("j"))
+      .groupBy(col("j"), cmsBucket(col("j"), col("k"), w).as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Point estimates for keys 1..maxKey from a CMS counter table:
+    * min over the d rows' probed buckets. Returns (k, est). */
+  private[graft] def cmsEstimate(spark: SparkSession, counters: DataFrame,
+      d: Int, w: Int, maxKey: Long): DataFrame =
+    spark.range(1, maxKey + 1)
+      .select(col("id").as("k"), explode(sequence(lit(0), lit(d - 1))).as("j"))
+      .select(col("k"), col("j"), cmsBucket(col("j"), col("k"), w).as("bucket"))
+      .join(counters, Seq("j", "bucket"), "left")
+      .groupBy(col("k"))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
+
   def cmsFrequency(lineitem: DataFrame, d: Int = 4, w: Int = 256,
       maxKey: Long = 10): DataFrame = {
-    import TextAnalysis.portableHash60
-    def bucket(j: Column, key: Column) =
-      pmod(portableHash60(j, lit(":"), key), lit(w.toLong))
     val rows = lineitem.select(col("l_partkey"))
-    val counters = rows
-      .select(col("l_partkey"), explode(sequence(lit(0), lit(d - 1))).as("j"))
-      .groupBy(col("j"), bucket(col("j"), col("l_partkey")).as("bucket"))
-      .agg(count(lit(1)).as("cnt"))
-    val probes = rows.sparkSession.range(1, maxKey + 1)
-      .select(col("id").as("l_partkey"),
-        explode(sequence(lit(0), lit(d - 1))).as("j"))
-      .select(col("l_partkey"), col("j"),
-        bucket(col("j"), col("l_partkey")).as("bucket"))
-    val est = probes.join(counters, Seq("j", "bucket"), "left")
-      .groupBy(col("l_partkey"))
-      .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
+    val counters = cmsCounterDelta(rows, "l_partkey", d, w)
+    val est = cmsEstimate(rows.sparkSession, counters, d, w, maxKey)
+      .withColumnRenamed("k", "l_partkey")
     val exact = rows.where(col("l_partkey") <= maxKey)
       .groupBy(col("l_partkey")).agg(count(lit(1)).as("exact"))
     est.join(exact, Seq("l_partkey"), "left")

@@ -623,6 +623,43 @@ object EventStream {
         (col("value_cents").cast("double") / 100.0).as("sum_value"))
   }
 
+  /** STREAMING COUNT-MIN maintenance — the sketch-as-MV composition:
+    * CMS counters are plain counts at (row, bucket) grain, i.e.
+    * ALGEBRAIC, so the same `refreshAggMv` machinery that maintains
+    * the per-type counter view maintains a frequency SKETCH — each
+    * microbatch contributes its d×w-bounded counter delta
+    * (`Analytics.cmsCounterDelta`, map-side combined before the
+    * foreachBatch sink ever sees row grain) and the folded state is
+    * IDENTICAL to the batch-built sketch, which is what the q_cms-
+    * shaped oracle checks. Exactly-once rides the batch id as in
+    * every MV replay; at 100 TB this is "heavy-hitter frequencies
+    * over an unbounded stream in 4×256 counters of durable state". */
+  def cmsMaintenanceReplay(spark: SparkSession, sfDir: String,
+      maxFilesPerTrigger: Int = 4): DataFrame = {
+    import graft.sources.Catalog
+    import graft.operators.Analytics
+    val src = Replay.source(spark, sfDir)
+    val cat = new Catalog(spark, sfDir,
+      Some(Catalog.warehouseLayoutRoot(spark, sfDir)))
+    cat.dropDerived("events_cms_mv")
+    Replay.runForeachBatch(spark, src, maxFilesPerTrigger) { (batch, id) =>
+      val delta = Analytics.cmsCounterDelta(
+        batch.where(col("user_id") =!= src.sentinelUser)
+          .select(col("user_id")), "user_id", 4, 256)
+      cat.refreshAggMv("events_cms_mv", delta, Seq("j", "bucket"), Some(id)): Unit
+    }
+    val est = Analytics.cmsEstimate(spark,
+        cat.mvState("events_cms_mv"), 4, 256, 10)
+      .withColumnRenamed("k", "user_id")
+    val exact = graft.Tables.events(spark, sfDir)
+      .where(col("user_id") <= 10)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("exact"))
+    est.join(exact, Seq("user_id"), "left")
+      .select(col("user_id"), col("est"),
+        coalesce(col("exact"), lit(0L)).as("exact"),
+        (col("est") - coalesce(col("exact"), lit(0L))).as("overcount"))
+  }
+
   case class MatchEvent(user_id: Long, tsu: Long, event_id: Long,
     event_type: String)
   case class MatchState(lastOpen: Long, lastFail: Long)

@@ -283,3 +283,18 @@ class Round10ShellSpec extends SparkSpec {
     assert(Shell.execute("mwu click click", spark, cat, sfDir))
   }
 }
+
+class CmsStreamSpec extends SparkSpec {
+  test("stream-folded CMS state is microbatch-boundary invariant") {
+    val fine = streaming.EventStream
+      .cmsMaintenanceReplay(spark, sfDir, maxFilesPerTrigger = 1)
+      .collect().toSet
+    val coarse = streaming.EventStream
+      .cmsMaintenanceReplay(spark, sfDir, maxFilesPerTrigger = 9)
+      .collect().toSet
+    assert(fine == coarse)
+    assert(fine.nonEmpty)
+    // the one-sided CMS bound survives the streaming fold
+    fine.foreach(r => assert(r.getLong(1) >= r.getLong(2)))
+  }
+}
