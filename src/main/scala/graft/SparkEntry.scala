@@ -382,6 +382,23 @@ object SparkEntry {
         .select(col("vec_id").as("query_id"), col("v").as("qv"))
       Similarity.ivfSearch(idx, queries, k = 10, nProbe = 4)
     }),
+    // the same upsert contract for the index that still FITS at
+    // 100 TB: the delta is int8-coded against the FROZEN centroids
+    // AND per-cell scales; segmented ADC search == the oracle's
+    // encode-everything rebuild over the same frozen quantizer
+    "s_ann_upsert_q" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val emb = Tables.embeddings(s, d)
+      val cat = new graft.sources.Catalog(s, d,
+        Some(graft.sources.Catalog.warehouseLayoutRoot(s, d)))
+      cat.dropDerived("ann_upsert_qidx")
+      cat.saveAnnIndexQ("ann_upsert_qidx",
+        Similarity.buildIvfIndexQ(emb.where(col("vec_id") % 5 =!= 0)))
+      cat.upsertAnnIndexQ("ann_upsert_qidx",
+        emb.where(col("vec_id") % 5 === 0), batchId = 1L)
+      Similarity.ivfSearchQ(cat.loadAnnIndexQ("ann_upsert_qidx"),
+        Similarity.queryVectors(emb, 5), k = 10, nProbe = 4)
+    }),
     // uniform-without-replacement cap of 10 docs per source
     "p_cap_source" -> ((s, d) => Sampling.capPerGroup(Tables.documents(s, d), 10)),
     "s_ann_brute" -> ((s, d) => Similarity.bruteForceTopK(Tables.embeddings(s, d), 5, 10)),
@@ -1477,6 +1494,7 @@ object SparkEntry {
     // upserted-index search == rebuild against the same frozen
     // centroids (the chain's centroid stages filtered to the base)
     "s_ann_upsert" -> ivfUpsertSql,
+    "s_ann_upsert_q" -> ivfUpsertQSql,
     // recall@k of the probed search vs the exact top-k: both sides are
     // the SAME replays the gate already value-checks, composed — the
     // index-quality number measured each round instead of assumed
@@ -4814,8 +4832,22 @@ object SparkEntry {
     * IVF-candidate MMR oracle, and (via `baseWhere`) the upsert
     * oracle: the CENTROID stages (seeds, Lloyd) run over the filtered
     * base corpus only, while the assignment + search stages cover
-    * everything — exactly the frozen-centroid upsert contract. */
+    * everything — exactly the frozen-centroid upsert contract.
+    * [[ivfCoreSqlFrom]] stops after the probe CTE `q` (assignment +
+    * probing, shared with the QUANTIZED search oracle, which scores
+    * int8 reconstructions instead of float vectors). */
   private def ivfChainSqlFrom(baseWhere: String): String =
+    s"""${ivfCoreSqlFrom(baseWhere)},
+         scored AS (SELECT q.query_id, a2.vec_id AS neighbor_id,
+                           list_dot_product(q.qv, a2.v)
+                             / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(a2.v, a2.v))) AS cos
+                    FROM a2 JOIN q ON a2.cell_id = q.probe_cell AND a2.vec_id <> q.query_id),
+         r AS (SELECT query_id, neighbor_id, cos,
+                      row_number() OVER (PARTITION BY query_id
+                                         ORDER BY cos DESC, neighbor_id) AS rnk
+               FROM scored)"""
+
+  private def ivfCoreSqlFrom(baseWhere: String): String =
     s"""e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
          eb AS (SELECT vec_id, v FROM e WHERE $baseWhere),
          seeds AS (SELECT vec_id AS cell_id, v AS cv FROM eb
@@ -4848,15 +4880,7 @@ object SparkEntry {
                           list_dot_product(e.v, c.cv)
                             / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))) DESC,
                           c.cell_id) AS rn
-                 FROM e CROSS JOIN cents c WHERE e.vec_id < 5) WHERE rn <= 4),
-         scored AS (SELECT q.query_id, a2.vec_id AS neighbor_id,
-                           list_dot_product(q.qv, a2.v)
-                             / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(a2.v, a2.v))) AS cos
-                    FROM a2 JOIN q ON a2.cell_id = q.probe_cell AND a2.vec_id <> q.query_id),
-         r AS (SELECT query_id, neighbor_id, cos,
-                      row_number() OVER (PARTITION BY query_id
-                                         ORDER BY cos DESC, neighbor_id) AS rnk
-               FROM scored)"""
+                 FROM e CROSS JOIN cents c WHERE e.vec_id < 5) WHERE rn <= 4)"""
 
   private val ivfChainSql: String = ivfChainSqlFrom("TRUE")
 
@@ -4869,6 +4893,57 @@ object SparkEntry {
   private val ivfUpsertSql: String =
     s"""WITH ${ivfChainSqlFrom("vec_id % 5 <> 0")}
          SELECT query_id, neighbor_id, floor(cos * 1000000 + 0.5) / 1000000 AS cos, rnk FROM r WHERE rnk <= 10"""
+
+  /** The QUANTIZED upsert oracle — the full frozen-quantizer contract
+    * replayed in SQL: centroids trained on the 80% base (the shared
+    * core chain), per-cell int8 residual scales frozen from the BASE
+    * rows only, every vector (base + delta) coded against those frozen
+    * artifacts with the same clamp (`greatest/least ±127`), and the
+    * asymmetric search (q·c + s·(q·code)) / (|q|·|reconstruction|)
+    * mirrored term by term. list() aggregates rebuild coordinate lists
+    * in pos order so every dot product sums in the SAME index order as
+    * the Spark side — bit-identical doubles, not approximately-equal. */
+  private val ivfUpsertQSql: String =
+    s"""WITH ${ivfCoreSqlFrom("vec_id % 5 <> 0")},
+         rx AS (SELECT a2.vec_id, a2.cell_id, t.i AS pos,
+                       list_extract(a2.v, t.i) - list_extract(c.cv, t.i) AS x
+                FROM a2 JOIN cents c USING (cell_id)
+                CROSS JOIN unnest(generate_series(1, len(a2.v))) AS t(i)),
+         sc AS (SELECT cell_id,
+                       CASE WHEN max(abs(x)) > 0 THEN max(abs(x)) / 127.0
+                            ELSE 1.0 END AS s
+                FROM rx WHERE vec_id % 5 <> 0 GROUP BY cell_id),
+         cd AS (SELECT rx.vec_id, rx.cell_id, rx.pos,
+                       COALESCE(sc.s, 1.0) AS s,
+                       greatest(-127.0, least(127.0,
+                         round(rx.x / COALESCE(sc.s, 1.0)))) AS qc
+                FROM rx LEFT JOIN sc USING (cell_id)),
+         vq AS (SELECT cd.vec_id, cd.cell_id, max(cd.s) AS s,
+                       list(cd.qc ORDER BY cd.pos) AS qv8,
+                       list(list_extract(c.cv, cd.pos) + cd.qc * cd.s
+                            ORDER BY cd.pos) AS vr
+                FROM cd JOIN cents c USING (cell_id)
+                GROUP BY cd.vec_id, cd.cell_id),
+         vn AS (SELECT vec_id, cell_id, s, qv8,
+                       sqrt(list_dot_product(vr, vr)) AS rnorm FROM vq),
+         qp AS (SELECT q.query_id, q.qv, q.probe_cell,
+                       list_dot_product(q.qv, c.cv) AS qdotc,
+                       sqrt(list_dot_product(q.qv, q.qv)) AS qnorm
+                FROM q JOIN cents c ON c.cell_id = q.probe_cell),
+         scoredq AS (SELECT qp.query_id, vn.vec_id AS neighbor_id,
+                       CASE WHEN vn.rnorm > 0 THEN
+                         (qp.qdotc + vn.s * list_dot_product(qp.qv, vn.qv8))
+                           / (qp.qnorm * vn.rnorm)
+                       ELSE -2.0 END AS cos
+                FROM vn JOIN qp ON vn.cell_id = qp.probe_cell
+                               AND vn.vec_id <> qp.query_id),
+         rq AS (SELECT query_id, neighbor_id, cos,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY cos DESC, neighbor_id) AS rnk
+                FROM scoredq)
+         SELECT query_id, neighbor_id,
+                floor(cos * 1000000 + 0.5) / 1000000 AS cos, rnk
+         FROM rq WHERE rnk <= 10"""
 
   /** MMR over the IVF candidates — the scale-path rerank's oracle. */
   private val mmrIvfSql: String =

@@ -270,7 +270,46 @@ object Similarity {
     * are small, so the int8 grid is dense where the data is), scale
     * per cell (s = max|residual coordinate| / 127, so no code ever
     * clips beyond rounding and per-coordinate error ≤ s/2). */
-  final case class IvfQIndex(assignments: DataFrame, centroids: DataFrame)
+  final case class IvfQIndex(assignments: DataFrame, centroids: DataFrame,
+      scales: DataFrame)
+
+  /** Assignment + residual against a (frozen or freshly trained)
+    * centroid table — the shared first step of both quantized builds
+    * and their upsert paths. */
+  private def residualsQ(e: DataFrame, centroids: DataFrame): DataFrame =
+    assignCells(e, centroids, "vec_id", 1)
+      .join(broadcast(centroids), "cell_id")
+      .withColumn("r", zip_with(col("v"), col("cv"), (x, c) => x - c))
+
+  /** Per-cell int8 residual scale: s = max|residual coordinate| / 127
+    * over the TRAINING rows, so no training code ever clips beyond
+    * rounding. Once frozen in a saved index, the scales are part of
+    * the quantizer exactly like the centroids. */
+  private def residScalesQ(resid: DataFrame): DataFrame =
+    resid.groupBy(col("cell_id"))
+      .agg(max(array_max(transform(col("r"), x => abs(x)))).as("mx"))
+      .select(col("cell_id"),
+        when(col("mx") > 0, col("mx") / 127.0).otherwise(lit(1.0)).as("s"))
+
+  /** Encode residual rows against a per-cell scale table: clamped int8
+    * codes + the reconstruction norm. The clamp is a NO-OP for the
+    * training rows (the scale is their own max/127) and the stated
+    * clipping behavior for upserted vectors whose residual exceeds the
+    * frozen cell scale — the standard scalar-quantizer trade: error
+    * grows with the overshoot instead of wrapping. A delta vector
+    * landing in a cell with no training row (possible after the final
+    * Lloyd move) gets scale 1.0 — codes round the raw residual. */
+  private def encodeQ(resid: DataFrame, scales: DataFrame): DataFrame =
+    resid.join(broadcast(scales), Seq("cell_id"), "left")
+      .withColumn("s", coalesce(col("s"), lit(1.0)))
+      .withColumn("q", transform(col("r"),
+        x => greatest(lit(-127.0), least(lit(127.0), round(x / col("s"))))
+          .cast("byte")))
+      .withColumn("vr", zip_with(col("cv"), col("q"),
+        (c, qq) => c + qq.cast("double") * col("s")))
+      .withColumn("rnorm", sqrt(dotProduct(col("vr"), col("vr"))))
+      .select(col("vec_id"), col("cell_id"), col("q"), col("s"),
+        col("rnorm"))
 
   /** Build the quantized index: assign → per-cell residual scale →
     * int8 codes + reconstructed norm. The array lambdas here are
@@ -281,24 +320,36 @@ object Similarity {
       refinePasses: Int = 1): IvfQIndex = {
     val e = prepared(embeddings)
     val centroids = coarseCentroids(e, nCells, refinePasses)
-    val resid = assignCells(e, centroids, "vec_id", 1)
-      .join(broadcast(centroids), "cell_id")
-      .withColumn("r", zip_with(col("v"), col("cv"), (x, c) => x - c))
-    val scales = resid.groupBy(col("cell_id"))
-      .agg(max(array_max(transform(col("r"), x => abs(x)))).as("mx"))
-      .select(col("cell_id"),
-        when(col("mx") > 0, col("mx") / 127.0).otherwise(lit(1.0)).as("s"))
-    val coded = resid.join(broadcast(scales), "cell_id")
-      .withColumn("q", transform(col("r"),
-        x => round(x / col("s")).cast("byte")))
-      .withColumn("vr", zip_with(col("cv"), col("q"),
-        (c, qq) => c + qq.cast("double") * col("s")))
-      .withColumn("rnorm", sqrt(dotProduct(col("vr"), col("vr"))))
-    IvfQIndex(
-      coded.select(col("vec_id"), col("cell_id"), col("q"), col("s"),
-        col("rnorm")),
-      centroids)
+    val resid = residualsQ(e, centroids)
+    val scales = residScalesQ(resid)
+    IvfQIndex(encodeQ(resid, scales), centroids, scales)
   }
+
+  /** QUANTIZED INDEX UPSERT: encode NEW vectors against the FROZEN
+    * quantizer — centroids AND per-cell scales, both fixed at build
+    * time. The int8 code is a pure per-vector function of (centroids,
+    * scales), so exactly as with [[assignNew]], (old assignments) ∪
+    * (delta encoded against the same frozen artifacts) IS the table a
+    * monolithic encode-everything pass would produce — search over
+    * the upserted index equals search over that rebuild (spec + the
+    * s_ann_upsert_q oracle pin it). Map-only over the delta: the
+    * centroid set rides in the assignment literal and the ≤nCells
+    * scale table is broadcast, cost O(|delta|·nCells). This closes
+    * the scale story [[buildIvfIndexQ]] opens: the index that still
+    * FITS at 100 TB (dim+16 bytes/vector) also stays FRESH at 100 TB
+    * without re-touching the corpus. A delta residual beyond the
+    * frozen cell scale CLIPS at ±127 (see [[encodeQ]]); re-train when
+    * the recall/nDCG gates say drift has eaten the floor. */
+  def assignNewQ(newVectors: DataFrame, centroids: DataFrame,
+      scales: DataFrame): DataFrame =
+    encodeQ(residualsQ(prepared(newVectors), centroids), scales)
+
+  /** (query_id, qv) query rows from an embeddings table — the search
+    * verbs' input shape, for callers whose index stores codes rather
+    * than vectors (the quantized indexes keep no `v` to query from). */
+  def queryVectors(embeddings: DataFrame, maxQueryId: Long): DataFrame =
+    prepared(embeddings).where(col("vec_id") < maxQueryId)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
 
   /** Probe-only search against the quantized index with ASYMMETRIC
     * distance (the query is never quantized):
@@ -364,33 +415,13 @@ object Similarity {
       ksub: Int = 128, refinePasses: Int = 1, cbPasses: Int = 8): IvfPqIndex = {
     require(Dim % m == 0, s"m=$m must divide dim=$Dim")
     require(ksub <= 128, s"ksub=$ksub must fit a signed byte code")
-    val dsub = Dim / m
     val e = prepared(embeddings)
     val centroids = coarseCentroids(e, nCells, refinePasses)
-    val resid = assignCells(e, centroids, "vec_id", 1)
-      .join(broadcast(centroids), "cell_id")
-      .withColumn("r", zip_with(col("v"), col("cv"), (x, c) => x - c))
-      .localCheckpoint()
+    val resid = residualsQ(e, centroids).localCheckpoint()
     // the m sub-vectors of each residual: (vec_id, sub, rs) — scanned
     // once per training pass plus the final coding, so pinned
-    val subs = resid.select(col("vec_id"),
-        posexplode(expr(
-          s"transform(sequence(0, ${m - 1}), j -> slice(r, j * $dsub + 1, $dsub))"))
-          .as(Seq("sub", "rs")))
-      .localCheckpoint()
-    // nearest codebook entry per (vec_id, sub): broadcast the m·ksub
-    // codebook, expand per candidate, take the (d², code) struct-min —
-    // deterministic (code ids are unique within a subspace)
-    def nearest(cbook: DataFrame): DataFrame =
-      subs.join(broadcast(cbook), "sub")
-        .withColumn("d2",
-          dotProduct(col("rs"), col("rs"))
-            - lit(2.0) * dotProduct(col("rs"), col("cb"))
-            + dotProduct(col("cb"), col("cb")))
-        .groupBy(col("vec_id"), col("sub"))
-        .agg(min(struct(col("d2"), col("code"), col("cb"), col("rs"))).as("best"))
-        .select(col("vec_id"), col("sub"), col("best.code").as("code"),
-          col("best.cb").as("cb"), col("best.rs").as("rs"))
+    val subs = pqSubs(resid, m).localCheckpoint()
+    def nearest(cbook: DataFrame): DataFrame = pqNearest(subs, cbook)
     // seeds: ksub hash-ordered sub-vectors per subspace (the
     // sampleCentroids idiom, partitioned by subspace)
     var cb = {
@@ -419,22 +450,65 @@ object Similarity {
         .select(col("sub"), col("code"), col("ps.x").as("cb"))
         .localCheckpoint()
     }
-    // final coding: per vector the m codes (sub-sorted byte array) and
-    // the reconstruction ĉ = centroid + concat_j cb_j[code_j], whose
-    // exact norm ships with the assignment row
-    val per = nearest(cb)
+    IvfPqIndex(pqCode(resid, cb, m), centroids, cb, m, ksub)
+  }
+
+  /** The m sub-vectors of each residual row: (vec_id, sub, rs). */
+  private def pqSubs(resid: DataFrame, m: Int): DataFrame = {
+    val dsub = Dim / m
+    resid.select(col("vec_id"),
+      posexplode(expr(
+        s"transform(sequence(0, ${m - 1}), j -> slice(r, j * $dsub + 1, $dsub))"))
+        .as(Seq("sub", "rs")))
+  }
+
+  /** Nearest codebook entry per (vec_id, sub): broadcast the m·ksub
+    * codebook, expand per candidate, take the (d², code) struct-min —
+    * deterministic (code ids are unique within a subspace). */
+  private def pqNearest(subs: DataFrame, cbook: DataFrame): DataFrame =
+    subs.join(broadcast(cbook), "sub")
+      .withColumn("d2",
+        dotProduct(col("rs"), col("rs"))
+          - lit(2.0) * dotProduct(col("rs"), col("cb"))
+          + dotProduct(col("cb"), col("cb")))
+      .groupBy(col("vec_id"), col("sub"))
+      .agg(min(struct(col("d2"), col("code"), col("cb"), col("rs"))).as("best"))
+      .select(col("vec_id"), col("sub"), col("best.code").as("code"),
+        col("best.cb").as("cb"), col("best.rs").as("rs"))
+
+  /** Final PQ coding of residual rows against a (frozen or freshly
+    * trained) codebook: per vector the m codes (sub-sorted byte array)
+    * and the reconstruction ĉ = centroid + concat_j cb_j[code_j],
+    * whose exact norm ships with the assignment row. */
+  private def pqCode(resid: DataFrame, cb: DataFrame, m: Int): DataFrame = {
+    val per = pqNearest(pqSubs(resid, m), cb)
       .groupBy(col("vec_id"))
       .agg(array_sort(collect_list(struct(col("sub"), col("code"), col("cb")))).as("sc"))
       .select(col("vec_id"),
         expr("transform(sc, s -> CAST(s.code AS TINYINT))").as("codes"),
         flatten(expr("transform(sc, s -> s.cb)")).as("rq"))
-    val assignments = resid.select(col("vec_id"), col("cell_id"), col("cv"))
+    resid.select(col("vec_id"), col("cell_id"), col("cv"))
       .join(per, "vec_id")
       .withColumn("vr", zip_with(col("cv"), col("rq"), (c, r) => c + r))
       .withColumn("rnorm", sqrt(dotProduct(col("vr"), col("vr"))))
       .select(col("vec_id"), col("cell_id"), col("codes"), col("rnorm"))
-    IvfPqIndex(assignments, centroids, cb, m, ksub)
   }
+
+  /** PQ INDEX UPSERT: code NEW vectors against the FROZEN quantizer —
+    * centroids AND the m per-subspace codebooks, both fixed at build
+    * time. A PQ code is a pure per-vector function of (centroids,
+    * codebooks) — nearest codebook entry per residual sub-vector — so
+    * exactly as with [[assignNewQ]], old assignments ∪ (delta coded
+    * against the same frozen artifacts) equals the monolithic
+    * code-everything table, and search over the upserted index equals
+    * search over that rebuild (spec-pinned). Cost O(|delta|·m·ksub)
+    * with the codebook broadcast — the 32-byte/vector index, the only
+    * one whose STATE still fits at 100 TB, now also stays fresh at
+    * 100 TB. Residual drift degrades code quality gradually (nearest
+    * entry just gets farther); re-train on the recall/nDCG gates. */
+  def assignNewPq(newVectors: DataFrame, index: IvfPqIndex): DataFrame =
+    pqCode(residualsQ(prepared(newVectors), index.centroids),
+      index.codebooks, index.m)
 
   /** Probe-only IVF-PQ search with ASYMMETRIC distance computation
     * (ADC, the published FAISS form — the query is never quantized):

@@ -293,14 +293,8 @@ class Catalog(spark: SparkSession, baseDir: String,
     * query service only ever calls [[loadAnnIndex]]). */
   def saveAnnIndex(name: String,
       index: graft.operators.Similarity.IvfIndex): Unit = {
-    def commit(df: DataFrame, part: String): Unit = {
-      val dir = s"$derivedDir/$name/$part"
-      val fs = new Path(dir).getFileSystem(hconf)
-      df.write.mode(SaveMode.Overwrite).parquet(s"$dir.tmp")
-      installSwap(dir, fs, s"saveAnnIndex($name/$part)")
-    }
-    commit(index.assignments, "assignments")
-    commit(index.centroids, "centroids")
+    commitIndexPart(name, "assignments", index.assignments)
+    commitIndexPart(name, "centroids", index.centroids)
   }
 
   /** INCREMENTAL ANN index maintenance — new vectors join a committed
@@ -316,16 +310,158 @@ class Catalog(spark: SparkSession, baseDir: String,
     * without re-touching the corpus. Because assignment is a pure
     * function of the frozen centroids, search over the segmented
     * index EQUALS search over a monolithic rebuild against the same
-    * centroids (spec + the s_ann_upsert oracle pin this). */
+    * centroids (spec + the s_ann_upsert oracle pin this). Delta ids
+    * must be new — see [[requireDisjoint]]; `check = true` enforces. */
   def upsertAnnIndex(name: String, newVectors: DataFrame,
-      batchId: Long): Unit = {
+      batchId: Long, check: Boolean = false): Unit = {
     require(hasSuccess(s"$derivedDir/$name/centroids"),
       s"no committed ANN index to upsert: $name")
     val segDir = s"$derivedDir/$name/assignments_seg_b$batchId"
     if (hasSuccess(segDir)) return // retry of a committed batch: no-op
+    if (check) requireDisjoint(name, newVectors)
     val centroids = spark.read.parquet(s"$derivedDir/$name/centroids")
     graft.operators.Similarity.assignNew(newVectors, centroids)
       .write.mode(SaveMode.Overwrite).parquet(segDir)
+  }
+
+  /** DISJOINTNESS CONTRACT shared by every index upsert: `vec_id`s in
+    * `newVectors` must not already exist in the committed index or in
+    * any earlier segment — the segment convention dedups BATCHES (a
+    * retried batch id no-ops on its `_SUCCESS`), never ROWS, so
+    * re-upserting live ids under a NEW batch id lands duplicate index
+    * entries and the search returns duplicate neighbors. The check is
+    * one anti-join of the (small) delta against the assignment ids —
+    * opt-in via `check = true` on the upsert verbs because at 100 TB
+    * it re-reads the full id column per refresh; the production
+    * pipeline makes ids disjoint by construction (append-only corpora
+    * name new rows with new ids) and turns the check on in staging. */
+  private def requireDisjoint(name: String, newVectors: DataFrame): Unit = {
+    val dup = newVectors.select(col("vec_id"))
+      .join(loadAnnAssignments(name).select(col("vec_id")), Seq("vec_id"))
+      .limit(1).count()
+    require(dup == 0L,
+      s"upsert into $name: delta contains vec_ids already indexed " +
+        "(segments dedup batches, not rows — see the disjointness contract)")
+  }
+
+  /** Base assignments plus every COMMITTED upsert segment — the
+    * append-only read rule shared by [[loadAnnIndex]] and its
+    * quantized siblings. A torn segment (no `_SUCCESS`) is skipped. */
+  private def loadAnnAssignments(name: String): DataFrame = {
+    val root = new Path(s"$derivedDir/$name")
+    val fs = root.getFileSystem(hconf)
+    val segs = fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory &&
+        s.getPath.getName.startsWith("assignments_seg_"))
+      .map(_.getPath.toString)
+      .filter(hasSuccess)
+      .sorted
+    (s"$derivedDir/$name/assignments" +: segs)
+      .map(spark.read.parquet(_))
+      .reduce(_ unionByName _)
+  }
+
+  /** Persist an int8-residual IVF index ([[graft.operators.Similarity
+    * .IvfQIndex]]) — three `_SUCCESS`-committed parts: assignments,
+    * centroids, and the per-cell residual SCALES. The scales are part
+    * of the frozen quantizer exactly like the centroids: without them
+    * an upsert could not encode deltas bit-identically to the build. */
+  def saveAnnIndexQ(name: String,
+      index: graft.operators.Similarity.IvfQIndex): Unit = {
+    commitIndexPart(name, "assignments", index.assignments)
+    commitIndexPart(name, "centroids", index.centroids)
+    commitIndexPart(name, "scales", index.scales)
+  }
+
+  /** INCREMENTAL upsert for the QUANTIZED index — [[upsertAnnIndex]]'s
+    * exactly-once segment convention applied to the index that still
+    * FITS at 100 TB (~dim+16 bytes/vector): the delta is encoded
+    * against the FROZEN centroids AND scales
+    * (`Similarity.assignNewQ` — codes are a pure per-vector function
+    * of both) and lands as an immutable `assignments_seg_b<id>`
+    * segment, so segmented search equals a monolithic encode-all
+    * rebuild (the s_ann_upsert_q oracle + spec pin it). Same
+    * batch-id/`_SUCCESS` retry semantics and [[requireDisjoint]]
+    * contract as the float path. */
+  def upsertAnnIndexQ(name: String, newVectors: DataFrame,
+      batchId: Long, check: Boolean = false): Unit = {
+    require(hasSuccess(s"$derivedDir/$name/centroids") &&
+      hasSuccess(s"$derivedDir/$name/scales"),
+      s"no committed quantized ANN index to upsert: $name")
+    val segDir = s"$derivedDir/$name/assignments_seg_b$batchId"
+    if (hasSuccess(segDir)) return // retry of a committed batch: no-op
+    if (check) requireDisjoint(name, newVectors)
+    graft.operators.Similarity.assignNewQ(newVectors,
+        spark.read.parquet(s"$derivedDir/$name/centroids"),
+        spark.read.parquet(s"$derivedDir/$name/scales"))
+      .write.mode(SaveMode.Overwrite).parquet(segDir)
+  }
+
+  /** Load a committed quantized index: base + committed segments, the
+    * frozen centroids and scales. Torn parts never serve. */
+  def loadAnnIndexQ(name: String): graft.operators.Similarity.IvfQIndex = {
+    require(hasSuccess(s"$derivedDir/$name/assignments") &&
+      hasSuccess(s"$derivedDir/$name/centroids") &&
+      hasSuccess(s"$derivedDir/$name/scales"),
+      s"no committed quantized ANN index: $name")
+    graft.operators.Similarity.IvfQIndex(loadAnnAssignments(name),
+      spark.read.parquet(s"$derivedDir/$name/centroids"),
+      spark.read.parquet(s"$derivedDir/$name/scales"))
+  }
+
+  /** Persist an IVF-PQ index — assignments, centroids, the m·ksub
+    * codebook table, and a 1-row meta part carrying (m, ksub) so a
+    * fresh session reconstructs the exact search geometry. */
+  def saveAnnIndexPq(name: String,
+      index: graft.operators.Similarity.IvfPqIndex): Unit = {
+    import spark.implicits._
+    commitIndexPart(name, "assignments", index.assignments)
+    commitIndexPart(name, "centroids", index.centroids)
+    commitIndexPart(name, "codebooks", index.codebooks)
+    commitIndexPart(name, "meta",
+      Seq((index.m, index.ksub)).toDF("m", "ksub"))
+  }
+
+  /** [[upsertAnnIndexQ]] for the PQ index: the delta is coded against
+    * the FROZEN centroids + codebooks (`Similarity.assignNewPq`) into
+    * an immutable batch-named segment — the 32-byte/vector index
+    * stays fresh in O(|delta|·m·ksub) without re-touching the corpus. */
+  def upsertAnnIndexPq(name: String, newVectors: DataFrame,
+      batchId: Long, check: Boolean = false): Unit = {
+    require(hasSuccess(s"$derivedDir/$name/centroids") &&
+      hasSuccess(s"$derivedDir/$name/codebooks") &&
+      hasSuccess(s"$derivedDir/$name/meta"),
+      s"no committed PQ ANN index to upsert: $name")
+    val segDir = s"$derivedDir/$name/assignments_seg_b$batchId"
+    if (hasSuccess(segDir)) return // retry of a committed batch: no-op
+    if (check) requireDisjoint(name, newVectors)
+    graft.operators.Similarity.assignNewPq(newVectors, loadAnnIndexPq(name))
+      .write.mode(SaveMode.Overwrite).parquet(segDir)
+  }
+
+  /** Load a committed PQ index: base + committed segments, frozen
+    * centroids/codebooks, (m, ksub) from the meta part. */
+  def loadAnnIndexPq(name: String): graft.operators.Similarity.IvfPqIndex = {
+    require(hasSuccess(s"$derivedDir/$name/assignments") &&
+      hasSuccess(s"$derivedDir/$name/centroids") &&
+      hasSuccess(s"$derivedDir/$name/codebooks") &&
+      hasSuccess(s"$derivedDir/$name/meta"),
+      s"no committed PQ ANN index: $name")
+    val meta = spark.read.parquet(s"$derivedDir/$name/meta").head()
+    graft.operators.Similarity.IvfPqIndex(loadAnnAssignments(name),
+      spark.read.parquet(s"$derivedDir/$name/centroids"),
+      spark.read.parquet(s"$derivedDir/$name/codebooks"),
+      meta.getInt(0), meta.getInt(1))
+  }
+
+  /** One `_SUCCESS`-committed part of a multi-part index layout (the
+    * [[saveAnnIndex]] family's shared tmp-swap). */
+  private def commitIndexPart(name: String, part: String,
+      df: DataFrame): Unit = {
+    val dir = s"$derivedDir/$name/$part"
+    val fs = new Path(dir).getFileSystem(hconf)
+    df.write.mode(SaveMode.Overwrite).parquet(s"$dir.tmp")
+    installSwap(dir, fs, s"saveAnnIndex($name/$part)")
   }
 
   /** Load a [[saveAnnIndex]]-committed index (throws when either half
@@ -337,18 +473,7 @@ class Catalog(spark: SparkSession, baseDir: String,
     require(hasSuccess(s"$derivedDir/$name/assignments") &&
       hasSuccess(s"$derivedDir/$name/centroids"),
       s"no committed ANN index: $name")
-    val root = new Path(s"$derivedDir/$name")
-    val fs = root.getFileSystem(hconf)
-    val segs = fs.listStatus(root).toSeq
-      .filter(s => s.isDirectory &&
-        s.getPath.getName.startsWith("assignments_seg_"))
-      .map(_.getPath.toString)
-      .filter(hasSuccess)
-      .sorted
-    val assignments = (s"$derivedDir/$name/assignments" +: segs)
-      .map(spark.read.parquet(_))
-      .reduce(_ unionByName _)
-    graft.operators.Similarity.IvfIndex(assignments,
+    graft.operators.Similarity.IvfIndex(loadAnnAssignments(name),
       spark.read.parquet(s"$derivedDir/$name/centroids"))
   }
 

@@ -1,0 +1,116 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sources.Catalog
+import graft.operators.Similarity
+
+/** Round-11: incremental upsert for the QUANTIZED ANN indexes. The
+  * frozen-quantizer contract — centroids AND scales (int8) / codebooks
+  * (PQ) fixed at build time — makes delta encoding a pure per-vector
+  * function, so the segmented index must EQUAL a monolithic
+  * encode-everything pass against the same artifacts, batch boundaries
+  * invisible. This closes the 100 TB argument the float-only upsert
+  * left open: the indexes small enough to still fit are now also the
+  * ones that stay fresh. */
+class QuantUpsertSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshCat() = new Catalog(spark, sfDir,
+    Some(java.nio.file.Files.createTempDirectory("graft-qup").toString))
+
+  private def neighborSets(df: org.apache.spark.sql.DataFrame) =
+    df.select(col("query_id"), col("neighbor_id"), col("rnk"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+
+  test("int8: upserted == monolithic encode-all against the frozen quantizer") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val cat = freshCat()
+    cat.saveAnnIndexQ("qidx",
+      Similarity.buildIvfIndexQ(emb.where(col("vec_id") % 5 =!= 0)))
+    cat.upsertAnnIndexQ("qidx", emb.where(col("vec_id") % 5 === 0), 1L)
+    val up = cat.loadAnnIndexQ("qidx")
+    // the rebuild: ALL vectors coded against the SAME frozen artifacts
+    val rebuilt = Similarity.IvfQIndex(
+      Similarity.assignNewQ(emb, up.centroids, up.scales),
+      up.centroids, up.scales)
+    val queries = Similarity.queryVectors(emb, 5)
+    assert(neighborSets(Similarity.ivfSearchQ(up, queries, 10)) ==
+      neighborSets(Similarity.ivfSearchQ(rebuilt, queries, 10)))
+    assert(up.assignments.count() == emb.count())
+  }
+
+  test("int8: a delta residual beyond the frozen scale clips, not wraps") {
+    def vec(x: Float) = Array.tabulate(64)(i => if (i == 0) x else 0.0f)
+    // base: a tight cluster on coordinate 0 -> tiny frozen scale
+    val base = (0 until 8).map(i => (i.toLong, vec(1.0f + i * 0.01f)))
+      .toDF("vec_id", "embedding")
+    val idx = Similarity.buildIvfIndexQ(base, nCells = 1)
+    // delta: residual ~49 where the frozen scale is ~0.0003 — the raw
+    // code would be ~170000; a byte cast alone would WRAP it
+    val delta = Seq((100L, vec(50.0f))).toDF("vec_id", "embedding")
+    val row = Similarity.assignNewQ(delta, idx.centroids, idx.scales)
+      .select(element_at(col("q"), 1).cast("int")).head()
+    assert(row.getInt(0) == 127)
+  }
+
+  test("pq: upserted == monolithic code-all against the frozen codebooks") {
+    val sub = Tables.embeddings(spark, sfDir).where(col("vec_id") < 600)
+    val cat = freshCat()
+    cat.saveAnnIndexPq("pqidx", Similarity.buildIvfIndexPq(
+      sub.where(col("vec_id") % 5 =!= 0),
+      nCells = 8, m = 16, ksub = 32, cbPasses = 2))
+    cat.upsertAnnIndexPq("pqidx", sub.where(col("vec_id") % 5 === 0), 1L)
+    val up = cat.loadAnnIndexPq("pqidx")
+    assert(up.m == 16 && up.ksub == 32) // meta part round-trips
+    val rebuilt = Similarity.IvfPqIndex(Similarity.assignNewPq(sub, up),
+      up.centroids, up.codebooks, up.m, up.ksub)
+    val queries = Similarity.queryVectors(sub, 5)
+    assert(neighborSets(Similarity.ivfSearchPq(up, queries, 10)) ==
+      neighborSets(Similarity.ivfSearchPq(rebuilt, queries, 10)))
+    assert(up.assignments.count() == sub.count())
+  }
+
+  test("quantized retry is a no-op; torn segment is invisible") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val cat = freshCat()
+    cat.saveAnnIndexQ("qidx",
+      Similarity.buildIvfIndexQ(emb.where(col("vec_id") % 5 =!= 0)))
+    cat.upsertAnnIndexQ("qidx", emb.where(col("vec_id") % 5 === 0), 1L)
+    val n1 = cat.loadAnnIndexQ("qidx").assignments.count()
+    // retry of batch 1 with CORRUPT contents: the committed segment wins
+    cat.upsertAnnIndexQ("qidx", emb.limit(3), 1L)
+    assert(cat.loadAnnIndexQ("qidx").assignments.count() == n1)
+    // torn segment: a directory without _SUCCESS never serves
+    val torn = new java.io.File(s"${cat.derivedDir}/qidx/assignments_seg_b9")
+    assert(torn.mkdirs())
+    java.nio.file.Files.writeString(
+      torn.toPath.resolve("part-junk.parquet"), "not parquet")
+    assert(cat.loadAnnIndexQ("qidx").assignments.count() == n1)
+  }
+
+  test("upsert against a missing quantized index refuses") {
+    val cat = freshCat()
+    intercept[IllegalArgumentException] {
+      cat.upsertAnnIndexQ("nope", Tables.embeddings(spark, sfDir), 1L)
+    }
+    intercept[IllegalArgumentException] {
+      cat.upsertAnnIndexPq("nope", Tables.embeddings(spark, sfDir), 1L)
+    }
+  }
+
+  test("disjointness check refuses a delta of already-indexed ids") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val cat = freshCat()
+    val base = emb.where(col("vec_id") % 5 =!= 0)
+    cat.saveAnnIndexQ("qidx", Similarity.buildIvfIndexQ(base))
+    // re-upserting BASE rows under a fresh batch id would duplicate
+    // index entries — check=true turns the contract into a refusal
+    intercept[IllegalArgumentException] {
+      cat.upsertAnnIndexQ("qidx", base.limit(5), 2L, check = true)
+    }
+    // a genuinely new delta passes the same check
+    cat.upsertAnnIndexQ("qidx", emb.where(col("vec_id") % 5 === 0), 3L,
+      check = true)
+    assert(cat.loadAnnIndexQ("qidx").assignments.count() == emb.count())
+  }
+}
