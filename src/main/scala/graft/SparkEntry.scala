@@ -639,6 +639,12 @@ object SparkEntry {
     // event log maintained as a durable latest-row-per-user view
     "e_cdc_stream" -> ((s, d) =>
       graft.streaming.EventStream.cdcReplay(s, d)),
+    // the version-HISTORY sibling (14th live replay): SCD2 maintained
+    // incrementally — closed versions append as immutable segments per
+    // microbatch, only open versions ride in state; the union must
+    // equal the oracle's lead() over the whole change log
+    "e_scd2_stream" -> ((s, d) =>
+      graft.streaming.EventStream.scd2Replay(s, d)),
     "d_diversity" -> ((s, d) =>
       TextAnalysis.sourceDiversity(Tables.documents(s, d))),
     "t_source_overlap" -> ((s, d) =>
@@ -3863,6 +3869,25 @@ object SparkEntry {
          SELECT query_id, neighbor_id,
                 floor(cos * 1000000 + 0.5) / 1000000 AS cos
          FROM scored WHERE cos >= 0.3""",
+    // streaming SCD2 == the batch lead() window over the whole event
+    // change log: each non-error event opens a version valid until the
+    // user's next event (upsert or error tombstone); unclosed = current
+    "e_scd2_stream" ->
+      """WITH ch AS (SELECT user_id, epoch_us(ts) AS us, event_id AS eid,
+                CASE WHEN event_type = 'error' THEN 'd' ELSE 'u' END AS op,
+                event_type AS last_type,
+                CAST(round(value * 100) AS BIGINT) AS value_cents
+           FROM events),
+         h AS (SELECT user_id, op, last_type, value_cents, us, eid,
+                lead(us)  OVER w AS vt_us,
+                lead(eid) OVER w AS vt_eid
+           FROM ch WINDOW w AS (PARTITION BY user_id ORDER BY us, eid))
+         SELECT user_id, last_type,
+                CAST(value_cents AS DOUBLE) / 100.0 AS last_value,
+                us AS valid_from_us, eid AS valid_from_eid,
+                vt_us AS valid_to_us, vt_eid AS valid_to_eid,
+                vt_us IS NULL AS is_current
+         FROM h WHERE op = 'u'""",
     // streaming CDC view == latest event per user unless it tombstones
     "e_cdc_stream" ->
       """WITH latest AS (SELECT user_id, epoch_us(ts) AS last_seq_us,

@@ -212,6 +212,88 @@ class Catalog(spark: SparkSession, baseDir: String,
   def cdcState(name: String, opCol: String): DataFrame =
     mvState(name).where(col(opCol) === "u").drop(opCol)
 
+  /** STREAMING SCD2 maintenance — [[scd2History]] made durable the way
+    * [[refreshCdcMv]] makes current-state durable, without ever
+    * re-windowing the full change log: per refresh, versions the batch
+    * CLOSES land as an immutable `closed_seg_b<id>` segment (the
+    * [[appendJoinMv]] append-only convention — history is written once
+    * and never rewritten), while each key's still-OPEN version rides in
+    * a small tmp-swap state (live-key population, the dimension size
+    * class). Refresh cost is O(|open keys| + |batch|) compute and
+    * O(|closed in batch|) write — independent of history size, which is
+    * the 100 TB point: a year of version history costs the year's
+    * closed-version bytes exactly once.
+    *
+    * Mechanics: the stored open versions re-enter the lead() window as
+    * pseudo-changes at their original sequence, so a change in this
+    * batch closes them exactly as the batch operator would; an upsert
+    * with no successor becomes the new open version, a tombstone closes
+    * without opening (and its key leaves the open state — deletes stay
+    * auditable in the closed history).
+    *
+    * ORDERED-FEED CONTRACT (narrower than [[refreshCdcMv]]'s any-order
+    * merge, and the price of append-only history): per key, every
+    * sequence in a refresh must exceed every previously refreshed
+    * sequence — a late change would need to REWRITE closed segments.
+    * Event-time-ordered sources (the Replay source, any watermarked
+    * handoff) satisfy this by construction; out-of-order backfills
+    * route through the batch [[scd2History]] rebuild instead.
+    *
+    * EXACTLY-ONCE: the open state's batch marker gates the whole
+    * refresh; the segment is written before the open swap, so a crash
+    * between them replays into a byte-identical overwrite (same open
+    * state + same batch in, deterministic out), and a retry after the
+    * swap no-ops. Caller-serialization per name as with every MV. */
+  def refreshScd2Mv(name: String, changes: DataFrame, key: String,
+      seqCol: String, opCol: String, batchId: Long): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    val openDir = s"$derivedDir/$name/open"
+    if (alreadyApplied(openDir, Some(batchId))) return
+    val all =
+      if (hasSuccess(openDir))
+        spark.read.parquet(openDir).unionByName(changes)
+      else changes
+    val w = Window.partitionBy(col(key)).orderBy(col(seqCol))
+    val stamped = all.withColumn("__vt", lead(col(seqCol), 1).over(w))
+    val closed = stamped.where(col(opCol) === "u" && col("__vt").isNotNull)
+      .withColumnRenamed(seqCol, "valid_from")
+      .withColumnRenamed("__vt", "valid_to")
+      .drop(opCol)
+    val open = stamped.where(col(opCol) === "u" && col("__vt").isNull)
+      .drop("__vt")
+    closed.write.mode(SaveMode.Overwrite)
+      .parquet(s"$derivedDir/$name/closed_seg_b$batchId")
+    commitSwap(openDir, open, Some(batchId), s"refreshScd2Mv($name)")
+  }
+
+  /** The full version history of a [[refreshScd2Mv]] state: every
+    * committed closed segment plus the open versions (valid_to null,
+    * is_current true) — column-for-column the batch [[scd2History]]
+    * over the same (ordered) change log, which is what the
+    * e_scd2_stream oracle and the invariance spec verify. Torn
+    * segments (no `_SUCCESS`) never serve, as in the join-MV family. */
+  def scd2MvHistory(name: String, seqCol: String,
+      opCol: String): DataFrame = {
+    val openDir = s"$derivedDir/$name/open"
+    require(hasSuccess(openDir), s"no committed scd2 state: $name")
+    val root = new Path(s"$derivedDir/$name")
+    val fs = root.getFileSystem(hconf)
+    val segs = fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("closed_seg_"))
+      .map(_.getPath.toString)
+      .filter(hasSuccess)
+      .sorted
+    val openRaw = spark.read.parquet(openDir)
+    val open = openRaw
+      .withColumnRenamed(seqCol, "valid_from")
+      .withColumn("valid_to", lit(null).cast(openRaw.schema(seqCol).dataType))
+      .drop(opCol)
+    val closedAll = segs.map(spark.read.parquet(_))
+      .reduceOption(_ unionByName _)
+    closedAll.map(_.unionByName(open)).getOrElse(open)
+      .withColumn("is_current", col("valid_to").isNull)
+  }
+
   /** Durable KMV-sketch MV — the BOUNDED-SKETCH rung of the MV family,
     * for the aggregate [[refreshAggMv]] can't maintain: distinct
     * counts aren't algebraic (a count per batch can't be summed), but

@@ -762,4 +762,43 @@ object EventStream {
         col("last_type"),
         (col("value_cents").cast("double") / 100.0).as("last_value"))
   }
+
+  /** STREAMING SCD2 — the VERSION-HISTORY sibling of [[cdcReplay]] (the
+    * 14th real checkpointed replay): the same event-derived change log
+    * (every event upserts its user's row, 'error' tombstones, sequence
+    * = the (µs, event_id) struct) maintained as durable TYPE-2 history
+    * through `foreachBatch` → [[graft.sources.Catalog.refreshScd2Mv]] —
+    * closed versions append once per microbatch as immutable segments,
+    * only the per-user OPEN version rides in re-written state. The
+    * ordered Replay source satisfies the ordered-feed contract (trigger
+    * order == event-time order), so segment-union + open state equals
+    * the batch lead() over the whole log — the shared oracle — at ANY
+    * microbatch split (invariance spec). At 100 TB this is the audit
+    * dimension that answers "what did this row say at time t" with
+    * refresh cost tracking the delta, never the accumulated history. */
+  def scd2Replay(spark: SparkSession, sfDir: String,
+      maxFilesPerTrigger: Int = 4): DataFrame = {
+    import graft.sources.Catalog
+    val src = Replay.source(spark, sfDir)
+    val cat = new Catalog(spark, sfDir,
+      Some(Catalog.warehouseLayoutRoot(spark, sfDir)))
+    cat.dropDerived("events_user_scd2")
+    Replay.runForeachBatch(spark, src, maxFilesPerTrigger) { (batch, id) =>
+      val changes = batch.where(col("user_id") =!= src.sentinelUser)
+        .select(col("user_id"),
+          struct(col("tsu").as("us"), col("event_id").as("eid")).as("seq"),
+          when(col("event_type") === "error", "d").otherwise("u").as("op"),
+          col("event_type").as("last_type"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("value_cents"))
+      cat.refreshScd2Mv("events_user_scd2", changes, "user_id", "seq", "op", id)
+    }
+    cat.scd2MvHistory("events_user_scd2", "seq", "op")
+      .select(col("user_id"), col("last_type"),
+        (col("value_cents").cast("double") / 100.0).as("last_value"),
+        col("valid_from.us").as("valid_from_us"),
+        col("valid_from.eid").as("valid_from_eid"),
+        col("valid_to.us").as("valid_to_us"),
+        col("valid_to.eid").as("valid_to_eid"),
+        col("is_current"))
+  }
 }

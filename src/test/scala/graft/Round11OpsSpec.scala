@@ -114,3 +114,77 @@ class QuantUpsertSpec extends SparkSpec {
     assert(cat.loadAnnIndexQ("qidx").assignments.count() == emb.count())
   }
 }
+
+/** Round-11: STREAMING SCD2 — version history maintained append-only
+  * (closed versions as immutable segments, open versions in tmp-swap
+  * state) must equal the batch lead() over the whole ordered change
+  * log at any batch split, with the MV family's exactly-once retry
+  * semantics. */
+class Scd2MvSpec extends SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  private def freshCat() = new Catalog(spark, sfDir,
+    Some(java.nio.file.Files.createTempDirectory("graft-scd2mv").toString))
+
+  // an upsert chain, a tombstone, a re-creation, and two quiet keys
+  private def changes = Seq(
+    ("a", 10L, 1L, "u"), ("a", 20L, 4L, "u"), ("a", 0L, 6L, "d"),
+    ("a", 30L, 8L, "u"),
+    ("b", 7L, 2L, "u"), ("b", 9L, 5L, "u"),
+    ("c", 1L, 3L, "u"))
+    .toDF("k", "v", "seq", "op")
+
+  private def histSet(df: org.apache.spark.sql.DataFrame) = df
+    .select(col("k"), col("v"), col("valid_from"), col("valid_to"),
+      col("is_current"))
+    .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+      if (r.isNullAt(3)) null else r.getLong(3), r.getBoolean(4))).toSet
+
+  test("ordered splits: 1 vs 2 vs 4 batches equal the batch scd2History") {
+    val expected = histSet(Catalog.scd2History(changes, "k", "seq", "op"))
+    def streamed(bounds: Seq[Long]) = {
+      val cat = freshCat()
+      val lo = Long.MinValue +: bounds
+      val hi = bounds :+ Long.MaxValue
+      lo.zip(hi).zipWithIndex.foreach { case ((l, h), i) =>
+        cat.refreshScd2Mv("h",
+          changes.where(col("seq") > l && col("seq") <= h),
+          "k", "seq", "op", i.toLong)
+      }
+      histSet(cat.scd2MvHistory("h", "seq", "op"))
+    }
+    assert(expected.nonEmpty)
+    assert(streamed(Nil) == expected)
+    assert(streamed(Seq(4L)) == expected)
+    assert(streamed(Seq(2L, 5L, 7L)) == expected)
+  }
+
+  test("tombstone closes without becoming a version; re-creation is current") {
+    val cat = freshCat()
+    cat.refreshScd2Mv("h", changes, "k", "seq", "op", 0L)
+    val h = histSet(cat.scd2MvHistory("h", "seq", "op"))
+    assert(h.contains(("a", 20L, 4L, 6L, false))) // closed by the delete
+    assert(h.contains(("a", 30L, 8L, null, true))) // re-created, current
+    assert(!h.exists(t => t._1 == "a" && t._3 == 6L)) // the 'd' is no version
+  }
+
+  test("retried batch id is a no-op") {
+    val cat = freshCat()
+    cat.refreshScd2Mv("h", changes.where(col("seq") <= 4), "k", "seq", "op", 0L)
+    cat.refreshScd2Mv("h", changes.where(col("seq") > 4), "k", "seq", "op", 1L)
+    val before = histSet(cat.scd2MvHistory("h", "seq", "op"))
+    // corrupt retry of batch 1: the open state's marker wins outright
+    cat.refreshScd2Mv("h", changes.limit(2), "k", "seq", "op", 1L)
+    assert(histSet(cat.scd2MvHistory("h", "seq", "op")) == before)
+  }
+
+  test("replay history is invariant to microbatch granularity") {
+    val fine = streaming.EventStream
+      .scd2Replay(spark, sfDir, maxFilesPerTrigger = 1).collect().toSet
+    val coarse = streaming.EventStream
+      .scd2Replay(spark, sfDir, maxFilesPerTrigger = 9).collect().toSet
+    assert(fine == coarse)
+    assert(fine.nonEmpty)
+  }
+}
