@@ -553,6 +553,26 @@ object SparkEntry {
         .select(col("l_returnflag"), col("hk").as("hk_parts"),
           col("est").as("est_parts"))
     }),
+    // the QUANTILE sketch-MV rung beside the KMV one: a bottom-k price
+    // sample per flag maintained over three arrival-order thirds —
+    // lossless merge, so the refreshed p50/p95 equal the from-scratch
+    // sketch (the oracle IS q_qsketch's whole-table rebuild)
+    "fs_incr_qsketch" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val li = Tables.lineitem(s, d).select(col("l_returnflag"),
+        operators.TextAnalysis.portableHash60(col("l_orderkey"),
+          lit("-"), col("l_linenumber")).as("h"),
+        col("l_extendedprice").as("val"), col("l_orderkey"))
+      val cat = new graft.sources.Catalog(s, d,
+        Some(graft.sources.Catalog.warehouseLayoutRoot(s, d)))
+      cat.dropDerived("qsk_flag_price")
+      (0 until 3).foreach { b =>
+        cat.refreshQsketchMv("qsk_flag_price",
+          li.where(pmod(col("l_orderkey"), lit(3)) === b),
+          Seq("l_returnflag"), "h", "val", 256)
+      }
+      cat.qsketchMvEstimate("qsk_flag_price", Seq("l_returnflag"), 256)
+    }),
     // retention/TTL purge: pre-1998 orders are deleted INTO the
     // versioned snapshot family (pre-purge state stays readable by
     // version) and the kept slice is read BACK from the committed
@@ -1868,35 +1888,11 @@ object SparkEntry {
     // bottom-k sample mirror: hash-ordered rank <= k is the sample;
     // min(val) per hash first so a hash collision resolves identically
     // in both engines; type-7 interpolation with matching expression shape
-    "q_qsketch" ->
-      """WITH hx AS (SELECT l_returnflag,
-                     CAST('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR)), 1, 15) AS BIGINT) AS hsh,
-                     l_extendedprice AS val
-              FROM lineitem),
-         d AS (SELECT l_returnflag, hsh, min(val) AS val FROM hx GROUP BY l_returnflag, hsh),
-         r AS (SELECT l_returnflag, val,
-                      row_number() OVER (PARTITION BY l_returnflag ORDER BY hsh) AS rn
-               FROM d),
-         s AS (SELECT l_returnflag, list(val ORDER BY val) AS vals, CAST(count(*) AS BIGINT) AS n_sample
-               FROM r WHERE rn <= 256 GROUP BY l_returnflag),
-         q AS (SELECT l_returnflag, vals, n_sample,
-                      0.5 * (CAST(n_sample AS DOUBLE) - 1.0) AS h50,
-                      0.95 * (CAST(n_sample AS DOUBLE) - 1.0) AS h95
-               FROM s),
-         q2 AS (SELECT l_returnflag, vals, n_sample, h50, h95,
-                       CAST(floor(h50) AS BIGINT) AS lo50,
-                       least(CAST(floor(h50) AS BIGINT) + 1, n_sample - 1) AS hi50,
-                       CAST(floor(h95) AS BIGINT) AS lo95,
-                       least(CAST(floor(h95) AS BIGINT) + 1, n_sample - 1) AS hi95
-                FROM q)
-         SELECT l_returnflag, n_sample,
-                floor((list_extract(vals, lo50 + 1)
-                       + (h50 - lo50) * (list_extract(vals, hi50 + 1) - list_extract(vals, lo50 + 1)))
-                      * 1000000 + 0.5) / 1000000 AS p50_est,
-                floor((list_extract(vals, lo95 + 1)
-                       + (h95 - lo95) * (list_extract(vals, hi95 + 1) - list_extract(vals, lo95 + 1)))
-                      * 1000000 + 0.5) / 1000000 AS p95_est
-         FROM q2""",
+    "q_qsketch" -> qsketchSql,
+    // the SAME from-scratch rebuild checks the incrementally refreshed
+    // sketch state: bottom-k merge is lossless, so batch boundaries
+    // are invisible in the estimates
+    "fs_incr_qsketch" -> qsketchSql,
     "e_lead_lag" ->
       """WITH u AS (SELECT user_id, event_id, epoch_us(ts) AS tsu FROM events)
          SELECT user_id, event_id,
@@ -4796,6 +4792,42 @@ object SparkEntry {
                           FROM cand)) WHERE rnk = 1),$steps
          SELECT query_id, neighbor_id, score, pick FROM sel5"""
   }
+
+  /** Bottom-k sample mirror (shared by q_qsketch and its incremental-MV
+    * twin fs_incr_qsketch — the merge is lossless, so one from-scratch
+    * rebuild checks both): hash-ordered rank <= k is the sample;
+    * min(val) per hash first so a hash collision resolves identically
+    * in both engines; type-7 interpolation with matching expression
+    * shape. */
+  private val qsketchSql: String =
+    """WITH hx AS (SELECT l_returnflag,
+                     CAST('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR)), 1, 15) AS BIGINT) AS hsh,
+                     l_extendedprice AS val
+              FROM lineitem),
+         d AS (SELECT l_returnflag, hsh, min(val) AS val FROM hx GROUP BY l_returnflag, hsh),
+         r AS (SELECT l_returnflag, val,
+                      row_number() OVER (PARTITION BY l_returnflag ORDER BY hsh) AS rn
+               FROM d),
+         s AS (SELECT l_returnflag, list(val ORDER BY val) AS vals, CAST(count(*) AS BIGINT) AS n_sample
+               FROM r WHERE rn <= 256 GROUP BY l_returnflag),
+         q AS (SELECT l_returnflag, vals, n_sample,
+                      0.5 * (CAST(n_sample AS DOUBLE) - 1.0) AS h50,
+                      0.95 * (CAST(n_sample AS DOUBLE) - 1.0) AS h95
+               FROM s),
+         q2 AS (SELECT l_returnflag, vals, n_sample, h50, h95,
+                       CAST(floor(h50) AS BIGINT) AS lo50,
+                       least(CAST(floor(h50) AS BIGINT) + 1, n_sample - 1) AS hi50,
+                       CAST(floor(h95) AS BIGINT) AS lo95,
+                       least(CAST(floor(h95) AS BIGINT) + 1, n_sample - 1) AS hi95
+                FROM q)
+         SELECT l_returnflag, n_sample,
+                floor((list_extract(vals, lo50 + 1)
+                       + (h50 - lo50) * (list_extract(vals, hi50 + 1) - list_extract(vals, lo50 + 1)))
+                      * 1000000 + 0.5) / 1000000 AS p50_est,
+                floor((list_extract(vals, lo95 + 1)
+                       + (h95 - lo95) * (list_extract(vals, hi95 + 1) - list_extract(vals, lo95 + 1)))
+                      * 1000000 + 0.5) / 1000000 AS p95_est
+         FROM q2"""
 
   /** Closed-session multiset of the streaming sessionizer (shared by
     * e_session_stream and its RocksDB-state-store twin

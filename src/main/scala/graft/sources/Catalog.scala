@@ -350,6 +350,60 @@ class Catalog(spark: SparkSession, baseDir: String,
             col("__hk").cast("double")).as("est"): _*)
   }
 
+  /** Durable QUANTILE-sketch MV — the third sketch-MV rung beside the
+    * counter MV ([[refreshAggMv]]), the distinct rung ([[refreshKmvMv]])
+    * and the frequency rung (CMS through refreshAggMv): per key the
+    * state is the ≤ k (hash, value) pairs with the SMALLEST portable
+    * hashes — [[graft.functions.BottomKSample]]'s uniform sample — and
+    * like KMV the merge is LOSSLESS: a hash survives into the merged
+    * bottom-k only if it would survive a from-scratch pass (its rank
+    * among distinct hashes only grows as data accumulates), and its
+    * retained value is the same min-per-hash, so the refreshed state —
+    * and every quantile estimated from it — is IDENTICAL to a sketch
+    * built over all history at once (split-invariance spec'd; the
+    * fs_incr_qsketch oracle rebuilds from scratch in SQL).
+    *
+    * State: plain parquet at (keys, h, val) grain, ≤ k rows per key
+    * regardless of history — "p50/p95 per segment over a year" costs
+    * k pairs per segment, not a year of values. Same exactly-once
+    * batch-id guard and caller-serialization contract as every MV. */
+  def refreshQsketchMv(name: String, delta: DataFrame, keys: Seq[String],
+      hashCol: String, valueCol: String, k: Int,
+      batchId: Option[Long] = None): DataFrame = {
+    val dir = s"$derivedDir/$name"
+    if (alreadyApplied(dir, batchId)) return spark.read.parquet(dir)
+    val d = delta.select(
+      keys.map(col) :+ col(hashCol).as("h") :+ col(valueCol).as("val"): _*)
+    val all =
+      if (hasSuccess(dir)) spark.read.parquet(dir).unionByName(d) else d
+    val merged = all.groupBy(keys.map(col): _*)
+      .agg(graft.functions.BottomKSample.bottomK(col("h"), col("val"), k)
+        .as("__buf"))
+      .select(keys.map(col) :+ explode(col("__buf")).as("p"): _*)
+      .select(keys.map(col) :+ col("p._1").as("h") :+ col("p._2").as("val"): _*)
+    commitSwap(dir, merged, batchId, s"refreshQsketchMv($name)")
+    spark.read.parquet(dir)
+  }
+
+  /** Quantile estimates from a [[refreshQsketchMv]] state: the stored
+    * pairs re-enter the bounded buffer (≤ k rows per key — the re-agg
+    * is metadata-sized) and interpolate exactly as the one-shot
+    * `Analytics.quantileSketch`, so the two are value-identical. */
+  def qsketchMvEstimate(name: String, keys: Seq[String],
+      k: Int): DataFrame = {
+    import graft.functions.BottomKSample._
+    import graft.functions.Exact.round6
+    require(hasSuccess(s"$derivedDir/$name"),
+      s"no committed qsketch state: $name")
+    spark.read.parquet(s"$derivedDir/$name")
+      .groupBy(keys.map(col): _*)
+      .agg(bottomK(col("h"), col("val"), k).as("b"))
+      .select(keys.map(col) :+
+        size(col("b")).cast("long").as("n_sample") :+
+        round6(sampleQuantile(col("b"), 0.5)).as("p50_est") :+
+        round6(sampleQuantile(col("b"), 0.95)).as("p95_est"): _*)
+  }
+
   /** Commit ANY derived table as Catalog-owned durable state — the
     * generic form of the MV/ANN persistence: tmp-swap + `_SUCCESS`, a
     * fresh session reads it back with [[loadDerived]]. The production

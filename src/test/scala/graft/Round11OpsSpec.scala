@@ -188,3 +188,71 @@ class Scd2MvSpec extends SparkSpec {
     assert(fine.nonEmpty)
   }
 }
+
+/** Round-11: the QUANTILE rung of the sketch-MV family — a bottom-k
+  * (hash, value) sample per key maintained incrementally. The merge is
+  * lossless (a hash's rank among distinct hashes only grows, and the
+  * min-per-hash value of any surviving hash is already in state), so
+  * refreshed state and estimates are IDENTICAL to from-scratch. */
+class QsketchMvSpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+
+  private def freshCat() = new Catalog(spark, sfDir,
+    Some(java.nio.file.Files.createTempDirectory("graft-qskmv").toString))
+
+  private def priced = Tables.lineitem(spark, sfDir)
+    .select(col("l_returnflag"),
+      operators.TextAnalysis.portableHash60(col("l_orderkey"),
+        lit("-"), col("l_linenumber")).as("h"),
+      col("l_extendedprice").as("val"), col("l_orderkey"))
+
+  test("batch-boundary invariance: 1 vs 3 vs 5 splits, identical state") {
+    val k = 32
+    def stateOf(nBatches: Int): Set[(String, Long, Double)] = {
+      val cat = freshCat()
+      (0 until nBatches).foreach { b =>
+        cat.refreshQsketchMv("s",
+          priced.where(pmod(col("l_orderkey"), lit(nBatches)) === b),
+          Seq("l_returnflag"), "h", "val", k)
+      }
+      cat.loadDerived("s").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    }
+    val one = stateOf(1)
+    assert(one.nonEmpty)
+    assert(stateOf(3) == one)
+    assert(stateOf(5) == one)
+  }
+
+  test("refreshed estimates equal the one-shot quantile sketch") {
+    val cat = freshCat()
+    (0 until 3).foreach { b =>
+      cat.refreshQsketchMv("s",
+        priced.where(pmod(col("l_orderkey"), lit(3)) === b),
+        Seq("l_returnflag"), "h", "val", 256)
+    }
+    def est(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("l_returnflag"), col("n_sample"), col("p50_est"),
+        col("p95_est"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3))).toSet
+    assert(est(cat.qsketchMvEstimate("s", Seq("l_returnflag"), 256)) ==
+      est(operators.Analytics.quantileSketch(
+        Tables.lineitem(spark, sfDir), 256)))
+  }
+
+  test("state stays bounded at k rows per key; retry is a no-op") {
+    val k = 8
+    val cat = freshCat()
+    cat.refreshQsketchMv("s", priced, Seq("l_returnflag"), "h", "val", k,
+      batchId = Some(0L))
+    val sizes = cat.loadDerived("s").groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n")).collect()
+    sizes.foreach(r => assert(r.getLong(1) <= k))
+    val before = cat.loadDerived("s").collect().toSet
+    // corrupt retry of batch 0: the marker wins, nothing merges
+    cat.refreshQsketchMv("s", priced.limit(3), Seq("l_returnflag"),
+      "h", "val", k, batchId = Some(0L))
+    assert(cat.loadDerived("s").collect().toSet == before)
+  }
+}
