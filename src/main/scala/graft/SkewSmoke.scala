@@ -89,7 +89,7 @@ object SkewSmoke {
     } finally {
       spark.conf.unset("spark.graft.autoSalt.factor")
       spark.conf.unset("spark.graft.autoSalt.maxBroadcastBytes")
-      operators.Skew.clearHotKeys()
+      operators.Skew.clearHotKeys(spark)
     }
 
     // per-group cap under the same 50%-hot skew (20 source-like

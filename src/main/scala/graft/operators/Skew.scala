@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Skew-mitigation utilities for joins whose key distribution is heavy-
@@ -48,37 +48,71 @@ object Skew {
   }
 
   /** HOT-KEY REGISTRY feeding [[graft.plans.AutoSaltRewrite]]: the
-    * measured skew ratio per join-key column name (lower-cased). The
-    * production flow is preflight-then-plan — [[preflight]] runs the
-    * bounded [[graft.sources.Catalog.skewCard]] measurement once per
-    * key (O(nBuckets) result, one pass over the frame) and records the
+    * measured skew ratio per join-key column name (lower-cased),
+    * SCOPED PER SESSION — one user arming the rewrite never salts
+    * another session's joins (the registry is a weak map on the
+    * SparkSession, so it also dies with the session instead of
+    * outliving it JVM-wide). The production flow is preflight-then-
+    * plan — [[preflight]] runs the bounded
+    * [[graft.sources.Catalog.skewCard]] measurement once per key
+    * (O(nBuckets) result, one pass over the frame) and records the
     * ratio here; the optimizer rule then salts every LATER join on
     * that key automatically, so the decision is driven by MEASUREMENT,
-    * not by a caller hand-naming hot keys. JVM-wide like Spark's own
-    * function registry; keys are column names because the rewrite
-    * matches join conditions, which see attributes, not tables. */
-  private val hotKeys =
-    scala.collection.concurrent.TrieMap[String, Double]()
+    * not by a caller hand-naming hot keys. Keys are column names
+    * because the rewrite matches join conditions, which see
+    * attributes, not tables; an optional SCOPE (an alias/table
+    * qualifier) narrows a registration to attributes actually
+    * qualified with it, for sessions where one column name spans
+    * differently-skewed tables. */
+  private val hotKeys = new java.util.WeakHashMap[SparkSession,
+    scala.collection.concurrent.TrieMap[String, (Double, Option[String])]]()
 
-  /** Measured skew ratio for a key column, if preflighted. */
-  def hotRatio(keyName: String): Option[Double] =
-    hotKeys.get(keyName.toLowerCase(java.util.Locale.ROOT))
+  private def registry(spark: SparkSession) = hotKeys.synchronized {
+    var m = hotKeys.get(spark)
+    if (m == null) {
+      m = scala.collection.concurrent.TrieMap[String, (Double, Option[String])]()
+      hotKeys.put(spark, m)
+    }
+    m
+  }
+
+  /** Measured skew ratio for a key column in THIS session, if
+    * preflighted — and, when the registration carried a scope, only
+    * for attributes whose qualifier includes it. */
+  def hotRatio(spark: SparkSession, keyName: String,
+      qualifier: Seq[String] = Nil): Option[Double] =
+    registry(spark).get(keyName.toLowerCase(java.util.Locale.ROOT))
+      .collect {
+        case (ratio, None) => ratio
+        case (ratio, Some(scope))
+            if qualifier.exists(_.equalsIgnoreCase(scope)) => ratio
+      }
 
   /** Record a measured ratio (normally via [[preflight]]). */
-  def registerHot(keyName: String, ratio: Double): Unit =
-    hotKeys.put(keyName.toLowerCase(java.util.Locale.ROOT), ratio): Unit
+  def registerHot(spark: SparkSession, keyName: String, ratio: Double,
+      scope: Option[String] = None): Unit =
+    registry(spark)
+      .put(keyName.toLowerCase(java.util.Locale.ROOT), (ratio, scope)): Unit
 
-  /** Drop all recorded ratios (spec hygiene / re-measurement). */
-  def clearHotKeys(): Unit = hotKeys.clear()
+  /** Drop one recorded ratio — pair every demo/preflight with this in
+    * a finally so a measurement never outlives its use site. */
+  def unregisterHot(spark: SparkSession, keyName: String): Unit =
+    registry(spark).remove(keyName.toLowerCase(java.util.Locale.ROOT)): Unit
+
+  /** Drop this session's recorded ratios (spec hygiene / re-measure). */
+  def clearHotKeys(spark: SparkSession): Unit = registry(spark).clear()
 
   /** Run the shuffle-skew preflight for `keyName` on `df` and register
-    * the measured ratio: max-bucket/avg-bucket over `nBuckets`
-    * hash-partitions — exactly the imbalance the key's shuffle will
-    * exhibit (1.0 = even). Returns the ratio. */
-  def preflight(df: DataFrame, keyName: String, nBuckets: Int = 32): Double = {
+    * the measured ratio in `df`'s session: max-bucket/avg-bucket over
+    * `nBuckets` hash-partitions — exactly the imbalance the key's
+    * shuffle will exhibit (1.0 = even). `scope` narrows the armed
+    * rewrite to attributes qualified with the given alias/table name.
+    * Returns the ratio. */
+  def preflight(df: DataFrame, keyName: String, nBuckets: Int = 32,
+      scope: Option[String] = None): Double = {
     val ratio = graft.sources.Catalog.skewCard(df, col(keyName), nBuckets)
       .select("skew_ratio").head().getDouble(0)
-    registerHot(keyName, ratio)
+    registerHot(df.sparkSession, keyName, ratio, scope)
     ratio
   }
 
@@ -110,8 +144,8 @@ object Skew {
       .groupBy(col("flag_label"))
       .agg(count(lit(1)).as("n_lines"),
         (sum(col("price_c")).cast("double") / 100.0).as("revenue"))
-    preflight(li, "l_returnflag")
     val spark = lineitem.sparkSession
+    preflight(li, "l_returnflag")
     val scoped = Seq(
       "spark.graft.autoSalt.factor" -> factor.toString,
       "spark.graft.autoSalt.maxBroadcastBytes" -> "0")
@@ -119,9 +153,15 @@ object Skew {
     scoped.foreach { case (k, v) => spark.conf.set(k, v) }
     val optimized =
       try plain.queryExecution.optimizedPlan
-      finally previous.foreach {
-        case (k, Some(v)) => spark.conf.set(k, v)
-        case (k, None) => spark.conf.unset(k)
+      finally {
+        previous.foreach {
+          case (k, Some(v)) => spark.conf.set(k, v)
+          case (k, None) => spark.conf.unset(k)
+        }
+        // the measurement must not outlive the demo: a registration
+        // left armed would salt every later same-named join key in
+        // this session
+        unregisterHot(spark, "l_returnflag")
       }
     require(optimized.toString.contains("__graft_salt"),
       "auto-salt rewrite did not fire on the measured hot key")

@@ -34,9 +34,14 @@ import graft.operators.Skew
   * `spark.graft.autoSalt.maxBroadcastBytes` (default: the session's
   * autoBroadcastJoinThreshold — a broadcast-able right side means the
   * plain plan has no shuffled build to skew, so salting would only add
-  * cost; 0 disables the guard for already-measured cases). Joins
-  * already carrying a salt attribute are skipped, which also makes the
-  * rule a fixed point.
+  * cost; 0 disables the guard for already-measured cases) and BELOW
+  * `spark.graft.autoSalt.maxReplicatedBytes` (default 64 MiB — the
+  * rewrite replicates the right side ×factor, so past this cap the
+  * added shuffle outweighs the pinned reducer; big-big skewed joins
+  * belong to AQE's runtime skew split). Joins already carrying a salt
+  * attribute are skipped, which also makes the rule a fixed point.
+  * The registry is per-session, and a registration made with a scope
+  * fires only on attributes qualified with it (see [[Skew.preflight]]).
   */
 case class AutoSaltRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
 
@@ -53,6 +58,8 @@ case class AutoSaltRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
   private def maxBroadcastBytes: Long =
     confLong("spark.graft.autoSalt.maxBroadcastBytes",
       confLong("spark.sql.autoBroadcastJoinThreshold", 10L * 1024 * 1024))
+  private def maxReplicatedBytes: Long =
+    confLong("spark.graft.autoSalt.maxReplicatedBytes", 64L * 1024 * 1024)
 
   private val SaltName = "__graft_salt"
 
@@ -79,13 +86,21 @@ case class AutoSaltRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     // a broadcast-able right side means no shuffled build to skew
     val guard = maxBroadcastBytes
     if (guard > 0 && j.right.stats.sizeInBytes <= guard) return None
+    // ...and a LARGE right side must not be replicated ×factor: the
+    // rewrite multiplies the build side's shuffle volume, so past this
+    // cap the cure costs more than the pinned reducer it treats (AQE's
+    // runtime skew split is the right tool for big-big joins)
+    val cap = maxReplicatedBytes
+    if (cap > 0 && j.right.stats.sizeInBytes > cap) return None
+    def armed(a: AttributeReference) =
+      Skew.hotRatio(spark, a.name, a.qualifier).exists(_ >= minRatio)
     val hotKey = conjuncts.collectFirst {
       case EqualTo(a: AttributeReference, b: AttributeReference)
           if j.left.outputSet.contains(a) && j.right.outputSet.contains(b) &&
-            Skew.hotRatio(a.name).exists(_ >= minRatio) => ()
+            armed(a) => ()
       case EqualTo(b: AttributeReference, a: AttributeReference)
           if j.left.outputSet.contains(a) && j.right.outputSet.contains(b) &&
-            Skew.hotRatio(a.name).exists(_ >= minRatio) => ()
+            armed(a) => ()
     }
     hotKey.map { _ =>
       // left: position-derived salt (content hash would funnel identical

@@ -33,20 +33,20 @@ class AutoSaltSpec extends SparkSpec {
     .groupBy(col("label")).agg(count(lit(1)).as("n"), sum(col("v")).as("s"))
 
   private def optimizedWithRule(fire: Boolean = true): String = {
-    Skew.clearHotKeys()
-    Skew.registerHot("hotkey", if (fire) 10.0 else 1.1)
+    Skew.clearHotKeys(spark)
+    Skew.registerHot(spark, "hotkey", if (fire) 10.0 else 1.1)
     var plan = ""
     withConf("spark.graft.autoSalt.factor" -> "4",
       "spark.graft.autoSalt.maxBroadcastBytes" -> "0") {
       plan = plainJoin.queryExecution.optimizedPlan.toString
     }
-    Skew.clearHotKeys()
+    Skew.clearHotKeys(spark)
     plan
   }
 
   test("fires on a registered hot key and keeps values identical") {
-    Skew.clearHotKeys()
-    Skew.registerHot("hotkey", 10.0)
+    Skew.clearHotKeys(spark)
+    Skew.registerHot(spark, "hotkey", 10.0)
     var salted: Set[Row] = Set.empty
     withConf("spark.graft.autoSalt.factor" -> "4",
       "spark.graft.autoSalt.maxBroadcastBytes" -> "0") {
@@ -55,7 +55,7 @@ class AutoSaltSpec extends SparkSpec {
         "rewrite should fire")
       salted = df.collect().toSet
     }
-    Skew.clearHotKeys()
+    Skew.clearHotKeys(spark)
     assert(salted == plainJoin.collect().toSet)
   }
 
@@ -64,16 +64,16 @@ class AutoSaltSpec extends SparkSpec {
   }
 
   test("rule off (factor unset): no rewrite even with a hot key") {
-    Skew.clearHotKeys()
-    Skew.registerHot("hotkey", 10.0)
+    Skew.clearHotKeys(spark)
+    Skew.registerHot(spark, "hotkey", 10.0)
     assert(!plainJoin.queryExecution.optimizedPlan.toString
       .contains("__graft_salt"))
-    Skew.clearHotKeys()
+    Skew.clearHotKeys(spark)
   }
 
   test("broadcast-able right side: guard blocks the rewrite") {
-    Skew.clearHotKeys()
-    Skew.registerHot("r_regionkey", 10.0)
+    Skew.clearHotKeys(spark)
+    Skew.registerHot(spark, "r_regionkey", 10.0)
     withConf("spark.graft.autoSalt.factor" -> "4") {
       // region is a tiny parquet leaf: its size estimate sits far under
       // the session broadcast threshold, so salting would only add cost
@@ -83,13 +83,13 @@ class AutoSaltSpec extends SparkSpec {
       val j = n.join(r, "r_regionkey")
       assert(!j.queryExecution.optimizedPlan.toString.contains("__graft_salt"))
     }
-    Skew.clearHotKeys()
+    Skew.clearHotKeys(spark)
   }
 
   test("hand-salted join is not re-salted (fixed point)") {
-    Skew.clearHotKeys()
-    Skew.registerHot("hotkey", 10.0)
-    Skew.registerHot("__graft_salt", 10.0) // worst case: salt key itself hot
+    Skew.clearHotKeys(spark)
+    Skew.registerHot(spark, "hotkey", 10.0)
+    Skew.registerHot(spark, "__graft_salt", 10.0) // worst case: salt key itself hot
     withConf("spark.graft.autoSalt.factor" -> "4",
       "spark.graft.autoSalt.maxBroadcastBytes" -> "0") {
       val hand = Skew.saltedJoin(
@@ -98,16 +98,16 @@ class AutoSaltSpec extends SparkSpec {
       // exactly the hand salt's one replication, not a second layer
       assert(!plan.contains("__graft_salt_l"))
     }
-    Skew.clearHotKeys()
+    Skew.clearHotKeys(spark)
   }
 
   test("preflight measures and registers the fs_skew ratio") {
-    Skew.clearHotKeys()
+    Skew.clearHotKeys(spark)
     val ratio = Skew.preflight(facts, "hotkey")
     // 3 keys over 32 buckets: the hottest bucket carries ≥ 1/3 of rows
     assert(ratio >= 4.0)
-    assert(Skew.hotRatio("HOTKEY").contains(ratio))
-    Skew.clearHotKeys()
+    assert(Skew.hotRatio(spark, "HOTKEY").contains(ratio))
+    Skew.clearHotKeys(spark)
   }
 
   test("entry: auto-salted flag revenue equals the plain aggregate") {
@@ -118,7 +118,53 @@ class AutoSaltSpec extends SparkSpec {
         (sum(graft.functions.Exact.cents(col("l_extendedprice")))
           .cast("double") / 100.0).as("revenue"))
       .collect().toSet
-    Skew.clearHotKeys()
+    // the demo unregisters its own measurement: nothing stays armed
+    assert(Skew.hotRatio(spark, "l_returnflag").isEmpty)
     assert(auto == plain)
+  }
+
+  test("registry is session-scoped: another session's preflight never fires here") {
+    Skew.clearHotKeys(spark)
+    val other = spark.newSession()
+    Skew.registerHot(other, "hotkey", 10.0)
+    withConf("spark.graft.autoSalt.factor" -> "4",
+      "spark.graft.autoSalt.maxBroadcastBytes" -> "0") {
+      assert(!plainJoin.queryExecution.optimizedPlan.toString
+        .contains("__graft_salt"))
+    }
+    // ...and the measurement is still live in ITS session
+    assert(Skew.hotRatio(other, "hotkey").contains(10.0))
+    Skew.clearHotKeys(other)
+  }
+
+  test("scoped registration fires only on attributes with that qualifier") {
+    Skew.clearHotKeys(spark)
+    Skew.registerHot(spark, "hotkey", 10.0, scope = Some("f"))
+    withConf("spark.graft.autoSalt.factor" -> "4",
+      "spark.graft.autoSalt.maxBroadcastBytes" -> "0") {
+      // same-named key, NO 'f' qualifier: table-B collision, no fire
+      assert(!plainJoin.queryExecution.optimizedPlan.toString
+        .contains("__graft_salt"))
+      // the preflighted table joined under its alias: fires
+      val aliased = facts.alias("f").join(dim, "hotkey")
+        .groupBy(col("label")).agg(count(lit(1)).as("n"))
+      assert(aliased.queryExecution.optimizedPlan.toString
+        .contains("__graft_salt"))
+    }
+    Skew.clearHotKeys(spark)
+  }
+
+  test("oversized right side: the replication cap blocks the rewrite") {
+    Skew.clearHotKeys(spark)
+    Skew.registerHot(spark, "hotkey", 10.0)
+    withConf("spark.graft.autoSalt.factor" -> "4",
+      "spark.graft.autoSalt.maxBroadcastBytes" -> "0",
+      "spark.graft.autoSalt.maxReplicatedBytes" -> "1") {
+      // every real frame's estimate exceeds 1 byte: replicating it
+      // xfactor would multiply the dominant shuffle, so no fire
+      assert(!plainJoin.queryExecution.optimizedPlan.toString
+        .contains("__graft_salt"))
+    }
+    Skew.clearHotKeys(spark)
   }
 }
