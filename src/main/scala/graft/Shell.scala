@@ -38,6 +38,12 @@ import graft.sources.Catalog
   */
 object Shell {
 
+  /** Latched by `doctor!` on error-severity findings; [[main]] turns it
+    * into a nonzero exit after the session ends, so a piped
+    * `doctor! <sql>` gates CI the way the pre-commit audit gates
+    * commits. Package-visible so specs can read and reset it. */
+  @volatile private[graft] var strictDoctorFailed = false
+
   /** One command; returns false when the session should end. Extracted
     * from the REPL loop so the verb surface is drivable end-to-end in
     * specs (and by scripts piping stdin). */
@@ -55,7 +61,8 @@ object Shell {
           "ann <src> [k] | pagerank [iters] | triangles | degrees | bfs | " +
           "gini | audit | vacuum | analyze <tbl> [cols...] | abc | rfm | " +
           "benford | changepoints | publish <src> <dest> | " +
-          "explain <sql> | doctor <sql> | skew <tbl> <col> | histogram <tbl> <col> | " +
+          "explain <sql> | doctor <sql> | doctor! <sql> (nonzero exit on errors) | " +
+          "skew <tbl> <col> | histogram <tbl> <col> | " +
           "kcore [k] | cc | lpa [rounds] | jaccard | dbscan [minPts] | silhouette | " +
           "silhouette_centroid | chi2 | " +
           "acf | dedup_eval | drawdown | ttl <tbl> <col> <micros> | " +
@@ -285,6 +292,19 @@ object Shell {
         val findings = plans.PlanDoctor.lint(spark.sql(rest.mkString(" ")))
         if (findings.isEmpty) println("plan clean: no scale-killers found")
         else findings.show(truncate = false)
+      case "doctor!" :: rest if rest.nonEmpty =>
+        // the GATING form: error-severity findings drive a nonzero
+        // process exit, so `echo 'doctor! <sql>' | shell` gates CI
+        // exactly as the pre-commit plan audit gates commits
+        val findings = plans.PlanDoctor.lint(spark.sql(rest.mkString(" ")))
+          .collect()
+        val errs = findings.count(_.getString(1) == "error")
+        findings.foreach(r =>
+          println(s"${r.getString(1)}: ${r.getString(0)} - ${r.getString(2)}"))
+        if (errs > 0) {
+          strictDoctorFailed = true
+          println(s"doctor!: $errs error-severity finding(s) - exit will be nonzero")
+        } else println("doctor!: plan passes the gate")
       case "kanon" :: rest if rest.length <= 1 =>
         // release-governance read: how much of the corpus hides in
         // QI classes of >= k, and the l-diversity floor
@@ -372,5 +392,6 @@ object Shell {
       }
     }
     spark.stop()
+    if (strictDoctorFailed) sys.exit(1)
   }
 }

@@ -1,6 +1,9 @@
 package graft.plans
 
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Expression, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, And}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Deduplicate, EventTimeWatermark, FlatMapGroupsWithState, Join}
+import org.apache.spark.sql.streaming.GroupStateTimeout
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
 
 /** USER-FACING plan linter — the pre-commit plan audit
@@ -31,6 +34,30 @@ import org.apache.spark.sql.types.{StringType, StructField, StructType}
   *    the "did you mean to read everything" nudge (legitimate for
   *    genuine full-corpus passes).
   *
+  * STREAMING frames (df.isStreaming — these cannot be physically
+  * planned outside writeStream.start(), so the lint reads the analyzed
+  * plan) get the unbounded-STATE rules instead, the streaming
+  * scale-killers: state that only grows is the batch single-reducer
+  * cliff stretched over time.
+  *
+  *  - `stateful_no_watermark` (error): a stateful operator
+  *    (aggregation / dropDuplicates / stream-stream join /
+  *    [flat]mapGroupsWithState) with no watermark anywhere in the
+  *    plan — nothing ever tells the store it may forget.
+  *  - `stream_stream_join_unbounded` (error): a stream-stream join
+  *    whose condition carries no time-range conjunct — even
+  *    watermarked, per-key join state never expires (Spark only
+  *    evicts rows a range constraint provably excludes).
+  *  - `stateful_no_timeout` (warn): [flat]mapGroupsWithState with
+  *    NoTimeout — state lives until the function removes it;
+  *    legitimate exactly when keys are a bounded population (the
+  *    dimension size class, e.g. the episode matcher's per-user two
+  *    longs), fatal when keys grow with the stream.
+  *
+  * (A `collect`-backed or memory sink is the remaining streaming
+  * killer, but sinks live on the writer, not the frame — out of a
+  * frame lint's sight.)
+  *
   * The detection primitives are shared with the pre-commit audit
   * (same strings, same regex), so the library lint and the repo gate
   * can never drift. */
@@ -54,9 +81,56 @@ object PlanDoctor {
     "windowspecdefinition\\(([^)]*)\\)".r
       .findAllMatchIn(optimizedPlan).map(_.group(1)).toSeq
 
+  /** Streaming-frame findings over the ANALYZED plan (a streaming
+    * frame has no physical plan until start()). */
+  private def streamingFindings(df: DataFrame): List[(String, String, String)] = {
+    val plan = df.queryExecution.analyzed
+    val findings = scala.collection.mutable.ListBuffer[(String, String, String)]()
+    val hasWm = plan.collectFirst { case w: EventTimeWatermark => w }.isDefined
+    val stateful = plan.collect {
+      case a: Aggregate if a.isStreaming => "aggregation"
+      case d: Deduplicate if d.isStreaming => "dropDuplicates"
+      case f: FlatMapGroupsWithState if f.isStreaming => "mapGroupsWithState"
+      case j: Join if j.left.isStreaming && j.right.isStreaming =>
+        "stream-stream join"
+    }
+    if (stateful.nonEmpty && !hasWm)
+      findings += (("stateful_no_watermark", "error",
+        s"streaming ${stateful.distinct.mkString("/")} with no watermark: " +
+          "state can only grow - nothing ever tells the store to forget"))
+    val ssJoinsUnbounded = plan.collect {
+      case j: Join if j.left.isStreaming && j.right.isStreaming &&
+          !j.condition.exists(hasRangeConjunct) => j
+    }
+    if (ssJoinsUnbounded.nonEmpty)
+      findings += (("stream_stream_join_unbounded", "error",
+        "stream-stream join without a time-range conjunct: per-key join " +
+          "state never expires, even under a watermark - add an " +
+          "event-time bound (the purchaseViewJoinReplay shape)"))
+    val noTimeout = plan.collect {
+      case f: FlatMapGroupsWithState
+          if f.isStreaming && f.timeout == GroupStateTimeout.NoTimeout => f
+    }
+    if (noTimeout.nonEmpty)
+      findings += (("stateful_no_timeout", "warn",
+        "mapGroupsWithState with NoTimeout: state lives until the " +
+          "function removes it - fine only for bounded key populations " +
+          "(dimension class), fatal when keys grow with the stream"))
+    findings.toList
+  }
+
+  private def hasRangeConjunct(cond: Expression): Boolean = cond match {
+    case And(a, b) => hasRangeConjunct(a) || hasRangeConjunct(b)
+    case _: GreaterThan | _: GreaterThanOrEqual |
+         _: LessThan | _: LessThanOrEqual => true
+    case _ => false
+  }
+
   /** Lint `df`'s plans (analysis + planning only; never executes).
     * Returns (rule, severity, detail) rows, empty when clean. */
   def lint(df: DataFrame): DataFrame = {
+    if (df.isStreaming)
+      return toDf(df.sparkSession, streamingFindings(df).distinct)
     val physical = df.queryExecution.sparkPlan.toString
     val executed = df.queryExecution.executedPlan.toString
     val findings = scala.collection.mutable.ListBuffer[(String, String, String)]()

@@ -60,4 +60,60 @@ class PlanDoctorSpec extends SparkSpec {
     val df = SparkEntry.queries("q1_agg")(spark, sfDir)
     assert(rules(df).isEmpty)
   }
+
+  // ---- streaming rules: the unbounded-STATE scale-killers ----
+
+  private def rate = spark.readStream.format("rate").load()
+
+  test("streaming: stateful op without watermark flagged; watermarked clean") {
+    val bad = rate.groupBy(col("value") % 10).count()
+    assert(rules(bad).contains("stateful_no_watermark"))
+    val good = rate.withWatermark("timestamp", "10 minutes")
+      .groupBy(window(col("timestamp"), "5 minutes")).count()
+    assert(!rules(good).contains("stateful_no_watermark"))
+  }
+
+  test("streaming: equi-only stream-stream join flagged; time-bounded clean") {
+    val a = rate.select(col("value").as("k"), col("timestamp").as("ta"))
+      .withWatermark("ta", "5 minutes")
+    val b = rate.select(col("value").as("k2"), col("timestamp").as("tb"))
+      .withWatermark("tb", "5 minutes")
+    // watermarks alone don't expire inner-join state: no range, no gate
+    val bad = a.join(b, col("k") === col("k2"))
+    assert(rules(bad).contains("stream_stream_join_unbounded"))
+    val good = a.join(b, col("k") === col("k2") &&
+      col("tb") >= col("ta") &&
+      col("tb") <= col("ta") + expr("interval 10 minutes"))
+    assert(!rules(good).contains("stream_stream_join_unbounded"))
+  }
+
+  test("streaming: NoTimeout state warned; ProcessingTimeTimeout clean") {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import spark.implicits._
+    def fold(timeout: GroupStateTimeout) = rate
+      .select((col("value") % 10).as("k"), col("value").as("v"))
+      .as[(Long, Long)].groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, timeout)(
+        (_: Long, _: Iterator[(Long, Long)], _: GroupState[Long]) =>
+          Iterator.empty[Long])
+      .toDF()
+    assert(rules(fold(GroupStateTimeout.NoTimeout))
+      .contains("stateful_no_timeout"))
+    assert(!rules(fold(GroupStateTimeout.ProcessingTimeTimeout))
+      .contains("stateful_no_timeout"))
+  }
+
+  test("doctor! latches the CI-gate flag on errors only") {
+    val cat = new graft.sources.Catalog(spark, sfDir,
+      Some(java.nio.file.Files.createTempDirectory("graft-doc").toString))
+    spark.range(100000000L).toDF("x").createOrReplaceTempView("doc_a")
+    spark.range(100000000L).toDF("y").createOrReplaceTempView("doc_b")
+    Shell.strictDoctorFailed = false
+    assert(Shell.execute("doctor! SELECT 1 AS one", spark, cat, sfDir))
+    assert(!Shell.strictDoctorFailed)
+    assert(Shell.execute(
+      "doctor! SELECT * FROM doc_a CROSS JOIN doc_b", spark, cat, sfDir))
+    assert(Shell.strictDoctorFailed)
+    Shell.strictDoctorFailed = false
+  }
 }
