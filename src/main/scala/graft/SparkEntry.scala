@@ -705,17 +705,8 @@ object SparkEntry {
     "d_kanon" -> ((s, d) =>
       TextAnalysis.kAnonymityCard(Tables.documents(s, d))),
     // ingest-gate contract card: every rule's violation count must be 0
-    "fs_contract" -> ((s, d) => {
-      import org.apache.spark.sql.functions.col
-      graft.sources.Catalog.contractCard(Tables.orders(s, d),
-        predicates = Seq(
-          "totalprice_positive" -> (col("o_totalprice") > 0),
-          "status_domain" -> col("o_orderstatus").isin("F", "O", "P"),
-          "orderdate_not_null" -> col("o_orderdate").isNotNull),
-        uniqueKeys = Seq("orderkey_unique" -> "o_orderkey"),
-        foreignKeys = Seq(("custkey_fk", "o_custkey",
-          Tables.customer(s, d), "c_custkey")))
-    }),
+    "fs_contract" -> ((s, d) =>
+      graft.sources.Catalog.ordersContractCard(s, d)),
     // k-fold with the same exact-pair mine as p_leak_split: no mined
     // near-dup pair ever straddles folds
     "p_kfold" -> ((s, d) => Sampling.kfoldLeakSafe(Tables.documents(s, d),
@@ -797,6 +788,13 @@ object SparkEntry {
     "sql_dedup_minhash" ->
       ((s, d) => s.sql(s"SELECT * FROM graft_dedup_minhash('$d')")),
     "sql_mmr" -> ((s, d) => s.sql(s"SELECT * FROM graft_mmr('$d')")),
+    // the pipeline-verb cards through the SQL front door: the prep
+    // attrition report (benchmark = doc_ids below 20, minQuality 0.20
+    // — the d_prep_attrition demo config) and the ingest contract card
+    "sql_prep_attrition" -> ((s, d) =>
+      s.sql(s"SELECT * FROM graft_prep_attrition('$d', 20, 20)")),
+    "sql_contract" -> ((s, d) =>
+      s.sql(s"SELECT * FROM graft_contract('$d')")),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1264,55 +1262,9 @@ object SparkEntry {
          SELECT doc_id, n_chars FROM documents ANTI JOIN losers USING (doc_id)""",
     // attrition mirror: the same CTE chain as d_corpus_prep, emitting
     // the surviving count after each stage
-    "d_prep_attrition" ->
-      """WITH RECURSIVE
-         corpus AS (SELECT doc_id, text FROM documents WHERE doc_id >= 20),
-         sig AS (
-           SELECT doc_id, text,
-                  len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS nw,
-                  length(text) AS nc,
-                  length(regexp_replace(text, '[^a-z]', '', 'g')) AS na,
-                  length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS np,
-                  len(list_filter(regexp_split_to_array(text, '\s+'), x -> x IN ('the','a','of','and','to','is','in','that','it','as'))) AS h_en
-           FROM corpus),
-         scored AS (
-           SELECT doc_id, text,
-                  CAST(h_en AS DOUBLE) / greatest(nw, 1) * 0.4
-                    + least(CAST(na AS DOUBLE) / greatest(nw, 1) / 10.0, 1.0) * 0.3
-                    + (1.0 - CAST(np AS DOUBLE) / greatest(nc, 1)) * 0.3 AS qs
-           FROM sig),
-         filt AS (SELECT * FROM scored WHERE qs >= 0.2),
-         keep AS (SELECT min(doc_id) AS doc_id FROM filt GROUP BY md5(text)),
-         uniq AS (SELECT f.doc_id, f.text FROM filt f JOIN keep USING (doc_id)),
-         tok AS (SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS w FROM uniq),
-         sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
-                FROM tok CROSS JOIN unnest(generate_series(1, len(w) - 2)) AS t(i) WHERE len(w) >= 3),
-         sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
-         inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
-                   FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id GROUP BY 1, 2),
-         pairs AS (SELECT id_a, id_b FROM inter JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
-                   WHERE CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter) >= 0.5),
-         edges AS (SELECT id_a AS src, id_b AS dst FROM pairs UNION ALL SELECT id_b, id_a FROM pairs),
-         reach AS (SELECT src AS id, src AS r FROM edges
-                   UNION SELECT reach.id, edges.dst FROM reach JOIN edges ON reach.r = edges.src),
-         dropping AS (SELECT id AS doc_id FROM (SELECT id, min(r) AS component FROM reach GROUP BY id) WHERE id <> component),
-         ded AS (SELECT u.doc_id, u.text FROM uniq u ANTI JOIN dropping dr ON u.doc_id = dr.doc_id),
-         bsh AS (SELECT DISTINCT doc_id AS bench_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
-                 FROM (SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS w
-                       FROM documents WHERE doc_id < 20)
-                 CROSS JOIN unnest(generate_series(1, len(w) - 2)) AS t(i) WHERE len(w) >= 3),
-         dsh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
-                 FROM (SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS w FROM ded)
-                 CROSS JOIN unnest(generate_series(1, len(w) - 2)) AS t(i) WHERE len(w) >= 3),
-         flagged AS (SELECT DISTINCT doc_id FROM (
-                       SELECT d.doc_id, b.bench_id FROM dsh d JOIN bsh b USING (shingle)
-                       GROUP BY d.doc_id, b.bench_id HAVING count(*) >= 3)),
-         final AS (SELECT ded.doc_id FROM ded ANTI JOIN flagged fl ON ded.doc_id = fl.doc_id)
-         SELECT 'input' AS stage, count(*) AS n_docs FROM corpus
-         UNION ALL SELECT 'quality_lang', count(*) FROM filt
-         UNION ALL SELECT 'exact_dedup', count(*) FROM uniq
-         UNION ALL SELECT 'near_dedup', count(*) FROM ded
-         UNION ALL SELECT 'decontaminated', count(*) FROM final""",
+    "d_prep_attrition" -> prepAttritionSql,
+    // the SQL-front-door twin resolves to the same computation
+    "sql_prep_attrition" -> prepAttritionSql,
     // the corpus-prep composition verified END-TO-END: each stage reuses
     // the already-verified oracle fragment (quality/lang signals, exact
     // dedup, ngram-Jaccard pairs [== LSH candidates on this corpus],
@@ -4440,29 +4392,8 @@ object SparkEntry {
                       / (SELECT count(*) FROM s3) * 1000000 + 0.5) / 1000000 END""",
     // contract card: null predicate results are non-violations on both
     // sides (CASE WHEN NOT p falls through)
-    "fs_contract" ->
-      """SELECT 'totalprice_positive' AS rule,
-                CAST(sum(CASE WHEN NOT (o_totalprice > 0) THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
-         FROM orders
-         UNION ALL
-         SELECT 'status_domain',
-                CAST(sum(CASE WHEN NOT (o_orderstatus IN ('F', 'O', 'P')) THEN 1 ELSE 0 END) AS BIGINT)
-         FROM orders
-         UNION ALL
-         SELECT 'orderdate_not_null',
-                CAST(sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT)
-         FROM orders
-         UNION ALL
-         SELECT 'orderkey_unique',
-                CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT)
-         FROM orders
-         UNION ALL
-         SELECT 'custkey_fk',
-                (SELECT CAST(count(*) AS BIGINT)
-                 FROM orders o
-                 LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
-                   ON o.o_custkey = c.c_custkey
-                 WHERE c.c_custkey IS NULL)""",
+    "fs_contract" -> contractSql,
+    "sql_contract" -> contractSql,
     // discrete quartiles; 1.5·IQR fences as integer cross-multiplies
     "q_tukey" ->
       """WITH spend AS (SELECT o_custkey,
@@ -4792,6 +4723,85 @@ object SparkEntry {
                           FROM cand)) WHERE rnk = 1),$steps
          SELECT query_id, neighbor_id, score, pick FROM sel5"""
   }
+
+  /** Attrition mirror — the CTE chain of the prep ladder emitting
+    * the surviving count after each stage (shared by
+    * d_prep_attrition and its SQL-front-door twin). */
+  private val prepAttritionSql: String =
+    """WITH RECURSIVE
+         corpus AS (SELECT doc_id, text FROM documents WHERE doc_id >= 20),
+         sig AS (
+           SELECT doc_id, text,
+                  len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS nw,
+                  length(text) AS nc,
+                  length(regexp_replace(text, '[^a-z]', '', 'g')) AS na,
+                  length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS np,
+                  len(list_filter(regexp_split_to_array(text, '\s+'), x -> x IN ('the','a','of','and','to','is','in','that','it','as'))) AS h_en
+           FROM corpus),
+         scored AS (
+           SELECT doc_id, text,
+                  CAST(h_en AS DOUBLE) / greatest(nw, 1) * 0.4
+                    + least(CAST(na AS DOUBLE) / greatest(nw, 1) / 10.0, 1.0) * 0.3
+                    + (1.0 - CAST(np AS DOUBLE) / greatest(nc, 1)) * 0.3 AS qs
+           FROM sig),
+         filt AS (SELECT * FROM scored WHERE qs >= 0.2),
+         keep AS (SELECT min(doc_id) AS doc_id FROM filt GROUP BY md5(text)),
+         uniq AS (SELECT f.doc_id, f.text FROM filt f JOIN keep USING (doc_id)),
+         tok AS (SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS w FROM uniq),
+         sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+                FROM tok CROSS JOIN unnest(generate_series(1, len(w) - 2)) AS t(i) WHERE len(w) >= 3),
+         sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+         inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+                   FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id GROUP BY 1, 2),
+         pairs AS (SELECT id_a, id_b FROM inter JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
+                   WHERE CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter) >= 0.5),
+         edges AS (SELECT id_a AS src, id_b AS dst FROM pairs UNION ALL SELECT id_b, id_a FROM pairs),
+         reach AS (SELECT src AS id, src AS r FROM edges
+                   UNION SELECT reach.id, edges.dst FROM reach JOIN edges ON reach.r = edges.src),
+         dropping AS (SELECT id AS doc_id FROM (SELECT id, min(r) AS component FROM reach GROUP BY id) WHERE id <> component),
+         ded AS (SELECT u.doc_id, u.text FROM uniq u ANTI JOIN dropping dr ON u.doc_id = dr.doc_id),
+         bsh AS (SELECT DISTINCT doc_id AS bench_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+                 FROM (SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS w
+                       FROM documents WHERE doc_id < 20)
+                 CROSS JOIN unnest(generate_series(1, len(w) - 2)) AS t(i) WHERE len(w) >= 3),
+         dsh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+                 FROM (SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS w FROM ded)
+                 CROSS JOIN unnest(generate_series(1, len(w) - 2)) AS t(i) WHERE len(w) >= 3),
+         flagged AS (SELECT DISTINCT doc_id FROM (
+                       SELECT d.doc_id, b.bench_id FROM dsh d JOIN bsh b USING (shingle)
+                       GROUP BY d.doc_id, b.bench_id HAVING count(*) >= 3)),
+         final AS (SELECT ded.doc_id FROM ded ANTI JOIN flagged fl ON ded.doc_id = fl.doc_id)
+         SELECT 'input' AS stage, count(*) AS n_docs FROM corpus
+         UNION ALL SELECT 'quality_lang', count(*) FROM filt
+         UNION ALL SELECT 'exact_dedup', count(*) FROM uniq
+         UNION ALL SELECT 'near_dedup', count(*) FROM ded
+         UNION ALL SELECT 'decontaminated', count(*) FROM final"""
+
+  /** Contract card mirror (shared by fs_contract and the
+    * graft_contract TVF row sql_contract). */
+  private val contractSql: String =
+    """SELECT 'totalprice_positive' AS rule,
+                CAST(sum(CASE WHEN NOT (o_totalprice > 0) THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
+         FROM orders
+         UNION ALL
+         SELECT 'status_domain',
+                CAST(sum(CASE WHEN NOT (o_orderstatus IN ('F', 'O', 'P')) THEN 1 ELSE 0 END) AS BIGINT)
+         FROM orders
+         UNION ALL
+         SELECT 'orderdate_not_null',
+                CAST(sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         FROM orders
+         UNION ALL
+         SELECT 'orderkey_unique',
+                CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT)
+         FROM orders
+         UNION ALL
+         SELECT 'custkey_fk',
+                (SELECT CAST(count(*) AS BIGINT)
+                 FROM orders o
+                 LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+                   ON o.o_custkey = c.c_custkey
+                 WHERE c.c_custkey IS NULL)"""
 
   /** Bottom-k sample mirror (shared by q_qsketch and its incremental-MV
     * twin fs_incr_qsketch — the merge is lossless, so one from-scratch

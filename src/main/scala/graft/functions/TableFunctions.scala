@@ -114,5 +114,42 @@ object TableFunctions {
         graft.Tables.documents(spark, strArg("graft_kanon", exprs, 0)),
         k = longArg("graft_kanon", exprs, 1, 5L).toInt)
     }
+    // the PIPELINE-verb cards: read-only views of the prep/storage
+    // procedures, so a non-Scala user can ask "where would my data go"
+    // and "does this batch honor its contract" from pure SQL. (The
+    // MUTATING verbs — prepare/publish/upsert — stay Scala-only: a TVF
+    // is a relation, and hiding a write behind a SELECT would be a
+    // side-effecting table read; a procedure surface is the right
+    // future home.) Unlike the operator TVFs above, graft_prep_attrition
+    // RUNS the bounded prep-count job at resolution (the card is five
+    // literal rows — attrition() collects eagerly so its cached stage
+    // pins can be released); what the query then selects from is that
+    // 5-row relation.
+    tvf(ext, "graft_prep_attrition",
+      "graft_prep_attrition(dir[, benchmark_below[, min_quality_pct]]) - " +
+        "per-stage survivor counts of corpus prep over <dir>/documents; " +
+        "doc_ids below benchmark_below act as the decontamination " +
+        "benchmark (0 = none)") { (spark, exprs) =>
+      maxArgs("graft_prep_attrition", exprs, 3)
+      val docs = graft.Tables.documents(spark,
+        strArg("graft_prep_attrition", exprs, 0))
+      val bound = longArg("graft_prep_attrition", exprs, 1, 0L)
+      val minQ = longArg("graft_prep_attrition", exprs, 2, 30L) / 100.0
+      import org.apache.spark.sql.functions.col
+      val (corpus, bench) =
+        if (bound > 0) (docs.where(col("doc_id") >= bound),
+          Some(docs.where(col("doc_id") < bound)))
+        else (docs, None)
+      graft.operators.CorpusPipeline.attrition(corpus, bench,
+        graft.operators.CorpusPipeline.Config(minQuality = minQ))
+    }
+    tvf(ext, "graft_contract",
+      "graft_contract(dir) - the orders ingest-gate contract card over " +
+        "<dir>/orders (0 violations per rule = the gate holds)") {
+      (spark, exprs) =>
+        maxArgs("graft_contract", exprs, 1)
+        graft.sources.Catalog.ordersContractCard(spark,
+          strArg("graft_contract", exprs, 0))
+    }
   }
 }

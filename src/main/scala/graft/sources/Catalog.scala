@@ -1106,6 +1106,23 @@ object Catalog {
     (predCard.toSeq ++ uniqCards ++ fkCards).reduce(_ unionAll _)
   }
 
+  /** The orders ingest-gate demo contract — the canned rule set shared
+    * by the fs_contract driver row, the graft_contract TVF and the
+    * Shell's audit read: three predicate rules in one shared scan, a
+    * key-uniqueness rule, and a customer foreign key (broadcast
+    * anti-join at dimension scale). Scala callers compose their OWN
+    * rules with [[contractCard]]; this is the SQL surface's one-call
+    * form. */
+  def ordersContractCard(spark: SparkSession, dir: String): DataFrame =
+    contractCard(graft.Tables.orders(spark, dir),
+      predicates = Seq(
+        "totalprice_positive" -> (col("o_totalprice") > 0),
+        "status_domain" -> col("o_orderstatus").isin("F", "O", "P"),
+        "orderdate_not_null" -> col("o_orderdate").isNotNull),
+      uniqueKeys = Seq("orderkey_unique" -> "o_orderkey"),
+      foreignKeys = Seq(("custkey_fk", "o_custkey",
+        graft.Tables.customer(spark, dir), "c_custkey")))
+
   /** Hash-partition skew PREFLIGHT card — "will this key shuffle
     * evenly" answered before the shuffle is paid: rows bucketed by the
     * engine-portable hash mod `nBuckets`, then one bounded aggregate of

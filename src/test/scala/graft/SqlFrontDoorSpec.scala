@@ -58,6 +58,31 @@ class SqlFrontDoorSpec extends SparkSpec {
     assert(rows(sql) == rows(scala_))
   }
 
+  test("graft_prep_attrition(dir, bound, minq) == CorpusPipeline.attrition") {
+    import org.apache.spark.sql.functions.col
+    val sql = spark.sql(
+      s"SELECT * FROM graft_prep_attrition('$sfDir', 20, 20)")
+    val docs = Tables.documents(spark, sfDir)
+    val scala_ = operators.CorpusPipeline.attrition(
+      docs.where(col("doc_id") >= 20), Some(docs.where(col("doc_id") < 20)),
+      operators.CorpusPipeline.Config(minQuality = 0.2))
+    assert(rows(sql) == rows(scala_))
+    // no-benchmark form: 5 stages still reported (decontamination is a
+    // pass-through when there is nothing to decontaminate against)
+    val bare = spark.sql(s"SELECT * FROM graft_prep_attrition('$sfDir')")
+    assert(bare.count() >= 4)
+  }
+
+  test("graft_contract(dir) == Catalog.ordersContractCard and gates in SQL") {
+    val sql = spark.sql(s"SELECT * FROM graft_contract('$sfDir')")
+    val scala_ = sources.Catalog.ordersContractCard(spark, sfDir)
+    assert(rows(sql) == rows(scala_))
+    // the one-number gate read a CI job would run
+    val worst = spark.sql(
+      s"SELECT max(n_violations) AS m FROM graft_contract('$sfDir')")
+    assert(worst.head().getLong(0) == 0L)
+  }
+
   test("non-literal / bad-arity arguments fail at analysis with usage") {
     val e1 = intercept[Exception] {
       spark.sql(s"SELECT * FROM graft_asof(rand())").collect()
