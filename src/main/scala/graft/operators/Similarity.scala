@@ -845,7 +845,7 @@ object Similarity {
     * (corpus streamed once each); everything after is query-grain —
     * one ≤k-row join per query and two bounded aggregates. */
   def ndcgCard(embeddings: DataFrame, maxQueryId: Long = 5,
-      k: Int = 10): DataFrame = {
+      k: Int = 10, nCells: Int = 16, nProbe: Int = 4): DataFrame = {
     require(k >= 1 && k <= 24, "ndcgCard: k in [1, 24] (lcm fits a long)")
     val weightLcm = (2 to k + 1).foldLeft(1L) { (acc, i) =>
       val g = BigInt(acc).gcd(BigInt(i)).toLong; acc / g * i
@@ -853,7 +853,7 @@ object Similarity {
     val exact = bruteForceTopK(embeddings, maxQueryId, k)
       .select(col("query_id"), col("neighbor_id"), col("rnk").as("erank"))
       .localCheckpoint() // feeds rel AND idcg; one window pass, not two
-    val approx = ivfAnn(embeddings, maxQueryId, k)
+    val approx = ivfAnn(embeddings, maxQueryId, k, nCells, nProbe)
       .select(col("query_id"), col("neighbor_id"), col("rnk").as("pos"))
     val dcg = approx.join(exact, Seq("query_id", "neighbor_id"), "left")
       .select(col("query_id"),

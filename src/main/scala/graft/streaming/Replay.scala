@@ -50,6 +50,11 @@ object Replay {
       sentinelUser: Long)
 
   private val runCounter = new AtomicInteger(0)
+
+  /** Serializes the provider-conf set → start() → restore window of
+    * [[runToDir]] (the provider is captured from the session conf at
+    * query START, so that window must exclude concurrent starts). */
+  private val providerScopeLock = new Object
   private val sources = scala.collection.concurrent.TrieMap[String, Source]()
 
   private lazy val root: Path = {
@@ -146,9 +151,14 @@ object Replay {
     // while small-state replays keep the default in-memory HDFS-backed
     // provider
     val confKey = "spark.sql.streaming.stateStore.providerClass"
-    val previous = spark.conf.getOption(confKey)
-    stateStoreProvider.foreach(spark.conf.set(confKey, _))
-    val q =
+    // the set/start/restore window is serialized: a CONCURRENT start in
+    // the same session during that window would capture the scoped
+    // provider (or have its own restore clobbered) — the lock makes the
+    // scoping safe by construction instead of by the replays happening
+    // to run serially
+    val q = providerScopeLock.synchronized {
+      val previous = spark.conf.getOption(confKey)
+      stateStoreProvider.foreach(spark.conf.set(confKey, _))
       try build(stream)
         .writeStream.format("parquet")
         .option("checkpointLocation", runDir.resolve("ckpt").toString)
@@ -158,6 +168,7 @@ object Replay {
         case Some(v) => spark.conf.set(confKey, v)
         case None => spark.conf.unset(confKey)
       }
+    }
     try q.processAllAvailable() finally q.stop()
     runDir.resolve("out").toString
   }

@@ -89,16 +89,18 @@ class NdcgSpec extends SparkSpec {
   }
 
   test("perfect ranking scores 1.0 (ndcg of exact vs itself)") {
-    // feed the card a degenerate corpus where IVF == brute: a handful
-    // of well-separated vectors in one cell
+    // one cell, fully probed: the IVF candidate set IS the corpus, so
+    // the approximate ranking equals brute force and nDCG is exactly 1
     import spark.implicits._
     val vecs = (0L until 12L).map(i =>
       (i, Array.tabulate(4)(j => if (j == (i % 4).toInt) 1.0f else 0.001f * i)))
       .toDF("vec_id", "embedding")
-    val card = Similarity.ndcgCard(vecs, maxQueryId = 2, k = 3).collect()
+    val card = Similarity.ndcgCard(vecs, maxQueryId = 2, k = 3,
+      nCells = 1, nProbe = 1).collect()
+    assert(card.length == 2)
     card.foreach { r =>
-      assert(r.getDouble(3) > 0.0 && r.getDouble(3) <= 1.0)
-      assert(r.getLong(2) > 0L)
+      assert(r.getLong(1) == r.getLong(2)) // dcg == idcg, term by term
+      assert(r.getDouble(3) == 1.0)
     }
   }
 }
