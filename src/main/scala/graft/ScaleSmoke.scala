@@ -700,6 +700,57 @@ object ScaleSmoke {
       operators.Similarity.ndcgCard(bigv)
         .write.format("noop").mode("overwrite").save()
     }
+    time("ann_upsert_q_40k") {
+      // quantized build on 80% of 40k + frozen-quantizer delta encode:
+      // the delta pass is map-only (centroid literal + broadcast
+      // scales), cost O(|delta|·nCells) independent of index size
+      val bigv = (0 until 20).map(i => spark.read
+          .parquet("/root/testdata/sf0.1/embeddings.parquet")
+          .withColumn("vec_id", col("vec_id") + lit(i * 1000000L)))
+        .reduce(_ unionAll _)
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-scale-annq").toString
+      val cat = new graft.sources.Catalog(spark, root)
+      cat.saveAnnIndexQ("bigq",
+        operators.Similarity.buildIvfIndexQ(bigv.where(col("vec_id") % 5 =!= 0)))
+      cat.upsertAnnIndexQ("bigq", bigv.where(col("vec_id") % 5 === 0), 1L)
+      operators.Similarity.ivfSearchQ(cat.loadAnnIndexQ("bigq"),
+          operators.Similarity.queryVectors(bigv, 5), 10)
+        .write.format("noop").mode("overwrite").save()
+    }
+    time("scd2_mv_1m") {
+      // streaming-SCD2 state fold over a 1M change log in two ordered
+      // halves: closed versions append once, only open versions re-
+      // enter the window — the second refresh's window is
+      // O(open + half), never O(history)
+      val ch = be.select(col("user_id").as("k"), col("event_type").as("v"),
+        col("event_id").as("seq"),
+        when(pmod(col("event_id"), lit(7L)) === 0L, "d").otherwise("u").as("op"))
+      val mid = 500000L
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-scale-scd2").toString
+      val cat = new graft.sources.Catalog(spark, root)
+      cat.refreshScd2Mv("h1m", ch.where(col("seq") < mid), "k", "seq", "op", 0L)
+      cat.refreshScd2Mv("h1m", ch.where(col("seq") >= mid), "k", "seq", "op", 1L)
+      cat.scd2MvHistory("h1m", "seq", "op")
+        .write.format("noop").mode("overwrite").save()
+    }
+    time("qsketch_mv_1m") {
+      // quantile-sketch MV at 1M events: two refreshes, ≤ k (hash,
+      // value) pairs per event type ride the shuffle and the state
+      val h = be.select(col("event_type"),
+        operators.TextAnalysis.portableHash60(col("event_id")).as("h"),
+        col("value").as("val"), col("event_id"))
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-scale-qsk").toString
+      val cat = new graft.sources.Catalog(spark, root)
+      cat.refreshQsketchMv("q1m", h.where(col("event_id") % 2 === 0),
+        Seq("event_type"), "h", "val", 256)
+      cat.refreshQsketchMv("q1m", h.where(col("event_id") % 2 =!= 0),
+        Seq("event_type"), "h", "val", 256)
+      cat.qsketchMvEstimate("q1m", Seq("event_type"), 256)
+        .write.format("noop").mode("overwrite").save()
+    }
     spark.stop()
   }
 }
