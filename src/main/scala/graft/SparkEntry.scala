@@ -204,19 +204,15 @@ object SparkEntry {
     // its validity interval, tombstones close history without becoming
     // versions (keys ending 1: v1 closed by v2, v2 current; keys
     // ending 6: v1 closed by the delete, no current row)
-    "fs_scd2" -> ((s, d) => {
-      import org.apache.spark.sql.functions.{col, lit}
-      val base = Tables.documents(s, d).select(col("doc_id"), col("n_chars"))
-      val ch = base.where(col("doc_id") % 5 === 1)
-        .select(col("doc_id"), col("n_chars"),
-          lit(1L).as("seq"), lit("u").as("op"))
-        .unionAll(base.where(col("doc_id") % 10 === 1)
-          .select(col("doc_id"), (col("n_chars") + 7000L).as("n_chars"),
-            lit(2L).as("seq"), lit("u").as("op")))
-        .unionAll(base.where(col("doc_id") % 10 === 6)
-          .select(col("doc_id"), lit(null).cast("long").as("n_chars"),
-            lit(3L).as("seq"), lit("d").as("op")))
-      graft.sources.Catalog.scd2History(ch, "doc_id", "seq", "op")
+    "fs_scd2" -> ((s, d) => graft.sources.Catalog.scd2History(
+      scd2DemoChanges(s, d), "doc_id", "seq", "op")),
+    // the time-travel read the history exists to answer: each key's
+    // version valid AT seq 1 — one pushed-down filter, no window
+    "fs_scd2_asof" -> ((s, d) => {
+      import org.apache.spark.sql.functions.lit
+      graft.sources.Catalog.scd2AsOf(
+        graft.sources.Catalog.scd2History(
+          scd2DemoChanges(s, d), "doc_id", "seq", "op"), lit(1L))
     }),
     // leakage-safe split from the EXACT n-gram Jaccard pair mine, so the
     // mirror to the oracle's exact-pair recursive closure is structural
@@ -2764,6 +2760,23 @@ object SparkEntry {
          SELECT doc_id, n_chars, valid_from, valid_to,
                 valid_to IS NULL AS is_current
          FROM h WHERE op = 'u'""",
+    // the as-of slice of the same history: versions valid AT seq 1
+    "fs_scd2_asof" ->
+      """WITH ch AS (
+           SELECT doc_id, n_chars, CAST(1 AS BIGINT) AS seq, 'u' AS op
+           FROM documents WHERE doc_id % 5 = 1
+           UNION ALL
+           SELECT doc_id, n_chars + 7000, CAST(2 AS BIGINT), 'u'
+           FROM documents WHERE doc_id % 10 = 1
+           UNION ALL
+           SELECT doc_id, CAST(NULL AS BIGINT), CAST(3 AS BIGINT), 'd'
+           FROM documents WHERE doc_id % 10 = 6),
+         h AS (SELECT doc_id, n_chars, op, seq AS valid_from,
+                      lead(seq) OVER (PARTITION BY doc_id ORDER BY seq) AS valid_to
+               FROM ch)
+         SELECT doc_id, n_chars, valid_from, valid_to
+         FROM h WHERE op = 'u'
+           AND valid_from <= 1 AND (valid_to IS NULL OR valid_to > 1)""",
     // the oracle recomputes from scratch; equality proves the
     // stream-maintained MV state (microbatch deltas merged into the
     // durable Catalog state) reconstructs the full aggregate
@@ -4802,6 +4815,24 @@ object SparkEntry {
                  LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
                    ON o.o_custkey = c.c_custkey
                  WHERE c.c_custkey IS NULL)"""
+
+  /** The SCD2 demo change log (shared by fs_scd2 / fs_scd2_asof and
+    * their oracles): keys ending 1 are upserted twice (v2 wins), keys
+    * ending 6 are tombstoned after v1, other %5==1 keys get one
+    * version. */
+  private def scd2DemoChanges(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val base = Tables.documents(s, d).select(col("doc_id"), col("n_chars"))
+    base.where(col("doc_id") % 5 === 1)
+      .select(col("doc_id"), col("n_chars"),
+        lit(1L).as("seq"), lit("u").as("op"))
+      .unionAll(base.where(col("doc_id") % 10 === 1)
+        .select(col("doc_id"), (col("n_chars") + 7000L).as("n_chars"),
+          lit(2L).as("seq"), lit("u").as("op")))
+      .unionAll(base.where(col("doc_id") % 10 === 6)
+        .select(col("doc_id"), lit(null).cast("long").as("n_chars"),
+          lit(3L).as("seq"), lit("d").as("op")))
+  }
 
   /** Bottom-k sample mirror (shared by q_qsketch and its incremental-MV
     * twin fs_incr_qsketch — the merge is lossless, so one from-scratch

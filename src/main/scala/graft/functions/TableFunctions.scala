@@ -151,5 +151,16 @@ object TableFunctions {
         graft.sources.Catalog.ordersContractCard(spark,
           strArg("graft_contract", exprs, 0))
     }
+    tvf(ext, "graft_doctor",
+      "graft_doctor(sql) - lint <sql>'s plan for scale-killers " +
+        "(cartesian/BNLJ/unpartitioned window/1-task exchange/wide " +
+        "scan; streaming: unbounded state) - plans only, never runs " +
+        "it; empty result = clean") { (spark, exprs) =>
+      maxArgs("graft_doctor", exprs, 1)
+      // lint runs at resolution (planning the inner query IS the
+      // work); the relation selected from is the findings card
+      graft.plans.PlanDoctor.lint(
+        spark.sql(strArg("graft_doctor", exprs, 0)))
+    }
   }
 }

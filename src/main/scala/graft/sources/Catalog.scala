@@ -247,6 +247,7 @@ class Catalog(spark: SparkSession, baseDir: String,
   def refreshScd2Mv(name: String, changes: DataFrame, key: String,
       seqCol: String, opCol: String, batchId: Long): Unit = {
     import org.apache.spark.sql.expressions.Window
+    recoverDirSwap(name, "open")
     val openDir = s"$derivedDir/$name/open"
     if (alreadyApplied(openDir, Some(batchId))) return
     val all =
@@ -266,6 +267,41 @@ class Catalog(spark: SparkSession, baseDir: String,
     commitSwap(openDir, open, Some(batchId), s"refreshScd2Mv($name)")
   }
 
+  /** Fold every committed closed segment of a [[refreshScd2Mv]] state
+    * into ONE — the operational counterpart of append-only history
+    * maintenance, the [[compactJoinMv]] shape: segments accumulate one
+    * per refresh, reads pay a listing + union per segment until
+    * someone compacts. The new layout (open state copied, closed
+    * history as a single `closed_seg_b<maxId>`) is built in
+    * `<name>.tmp` and installed by the crash-recoverable dir swap —
+    * no readable state ever holds the fold AND the old segments, and
+    * a torn install heals from `.bak` on the next touch
+    * ([[recoverDirSwap]]). Exactly-once is unaffected: the refresh
+    * gate is the OPEN state's batch marker, which the copy preserves
+    * byte-for-byte (a retried batch still no-ops after compaction). */
+  def compactScd2(name: String): Unit = {
+    recoverDirSwap(name, "open")
+    val root = new Path(s"$derivedDir/$name")
+    val fs = root.getFileSystem(hconf)
+    val segs = fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("closed_seg_b"))
+      .map(_.getPath.getName)
+      .filter(n => hasSuccess(s"$derivedDir/$name/$n"))
+      .sortBy(n => n.stripPrefix("closed_seg_b").toLong)
+    if (segs.size < 2) return // nothing to fold
+    val tmp = s"$derivedDir/$name.tmp"
+    fs.delete(new Path(tmp), true)
+    segs.map(n => spark.read.parquet(s"$derivedDir/$name/$n"))
+      .reduce(_ unionByName _)
+      .write.parquet(s"$tmp/${segs.last}")
+    // the open state copies with its batch marker intact: read+write
+    // would drop the `_`-prefixed sidecar, so copy files verbatim
+    org.apache.hadoop.fs.FileUtil.copy(fs,
+      new Path(s"$derivedDir/$name/open"), fs, new Path(s"$tmp/open"),
+      false, hconf)
+    installSwap(s"$derivedDir/$name", fs, s"compactScd2($name)")
+  }
+
   /** The full version history of a [[refreshScd2Mv]] state: every
     * committed closed segment plus the open versions (valid_to null,
     * is_current true) — column-for-column the batch [[scd2History]]
@@ -274,6 +310,7 @@ class Catalog(spark: SparkSession, baseDir: String,
     * segments (no `_SUCCESS`) never serve, as in the join-MV family. */
   def scd2MvHistory(name: String, seqCol: String,
       opCol: String): DataFrame = {
+    recoverDirSwap(name, "open")
     val openDir = s"$derivedDir/$name/open"
     require(hasSuccess(openDir), s"no committed scd2 state: $name")
     val root = new Path(s"$derivedDir/$name")
@@ -450,6 +487,7 @@ class Catalog(spark: SparkSession, baseDir: String,
     * must be new — see [[requireDisjoint]]; `check = true` enforces. */
   def upsertAnnIndex(name: String, newVectors: DataFrame,
       batchId: Long, check: Boolean = false): Unit = {
+    recoverIndexDir(name)
     require(hasSuccess(s"$derivedDir/$name/centroids"),
       s"no committed ANN index to upsert: $name")
     val segDir = s"$derivedDir/$name/assignments_seg_b$batchId"
@@ -478,6 +516,33 @@ class Catalog(spark: SparkSession, baseDir: String,
     require(dup == 0L,
       s"upsert into $name: delta contains vec_ids already indexed " +
         "(segments dedup batches, not rows — see the disjointness contract)")
+  }
+
+  /** Dir-level torn-swap recovery for the multi-part index layout:
+    * [[compactAnnIndex]] swaps the WHOLE index dir, so its backup
+    * lives at `<name>.bak` where the part-level [[hasSuccess]] never
+    * looks. Every index entry point calls this first — a crash inside
+    * the compaction's install gap heals on the next touch, exactly as
+    * part-level swaps heal through hasSuccess. */
+  private def recoverIndexDir(name: String): Unit =
+    recoverDirSwap(name, "assignments")
+
+  /** The dir-level recovery itself, parameterized by the part whose
+    * `_SUCCESS` proves the layout committed ("assignments" for the
+    * index family, "open" for the SCD2 family). */
+  private def recoverDirSwap(name: String, probePart: String): Unit = {
+    val live = new Path(s"$derivedDir/$name")
+    val fs = live.getFileSystem(hconf)
+    val bak = new Path(s"$derivedDir/$name.bak")
+    if (fs.exists(bak)) {
+      if (fs.exists(new Path(s"$derivedDir/$name/$probePart/_SUCCESS")))
+        fs.delete(bak, true) // install completed; bak is leftover
+      else if (fs.exists(new Path(s"$derivedDir/$name.bak/$probePart/_SUCCESS"))) {
+        fs.delete(live, true) // install torn: the backup is the truth
+        if (!fs.rename(bak, live))
+          throw new java.io.IOException(s"dir swap recovery failed: $name")
+      } else fs.delete(bak, true) // debris from no committed state
+    }
   }
 
   /** Base assignments plus every COMMITTED upsert segment — the
@@ -521,6 +586,7 @@ class Catalog(spark: SparkSession, baseDir: String,
     * contract as the float path. */
   def upsertAnnIndexQ(name: String, newVectors: DataFrame,
       batchId: Long, check: Boolean = false): Unit = {
+    recoverIndexDir(name)
     require(hasSuccess(s"$derivedDir/$name/centroids") &&
       hasSuccess(s"$derivedDir/$name/scales"),
       s"no committed quantized ANN index to upsert: $name")
@@ -536,6 +602,7 @@ class Catalog(spark: SparkSession, baseDir: String,
   /** Load a committed quantized index: base + committed segments, the
     * frozen centroids and scales. Torn parts never serve. */
   def loadAnnIndexQ(name: String): graft.operators.Similarity.IvfQIndex = {
+    recoverIndexDir(name)
     require(hasSuccess(s"$derivedDir/$name/assignments") &&
       hasSuccess(s"$derivedDir/$name/centroids") &&
       hasSuccess(s"$derivedDir/$name/scales"),
@@ -564,6 +631,7 @@ class Catalog(spark: SparkSession, baseDir: String,
     * stays fresh in O(|delta|·m·ksub) without re-touching the corpus. */
   def upsertAnnIndexPq(name: String, newVectors: DataFrame,
       batchId: Long, check: Boolean = false): Unit = {
+    recoverIndexDir(name)
     require(hasSuccess(s"$derivedDir/$name/centroids") &&
       hasSuccess(s"$derivedDir/$name/codebooks") &&
       hasSuccess(s"$derivedDir/$name/meta"),
@@ -578,6 +646,7 @@ class Catalog(spark: SparkSession, baseDir: String,
   /** Load a committed PQ index: base + committed segments, frozen
     * centroids/codebooks, (m, ksub) from the meta part. */
   def loadAnnIndexPq(name: String): graft.operators.Similarity.IvfPqIndex = {
+    recoverIndexDir(name)
     require(hasSuccess(s"$derivedDir/$name/assignments") &&
       hasSuccess(s"$derivedDir/$name/centroids") &&
       hasSuccess(s"$derivedDir/$name/codebooks") &&
@@ -588,6 +657,61 @@ class Catalog(spark: SparkSession, baseDir: String,
       spark.read.parquet(s"$derivedDir/$name/centroids"),
       spark.read.parquet(s"$derivedDir/$name/codebooks"),
       meta.getInt(0), meta.getInt(1))
+  }
+
+  /** Fold every committed upsert segment of an ANN index (any flavor —
+    * float, int8, PQ: the segment convention is shared) into the base
+    * assignments part — the operational counterpart of O(Δ) upserts,
+    * exactly as [[compactJoinMv]] is to [[appendJoinMv]]: segments
+    * accumulate one per refresh and reads pay a listing + union per
+    * segment until someone compacts. The merged table installs over
+    * the base via the crash-recoverable tmp-swap; the old segments are
+    * then replaced by ONE empty `_SUCCESS`-committed segment carrying
+    * the HIGHEST applied batch name, so a retry of the latest batch
+    * still finds its marker and no-ops (zero rows contributed) — the
+    * exactly-once guarantee survives the compaction, as in the join-MV
+    * family. Torn compactions never lose the index: the swap parks the
+    * old base at `.bak` until the new one is committed, and segment
+    * deletion happens only after the install. */
+  def compactAnnIndex(name: String): Unit = {
+    recoverIndexDir(name)
+    val root = new Path(s"$derivedDir/$name")
+    val fs = root.getFileSystem(hconf)
+    val segs = fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory &&
+        s.getPath.getName.startsWith("assignments_seg_b"))
+      .map(_.getPath.getName)
+      .filter(n => hasSuccess(s"$derivedDir/$name/$n"))
+      .sortBy(n => n.stripPrefix("assignments_seg_b").toLong)
+    if (segs.isEmpty) return
+    val merged = loadAnnAssignments(name)
+    // build the ENTIRE new layout in <name>.tmp — folded assignments,
+    // the small quantizer parts copied verbatim, and the empty
+    // max-batch tombstone — then one atomic install: there is never a
+    // readable state where the fold and the segments coexist
+    val tmp = s"$derivedDir/$name.tmp"
+    fs.delete(new Path(tmp), true)
+    merged.write.parquet(s"$tmp/assignments")
+    fs.listStatus(root).toSeq
+      .filter { s =>
+        val n = s.getPath.getName
+        // quantizer parts only: assignments are the fold, segments are
+        // folded, and torn .tmp/.bak debris never copies forward
+        s.isDirectory && !n.startsWith("assignments") &&
+          !n.endsWith(".tmp") && !n.endsWith(".bak")
+      }
+      .foreach { part =>
+        spark.read.parquet(part.getPath.toString)
+          .write.parquet(s"$tmp/${part.getPath.getName}")
+      }
+    // repartition(1): an empty frame still writes ONE schema-bearing
+    // part file, so the tombstone segment reads back as 0 rows instead
+    // of failing schema inference
+    spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], merged.schema)
+      .repartition(1)
+      .write.parquet(s"$tmp/${segs.last}")
+    installSwap(s"$derivedDir/$name", fs, s"compactAnnIndex($name)")
   }
 
   /** One `_SUCCESS`-committed part of a multi-part index layout (the
@@ -606,6 +730,7 @@ class Catalog(spark: SparkSession, baseDir: String,
     * segment; a torn segment (no `_SUCCESS`) is skipped — the
     * append-only read rule shared with the join-MV family. */
   def loadAnnIndex(name: String): graft.operators.Similarity.IvfIndex = {
+    recoverIndexDir(name)
     require(hasSuccess(s"$derivedDir/$name/assignments") &&
       hasSuccess(s"$derivedDir/$name/centroids"),
       s"no committed ANN index: $name")
@@ -1270,6 +1395,20 @@ object Catalog {
       .withColumn("is_current", col("valid_to").isNull)
       .drop(seqCol, opCol)
   }
+
+  /** Point-in-time read of an SCD2 history (batch [[scd2History]] or
+    * the streamed [[graft.sources.Catalog!.scd2MvHistory]]): each
+    * key's version valid AT sequence `at` — valid_from ≤ at <
+    * valid_to, with current versions open-ended (null valid_to). The
+    * time-travel query the version history exists to answer ("what
+    * did this row say at t"), as one pushed-down filter — no window,
+    * no join, prunable by any valid_from partitioning at 100 TB. A
+    * key deleted before `at` (or born after) simply has no row. */
+  def scd2AsOf(history: DataFrame, at: Column): DataFrame =
+    history
+      .where(col("valid_from") <= at &&
+        (col("valid_to").isNull || col("valid_to") > at))
+      .drop("is_current")
 
   /** A writable Catalog layout root for a READ-ONLY base dir: derived
     * state lands under the session's warehouse dir, namespaced by the

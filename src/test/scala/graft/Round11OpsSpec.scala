@@ -256,3 +256,104 @@ class QsketchMvSpec extends SparkSpec {
     assert(cat.loadDerived("s").collect().toSet == before)
   }
 }
+
+/** Round-11: segment COMPACTION for the upserted index and SCD2
+  * families — the operational counterpart of O(Δ) maintenance. The
+  * fold must be invisible to readers (same search results, same
+  * history), built in a `.tmp` layout and installed atomically, with
+  * the latest batch's exactly-once marker surviving the fold. */
+class SegmentCompactionSpec extends SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  private def freshCat() = new Catalog(spark, sfDir,
+    Some(java.nio.file.Files.createTempDirectory("graft-cmp").toString))
+
+  private def neighborSets(df: org.apache.spark.sql.DataFrame) =
+    df.select(col("query_id"), col("neighbor_id"), col("rnk"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+
+  private def segNames(cat: Catalog, name: String, prefix: String) =
+    new java.io.File(s"${cat.derivedDir}/$name").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith(prefix))
+      .map(_.getName).toSeq.sorted
+
+  test("ANN compaction: search identical, one tombstone segment, retry no-ops") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val cat = freshCat()
+    cat.saveAnnIndex("idx",
+      Similarity.buildIvfIndex(emb.where(col("vec_id") % 5 === 1)))
+    cat.upsertAnnIndex("idx", emb.where(col("vec_id") % 5 === 2), 1L)
+    cat.upsertAnnIndex("idx", emb.where(col("vec_id") % 5 === 3), 2L)
+    val idx0 = cat.loadAnnIndex("idx")
+    // queries come from the embeddings table, not the index files: the
+    // compaction swap replaces the index paths a lazy frame would hold
+    val queries = Similarity.queryVectors(emb, 5)
+    val before = neighborSets(Similarity.ivfSearch(idx0, queries, 10))
+    val nBefore = idx0.assignments.count()
+    cat.compactAnnIndex("idx")
+    val idx1 = cat.loadAnnIndex("idx")
+    assert(idx1.assignments.count() == nBefore)
+    assert(neighborSets(Similarity.ivfSearch(idx1, queries, 10)) == before)
+    // one empty tombstone segment carrying the highest batch name
+    assert(segNames(cat, "idx", "assignments_seg_") ==
+      Seq("assignments_seg_b2"))
+    // a retry of the folded latest batch finds its marker and no-ops
+    cat.upsertAnnIndex("idx", emb.limit(7), 2L)
+    assert(cat.loadAnnIndex("idx").assignments.count() == nBefore)
+    // compacting a compacted index is a no-op... and idempotent
+    cat.compactAnnIndex("idx")
+    assert(cat.loadAnnIndex("idx").assignments.count() == nBefore)
+  }
+
+  test("quantized ANN compaction preserves the frozen quantizer parts") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val cat = freshCat()
+    cat.saveAnnIndexQ("qidx",
+      Similarity.buildIvfIndexQ(emb.where(col("vec_id") % 5 =!= 0)))
+    cat.upsertAnnIndexQ("qidx", emb.where(col("vec_id") % 5 === 0), 1L)
+    val queries = Similarity.queryVectors(emb, 5)
+    val before = neighborSets(
+      Similarity.ivfSearchQ(cat.loadAnnIndexQ("qidx"), queries, 10))
+    val scalesBefore = cat.loadAnnIndexQ("qidx").scales.collect().toSet
+    cat.compactAnnIndex("qidx")
+    val after = cat.loadAnnIndexQ("qidx")
+    assert(neighborSets(Similarity.ivfSearchQ(after, queries, 10)) == before)
+    assert(after.scales.collect().toSet == scalesBefore)
+  }
+
+  test("SCD2 compaction: history identical, one segment, marker survives") {
+    val ch = Seq(
+      ("a", 10L, 1L, "u"), ("a", 20L, 4L, "u"), ("a", 0L, 6L, "d"),
+      ("b", 7L, 2L, "u"), ("b", 9L, 5L, "u"), ("c", 1L, 3L, "u"))
+      .toDF("k", "v", "seq", "op")
+    val cat = freshCat()
+    cat.refreshScd2Mv("h", ch.where(col("seq") <= 2), "k", "seq", "op", 0L)
+    cat.refreshScd2Mv("h", ch.where(col("seq") > 2 && col("seq") <= 4),
+      "k", "seq", "op", 1L)
+    cat.refreshScd2Mv("h", ch.where(col("seq") > 4), "k", "seq", "op", 2L)
+    val before = cat.scd2MvHistory("h", "seq", "op").collect().toSet
+    assert(segNames(cat, "h", "closed_seg_").size == 3)
+    cat.compactScd2("h")
+    assert(segNames(cat, "h", "closed_seg_") == Seq("closed_seg_b2"))
+    assert(cat.scd2MvHistory("h", "seq", "op").collect().toSet == before)
+    // the open state's batch marker survived the copy: retry no-ops
+    cat.refreshScd2Mv("h", ch.limit(2), "k", "seq", "op", 2L)
+    assert(cat.scd2MvHistory("h", "seq", "op").collect().toSet == before)
+    // nothing left to fold: second compaction is a no-op
+    cat.compactScd2("h")
+    assert(cat.scd2MvHistory("h", "seq", "op").collect().toSet == before)
+  }
+
+  test("graft_doctor TVF: lint from SQL, composable, empty when clean") {
+    assert(spark.sql(
+      "SELECT * FROM graft_doctor('SELECT 1 AS one')").isEmpty)
+    spark.range(100000000L).toDF("x").createOrReplaceTempView("tvf_a")
+    spark.range(100000000L).toDF("y").createOrReplaceTempView("tvf_b")
+    val n = spark.sql(
+      """SELECT count(*) AS n FROM
+         graft_doctor('SELECT * FROM tvf_a CROSS JOIN tvf_b')
+         WHERE severity = 'error'""").head().getLong(0)
+    assert(n >= 1L)
+  }
+}
