@@ -69,10 +69,12 @@ object Shell {
           "quality_model | quality_scores | attribution [days] | " +
           "token_budget [tokens] | mmr [k] | ttest | anova | survival | " +
           "mwu [typeA typeB] | attribution_multi | harmonic | ndcg | " +
-          "kanon [k] | paths [k] | " +
+          "kanon [k] | paths [k] | contract | " +
           "exit | <sql>  (SQL reaches the operator TVFs too: " +
           "graft_asof(dir) graft_dedup_minhash(dir[,bands]) " +
-          "graft_mmr(dir[,maxq]) graft_funnel(dir) graft_kanon(dir[,k]))")
+          "graft_mmr(dir[,maxq]) graft_funnel(dir) graft_kanon(dir[,k]) " +
+          "graft_prep_attrition(dir[,bench[,minq]]) graft_contract(dir) " +
+          "graft_doctor(sql))")
       case "ls" :: Nil => cat.list().foreach(println)
       case "stats" :: Nil => cat.stats().show(100, truncate = false)
       case "nodes" :: Nil => cat.executorStats().show(100, truncate = false)
@@ -359,6 +361,10 @@ object Shell {
         println(s"snapshot versions: ${cat.snapshotVersions(s"${tbl}_ttl")}")
       case "explain" :: rest if rest.nonEmpty =>
         spark.sql(rest.mkString(" ")).explain("formatted")
+      case "contract" :: Nil =>
+        // ingest-gate read: every rule's violation count (0 = holds)
+        Catalog.ordersContractCard(spark, dir)
+          .orderBy("rule").show(truncate = false)
       case "skew" :: tbl :: key :: Nil =>
         // preflight: will this key shuffle evenly?
         Catalog.skewCard(cat.table(tbl),

@@ -661,6 +661,12 @@ object SparkEntry {
     // equal the oracle's lead() over the whole change log
     "e_scd2_stream" -> ((s, d) =>
       graft.streaming.EventStream.scd2Replay(s, d)),
+    // the quantile sketch-MV rung run live (15th replay): per-type
+    // value p50/p95 in <= k durable pairs per key; lossless merge, so
+    // the stream-folded estimates equal the oracle's from-scratch
+    // bottom-k rebuild
+    "e_qsketch_stream" -> ((s, d) =>
+      graft.streaming.EventStream.qsketchMaintenanceReplay(s, d)),
     "d_diversity" -> ((s, d) =>
       TextAnalysis.sourceDiversity(Tables.documents(s, d))),
     "t_source_overlap" -> ((s, d) =>
@@ -1841,6 +1847,37 @@ object SparkEntry {
     // sketch state: bottom-k merge is lossless, so batch boundaries
     // are invisible in the estimates
     "fs_incr_qsketch" -> qsketchSql,
+    // the streamed twin over events: per-type value percentiles from
+    // the stream-folded bottom-k state == the whole-log rebuild
+    "e_qsketch_stream" ->
+      """WITH hx AS (SELECT event_type,
+                     CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15) AS BIGINT) AS hsh,
+                     value AS val
+              FROM events),
+         d AS (SELECT event_type, hsh, min(val) AS val FROM hx GROUP BY event_type, hsh),
+         r AS (SELECT event_type, val,
+                      row_number() OVER (PARTITION BY event_type ORDER BY hsh) AS rn
+               FROM d),
+         s AS (SELECT event_type, list(val ORDER BY val) AS vals, CAST(count(*) AS BIGINT) AS n_sample
+               FROM r WHERE rn <= 256 GROUP BY event_type),
+         q AS (SELECT event_type, vals, n_sample,
+                      0.5 * (CAST(n_sample AS DOUBLE) - 1.0) AS h50,
+                      0.95 * (CAST(n_sample AS DOUBLE) - 1.0) AS h95
+               FROM s),
+         q2 AS (SELECT event_type, vals, n_sample, h50, h95,
+                       CAST(floor(h50) AS BIGINT) AS lo50,
+                       least(CAST(floor(h50) AS BIGINT) + 1, n_sample - 1) AS hi50,
+                       CAST(floor(h95) AS BIGINT) AS lo95,
+                       least(CAST(floor(h95) AS BIGINT) + 1, n_sample - 1) AS hi95
+                FROM q)
+         SELECT event_type, n_sample,
+                floor((list_extract(vals, lo50 + 1)
+                       + (h50 - lo50) * (list_extract(vals, hi50 + 1) - list_extract(vals, lo50 + 1)))
+                      * 1000000 + 0.5) / 1000000 AS p50_est,
+                floor((list_extract(vals, lo95 + 1)
+                       + (h95 - lo95) * (list_extract(vals, hi95 + 1) - list_extract(vals, lo95 + 1)))
+                      * 1000000 + 0.5) / 1000000 AS p95_est
+         FROM q2""",
     "e_lead_lag" ->
       """WITH u AS (SELECT user_id, event_id, epoch_us(ts) AS tsu FROM events)
          SELECT user_id, event_id,

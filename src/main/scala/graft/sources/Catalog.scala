@@ -547,13 +547,25 @@ class Catalog(spark: SparkSession, baseDir: String,
 
   /** Base assignments plus every COMMITTED upsert segment — the
     * append-only read rule shared by [[loadAnnIndex]] and its
-    * quantized siblings. A torn segment (no `_SUCCESS`) is skipped. */
-  private def loadAnnAssignments(name: String): DataFrame = {
+    * quantized siblings. A torn segment (no `_SUCCESS`) is skipped.
+    * `asOf` is the index's TIME TRAVEL, free because segments are
+    * batch-named: only segments with id ≤ asOf serve, so "search the
+    * index as it stood after batch b" is a listing filter — no
+    * snapshot copies, the exact analog of the storage family's
+    * versioned snapshots. (Compaction folds segments into the base,
+    * so as-of reads only reach back to the last compaction — the
+    * documented trade of folding history.) */
+  private def loadAnnAssignments(name: String,
+      asOf: Option[Long] = None): DataFrame = {
     val root = new Path(s"$derivedDir/$name")
     val fs = root.getFileSystem(hconf)
     val segs = fs.listStatus(root).toSeq
       .filter(s => s.isDirectory &&
         s.getPath.getName.startsWith("assignments_seg_"))
+      .filter(s => asOf.forall { b =>
+        val n = s.getPath.getName.stripPrefix("assignments_seg_b")
+        scala.util.Try(n.toLong).toOption.exists(_ <= b)
+      })
       .map(_.getPath.toString)
       .filter(hasSuccess)
       .sorted
@@ -601,13 +613,14 @@ class Catalog(spark: SparkSession, baseDir: String,
 
   /** Load a committed quantized index: base + committed segments, the
     * frozen centroids and scales. Torn parts never serve. */
-  def loadAnnIndexQ(name: String): graft.operators.Similarity.IvfQIndex = {
+  def loadAnnIndexQ(name: String,
+      asOf: Option[Long] = None): graft.operators.Similarity.IvfQIndex = {
     recoverIndexDir(name)
     require(hasSuccess(s"$derivedDir/$name/assignments") &&
       hasSuccess(s"$derivedDir/$name/centroids") &&
       hasSuccess(s"$derivedDir/$name/scales"),
       s"no committed quantized ANN index: $name")
-    graft.operators.Similarity.IvfQIndex(loadAnnAssignments(name),
+    graft.operators.Similarity.IvfQIndex(loadAnnAssignments(name, asOf),
       spark.read.parquet(s"$derivedDir/$name/centroids"),
       spark.read.parquet(s"$derivedDir/$name/scales"))
   }
@@ -729,12 +742,13 @@ class Catalog(spark: SparkSession, baseDir: String,
     * Assignments are the base table plus every COMMITTED upsert
     * segment; a torn segment (no `_SUCCESS`) is skipped — the
     * append-only read rule shared with the join-MV family. */
-  def loadAnnIndex(name: String): graft.operators.Similarity.IvfIndex = {
+  def loadAnnIndex(name: String,
+      asOf: Option[Long] = None): graft.operators.Similarity.IvfIndex = {
     recoverIndexDir(name)
     require(hasSuccess(s"$derivedDir/$name/assignments") &&
       hasSuccess(s"$derivedDir/$name/centroids"),
       s"no committed ANN index: $name")
-    graft.operators.Similarity.IvfIndex(loadAnnAssignments(name),
+    graft.operators.Similarity.IvfIndex(loadAnnAssignments(name, asOf),
       spark.read.parquet(s"$derivedDir/$name/centroids"))
   }
 

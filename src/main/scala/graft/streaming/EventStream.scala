@@ -660,6 +660,35 @@ object EventStream {
         (col("est") - coalesce(col("exact"), lit(0L))).as("overcount"))
   }
 
+  /** STREAMING QUANTILE maintenance — the fourth sketch-MV rung run
+    * live (15th real checkpointed replay): per-type value p50/p95
+    * maintained over the event stream through `foreachBatch` →
+    * [[graft.sources.Catalog.refreshQsketchMv]]. Each microbatch
+    * contributes its rows to the bottom-k-by-hash sample; the merge is
+    * LOSSLESS (see refreshQsketchMv), so the final estimates equal a
+    * from-scratch sketch over the whole log — the oracle's rebuild —
+    * at any microbatch split. At 100 TB this is the always-fresh
+    * latency/price-percentile dashboard: ≤ k (hash, value) pairs of
+    * durable state per key, refresh cost tracking the delta. */
+  def qsketchMaintenanceReplay(spark: SparkSession, sfDir: String,
+      maxFilesPerTrigger: Int = 4): DataFrame = {
+    import graft.sources.Catalog
+    import graft.operators.TextAnalysis
+    val src = Replay.source(spark, sfDir)
+    val cat = new Catalog(spark, sfDir,
+      Some(Catalog.warehouseLayoutRoot(spark, sfDir)))
+    cat.dropDerived("events_qsk_mv")
+    Replay.runForeachBatch(spark, src, maxFilesPerTrigger) { (batch, id) =>
+      val delta = batch.where(col("user_id") =!= src.sentinelUser)
+        .select(col("event_type"),
+          TextAnalysis.portableHash60(col("event_id")).as("h"),
+          col("value").as("val"))
+      cat.refreshQsketchMv("events_qsk_mv", delta, Seq("event_type"),
+        "h", "val", 256, Some(id)): Unit
+    }
+    cat.qsketchMvEstimate("events_qsk_mv", Seq("event_type"), 256)
+  }
+
   case class MatchEvent(user_id: Long, tsu: Long, event_id: Long,
     event_type: String)
   case class MatchState(lastOpen: Long, lastFail: Long)

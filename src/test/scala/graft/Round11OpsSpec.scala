@@ -345,6 +345,21 @@ class SegmentCompactionSpec extends SparkSpec {
     assert(cat.scd2MvHistory("h", "seq", "op").collect().toSet == before)
   }
 
+  test("ANN as-of read: batch-named segments give free index time travel") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val cat = freshCat()
+    val base = emb.where(col("vec_id") % 5 === 1)
+    cat.saveAnnIndex("idx", Similarity.buildIvfIndex(base))
+    cat.upsertAnnIndex("idx", emb.where(col("vec_id") % 5 === 2), 1L)
+    cat.upsertAnnIndex("idx", emb.where(col("vec_id") % 5 === 3), 2L)
+    val nBase = base.count()
+    val nB1 = emb.where(col("vec_id") % 5 === 2).count()
+    val nB2 = emb.where(col("vec_id") % 5 === 3).count()
+    assert(cat.loadAnnIndex("idx", asOf = Some(0L)).assignments.count() == nBase)
+    assert(cat.loadAnnIndex("idx", asOf = Some(1L)).assignments.count() == nBase + nB1)
+    assert(cat.loadAnnIndex("idx").assignments.count() == nBase + nB1 + nB2)
+  }
+
   test("graft_doctor TVF: lint from SQL, composable, empty when clean") {
     assert(spark.sql(
       "SELECT * FROM graft_doctor('SELECT 1 AS one')").isEmpty)
@@ -355,5 +370,28 @@ class SegmentCompactionSpec extends SparkSpec {
          graft_doctor('SELECT * FROM tvf_a CROSS JOIN tvf_b')
          WHERE severity = 'error'""").head().getLong(0)
     assert(n >= 1L)
+  }
+}
+
+/** Round-11: the quantile sketch-MV run live — microbatch boundaries
+  * must be invisible in the stream-folded estimates (lossless bottom-k
+  * merge), and the folded state must equal the one-shot sketch. */
+class QsketchStreamSpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+
+  test("stream-folded quantile state is microbatch-boundary invariant") {
+    val fine = streaming.EventStream
+      .qsketchMaintenanceReplay(spark, sfDir, maxFilesPerTrigger = 1)
+      .collect().toSet
+    val coarse = streaming.EventStream
+      .qsketchMaintenanceReplay(spark, sfDir, maxFilesPerTrigger = 9)
+      .collect().toSet
+    assert(fine == coarse)
+    assert(fine.nonEmpty)
+    // percentile sanity after the fold: p50 <= p95, sample bounded
+    fine.foreach { r =>
+      assert(r.getDouble(2) <= r.getDouble(3))
+      assert(r.getLong(1) <= 256L)
+    }
   }
 }
