@@ -751,6 +751,27 @@ object ScaleSmoke {
       cat.qsketchMvEstimate("q1m", Seq("event_type"), 256)
         .write.format("noop").mode("overwrite").save()
     }
+    time("drift_1m") {
+      // drift card at 1M events: two cohort scans reduced to category
+      // grain map-side; everything downstream is category-cardinality
+      operators.TextAnalysis.driftCard(
+        be.where(pmod(col("user_id"), lit(2L)) === 0),
+        be.where(pmod(col("user_id"), lit(2L)) === 1),
+        Seq("event_type" -> col("event_type")))
+        .write.format("noop").mode("overwrite").save()
+    }
+    time("bm25_1m") {
+      // BM25 over 1M docs: token scan + dl aggregate are the corpus
+      // costs; tf is pruned to query terms before any join
+      operators.TextAnalysis.bm25(bd, Seq("data", "join", "scan"))
+        .write.format("noop").mode("overwrite").save()
+    }
+    time("calib_1m") {
+      // calibration card at 1M docs: 3 training sweeps + one
+      // bucket-grain integer fold, all map-side combinable
+      operators.QualityModel.calibrationCard(bd)
+        .write.format("noop").mode("overwrite").save()
+    }
     spark.stop()
   }
 }

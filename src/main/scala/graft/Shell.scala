@@ -69,12 +69,13 @@ object Shell {
           "quality_model | quality_scores | attribution [days] | " +
           "token_budget [tokens] | mmr [k] | ttest | anova | survival | " +
           "mwu [typeA typeB] | attribution_multi | harmonic | ndcg | " +
-          "kanon [k] | paths [k] | contract | " +
+          "kanon [k] | paths [k] | contract | drift | bm25 <terms...> | " +
+          "calibration | " +
           "exit | <sql>  (SQL reaches the operator TVFs too: " +
           "graft_asof(dir) graft_dedup_minhash(dir[,bands]) " +
           "graft_mmr(dir[,maxq]) graft_funnel(dir) graft_kanon(dir[,k]) " +
           "graft_prep_attrition(dir[,bench[,minq]]) graft_contract(dir) " +
-          "graft_doctor(sql))")
+          "graft_doctor(sql) graft_drift(dir) graft_bm25(dir,query[,k]))")
       case "ls" :: Nil => cat.list().foreach(println)
       case "stats" :: Nil => cat.stats().show(100, truncate = false)
       case "nodes" :: Nil => cat.executorStats().show(100, truncate = false)
@@ -365,6 +366,24 @@ object Shell {
         // ingest-gate read: every rule's violation count (0 = holds)
         Catalog.ordersContractCard(spark, dir)
           .orderBy("rule").show(truncate = false)
+      case "drift" :: Nil =>
+        // did the corpus mix move between the two snapshot halves?
+        import org.apache.spark.sql.functions.{col, expr, lit, pmod}
+        val docs = Tables.documents(spark, dir)
+        operators.TextAnalysis.driftCard(
+          docs.where(pmod(col("doc_id"), lit(2L)) === 0),
+          docs.where(pmod(col("doc_id"), lit(2L)) === 1),
+          Seq("lang" -> col("lang"), "source" -> col("source"),
+            "len_bucket" -> expr("n_chars div 500")))
+          .show(truncate = false)
+      case "bm25" :: terms if terms.nonEmpty =>
+        // lexical top-10 for the typed query terms
+        operators.TextAnalysis.bm25(Tables.documents(spark, dir), terms)
+          .show(truncate = false)
+      case "calibration" :: Nil =>
+        // is the quality score a rate? decile reliability + Brier
+        operators.QualityModel.calibrationCard(Tables.documents(spark, dir))
+          .show(truncate = false)
       case "skew" :: tbl :: key :: Nil =>
         // preflight: will this key shuffle evenly?
         Catalog.skewCard(cat.table(tbl),

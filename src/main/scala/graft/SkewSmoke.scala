@@ -117,6 +117,38 @@ object SkewSmoke {
     try phase("cap_norule") {
       windowCap().write.format("noop").mode("overwrite").save()
     } finally spark.conf.unset(exclKey)
+
+    // Bloom semi-join reduction under the same broadcast-disabled
+    // regime ("key set fits a bitmap, not a hash table"): a 20M-row
+    // probe against 100k keys at ~10% hit rate. The plain semi join
+    // shuffles every probe row; the bloom-prefiltered form shuffles
+    // only the might-match minority, the exact join re-checks. The
+    // anti phases measure the BYPASS: definitely-absent rows (90%)
+    // skip the shuffle entirely.
+    val bprobe = spark.range(n).select(
+      pmod(xxhash64(col("id")), lit(1000000L)).as("k"),
+      (col("id") % 97).cast("double").as("v"))
+    val bkeys = spark.range(100000L).select((col("id") * 10L).as("bk"))
+    phase("semi_plain") {
+      bprobe.join(bkeys, col("k") === col("bk"), "left_semi")
+        .agg(sum(col("v")).as("s"))
+        .write.format("noop").mode("overwrite").save()
+    }
+    phase("semi_bloom") { // buildBits runs inside the phase: honest total
+      operators.BloomJoin.semiJoin(bprobe, "k", bkeys, "bk")
+        .agg(sum(col("v")).as("s"))
+        .write.format("noop").mode("overwrite").save()
+    }
+    phase("anti_plain") {
+      bprobe.join(bkeys, col("k") === col("bk"), "left_anti")
+        .agg(sum(col("v")).as("s"))
+        .write.format("noop").mode("overwrite").save()
+    }
+    phase("anti_bloom") {
+      operators.BloomJoin.antiJoin(bprobe, "k", bkeys, "bk")
+        .agg(sum(col("v")).as("s"))
+        .write.format("noop").mode("overwrite").save()
+    }
     spark.stop()
   }
 }

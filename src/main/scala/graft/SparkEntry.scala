@@ -42,6 +42,32 @@ object SparkEntry {
     "q_rollup" -> ((s, d) => Analytics.rollupSummary(Tables.lineitem(s, d))),
     "q_semi_anti" -> ((s, d) =>
       Analytics.customersByOrderPresence(Tables.customer(s, d), Tables.orders(s, d))),
+    // Bloom semi-join reduction: lineitem prefiltered MAP-SIDE by the
+    // urgent-orders key bitmap before the exact semi join re-checks —
+    // result equals the plain semi join at ANY filter size, so the
+    // oracle is the plain IN
+    "q_bloom_semi" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      import graft.functions.Exact.moneySum
+      val urgent = Tables.orders(s, d)
+        .where(col("o_orderpriority") === "1-URGENT")
+      BloomJoin.semiJoin(Tables.lineitem(s, d), "l_orderkey", urgent, "o_orderkey")
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          moneySum(col("l_extendedprice")).as("sum_price"))
+    }),
+    // Bloom BYPASS anti join: keys the filter rejects are DEFINITELY
+    // absent and skip the shuffle; only might-match rows pay the exact
+    // anti join — customers with no 1997 orders
+    "q_bloom_anti" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val o97 = Tables.orders(s, d).where(
+        expr("unix_micros(o_orderdate) >= 852076800000000") &&
+        expr("unix_micros(o_orderdate) < 883612800000000"))
+        .select(col("o_custkey"))
+      BloomJoin.antiJoin(Tables.customer(s, d), "c_custkey", o97, "o_custkey")
+        .groupBy("c_mktsegment").agg(count(lit(1)).as("n"))
+    }),
     "q_having" -> ((s, d) => Analytics.bigCustomers(Tables.orders(s, d), 12)),
     "q_cube" -> ((s, d) => Analytics.cubeSummary(Tables.lineitem(s, d))),
     "q_setops" -> ((s, d) => Analytics.customerYearSets(Tables.orders(s, d))),
@@ -414,6 +440,10 @@ object SparkEntry {
     "t_quality_model" -> ((s, d) => QualityModel.trainCard(Tables.documents(s, d))),
     // the composed gate: train, then the map-only per-doc scorer
     "t_quality_scores" -> ((s, d) => QualityModel.trainAndScore(Tables.documents(s, d))),
+    // is the score a rate? per-decile mean prediction vs empirical keep
+    // rate + Brier, integer-exact off the 6-decimal rational sigmoid
+    "t_quality_calibration" -> ((s, d) =>
+      QualityModel.calibrationCard(Tables.documents(s, d))),
     // the trained gate deployed on a REAL checkpointed document stream
     // (train batch-side, score+filter stateless in-stream): emitted
     // multiset ≡ the batch filter, which the oracle replays
@@ -424,6 +454,36 @@ object SparkEntry {
     "t_gopher_rules" -> ((s, d) => TextAnalysis.gopherRules(Tables.documents(s, d),
       stops = TextAnalysis.EnStopwords)),
     "t_lang_id" -> ((s, d) => TextAnalysis.langId(Tables.documents(s, d))),
+    // lexical retrieval: BM25 top-10 for a three-term query; rank key
+    // is the ROUNDED score with doc_id tie-break, so the top-k set is
+    // engine-stable
+    "t_bm25" -> ((s, d) =>
+      TextAnalysis.bm25(Tables.documents(s, d), Seq("data", "join", "scan"))),
+    // the SERVED form: same query against the committed inverted index
+    // (postings/dl/stats artifacts) — equal results, no corpus re-scan
+    "fs_bm25_indexed" -> ((s, d) => {
+      val cat = new graft.sources.Catalog(s, d,
+        Some(graft.sources.Catalog.warehouseLayoutRoot(s, d)))
+      cat.dropDerived("text_idx")
+      cat.buildTextIndex("text_idx", Tables.documents(s, d))
+      TextAnalysis.bm25Indexed(cat.loadTextIndex("text_idx"),
+        Seq("data", "join", "scan"))
+    }),
+    // O(Δ) index maintenance: build on 80% of docs, upsert the rest as
+    // a committed segment; stats fold losslessly, so the segmented
+    // search == the monolithic rebuild == the direct-scan oracle
+    "fs_bm25_upsert" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val docs = Tables.documents(s, d)
+      val cat = new graft.sources.Catalog(s, d,
+        Some(graft.sources.Catalog.warehouseLayoutRoot(s, d)))
+      cat.dropDerived("text_idx_up")
+      cat.buildTextIndex("text_idx_up", docs.where(col("doc_id") % 5 =!= 0))
+      cat.upsertTextIndex("text_idx_up", docs.where(col("doc_id") % 5 === 0),
+        batchId = 1L)
+      TextAnalysis.bm25Indexed(cat.loadTextIndex("text_idx_up"),
+        Seq("data", "join", "scan"))
+    }),
     "t_lang_confusion" -> ((s, d) => TextAnalysis.langConfusion(Tables.documents(s, d))),
     "d_source_stats" -> ((s, d) => TextAnalysis.sourceStats(Tables.documents(s, d))),
     "t_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(Tables.documents(s, d))),
@@ -667,6 +727,11 @@ object SparkEntry {
     // bottom-k rebuild
     "e_qsketch_stream" -> ((s, d) =>
       graft.streaming.EventStream.qsketchMaintenanceReplay(s, d)),
+    // the drift card maintained live (16th replay): cohort counts fold
+    // through the agg MV, the card reads the folded state — equals the
+    // whole-log rebuild because counts are algebraic
+    "e_drift_stream" -> ((s, d) =>
+      graft.streaming.EventStream.driftMaintenanceReplay(s, d)),
     "d_diversity" -> ((s, d) =>
       TextAnalysis.sourceDiversity(Tables.documents(s, d))),
     "t_source_overlap" -> ((s, d) =>
@@ -706,6 +771,18 @@ object SparkEntry {
     // quasi-identifier classes of >= 5, and the l-diversity floor
     "d_kanon" -> ((s, d) =>
       TextAnalysis.kAnonymityCard(Tables.documents(s, d))),
+    // snapshot-drift card: TVD + biggest-moving category per monitored
+    // feature between two corpus halves (even/odd doc_id stands in for
+    // consecutive drops) — exact integer numerator, one closing division
+    "d_drift" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val docs = Tables.documents(s, d)
+      TextAnalysis.driftCard(
+        docs.where(pmod(col("doc_id"), lit(2L)) === 0),
+        docs.where(pmod(col("doc_id"), lit(2L)) === 1),
+        Seq("lang" -> col("lang"), "source" -> col("source"),
+          "len_bucket" -> expr("n_chars div 500")))
+    }),
     // ingest-gate contract card: every rule's violation count must be 0
     "fs_contract" -> ((s, d) =>
       graft.sources.Catalog.ordersContractCard(s, d)),
@@ -790,6 +867,9 @@ object SparkEntry {
     "sql_dedup_minhash" ->
       ((s, d) => s.sql(s"SELECT * FROM graft_dedup_minhash('$d')")),
     "sql_mmr" -> ((s, d) => s.sql(s"SELECT * FROM graft_mmr('$d')")),
+    "sql_drift" -> ((s, d) => s.sql(s"SELECT * FROM graft_drift('$d')")),
+    "sql_bm25" -> ((s, d) =>
+      s.sql(s"SELECT * FROM graft_bm25('$d', 'data join scan')")),
     // the pipeline-verb cards through the SQL front door: the prep
     // attrition report (benchmark = doc_ids below 20, minQuality 0.20
     // — the d_prep_attrition demo config) and the ingest contract card
@@ -878,6 +958,23 @@ object SparkEntry {
          UNION ALL
          SELECT c_custkey, 'no_orders' AS tag FROM customer
          WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""",
+    // the bloom prefilter moves bytes, never results: plain IN / NOT
+    // EXISTS are the exact semantics
+    "q_bloom_semi" ->
+      """SELECT l_returnflag, count(*) AS n,
+                CAST(sum(CAST(round((l_extendedprice) * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_price
+         FROM lineitem
+         WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+                              WHERE o_orderpriority = '1-URGENT')
+         GROUP BY l_returnflag""",
+    "q_bloom_anti" ->
+      """SELECT c_mktsegment, count(*) AS n
+         FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders
+                           WHERE o_custkey = c_custkey
+                             AND o_orderdate >= TIMESTAMP '1997-01-01'
+                             AND o_orderdate < TIMESTAMP '1998-01-01')
+         GROUP BY c_mktsegment""",
     "q_having" ->
       """SELECT o_custkey, count(*) AS order_cnt,
                 CAST(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total_spent
@@ -1640,10 +1737,20 @@ object SparkEntry {
          ORDER BY term""",
     // same unrolled training, then the map-only scorer over doc ids
     "t_quality_scores" -> QualityScoresSql,
+    // the reliability card: same trained weights, labeled rows, the
+    // integer-exact decile fold
+    "t_quality_calibration" -> QualityCalibrationSql,
     // the streaming gate is stateless, so its emitted multiset is the
     // batch scorer + threshold exactly
     "d_quality_stream" ->
       s"""SELECT * FROM ($QualityScoresSql) g WHERE p_keep >= 0.5""",
+    // BM25 replayed term-exact: fixed-order per-term sum, the same ln
+    // idf shape, floor-rounded score as the rank key; the indexed and
+    // upserted forms are exact re-arrangements of the same statistics,
+    // so all three share the oracle
+    "t_bm25" -> bm25Sql,
+    "fs_bm25_indexed" -> bm25Sql,
+    "fs_bm25_upsert" -> bm25Sql,
     "t_lang_id" ->
       """WITH t AS (SELECT doc_id, lang AS declared_lang,
                 list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS w FROM documents),
@@ -1878,6 +1985,31 @@ object SparkEntry {
                        + (h95 - lo95) * (list_extract(vals, hi95 + 1) - list_extract(vals, lo95 + 1)))
                       * 1000000 + 0.5) / 1000000 AS p95_est
          FROM q2""",
+    // the streamed drift card == the whole-log rebuild (counts are
+    // algebraic); same exact TVD math as d_drift
+    "e_drift_stream" ->
+      """WITH j AS (SELECT event_type AS cat,
+                    sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS n_b,
+                    sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS n_c
+             FROM events GROUP BY event_type),
+         t AS (SELECT sum(n_b) AS tot_b, sum(n_c) AS tot_c FROM j),
+         d AS (SELECT cat, n_b, n_c, tot_b, tot_c,
+                      abs(n_b * tot_c - n_c * tot_b) AS diff FROM j, t),
+         r AS (SELECT *, row_number() OVER (ORDER BY diff DESC, cat DESC) AS rn
+               FROM d),
+         g AS (SELECT CAST(count(*) AS BIGINT) AS n_cat,
+                      CAST(min(tot_b) AS BIGINT) AS base_n,
+                      CAST(min(tot_c) AS BIGINT) AS cur_n,
+                      sum(diff) AS sum_diff FROM d)
+         SELECT 'event_type' AS feature, g.n_cat, g.base_n, g.cur_n,
+                floor(CAST(g.sum_diff AS DOUBLE)
+                      / (2.0 * g.base_n * g.cur_n) * 1000000.0 + 0.5)
+                  / 1000000.0 AS tvd,
+                r.cat AS top_category,
+                floor(CAST(r.diff AS DOUBLE)
+                      / (CAST(g.base_n AS DOUBLE) * CAST(g.cur_n AS DOUBLE))
+                      * 1000000.0 + 0.5) / 1000000.0 AS top_shift
+         FROM g, r WHERE r.rn = 1""",
     "e_lead_lag" ->
       """WITH u AS (SELECT user_id, event_id, epoch_us(ts) AS tsu FROM events)
          SELECT user_id, event_id,
@@ -2248,6 +2380,9 @@ object SparkEntry {
                       / CAST(sum(sz) AS DOUBLE) * 1000000 + 0.5) / 1000000 AS anonymous_frac,
                 CAST(min(l) AS BIGINT) AS min_l
          FROM c""",
+    // the drift card's exact mirror: integer diff numerator, the same
+    // (diff, cat) struct-max tie-break via DESC/DESC row_number
+    "d_drift" -> driftSql,
     "d_pii_audit" ->
       """WITH h AS (SELECT event_type,
              CAST(len(regexp_extract_all(props,
@@ -4556,6 +4691,8 @@ object SparkEntry {
     // SQL-front-door twins: the TVF resolves to the operator's own
     // plan, so each reuses that operator's oracle verbatim
     "sql_asof" -> asOfSql,
+    "sql_drift" -> driftSql,
+    "sql_bm25" -> bm25Sql,
     "sql_dedup_minhash" -> ngramJaccardSql,
     "sql_mmr" -> mmrSql,
   )
@@ -4649,6 +4786,126 @@ object SparkEntry {
          SELECT doc_id,
                 floor((0.5 + z / (2.0 * (1.0 + abs(z)))) * 1000000 + 0.5) / 1000000 AS p_keep
          FROM (SELECT doc_id, w0 + w1 * x1 + w2 * x2 + w3 * x3 AS z FROM fid, wc)"""
+
+  /** t_bm25 / sql_bm25 mirror: the same ln idf shape, fixed-order
+    * per-term sum, floor-rounded score as the rank key. */
+  private val bm25Sql: String =
+    """WITH toks AS (SELECT doc_id, word AS term
+             FROM (SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS word
+                   FROM documents)
+             WHERE word <> ''),
+         dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+         stats AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dl),
+         tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+                WHERE term IN ('data', 'join', 'scan') GROUP BY doc_id, term),
+         dft AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         parts AS (SELECT tf.doc_id, tf.term,
+                ln((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+                   / (CAST(df AS DOUBLE) + 0.5) + 1.0)
+                * (CAST(tf AS DOUBLE) * (1.2 + 1.0))
+                / (CAST(tf AS DOUBLE) + 1.2 * ((1.0 - 0.75)
+                   + 0.75 * (CAST(dl AS DOUBLE)
+                             / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))) AS part
+           FROM tf JOIN dft USING (term) JOIN dl USING (doc_id), stats),
+         sc AS (SELECT doc_id,
+                coalesce(max(CASE WHEN term = 'data' THEN part END), 0.0)
+                + coalesce(max(CASE WHEN term = 'join' THEN part END), 0.0)
+                + coalesce(max(CASE WHEN term = 'scan' THEN part END), 0.0) AS s0
+           FROM parts GROUP BY doc_id)
+         SELECT doc_id, floor(s0 * 1000000.0 + 0.5) / 1000000.0 AS score
+         FROM sc ORDER BY score DESC, doc_id LIMIT 10"""
+
+  /** d_drift / sql_drift mirror: exact integer TVD numerator, the
+    * (diff, cat) struct-max tie-break as a DESC/DESC row_number. */
+  private val driftSql: String =
+    """WITH cats AS (
+           SELECT 'lang' AS feature,
+                  coalesce(CAST(lang AS VARCHAR), '∅') AS cat,
+                  doc_id % 2 = 0 AS is_base FROM documents
+           UNION ALL
+           SELECT 'source', coalesce(CAST(source AS VARCHAR), '∅'),
+                  doc_id % 2 = 0 FROM documents
+           UNION ALL
+           SELECT 'len_bucket', coalesce(CAST(n_chars // 500 AS VARCHAR), '∅'),
+                  doc_id % 2 = 0 FROM documents),
+         j AS (SELECT feature, cat,
+                      sum(CASE WHEN is_base THEN 1 ELSE 0 END) AS n_b,
+                      sum(CASE WHEN NOT is_base THEN 1 ELSE 0 END) AS n_c
+               FROM cats GROUP BY feature, cat),
+         t AS (SELECT feature, sum(n_b) AS tot_b, sum(n_c) AS tot_c
+               FROM j GROUP BY feature),
+         d AS (SELECT j.feature, cat, n_b, n_c, tot_b, tot_c,
+                      abs(n_b * tot_c - n_c * tot_b) AS diff
+               FROM j JOIN t ON j.feature = t.feature),
+         r AS (SELECT *, row_number() OVER (PARTITION BY feature
+                           ORDER BY diff DESC, cat DESC) AS rn FROM d),
+         g AS (SELECT feature, CAST(count(*) AS BIGINT) AS n_cat,
+                      CAST(min(tot_b) AS BIGINT) AS base_n,
+                      CAST(min(tot_c) AS BIGINT) AS cur_n,
+                      sum(diff) AS sum_diff
+               FROM d GROUP BY feature)
+         SELECT g.feature, g.n_cat, g.base_n, g.cur_n,
+                floor(CAST(g.sum_diff AS DOUBLE)
+                      / (2.0 * g.base_n * g.cur_n) * 1000000.0 + 0.5)
+                  / 1000000.0 AS tvd,
+                r.cat AS top_category,
+                floor(CAST(r.diff AS DOUBLE)
+                      / (CAST(g.base_n AS DOUBLE) * CAST(g.cur_n AS DOUBLE))
+                      * 1000000.0 + 0.5) / 1000000.0 AS top_shift
+         FROM g JOIN r ON g.feature = r.feature AND r.rn = 1"""
+
+  /** [[QualityScoresSql]]'s weight chain re-rooted at the LABELED
+    * feature rows (`f` keeps y; fid drops it), then the integer-exact
+    * decile fold of QualityModel.calibrationCard. */
+  private val QualityCalibrationSql: String =
+    s"""WITH f AS ($QualityFeatureSql),
+         nn AS (SELECT count(*) AS n FROM f),
+         za AS (SELECT y, x1, x2, x3,
+                       0.0 + 0.0 * x1 + 0.0 * x2 + 0.0 * x3 AS z FROM f),
+         ga AS (SELECT $GradSumSql FROM za),
+         wa AS (SELECT 0.0 - 0.5 * (CAST(g0 AS DOUBLE) / 1000000000.0 / CAST(n AS DOUBLE)) AS w0,
+                       0.0 - 0.5 * (CAST(g1 AS DOUBLE) / 1000000000.0 / CAST(n AS DOUBLE)) AS w1,
+                       0.0 - 0.5 * (CAST(g2 AS DOUBLE) / 1000000000.0 / CAST(n AS DOUBLE)) AS w2,
+                       0.0 - 0.5 * (CAST(g3 AS DOUBLE) / 1000000000.0 / CAST(n AS DOUBLE)) AS w3
+                FROM ga, nn),
+         zb AS (SELECT y, x1, x2, x3,
+                       w0 + w1 * x1 + w2 * x2 + w3 * x3 AS z FROM f, wa),
+         gb AS (SELECT $GradSumSql FROM zb),
+         wb AS (SELECT w0 - 0.5 * (CAST(g0 AS DOUBLE) / 1000000000.0 / CAST(n AS DOUBLE)) AS w0,
+                       w1 - 0.5 * (CAST(g1 AS DOUBLE) / 1000000000.0 / CAST(n AS DOUBLE)) AS w1,
+                       w2 - 0.5 * (CAST(g2 AS DOUBLE) / 1000000000.0 / CAST(n AS DOUBLE)) AS w2,
+                       w3 - 0.5 * (CAST(g3 AS DOUBLE) / 1000000000.0 / CAST(n AS DOUBLE)) AS w3
+                FROM gb, wa, nn),
+         zc AS (SELECT y, x1, x2, x3,
+                       w0 + w1 * x1 + w2 * x2 + w3 * x3 AS z FROM f, wb),
+         gc AS (SELECT $GradSumSql FROM zc),
+         wc AS (SELECT w0 - 0.5 * (CAST(g0 AS DOUBLE) / 1000000000.0 / CAST(n AS DOUBLE)) AS w0,
+                       w1 - 0.5 * (CAST(g1 AS DOUBLE) / 1000000000.0 / CAST(n AS DOUBLE)) AS w1,
+                       w2 - 0.5 * (CAST(g2 AS DOUBLE) / 1000000000.0 / CAST(n AS DOUBLE)) AS w2,
+                       w3 - 0.5 * (CAST(g3 AS DOUBLE) / 1000000000.0 / CAST(n AS DOUBLE)) AS w3
+                FROM gc, wb, nn),
+         sc AS (SELECT y,
+                       floor((0.5 + z / (2.0 * (1.0 + abs(z)))) * 1000000 + 0.5) / 1000000 AS p
+                FROM (SELECT y, w0 + w1 * x1 + w2 * x2 + w3 * x3 AS z FROM f, wc)),
+         qq AS (SELECT y, CAST(floor(p * 1000000.0 + 0.5) AS BIGINT) AS q,
+                       CAST(y * 1000000.0 AS BIGINT) AS yq FROM sc),
+         g AS (SELECT least(q // 100000, CAST(9 AS BIGINT)) AS bucket,
+                      CAST(count(*) AS BIGINT) AS n,
+                      CAST(sum(CAST(y AS BIGINT)) AS BIGINT) AS n_pos,
+                      sum(q) AS sum_q,
+                      sum((q - yq) * (q - yq)) AS sum_sq
+               FROM qq GROUP BY 1)
+         SELECT bucket, n, n_pos,
+                floor(CAST(sum_q AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000.0)
+                      * 1000000.0 + 0.5) / 1000000.0 AS mean_p,
+                floor(CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE)
+                      * 1000000.0 + 0.5) / 1000000.0 AS emp_rate,
+                floor(abs(CAST(sum_q AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000.0)
+                          - CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE))
+                      * 1000000.0 + 0.5) / 1000000.0 AS gap,
+                floor(CAST(sum_sq AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000000000.0)
+                      * 1000000.0 + 0.5) / 1000000.0 AS brier
+         FROM g"""
 
   private val containmentSql: String =
     """WITH tok AS (SELECT doc_id,

@@ -182,6 +182,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[VectorLshBands].getName, "vector_lsh_bands"),
       (exprs: Seq[Expression]) => VectorLshBands(exprs)))
     ext.injectFunction((
+      new FunctionIdentifier("bloom_contains"),
+      new ExpressionInfo(classOf[BloomContains].getName, "bloom_contains"),
+      (exprs: Seq[Expression]) => BloomContains(exprs)))
+    ext.injectFunction((
       new FunctionIdentifier("decayed_sum"),
       new ExpressionInfo(classOf[DecayedSum].getName, "decayed_sum"),
       (exprs: Seq[Expression]) => DecayedSum(exprs(0), exprs(1))))

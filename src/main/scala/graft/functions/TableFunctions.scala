@@ -151,6 +151,29 @@ object TableFunctions {
         graft.sources.Catalog.ordersContractCard(spark,
           strArg("graft_contract", exprs, 0))
     }
+    tvf(ext, "graft_drift",
+      "graft_drift(dir) - snapshot-drift card (TVD + biggest-moving " +
+        "category per feature) between even/odd doc_id halves of " +
+        "<dir>/documents") { (spark, exprs) =>
+      maxArgs("graft_drift", exprs, 1)
+      import org.apache.spark.sql.functions.{col, expr, lit, pmod}
+      val docs = graft.Tables.documents(spark, strArg("graft_drift", exprs, 0))
+      graft.operators.TextAnalysis.driftCard(
+        docs.where(pmod(col("doc_id"), lit(2L)) === 0),
+        docs.where(pmod(col("doc_id"), lit(2L)) === 1),
+        Seq("lang" -> col("lang"), "source" -> col("source"),
+          "len_bucket" -> expr("n_chars div 500")))
+    }
+    tvf(ext, "graft_bm25",
+      "graft_bm25(dir, query[, k]) - BM25 top-k doc ids for a " +
+        "space-separated query over <dir>/documents") { (spark, exprs) =>
+      maxArgs("graft_bm25", exprs, 3)
+      val terms = strArg("graft_bm25", exprs, 1)
+        .split("\\s+").filter(_.nonEmpty).toSeq
+      graft.operators.TextAnalysis.bm25(
+        graft.Tables.documents(spark, strArg("graft_bm25", exprs, 0)),
+        terms, k = longArg("graft_bm25", exprs, 2, 10L).toInt)
+    }
     tvf(ext, "graft_doctor",
       "graft_doctor(sql) - lint <sql>'s plan for scale-killers " +
         "(cartesian/BNLJ/unpartitioned window/1-task exchange/wide " +

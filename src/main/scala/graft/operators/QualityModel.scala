@@ -158,4 +158,46 @@ object QualityModel {
     * loop); the returned plan is the map-only scorer. */
   def trainAndScore(docs: DataFrame, iters: Int = 3): DataFrame =
     score(docs, train(features(docs).persist(), iters))
+
+  /** Reliability (calibration) card for the trained classifier — a
+    * score is only a useful GATE if 0.8 means "keeps 80%": per
+    * predicted-probability decile, how many documents landed there,
+    * the mean prediction vs the empirical keep rate, their gap, and
+    * the per-bucket Brier score. A well-calibrated model hugs
+    * mean_p ≈ emp_rate; a confident-but-wrong one shows at a glance.
+    *
+    * Integer-exact despite being probability arithmetic: p is already
+    * the 6-decimal-floored rational sigmoid, so `q = p·10⁶` recovers
+    * an exact integer per row, buckets are integer division
+    * (`q div 10⁵`, capped at 9 so p = 1.0 joins the top decile), and
+    * every aggregate is an integer sum — mean, rate, gap and Brier
+    * are ONE closing division each. The Brier numerator `(q − y·10⁶)²`
+    * is ≤ 10¹² per row, so the bigint sum is exact to ~9·10⁶ docs per
+    * bucket; beyond that, pre-scale q to a 10³ grid (same card, 3
+    * fewer exact decimals). One aggregate at bucket grain — the card
+    * costs a feature scan, map-side combinable all the way. */
+  def calibrationCard(docs: DataFrame, iters: Int = 3): DataFrame = {
+    import graft.functions.Exact.round6
+    val feats = features(docs).persist()
+    val w = train(feats, iters)
+    val scored = feats.select(col("y"), round6(sig(zOf(w))).as("p"))
+    scored
+      .select(col("y"), floor(col("p") * 1000000.0 + 0.5).cast("long").as("q"))
+      .withColumn("bucket", least(expr("q div 100000"), lit(9L)))
+      .withColumn("yq", (col("y") * 1000000.0).cast("long"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("y").cast("long")).as("n_pos"),
+        sum(col("q")).as("sum_q"),
+        sum((col("q") - col("yq")) * (col("q") - col("yq"))).as("sum_sq"))
+      .select(col("bucket"), col("n"), col("n_pos"),
+        round6(col("sum_q").cast("double")
+          / (col("n").cast("double") * 1000000.0)).as("mean_p"),
+        round6(col("n_pos").cast("double") / col("n").cast("double")).as("emp_rate"),
+        round6(abs(col("sum_q").cast("double") / (col("n").cast("double") * 1000000.0)
+          - col("n_pos").cast("double") / col("n").cast("double"))).as("gap"),
+        round6(col("sum_sq").cast("double")
+          / (col("n").cast("double") * 1000000000000.0)).as("brier"))
+      .orderBy(col("bucket"))
+  }
 }

@@ -901,6 +901,155 @@ object TextAnalysis {
       min(col("l")).as("min_l"))
   }
 
+  /** BM25 keyword retrieval — the lexical ranking half of the
+    * similarity toolkit (the ANN family covers the embedding half;
+    * real retrieval mines candidates with BOTH). One scan to token
+    * grain feeds the three classic statistics — tf per (doc, term),
+    * df per term, document length vs the corpus average — and the
+    * Robertson/Spärck-Jones score
+    * `Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))` with
+    * `idf = ln((N−df+0.5)/(df+0.5) + 1)` (the Lucene-standard
+    * +1 form, never negative).
+    *
+    * Scale shape: the term filter prunes token grain to QUERY terms
+    * before any join (tf is |matching tokens|, not corpus grain); df
+    * and the corpus stats are broadcast scalars; the only corpus-sized
+    * costs are the token scan and the dl aggregate — and dl/avgdl are
+    * query-independent, so a serving deployment precomputes them once
+    * per corpus snapshot and pays token-scan-of-matches per query.
+    *
+    * Exactness: the per-term parts are summed in FIXED query order
+    * (one conditional aggregate per term, added left to right), so the
+    * doubles replay bit-identically in DuckDB; ln() is libm-in-output
+    * but rides the q_survival precedent (rounded to 6 decimals, one
+    * closing floor). Ranking ties break on doc_id; the rank key is the
+    * ROUNDED score, so a last-ulp ln() divergence cannot reorder the
+    * top-k across engines. */
+  def bm25(docs: DataFrame, query: Seq[String], k: Int = 10,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(query.nonEmpty, "bm25: empty query")
+    val toks = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+    val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    val tf = toks.where(col("term").isin(query: _*))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    bm25From(tf, dl, stats, query, k, k1, b)
+  }
+
+  /** Posting-list grain for the durable index: `(doc_id, term, tf)` —
+    * identical to [[bm25]]'s tf aggregate WITHOUT the query-term
+    * filter, so an indexed search filtered to any query equals the
+    * direct scan exactly. */
+  def textPostings(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+
+  /** [[bm25]] served from a PREPARED index
+    * ([[graft.sources.Catalog.buildTextIndex]]): tf comes from the
+    * stored posting lists pruned to the query terms (term-clustered
+    * files, so row-group stats skip everything else), dl and the
+    * corpus stats are stored artifacts — per query the corpus is
+    * never re-tokenized; cost is postings-of-terms, not corpus scan.
+    * Same scoring tail as the direct form, so results are EQUAL. */
+  def bm25Indexed(idx: TextIndex, query: Seq[String], k: Int = 10,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(query.nonEmpty, "bm25Indexed: empty query")
+    bm25From(idx.postings.where(col("term").isin(query: _*)),
+      idx.dl, idx.stats, query, k, k1, b)
+  }
+
+  /** A committed inverted text index's three parts: posting lists
+    * `(doc_id, term, tf)`, document lengths `(doc_id, dl)`, corpus
+    * stats `(n_docs, sum_dl)` — everything BM25 needs, nothing the
+    * corpus text must be re-read for. */
+  case class TextIndex(postings: DataFrame, dl: DataFrame, stats: DataFrame)
+
+  /** The shared BM25 scoring tail: df from the (pruned) tf grain, the
+    * Robertson score per (doc, term), fixed-query-order summation, the
+    * rounded-score rank key — every caller gets the identical doubles. */
+  private def bm25From(tf: DataFrame, dl: DataFrame, stats: DataFrame,
+      query: Seq[String], k: Int, k1: Double, b: Double): DataFrame = {
+    import graft.functions.Exact.round6
+    val dft = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val parts = tf.join(broadcast(dft), "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("part",
+        log((col("n_docs").cast("double") - col("df").cast("double") + lit(0.5))
+            / (col("df").cast("double") + lit(0.5)) + lit(1.0))
+          * (col("tf").cast("double") * (lit(k1) + lit(1.0)))
+          / (col("tf").cast("double") + lit(k1) * ((lit(1.0) - lit(b))
+            + lit(b) * (col("dl").cast("double")
+              / (col("sum_dl").cast("double") / col("n_docs").cast("double"))))))
+    val score = query.map(t =>
+        coalesce(max(when(col("term") === t, col("part"))), lit(0.0)))
+      .reduce(_ + _)
+    parts.groupBy(col("doc_id"))
+      .agg(round6(score).as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
+  /** Corpus DRIFT card — did the distribution of a training corpus
+    * move between two snapshots? One row per monitored FEATURE with
+    * total-variation distance, the biggest-moving category, and both
+    * snapshot sizes — the release gate next to [[kAnonymityCard]]: a
+    * new corpus drop whose lang/source/length mix shifted is flagged
+    * before it trains.
+    *
+    * Metric choice: the textbook monitor is PSI, but PSI's ln() puts
+    * libm in a hashed output (the q_benford no-go), so the card
+    * reports TVD — `0.5 · Σ|p_b − p_c|`, the metric PSI monotonically
+    * tracks for small shifts — computed with an EXACT integer
+    * numerator: `Σ|n_b·tot_c − n_c·tot_b|` over categories, one
+    * closing double division. Exact while each snapshot stays under
+    * ~3·10⁹ rows (the bigint product bound); beyond that switch the
+    * numerator to the proportional double form and accept last-ulp
+    * noise — at 100 TB the card itself is still category-grain tiny.
+    *
+    * Shape: one scan per snapshot per feature reduced to category
+    * grain (map-side combinable counts), a category-grain full-outer
+    * join (absent category = 0), scalar totals via broadcast cross
+    * join (the lorenzDeciles convention), everything downstream
+    * bounded by category cardinality. Top category tie-break: largest
+    * (diff, category) struct — deterministic on both engines. */
+  def driftCard(baseline: DataFrame, current: DataFrame,
+      features: Seq[(String, Column)]): DataFrame =
+    features.map { case (name, fc) =>
+      def cats(df: DataFrame, n: String) =
+        df.groupBy(coalesce(fc.cast("string"), lit("∅")).as("cat"))
+          .agg(count(lit(1)).as(n))
+      driftCardFromCounts(
+        cats(baseline, "n_b").join(cats(current, "n_c"), Seq("cat"), "full_outer")
+          .select(col("cat"), coalesce(col("n_b"), lit(0L)).as("n_b"),
+            coalesce(col("n_c"), lit(0L)).as("n_c")),
+        name)
+    }.reduce(_ unionByName _)
+
+  /** [[driftCard]]'s tail from pre-reduced category counts
+    * `(cat, n_b, n_c)` — the entry the STREAMING monitor uses, where
+    * the counts are a folded aggregate-MV state rather than two fresh
+    * scans. Category-grain in, one card row out. */
+  def driftCardFromCounts(counts: DataFrame, name: String): DataFrame = {
+    import graft.functions.Exact.round6
+    val j = counts.localCheckpoint() // referenced by the totals AND the diffs
+    val tot = j.agg(sum(col("n_b")).as("tot_b"), sum(col("n_c")).as("tot_c"))
+    j.crossJoin(broadcast(tot))
+      .withColumn("diff", abs(col("n_b") * col("tot_c") - col("n_c") * col("tot_b")))
+      .agg(count(lit(1)).as("n_cat"),
+        first(col("tot_b")).as("base_n"),
+        first(col("tot_c")).as("cur_n"),
+        sum(col("diff")).as("sum_diff"),
+        max(struct(col("diff"), col("cat"))).as("top"))
+      .select(lit(name).as("feature"), col("n_cat"), col("base_n"), col("cur_n"),
+        round6(col("sum_diff").cast("double")
+          / (lit(2.0) * col("base_n") * col("cur_n"))).as("tvd"),
+        col("top.cat").as("top_category"),
+        round6(col("top.diff").cast("double")
+          / (col("base_n").cast("double") * col("cur_n").cast("double")))
+          .as("top_shift"))
+  }
+
   def sourceOverlap(docs: DataFrame): DataFrame = {
     import graft.functions.Exact.round6
     val sw = docs.select(col("source"), explode(tokens(col("text"))).as("w"))

@@ -727,6 +727,140 @@ class Catalog(spark: SparkSession, baseDir: String,
     installSwap(s"$derivedDir/$name", fs, s"compactAnnIndex($name)")
   }
 
+  // ──────────────────────────────────────────────────────────────────
+  // Durable INVERTED TEXT INDEX — BM25's prepared artifact, the ANN
+  // index family's conventions applied to lexical retrieval: build
+  // once, query many; O(Δ) batch-named upsert segments (exactly-once =
+  // the segment name); compaction by atomic dir swap; `asOf` time
+  // travel for free. The ranking-relevant difference from the ANN
+  // family: BM25's idf/avgdl depend on GLOBAL corpus stats, so the
+  // stats part folds per segment (counts are algebraic — the fold is
+  // lossless) and every search scores against the folded totals, which
+  // is why an upserted index EQUALS a monolithic rebuild exactly.
+
+  /** Build and commit the index: posting lists `(doc_id, term, tf)`
+    * range-clustered by term (a query-term read prunes to matching
+    * files/row groups via parquet min/max stats — at 100 TB bucket by
+    * term instead, same read rule), document lengths, and the 1-row
+    * corpus stats. Each part is tmp-swap committed; torn parts never
+    * serve. */
+  def buildTextIndex(name: String, docs: DataFrame): Unit = {
+    import graft.operators.TextAnalysis
+    commitIndexPart(name, "postings",
+      TextAnalysis.textPostings(docs)
+        .repartitionByRange(col("term"))
+        .sortWithinPartitions(col("term")))
+    commitIndexPart(name, "dl",
+      docs.select(col("doc_id"),
+          explode(TextAnalysis.tokens(col("text"))).as("term"))
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("dl")))
+    commitIndexPart(name, "stats",
+      spark.read.parquet(s"$derivedDir/$name/dl")
+        .agg(count(lit(1)).as("n_docs"),
+          coalesce(sum(col("dl")), lit(0L)).as("sum_dl")))
+  }
+
+  /** O(Δ) index maintenance: ONLY the new documents are tokenized;
+    * their postings, lengths and stats land as batch-named segments
+    * (`*_seg_b<id>`). Write order is dl → stats → postings LAST: the
+    * postings marker gates the whole batch, so parts a crash strands
+    * are overwritten verbatim by the retry and a committed batch id
+    * no-ops. Disjointness contract as [[upsertAnnIndex]]: segments
+    * dedup BATCHES, never rows — re-upserting live doc_ids under a new
+    * batch id double-counts them in df/dl and skews every score. */
+  def upsertTextIndex(name: String, newDocs: DataFrame, batchId: Long): Unit = {
+    recoverDirSwap(name, "postings")
+    require(hasSuccess(s"$derivedDir/$name/postings") &&
+      hasSuccess(s"$derivedDir/$name/stats"),
+      s"no committed text index to upsert: $name")
+    val segDir = s"$derivedDir/$name/postings_seg_b$batchId"
+    if (hasSuccess(segDir)) return // retry of a committed batch: no-op
+    import graft.operators.TextAnalysis
+    val toks = newDocs.select(col("doc_id"),
+      explode(TextAnalysis.tokens(col("text"))).as("term"))
+    toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+      .write.mode(SaveMode.Overwrite)
+      .parquet(s"$derivedDir/$name/dl_seg_b$batchId")
+    spark.read.parquet(s"$derivedDir/$name/dl_seg_b$batchId")
+      .agg(count(lit(1)).as("n_docs"),
+        coalesce(sum(col("dl")), lit(0L)).as("sum_dl"))
+      .write.mode(SaveMode.Overwrite)
+      .parquet(s"$derivedDir/$name/stats_seg_b$batchId")
+    toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      .repartitionByRange(col("term")).sortWithinPartitions(col("term"))
+      .write.mode(SaveMode.Overwrite).parquet(segDir)
+  }
+
+  /** Base parts plus every COMMITTED upsert segment; the stats parts
+    * FOLD (algebraic sums) into the 1-row totals BM25 scores against.
+    * `asOf` = the same free time travel as [[loadAnnIndex]]: only
+    * segments with id ≤ asOf serve. A torn segment (postings without
+    * `_SUCCESS`) is invisible, and its earlier-written dl/stats
+    * siblings with it — the read keys every sibling off the postings
+    * marker. */
+  def loadTextIndex(name: String,
+      asOf: Option[Long] = None): graft.operators.TextAnalysis.TextIndex = {
+    recoverDirSwap(name, "postings")
+    require(hasSuccess(s"$derivedDir/$name/postings") &&
+      hasSuccess(s"$derivedDir/$name/dl") &&
+      hasSuccess(s"$derivedDir/$name/stats"),
+      s"no committed text index: $name")
+    val root = new Path(s"$derivedDir/$name")
+    val fs = root.getFileSystem(hconf)
+    val ids = fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory &&
+        s.getPath.getName.startsWith("postings_seg_b"))
+      .map(_.getPath.getName.stripPrefix("postings_seg_b"))
+      .flatMap(n => scala.util.Try(n.toLong).toOption)
+      .filter(id => asOf.forall(id <= _))
+      .filter(id => hasSuccess(s"$derivedDir/$name/postings_seg_b$id"))
+      .sorted
+    def unionParts(part: String) =
+      (Seq(s"$derivedDir/$name/$part") ++
+        ids.map(id => s"$derivedDir/$name/${part}_seg_b$id"))
+        .map(spark.read.parquet(_)).reduce(_ unionByName _)
+    graft.operators.TextAnalysis.TextIndex(
+      unionParts("postings"), unionParts("dl"),
+      unionParts("stats").agg(sum(col("n_docs")).as("n_docs"),
+        sum(col("sum_dl")).as("sum_dl")))
+  }
+
+  /** Segment compaction for the text index — [[compactAnnIndex]]'s
+    * fold applied to the three-part layout: folded postings/dl, the
+    * folded 1-row stats, and EMPTY tombstone segments (all three
+    * parts) named for the highest applied batch so exactly-once
+    * survives the fold; one atomic dir swap installs it all. */
+  def compactTextIndex(name: String): Unit = {
+    recoverDirSwap(name, "postings")
+    val root = new Path(s"$derivedDir/$name")
+    val fs = root.getFileSystem(hconf)
+    val segs = fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory &&
+        s.getPath.getName.startsWith("postings_seg_b"))
+      .map(_.getPath.getName.stripPrefix("postings_seg_b"))
+      .flatMap(n => scala.util.Try(n.toLong).toOption)
+      .filter(id => hasSuccess(s"$derivedDir/$name/postings_seg_b$id"))
+      .sorted
+    if (segs.isEmpty) return
+    val idx = loadTextIndex(name)
+    val tmp = s"$derivedDir/$name.tmp"
+    fs.delete(new Path(tmp), true)
+    idx.postings.repartitionByRange(col("term"))
+      .sortWithinPartitions(col("term")).write.parquet(s"$tmp/postings")
+    idx.dl.write.parquet(s"$tmp/dl")
+    idx.stats.write.parquet(s"$tmp/stats")
+    def tombstone(part: String, schemaOf: DataFrame): Unit =
+      spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          schemaOf.schema)
+        .repartition(1)
+        .write.parquet(s"$tmp/${part}_seg_b${segs.last}")
+    tombstone("postings", idx.postings)
+    tombstone("dl", idx.dl)
+    tombstone("stats", idx.stats)
+    installSwap(s"$derivedDir/$name", fs, s"compactTextIndex($name)")
+  }
+
   /** One `_SUCCESS`-committed part of a multi-part index layout (the
     * [[saveAnnIndex]] family's shared tmp-swap). */
   private def commitIndexPart(name: String, part: String,

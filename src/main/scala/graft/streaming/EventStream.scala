@@ -689,6 +689,42 @@ object EventStream {
     cat.qsketchMvEstimate("events_qsk_mv", Seq("event_type"), 256)
   }
 
+  /** STREAMING DRIFT monitoring (16th real checkpointed replay): the
+    * d_drift card maintained LIVE. Cohort×category counts are plain
+    * algebraic counts, so each microbatch contributes a map-side-
+    * combined (cohort, event_type) delta folded by `refreshAggMv` —
+    * durable state is one row per (cohort, category), refresh cost
+    * tracks the delta — and the card itself
+    * ([[graft.operators.TextAnalysis.driftCardFromCounts]]) is a
+    * category-grain read over the folded state: the always-fresh
+    * "is the new traffic shaped like the old traffic" gate at 100 TB,
+    * paying per refresh what the batch card pays per full scan.
+    * Cohorts here are even/odd user_id (two populations whose mix
+    * drift is the monitored signal); a deploy-time monitor would key
+    * the cohort off a rollout flag the same way. */
+  def driftMaintenanceReplay(spark: SparkSession, sfDir: String,
+      maxFilesPerTrigger: Int = 4): DataFrame = {
+    import graft.sources.Catalog
+    import graft.operators.TextAnalysis
+    val src = Replay.source(spark, sfDir)
+    val cat = new Catalog(spark, sfDir,
+      Some(Catalog.warehouseLayoutRoot(spark, sfDir)))
+    cat.dropDerived("events_drift_mv")
+    Replay.runForeachBatch(spark, src, maxFilesPerTrigger) { (batch, id) =>
+      val delta = batch.where(col("user_id") =!= src.sentinelUser)
+        .groupBy(pmod(col("user_id"), lit(2L)).as("cohort"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      cat.refreshAggMv("events_drift_mv", delta,
+        Seq("cohort", "event_type"), Some(id)): Unit
+    }
+    val counts = cat.mvState("events_drift_mv")
+      .groupBy(coalesce(col("event_type").cast("string"), lit("∅")).as("cat"))
+      .agg(sum(when(col("cohort") === 0L, col("n")).otherwise(0L)).as("n_b"),
+        sum(when(col("cohort") === 1L, col("n")).otherwise(0L)).as("n_c"))
+    TextAnalysis.driftCardFromCounts(counts, "event_type")
+  }
+
   case class MatchEvent(user_id: Long, tsu: Long, event_id: Long,
     event_type: String)
   case class MatchState(lastOpen: Long, lastFail: Long)

@@ -88,6 +88,39 @@ class QualityRulesSpec extends SparkSpec {
     }
   }
 
+  test("calibration card: buckets partition the corpus, every stat in bounds") {
+    val docs = Tables.documents(spark, sfDir)
+    val card = graft.operators.QualityModel.calibrationCard(docs).collect()
+    assert(card.map(_.getLong(1)).sum == docs.count())
+    card.foreach { r =>
+      val (bucket, n, nPos) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      val (meanP, emp, gap, brier) =
+        (r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getDouble(6))
+      assert(bucket >= 0 && bucket <= 9)
+      assert(nPos >= 0 && nPos <= n)
+      // mean prediction lies inside its own decile (bucket 9 owns 1.0)
+      assert(meanP >= bucket / 10.0 - 1e-6 &&
+        meanP <= (bucket + 1) / 10.0 + 1e-6, r.toString)
+      assert(emp >= 0.0 && emp <= 1.0)
+      assert(brier >= 0.0 && brier <= 1.0)
+      // gap is the |mean - rate| of the same bucket, up to rounding
+      assert(math.abs(gap - math.abs(meanP - emp)) <= 2e-6, r.toString)
+    }
+  }
+
+  test("calibration card: a constant-label corpus is perfectly separable by rate") {
+    import spark.implicits._
+    // all-garbage corpus (too short for the rule gate): y = 0 everywhere,
+    // so every bucket's empirical rate is exactly 0 and Brier = mean(p^2)
+    val junk = (1L to 40L).map(i => (i, s"x$i y$i")).toDF("doc_id", "text")
+    val card = graft.operators.QualityModel.calibrationCard(junk).collect()
+    card.foreach { r =>
+      assert(r.getLong(2) == 0L) // n_pos
+      assert(r.getDouble(4) == 0.0) // emp_rate
+      assert(r.getDouble(5) == r.getDouble(3)) // gap == mean_p when rate is 0
+    }
+  }
+
   test("centroid classifier beats chance and its matrix sums to the corpus") {
     val e = Tables.embeddings(spark, sfDir)
     val cm = graft.operators.Similarity.centroidClassify(e)
