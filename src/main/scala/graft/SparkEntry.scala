@@ -732,6 +732,17 @@ object SparkEntry {
     // whole-log rebuild because counts are algebraic
     "e_drift_stream" -> ((s, d) =>
       graft.streaming.EventStream.driftMaintenanceReplay(s, d)),
+    // the ingested-id Bloom maintained live (18th replay): bit-OR folds
+    // losslessly, candidates the filter rejects are DEFINITELY new —
+    // the result equals NOT IN over the whole log, so a dropped bit
+    // fails the gate
+    "e_bloom_stream" -> ((s, d) =>
+      graft.streaming.EventStream.bloomMaintenanceReplay(s, d)),
+    // the text index maintained live from the document stream (17th
+    // replay): every doc arrives as a segment upsert; stats fold
+    // losslessly, so the served search equals the direct corpus scan
+    "d_index_stream" -> ((s, d) =>
+      graft.streaming.DocStream.textIndexMaintenanceReplay(s, d)),
     "d_diversity" -> ((s, d) =>
       TextAnalysis.sourceDiversity(Tables.documents(s, d))),
     "t_source_overlap" -> ((s, d) =>
@@ -1751,6 +1762,14 @@ object SparkEntry {
     "t_bm25" -> bm25Sql,
     "fs_bm25_indexed" -> bm25Sql,
     "fs_bm25_upsert" -> bm25Sql,
+    // the streamed index serves the same scores as the direct scan
+    "d_index_stream" -> bm25Sql,
+    // the bloom MV's read is semantically exact: candidates minus the
+    // ingested log — a lost bit (false negative) would add a row here
+    "e_bloom_stream" ->
+      """SELECT CAST(i * 499 AS BIGINT) AS cand_id
+         FROM (SELECT unnest(generate_series(0, 39)) AS i)
+         WHERE CAST(i * 499 AS BIGINT) NOT IN (SELECT event_id FROM events)""",
     "t_lang_id" ->
       """WITH t AS (SELECT doc_id, lang AS declared_lang,
                 list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS w FROM documents),

@@ -44,6 +44,21 @@ object BloomJoin {
     * the expected key count, the filter still ships as metadata. */
   def buildBits(build: DataFrame, key: Column,
       mBits: Int = 1 << 20, k: Int = 4): Array[Long] = {
+    val words = wordDelta(build, key, mBits, k).collect()
+    val arr = new Array[Long](mBits / 64)
+    words.foreach(r => arr(r.getInt(0)) = r.getLong(1))
+    arr
+  }
+
+  /** The distributed half of [[buildBits]]: keys reduced to `(w, b)`
+    * word/mask rows via ONE map-side-combinable `bit_or` — ≤ m/64 rows
+    * out regardless of input. Exposed separately because bit-OR is
+    * idempotent/commutative/associative, which makes this delta the
+    * MERGEABLE BUFFER of the Bloom membership MV
+    * ([[graft.sources.Catalog.refreshBloomMv]]): folding per-batch
+    * word deltas yields bits IDENTICAL to one pass over everything. */
+  def wordDelta(build: DataFrame, key: Column,
+      mBits: Int = 1 << 20, k: Int = 4): DataFrame = {
     require(mBits > 0 && mBits % 64 == 0, s"mBits must be a positive multiple of 64: $mBits")
     require(k >= 1 && k <= 16, s"k probes out of range: $k")
     val (h1, h2) = BloomContains.hashPair(key)
@@ -52,14 +67,10 @@ object BloomJoin {
     val (h1m, h2m) = (pmod(h1, lit(mBits.toLong)), pmod(h2, lit(mBits.toLong)))
     val pos = explode(array((0 until k).map(i =>
       pmod(h1m + lit(i.toLong) * h2m, lit(mBits.toLong))): _*))
-    val words = build.select(pos.as("p"))
+    build.select(pos.as("p"))
       .select(shiftright(col("p"), 6).cast("int").as("w"),
         expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT))").as("b"))
-      .groupBy("w").agg(expr("bit_or(b)").as("bits"))
-      .collect()
-    val arr = new Array[Long](mBits / 64)
-    words.foreach(r => arr(r.getInt(0)) = r.getLong(1))
-    arr
+      .groupBy("w").agg(expr("bit_or(b)").as("b"))
   }
 
   /** Membership probe column over a prepared bitset — reusable across

@@ -422,6 +422,44 @@ class Catalog(spark: SparkSession, baseDir: String,
     spark.read.parquet(dir)
   }
 
+  /** The MEMBERSHIP rung of the sketch-MV family (counters / KMV
+    * distinct / CMS frequency / quantiles / BLOOM membership): a Bloom
+    * bitset maintained as durable state, one row per touched 64-bit
+    * word. Bits only turn ON and OR is idempotent + commutative +
+    * associative, so the fold is LOSSLESS — folded state is
+    * bit-identical to one pass over everything
+    * ([[graft.operators.BloomJoin.wordDelta]] is the mergeable
+    * buffer) — and uniquely in the family even a double-applied delta
+    * could not corrupt it; the batch marker still gates for
+    * uniformity. At 100 TB this is the always-current "have we
+    * ingested this id" gate: ≤ m/64 longs of state, refresh cost
+    * tracks the delta, and the read side prefilters every incremental
+    * batch through [[graft.operators.BloomJoin.antiJoin]]'s bypass. */
+  def refreshBloomMv(name: String, deltaWords: DataFrame,
+      batchId: Option[Long] = None): DataFrame = {
+    val dir = s"$derivedDir/$name"
+    if (alreadyApplied(dir, batchId)) return spark.read.parquet(dir)
+    def reAgg(df: DataFrame) =
+      df.groupBy(col("w")).agg(expr("bit_or(b)").as("b"))
+    val merged =
+      if (hasSuccess(dir)) reAgg(spark.read.parquet(dir).unionByName(deltaWords))
+      else reAgg(deltaWords)
+    commitSwap(dir, merged, batchId, s"refreshBloomMv($name)")
+    spark.read.parquet(dir)
+  }
+
+  /** The folded bitset as the probe-side array
+    * ([[graft.operators.BloomJoin.mightContain]]'s input) — ≤ m/64
+    * rows collected, the same driver bound every bloom build accepts. */
+  def bloomMvBits(name: String, mBits: Int): Array[Long] = {
+    require(mBits > 0 && mBits % 64 == 0, s"mBits must be a positive multiple of 64: $mBits")
+    require(hasSuccess(s"$derivedDir/$name"), s"no committed bloom state: $name")
+    val arr = new Array[Long](mBits / 64)
+    spark.read.parquet(s"$derivedDir/$name").collect()
+      .foreach(r => arr(r.getInt(0)) = r.getLong(1))
+    arr
+  }
+
   /** Quantile estimates from a [[refreshQsketchMv]] state: the stored
     * pairs re-enter the bounded buffer (≤ k rows per key — the re-agg
     * is metadata-sized) and interpolate exactly as the one-shot

@@ -215,4 +215,33 @@ object DocStream {
       QualityModel.score(stream, w).where(col("p_keep") >= 0.5)
     }
   }
+
+  /** STREAMING INDEX maintenance (17th real checkpointed replay): the
+    * inverted text index kept fresh from the document stream. The base
+    * index is built EMPTY and every document arrives as stream data —
+    * each microbatch upserts as a committed segment
+    * ([[graft.sources.Catalog.upsertTextIndex]]: O(batch) tokenize,
+    * exactly-once = the segment name), the corpus stats fold
+    * losslessly, so the post-run search EQUALS the whole-corpus
+    * direct scan — the oracle is literally t_bm25's SQL. The
+    * production shape: corpus drops land continuously, retrieval
+    * never goes stale, nobody re-tokenizes the corpus. Disjointness
+    * holds by construction: a file-source batch is a partition of the
+    * corpus, so no doc_id crosses batches. */
+  def textIndexMaintenanceReplay(spark: SparkSession, sfDir: String,
+      maxFilesPerTrigger: Int = 2): DataFrame = {
+    import graft.sources.Catalog
+    import graft.operators.TextAnalysis
+    val cat = new Catalog(spark, sfDir,
+      Some(Catalog.warehouseLayoutRoot(spark, sfDir)))
+    cat.dropDerived("text_idx_stream")
+    cat.buildTextIndex("text_idx_stream",
+      graft.Tables.documents(spark, sfDir).limit(0))
+    val (dir, schema) = Replay.docSource(spark, sfDir)
+    Replay.runForeachBatchFrom(spark, dir, schema, maxFilesPerTrigger) {
+      (batch, id) => cat.upsertTextIndex("text_idx_stream", batch, id)
+    }
+    TextAnalysis.bm25Indexed(cat.loadTextIndex("text_idx_stream"),
+      Seq("data", "join", "scan"))
+  }
 }

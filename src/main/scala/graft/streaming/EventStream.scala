@@ -725,6 +725,43 @@ object EventStream {
     TextAnalysis.driftCardFromCounts(counts, "event_type")
   }
 
+  /** STREAMING MEMBERSHIP (18th real checkpointed replay): the Bloom
+    * bitset of every ingested event_id maintained as a durable MV —
+    * per microbatch, [[graft.operators.BloomJoin.wordDelta]]'s
+    * map-side-combined (word, mask) rows fold through `refreshBloomMv`
+    * (bit-OR is lossless AND double-apply-immune). The read answers
+    * the incremental-ingest question "which of these candidate ids
+    * are NEW": filter-rejected candidates are DEFINITELY new and skip
+    * the shuffle (BloomJoin.antiJoin's bypass); the might-match rest
+    * pays one exact anti join. The final multiset equals a plain
+    * NOT IN over the whole log — which the oracle checks, so a fold
+    * that ever DROPPED a bit (a false negative) would fail the gate,
+    * not just waste bytes. */
+  def bloomMaintenanceReplay(spark: SparkSession, sfDir: String,
+      maxFilesPerTrigger: Int = 4): DataFrame = {
+    import graft.sources.Catalog
+    import graft.operators.BloomJoin
+    val mBits = 1 << 20
+    val src = Replay.source(spark, sfDir)
+    val cat = new Catalog(spark, sfDir,
+      Some(Catalog.warehouseLayoutRoot(spark, sfDir)))
+    cat.dropDerived("events_bloom_mv")
+    Replay.runForeachBatch(spark, src, maxFilesPerTrigger) { (batch, id) =>
+      val delta = BloomJoin.wordDelta(
+        batch.where(col("user_id") =!= src.sentinelUser)
+          .select(col("event_id")), col("event_id"), mBits, 4)
+      cat.refreshBloomMv("events_bloom_mv", delta, Some(id)): Unit
+    }
+    val bits = cat.bloomMvBits("events_bloom_mv", mBits)
+    val candidates = spark.range(0L, 40L)
+      .select((col("id") * lit(499L)).as("cand_id"))
+    val seen = graft.Tables.events(spark, sfDir).select(col("event_id"))
+    val might = BloomJoin.mightContain(bits, col("cand_id"), 4)
+    candidates.where(!might)
+      .unionByName(candidates.where(might)
+        .join(seen, col("cand_id") === col("event_id"), "left_anti"))
+  }
+
   case class MatchEvent(user_id: Long, tsu: Long, event_id: Long,
     event_type: String)
   case class MatchState(lastOpen: Long, lastFail: Long)

@@ -237,11 +237,20 @@ object Replay {
     * which is exactly the caller-serialization contract
     * `Catalog.refreshAggMv` requires. */
   def runForeachBatch(spark: SparkSession, src: Source,
-      maxFilesPerTrigger: Int = 4)(each: (DataFrame, Long) => Unit): Long = {
+      maxFilesPerTrigger: Int = 4)(each: (DataFrame, Long) => Unit): Long =
+    runForeachBatchFrom(spark, src.dir, src.schema, maxFilesPerTrigger)(each)
+
+  /** [[runForeachBatch]] over ANY file-source directory (the
+    * [[docSource]] case): the MV-maintenance drive decoupled from the
+    * events projection, so document-fed artifacts (the text index)
+    * replay through the same checkpointed machinery. */
+  def runForeachBatchFrom(spark: SparkSession, srcDir: String,
+      schema: StructType, maxFilesPerTrigger: Int = 4)(
+      each: (DataFrame, Long) => Unit): Long = {
     val runDir = root.resolve(s"run-${runCounter.incrementAndGet()}")
-    val stream = spark.readStream.schema(src.schema)
+    val stream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
-      .parquet(src.dir)
+      .parquet(srcDir)
     val n = new java.util.concurrent.atomic.AtomicLong(0L)
     val q = stream.writeStream
       .foreachBatch((df: DataFrame, id: Long) => { each(df, id); n.incrementAndGet(): Unit })

@@ -98,6 +98,26 @@ class BloomJoinSpec extends SparkSpec {
     }
   }
 
+  test("bloom MV: folded word deltas are bit-identical to the one-pass build") {
+    val cat = new graft.sources.Catalog(spark, sfDir,
+      Some(java.nio.file.Files.createTempDirectory("graft-bloom").toString))
+    val keys = Tables.lineitem(spark, sfDir).select(col("l_orderkey"))
+    val m = 1 << 14
+    cat.refreshBloomMv("b",
+      BloomJoin.wordDelta(keys.where(col("l_orderkey") % 2 === 0),
+        col("l_orderkey"), m, 4), Some(0L))
+    cat.refreshBloomMv("b",
+      BloomJoin.wordDelta(keys.where(col("l_orderkey") % 2 =!= 0),
+        col("l_orderkey"), m, 4), Some(1L))
+    val folded = cat.bloomMvBits("b", m).toSeq
+    assert(folded == BloomJoin.buildBits(keys, col("l_orderkey"), m, 4).toSeq)
+    // a retried batch id no-ops even with a different delta
+    cat.refreshBloomMv("b",
+      BloomJoin.wordDelta(spark.range(5000L, 6000L).select(col("id")),
+        col("id"), m, 4), Some(1L))
+    assert(cat.bloomMvBits("b", m).toSeq == folded)
+  }
+
   test("probe kernel: bit set iff inserted positions all set (double hashing)") {
     // hand-built bitset: insert h1=5, h2=3, k=3 over 128 bits →
     // positions 5, 8, 11

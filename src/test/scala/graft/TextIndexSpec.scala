@@ -87,6 +87,16 @@ class TextIndexSpec extends SparkSpec {
     assert(hits(TextAnalysis.bm25Indexed(cat.loadTextIndex("ti"), query)) == before)
   }
 
+  test("streamed index maintenance equals the direct scan at any batching") {
+    val direct = hits(TextAnalysis.bm25(Tables.documents(spark, sfDir), query))
+    val one = hits(graft.streaming.DocStream
+      .textIndexMaintenanceReplay(spark, sfDir, maxFilesPerTrigger = 1))
+    val six = hits(graft.streaming.DocStream
+      .textIndexMaintenanceReplay(spark, sfDir, maxFilesPerTrigger = 6))
+    assert(one == direct, s"stream(1) $one vs direct $direct")
+    assert(six == direct, s"stream(6) $six vs direct $direct")
+  }
+
   test("missing index is refused with a clear message") {
     val cat = freshCat()
     val e = intercept[IllegalArgumentException] { cat.loadTextIndex("nope") }
