@@ -760,14 +760,14 @@ object ScaleSmoke {
         Seq("event_type" -> col("event_type")))
         .write.format("noop").mode("overwrite").save()
     }
-    time("bm25_1m") {
-      // BM25 over 1M docs: token scan + dl aggregate are the corpus
+    time("bm25_100k") {
+      // BM25 over the 100k-doc big table: token scan + dl aggregate are the corpus
       // costs; tf is pruned to query terms before any join
       operators.TextAnalysis.bm25(bd, Seq("data", "join", "scan"))
         .write.format("noop").mode("overwrite").save()
     }
-    time("calib_1m") {
-      // calibration card at 1M docs: 3 training sweeps + one
+    time("calib_100k") {
+      // calibration card at 100k docs: 3 training sweeps + one
       // bucket-grain integer fold, all map-side combinable
       operators.QualityModel.calibrationCard(bd)
         .write.format("noop").mode("overwrite").save()
