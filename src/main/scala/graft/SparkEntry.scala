@@ -721,6 +721,34 @@ object SparkEntry {
     // equal the oracle's lead() over the whole change log
     "e_scd2_stream" -> ((s, d) =>
       graft.streaming.EventStream.scd2Replay(s, d)),
+    // out-of-order repair: the MV is fed everything EXCEPT a held-out
+    // late slice, then scd2Backfill reconstructs the affected keys'
+    // change logs from the stored history and merges the late rows —
+    // the result equals the full-log lead() as if nothing was late
+    "fs_scd2_backfill" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val cat = new graft.sources.Catalog(s, d,
+        Some(graft.sources.Catalog.warehouseLayoutRoot(s, d)))
+      cat.dropDerived("scd2_backfill_mv")
+      val changes = Tables.events(s, d).select(col("user_id"),
+        struct(unix_micros(col("ts")).as("us"), col("event_id").as("eid")).as("seq"),
+        when(col("event_type") === "error", "d").otherwise("u").as("op"),
+        col("event_type").as("last_type"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("value_cents"))
+      val lateSlice = col("seq.eid") % 11 === 3
+      cat.refreshScd2Mv("scd2_backfill_mv", changes.where(!lateSlice),
+        "user_id", "seq", "op", batchId = 0L)
+      cat.scd2Backfill("scd2_backfill_mv", changes.where(lateSlice),
+        "user_id", "seq", "op")
+      cat.scd2MvHistory("scd2_backfill_mv", "seq", "op")
+        .select(col("user_id"), col("last_type"),
+          (col("value_cents").cast("double") / 100.0).as("last_value"),
+          col("valid_from.us").as("valid_from_us"),
+          col("valid_from.eid").as("valid_from_eid"),
+          col("valid_to.us").as("valid_to_us"),
+          col("valid_to.eid").as("valid_to_eid"),
+          col("is_current"))
+    }),
     // the quantile sketch-MV rung run live (15th replay): per-type
     // value p50/p95 in <= k durable pairs per key; lossless merge, so
     // the stream-folded estimates equal the oracle's from-scratch
@@ -4024,22 +4052,10 @@ object SparkEntry {
     // streaming SCD2 == the batch lead() window over the whole event
     // change log: each non-error event opens a version valid until the
     // user's next event (upsert or error tombstone); unclosed = current
-    "e_scd2_stream" ->
-      """WITH ch AS (SELECT user_id, epoch_us(ts) AS us, event_id AS eid,
-                CASE WHEN event_type = 'error' THEN 'd' ELSE 'u' END AS op,
-                event_type AS last_type,
-                CAST(round(value * 100) AS BIGINT) AS value_cents
-           FROM events),
-         h AS (SELECT user_id, op, last_type, value_cents, us, eid,
-                lead(us)  OVER w AS vt_us,
-                lead(eid) OVER w AS vt_eid
-           FROM ch WINDOW w AS (PARTITION BY user_id ORDER BY us, eid))
-         SELECT user_id, last_type,
-                CAST(value_cents AS DOUBLE) / 100.0 AS last_value,
-                us AS valid_from_us, eid AS valid_from_eid,
-                vt_us AS valid_to_us, vt_eid AS valid_to_eid,
-                vt_us IS NULL AS is_current
-         FROM h WHERE op = 'u'""",
+    "e_scd2_stream" -> scd2StreamSql,
+    // the REPAIRED history equals the same full-log lead(): the held-
+    // out late changes are indistinguishable after the backfill
+    "fs_scd2_backfill" -> scd2StreamSql,
     // streaming CDC view == latest event per user unless it tombstones
     "e_cdc_stream" ->
       """WITH latest AS (SELECT user_id, epoch_us(ts) AS last_seq_us,
@@ -4805,6 +4821,27 @@ object SparkEntry {
          SELECT doc_id,
                 floor((0.5 + z / (2.0 * (1.0 + abs(z)))) * 1000000 + 0.5) / 1000000 AS p_keep
          FROM (SELECT doc_id, w0 + w1 * x1 + w2 * x2 + w3 * x3 AS z FROM fid, wc)"""
+
+  /** e_scd2_stream / fs_scd2_backfill mirror: the lead() chain over
+    * the WHOLE change log — the streamed history must equal it under
+    * any batching, and the backfilled history must equal it after
+    * late changes are repaired in. */
+  private val scd2StreamSql: String =
+    """WITH ch AS (SELECT user_id, epoch_us(ts) AS us, event_id AS eid,
+                CASE WHEN event_type = 'error' THEN 'd' ELSE 'u' END AS op,
+                event_type AS last_type,
+                CAST(round(value * 100) AS BIGINT) AS value_cents
+           FROM events),
+         h AS (SELECT user_id, op, last_type, value_cents, us, eid,
+                lead(us)  OVER w AS vt_us,
+                lead(eid) OVER w AS vt_eid
+           FROM ch WINDOW w AS (PARTITION BY user_id ORDER BY us, eid))
+         SELECT user_id, last_type,
+                CAST(value_cents AS DOUBLE) / 100.0 AS last_value,
+                us AS valid_from_us, eid AS valid_from_eid,
+                vt_us AS valid_to_us, vt_eid AS valid_to_eid,
+                vt_us IS NULL AS is_current
+         FROM h WHERE op = 'u'"""
 
   /** t_bm25 / sql_bm25 mirror: the same ln idf shape, fixed-order
     * per-term sum, floor-rounded score as the rank key. */

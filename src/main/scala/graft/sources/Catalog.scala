@@ -264,6 +264,18 @@ class Catalog(spark: SparkSession, baseDir: String,
       .drop("__vt")
     closed.write.mode(SaveMode.Overwrite)
       .parquet(s"$derivedDir/$name/closed_seg_b$batchId")
+    // the DELETE AUDIT part: every tombstone's (key, seq), because the
+    // version rows alone cannot encode a delete that deleted nothing
+    // (a d on an already-tombstoned key) — and [[scd2Backfill]] must
+    // replay even those when a late upsert lands a span under one.
+    // repartition(1): always ≥ 1 schema-bearing file, and a batch's
+    // deletes fit one file by nature. Written before the open swap,
+    // same retry-overwrite argument as the closed segment.
+    stamped.where(col(opCol) === "d")
+      .select(col(key), col(seqCol))
+      .repartition(1)
+      .write.mode(SaveMode.Overwrite)
+      .parquet(s"$derivedDir/$name/tombs_seg_b$batchId")
     commitSwap(openDir, open, Some(batchId), s"refreshScd2Mv($name)")
   }
 
@@ -294,12 +306,122 @@ class Catalog(spark: SparkSession, baseDir: String,
     segs.map(n => spark.read.parquet(s"$derivedDir/$name/$n"))
       .reduce(_ unionByName _)
       .write.parquet(s"$tmp/${segs.last}")
+    // the delete-audit parts fold the same way (they are the closed
+    // history's tombstone sidecar — dropping them would re-lose the
+    // no-op deletes scd2Backfill exists to replay)
+    val tombs = fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("tombs_seg_b"))
+      .map(_.getPath.toString).filter(hasSuccess).sorted
+    if (tombs.nonEmpty)
+      tombs.map(spark.read.parquet(_)).reduce(_ unionByName _)
+        .repartition(1)
+        .write.parquet(s"$tmp/tombs_seg_b${segs.last.stripPrefix("closed_seg_b")}")
     // the open state copies with its batch marker intact: read+write
     // would drop the `_`-prefixed sidecar, so copy files verbatim
     org.apache.hadoop.fs.FileUtil.copy(fs,
       new Path(s"$derivedDir/$name/open"), fs, new Path(s"$tmp/open"),
       false, hconf)
     installSwap(s"$derivedDir/$name", fs, s"compactScd2($name)")
+  }
+
+  /** OUT-OF-ORDER BACKFILL — the repair verb for the one contract
+    * [[refreshScd2Mv]] cannot honor (a late change would rewrite
+    * closed segments, so the refresh path refuses it by design). The
+    * affected keys' change logs are RECONSTRUCTED FROM THE STORED
+    * HISTORY ITSELF — no raw change log is retained anywhere: every
+    * version row is an upsert at its valid_from, and a closed version
+    * whose valid_to no successor opens at was closed by a TOMBSTONE
+    * (deletes stay recoverable precisely because tombstones close
+    * without opening). The batch [[scd2History]] re-derives those
+    * keys' histories over reconstructed ∪ late; every other key's
+    * rows copy through untouched. Installed as a compact-shaped
+    * atomic dir swap (a backfill also compacts — same fold, same
+    * [[recoverDirSwap]] healing), with the open state's batch marker
+    * copied verbatim so the ordered stream resumes exactly where it
+    * left off and a replayed last batch still no-ops.
+    *
+    * Cost: O(affected keys' history) compute, O(history) rewrite
+    * bytes — the price of repairing append-only storage, paid only
+    * when late data actually arrives; the streaming refresh path
+    * stays O(Δ). Caller contract: `late` carries exactly the change
+    * schema (key, seq, op, values), (key, seq) unique across
+    * late ∪ applied. */
+  def scd2Backfill(name: String, late: DataFrame, key: String,
+      seqCol: String, opCol: String): Unit = {
+    recoverDirSwap(name, "open")
+    val openDir = s"$derivedDir/$name/open"
+    require(hasSuccess(openDir), s"no committed scd2 state: $name")
+    val hist = scd2MvHistory(name, seqCol, opCol)
+    val keys = late.select(col(key)).distinct()
+    val valueCols = hist.columns
+      .filterNot(Seq(key, "valid_from", "valid_to", "is_current").contains)
+    val affected = hist.join(broadcast(keys), Seq(key))
+    val upserts = affected.select(
+      Seq(col(key), col("valid_from").as(seqCol), lit("u").as(opCol)) ++
+        valueCols.map(col): _*)
+    // tombstones come from TWO sources, deduped on (key, seq): inferred
+    // (a closed version's valid_to no successor opens at was closed by
+    // a d) and the delete-audit parts — the audit is what preserves
+    // NO-OP deletes (a d on an already-tombstoned key), which leave no
+    // trace in the version rows yet must still close a span when a
+    // late upsert lands under them; inference keeps pre-audit states
+    // repairable for the deletes that did close something
+    val rootPath = new Path(s"$derivedDir/$name")
+    val fsRoot = rootPath.getFileSystem(hconf)
+    val tombSegs = fsRoot.listStatus(rootPath).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("tombs_seg_b"))
+      .map(_.getPath.toString).filter(hasSuccess).sorted
+    val inferred = affected.where(col("valid_to").isNotNull)
+      .select(col(key), col("valid_to").as(seqCol))
+      .join(affected.select(col(key), col("valid_from").as(seqCol)),
+        Seq(key, seqCol), "left_anti")
+    val audit = tombSegs.map(spark.read.parquet(_))
+      .reduceOption(_ unionByName _)
+      .map(_.join(broadcast(keys), Seq(key)))
+    val tombstones = audit.fold(inferred)(a =>
+        inferred.unionByName(a.select(col(key), col(seqCol)))).distinct()
+      .select(Seq(col(key), col(seqCol), lit("d").as(opCol)) ++
+        valueCols.map(c => lit(null).cast(hist.schema(c).dataType).as(c)): _*)
+    val merged = upserts.unionByName(tombstones)
+      .unionByName(late.select(upserts.columns.map(col): _*))
+    val fixed = Catalog.scd2History(merged, key, seqCol, opCol)
+    val untouched = hist.join(broadcast(keys), Seq(key), "left_anti")
+    // materialize BEFORE the swap: newHist still references the live
+    // dirs the install is about to rename away
+    val newHist = untouched
+      .unionByName(fixed.select(untouched.columns.map(col): _*))
+      .localCheckpoint()
+    val root = new Path(s"$derivedDir/$name")
+    val fs = root.getFileSystem(hconf)
+    val segId = (fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("closed_seg_b"))
+      .flatMap(s => scala.util.Try(
+        s.getPath.getName.stripPrefix("closed_seg_b").toLong).toOption) :+ 0L).max
+    val tmp = s"$derivedDir/$name.tmp"
+    fs.delete(new Path(tmp), true)
+    // empty frames re-partition to 1 so a schema-bearing part file
+    // always lands (the compactAnnIndex tombstone rule)
+    def writable(df: DataFrame) = if (df.isEmpty) df.repartition(1) else df
+    writable(newHist.where(col("valid_to").isNotNull).drop("is_current"))
+      .write.parquet(s"$tmp/closed_seg_b$segId")
+    writable(newHist.where(col("valid_to").isNull)
+        .select(Seq(col(key), col("valid_from").as(seqCol),
+          lit("u").as(opCol)) ++ valueCols.map(col): _*))
+      .write.parquet(s"$tmp/open")
+    // the repaired delete audit: affected keys' deletes from the merged
+    // log (late deletes included), untouched keys' audit rows verbatim
+    val untouchedAudit = audit.map(_ => tombSegs.map(spark.read.parquet(_))
+      .reduce(_ unionByName _)
+      .join(broadcast(keys), Seq(key), "left_anti"))
+    val newAudit = merged.where(col(opCol) === "d").select(col(key), col(seqCol))
+    untouchedAudit.fold(newAudit)(_ unionByName newAudit)
+      .repartition(1)
+      .write.parquet(s"$tmp/tombs_seg_b$segId")
+    val mSrc = new Path(s"$openDir/$BatchMarker")
+    if (fs.exists(mSrc))
+      org.apache.hadoop.fs.FileUtil.copy(fs, mSrc, fs,
+        new Path(s"$tmp/open/$BatchMarker"), false, hconf)
+    installSwap(s"$derivedDir/$name", fs, s"scd2Backfill($name)")
   }
 
   /** The full version history of a [[refreshScd2Mv]] state: every
