@@ -70,7 +70,7 @@ object Shell {
           "token_budget [tokens] | mmr [k] | ttest | anova | survival | " +
           "mwu [typeA typeB] | attribution_multi | harmonic | ndcg | " +
           "kanon [k] | paths [k] | contract | drift | bm25 <terms...> | " +
-          "calibration | " +
+          "calibration | maintain [segs] | " +
           "exit | <sql>  (SQL reaches the operator TVFs too: " +
           "graft_asof(dir) graft_dedup_minhash(dir[,bands]) " +
           "graft_mmr(dir[,maxq]) graft_funnel(dir) graft_kanon(dir[,k]) " +
@@ -384,6 +384,12 @@ object Shell {
         // is the quality score a rate? decile reliability + Brier
         operators.QualityModel.calibrationCard(Tables.documents(spark, dir))
           .show(truncate = false)
+      case "maintain" :: rest if rest.length <= 1 =>
+        // segment hygiene: compact every derived artifact at/past the
+        // threshold (ANN + text indexes, SCD2 histories)
+        val done = cat.maintain(rest.headOption.map(_.toInt).getOrElse(8))
+        println(if (done.isEmpty) "nothing to compact"
+          else done.mkString("compacted: ", ", ", ""))
       case "skew" :: tbl :: key :: Nil =>
         // preflight: will this key shuffle evenly?
         Catalog.skewCard(cat.table(tbl),

@@ -1021,6 +1021,40 @@ class Catalog(spark: SparkSession, baseDir: String,
     installSwap(s"$derivedDir/$name", fs, s"compactTextIndex($name)")
   }
 
+  /** ONE operational verb for segment hygiene — the policy knob O(Δ)
+    * maintenance needs so nobody schedules three compactors by hand:
+    * walk the derived dir, recognize each segmented family by its
+    * part layout (ANN index: `centroids`; text index: `postings`;
+    * SCD2 history: `open`), and compact every artifact whose
+    * COMMITTED segment count reached `threshold`. Artifacts below
+    * threshold are untouched (their as-of reach is preserved — the
+    * documented trade of folding history is only paid when the read
+    * tax is real). Returns the names compacted; call it from the
+    * refresh scheduler's idle slot. */
+  def maintain(threshold: Int = 8): Seq[String] = {
+    require(threshold >= 2, s"maintain threshold must be >= 2: $threshold")
+    val root = new Path(derivedDir)
+    val fs = root.getFileSystem(hconf)
+    if (!fs.exists(root)) return Seq.empty
+    fs.listStatus(root).toSeq.filter(_.isDirectory).flatMap { d =>
+      val name = d.getPath.getName
+      def segCount(prefix: String) = fs.listStatus(d.getPath).count(s =>
+        s.isDirectory && s.getPath.getName.startsWith(prefix) &&
+          hasSuccess(s.getPath.toString))
+      if (name.endsWith(".tmp") || name.endsWith(".bak")) None
+      else if (fs.exists(new Path(d.getPath, "centroids")) &&
+          segCount("assignments_seg_b") >= threshold) {
+        compactAnnIndex(name); Some(name)
+      } else if (fs.exists(new Path(d.getPath, "postings")) &&
+          segCount("postings_seg_b") >= threshold) {
+        compactTextIndex(name); Some(name)
+      } else if (fs.exists(new Path(d.getPath, "open")) &&
+          segCount("closed_seg_b") >= threshold) {
+        compactScd2(name); Some(name)
+      } else None
+    }
+  }
+
   /** One `_SUCCESS`-committed part of a multi-part index layout (the
     * [[saveAnnIndex]] family's shared tmp-swap). */
   private def commitIndexPart(name: String, part: String,

@@ -97,6 +97,28 @@ class TextIndexSpec extends SparkSpec {
     assert(six == direct, s"stream(6) $six vs direct $direct")
   }
 
+  test("maintain compacts only artifacts at or past the segment threshold") {
+    val docs = Tables.documents(spark, sfDir)
+    val cat = freshCat()
+    // text index with 3 committed segments; SCD2 with 1 — threshold 3
+    // folds the first and leaves the second's layout untouched
+    cat.buildTextIndex("ti", docs.where(col("doc_id") % 4 === 0))
+    (1 to 3).foreach(i =>
+      cat.upsertTextIndex("ti", docs.where(col("doc_id") % 4 === i), i.toLong))
+    import spark.implicits._
+    cat.refreshScd2Mv("h", Seq((1L, 10L, "u", "a"), (1L, 20L, "u", "b"))
+      .toDF("k", "seq", "op", "v"), "k", "seq", "op", 0L)
+    val before = hits(TextAnalysis.bm25Indexed(cat.loadTextIndex("ti"), query))
+    assert(cat.maintain(threshold = 3) == Seq("ti"))
+    assert(hits(TextAnalysis.bm25Indexed(cat.loadTextIndex("ti"), query)) == before)
+    def segs(name: String, p: String) =
+      new java.io.File(s"${cat.derivedDir}/$name").listFiles()
+        .count(f => f.isDirectory && f.getName.startsWith(p))
+    assert(segs("ti", "postings_seg_b") == 1) // the tombstone only
+    assert(segs("h", "closed_seg_b") == 1)    // untouched
+    assert(cat.maintain(threshold = 3).isEmpty) // idempotent at rest
+  }
+
   test("missing index is refused with a clear message") {
     val cat = freshCat()
     val e = intercept[IllegalArgumentException] { cat.loadTextIndex("nope") }
