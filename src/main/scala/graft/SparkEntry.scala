@@ -444,6 +444,10 @@ object SparkEntry {
     // rate + Brier, integer-exact off the 6-decimal rational sigmoid
     "t_quality_calibration" -> ((s, d) =>
       QualityModel.calibrationCard(Tables.documents(s, d))),
+    // does the score RANK? Mann-Whitney AUC over the model's own
+    // scores, integer-exact through ties (twice-average-rank trick)
+    "t_quality_auc" -> ((s, d) =>
+      QualityModel.aucCard(Tables.documents(s, d))),
     // the trained gate deployed on a REAL checkpointed document stream
     // (train batch-side, score+filter stateless in-stream): emitted
     // multiset ≡ the batch filter, which the oracle replays
@@ -1779,6 +1783,9 @@ object SparkEntry {
     // the reliability card: same trained weights, labeled rows, the
     // integer-exact decile fold
     "t_quality_calibration" -> QualityCalibrationSql,
+    // the ranking card: the same scored rows through the q_mwu
+    // distinct-grain rank machinery, one closing division
+    "t_quality_auc" -> QualityAucSql,
     // the streaming gate is stateless, so its emitted multiset is the
     // batch scorer + threshold exactly
     "d_quality_stream" ->
@@ -4911,10 +4918,10 @@ object SparkEntry {
          FROM g JOIN r ON g.feature = r.feature AND r.rn = 1"""
 
   /** [[QualityScoresSql]]'s weight chain re-rooted at the LABELED
-    * feature rows (`f` keeps y; fid drops it), then the integer-exact
-    * decile fold of QualityModel.calibrationCard. */
-  private val QualityCalibrationSql: String =
-    s"""WITH f AS ($QualityFeatureSql),
+    * feature rows (`f` keeps y; fid drops it) ending at the scored
+    * `sc(y, p)` relation — shared by the calibration and AUC mirrors. */
+  private val QualityScoredLabeledCtes: String =
+    s"""f AS ($QualityFeatureSql),
          nn AS (SELECT count(*) AS n FROM f),
          za AS (SELECT y, x1, x2, x3,
                        0.0 + 0.0 * x1 + 0.0 * x2 + 0.0 * x3 AS z FROM f),
@@ -4942,7 +4949,33 @@ object SparkEntry {
                 FROM gc, wb, nn),
          sc AS (SELECT y,
                        floor((0.5 + z / (2.0 * (1.0 + abs(z)))) * 1000000 + 0.5) / 1000000 AS p
-                FROM (SELECT y, w0 + w1 * x1 + w2 * x2 + w3 * x3 AS z FROM f, wc)),
+                FROM (SELECT y, w0 + w1 * x1 + w2 * x2 + w3 * x3 AS z FROM f, wc))"""
+
+  /** The q_mwu rank machinery pointed at the model's own scores:
+    * distinct-score grain, twice-average-rank, one closing division. */
+  private val QualityAucSql: String =
+    s"""WITH $QualityScoredLabeledCtes,
+         vc AS (SELECT p, sum(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) AS cp,
+                       sum(CASE WHEN y = 1.0 THEN 0 ELSE 1 END) AS cn
+                FROM sc GROUP BY p),
+         c AS (SELECT cp, cn, cp + cn AS cnt,
+                      sum(cp + cn) OVER (ORDER BY p ROWS UNBOUNDED PRECEDING) AS cum
+               FROM vc),
+         a AS (SELECT CAST(sum(cp) AS BIGINT) AS n_pos,
+                      CAST(sum(cn) AS BIGINT) AS n_neg,
+                      sum(CAST(cp AS BIGINT) * (2 * cum - cnt + 1)) AS s2
+               FROM c)
+         SELECT n_pos, n_neg,
+                CASE WHEN n_pos < 1 OR n_neg < 1 THEN NULL
+                     ELSE floor(CAST(s2 - n_pos * (n_pos + 1) AS DOUBLE)
+                          / (2.0 * n_pos * n_neg) * 1000000.0 + 0.5)
+                            / 1000000.0 END AS auc
+         FROM a"""
+
+  /** The integer-exact decile fold of QualityModel.calibrationCard
+    * over the shared scored-labeled chain. */
+  private val QualityCalibrationSql: String =
+    s"""WITH $QualityScoredLabeledCtes,
          qq AS (SELECT y, CAST(floor(p * 1000000.0 + 0.5) AS BIGINT) AS q,
                        CAST(y * 1000000.0 AS BIGINT) AS yq FROM sc),
          g AS (SELECT least(q // 100000, CAST(9 AS BIGINT)) AS bucket,

@@ -176,6 +176,43 @@ object QualityModel {
     * bucket; beyond that, pre-scale q to a 10³ grid (same card, 3
     * fewer exact decimals). One aggregate at bucket grain — the card
     * costs a feature scan, map-side combinable all the way. */
+  /** ROC-AUC for the trained classifier — [[calibrationCard]] asks
+    * "is the score a rate", this asks "does it RANK": the probability
+    * a random kept doc outscores a random dropped one. Computed as
+    * the Mann-Whitney rank statistic (the q_mwu machinery pointed at
+    * the model), integer-exact through ties: with tied scores taking
+    * AVERAGE ranks, `2·avgrank = 2·rank() + count−1` is an integer,
+    * so `AUC = (Σ_pos 2·avgrank − n₁(n₁+1)) / (2·n₁·n₀)` is integer
+    * sums + ONE closing division. The rank window orders by the
+    * 6-decimal score — one global sort of doc grain (the same cost
+    * class as q_sort; at 100 TB pre-aggregate to distinct scores
+    * first, which the 10⁶-point score grid bounds). */
+  def aucCard(docs: DataFrame, iters: Int = 3): DataFrame = {
+    import graft.functions.Exact.round6
+    val feats = features(docs).persist()
+    val w = train(feats, iters)
+    val scored = feats.select(col("y"), round6(sig(zOf(w))).as("p"))
+    // distinct-score grain first (bounded by the 10⁶-point score
+    // grid), then the audited bucket-monotone running sum — never a
+    // doc-grain global window (the mannWhitneyU shape)
+    val vc = scored.groupBy(col("p"))
+      .agg(sum(col("y").cast("long")).as("cp"),
+        sum(lit(1L) - col("y").cast("long")).as("cn"))
+      .withColumn("cnt", col("cp") + col("cn"))
+      .withColumn("__g", lit(1))
+    val ranked = Cumulative.runningSum(vc, Seq("__g"), "p", "cnt", "cum")
+      .withColumn("rank2", lit(2L) * col("cum") - col("cnt") + 1L)
+    ranked.agg(
+        sum(col("cp")).as("n_pos"),
+        sum(col("cn")).as("n_neg"),
+        sum(col("cp") * col("rank2")).as("s2"))
+      .select(col("n_pos"), col("n_neg"),
+        when(col("n_pos") < 1L || col("n_neg") < 1L, lit(null))
+          .otherwise(round6(
+            (col("s2") - col("n_pos") * (col("n_pos") + 1L)).cast("double")
+              / (lit(2.0) * col("n_pos") * col("n_neg")))).as("auc"))
+  }
+
   def calibrationCard(docs: DataFrame, iters: Int = 3): DataFrame = {
     import graft.functions.Exact.round6
     val feats = features(docs).persist()

@@ -138,7 +138,21 @@ class PlanAuditSpec extends SparkSpec {
       "p_token_budget",
       // q_mwu: runningSum's 1-row bounds broadcast over the constant
       // __g group at distinct-cents-value grain (the q_abc shape)
-      "q_mwu")
+      "q_mwu",
+      // drift cards: the 1-row snapshot totals broadcast-crossed into
+      // the category-grain diff frame (the q_chi2 grand-total shape);
+      // sql_drift is the TVF spelling of the same plan, the streamed
+      // twin reads the same fold at category grain
+      "d_drift", "sql_drift", "e_drift_stream",
+      // BM25 family: the 1-row corpus stats (n_docs, sum_dl)
+      // broadcast-crossed into QUERY-TERM-pruned tf grain (never the
+      // token scan), plus the ≤|query|-row df broadcast — bounded
+      // metadata on both sides of every cross
+      "t_bm25", "sql_bm25", "fs_bm25_indexed", "fs_bm25_upsert",
+      "d_index_stream",
+      // t_quality_auc: runningSum's 1-row bounds broadcast over the
+      // constant __g group at distinct-score grain (the q_mwu shape)
+      "t_quality_auc")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       if (plans.PlanDoctor.hasBnlj(fn(spark, sfDir)) && !allowed(name))
         Some(name) else None
@@ -175,10 +189,13 @@ class PlanAuditSpec extends SparkSpec {
     // bounded DAY grain (the e_acf bounded-calendar class)
     // q_mwu: one constant-__g runningSum pass at distinct-cents-value
     // grain — the same ≤128-row bucket-offset window as q_abc
+    // t_quality_auc: one constant-__g runningSum pass at distinct-
+    // 6-decimal-score grain — the same ≤128-row bucket-offset window
+    // as q_mwu
     val allowed = Set("p_pack", "p_shuffle", "p_manifest", "t_char_ngrams",
       "e_late_audit", "d_drift_ks", "q_skyline", "p_interleave",
       "q_abc", "q_lorenz", "fs_histogram", "e_concurrency",
-      "p_token_budget", "q_survival", "q_mwu")
+      "p_token_budget", "q_survival", "q_mwu", "t_quality_auc")
     // partition expressions precede the sort orders; a spec whose
     // FIRST argument is already a sort order has no partition at all
     // (the check itself lives in PlanDoctor.hasUnpartitionedWindow)

@@ -121,6 +121,43 @@ class QualityRulesSpec extends SparkSpec {
     }
   }
 
+  test("AUC card equals a pure-Scala rank replay and beats chance") {
+    val docs = Tables.documents(spark, sfDir)
+    val card = graft.operators.QualityModel.aucCard(docs).collect().head
+    val (nPos, nNeg, auc) = (card.getLong(0), card.getLong(1), card.getDouble(2))
+    assert(nPos + nNeg == docs.count())
+    assert(auc >= 0.0 && auc <= 1.0)
+    // the trained gate must rank better than a coin flip on its own
+    // training labels (same bar the accuracy card clears)
+    assert(auc > 0.6, s"auc=$auc")
+    // replay: Mann-Whitney with average ranks over the scored rows
+    val scored = graft.operators.QualityModel.trainAndScore(docs)
+      .select("doc_id", "p_keep").collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val labels = graft.operators.QualityModel.features(docs, withId = true)
+      .select("doc_id", "y").collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    val byScore = scored.map { case (id, p) => (p, labels(id)) }.sortBy(_._1)
+    val ranks = scala.collection.mutable.Map.empty[Double, Double]
+    var i = 0
+    while (i < byScore.length) {
+      var j = i
+      while (j < byScore.length && byScore(j)._1 == byScore(i)._1) j += 1
+      ranks(byScore(i)._1) = (i + 1 + j) / 2.0 // average of ranks i+1..j
+      i = j
+    }
+    val n1 = byScore.count(_._2 == 1.0).toDouble
+    val n0 = byScore.length - n1
+    val rSum = byScore.filter(_._2 == 1.0).map(x => ranks(x._1)).sum
+    val expected = math.floor((rSum - n1 * (n1 + 1) / 2.0) / (n1 * n0) * 1e6 + 0.5) / 1e6
+    assert(auc == expected, s"auc=$auc expected=$expected")
+  }
+
+  test("AUC card: a single-class corpus reports null, not an error") {
+    import spark.implicits._
+    val junk = (1L to 30L).map(i => (i, s"x$i y$i")).toDF("doc_id", "text")
+    val r = graft.operators.QualityModel.aucCard(junk).collect().head
+    assert(r.getLong(1) == 30L && r.isNullAt(2)) // all-negative labels
+  }
+
   test("centroid classifier beats chance and its matrix sums to the corpus") {
     val e = Tables.embeddings(spark, sfDir)
     val cm = graft.operators.Similarity.centroidClassify(e)
