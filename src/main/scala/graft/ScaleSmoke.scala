@@ -766,6 +766,13 @@ object ScaleSmoke {
       operators.TextAnalysis.bm25(bd, Seq("data", "join", "scan"))
         .write.format("noop").mode("overwrite").save()
     }
+    time("pca_100k") {
+      // three corpus scans folded to 64 fixed-point rows each — the
+      // PageRank cost profile with dim instead of nodes
+      val bigEmb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+      operators.Similarity.pcaTopComponent(bigEmb)
+        .write.format("noop").mode("overwrite").save()
+    }
     time("calib_100k") {
       // calibration card at 100k docs: 3 training sweeps + one
       // bucket-grain integer fold, all map-side combinable

@@ -142,6 +142,10 @@ object SparkEntry {
     "q_window_funcs" -> ((s, d) => Analytics.windowFunctionProfile(Tables.orders(s, d))),
     "s_classify" -> ((s, d) => Similarity.centroidClassify(Tables.embeddings(s, d))),
     "s_kmeans" -> ((s, d) => Similarity.kmeansCentroids(Tables.embeddings(s, d))),
+    // embedding-collapse check: the top (uncentered) principal
+    // direction by fixed-point power iteration, loadings + lambda
+    // hash-matched against the CTE-per-pass DuckDB replay
+    "s_pca" -> ((s, d) => Similarity.pcaTopComponent(Tables.embeddings(s, d))),
     // bounded-buffer top-k aggregate: O(groups·k) shuffle, vs the window
     // route's O(rows) — exploded to rows so DuckDB can verify the values
     "q_topk_agg" -> ((s, d) => {
@@ -1554,6 +1558,9 @@ object SparkEntry {
          WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.4""",
     // multi-pass Lloyd replay, CTE-per-pass (see kmeansOracleSql)
     "s_kmeans" -> operators.Similarity.kmeansOracleSql(8, 2),
+    // power iteration replayed pass by pass: fixed-point accumulate,
+    // list-ordered norm, normalize — the kmeans bridge for PCA
+    "s_pca" -> operators.Similarity.pcaOracleSql(3, 64),
     // nearest-centroid classifier mirror: per-class fixed-point means
     // (the coarseCentroids arithmetic), nearest class by cosine with the
     // nearest_cells tie-break (smallest label), confusion-matrix rollup

@@ -648,6 +648,96 @@ object Similarity {
         graft.functions.Exact.round6(col("x")).as("x"))
   }
 
+  /** Top PRINCIPAL DIRECTION of the embedding corpus by power
+    * iteration — the structure read the clustering family lacks:
+    * "which single axis explains the most (uncentered) variance, and
+    * how strong is it" — embedding-collapse showing up as one
+    * dominant λ is the classic training-corpus pathology check.
+    *
+    * Engine-exact by the k-means recipe: the per-coordinate
+    * accumulation `w_j = Σ_i x_ij·(x_i·v)` uses fixed-point 2³⁰
+    * scaled-long sums (order-free), the dot products and the norm are
+    * SEQUENTIAL left-to-right folds (DuckDB's list_dot_product and
+    * the native dot_product walk the array identically — the proven
+    * kmeans bridge), v₀ = 1/√d everywhere, and each iteration's
+    * normalized v returns through the driver as d literals — so the
+    * whole iteration replays in DuckDB CTE-per-pass
+    * ([[pcaOracleSql]]) and every loading hash-matches.
+    *
+    * Scale shape: one corpus scan per iteration, map-side-combined to
+    * d fixed-point rows, d longs to the driver — the PageRank cost
+    * profile with d instead of nodes. Fixed-point sums are exact to
+    * ~2⁵³⁻³⁷ ≈ 6·10⁴ rows per unit value-scale here; widen to
+    * decimal(38) past ~10⁸ rows (the mwu precedent). Sign is the
+    * iteration's own (deterministic on both engines). */
+  def pcaTopComponent(embeddings: DataFrame, iters: Int = 3,
+      dim: Int = 64): DataFrame = {
+    val Scale = (1L << 30).toDouble
+    val e = prepared(embeddings)
+    var v = Array.fill(dim)(1.0 / math.sqrt(dim.toDouble))
+    var lambda = 0.0
+    for (_ <- 1 to iters) {
+      val vLit = array(v.toSeq.map(lit): _*)
+      val rows = e
+        .select(dotProduct(col("v"), vLit).as("dot"),
+          posexplode(col("v")).as(Seq("pos", "x")))
+        .select(col("pos"),
+          round(col("x") * col("dot") * lit(Scale)).cast("long").as("q"))
+        .groupBy(col("pos")).agg(sum(col("q")).as("s"))
+        .orderBy(col("pos")).collect()
+      val w = new Array[Double](dim)
+      rows.foreach(r => w(r.getInt(0)) = r.getLong(1).toDouble / Scale)
+      var ss = 0.0
+      var j = 0
+      while (j < dim) { ss += w(j) * w(j); j += 1 }
+      lambda = math.sqrt(ss)
+      v = w.map(_ / lambda)
+    }
+    val n = e.count()
+    def r6(x: Double) = math.floor(x * 1000000.0 + 0.5) / 1000000.0
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    v.toSeq.zipWithIndex
+      .map { case (x, p) => (p.toLong, r6(x), r6(lambda), n) }
+      .toDF("pos", "loading", "lambda", "n_vectors")
+  }
+
+  /** DuckDB mirror for [[pcaTopComponent]]: v₀ → `iters` ×
+    * (fixed-point accumulate, list-ordered norm, normalize) as
+    * CTE-per-pass, operand-for-operand the Scala side's arithmetic. */
+  def pcaOracleSql(iters: Int = 3, dim: Int = 64): String = {
+    def passCtes(p: Int): String = {
+      val prev = if (p == 1) "v0" else s"v${p - 1}"
+      s"""s$p AS (SELECT t.i - 1 AS pos,
+              sum(CAST(round(list_extract(e.v, t.i)
+                    * list_dot_product(e.v, $prev.vl)
+                    * 1073741824.0) AS BIGINT)) AS s
+            FROM e CROSS JOIN $prev
+            CROSS JOIN unnest(generate_series(1, $dim)) AS t(i)
+            GROUP BY 1),
+         w$p AS (SELECT list(CAST(s AS DOUBLE) / 1073741824.0 ORDER BY pos) AS wl
+                 FROM s$p),
+         v$p AS (SELECT list_transform(wl,
+                   x -> x / sqrt(list_dot_product(wl, wl))) AS vl,
+                 sqrt(list_dot_product(wl, wl)) AS lam
+                 FROM w$p)"""
+    }
+    val passes = (1 to iters).map(passCtes).mkString(",\n         ")
+    s"""WITH e AS (SELECT vec_id,
+              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings),
+         v0 AS (SELECT list_transform(generate_series(1, $dim),
+                  i -> 1.0 / sqrt(CAST($dim AS DOUBLE))) AS vl),
+         $passes,
+         nn AS (SELECT CAST(count(*) AS BIGINT) AS n_vectors FROM e)
+         SELECT CAST(t.i - 1 AS BIGINT) AS pos,
+                floor(list_extract(vl, t.i) * 1000000.0 + 0.5) / 1000000.0 AS loading,
+                floor(lam * 1000000.0 + 0.5) / 1000000.0 AS lambda,
+                n_vectors
+         FROM v$iters, nn
+         CROSS JOIN unnest(generate_series(1, $dim)) AS t(i)"""
+  }
+
   /** DuckDB mirror for [[kmeansCentroids]]: seeds → `refinePasses` ×
     * (assign + fixed-point mean) → final assignment counts, generated
     * CTE-per-pass like the BPE oracle. Arithmetic is operand-for-operand

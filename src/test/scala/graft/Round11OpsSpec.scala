@@ -120,6 +120,38 @@ class QuantUpsertSpec extends SparkSpec {
   * state) must equal the batch lead() over the whole ordered change
   * log at any batch split, with the MV family's exactly-once retry
   * semantics. */
+/** Power-iteration PCA: on rank-1 data the top direction is known in
+  * closed form, and the returned loadings are a unit vector. */
+class PcaSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("rank-1 corpus recovers its generating direction and energy") {
+    // every vector is a multiple of (0.6, 0.8): the top eigenvector is
+    // exactly that axis, lambda = sum of squared norms = 150
+    val emb = Seq(
+      (1L, Seq(3.0f, 4.0f)), (2L, Seq(6.0f, 8.0f)), (3L, Seq(-3.0f, -4.0f)))
+      .toDF("vec_id", "embedding")
+    val card = graft.operators.Similarity.pcaTopComponent(emb, iters = 3, dim = 2)
+      .orderBy("pos").collect()
+    val loadings = card.map(_.getDouble(1))
+    val lambda = card.head.getDouble(2)
+    assert(math.abs(math.abs(loadings(0)) - 0.6) < 1e-4, loadings.toSeq.toString)
+    assert(math.abs(math.abs(loadings(1)) - 0.8) < 1e-4)
+    assert(loadings(0).sign == loadings(1).sign) // same ray
+    assert(math.abs(lambda - 150.0) < 1e-3, s"lambda=$lambda")
+    assert(card.head.getLong(3) == 3L)
+  }
+
+  test("loadings are a unit vector on the real corpus") {
+    val card = graft.operators.Similarity
+      .pcaTopComponent(Tables.embeddings(spark, sfDir)).collect()
+    assert(card.length == 64)
+    val norm2 = card.map(r => r.getDouble(1) * r.getDouble(1)).sum
+    assert(math.abs(norm2 - 1.0) < 1e-4, s"norm2=$norm2") // 6-dec rounding only
+    assert(card.head.getDouble(2) > 0.0) // lambda positive
+  }
+}
+
 class Scd2MvSpec extends SparkSpec {
   import spark.implicits._
   import org.apache.spark.sql.functions._
