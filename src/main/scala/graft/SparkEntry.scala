@@ -146,6 +146,12 @@ object SparkEntry {
     // direction by fixed-point power iteration, loadings + lambda
     // hash-matched against the CTE-per-pass DuckDB replay
     "s_pca" -> ((s, d) => Similarity.pcaTopComponent(Tables.embeddings(s, d))),
+    // top-k principal subspace via deflation: each converged direction
+    // is projected out MAP-ONLY (x − (x·v)v) and the next component
+    // power-iterates the deflated plan; every pass and every deflation
+    // replays CTE-for-CTE in DuckDB, so all k·d loadings hash-match
+    "s_pca_k" -> ((s, d) =>
+      Similarity.pcaComponents(Tables.embeddings(s, d), k = 4)),
     // bounded-buffer top-k aggregate: O(groups·k) shuffle, vs the window
     // route's O(rows) — exploded to rows so DuckDB can verify the values
     "q_topk_agg" -> ((s, d) => {
@@ -1561,6 +1567,7 @@ object SparkEntry {
     // power iteration replayed pass by pass: fixed-point accumulate,
     // list-ordered norm, normalize — the kmeans bridge for PCA
     "s_pca" -> operators.Similarity.pcaOracleSql(3, 64),
+    "s_pca_k" -> operators.Similarity.pcaKOracleSql(4, 3, 64),
     // nearest-centroid classifier mirror: per-class fixed-point means
     // (the coarseCentroids arithmetic), nearest class by cosine with the
     // nearest_cells tie-break (smallest label), confusion-matrix rollup

@@ -85,10 +85,15 @@ object BloomJoin {
   def semiJoin(probe: DataFrame, probeKey: String,
       build: DataFrame, buildKey: String,
       mBits: Int = 1 << 20, k: Int = 4): DataFrame = {
-    val keys = build.select(col(buildKey))
-    val bits = buildBits(keys, col(buildKey), mBits, k)
+    // the re-check key rides under a reserved alias: with the natural
+    // spelling (both sides named "id") an unqualified
+    // col(probeKey) === col(buildKey) is ambiguous across the join and
+    // Spark rejects it — the alias makes the condition side-unique for
+    // ANY key names (probe columns may not start with "__graft")
+    val keys = build.select(col(buildKey).as(BuildKeyAlias))
+    val bits = buildBits(keys, col(BuildKeyAlias), mBits, k)
     probe.where(mightContain(bits, col(probeKey), k))
-      .join(keys, col(probeKey) === col(buildKey), "left_semi")
+      .join(keys, col(probeKey) === col(BuildKeyAlias), "left_semi")
   }
 
   /** `probe LEFT ANTI JOIN build` with a Bloom BYPASS: a key the
@@ -102,11 +107,16 @@ object BloomJoin {
   def antiJoin(probe: DataFrame, probeKey: String,
       build: DataFrame, buildKey: String,
       mBits: Int = 1 << 20, k: Int = 4): DataFrame = {
-    val keys = build.select(col(buildKey))
-    val bits = buildBits(keys, col(buildKey), mBits, k)
+    val keys = build.select(col(buildKey).as(BuildKeyAlias))
+    val bits = buildBits(keys, col(BuildKeyAlias), mBits, k)
     val might = mightContain(bits, col(probeKey), k)
     probe.where(!might)
       .unionByName(probe.where(might)
-        .join(keys, col(probeKey) === col(buildKey), "left_anti"))
+        .join(keys, col(probeKey) === col(BuildKeyAlias), "left_anti"))
   }
+
+  /** Side-unique name the exact re-check join binds the build key
+    * under (see [[semiJoin]]) — identical probe/build key names stay
+    * unambiguous. */
+  private val BuildKeyAlias = "__graft_bloom_bk"
 }

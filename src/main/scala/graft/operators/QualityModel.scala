@@ -159,23 +159,6 @@ object QualityModel {
   def trainAndScore(docs: DataFrame, iters: Int = 3): DataFrame =
     score(docs, train(features(docs).persist(), iters))
 
-  /** Reliability (calibration) card for the trained classifier — a
-    * score is only a useful GATE if 0.8 means "keeps 80%": per
-    * predicted-probability decile, how many documents landed there,
-    * the mean prediction vs the empirical keep rate, their gap, and
-    * the per-bucket Brier score. A well-calibrated model hugs
-    * mean_p ≈ emp_rate; a confident-but-wrong one shows at a glance.
-    *
-    * Integer-exact despite being probability arithmetic: p is already
-    * the 6-decimal-floored rational sigmoid, so `q = p·10⁶` recovers
-    * an exact integer per row, buckets are integer division
-    * (`q div 10⁵`, capped at 9 so p = 1.0 joins the top decile), and
-    * every aggregate is an integer sum — mean, rate, gap and Brier
-    * are ONE closing division each. The Brier numerator `(q − y·10⁶)²`
-    * is ≤ 10¹² per row, so the bigint sum is exact to ~9·10⁶ docs per
-    * bucket; beyond that, pre-scale q to a 10³ grid (same card, 3
-    * fewer exact decimals). One aggregate at bucket grain — the card
-    * costs a feature scan, map-side combinable all the way. */
   /** ROC-AUC for the trained classifier — [[calibrationCard]] asks
     * "is the score a rate", this asks "does it RANK": the probability
     * a random kept doc outscores a random dropped one. Computed as
@@ -213,6 +196,23 @@ object QualityModel {
               / (lit(2.0) * col("n_pos") * col("n_neg")))).as("auc"))
   }
 
+  /** Reliability (calibration) card for the trained classifier — a
+    * score is only a useful GATE if 0.8 means "keeps 80%": per
+    * predicted-probability decile, how many documents landed there,
+    * the mean prediction vs the empirical keep rate, their gap, and
+    * the per-bucket Brier score. A well-calibrated model hugs
+    * mean_p ≈ emp_rate; a confident-but-wrong one shows at a glance.
+    *
+    * Integer-exact despite being probability arithmetic: p is already
+    * the 6-decimal-floored rational sigmoid, so `q = p·10⁶` recovers
+    * an exact integer per row, buckets are integer division
+    * (`q div 10⁵`, capped at 9 so p = 1.0 joins the top decile), and
+    * every aggregate is an integer sum — mean, rate, gap and Brier
+    * are ONE closing division each. The Brier numerator `(q − y·10⁶)²`
+    * is ≤ 10¹² per row, so the bigint sum is exact to ~9·10⁶ docs per
+    * bucket; beyond that, pre-scale q to a 10³ grid (same card, 3
+    * fewer exact decimals). One aggregate at bucket grain — the card
+    * costs a feature scan, map-side combinable all the way. */
   def calibrationCard(docs: DataFrame, iters: Int = 3): DataFrame = {
     import graft.functions.Exact.round6
     val feats = features(docs).persist()

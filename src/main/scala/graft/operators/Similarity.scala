@@ -672,11 +672,111 @@ object Similarity {
     * iteration's own (deterministic on both engines). */
   def pcaTopComponent(embeddings: DataFrame, iters: Int = 3,
       dim: Int = 64): DataFrame = {
-    val Scale = (1L << 30).toDouble
+    val spark = embeddings.sparkSession
+    import spark.implicits._
     val e = prepared(embeddings)
+    if (!pcaDimGuard(e, dim, "pcaTopComponent"))
+      return Seq.empty[(Long, Double, Double, Long)]
+        .toDF("pos", "loading", "lambda", "n_vectors")
+    val (v, lambda) = powerIterate(e, iters, dim)
+    // an all-zero corpus accumulates w = 0 → λ = 0 and v would be
+    // 0/0 NaN loadings: the honest card is EMPTY, not NaN rows
+    if (lambda == 0.0)
+      return Seq.empty[(Long, Double, Double, Long)]
+        .toDF("pos", "loading", "lambda", "n_vectors")
+    val n = e.count()
+    def r6(x: Double) = math.floor(x * 1000000.0 + 0.5) / 1000000.0
+    v.toSeq.zipWithIndex
+      .map { case (x, p) => (p.toLong, r6(x), r6(lambda), n) }
+      .toDF("pos", "loading", "lambda", "n_vectors")
+  }
+
+  /** TOP-K principal subspace by power iteration WITH DEFLATION — the
+    * collapse-pathology and visualization read [[pcaTopComponent]]'s
+    * single direction can't serve: after each converged direction v,
+    * the corpus is deflated MAP-ONLY (x ← x − (x·v)·v, a zip_with
+    * projection — no shuffle, no materialized copy) and the next
+    * component power-iterates over the deflated plan, so component c
+    * costs the same `iters` corpus scans as the first and the whole
+    * card is k·iters scans, each map-side-combined to d fixed-point
+    * rows.
+    *
+    * Engine-exactness inherits [[pcaTopComponent]]'s recipe wholesale
+    * (fixed-point 2³⁰ scaled-long coordinate sums, sequential
+    * list-ordered dots, v back as d literals per pass) PLUS the
+    * deflation arithmetic `x_j − dot·v_j` being the identical IEEE
+    * expression shape on both engines — [[pcaKOracleSql]] replays
+    * every pass and every deflation CTE-for-CTE, so all k·d loadings
+    * hash-match.
+    *
+    * A corpus of rank r < k stops after r components: the deflated
+    * residuals of an exactly-degenerate corpus sit at ~1e-16, far
+    * below the 2⁻³⁰ fixed-point grid, so the accumulated w is all
+    * zeros, λ = 0 exactly, and the card ends — deterministically on
+    * both engines (the rank-2 fixture spec pins this). */
+  def pcaComponents(embeddings: DataFrame, k: Int = 4, iters: Int = 3,
+      dim: Int = 64): DataFrame = {
+    require(k >= 1, s"pcaComponents: k must be >= 1: $k")
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    var e = prepared(embeddings)
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Double, Double, Long)]
+    def r6(x: Double) = math.floor(x * 1000000.0 + 0.5) / 1000000.0
+    if (pcaDimGuard(e, dim, "pcaComponents")) {
+      val n = e.count()
+      var c = 1
+      var dead = false
+      while (c <= k && !dead) {
+        val (v, lambda) = powerIterate(e, iters, dim)
+        if (lambda == 0.0) dead = true
+        else {
+          v.zipWithIndex.foreach { case (x, p) =>
+            out += ((c.toLong, p.toLong, r6(x), r6(lambda), n))
+          }
+          if (c < k) {
+            val vLit = array(v.toSeq.map(lit): _*)
+            e = e.withColumn("__dot", dotProduct(col("v"), vLit))
+              .select(col("vec_id"),
+                zip_with(col("v"), vLit,
+                  (x, vj) => x - col("__dot") * vj).as("v"))
+          }
+        }
+        c += 1
+      }
+    }
+    out.toSeq.toDF("component", "pos", "loading", "lambda", "n_vectors")
+  }
+
+  /** First-row length check shared by the PCA entries: an EMPTY corpus
+    * returns false (callers emit the empty card), a corpus whose
+    * vectors disagree with `dim` fails fast — a smaller `dim` would
+    * crash the driver-side `w(pos)` write, a larger one silently
+    * zero-pads and diverges from the oracle's list_extract nulls. */
+  private def pcaDimGuard(e: DataFrame, dim: Int, what: String): Boolean = {
+    val first = e.select(size(col("v")).as("n")).limit(1).collect()
+    if (first.isEmpty) false
+    else {
+      val actual = first.head.getInt(0)
+      require(actual == dim,
+        s"$what: dim=$dim but embeddings have length $actual")
+      true
+    }
+  }
+
+  /** The shared power-iteration loop over a (possibly deflated)
+    * corpus plan: `iters` × (fixed-point accumulate, sequential norm,
+    * normalize). Returns λ = 0 (and the last good v) when an
+    * iteration accumulates all-zero sums — no variance left to
+    * follow, the deflation-exhausted / all-zero-corpus signal. */
+  private def powerIterate(e: DataFrame, iters: Int,
+      dim: Int): (Array[Double], Double) = {
+    val Scale = (1L << 30).toDouble
     var v = Array.fill(dim)(1.0 / math.sqrt(dim.toDouble))
     var lambda = 0.0
-    for (_ <- 1 to iters) {
+    var it = 0
+    var dead = false
+    while (it < iters && !dead) {
       val vLit = array(v.toSeq.map(lit): _*)
       val rows = e
         .select(dotProduct(col("v"), vLit).as("dot"),
@@ -691,15 +791,11 @@ object Similarity {
       var j = 0
       while (j < dim) { ss += w(j) * w(j); j += 1 }
       lambda = math.sqrt(ss)
-      v = w.map(_ / lambda)
+      if (lambda == 0.0) dead = true
+      else v = w.map(_ / lambda)
+      it += 1
     }
-    val n = e.count()
-    def r6(x: Double) = math.floor(x * 1000000.0 + 0.5) / 1000000.0
-    val spark = embeddings.sparkSession
-    import spark.implicits._
-    v.toSeq.zipWithIndex
-      .map { case (x, p) => (p.toLong, r6(x), r6(lambda), n) }
-      .toDF("pos", "loading", "lambda", "n_vectors")
+    (v, lambda)
   }
 
   /** DuckDB mirror for [[pcaTopComponent]]: v₀ → `iters` ×
@@ -736,6 +832,57 @@ object Similarity {
                 n_vectors
          FROM v$iters, nn
          CROSS JOIN unnest(generate_series(1, $dim)) AS t(i)"""
+  }
+
+  /** DuckDB mirror for [[pcaComponents]]: the [[pcaOracleSql]] pass
+    * CTEs repeated per component, with a DEFLATION CTE between
+    * components (`x_j − (x·v)·v_j`, the identical IEEE expression
+    * shape as the Spark zip_with) — operand-for-operand the Scala
+    * side's arithmetic, so all k·d loadings and every λ hash-match. */
+  def pcaKOracleSql(k: Int = 4, iters: Int = 3, dim: Int = 64): String = {
+    def passCtes(c: Int, p: Int): String = {
+      val prev = if (p == 1) "v0" else s"v${c}_${p - 1}"
+      s"""s${c}_$p AS (SELECT t.i - 1 AS pos,
+              sum(CAST(round(list_extract(e.v, t.i)
+                    * list_dot_product(e.v, $prev.vl)
+                    * 1073741824.0) AS BIGINT)) AS s
+            FROM e$c e CROSS JOIN $prev
+            CROSS JOIN unnest(generate_series(1, $dim)) AS t(i)
+            GROUP BY 1),
+         w${c}_$p AS (SELECT list(CAST(s AS DOUBLE) / 1073741824.0 ORDER BY pos) AS wl
+                 FROM s${c}_$p),
+         v${c}_$p AS (SELECT list_transform(wl,
+                   x -> x / sqrt(list_dot_product(wl, wl))) AS vl,
+                 sqrt(list_dot_product(wl, wl)) AS lam
+                 FROM w${c}_$p)"""
+    }
+    def deflCte(c: Int): String =
+      s"""e${c + 1} AS (SELECT e.vec_id,
+            list_transform(generate_series(1, $dim),
+              i -> list_extract(e.v, i)
+                   - list_dot_product(e.v, d$c.vl) * list_extract(d$c.vl, i)) AS v
+          FROM e$c e CROSS JOIN v${c}_$iters d$c)"""
+    val body = (1 to k).map { c =>
+      val passes = (1 to iters).map(p => passCtes(c, p)).mkString(",\n         ")
+      if (c < k) s"$passes,\n         ${deflCte(c)}" else passes
+    }.mkString(",\n         ")
+    val rows = (1 to k).map { c =>
+      s"""SELECT CAST($c AS BIGINT) AS component,
+                CAST(t.i - 1 AS BIGINT) AS pos,
+                floor(list_extract(vl, t.i) * 1000000.0 + 0.5) / 1000000.0 AS loading,
+                floor(lam * 1000000.0 + 0.5) / 1000000.0 AS lambda,
+                n_vectors
+         FROM v${c}_$iters, nn
+         CROSS JOIN unnest(generate_series(1, $dim)) AS t(i)"""
+    }.mkString("\n         UNION ALL\n         ")
+    s"""WITH e1 AS (SELECT vec_id,
+              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings),
+         v0 AS (SELECT list_transform(generate_series(1, $dim),
+                  i -> 1.0 / sqrt(CAST($dim AS DOUBLE))) AS vl),
+         $body,
+         nn AS (SELECT CAST(count(*) AS BIGINT) AS n_vectors FROM e1)
+         $rows"""
   }
 
   /** DuckDB mirror for [[kmeansCentroids]]: seeds → `refinePasses` ×

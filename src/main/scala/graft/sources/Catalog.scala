@@ -906,6 +906,16 @@ class Catalog(spark: SparkSession, baseDir: String,
     * serve. */
   def buildTextIndex(name: String, docs: DataFrame): Unit = {
     import graft.operators.TextAnalysis
+    // a REBUILD under an existing name must not leave prior upsert
+    // segments behind: loadTextIndex unions every committed *_seg_b*
+    // part, so stale segments would silently double-count df/dl and
+    // the folded stats against the fresh base
+    val root = new Path(s"$derivedDir/$name")
+    val fs = root.getFileSystem(hconf)
+    if (fs.exists(root))
+      fs.listStatus(root).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.contains("_seg_b"))
+        .foreach(s => fs.delete(s.getPath, true))
     commitIndexPart(name, "postings",
       TextAnalysis.textPostings(docs)
         .repartitionByRange(col("term"))
@@ -989,7 +999,17 @@ class Catalog(spark: SparkSession, baseDir: String,
     * fold applied to the three-part layout: folded postings/dl, the
     * folded 1-row stats, and EMPTY tombstone segments (all three
     * parts) named for the highest applied batch so exactly-once
-    * survives the fold; one atomic dir swap installs it all. */
+    * survives the fold; one atomic dir swap installs it all.
+    *
+    * EXACTLY-ONCE NARROWING (shared with [[compactAnnIndex]]): only
+    * the HIGHEST folded batch id keeps its tombstone, so only a
+    * replay of that LAST batch no-ops after compaction — a replay of
+    * an EARLIER folded id would pass [[upsertTextIndex]]'s gate and
+    * double-count. Checkpointed streams satisfy this by construction
+    * (a restart replays at most the last uncommitted batch, and batch
+    * ids are monotone); a driver that can re-submit arbitrary
+    * historical batches must keep its own applied-id ledger or skip
+    * compaction. */
   def compactTextIndex(name: String): Unit = {
     recoverDirSwap(name, "postings")
     val root = new Path(s"$derivedDir/$name")
