@@ -779,6 +779,52 @@ object ScaleSmoke {
       operators.QualityModel.calibrationCard(bd)
         .write.format("noop").mode("overwrite").save()
     }
+    // BUCKETED vs FULL-REWRITE MV refresh as stored keys grow 10×:
+    // the full rung re-materializes every stored key per refresh, so
+    // its per-refresh cost tracks state size; the bucketed rung merges
+    // only the buckets the (fixed, small) delta touches, so its cost
+    // must stay FLAT — the round-12 verdict row. Same 100-key delta
+    // against 200k- vs 2M-key stored states, 64 buckets.
+    locally {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-scale-bmv").toString
+      val cat = new graft.sources.Catalog(spark, root)
+      def keysDf(n: Long) = spark.range(n)
+        .select(concat(lit("k"), col("id")).as("k"), lit(1L).as("cnt"))
+      def delta = spark.range(5)
+        .select(concat(lit("k"), col("id")).as("k"), lit(1L).as("cnt"))
+      // wall-clock at this size is fixed job overhead on both rungs;
+      // the scale signal is WRITE AMPLIFICATION — parquet bytes the
+      // refresh rewrote (files newer than the refresh start). The full
+      // rung rewrites the whole state (10× keys → ~10× bytes); the
+      // bucketed rung rewrites only the ≤ 5 touched buckets, and with
+      // B sized to the key cardinality (64 → 640 here — the knob every
+      // deployment sets from expected keys) the touched-bucket bytes
+      // stay FLAT as the state grows 10×.
+      def rewrittenBytes(name: String, since: Long): Long = {
+        def walk(f: java.io.File): Long =
+          if (f.isDirectory) f.listFiles().map(walk).sum
+          else if (f.getName.endsWith(".parquet") && f.lastModified() >= since)
+            f.length()
+          else 0L
+        walk(new java.io.File(s"${cat.derivedDir}/$name"))
+      }
+      Seq(("1x", 200000L, 64), ("10x", 2000000L, 640)).foreach { case (tag, n, b) =>
+        cat.refreshAggMv(s"flat_$tag", keysDf(n), Seq("k"))
+        cat.refreshAggMvBucketed(s"bkt_$tag", keysDf(n), Seq("k"), b)
+        Thread.sleep(1100) // mtime granularity
+        val t0 = System.currentTimeMillis()
+        time(s"mv_refresh_full_$tag") {
+          cat.refreshAggMv(s"flat_$tag", delta, Seq("k")): Unit
+        }
+        println(f"[scale] mv_full_${tag}_rewrote   ${rewrittenBytes(s"flat_$tag", t0) / 1024.0}%10.1f KiB")
+        val t1 = System.currentTimeMillis()
+        time(s"mv_refresh_bucketed_$tag") {
+          cat.refreshAggMvBucketed(s"bkt_$tag", delta, Seq("k"), b): Unit
+        }
+        println(f"[scale] mv_bkt_${tag}_rewrote    ${rewrittenBytes(s"bkt_$tag", t1) / 1024.0}%10.1f KiB")
+      }
+    }
     spark.stop()
   }
 }

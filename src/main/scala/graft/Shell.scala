@@ -70,12 +70,14 @@ object Shell {
           "token_budget [tokens] | mmr [k] | ttest | anova | survival | " +
           "mwu [typeA typeB] | attribution_multi | harmonic | ndcg | " +
           "kanon [k] | paths [k] | contract | drift | bm25 <terms...> | " +
+          "phrase <t1> <t2> [...] | pca [k] | " +
           "calibration | maintain [segs] | " +
           "exit | <sql>  (SQL reaches the operator TVFs too: " +
           "graft_asof(dir) graft_dedup_minhash(dir[,bands]) " +
           "graft_mmr(dir[,maxq]) graft_funnel(dir) graft_kanon(dir[,k]) " +
           "graft_prep_attrition(dir[,bench[,minq]]) graft_contract(dir) " +
-          "graft_doctor(sql) graft_drift(dir) graft_bm25(dir,query[,k]))")
+          "graft_doctor(sql) graft_drift(dir) graft_bm25(dir,query[,k]) " +
+          "graft_bm25_phrase(dir,phrase[,k]))")
       case "ls" :: Nil => cat.list().foreach(println)
       case "stats" :: Nil => cat.stats().show(100, truncate = false)
       case "nodes" :: Nil => cat.executorStats().show(100, truncate = false)
@@ -380,6 +382,16 @@ object Shell {
         // lexical top-10 for the typed query terms
         operators.TextAnalysis.bm25(Tables.documents(spark, dir), terms)
           .show(truncate = false)
+      case "phrase" :: terms if terms.size >= 2 =>
+        // phrase-scored top-10: the terms must be ADJACENT in the doc
+        operators.TextAnalysis.bm25Phrase(Tables.documents(spark, dir), terms)
+          .show(truncate = false)
+      case "pca" :: rest if rest.size <= 1 =>
+        // top-k principal directions (collapse check): one row per
+        // (component, coordinate), lambda = the direction's energy
+        val k = rest.headOption.map(_.toInt).getOrElse(2)
+        operators.Similarity.pcaComponents(Tables.embeddings(spark, dir), k)
+          .show(k * 64, truncate = false)
       case "calibration" :: Nil =>
         // is the quality score a rate? decile reliability + Brier
         operators.QualityModel.calibrationCard(Tables.documents(spark, dir))

@@ -380,6 +380,12 @@ object SparkEntry {
     // microbatch boundaries (the merge is algebraic)
     "fs_mv_stream" -> ((s, d) =>
       graft.streaming.EventStream.mvMaintenanceReplay(s, d)),
+    // the same live MV replay over the HASH-BUCKETED state layout:
+    // each microbatch merges and swaps only the gb=<i> dirs its keys
+    // hash to — O(touched) per refresh instead of O(stored keys) —
+    // and the folded state must still equal the whole-log recompute
+    "fs_mv_stream_bucketed" -> ((s, d) =>
+      graft.streaming.EventStream.mvMaintenanceReplay(s, d, bucketed = true)),
     // vocabulary/Zipf health card: exact head/tail mass, no log()
     "t_vocab_card" -> ((s, d) => TextAnalysis.vocabCard(Tables.documents(s, d))),
     // mutual-3-NN similarity graph, exact at this corpus size (the
@@ -498,6 +504,44 @@ object SparkEntry {
       TextAnalysis.bm25Indexed(cat.loadTextIndex("text_idx_up"),
         Seq("data", "join", "scan"))
     }),
+    // PHRASE-scored BM25: "data join" must occur at CONSECUTIVE
+    // positions (adjacency, not co-occurrence); tf = phrase starts,
+    // scored by the same tail with the phrase as one pseudo-term
+    "t_bm25_phrase" -> ((s, d) =>
+      TextAnalysis.bm25Phrase(Tables.documents(s, d), Seq("data", "join"))),
+    // the phrase query served from a POSITIONAL index: adjacency runs
+    // over <= |phrase| stored posting reads, the corpus is never
+    // re-tokenized; equals the direct scan exactly (same oracle)
+    "fs_bm25_phrase_idx" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val docs = Tables.documents(s, d)
+      val cat = new graft.sources.Catalog(s, d,
+        Some(graft.sources.Catalog.warehouseLayoutRoot(s, d)))
+      cat.dropDerived("text_idx_pos")
+      cat.buildTextIndex("text_idx_pos", docs.where(col("doc_id") % 4 =!= 0),
+        positional = true)
+      cat.upsertTextIndex("text_idx_pos", docs.where(col("doc_id") % 4 === 0),
+        batchId = 1L)
+      TextAnalysis.bm25PhraseIndexed(cat.loadTextIndex("text_idx_pos"),
+        Seq("data", "join"))
+    }),
+    // the TERM-BUCKETED index layout (the 100 TB postings story):
+    // postings in a term-bucketed metastore table — literal queries
+    // bucket-prune, probe joins never reshuffle the postings side —
+    // with an O(Δ) bucketed segment upsert; same oracle as t_bm25
+    "fs_bm25_bucketed" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val docs = Tables.documents(s, d)
+      val cat = new graft.sources.Catalog(s, d,
+        Some(graft.sources.Catalog.warehouseLayoutRoot(s, d)))
+      cat.dropDerived("text_idx_bkt")
+      cat.buildTextIndexBucketed("text_idx_bkt",
+        docs.where(col("doc_id") % 5 =!= 0), nBuckets = 16)
+      cat.upsertTextIndexBucketed("text_idx_bkt",
+        docs.where(col("doc_id") % 5 === 0), batchId = 1L)
+      TextAnalysis.bm25Indexed(cat.loadTextIndexBucketed("text_idx_bkt"),
+        Seq("data", "join", "scan"))
+    }),
     "t_lang_confusion" -> ((s, d) => TextAnalysis.langConfusion(Tables.documents(s, d))),
     "d_source_stats" -> ((s, d) => TextAnalysis.sourceStats(Tables.documents(s, d))),
     "t_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(Tables.documents(s, d))),
@@ -598,6 +642,28 @@ object SparkEntry {
         dayAgg(ord.where(col("o_orderkey") % 10 =!= 0)), Seq("day"))
       cat.refreshAggMv("orders_day",
           dayAgg(ord.where(col("o_orderkey") % 10 === 0)), Seq("day"))
+        .select(col("day"), col("n_orders"),
+          (col("rev_cents").cast("double") / 100.0).as("revenue"))
+    }),
+    // the same durable MV under the HASH-BUCKETED state layout
+    // (gb=<i> subdirs, intent-file install): the second refresh merges
+    // and rewrites ONLY the buckets the 10% delta's days hash to —
+    // O(touched) instead of O(stored keys) — and the stored state must
+    // still reconstruct the full aggregate (same oracle as fs_incr_agg)
+    "fs_incr_agg_bucketed" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val ord = Tables.orders(s, d)
+      def dayAgg(df: org.apache.spark.sql.DataFrame) = df
+        .groupBy(date_format(col("o_orderdate"), "yyyy-MM-dd").as("day"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("rev_cents"))
+      val cat = new graft.sources.Catalog(s, d,
+        Some(graft.sources.Catalog.warehouseLayoutRoot(s, d)))
+      cat.dropDerived("orders_day_b")
+      cat.refreshAggMvBucketed("orders_day_b",
+        dayAgg(ord.where(col("o_orderkey") % 10 =!= 0)), Seq("day"), 16)
+      cat.refreshAggMvBucketed("orders_day_b",
+          dayAgg(ord.where(col("o_orderkey") % 10 === 0)), Seq("day"), 16)
         .select(col("day"), col("n_orders"),
           (col("rev_cents").cast("double") / 100.0).as("revenue"))
     }),
@@ -785,6 +851,19 @@ object SparkEntry {
     // losslessly, so the served search equals the direct corpus scan
     "d_index_stream" -> ((s, d) =>
       graft.streaming.DocStream.textIndexMaintenanceReplay(s, d)),
+    // the live index with AUTO-MAINTAIN (20th replay shape): one-file
+    // triggers so segments accumulate fast, compaction fires from
+    // INSIDE the foreachBatch drive whenever committed segments reach
+    // 4 — the post-run search still equals the direct corpus scan
+    "d_index_maint" -> ((s, d) =>
+      graft.streaming.DocStream.textIndexMaintenanceReplay(s, d,
+        maxFilesPerTrigger = 1, autoMaintainAt = Some(4))),
+    // the numeric-drift gate LIVE (19th replay): both cohorts' values
+    // fold into one bottom-k quantile-sketch MV; the KS-style
+    // decile-shift card reads the <= k-per-cohort state — the oracle
+    // rebuilds both samples from the whole log
+    "e_drift_numeric" -> ((s, d) =>
+      graft.streaming.EventStream.numericDriftReplay(s, d)),
     "d_diversity" -> ((s, d) =>
       TextAnalysis.sourceDiversity(Tables.documents(s, d))),
     "t_source_overlap" -> ((s, d) =>
@@ -923,6 +1002,8 @@ object SparkEntry {
     "sql_drift" -> ((s, d) => s.sql(s"SELECT * FROM graft_drift('$d')")),
     "sql_bm25" -> ((s, d) =>
       s.sql(s"SELECT * FROM graft_bm25('$d', 'data join scan')")),
+    "sql_bm25_phrase" -> ((s, d) =>
+      s.sql(s"SELECT * FROM graft_bm25_phrase('$d', 'data join')")),
     // the pipeline-verb cards through the SQL front door: the prep
     // attrition report (benchmark = doc_ids below 20, minQuality 0.20
     // — the d_prep_attrition demo config) and the ingest contract card
@@ -1811,6 +1892,14 @@ object SparkEntry {
     "t_bm25" -> bm25Sql,
     "fs_bm25_indexed" -> bm25Sql,
     "fs_bm25_upsert" -> bm25Sql,
+    "fs_bm25_bucketed" -> bm25Sql,
+    "d_index_maint" -> bm25Sql,
+    // adjacency as list_contains arithmetic over ordinality-derived
+    // positions; the identical BM25 tail with the phrase pseudo-term
+    "t_bm25_phrase" ->
+      operators.TextAnalysis.bm25PhraseOracleSql(Seq("data", "join")),
+    "fs_bm25_phrase_idx" ->
+      operators.TextAnalysis.bm25PhraseOracleSql(Seq("data", "join")),
     // the streamed index serves the same scores as the direct scan
     "d_index_stream" -> bm25Sql,
     // the bloom MV's read is semantically exact: candidates minus the
@@ -2024,6 +2113,40 @@ object SparkEntry {
     "fs_incr_qsketch" -> qsketchSql,
     // the streamed twin over events: per-type value percentiles from
     // the stream-folded bottom-k state == the whole-log rebuild
+    // numeric drift: BOTH cohort samples rebuilt from the whole log
+    // (bottom-256 by the md5 portable hash, min-val per hash), ref
+    // deciles at rank ceil(d·n/10), CDFs at those values, shift as the
+    // exact integer cross-multiply with one closing division
+    "e_drift_numeric" ->
+      """WITH hx AS (SELECT user_id % 2 AS c,
+                     CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15) AS BIGINT) AS hsh,
+                     value AS val
+              FROM events),
+         d AS (SELECT c, hsh, min(val) AS val FROM hx GROUP BY c, hsh),
+         r AS (SELECT c, val, row_number() OVER (PARTITION BY c ORDER BY hsh) AS rn FROM d),
+         smp AS (SELECT c, val FROM r WHERE rn <= 256),
+         n AS (SELECT c, CAST(count(*) AS BIGINT) AS n FROM smp GROUP BY c),
+         rk AS (SELECT c, val, row_number() OVER (PARTITION BY c ORDER BY val) AS rnk FROM smp),
+         dec AS (SELECT CAST(t.i AS BIGINT) AS decile FROM unnest(generate_series(1, 9)) AS t(i)),
+         vd AS (SELECT dec.decile, rk.val AS ref_value
+                FROM rk JOIN n ON n.c = 0 AND rk.c = 0
+                CROSS JOIN dec
+                WHERE rk.rnk = (dec.decile * n.n + 9) // 10),
+         cdf AS (SELECT vd.decile, vd.ref_value,
+                   CAST(sum(CASE WHEN smp.c = 0 AND smp.val <= vd.ref_value THEN 1 ELSE 0 END) AS BIGINT) AS c_ref,
+                   CAST(sum(CASE WHEN smp.c = 1 AND smp.val <= vd.ref_value THEN 1 ELSE 0 END) AS BIGINT) AS c_cur
+                 FROM smp CROSS JOIN vd GROUP BY 1, 2),
+         nn AS (SELECT max(CASE WHEN c = 0 THEN n END) AS n_ref,
+                       max(CASE WHEN c = 1 THEN n END) AS n_cur FROM n),
+         card AS (SELECT decile, ref_value,
+                   floor(CAST(c_ref AS DOUBLE) / CAST(n_ref AS DOUBLE) * 1000000 + 0.5) / 1000000 AS cdf_ref,
+                   floor(CAST(c_cur AS DOUBLE) / CAST(n_cur AS DOUBLE) * 1000000 + 0.5) / 1000000 AS cdf_cur,
+                   floor(CAST(abs(c_ref * n_cur - c_cur * n_ref) AS DOUBLE)
+                         / CAST(n_ref * n_cur AS DOUBLE) * 1000000 + 0.5) / 1000000 AS shift
+                 FROM cdf, nn)
+         SELECT decile, ref_value, cdf_ref, cdf_cur, shift,
+                (SELECT max(shift) FROM card) AS ks
+         FROM card""",
     "e_qsketch_stream" ->
       """WITH hx AS (SELECT event_type,
                      CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15) AS BIGINT) AS hsh,
@@ -3025,6 +3148,11 @@ object SparkEntry {
                 CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
                   / 100.0 AS sum_value
          FROM events GROUP BY event_type""",
+    "fs_mv_stream_bucketed" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS cnt,
+                CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
+                  / 100.0 AS sum_value
+         FROM events GROUP BY event_type""",
     "q4_exists" ->
       """SELECT o_orderpriority, count(*) AS order_count
          FROM orders o
@@ -3387,6 +3515,13 @@ object SparkEntry {
     // the oracle recomputes from scratch; equality proves the stored
     // base state + delta merge reconstructs the full aggregate
     "fs_incr_agg" ->
+      """SELECT strftime(o_orderdate, '%Y-%m-%d') AS day,
+                CAST(count(*) AS BIGINT) AS n_orders,
+                CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+                  / 100.0 AS revenue
+         FROM orders GROUP BY 1""",
+    // the bucketed layout must serve the identical state
+    "fs_incr_agg_bucketed" ->
       """SELECT strftime(o_orderdate, '%Y-%m-%d') AS day,
                 CAST(count(*) AS BIGINT) AS n_orders,
                 CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
@@ -4749,6 +4884,8 @@ object SparkEntry {
     "sql_asof" -> asOfSql,
     "sql_drift" -> driftSql,
     "sql_bm25" -> bm25Sql,
+    "sql_bm25_phrase" ->
+      operators.TextAnalysis.bm25PhraseOracleSql(Seq("data", "join")),
     "sql_dedup_minhash" -> ngramJaccardSql,
     "sql_mmr" -> mmrSql,
   )

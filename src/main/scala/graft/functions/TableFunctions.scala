@@ -174,6 +174,17 @@ object TableFunctions {
         graft.Tables.documents(spark, strArg("graft_bm25", exprs, 0)),
         terms, k = longArg("graft_bm25", exprs, 2, 10L).toInt)
     }
+    tvf(ext, "graft_bm25_phrase",
+      "graft_bm25_phrase(dir, phrase[, k]) - PHRASE-scored BM25 top-k " +
+        "(terms must occur at consecutive positions) over " +
+        "<dir>/documents") { (spark, exprs) =>
+      maxArgs("graft_bm25_phrase", exprs, 3)
+      val terms = strArg("graft_bm25_phrase", exprs, 1)
+        .split("\\s+").filter(_.nonEmpty).toSeq
+      graft.operators.TextAnalysis.bm25Phrase(
+        graft.Tables.documents(spark, strArg("graft_bm25_phrase", exprs, 0)),
+        terms, k = longArg("graft_bm25_phrase", exprs, 2, 10L).toInt)
+    }
     tvf(ext, "graft_doctor",
       "graft_doctor(sql) - lint <sql>'s plan for scale-killers " +
         "(cartesian/BNLJ/unpartitioned window/1-task exchange/wide " +

@@ -1037,6 +1037,60 @@ object Similarity {
     * end-to-end in SQL; integer hit counts, one exact division. A
     * params/data change that silently costs recall moves the card and
     * fails the gate loudly — measured, not assumed. */
+  /** A recall-gated search's outcome: the PASSING result set plus the
+    * escalation audit trail — one (nProbe, measured recall) entry per
+    * attempt, the evidence an operator reads when the gate fired. */
+  final case class RecallGated(result: DataFrame, trail: Seq[(Int, Double)])
+
+  /** RECALL-GATED IVF search — the AutoSalt detect→rewrite→re-verify
+    * pattern applied to ANN quality: search at `nProbe`, MEASURE
+    * recall@k of the gate queries against the exact top-k over the
+    * index's own vectors, and while the measured recall sits below
+    * `floor`, DOUBLE nProbe and re-search — up to the cell count,
+    * where probing everything makes the search exhaustive and recall
+    * 1.0 by construction, so the loop always terminates at the floor.
+    * A degraded index (stale centroids after the corpus drifted, a
+    * skewed cell layout) trips the gate instead of silently serving
+    * bad neighbors — the knob stops being the caller's guess.
+    *
+    * Cost shape: the exact baseline is ONE stream of the index
+    * vectors against the (small, broadcast) gate-query set, computed
+    * once and reused across escalations; each escalation re-probes
+    * only nProbe cells per query. At 100 TB the gate runs on a query
+    * SAMPLE at index-build/refresh time, never per production query. */
+  def ivfSearchRecallGated(index: IvfIndex, queries: DataFrame, k: Int,
+      floor: Double = 0.9, nProbe0: Int = 1): RecallGated = {
+    require(floor > 0.0 && floor <= 1.0, s"floor out of (0,1]: $floor")
+    val nCells = index.centroids.count().toInt
+    val exact = topKPerQuery(
+      index.assignments
+        .join(broadcast(queries), col("vec_id") =!= col("query_id"))
+        .withColumn("cos", cosineSim(col("qv"), col("v"))), k)
+      .select(col("query_id"), col("neighbor_id"))
+      .persist()
+    val nTrue = exact.count() // pins the baseline; denominator of every gate
+    def recallOf(res: DataFrame): Double =
+      if (nTrue == 0L) 1.0
+      else exact
+        .join(res.select(col("query_id"), col("neighbor_id"),
+          lit(1L).as("hit")), Seq("query_id", "neighbor_id"), "left")
+        .agg(coalesce(sum(col("hit")), lit(0L)).cast("double") / lit(nTrue.toDouble))
+        .head().getDouble(0)
+    var nProbe = math.max(1, nProbe0)
+    val trail = scala.collection.mutable.ArrayBuffer.empty[(Int, Double)]
+    var res = ivfSearch(index, queries, k, nProbe)
+    var r = recallOf(res)
+    trail += ((nProbe, r))
+    while (r < floor && nProbe < nCells) {
+      nProbe = math.min(nCells, nProbe * 2)
+      res = ivfSearch(index, queries, k, nProbe)
+      r = recallOf(res)
+      trail += ((nProbe, r))
+    }
+    exact.unpersist()
+    RecallGated(res, trail.toSeq)
+  }
+
   def annRecall(embeddings: DataFrame, maxQueryId: Long = 5,
       k: Int = 10): DataFrame = {
     // empty-partition tolerance: the IVF build requires ≥1 vector to

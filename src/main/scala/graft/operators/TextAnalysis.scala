@@ -699,6 +699,57 @@ object TextAnalysis {
         col("v").as("ks_at"))
   }
 
+  /** KS-style DECILE-SHIFT card from two bounded (cohort, value)
+    * SAMPLES — the numeric-drift monitor that reads off ALREADY-LIVE
+    * quantile-sketch MV state instead of rescanning both corpora (the
+    * [[driftKs]] cost): the reference cohort's deciles are picked from
+    * its ≤ k stored sample rows (percentile_disc rank
+    * `ceil(d·n/10)`), both samples' empirical CDFs are evaluated at
+    * those nine values, and the shift per decile is the exact-integer
+    * cross-multiply `|c_ref·n_cur − c_cur·n_ref| / (n_ref·n_cur)`
+    * with ONE closing division; `ks` = the max of the nine ROUNDED
+    * shifts rides every row. Everything here is sketch-grain (≤ k
+    * rows per cohort — metadata, never data): the always-fresh
+    * "did the value distribution move" gate at 100 TB costs exactly
+    * what the sketch MV already paid. */
+  def decileShiftCard(sample: DataFrame, cohortCol: String,
+      refCohort: Long = 0L, curCohort: Long = 1L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.Exact.round6
+    val s = sample.select(col(cohortCol).cast("long").as("c"), col("val"))
+    val n = s.groupBy(col("c")).agg(count(lit(1)).as("n"))
+    val nRef = n.where(col("c") === refCohort).select(col("n").as("n_ref"))
+    val nCur = n.where(col("c") === curCohort).select(col("n").as("n_cur"))
+    // rank within the ref SAMPLE (≤ k rows — the partition is the
+    // whole bounded sketch, never a data-grain window)
+    val ranked = s.where(col("c") === refCohort)
+      .withColumn("rnk",
+        row_number().over(Window.partitionBy(col("c")).orderBy(col("val"))))
+    val spark = sample.sparkSession
+    val deciles = spark.range(1, 10).select(col("id").as("decile"))
+    val vd = ranked.crossJoin(broadcast(nRef))
+      .crossJoin(broadcast(deciles))
+      .where(col("rnk") === expr("(decile * n_ref + 9) div 10"))
+      .select(col("decile"), col("val").as("ref_value"))
+    val cdf = s.crossJoin(broadcast(vd))
+      .groupBy(col("decile"), col("ref_value"))
+      .agg(sum(when(col("c") === refCohort && col("val") <= col("ref_value"),
+          1L).otherwise(0L)).as("c_ref"),
+        sum(when(col("c") === curCohort && col("val") <= col("ref_value"),
+          1L).otherwise(0L)).as("c_cur"))
+    val card = cdf.crossJoin(broadcast(nRef)).crossJoin(broadcast(nCur))
+      .select(col("decile"), col("ref_value"),
+        round6(col("c_ref").cast("double") / col("n_ref").cast("double"))
+          .as("cdf_ref"),
+        round6(col("c_cur").cast("double") / col("n_cur").cast("double"))
+          .as("cdf_cur"),
+        round6(abs(col("c_ref") * col("n_cur") - col("c_cur") * col("n_ref"))
+            .cast("double")
+          / (col("n_ref") * col("n_cur")).cast("double")).as("shift"))
+    card.crossJoin(broadcast(card.agg(max(col("shift")).as("ks"))))
+      .orderBy(col("decile"))
+  }
+
   /** PII exposure audit by slice — the compliance data card a corpus
     * review reads BEFORE [[redact]] ships anything: per slice (source,
     * event type, …) the row count, rows carrying each PII shape, and
@@ -964,10 +1015,134 @@ object TextAnalysis {
     * corpus text must be re-read for. */
   case class TextIndex(postings: DataFrame, dl: DataFrame, stats: DataFrame)
 
+  /** [[textPostings]] WITH POSITIONS: `(doc_id, term, tf,
+    * positions array<int>)` — the posting-list grain a PHRASE query
+    * needs ("new york" ≠ "york new"); tf stays present, so every
+    * bag-of-words read over a positional index is unchanged. Storage
+    * cost is the token stream itself (one int per occurrence), the
+    * price every positional index pays (Lucene's prox file). */
+  def textPostingsPositional(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        posexplode(tokens(col("text"))).as(Seq("pos", "term")))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"),
+        sort_array(collect_list(col("pos"))).as("positions"))
+
+  /** PHRASE-scored BM25 over the corpus: a document matches where the
+    * phrase's terms occur AT CONSECUTIVE POSITIONS (adjacency, not
+    * co-occurrence), tf = the number of phrase starts, and the score
+    * is the existing BM25 tail with the phrase as one pseudo-term (df
+    * = documents containing the phrase). Cost shape: the corpus
+    * tokenize + ≤|phrase| pruned postings reads + a per-doc array
+    * adjacency check — no position ever leaves its row. Exactness:
+    * the adjacency fold is integer, the scoring tail is [[bm25]]'s
+    * (fixed-order, 6-decimal-floored rank key), so the DuckDB
+    * list_contains mirror ([[bm25PhraseOracleSql]]) hash-matches. */
+  def bm25Phrase(docs: DataFrame, phrase: Seq[String], k: Int = 10,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(phrase.size >= 2, "bm25Phrase: a phrase needs >= 2 terms")
+    val toks = docs.select(col("doc_id"),
+      posexplode(tokens(col("text"))).as(Seq("pos", "term")))
+    val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    val pos = toks.where(col("term").isin(phrase.distinct: _*))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(sort_array(collect_list(col("pos"))).as("positions"))
+    bm25From(phraseTf(pos, phrase), dl, stats,
+      Seq(phrase.mkString(" ")), k, k1, b)
+  }
+
+  /** [[bm25Phrase]] served from a POSITIONAL index
+    * ([[graft.sources.Catalog.buildTextIndex]] with
+    * `positional = true`): the adjacency check runs over ≤|phrase|
+    * stored posting reads — the corpus is never re-tokenized. Equal to
+    * the direct scan exactly (same fold, same tail). */
+  def bm25PhraseIndexed(idx: TextIndex, phrase: Seq[String], k: Int = 10,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(phrase.size >= 2, "bm25PhraseIndexed: a phrase needs >= 2 terms")
+    require(idx.postings.columns.contains("positions"),
+      "bm25PhraseIndexed: index is not positional (rebuild with positional = true)")
+    bm25From(
+      phraseTf(idx.postings.where(col("term").isin(phrase.distinct: _*))
+        .select(col("doc_id"), col("term"), col("positions")), phrase),
+      idx.dl, idx.stats, Seq(phrase.mkString(" ")), k, k1, b)
+  }
+
+  /** The adjacency fold shared by the scan and indexed phrase forms:
+    * per doc, join the phrase terms' position arrays and count starts
+    * p where every term i sits at p + i — `(doc_id, term = the joined
+    * phrase, tf)` rows for docs with ≥ 1 start. A repeated term reuses
+    * its one posting row (the join is per phrase INDEX). */
+  private def phraseTf(postingsPos: DataFrame,
+      phrase: Seq[String]): DataFrame = {
+    val joined = phrase.zipWithIndex.map { case (t, i) =>
+      postingsPos.where(col("term") === t)
+        .select(col("doc_id"), col("positions").as(s"__ps$i"))
+    }.reduce(_.join(_, "doc_id"))
+    val starts = filter(col("__ps0"), p =>
+      phrase.indices.tail
+        .map(i => array_contains(col(s"__ps$i"), p + lit(i)))
+        .reduce(_ && _))
+    joined.select(col("doc_id"),
+        lit(phrase.mkString(" ")).as("term"),
+        size(starts).cast("long").as("tf"))
+      .where(col("tf") > 0L)
+  }
+
+  /** DuckDB mirror for [[bm25Phrase]]: positions from the
+    * generate_series/list_extract tokenization, adjacency as
+    * list_contains arithmetic, the identical BM25 tail. */
+  def bm25PhraseOracleSql(phrase: Seq[String], k: Int = 10,
+      k1: Double = 1.2, b: Double = 0.75): String = {
+    require(phrase.size >= 2)
+    val pcts = phrase.distinct.map { t =>
+      val a = alias(t)
+      s"""$a AS (SELECT doc_id, list(pos ORDER BY pos) AS ps
+             FROM toks WHERE term = '$t' GROUP BY doc_id)"""
+    }.mkString(",\n         ")
+    val joins = phrase.zipWithIndex.map { case (t, i) =>
+      s"${alias(t)} AS j$i"
+    }.zipWithIndex.map { case (a, i) =>
+      if (i == 0) s"FROM $a" else s"JOIN $a USING (doc_id)"
+    }.mkString(" ")
+    val adj = phrase.indices.tail
+      .map(i => s"list_contains(j$i.ps, p + $i)").mkString(" AND ")
+    val ph = phrase.mkString(" ")
+    s"""WITH toks AS (SELECT doc_id, t.i - 1 AS pos, list_extract(tl, t.i) AS term
+             FROM (SELECT doc_id,
+                     list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS tl
+                   FROM documents)
+             CROSS JOIN unnest(generate_series(1, len(tl))) AS t(i)),
+         dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+         stats AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dl),
+         $pcts,
+         tfp AS (SELECT doc_id, '$ph' AS term, tf FROM (
+             SELECT j0.doc_id,
+                    CAST(len(list_filter(j0.ps, p -> $adj)) AS BIGINT) AS tf
+             $joins) WHERE tf > 0),
+         dft AS (SELECT term, count(*) AS df FROM tfp GROUP BY term),
+         parts AS (SELECT tfp.doc_id, tfp.term,
+                ln((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+                   / (CAST(df AS DOUBLE) + 0.5) + 1.0)
+                * (CAST(tf AS DOUBLE) * ($k1 + 1.0))
+                / (CAST(tf AS DOUBLE) + $k1 * ((1.0 - $b)
+                   + $b * (CAST(dl AS DOUBLE)
+                           / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))) AS part
+           FROM tfp JOIN dft USING (term) JOIN dl USING (doc_id), stats),
+         sc AS (SELECT doc_id,
+                coalesce(max(CASE WHEN term = '$ph' THEN part END), 0.0) AS s0
+           FROM parts GROUP BY doc_id)
+         SELECT doc_id, floor(s0 * 1000000.0 + 0.5) / 1000000.0 AS score
+         FROM sc ORDER BY score DESC, doc_id LIMIT $k"""
+  }
+
+  private def alias(term: String): String =
+    "p_" + term.map(c => if (c.isLetterOrDigit) c else '_')
+
   /** The shared BM25 scoring tail: df from the (pruned) tf grain, the
     * Robertson score per (doc, term), fixed-query-order summation, the
     * rounded-score rank key — every caller gets the identical doubles. */
-  private def bm25From(tf: DataFrame, dl: DataFrame, stats: DataFrame,
+  private[graft] def bm25From(tf: DataFrame, dl: DataFrame, stats: DataFrame,
       query: Seq[String], k: Int, k1: Double, b: Double): DataFrame = {
     import graft.functions.Exact.round6
     val dft = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))

@@ -112,6 +112,232 @@ class Catalog(spark: SparkSession, baseDir: String,
     spark.read.parquet(dir)
   }
 
+  // ──────────────────────────────────────────────────────────────────
+  // HASH-BUCKETED MV STATE — the refresh-cost fix for every rewrite-
+  // the-world rung above: [[refreshAggMv]] (and its CDC/KMV/quantile
+  // siblings) re-materializes the FULL key-grain state per refresh,
+  // which is O(stored keys) per microbatch — at 100 TB key cardinality
+  // with a minutes-scale trigger, rewriting billions of untouched keys
+  // dominates everything. Here the state lives as `gb=<i>` hash-bucket
+  // subdirs (`gb = pmod(hash(keys...), B)`, hive-style so one
+  // `spark.read.parquet(root)` still serves the whole state), a
+  // refresh merges the delta ONLY into the buckets its keys hash to,
+  // and the install swaps exactly those bucket dirs — O(touched
+  // buckets' keys + delta) compute and write, with untouched buckets'
+  // files never opened, never rewritten (their mtimes prove it in
+  // spec).
+  //
+  // DURABILITY: the staged layout is built under `<dir>/.staged/data`
+  // (dot-prefixed — invisible to every parquet read), then a 1-file
+  // `_intent` carrying the batch id is renamed into place as the
+  // COMMIT POINT, then each staged bucket dir swaps in, then the batch
+  // marker + root `_SUCCESS` land and `.staged` is deleted. A crash
+  // before the intent rename rolls BACK (live state untouched, staged
+  // debris deleted on the next touch); a crash after it rolls FORWARD
+  // ([[recoverBucketedMv]] re-runs the remaining swaps — each bucket
+  // swap is idempotent because an installed bucket's staged dir is
+  // gone). The batch-id marker is written FROM the intent during
+  // roll-forward, so exactly-once survives any crash point.
+  //
+  // MERGE CONTRACT (what makes the per-bucket swap sound): the merge
+  // is per-key and RETAINS every key it sees — counters sum, CDC keeps
+  // the latest row (tombstones included), sketch buffers keep ≤ k rows
+  // — so a touched bucket's merged output is never empty and a bucket
+  // dir missing from the staged layout is exactly an untouched bucket.
+  // B is frozen at first refresh (persisted in `_graft_buckets`);
+  // changing it would re-route keys while old buckets keep stale rows.
+
+  /** [[refreshAggMv]] with hash-bucketed state: identical contract and
+    * identical merged VALUES (the fs_incr_agg/fs_mv_stream oracles
+    * hold over either layout), refresh cost O(touched) instead of
+    * O(stored keys). */
+  def refreshAggMvBucketed(name: String, deltaAgg: DataFrame,
+      keys: Seq[String], nBuckets: Int = 32,
+      batchId: Option[Long] = None): DataFrame = {
+    val counterCols = deltaAgg.columns.filterNot(keys.contains)
+    require(counterCols.nonEmpty, s"refreshAggMvBucketed($name): no counter columns")
+    def reAgg(df: DataFrame) = df.groupBy(keys.map(col): _*)
+      .agg(sum(col(counterCols.head)).as(counterCols.head),
+        counterCols.tail.map(c => sum(col(c)).as(c)): _*)
+    refreshBucketedMv(name, deltaAgg, keys, nBuckets, batchId, reAgg)
+  }
+
+  /** [[refreshCdcMv]] with hash-bucketed state — same latest-wins,
+    * any-order merge (tombstones retained in state), O(touched)
+    * refresh. The live view is [[cdcStateBucketed]]. */
+  def refreshCdcMvBucketed(name: String, changes: DataFrame, key: String,
+      seqCol: String, opCol: String, nBuckets: Int = 32,
+      batchId: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(key)).orderBy(col(seqCol).desc)
+    def latest(df: DataFrame) = df.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1).drop("__rn")
+    refreshBucketedMv(name, changes, Seq(key), nBuckets, batchId, latest)
+  }
+
+  /** [[refreshCdcMvBucketed]]'s queryable face: live rows only. */
+  def cdcStateBucketed(name: String, opCol: String): DataFrame =
+    bucketedMvState(name).where(col(opCol) === "u").drop(opCol)
+
+  /** [[refreshKmvMv]] with hash-bucketed state — the lossless k-minimum
+    * merge at O(touched) refresh cost. */
+  def refreshKmvMvBucketed(name: String, delta: DataFrame,
+      keys: Seq[String], hashCol: String, k: Int, nBuckets: Int = 32,
+      batchId: Option[Long] = None): DataFrame = {
+    val d = delta.select(keys.map(col) :+ col(hashCol).as("h"): _*)
+    def merge(df: DataFrame) = df.groupBy(keys.map(col): _*)
+      .agg(graft.functions.KmvSketch.kmv(col("h"), k).as("__buf"))
+      .select(keys.map(col) :+ explode(col("__buf")).as("h"): _*)
+    refreshBucketedMv(name, d, keys, nBuckets, batchId, merge)
+  }
+
+  /** [[refreshQsketchMv]] with hash-bucketed state — the lossless
+    * bottom-k merge at O(touched) refresh cost; estimates via
+    * [[qsketchMvEstimate]]'s arithmetic over [[bucketedMvState]]. */
+  def refreshQsketchMvBucketed(name: String, delta: DataFrame,
+      keys: Seq[String], hashCol: String, valueCol: String, k: Int,
+      nBuckets: Int = 32, batchId: Option[Long] = None): DataFrame = {
+    val d = delta.select(
+      keys.map(col) :+ col(hashCol).as("h") :+ col(valueCol).as("val"): _*)
+    def merge(df: DataFrame) = df.groupBy(keys.map(col): _*)
+      .agg(graft.functions.BottomKSample.bottomK(col("h"), col("val"), k)
+        .as("__buf"))
+      .select(keys.map(col) :+ explode(col("__buf")).as("p"): _*)
+      .select(keys.map(col) :+ col("p._1").as("h") :+ col("p._2").as("val"): _*)
+    refreshBucketedMv(name, d, keys, nBuckets, batchId, merge)
+  }
+
+  /** The whole bucketed state as one DataFrame (partition discovery
+    * unions the `gb=<i>` dirs; the bucket id is layout, not data, so
+    * it is dropped). Same committed-only guarantee as [[mvState]]. */
+  def bucketedMvState(name: String): DataFrame = {
+    val dir = s"$derivedDir/$name"
+    recoverBucketedMv(dir)
+    require(hasSuccess(dir), s"no committed bucketed MV state: $name")
+    spark.read.parquet(dir).drop("gb")
+  }
+
+  /** The shared bucketed-refresh engine: route the delta, merge
+    * stored-touched ∪ delta at key grain, stage, intent-commit,
+    * per-bucket swap. `merge` reduces a union of state rows and delta
+    * rows to state grain and must RETAIN every key (see the merge
+    * contract above). */
+  private def refreshBucketedMv(name: String, delta: DataFrame,
+      keys: Seq[String], nBuckets: Int, batchId: Option[Long],
+      merge: DataFrame => DataFrame): DataFrame = {
+    require(nBuckets >= 1, s"nBuckets must be >= 1: $nBuckets")
+    val dir = s"$derivedDir/$name"
+    recoverBucketedMv(dir)
+    if (alreadyApplied(dir, batchId)) return bucketedMvState(name)
+    val fs = new Path(dir).getFileSystem(hconf)
+    val b = frozenBuckets(dir, fs, nBuckets)
+    def gbOf(df: DataFrame) = pmod(hash(keys.map(df(_)): _*), lit(b))
+    val touched = delta.select(gbOf(delta).as("gb")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    // ONE multi-path read over the touched buckets (not a union of
+    // per-bucket relations: B separate scans made planning itself the
+    // dominant fixed cost — measured 7.4 s → well under a second)
+    val storedPaths = touched.toSeq.map(i => s"$dir/gb=$i")
+      .filter(p => fs.exists(new Path(p)))
+    val stored =
+      if (storedPaths.isEmpty) None
+      else Some(spark.read.parquet(storedPaths: _*))
+    val all = stored.map(_.unionByName(delta)).getOrElse(delta)
+    val merged = merge(all)
+    val staged = s"$dir/.staged"
+    fs.delete(new Path(staged), true)
+    merged.withColumn("gb", gbOf(merged))
+      .write.partitionBy("gb").parquet(s"$staged/data")
+    // COMMIT POINT: the intent file (batch id inside) renamed into
+    // place — everything before is roll-back, everything after is
+    // roll-forward
+    val intentTmp = new Path(s"$staged/_intent.tmp")
+    val out = fs.create(intentTmp, true)
+    try out.write(batchId.map(_.toString).getOrElse("none")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    if (!fs.rename(intentTmp, new Path(s"$staged/_intent")))
+      throw new java.io.IOException(s"refreshBucketedMv($name): intent rename failed")
+    installBucketedStaged(dir, fs)
+    bucketedMvState(name)
+  }
+
+  /** Read-or-freeze the bucket count sidecar: first refresh persists
+    * `nBuckets`, every later refresh must agree (re-routing keys under
+    * live buckets would duplicate them). */
+  private def frozenBuckets(dir: String, fs: org.apache.hadoop.fs.FileSystem,
+      nBuckets: Int): Int = {
+    val p = new Path(dir, "_graft_buckets")
+    if (fs.exists(p)) {
+      val in = fs.open(p)
+      val b = try new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8).trim.toInt
+      finally in.close()
+      require(b == nBuckets,
+        s"bucketed MV at $dir was built with nBuckets=$b, got $nBuckets")
+      b
+    } else {
+      fs.mkdirs(new Path(dir))
+      val out = fs.create(p, true)
+      try out.write(nBuckets.toString.getBytes(
+        java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      nBuckets
+    }
+  }
+
+  /** Roll the staged install forward: swap every bucket dir still in
+    * the staged layout (idempotent — an already-installed bucket's
+    * staged dir is gone), then the batch marker FROM THE INTENT, root
+    * `_SUCCESS`, and staged cleanup. Called with the intent committed:
+    * either by the refresh itself or by [[recoverBucketedMv]]. */
+  private def installBucketedStaged(dir: String,
+      fs: org.apache.hadoop.fs.FileSystem): Unit = {
+    val staged = new Path(s"$dir/.staged")
+    val data = new Path(staged, "data")
+    if (fs.exists(data))
+      fs.listStatus(data).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("gb="))
+        .foreach { s =>
+          val live = new Path(dir, s.getPath.getName)
+          fs.delete(live, true)
+          if (!fs.rename(s.getPath, live))
+            throw new java.io.IOException(
+              s"bucketed install: swap failed for ${s.getPath}")
+        }
+    val intent = new Path(staged, "_intent")
+    val in = fs.open(intent)
+    val idStr = try new String(in.readAllBytes(),
+      java.nio.charset.StandardCharsets.UTF_8).trim
+    finally in.close()
+    if (idStr != "none") {
+      val mTmp = new Path(dir, s"$BatchMarker.tmp")
+      val out = fs.create(mTmp, true)
+      try out.write(idStr.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      fs.delete(new Path(dir, BatchMarker), false)
+      if (!fs.rename(mTmp, new Path(dir, BatchMarker)))
+        throw new java.io.IOException("bucketed install: marker rename failed")
+    }
+    val succ = new Path(dir, "_SUCCESS")
+    if (!fs.exists(succ)) fs.create(succ, true).close()
+    fs.delete(staged, true)
+  }
+
+  /** Crash recovery for the bucketed layout: a committed `_intent`
+    * rolls the install FORWARD, staged debris without one rolls BACK
+    * (live state untouched either way — see the durability note
+    * above). Every bucketed read/refresh funnels through here, so the
+    * first touch after a crash heals the state; same
+    * reads-serialized-with-refreshes contract as [[hasSuccess]]. */
+  private def recoverBucketedMv(dir: String): Unit = {
+    val staged = new Path(s"$dir/.staged")
+    val fs = staged.getFileSystem(hconf)
+    if (!fs.exists(staged)) return
+    if (fs.exists(new Path(staged, "_intent"))) installBucketedStaged(dir, fs)
+    else fs.delete(staged, true)
+  }
+
   /** EXACTLY-ONCE guard for retried refreshes: a caller that passes the
     * engine's microbatch id (foreachBatch hands it over) makes the
     * refresh idempotent — a retry of an already-committed batch is a
@@ -900,11 +1126,16 @@ class Catalog(spark: SparkSession, baseDir: String,
 
   /** Build and commit the index: posting lists `(doc_id, term, tf)`
     * range-clustered by term (a query-term read prunes to matching
-    * files/row groups via parquet min/max stats — at 100 TB bucket by
-    * term instead, same read rule), document lengths, and the 1-row
-    * corpus stats. Each part is tmp-swap committed; torn parts never
-    * serve. */
-  def buildTextIndex(name: String, docs: DataFrame): Unit = {
+    * files/row groups via parquet min/max stats — at 100 TB use
+    * [[buildTextIndexBucketed]], which buckets by term instead, same
+    * read rule), document lengths, and the 1-row corpus stats. Each
+    * part is tmp-swap committed; torn parts never serve.
+    * `positional = true` stores per-(doc, term) position arrays too —
+    * bag-of-words reads are unchanged, phrase queries
+    * ([[graft.operators.TextAnalysis.bm25PhraseIndexed]]) become
+    * postings-only. */
+  def buildTextIndex(name: String, docs: DataFrame,
+      positional: Boolean = false): Unit = {
     import graft.operators.TextAnalysis
     // a REBUILD under an existing name must not leave prior upsert
     // segments behind: loadTextIndex unions every committed *_seg_b*
@@ -916,9 +1147,10 @@ class Catalog(spark: SparkSession, baseDir: String,
       fs.listStatus(root).toSeq
         .filter(s => s.isDirectory && s.getPath.getName.contains("_seg_b"))
         .foreach(s => fs.delete(s.getPath, true))
+    val post = if (positional) TextAnalysis.textPostingsPositional(docs)
+      else TextAnalysis.textPostings(docs)
     commitIndexPart(name, "postings",
-      TextAnalysis.textPostings(docs)
-        .repartitionByRange(col("term"))
+      post.repartitionByRange(col("term"))
         .sortWithinPartitions(col("term")))
     commitIndexPart(name, "dl",
       docs.select(col("doc_id"),
@@ -956,8 +1188,13 @@ class Catalog(spark: SparkSession, baseDir: String,
         coalesce(sum(col("dl")), lit(0L)).as("sum_dl"))
       .write.mode(SaveMode.Overwrite)
       .parquet(s"$derivedDir/$name/stats_seg_b$batchId")
-    toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-      .repartitionByRange(col("term")).sortWithinPartitions(col("term"))
+    // segment postings match the base's grain: positional bases get
+    // positional segments (the union must be schema-stable)
+    val positional = spark.read.parquet(s"$derivedDir/$name/postings")
+      .columns.contains("positions")
+    val post = if (positional) TextAnalysis.textPostingsPositional(newDocs)
+      else toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    post.repartitionByRange(col("term")).sortWithinPartitions(col("term"))
       .write.mode(SaveMode.Overwrite).parquet(segDir)
   }
 
@@ -1041,6 +1278,212 @@ class Catalog(spark: SparkSession, baseDir: String,
     installSwap(s"$derivedDir/$name", fs, s"compactTextIndex($name)")
   }
 
+  // ──────────────────────────────────────────────────────────────────
+  // TERM-BUCKETED text index — the 100 TB postings layout the
+  // range-clustered index's own Scaladoc promised: postings live in a
+  // metastore table BUCKETED BY term ([[writeBucketed]], the
+  // fs_bucket_join machinery), so Catalyst KNOWS the hash
+  // distribution — a literal query prunes to `SelectedBucketsCount ≤
+  // |query terms|` of the buckets (never a full listing), and a
+  // term-keyed probe JOIN needs NO Exchange on the postings side (the
+  // multi-TB side never reshuffles; only the query-term relation
+  // moves). dl and the 1-row stats stay dir-committed parts under
+  // `derivedDir/<name>` exactly as in [[buildTextIndex]]; upserts land
+  // as batch-named bucketed segment TABLES whose metastore
+  // registration is the commit gate (saveAsTable registers only after
+  // the data lands, so a torn write is invisible and the retry
+  // overwrites it verbatim). A segment id SERVES only when its table
+  // exists AND its dl/stats dir siblings are committed — the read
+  // keys every sibling off one gate, as the dir-layout index does.
+
+  private def textTable(name: String, seg: Option[Long] = None): String = {
+    require(name.matches("[A-Za-z0-9_]+"),
+      s"bucketed index name must be [A-Za-z0-9_]+: $name")
+    s"graft_tidx_$name" + seg.map(id => s"_seg_b$id").getOrElse("")
+  }
+
+  private def textSegIds(name: String): Seq[Long] =
+    spark.sessionState.catalog
+      .listTables("default", s"graft_tidx_${name}_seg_b*")
+      .map(_.table.stripPrefix(s"graft_tidx_${name}_seg_b"))
+      .flatMap(n => scala.util.Try(n.toLong).toOption)
+      .sorted
+
+  private def bucketCountOf(table: String): Int =
+    spark.sessionState.catalog
+      .getTableMetadata(spark.sessionState.sqlParser.parseTableIdentifier(table))
+      .bucketSpec.map(_.numBuckets)
+      .getOrElse(throw new IllegalStateException(s"$table is not bucketed"))
+
+  /** Build the bucketed index: postings → a term-bucketed,
+    * term-sorted metastore table; dl/stats → dir parts. Rebuild
+    * hygiene as [[buildTextIndex]]: stale segment tables and dirs are
+    * dropped first. */
+  def buildTextIndexBucketed(name: String, docs: DataFrame,
+      nBuckets: Int = 64, positional: Boolean = false): Unit = {
+    import graft.operators.TextAnalysis
+    recoverBucketedTextIndex(name)
+    textSegIds(name).foreach(id =>
+      spark.sql(s"DROP TABLE IF EXISTS `${textTable(name, Some(id))}`"))
+    val root = new Path(s"$derivedDir/$name")
+    val fs = root.getFileSystem(hconf)
+    if (fs.exists(root))
+      fs.listStatus(root).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.contains("_seg_b"))
+        .foreach(s => fs.delete(s.getPath, true))
+    val post = if (positional) TextAnalysis.textPostingsPositional(docs)
+      else TextAnalysis.textPostings(docs)
+    writeBucketed(post, textTable(name), "term", nBuckets)
+    commitIndexPart(name, "dl",
+      docs.select(col("doc_id"),
+          explode(TextAnalysis.tokens(col("text"))).as("term"))
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("dl")))
+    commitIndexPart(name, "stats",
+      spark.read.parquet(s"$derivedDir/$name/dl")
+        .agg(count(lit(1)).as("n_docs"),
+          coalesce(sum(col("dl")), lit(0L)).as("sum_dl")))
+  }
+
+  /** O(Δ) maintenance of the bucketed index: only the new docs are
+    * tokenized; dl/stats segments land first (dirs), the bucketed
+    * postings segment TABLE last — its registration gates the batch
+    * (a committed batch id no-ops; the compaction narrowing of
+    * [[compactTextIndex]] applies here identically). Segments carry
+    * the SAME bucket count as the base, so every probe join stays
+    * exchange-free per segment. */
+  def upsertTextIndexBucketed(name: String, newDocs: DataFrame,
+      batchId: Long): Unit = {
+    import graft.operators.TextAnalysis
+    recoverBucketedTextIndex(name)
+    val base = textTable(name)
+    require(spark.catalog.tableExists(base) &&
+      hasSuccess(s"$derivedDir/$name/stats"),
+      s"no committed bucketed text index to upsert: $name")
+    val segTable = textTable(name, Some(batchId))
+    if (spark.catalog.tableExists(segTable)) return // committed: no-op
+    val toks = newDocs.select(col("doc_id"),
+      explode(TextAnalysis.tokens(col("text"))).as("term"))
+    toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+      .write.mode(SaveMode.Overwrite)
+      .parquet(s"$derivedDir/$name/dl_seg_b$batchId")
+    spark.read.parquet(s"$derivedDir/$name/dl_seg_b$batchId")
+      .agg(count(lit(1)).as("n_docs"),
+        coalesce(sum(col("dl")), lit(0L)).as("sum_dl"))
+      .write.mode(SaveMode.Overwrite)
+      .parquet(s"$derivedDir/$name/stats_seg_b$batchId")
+    val positional = spark.table(base).columns.contains("positions")
+    val post = if (positional) TextAnalysis.textPostingsPositional(newDocs)
+      else toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    writeBucketed(post, segTable, "term", bucketCountOf(base))
+  }
+
+  /** Base table plus every COMMITTED segment table (id ≤ asOf), with
+    * the dl/stats dir segments keyed off the SAME ids; stats fold as
+    * in [[loadTextIndex]]. Every postings scan is a bucketed-table
+    * read — literal queries bucket-prune, probe joins reshuffle only
+    * the term relation. */
+  def loadTextIndexBucketed(name: String,
+      asOf: Option[Long] = None): graft.operators.TextAnalysis.TextIndex = {
+    recoverBucketedTextIndex(name)
+    val base = textTable(name)
+    require(spark.catalog.tableExists(base) &&
+      hasSuccess(s"$derivedDir/$name/dl") &&
+      hasSuccess(s"$derivedDir/$name/stats"),
+      s"no committed bucketed text index: $name")
+    val ids = textSegIds(name)
+      .filter(id => asOf.forall(id <= _))
+      .filter(id => hasSuccess(s"$derivedDir/$name/dl_seg_b$id") &&
+        hasSuccess(s"$derivedDir/$name/stats_seg_b$id"))
+    val postings = (spark.table(base) +:
+      ids.map(id => spark.table(textTable(name, Some(id)))))
+      .reduce(_ unionByName _)
+    def unionDirs(part: String) =
+      (Seq(s"$derivedDir/$name/$part") ++
+        ids.map(id => s"$derivedDir/$name/${part}_seg_b$id"))
+        .map(spark.read.parquet(_)).reduce(_ unionByName _)
+    graft.operators.TextAnalysis.TextIndex(postings, unionDirs("dl"),
+      unionDirs("stats").agg(sum(col("n_docs")).as("n_docs"),
+        sum(col("sum_dl")).as("sum_dl")))
+  }
+
+  /** Fold the bucketed index's segments: one re-bucketed postings
+    * table, folded dl/stats, tombstones for the highest id (dirs AND
+    * an empty segment table) so a replayed last batch still no-ops.
+    * The dir swap (folded dl/stats + a `_compact_intent` sidecar) is
+    * the COMMIT POINT; the metastore steps after it (drop segments,
+    * install the folded table, recreate the tombstone) replay
+    * idempotently from the intent on the next touch
+    * ([[recoverBucketedTextIndex]]), so a crash anywhere leaves a
+    * state one touch away from consistent. Reads are serialized with
+    * maintenance per the MV family contract. */
+  def compactTextIndexBucketed(name: String): Unit = {
+    recoverBucketedTextIndex(name)
+    val ids = textSegIds(name)
+      .filter(id => hasSuccess(s"$derivedDir/$name/dl_seg_b$id"))
+    if (ids.isEmpty) return
+    val idx = loadTextIndexBucketed(name)
+    val base = textTable(name)
+    val nBuckets = bucketCountOf(base)
+    writeBucketed(idx.postings, s"${base}__fold", "term", nBuckets)
+    val tmp = s"$derivedDir/$name.tmp"
+    val fs = new Path(tmp).getFileSystem(hconf)
+    fs.delete(new Path(tmp), true)
+    idx.dl.write.parquet(s"$tmp/dl")
+    idx.stats.write.parquet(s"$tmp/stats")
+    def tombstone(part: String, schemaOf: DataFrame): Unit =
+      spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          schemaOf.schema)
+        .repartition(1)
+        .write.parquet(s"$tmp/${part}_seg_b${ids.max}")
+    tombstone("dl", idx.dl)
+    tombstone("stats", idx.stats)
+    val out = fs.create(new Path(s"$tmp/_compact_intent"), true)
+    try out.write(s"${ids.max}\n${ids.mkString(",")}"
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    installSwap(s"$derivedDir/$name", fs, s"compactTextIndexBucketed($name)")
+    finishBucketedCompact(name)
+  }
+
+  /** The idempotent metastore half of the bucketed compaction, driven
+    * by the committed `_compact_intent`. */
+  private def finishBucketedCompact(name: String): Unit = {
+    val intent = new Path(s"$derivedDir/$name/_compact_intent")
+    val fs = intent.getFileSystem(hconf)
+    if (!fs.exists(intent)) return
+    val in = fs.open(intent)
+    val lines = try new String(in.readAllBytes(),
+      java.nio.charset.StandardCharsets.UTF_8).trim.split("\n")
+    finally in.close()
+    val maxId = lines(0).trim.toLong
+    val ids = lines(1).split(",").map(_.trim.toLong)
+    val base = textTable(name)
+    ids.foreach(id =>
+      spark.sql(s"DROP TABLE IF EXISTS `${textTable(name, Some(id))}`"))
+    if (spark.catalog.tableExists(s"${base}__fold")) {
+      spark.sql(s"DROP TABLE IF EXISTS `$base`")
+      spark.sql(s"ALTER TABLE `${base}__fold` RENAME TO `$base`")
+    }
+    val tomb = textTable(name, Some(maxId))
+    if (!spark.catalog.tableExists(tomb)) {
+      val schema = spark.table(base).schema
+      writeBucketed(spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema),
+        tomb, "term", bucketCountOf(base))
+    }
+    fs.delete(intent, false)
+  }
+
+  /** Heal any in-flight bucketed-index maintenance: the dir-level
+    * swap heals through [[hasSuccess]]'s `.bak` recovery (probed on
+    * `dl`), then a committed compaction intent replays its metastore
+    * half. */
+  private def recoverBucketedTextIndex(name: String): Unit = {
+    recoverDirSwap(name, "dl")
+    finishBucketedCompact(name)
+  }
+
   /** ONE operational verb for segment hygiene — the policy knob O(Δ)
     * maintenance needs so nobody schedules three compactors by hand:
     * walk the derived dir, recognize each segmented family by its
@@ -1056,23 +1499,45 @@ class Catalog(spark: SparkSession, baseDir: String,
     val root = new Path(derivedDir)
     val fs = root.getFileSystem(hconf)
     if (!fs.exists(root)) return Seq.empty
-    fs.listStatus(root).toSeq.filter(_.isDirectory).flatMap { d =>
-      val name = d.getPath.getName
-      def segCount(prefix: String) = fs.listStatus(d.getPath).count(s =>
-        s.isDirectory && s.getPath.getName.startsWith(prefix) &&
-          hasSuccess(s.getPath.toString))
-      if (name.endsWith(".tmp") || name.endsWith(".bak")) None
-      else if (fs.exists(new Path(d.getPath, "centroids")) &&
-          segCount("assignments_seg_b") >= threshold) {
-        compactAnnIndex(name); Some(name)
-      } else if (fs.exists(new Path(d.getPath, "postings")) &&
-          segCount("postings_seg_b") >= threshold) {
-        compactTextIndex(name); Some(name)
-      } else if (fs.exists(new Path(d.getPath, "open")) &&
-          segCount("closed_seg_b") >= threshold) {
-        compactScd2(name); Some(name)
-      } else None
-    }
+    fs.listStatus(root).toSeq.filter(_.isDirectory)
+      .flatMap(d => maintainDir(d.getPath, threshold))
+  }
+
+  /** [[maintain]] scoped to ONE artifact — the form a streaming drive
+    * calls from inside its own foreachBatch (the upsert loop already
+    * serializes with reads, so compacting there is safe), keeping a
+    * live index's segment count ≤ threshold without an external
+    * scheduler. Returns whether a compaction ran. */
+  def maintainOne(name: String, threshold: Int = 8): Boolean = {
+    require(threshold >= 2, s"maintain threshold must be >= 2: $threshold")
+    val p = new Path(s"$derivedDir/$name")
+    val fs = p.getFileSystem(hconf)
+    fs.exists(p) && maintainDir(p, threshold).nonEmpty
+  }
+
+  private def maintainDir(path: Path, threshold: Int): Option[String] = {
+    val fs = path.getFileSystem(hconf)
+    val name = path.getName
+    def segCount(prefix: String) = fs.listStatus(path).count(s =>
+      s.isDirectory && s.getPath.getName.startsWith(prefix) &&
+        hasSuccess(s.getPath.toString))
+    if (name.endsWith(".tmp") || name.endsWith(".bak")) None
+    else if (fs.exists(new Path(path, "centroids")) &&
+        segCount("assignments_seg_b") >= threshold) {
+      compactAnnIndex(name); Some(name)
+    } else if (fs.exists(new Path(path, "postings")) &&
+        segCount("postings_seg_b") >= threshold) {
+      compactTextIndex(name); Some(name)
+    } else if (fs.exists(new Path(path, "open")) &&
+        segCount("closed_seg_b") >= threshold) {
+      compactScd2(name); Some(name)
+    } else if (!fs.exists(new Path(path, "postings")) &&
+        fs.exists(new Path(path, "dl")) &&
+        name.matches("[A-Za-z0-9_]+") &&
+        spark.catalog.tableExists(textTable(name)) &&
+        textSegIds(name).size >= threshold) {
+      compactTextIndexBucketed(name); Some(name)
+    } else None
   }
 
   /** One `_SUCCESS`-committed part of a multi-part index layout (the

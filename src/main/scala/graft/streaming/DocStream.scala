@@ -229,19 +229,29 @@ object DocStream {
     * holds by construction: a file-source batch is a partition of the
     * corpus, so no doc_id crosses batches. */
   def textIndexMaintenanceReplay(spark: SparkSession, sfDir: String,
-      maxFilesPerTrigger: Int = 2): DataFrame = {
+      maxFilesPerTrigger: Int = 2,
+      autoMaintainAt: Option[Int] = None): DataFrame = {
     import graft.sources.Catalog
     import graft.operators.TextAnalysis
+    val name = autoMaintainAt.fold("text_idx_stream")(_ => "text_idx_automnt")
     val cat = new Catalog(spark, sfDir,
       Some(Catalog.warehouseLayoutRoot(spark, sfDir)))
-    cat.dropDerived("text_idx_stream")
-    cat.buildTextIndex("text_idx_stream",
-      graft.Tables.documents(spark, sfDir).limit(0))
+    cat.dropDerived(name)
+    cat.buildTextIndex(name, graft.Tables.documents(spark, sfDir).limit(0))
     val (dir, schema) = Replay.docSource(spark, sfDir)
     Replay.runForeachBatchFrom(spark, dir, schema, maxFilesPerTrigger) {
-      (batch, id) => cat.upsertTextIndex("text_idx_stream", batch, id)
+      (batch, id) =>
+        cat.upsertTextIndex(name, batch, id)
+        // AUTO-MAINTAIN: compaction triggered from INSIDE the drive
+        // when the committed segment count reaches the threshold —
+        // a live index no longer accumulates segments unboundedly
+        // waiting for an operator. Safe mid-stream: foreachBatch
+        // serializes it with the upserts, the fold keeps the highest
+        // batch id's tombstone, and a checkpointed restart replays at
+        // most that id (the documented compaction narrowing).
+        autoMaintainAt.foreach(t => cat.maintainOne(name, t): Unit)
     }
-    TextAnalysis.bm25Indexed(cat.loadTextIndex("text_idx_stream"),
+    TextAnalysis.bm25Indexed(cat.loadTextIndex(name),
       Seq("data", "join", "scan"))
   }
 }

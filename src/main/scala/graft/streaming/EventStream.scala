@@ -604,21 +604,27 @@ object EventStream {
     * the always-fresh dashboard aggregate: refresh cost tracks the
     * delta, never the history. */
   def mvMaintenanceReplay(spark: SparkSession, sfDir: String,
-      maxFilesPerTrigger: Int = 4): DataFrame = {
+      maxFilesPerTrigger: Int = 4, bucketed: Boolean = false): DataFrame = {
     import graft.sources.Catalog
     val src = Replay.source(spark, sfDir)
     val cat = new Catalog(spark, sfDir,
       Some(Catalog.warehouseLayoutRoot(spark, sfDir)))
-    cat.dropDerived("events_type_mv")
+    val name = if (bucketed) "events_type_mv_b" else "events_type_mv"
+    cat.dropDerived(name)
     Replay.runForeachBatch(spark, src, maxFilesPerTrigger) { (batch, id) =>
       val delta = batch.where(col("user_id") =!= src.sentinelUser)
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("cnt"),
           sum(expr("CAST(round(value * 100) AS BIGINT)")).as("value_cents"))
-      // batch id makes a retried microbatch a no-op (exactly-once)
-      cat.refreshAggMv("events_type_mv", delta, Seq("event_type"), Some(id)): Unit
+      // batch id makes a retried microbatch a no-op (exactly-once);
+      // the bucketed arm drives the O(touched) hash-bucket layout
+      // through the same live stream — state values must be identical
+      if (bucketed)
+        cat.refreshAggMvBucketed(name, delta, Seq("event_type"), 8, Some(id)): Unit
+      else
+        cat.refreshAggMv(name, delta, Seq("event_type"), Some(id)): Unit
     }
-    cat.mvState("events_type_mv")
+    (if (bucketed) cat.bucketedMvState(name) else cat.mvState(name))
       .select(col("event_type"), col("cnt"),
         (col("value_cents").cast("double") / 100.0).as("sum_value"))
   }
@@ -723,6 +729,38 @@ object EventStream {
       .agg(sum(when(col("cohort") === 0L, col("n")).otherwise(0L)).as("n_b"),
         sum(when(col("cohort") === 1L, col("n")).otherwise(0L)).as("n_c"))
     TextAnalysis.driftCardFromCounts(counts, "event_type")
+  }
+
+  /** STREAMING NUMERIC DRIFT (19th real checkpointed replay): the
+    * distributional monitor [[driftMaintenanceReplay]]'s categorical
+    * TVD can't give — per microbatch, BOTH cohorts' (even/odd user —
+    * a rollout flag in production) values fold into ONE durable
+    * bottom-k quantile-sketch MV keyed by cohort
+    * ([[graft.sources.Catalog.refreshQsketchMv]], the lossless merge),
+    * and the KS-style decile-shift card
+    * ([[graft.operators.TextAnalysis.decileShiftCard]]) reads off the
+    * ≤ k-per-cohort folded state — NO rescan of either corpus, which
+    * is the point: at 100 TB the numeric drift gate costs what the
+    * already-live sketch MV pays, and because the fold is lossless the
+    * card equals the whole-log rebuild exactly (the oracle). */
+  def numericDriftReplay(spark: SparkSession, sfDir: String,
+      maxFilesPerTrigger: Int = 4): DataFrame = {
+    import graft.sources.Catalog
+    import graft.operators.TextAnalysis
+    val src = Replay.source(spark, sfDir)
+    val cat = new Catalog(spark, sfDir,
+      Some(Catalog.warehouseLayoutRoot(spark, sfDir)))
+    cat.dropDerived("events_drift_num")
+    Replay.runForeachBatch(spark, src, maxFilesPerTrigger) { (batch, id) =>
+      val delta = batch.where(col("user_id") =!= src.sentinelUser)
+        .select(pmod(col("user_id"), lit(2L)).as("cohort"),
+          TextAnalysis.portableHash60(col("event_id")).as("h"),
+          col("value").as("val"))
+      cat.refreshQsketchMv("events_drift_num", delta, Seq("cohort"),
+        "h", "val", 256, Some(id)): Unit
+    }
+    TextAnalysis.decileShiftCard(
+      cat.mvState("events_drift_num"), "cohort")
   }
 
   /** STREAMING MEMBERSHIP (18th real checkpointed replay): the Bloom

@@ -150,6 +150,17 @@ class PlanAuditSpec extends SparkSpec {
       // metadata on both sides of every cross
       "t_bm25", "sql_bm25", "fs_bm25_indexed", "fs_bm25_upsert",
       "d_index_stream",
+      // round 12: the same BM25 stats-cross shape over the bucketed
+      // index, the auto-maintained live index, and the PHRASE forms
+      // (whose extra crosses are the ≤|phrase| per-doc position-array
+      // joins at pruned-postings grain + the 1-row stats)
+      "fs_bm25_bucketed", "d_index_maint", "t_bm25_phrase",
+      "fs_bm25_phrase_idx", "sql_bm25_phrase",
+      // e_drift_numeric: every cross is sketch-grain bounded metadata —
+      // the 9-row decile/ref-value table into the ≤2k-row sample, the
+      // 1-row n_ref/n_cur totals, and the 1-row ks max into the 9-row
+      // card (the d_drift grand-total class, one grain smaller)
+      "e_drift_numeric",
       // t_quality_auc: runningSum's 1-row bounds broadcast over the
       // constant __g group at distinct-score grain (the q_mwu shape)
       "t_quality_auc")

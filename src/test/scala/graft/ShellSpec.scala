@@ -129,6 +129,12 @@ class ShellProcedureSpec extends SparkSpec {
     assert(Shell.execute("harmonic", spark, cat, sfDir))
   }
 
+  test("round-12 verbs: phrase / pca run from the shell") {
+    val cat = new Catalog(spark, sfDir)
+    assert(Shell.execute("phrase data join", spark, cat, sfDir))
+    assert(Shell.execute("pca 2", spark, cat, sfDir))
+  }
+
   test("publish and explain verbs run from the shell") {
     val dir = java.nio.file.Files.createTempDirectory("graft-shell-pub").toString
     Tables.documents(spark, sfDir).write.parquet(s"$dir/documents.parquet")
