@@ -38,7 +38,13 @@ object Bench {
     // the same phase — interleaving spreads each query's samples across
     // the whole bench window
     val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
+    // SPARK_GRAFT_BENCH_ONLY=q1,q2 restricts the run — the iteration
+    // loop for timing one query while tuning it; the committed record
+    // is always a full-surface run (the driver sets no filter)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
     val passes = Seq.fill(iters) {
       names.map { case (name, fn) =>
         val t0 = System.nanoTime()

@@ -694,12 +694,19 @@ object Similarity {
   /** TOP-K principal subspace by power iteration WITH DEFLATION — the
     * collapse-pathology and visualization read [[pcaTopComponent]]'s
     * single direction can't serve: after each converged direction v,
-    * the corpus is deflated MAP-ONLY (x ← x − (x·v)·v, a zip_with
-    * projection — no shuffle, no materialized copy) and the next
-    * component power-iterates over the deflated plan, so component c
-    * costs the same `iters` corpus scans as the first and the whole
-    * card is k·iters scans, each map-side-combined to d fixed-point
-    * rows.
+    * the corpus is deflated (x ← x − (x·v)·v, a zip_with projection
+    * — no shuffle) and MATERIALIZED via `localCheckpoint` before the
+    * next solve. The checkpoint is load-bearing, not a cache hint:
+    * left as a lazy plan, Catalyst's projection collapse inlines each
+    * prior deflation layer into the dot product AND all `dim`
+    * zip_with lanes of the next, so plan size (and evaluation cost)
+    * grows multiplicatively per component — measured 2748 s for k=4
+    * at sf0.1 vs ~1 s for the single component; checkpointed, it is
+    * ~4 s. Pinned, component c costs the same `iters` corpus scans as
+    * the first plus one deflation pass, so the whole card is
+    * O(k·iters) scans, each map-side-combined to d fixed-point rows.
+    * The stored rows are the same IEEE doubles the lazy plan would
+    * compute, so oracle exactness is untouched.
     *
     * Engine-exactness inherits [[pcaTopComponent]]'s recipe wholesale
     * (fixed-point 2³⁰ scaled-long coordinate sums, sequential
@@ -736,10 +743,14 @@ object Similarity {
           }
           if (c < k) {
             val vLit = array(v.toSeq.map(lit): _*)
+            // materialize the deflated corpus: without this the next
+            // component's plan inlines every prior deflation layer
+            // into each of the `dim` zip_with lanes (see Scaladoc)
             e = e.withColumn("__dot", dotProduct(col("v"), vLit))
               .select(col("vec_id"),
                 zip_with(col("v"), vLit,
                   (x, vj) => x - col("__dot") * vj).as("v"))
+              .localCheckpoint()
           }
         }
         c += 1
@@ -800,7 +811,10 @@ object Similarity {
 
   /** DuckDB mirror for [[pcaTopComponent]]: v₀ → `iters` ×
     * (fixed-point accumulate, list-ordered norm, normalize) as
-    * CTE-per-pass, operand-for-operand the Scala side's arithmetic. */
+    * CTE-per-pass, operand-for-operand the Scala side's arithmetic.
+    * An all-zero corpus normalizes through the `dot = 0` CASE guard
+    * (no 0/0 NaN) to λ = 0 and the `WHERE lam <> 0` tail emits zero
+    * rows — the Scala side's empty card. */
   def pcaOracleSql(iters: Int = 3, dim: Int = 64): String = {
     def passCtes(p: Int): String = {
       val prev = if (p == 1) "v0" else s"v${p - 1}"
@@ -814,7 +828,8 @@ object Similarity {
          w$p AS (SELECT list(CAST(s AS DOUBLE) / 1073741824.0 ORDER BY pos) AS wl
                  FROM s$p),
          v$p AS (SELECT list_transform(wl,
-                   x -> x / sqrt(list_dot_product(wl, wl))) AS vl,
+                   x -> CASE WHEN list_dot_product(wl, wl) = 0 THEN 0.0
+                        ELSE x / sqrt(list_dot_product(wl, wl)) END) AS vl,
                  sqrt(list_dot_product(wl, wl)) AS lam
                  FROM w$p)"""
     }
@@ -831,14 +846,22 @@ object Similarity {
                 floor(lam * 1000000.0 + 0.5) / 1000000.0 AS lambda,
                 n_vectors
          FROM v$iters, nn
-         CROSS JOIN unnest(generate_series(1, $dim)) AS t(i)"""
+         CROSS JOIN unnest(generate_series(1, $dim)) AS t(i)
+         WHERE lam <> 0"""
   }
 
   /** DuckDB mirror for [[pcaComponents]]: the [[pcaOracleSql]] pass
     * CTEs repeated per component, with a DEFLATION CTE between
     * components (`x_j − (x·v)·v_j`, the identical IEEE expression
     * shape as the Spark zip_with) — operand-for-operand the Scala
-    * side's arithmetic, so all k·d loadings and every λ hash-match. */
+    * side's arithmetic, so all k·d loadings and every λ hash-match.
+    *
+    * Rank r < k replays too: a dead pass (all-zero fixed-point sums)
+    * normalizes to an all-zero v through the `dot = 0` CASE guard
+    * (never 0/0 NaN), deflation by a zero vector is the identity, so
+    * every component past r carries λ = 0 exactly and the final
+    * `WHERE lam <> 0` drops it — the same components 1..r the Scala
+    * early stop emits. */
   def pcaKOracleSql(k: Int = 4, iters: Int = 3, dim: Int = 64): String = {
     def passCtes(c: Int, p: Int): String = {
       val prev = if (p == 1) "v0" else s"v${c}_${p - 1}"
@@ -852,7 +875,8 @@ object Similarity {
          w${c}_$p AS (SELECT list(CAST(s AS DOUBLE) / 1073741824.0 ORDER BY pos) AS wl
                  FROM s${c}_$p),
          v${c}_$p AS (SELECT list_transform(wl,
-                   x -> x / sqrt(list_dot_product(wl, wl))) AS vl,
+                   x -> CASE WHEN list_dot_product(wl, wl) = 0 THEN 0.0
+                        ELSE x / sqrt(list_dot_product(wl, wl)) END) AS vl,
                  sqrt(list_dot_product(wl, wl)) AS lam
                  FROM w${c}_$p)"""
     }
@@ -873,7 +897,8 @@ object Similarity {
                 floor(lam * 1000000.0 + 0.5) / 1000000.0 AS lambda,
                 n_vectors
          FROM v${c}_$iters, nn
-         CROSS JOIN unnest(generate_series(1, $dim)) AS t(i)"""
+         CROSS JOIN unnest(generate_series(1, $dim)) AS t(i)
+         WHERE lam <> 0"""
     }.mkString("\n         UNION ALL\n         ")
     s"""WITH e1 AS (SELECT vec_id,
               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

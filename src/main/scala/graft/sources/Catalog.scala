@@ -229,6 +229,14 @@ class Catalog(spark: SparkSession, baseDir: String,
     val dir = s"$derivedDir/$name"
     recoverBucketedMv(dir)
     if (alreadyApplied(dir, batchId)) return bucketedMvState(name)
+    // An empty FIRST delta must not commit: partitionBy of an empty
+    // DataFrame writes no part files, so an installed dataless state
+    // would pass hasSuccess yet fail schema inference on every later
+    // read. With no state and nothing to merge there is nothing to
+    // install — return the (empty) merged shape and leave the dir
+    // uncommitted, exactly as the non-bucketed rungs never commit a
+    // dataless dir. Replaying the same empty batch is a natural no-op.
+    if (!hasSuccess(dir) && delta.isEmpty) return merge(delta)
     val fs = new Path(dir).getFileSystem(hconf)
     val b = frozenBuckets(dir, fs, nBuckets)
     def gbOf(df: DataFrame) = pmod(hash(keys.map(df(_)): _*), lit(b))
@@ -1302,9 +1310,15 @@ class Catalog(spark: SparkSession, baseDir: String,
     s"graft_tidx_$name" + seg.map(id => s"_seg_b$id").getOrElse("")
   }
 
+  // Segment discovery must look in the SAME database saveAsTable
+  // created the segment tables in — the session's current database,
+  // not a hardcoded "default" (a session running USE somewhere else
+  // would otherwise silently skip committed segments on read,
+  // compaction, and maintain).
   private def textSegIds(name: String): Seq[Long] =
     spark.sessionState.catalog
-      .listTables("default", s"graft_tidx_${name}_seg_b*")
+      .listTables(spark.catalog.currentDatabase,
+        s"graft_tidx_${name}_seg_b*")
       .map(_.table.stripPrefix(s"graft_tidx_${name}_seg_b"))
       .flatMap(n => scala.util.Try(n.toLong).toOption)
       .sorted
