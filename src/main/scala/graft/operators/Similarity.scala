@@ -726,37 +726,92 @@ object Similarity {
     require(k >= 1, s"pcaComponents: k must be >= 1: $k")
     val spark = embeddings.sparkSession
     import spark.implicits._
-    var e = prepared(embeddings)
+    val e = prepared(embeddings)
     val out = scala.collection.mutable.ArrayBuffer
       .empty[(Long, Long, Double, Double, Long)]
     def r6(x: Double) = math.floor(x * 1000000.0 + 0.5) / 1000000.0
     if (pcaDimGuard(e, dim, "pcaComponents")) {
       val n = e.count()
-      var c = 1
-      var dead = false
-      while (c <= k && !dead) {
-        val (v, lambda) = powerIterate(e, iters, dim)
-        if (lambda == 0.0) dead = true
-        else {
+      pcaSolve(e, k, iters, dim).zipWithIndex.foreach {
+        case ((v, lambda), i) =>
           v.zipWithIndex.foreach { case (x, p) =>
-            out += ((c.toLong, p.toLong, r6(x), r6(lambda), n))
+            out += ((i.toLong + 1, p.toLong, r6(x), r6(lambda), n))
           }
-          if (c < k) {
-            val vLit = array(v.toSeq.map(lit): _*)
-            // materialize the deflated corpus: without this the next
-            // component's plan inlines every prior deflation layer
-            // into each of the `dim` zip_with lanes (see Scaladoc)
-            e = e.withColumn("__dot", dotProduct(col("v"), vLit))
-              .select(col("vec_id"),
-                zip_with(col("v"), vLit,
-                  (x, vj) => x - col("__dot") * vj).as("v"))
-              .localCheckpoint()
-          }
-        }
-        c += 1
       }
     }
     out.toSeq.toDF("component", "pos", "loading", "lambda", "n_vectors")
+  }
+
+  /** The shared deflation loop behind [[pcaComponents]] and
+    * [[pcaProject]]: up to k (direction, λ) pairs, UNROUNDED — the
+    * card rounds for display, the projection must dot against the
+    * exact doubles the oracle's CTEs carry. Stops at the first dead
+    * direction (λ = 0: deflation exhausted the corpus rank). */
+  private def pcaSolve(e0: DataFrame, k: Int, iters: Int,
+      dim: Int): Seq[(Array[Double], Double)] = {
+    var e = e0
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(Array[Double], Double)]
+    var c = 1
+    var dead = false
+    while (c <= k && !dead) {
+      val (v, lambda) = powerIterate(e, iters, dim)
+      if (lambda == 0.0) dead = true
+      else {
+        out += ((v, lambda))
+        if (c < k) {
+          val vLit = array(v.toSeq.map(lit): _*)
+          // materialize the deflated corpus: without this the next
+          // component's plan inlines every prior deflation layer
+          // into each of the `dim` zip_with lanes (see Scaladoc)
+          e = e.withColumn("__dot", dotProduct(col("v"), vLit))
+            .select(col("vec_id"),
+              zip_with(col("v"), vLit,
+                (x, vj) => x - col("__dot") * vj).as("v"))
+            .localCheckpoint()
+        }
+      }
+      c += 1
+    }
+    out.toSeq
+  }
+
+  /** PER-VECTOR COORDINATES on the top-k principal subspace — the
+    * read the loadings card sets up: where each document SITS along
+    * the dominant axes (the 2-D/3-D corpus scatter, cluster-collapse
+    * inspection, PCA-whitened features for a downstream probe).
+    * One map-only scan after the solve: pc_c = x·v_c with the
+    * directions riding as literals (the nearest_cells convention) —
+    * no shuffle, no join, cost O(k·d) per row.
+    *
+    * Engine-exact: the directions are the solve's unrounded doubles —
+    * bit-identical to the oracle's v CTEs ([[pcaKOracleSql]]'s proven
+    * bridge) — and the dot is the same sequential fold, so every
+    * coordinate hash-matches after the shared 6-decimal floor. A
+    * corpus of rank r < k pads components r+1..k with EXACT 0.0
+    * columns on BOTH engines (a dead direction is the zero vector;
+    * dot against it is +0.0, and floor(0.5)/10⁶ = 0.0), keeping the
+    * schema stable across ranks. */
+  def pcaProject(embeddings: DataFrame, k: Int = 4, iters: Int = 3,
+      dim: Int = 64): DataFrame = {
+    require(k >= 1, s"pcaProject: k must be >= 1: $k")
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val e = prepared(embeddings)
+    if (!pcaDimGuard(e, dim, "pcaProject")) {
+      val empty = Seq.empty[Long].toDF("vec_id")
+      return (1 to k).foldLeft(empty)((d, c) =>
+        d.withColumn(s"pc$c", lit(0.0)))
+    }
+    val comps = pcaSolve(e, k, iters, dim)
+    def r6(x: Column) = floor(x * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
+    val coordCols = (1 to k).map { c =>
+      if (c <= comps.size) {
+        val vLit = array(comps(c - 1)._1.toSeq.map(lit): _*)
+        r6(dotProduct(col("v"), vLit)).as(s"pc$c")
+      } else r6(lit(0.0)).as(s"pc$c") // dead direction: exact 0.0
+    }
+    e.select(col("vec_id") +: coordCols: _*)
   }
 
   /** First-row length check shared by the PCA entries: an EMPTY corpus
@@ -863,6 +918,27 @@ object Similarity {
     * `WHERE lam <> 0` drops it — the same components 1..r the Scala
     * early stop emits. */
   def pcaKOracleSql(k: Int = 4, iters: Int = 3, dim: Int = 64): String = {
+    val rows = (1 to k).map { c =>
+      s"""SELECT CAST($c AS BIGINT) AS component,
+                CAST(t.i - 1 AS BIGINT) AS pos,
+                floor(list_extract(vl, t.i) * 1000000.0 + 0.5) / 1000000.0 AS loading,
+                floor(lam * 1000000.0 + 0.5) / 1000000.0 AS lambda,
+                n_vectors
+         FROM v${c}_$iters, nn
+         CROSS JOIN unnest(generate_series(1, $dim)) AS t(i)
+         WHERE lam <> 0"""
+    }.mkString("\n         UNION ALL\n         ")
+    s"""WITH ${pcaKCtes(k, iters, dim)},
+         nn AS (SELECT CAST(count(*) AS BIGINT) AS n_vectors FROM e1)
+         $rows"""
+  }
+
+  /** The shared CTE body of [[pcaKOracleSql]] and
+    * [[pcaProjectOracleSql]]: the base corpus `e1`, v₀, and per
+    * component the `iters` power passes plus the deflation CTE —
+    * ending with each component's converged `v<c>_<iters>(vl, lam)`
+    * 1-row relation. */
+  private def pcaKCtes(k: Int, iters: Int, dim: Int): String = {
     def passCtes(c: Int, p: Int): String = {
       val prev = if (p == 1) "v0" else s"v${c}_${p - 1}"
       s"""s${c}_$p AS (SELECT t.i - 1 AS pos,
@@ -890,24 +966,33 @@ object Similarity {
       val passes = (1 to iters).map(p => passCtes(c, p)).mkString(",\n         ")
       if (c < k) s"$passes,\n         ${deflCte(c)}" else passes
     }.mkString(",\n         ")
-    val rows = (1 to k).map { c =>
-      s"""SELECT CAST($c AS BIGINT) AS component,
-                CAST(t.i - 1 AS BIGINT) AS pos,
-                floor(list_extract(vl, t.i) * 1000000.0 + 0.5) / 1000000.0 AS loading,
-                floor(lam * 1000000.0 + 0.5) / 1000000.0 AS lambda,
-                n_vectors
-         FROM v${c}_$iters, nn
-         CROSS JOIN unnest(generate_series(1, $dim)) AS t(i)
-         WHERE lam <> 0"""
-    }.mkString("\n         UNION ALL\n         ")
-    s"""WITH e1 AS (SELECT vec_id,
+    s"""e1 AS (SELECT vec_id,
               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
             FROM embeddings),
          v0 AS (SELECT list_transform(generate_series(1, $dim),
                   i -> 1.0 / sqrt(CAST($dim AS DOUBLE))) AS vl),
-         $body,
-         nn AS (SELECT CAST(count(*) AS BIGINT) AS n_vectors FROM e1)
-         $rows"""
+         $body"""
+  }
+
+  /** DuckDB mirror for [[pcaProject]]: the [[pcaKCtes]] solve verbatim,
+    * then one projection SELECT dotting every base vector against each
+    * component's converged `vl` — the identical sequential fold and the
+    * identical floor-rounding shape as the Spark column expressions, so
+    * every coordinate hash-matches. A dead component's vl is the zero
+    * vector (the CASE guard), so its pc column is exact 0.0 — the Spark
+    * side's padding. */
+  def pcaProjectOracleSql(k: Int = 4, iters: Int = 3, dim: Int = 64): String = {
+    val coordCols = (1 to k).map { c =>
+      s"""floor(list_dot_product(e.v, d$c.vl) * 1000000.0 + 0.5)
+               / 1000000.0 AS pc$c"""
+    }.mkString(",\n                ")
+    val joins = (1 to k).map(c => s"CROSS JOIN v${c}_$iters d$c")
+      .mkString("\n         ")
+    s"""WITH ${pcaKCtes(k, iters, dim)}
+         SELECT e.vec_id,
+                $coordCols
+         FROM e1 e
+         $joins"""
   }
 
   /** DuckDB mirror for [[kmeansCentroids]]: seeds → `refinePasses` ×

@@ -315,9 +315,20 @@ class Catalog(spark: SparkSession, baseDir: String,
         }
     val intent = new Path(staged, "_intent")
     val in = fs.open(intent)
-    val idStr = try new String(in.readAllBytes(),
+    val intentBody = try new String(in.readAllBytes(),
       java.nio.charset.StandardCharsets.UTF_8).trim
     finally in.close()
+    // Intent format: line 1 = batch id (or "none"); an optional
+    // "drop=i,j" line names touched buckets the refresh EMPTIED
+    // (SCD2's tombstone-only case — the key-retaining MV merges never
+    // produce one). Deleting a live dir is idempotent, so the drop
+    // replays with the rest of the roll-forward.
+    val lines = intentBody.split("\n").map(_.trim)
+    val idStr = lines.headOption.getOrElse("none")
+    lines.find(_.startsWith("drop=")).foreach {
+      _.stripPrefix("drop=").split(",").filter(_.nonEmpty)
+        .foreach(i => fs.delete(new Path(dir, s"gb=${i.toInt}"), true))
+    }
     if (idStr != "none") {
       val mTmp = new Path(dir, s"$BatchMarker.tmp")
       val out = fs.create(mTmp, true)
@@ -484,6 +495,10 @@ class Catalog(spark: SparkSession, baseDir: String,
     recoverDirSwap(name, "open")
     val openDir = s"$derivedDir/$name/open"
     if (alreadyApplied(openDir, Some(batchId))) return
+    require(!new Path(openDir, "_graft_buckets")
+        .getFileSystem(hconf).exists(new Path(openDir, "_graft_buckets")),
+      s"refreshScd2Mv($name): open state is hash-bucketed — " +
+        "use refreshScd2MvBucketed (mixing layouts would corrupt it)")
     val all =
       if (hasSuccess(openDir))
         spark.read.parquet(openDir).unionByName(changes)
@@ -513,6 +528,107 @@ class Catalog(spark: SparkSession, baseDir: String,
     commitSwap(openDir, open, Some(batchId), s"refreshScd2Mv($name)")
   }
 
+  /** [[refreshScd2Mv]] with HASH-BUCKETED open state — the last MV
+    * rung still paying a full-state rewrite per refresh. Closed
+    * history was already O(Δ) (append-only segments); the open state
+    * now lays out as `gb = pmod(hash(key), B)` hive subdirs and a
+    * refresh merges and swaps ONLY the buckets the batch's keys hash
+    * to — O(touched open keys + batch) instead of O(all open keys).
+    * Same segments, same ordered-feed contract, same exactly-once
+    * marker discipline, and [[scd2MvHistory]] / [[scd2AsOf]] /
+    * [[compactScd2]] / [[scd2Backfill]] serve either layout, so the
+    * whole SCD2 verb family is layout-transparent.
+    *
+    * One semantic wrinkle the key-retaining MV merges don't have: a
+    * tombstone REMOVES its key from the open state, so a touched
+    * bucket can come out EMPTY (every open key in it closed this
+    * batch). partitionBy writes no dir for an empty bucket, and
+    * "missing from staged" must not read as "untouched" — the intent
+    * therefore carries an explicit `drop=` list of emptied buckets,
+    * and the install deletes those live dirs as part of the same
+    * idempotent roll-forward ([[installBucketedStaged]]).
+    *
+    * Crash points replay exactly as the flat rung's: the closed and
+    * tombstone segments are written before the intent commits, so a
+    * pre-intent crash rolls the staged dir back and the retry
+    * overwrites both byte-identically (same stored open buckets, same
+    * batch in); a post-intent crash rolls forward from the intent on
+    * the next touch. Layouts never mix: this rung refuses a committed
+    * flat state and [[refreshScd2Mv]] refuses a bucketed one. */
+  def refreshScd2MvBucketed(name: String, changes: DataFrame, key: String,
+      seqCol: String, opCol: String, batchId: Long,
+      nBuckets: Int = 32): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    val root = s"$derivedDir/$name"
+    val openDir = s"$root/open"
+    recoverBucketedMv(openDir)
+    if (alreadyApplied(openDir, Some(batchId))) return
+    val fs = new Path(openDir).getFileSystem(hconf)
+    if (hasSuccess(openDir))
+      require(fs.exists(new Path(openDir, "_graft_buckets")),
+        s"refreshScd2MvBucketed($name): open state is flat — " +
+          "use refreshScd2Mv (mixing layouts would corrupt it)")
+    // an empty FIRST batch has nothing to commit — installing a
+    // dataless open dir would pass hasSuccess yet fail schema
+    // inference on every later read (the refreshBucketedMv rule)
+    if (!hasSuccess(openDir) && changes.isEmpty) return
+    val b = frozenBuckets(openDir, fs, nBuckets)
+    val gbOf = pmod(hash(col(key)), lit(b))
+    val touched = changes.select(gbOf.as("gb")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    val storedPaths = touched.toSeq.map(i => s"$openDir/gb=$i")
+      .filter(p => fs.exists(new Path(p)))
+    val stored =
+      if (storedPaths.isEmpty) None
+      else Some(spark.read.parquet(storedPaths: _*))
+    val all = stored.map(_.unionByName(changes)).getOrElse(changes)
+    val w = Window.partitionBy(col(key)).orderBy(col(seqCol))
+    val stamped = all.withColumn("__vt", lead(col(seqCol), 1).over(w))
+    val closed = stamped.where(col(opCol) === "u" && col("__vt").isNotNull)
+      .withColumnRenamed(seqCol, "valid_from")
+      .withColumnRenamed("__vt", "valid_to")
+      .drop(opCol)
+    val open = stamped.where(col(opCol) === "u" && col("__vt").isNull)
+      .drop("__vt")
+    closed.write.mode(SaveMode.Overwrite)
+      .parquet(s"$root/closed_seg_b$batchId")
+    stamped.where(col(opCol) === "d")
+      .select(col(key), col(seqCol))
+      .repartition(1)
+      .write.mode(SaveMode.Overwrite)
+      .parquet(s"$root/tombs_seg_b$batchId")
+    val staged = s"$openDir/.staged"
+    fs.delete(new Path(staged), true)
+    open.withColumn("gb", gbOf).write.partitionBy("gb")
+      .parquet(s"$staged/data")
+    def listGbs(d: Path) =
+      if (!fs.exists(d)) Set.empty[Int]
+      else fs.listStatus(d).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("gb="))
+        .map(_.getPath.getName.stripPrefix("gb=").toInt).toSet
+    var stagedGbs = listGbs(new Path(s"$staged/data"))
+    // a batch that closes EVERY open key would drop the last live
+    // bucket and leave a dataless-but-committed state (unreadable by
+    // schema inference) — keep one schema-bearing empty bucket instead
+    if (touched.nonEmpty &&
+        ((listGbs(new Path(openDir)) -- touched) ++ stagedGbs).isEmpty) {
+      open.limit(0).repartition(1)
+        .write.parquet(s"$staged/data/gb=${touched.head}")
+      stagedGbs += touched.head
+    }
+    val drops = touched.filterNot(stagedGbs)
+    val intentBody = batchId.toString +
+      (if (drops.nonEmpty) s"\ndrop=${drops.mkString(",")}" else "")
+    val intentTmp = new Path(s"$staged/_intent.tmp")
+    val out = fs.create(intentTmp, true)
+    try out.write(intentBody.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    if (!fs.rename(intentTmp, new Path(s"$staged/_intent")))
+      throw new java.io.IOException(
+        s"refreshScd2MvBucketed($name): intent rename failed")
+    installBucketedStaged(openDir, fs)
+  }
+
   /** Fold every committed closed segment of a [[refreshScd2Mv]] state
     * into ONE — the operational counterpart of append-only history
     * maintenance, the [[compactJoinMv]] shape: segments accumulate one
@@ -527,6 +643,7 @@ class Catalog(spark: SparkSession, baseDir: String,
     * byte-for-byte (a retried batch still no-ops after compaction). */
   def compactScd2(name: String): Unit = {
     recoverDirSwap(name, "open")
+    recoverBucketedMv(s"$derivedDir/$name/open") // torn bucketed install
     val root = new Path(s"$derivedDir/$name")
     val fs = root.getFileSystem(hconf)
     val segs = fs.listStatus(root).toSeq
@@ -584,6 +701,7 @@ class Catalog(spark: SparkSession, baseDir: String,
       seqCol: String, opCol: String): Unit = {
     recoverDirSwap(name, "open")
     val openDir = s"$derivedDir/$name/open"
+    recoverBucketedMv(openDir) // heal a torn bucketed-open install too
     require(hasSuccess(openDir), s"no committed scd2 state: $name")
     val hist = scd2MvHistory(name, seqCol, opCol)
     val keys = late.select(col(key)).distinct()
@@ -638,10 +756,30 @@ class Catalog(spark: SparkSession, baseDir: String,
     def writable(df: DataFrame) = if (df.isEmpty) df.repartition(1) else df
     writable(newHist.where(col("valid_to").isNotNull).drop("is_current"))
       .write.parquet(s"$tmp/closed_seg_b$segId")
-    writable(newHist.where(col("valid_to").isNull)
-        .select(Seq(col(key), col("valid_from").as(seqCol),
-          lit("u").as(opCol)) ++ valueCols.map(col): _*))
-      .write.parquet(s"$tmp/open")
+    val openOut = newHist.where(col("valid_to").isNull)
+      .select(Seq(col(key), col("valid_from").as(seqCol),
+        lit("u").as(opCol)) ++ valueCols.map(col): _*)
+    // a backfill rewrites the whole open state, so it must PRESERVE
+    // the layout: flattening a bucketed state would orphan the live
+    // gb= dirs' replacement and break every later bucketed refresh
+    val sidecar = new Path(s"$openDir/_graft_buckets")
+    if (fs.exists(sidecar)) {
+      val in = fs.open(sidecar)
+      val b = try new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8).trim.toInt
+      finally in.close()
+      if (openOut.isEmpty) {
+        // partitionBy of an empty frame writes no dirs at all; one
+        // schema-bearing part under gb=0 keeps the state readable
+        openOut.repartition(1).write.parquet(s"$tmp/open/gb=0")
+        fs.create(new Path(s"$tmp/open/_SUCCESS"), true).close()
+      } else
+        openOut.withColumn("gb", pmod(hash(col(key)), lit(b)))
+          .write.partitionBy("gb").parquet(s"$tmp/open")
+      org.apache.hadoop.fs.FileUtil.copy(fs, sidecar, fs,
+        new Path(s"$tmp/open/_graft_buckets"), false, hconf)
+    } else
+      writable(openOut).write.parquet(s"$tmp/open")
     // the repaired delete audit: affected keys' deletes from the merged
     // log (late deletes included), untouched keys' audit rows verbatim
     val untouchedAudit = audit.map(_ => tombSegs.map(spark.read.parquet(_))
@@ -668,6 +806,7 @@ class Catalog(spark: SparkSession, baseDir: String,
       opCol: String): DataFrame = {
     recoverDirSwap(name, "open")
     val openDir = s"$derivedDir/$name/open"
+    recoverBucketedMv(openDir) // heal a torn bucketed-open install too
     require(hasSuccess(openDir), s"no committed scd2 state: $name")
     val root = new Path(s"$derivedDir/$name")
     val fs = root.getFileSystem(hconf)
@@ -676,7 +815,9 @@ class Catalog(spark: SparkSession, baseDir: String,
       .map(_.getPath.toString)
       .filter(hasSuccess)
       .sorted
-    val openRaw = spark.read.parquet(openDir)
+    // `gb` is bucketed-layout bookkeeping, not data (drop is a no-op
+    // on a flat state) — both layouts serve identically from here
+    val openRaw = spark.read.parquet(openDir).drop("gb")
     val open = openRaw
       .withColumnRenamed(seqCol, "valid_from")
       .withColumn("valid_to", lit(null).cast(openRaw.schema(seqCol).dataType))

@@ -917,12 +917,18 @@ object EventStream {
     * dimension that answers "what did this row say at time t" with
     * refresh cost tracking the delta, never the accumulated history. */
   def scd2Replay(spark: SparkSession, sfDir: String,
-      maxFilesPerTrigger: Int = 4): DataFrame = {
+      maxFilesPerTrigger: Int = 4, bucketed: Boolean = false): DataFrame = {
     import graft.sources.Catalog
     val src = Replay.source(spark, sfDir)
     val cat = new Catalog(spark, sfDir,
       Some(Catalog.warehouseLayoutRoot(spark, sfDir)))
-    cat.dropDerived("events_user_scd2")
+    // `bucketed` drives the SAME change log through the hash-bucketed
+    // open-state rung (refreshScd2MvBucketed): identical history by
+    // contract — both layouts serve the one whole-log lead() oracle —
+    // with per-microbatch open-state writes O(touched buckets) instead
+    // of O(open keys)
+    val name = if (bucketed) "events_user_scd2_b" else "events_user_scd2"
+    cat.dropDerived(name)
     Replay.runForeachBatch(spark, src, maxFilesPerTrigger) { (batch, id) =>
       val changes = batch.where(col("user_id") =!= src.sentinelUser)
         .select(col("user_id"),
@@ -930,9 +936,13 @@ object EventStream {
           when(col("event_type") === "error", "d").otherwise("u").as("op"),
           col("event_type").as("last_type"),
           expr("CAST(round(value * 100) AS BIGINT)").as("value_cents"))
-      cat.refreshScd2Mv("events_user_scd2", changes, "user_id", "seq", "op", id)
+      if (bucketed)
+        cat.refreshScd2MvBucketed(name, changes, "user_id", "seq", "op", id,
+          nBuckets = 8)
+      else
+        cat.refreshScd2Mv(name, changes, "user_id", "seq", "op", id)
     }
-    cat.scd2MvHistory("events_user_scd2", "seq", "op")
+    cat.scd2MvHistory(name, "seq", "op")
       .select(col("user_id"), col("last_type"),
         (col("value_cents").cast("double") / 100.0).as("last_value"),
         col("valid_from.us").as("valid_from_us"),
