@@ -152,6 +152,12 @@ object SparkEntry {
     // replays CTE-for-CTE in DuckDB, so all k·d loadings hash-match
     "s_pca_k" -> ((s, d) =>
       Similarity.pcaComponents(Tables.embeddings(s, d), k = 4)),
+    // the loadings card's read: per-vector coordinates on the top-k
+    // subspace (the corpus scatter / collapse inspection) — one
+    // map-only scan, directions ride as literals, every coordinate
+    // hash-matched against the shared solve CTEs
+    "s_pca_project" -> ((s, d) =>
+      Similarity.pcaProject(Tables.embeddings(s, d), k = 4)),
     // bounded-buffer top-k aggregate: O(groups·k) shuffle, vs the window
     // route's O(rows) — exploded to rows so DuckDB can verify the values
     "q_topk_agg" -> ((s, d) => {
@@ -667,6 +673,28 @@ object SparkEntry {
         .select(col("day"), col("n_orders"),
           (col("rev_cents").cast("double") / 100.0).as("revenue"))
     }),
+    // the bucketed layout's READ-side payoff: a key lookup opens ONLY
+    // the buckets the probe hashes to (O(|probe|·state/B) bytes, never
+    // the whole key table) and re-joins exactly — results equal a
+    // plain filter over the full aggregate, which is the oracle
+    "fs_mv_lookup" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      import s.implicits._
+      val ord = Tables.orders(s, d)
+      val cat = new graft.sources.Catalog(s, d,
+        Some(graft.sources.Catalog.warehouseLayoutRoot(s, d)))
+      cat.dropDerived("orders_day_lkp")
+      cat.refreshAggMvBucketed("orders_day_lkp",
+        ord.groupBy(date_format(col("o_orderdate"), "yyyy-MM-dd").as("day"))
+          .agg(count(lit(1)).as("n_orders"),
+            sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+              .as("rev_cents")),
+        Seq("day"), 16)
+      val probe = Seq("1995-06-19", "2000-02-03", "1996-02-25").toDF("day")
+      cat.bucketedMvLookup("orders_day_lkp", probe, Seq("day"))
+        .select(col("day"), col("n_orders"),
+          (col("rev_cents").cast("double") / 100.0).as("revenue"))
+    }),
     // bounded-sketch MV rung: a distinct-parts-per-flag KMV sketch
     // maintained INCREMENTALLY over three thirds of lineitem — the
     // refreshed estimate must equal the from-scratch sketch exactly
@@ -801,6 +829,13 @@ object SparkEntry {
     // equal the oracle's lead() over the whole change log
     "e_scd2_stream" -> ((s, d) =>
       graft.streaming.EventStream.scd2Replay(s, d)),
+    // the SAME change log through the hash-bucketed open-state rung
+    // (20th live replay): per-microbatch open-state writes touch only
+    // the buckets the batch's keys hash to — O(touched), not O(open
+    // keys) — and the served history is identical by contract, so it
+    // shares the whole-log lead() oracle
+    "e_scd2_stream_bucketed" -> ((s, d) =>
+      graft.streaming.EventStream.scd2Replay(s, d, bucketed = true)),
     // out-of-order repair: the MV is fed everything EXCEPT a held-out
     // late slice, then scd2Backfill reconstructs the affected keys'
     // change logs from the stored history and merges the late rows —
@@ -1649,6 +1684,7 @@ object SparkEntry {
     // list-ordered norm, normalize — the kmeans bridge for PCA
     "s_pca" -> operators.Similarity.pcaOracleSql(3, 64),
     "s_pca_k" -> operators.Similarity.pcaKOracleSql(4, 3, 64),
+    "s_pca_project" -> operators.Similarity.pcaProjectOracleSql(4, 3, 64),
     // nearest-centroid classifier mirror: per-class fixed-point means
     // (the coarseCentroids arithmetic), nearest class by cosine with the
     // nearest_cells tie-break (smallest label), confusion-matrix rollup
@@ -3527,6 +3563,17 @@ object SparkEntry {
                 CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
                   / 100.0 AS revenue
          FROM orders GROUP BY 1""",
+    // the point lookup serves the same rows a plain filter over the
+    // full aggregate would — bucket routing moves bytes, not results
+    "fs_mv_lookup" ->
+      """SELECT strftime(o_orderdate, '%Y-%m-%d') AS day,
+                CAST(count(*) AS BIGINT) AS n_orders,
+                CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+                  / 100.0 AS revenue
+         FROM orders
+         WHERE strftime(o_orderdate, '%Y-%m-%d')
+           IN ('1995-06-19', '2000-02-03', '1996-02-25')
+         GROUP BY 1""",
     // the segment union must equal the plain join — appends lose and
     // duplicate nothing
     "fs_mv_join" ->
@@ -4209,6 +4256,8 @@ object SparkEntry {
     // change log: each non-error event opens a version valid until the
     // user's next event (upsert or error tombstone); unclosed = current
     "e_scd2_stream" -> scd2StreamSql,
+    // identical history from the bucketed open-state layout
+    "e_scd2_stream_bucketed" -> scd2StreamSql,
     // the REPAIRED history equals the same full-log lead(): the held-
     // out late changes are indistinguishable after the backfill
     "fs_scd2_backfill" -> scd2StreamSql,

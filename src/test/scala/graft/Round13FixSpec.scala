@@ -72,6 +72,32 @@ class Round13FixSpec extends SparkSpec {
     }
   }
 
+  test("bucketedMvLookup opens ONLY the probe's buckets and joins exactly") {
+    val cat = freshCat()
+    val base = (1 to 400).map(i => (s"k$i", i.toLong)).toDF("k", "n")
+    cat.refreshAggMvBucketed("mv", base, Seq("k"), 16)
+    val probe = Seq("k7", "k99").toDF("k")
+    val out = cat.bucketedMvLookup("mv", probe, Seq("k"))
+    // exact results: the probe's rows, nothing else
+    assert(out.collect().map(r => (r.getString(0), r.getLong(1))).toSet ==
+      Set(("k7", 7L), ("k99", 99L)))
+    // plan-level pin: the state scan's input files all live in the
+    // probed buckets' dirs — the other 14+ buckets are never opened
+    val probedGbs = probe
+      .select(pmod(hash(col("k")), lit(16)).cast("int")).collect()
+      .map(_.getInt(0)).toSet
+    val scanned = out.inputFiles.toSeq.filter(_.contains("gb="))
+    assert(scanned.nonEmpty)
+    scanned.foreach { f =>
+      val gb = "gb=(\\d+)".r.findFirstMatchIn(f).get.group(1).toInt
+      assert(probedGbs.contains(gb), s"lookup opened unprobed bucket: $f")
+    }
+    // a probe with no committed bucket serves an empty exact result
+    val miss = cat.bucketedMvLookup("mv",
+      Seq("never-written").toDF("k"), Seq("k"))
+    assert(miss.isEmpty && miss.columns.contains("n"))
+  }
+
   test("PCA oracles carry the rank-deficiency guards (structural pin)") {
     // the behavioral check runs driver-side in DuckDB (PLANS.md round
     // 13); here we pin that the guards cannot silently fall out of the
