@@ -825,6 +825,44 @@ object ScaleSmoke {
         println(f"[scale] mv_bkt_${tag}_rewrote    ${rewrittenBytes(s"bkt_$tag", t1) / 1024.0}%10.1f KiB")
       }
     }
+    // SCD2 open state, flat vs bucketed, as OPEN keys grow 10×: the
+    // round-13 rung. Closed history is append-only on both (O(batch)
+    // segments); the signal is the OPEN-state write amplification of
+    // a 5-key delta — the flat rung tmp-swaps every open key, the
+    // bucketed rung rewrites only the ≤ 5 touched buckets.
+    locally {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-scale-scd2b").toString
+      val cat = new graft.sources.Catalog(spark, root)
+      def changesDf(n: Long, seq: Long) = spark.range(n)
+        .select(concat(lit("k"), col("id")).as("k"), col("id").as("v"),
+          lit(seq).as("seq"), lit("u").as("op"))
+      def rewrittenBytes(name: String, since: Long): Long = {
+        def walk(f: java.io.File): Long =
+          if (f.isDirectory) f.listFiles().map(walk).sum
+          else if (f.getName.endsWith(".parquet") && f.lastModified() >= since)
+            f.length()
+          else 0L
+        walk(new java.io.File(s"${cat.derivedDir}/$name/open"))
+      }
+      Seq(("1x", 200000L, 64), ("10x", 2000000L, 640)).foreach { case (tag, n, b) =>
+        cat.refreshScd2Mv(s"sflat_$tag", changesDf(n, 1L), "k", "seq", "op", 0L)
+        cat.refreshScd2MvBucketed(s"sbkt_$tag", changesDf(n, 1L),
+          "k", "seq", "op", 0L, b)
+        val delta = changesDf(5L, 2L)
+        Thread.sleep(1100) // mtime granularity
+        val t0 = System.currentTimeMillis()
+        time(s"scd2_refresh_full_$tag") {
+          cat.refreshScd2Mv(s"sflat_$tag", delta, "k", "seq", "op", 1L)
+        }
+        println(f"[scale] scd2_full_${tag}_rewrote ${rewrittenBytes(s"sflat_$tag", t0) / 1024.0}%10.1f KiB")
+        val t1 = System.currentTimeMillis()
+        time(s"scd2_refresh_bucketed_$tag") {
+          cat.refreshScd2MvBucketed(s"sbkt_$tag", delta, "k", "seq", "op", 1L, b)
+        }
+        println(f"[scale] scd2_bkt_${tag}_rewrote  ${rewrittenBytes(s"sbkt_$tag", t1) / 1024.0}%10.1f KiB")
+      }
+    }
     spark.stop()
   }
 }
