@@ -485,6 +485,12 @@ object SparkEntry {
     // engine-stable
     "t_bm25" -> ((s, d) =>
       TextAnalysis.bm25(Tables.documents(s, d), Seq("data", "join", "scan"))),
+    // MORE-LIKE-THIS: the query is DERIVED from one document (top
+    // qtf·idf terms over the remaining corpus), then the rest of the
+    // corpus is BM25-ranked on it — Lucene's MLT shape; the term pick,
+    // the fold order, and the scoring tail all replay in DuckDB
+    "t_mlt" -> ((s, d) =>
+      TextAnalysis.moreLikeThis(Tables.documents(s, d), queryDocId = 42L)),
     // the SERVED form: same query against the committed inverted index
     // (postings/dl/stats artifacts) — equal results, no corpus re-scan
     "fs_bm25_indexed" -> ((s, d) => {
@@ -1926,6 +1932,7 @@ object SparkEntry {
     // upserted forms are exact re-arrangements of the same statistics,
     // so all three share the oracle
     "t_bm25" -> bm25Sql,
+    "t_mlt" -> operators.TextAnalysis.mltOracleSql(42L),
     "fs_bm25_indexed" -> bm25Sql,
     "fs_bm25_upsert" -> bm25Sql,
     "fs_bm25_bucketed" -> bm25Sql,

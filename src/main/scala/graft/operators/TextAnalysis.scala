@@ -987,6 +987,100 @@ object TextAnalysis {
     bm25From(tf, dl, stats, query, k, k1, b)
   }
 
+  /** MORE-LIKE-THIS — rank the rest of the corpus by similarity to ONE
+    * document, with the query DERIVED FROM THE DOCUMENT ITSELF (the
+    * Lucene MLT shape): the query doc's terms are weighted qtf · idf
+    * over the REMAINING corpus, the top `topTerms` by (weight desc,
+    * term asc) become a disjunctive query, and the remaining docs are
+    * scored by the existing [[bm25]] tail. Everything downstream of
+    * the bounded term pick is the proven BM25 path, so the whole card
+    * replays in DuckDB ([[mltOracleSql]]).
+    *
+    * Scale shape: two corpus tokenizes (one to pick terms, one to
+    * score — both map-side-combined aggregates), a ≤ `topTerms`-row
+    * collect (the centroids convention: bounded metadata riding to
+    * the driver, never data), then [[bm25]]'s cost. Determinism: the
+    * score fold follows the picked terms in UTF-8 BYTE order — the
+    * order Spark's own UTF8String comparison AND DuckDB's binary
+    * VARCHAR collation share (Scala's default String sort is UTF-16
+    * code-unit order, which diverges on supplementary-plane
+    * characters — so the sort here is explicit). */
+  def moreLikeThis(docs: DataFrame, queryDocId: Long, topTerms: Int = 8,
+      k: Int = 10, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(topTerms >= 1, s"moreLikeThis: topTerms must be >= 1: $topTerms")
+    val toks = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+    val qterms = toks.where(col("doc_id") === queryDocId)
+      .groupBy(col("term")).agg(count(lit(1)).as("qtf"))
+    val rest = toks.where(col("doc_id") =!= queryDocId)
+    val restDl = rest.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val restStats = restDl
+      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    // df of the query doc's terms over the REMAINING corpus (a term no
+    // other doc contains can't rank anyone — the inner join drops it)
+    val dfq = rest.join(broadcast(qterms.select(col("term"))), "term")
+      .select(col("doc_id"), col("term")).distinct()
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val picked = qterms.join(dfq, "term").crossJoin(broadcast(restStats))
+      .withColumn("w",
+        log((col("n_docs").cast("double") - col("df").cast("double") + lit(0.5))
+            / (col("df").cast("double") + lit(0.5)) + lit(1.0))
+          * col("qtf").cast("double"))
+      .orderBy(col("w").desc, col("term").asc)
+      .limit(topTerms)
+      .select(col("term")).collect().map(_.getString(0)).toSeq
+    require(picked.nonEmpty,
+      s"moreLikeThis: doc $queryDocId has no terms shared with the corpus")
+    import scala.math.Ordering.Implicits.seqOrdering
+    val utf8 = picked.sortBy(
+      _.getBytes(java.nio.charset.StandardCharsets.UTF_8).map(_ & 0xff).toSeq)
+    bm25(docs.where(col("doc_id") =!= queryDocId), utf8, k, k1, b)
+  }
+
+  /** DuckDB mirror for [[moreLikeThis]]: the term pick (same idf over
+    * the remaining corpus, same (w desc, term) order, same LIMIT) as a
+    * CTE, then the [[bm25]] tail with the per-doc score as a SEQUENTIAL
+    * `list_reduce` over parts in term order — the Spark fold adds the
+    * picked terms in UTF-8 byte order with absent terms contributing
+    * literal 0.0, and `x + 0.0 = x` exactly for the strictly positive
+    * BM25 parts, so the present-only sequential sum is the identical
+    * double. */
+  def mltOracleSql(queryDocId: Long, topTerms: Int = 8, k: Int = 10,
+      k1: Double = 1.2, b: Double = 0.75): String =
+    s"""WITH toks AS (SELECT doc_id, word AS term
+             FROM (SELECT doc_id, unnest(regexp_split_to_array(text, '\\s+')) AS word
+                   FROM documents)
+             WHERE word <> ''),
+         qt AS (SELECT term, count(*) AS qtf FROM toks
+                WHERE doc_id = $queryDocId GROUP BY term),
+         rest AS (SELECT doc_id, term FROM toks WHERE doc_id <> $queryDocId),
+         rdl AS (SELECT doc_id, count(*) AS dl FROM rest GROUP BY doc_id),
+         rstats AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM rdl),
+         dfq AS (SELECT term, count(DISTINCT doc_id) AS df
+                 FROM rest JOIN qt USING (term) GROUP BY term),
+         picked AS (SELECT term FROM (
+               SELECT qt.term,
+                      ln((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+                         / (CAST(df AS DOUBLE) + 0.5) + 1.0)
+                        * CAST(qtf AS DOUBLE) AS w
+               FROM qt JOIN dfq USING (term), rstats)
+             ORDER BY w DESC, term ASC LIMIT $topTerms),
+         tf AS (SELECT doc_id, term, count(*) AS tf
+                FROM rest JOIN picked USING (term) GROUP BY doc_id, term),
+         dft AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         parts AS (SELECT tf.doc_id, tf.term,
+                ln((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+                   / (CAST(df AS DOUBLE) + 0.5) + 1.0)
+                * (CAST(tf AS DOUBLE) * ($k1 + 1.0))
+                / (CAST(tf AS DOUBLE) + $k1 * ((1.0 - $b)
+                   + $b * (CAST(dl AS DOUBLE)
+                           / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))) AS part
+           FROM tf JOIN dft USING (term) JOIN rdl USING (doc_id), rstats),
+         sc AS (SELECT doc_id,
+                list_reduce(list(part ORDER BY term), (a, b) -> a + b) AS s0
+           FROM parts GROUP BY doc_id)
+         SELECT doc_id, floor(s0 * 1000000.0 + 0.5) / 1000000.0 AS score
+         FROM sc ORDER BY score DESC, doc_id LIMIT $k"""
+
   /** Posting-list grain for the durable index: `(doc_id, term, tf)` —
     * identical to [[bm25]]'s tf aggregate WITHOUT the query-term
     * filter, so an indexed search filtered to any query equals the

@@ -156,6 +156,11 @@ class PlanAuditSpec extends SparkSpec {
       // joins at pruned-postings grain + the 1-row stats)
       "fs_bm25_bucketed", "d_index_maint", "t_bm25_phrase",
       "fs_bm25_phrase_idx", "sql_bm25_phrase",
+      // t_mlt: the identical BM25 stats-cross — 1-row corpus stats
+      // into picked-term-pruned tf grain; the query terms are
+      // data-derived but a ≤topTerms bounded set collected before the
+      // scoring plan exists, so both cross sides stay bounded metadata
+      "t_mlt",
       // e_drift_numeric: every cross is sketch-grain bounded metadata —
       // the 9-row decile/ref-value table into the ≤2k-row sample, the
       // 1-row n_ref/n_cur totals, and the 1-row ks max into the 9-row
