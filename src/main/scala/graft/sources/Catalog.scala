@@ -217,6 +217,39 @@ class Catalog(spark: SparkSession, baseDir: String,
     spark.read.parquet(dir).drop("gb")
   }
 
+  /** POINT LOOKUP into a bucketed MV state — the READ-side payoff of
+    * the layout: the probe's keys hash to their buckets and only those
+    * `gb=` dirs are ever opened, so a key lookup against a 100 TB
+    * state reads O(|probe buckets| · state/B) bytes instead of the
+    * whole key table (the refresh-side O(touched) argument, applied to
+    * serving). The probe is broadcast (it is a literal key set by
+    * nature) and re-joined exactly, so bucket routing moves bytes,
+    * never results — the BloomJoin discipline. Committed-only +
+    * crash-healing as [[bucketedMvState]]. */
+  def bucketedMvLookup(name: String, probe: DataFrame,
+      keys: Seq[String]): DataFrame = {
+    val dir = s"$derivedDir/$name"
+    recoverBucketedMv(dir)
+    require(hasSuccess(dir), s"no committed bucketed MV state: $name")
+    val fs = new Path(dir).getFileSystem(hconf)
+    val sidecar = new Path(dir, "_graft_buckets")
+    require(fs.exists(sidecar), s"not a bucketed MV state: $name")
+    val in = fs.open(sidecar)
+    val b = try new String(in.readAllBytes(),
+      java.nio.charset.StandardCharsets.UTF_8).trim.toInt
+    finally in.close()
+    val probeKeys = probe.select(keys.map(col): _*).distinct()
+    val gbs = probeKeys
+      .select(pmod(hash(keys.map(col): _*), lit(b)).as("gb"))
+      .distinct().collect().map(_.getInt(0)).sorted
+    val paths = gbs.toSeq.map(i => s"$dir/gb=$i")
+      .filter(p => fs.exists(new Path(p)))
+    val state =
+      if (paths.isEmpty) bucketedMvState(name).limit(0)
+      else spark.read.parquet(paths: _*)
+    state.join(broadcast(probeKeys), keys)
+  }
+
   /** The shared bucketed-refresh engine: route the delta, merge
     * stored-touched ∪ delta at key grain, stage, intent-commit,
     * per-bucket swap. `merge` reduces a union of state rows and delta
