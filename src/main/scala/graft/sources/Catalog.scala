@@ -2044,6 +2044,67 @@ class Catalog(spark: SparkSession, baseDir: String,
   def writePartitioned(df: DataFrame, dest: String, partitionCols: Seq[String]): Unit =
     df.write.mode(SaveMode.Overwrite).partitionBy(partitionCols: _*).parquet(dest)
 
+  /** ZONE MAP — a table-level min/max data-skipping index (the
+    * Delta/Iceberg file-stats move, and the lakehouse complement of
+    * [[writeZOrdered]]: clustering makes per-file ranges TIGHT, the
+    * zone map makes them QUERYABLE without touching a footer). One
+    * scan groups the table by `input_file_name()` and records each
+    * data file's min/max per stats column into a `_zonemap` sidecar
+    * inside the table dir (underscore-prefixed, so data reads never
+    * see it). At 100 TB the planning read is the tiny sidecar — a
+    * range probe opens only the files whose [min,max] intersect it,
+    * instead of every footer (a million-file table has a million
+    * footers; the sidecar is one bounded table). Build cost is one
+    * pass over the table, paid at write time alongside the layout
+    * itself; rebuilding after a data rewrite is the caller's contract,
+    * and [[scanZoneMapped]] REFUSES a stale sidecar (file-set
+    * mismatch) rather than serving from it. */
+  def buildZoneMap(dest: String, statsCols: Seq[String]): Unit = {
+    require(statsCols.nonEmpty, "zone map needs at least one stats column")
+    val df = spark.read.parquet(dest)
+    val aggs = statsCols.flatMap(c =>
+      Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
+    df.groupBy(input_file_name().as("file"))
+      .agg(aggs.head, aggs.tail: _*)
+      .coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(s"$dest/_zonemap")
+  }
+
+  /** Range probe through the zone map: open ONLY the data files whose
+    * recorded [min,max] for `c` intersects [lo, hi], then apply the
+    * exact BETWEEN — skipping moves bytes, never results (the
+    * BloomJoin discipline). Sound because min/max ignore nulls and
+    * BETWEEN is null-rejecting: a file whose every `c` is null
+    * carries null stats, the intersection test is null → the file
+    * skips, and no row it holds could have passed the filter; a file
+    * mixing nulls with in-range values keeps non-null stats and is
+    * retained. The sidecar's file set must equal the dir's current
+    * data files — a rewrite without [[buildZoneMap]] fails loudly
+    * here instead of silently skipping files the stats never saw.
+    * The file-list collect is bounded by the table's FILE count (the
+    * listing any scan pays), not its rows. */
+  def scanZoneMapped(dest: String, c: String, lo: Column, hi: Column): DataFrame = {
+    val zmDir = s"$dest/_zonemap"
+    require(hasSuccess(zmDir), s"no committed zone map under $dest")
+    val zm = spark.read.parquet(zmDir)
+    // input_file_name() and DataFrame.inputFiles render the same file
+    // with different scheme spellings (file:/// vs file:/) — compare
+    // scheme-independent absolute paths.
+    def norm(u: String): String = new Path(u).toUri.getPath
+    val current = spark.read.parquet(dest).inputFiles.map(norm).toSet
+    val recorded = zm.select(col("file")).collect().map(_.getString(0))
+    require(recorded.map(norm).toSet == current,
+      s"zone map is stale for $dest (${recorded.length} recorded vs " +
+        s"${current.size} current files) — rebuild with buildZoneMap")
+    val keep = zm
+      .where(col(s"max_$c") >= lo && col(s"min_$c") <= hi)
+      .select(col("file")).collect().map(_.getString(0)).sorted
+    val pruned =
+      if (keep.isEmpty) spark.read.parquet(dest).limit(0)
+      else spark.read.parquet(keep.toIndexedSeq: _*)
+    pruned.where(col(c).between(lo, hi))
+  }
+
   /** Bucketed managed table: co-locates rows by join key so repeated
     * joins/aggregations on that key skip the exchange entirely — the
     * bucketing IS the pre-shuffle, paid once at write time. The 100 TB
