@@ -383,6 +383,36 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
+  /** APPROXIMATE-THEN-EXACT serving — the published FAISS refine
+    * pattern, and the missing rung between the compressed index and
+    * full-precision answers: the quantized index picks top-(k·`alpha`)
+    * CANDIDATES per query with the asymmetric int8 distance
+    * ([[ivfSearchQ]] — 8× less state than the float index), and only
+    * those candidates are re-scored against the full-precision
+    * vectors, exact cosine, re-ranked to the final k. Quantization
+    * error can reorder near-ties but rarely ejects a true neighbor
+    * from a 3× candidate pool, so the served scores are EXACT doubles
+    * and the served ranking is exact over the pool.
+    *
+    * Scale shape: the candidate pick costs one probed scan of the
+    * int8 codes (the index that FITS at 100 TB); the refine touches
+    * k·alpha·|Q| full vectors — a key-bounded fetch (bucket- or
+    * bloom-routed at scale), never a corpus stream. Locally the
+    * corpus scans once past the broadcast candidate set, the same
+    * plan [[bruteForceTopK]] uses with |Q|·k·alpha rows on the build
+    * side instead of the whole query cross-product. */
+  def ivfSearchQReranked(index: IvfQIndex, embeddings: DataFrame,
+      queries: DataFrame, k: Int, alpha: Int = 3, nProbe: Int = 4): DataFrame = {
+    require(alpha >= 1, s"alpha must be >= 1: $alpha")
+    val cand = ivfSearchQ(index, queries, k * alpha, nProbe)
+      .select(col("query_id"), col("neighbor_id"))
+    val scored = prepared(embeddings)
+      .join(broadcast(cand), col("vec_id") === col("neighbor_id"))
+      .join(broadcast(queries.select(col("query_id"), col("qv"))), "query_id")
+      .withColumn("cos", cosineSim(col("qv"), col("v")))
+    topKPerQuery(scored.select(col("query_id"), col("vec_id"), col("cos")), k)
+  }
+
   /** IVF-PQ index — PRODUCT quantization on top of the coarse quantizer,
     * the published FAISS IVFPQ step past [[IvfQIndex]]'s scalar int8:
     * the residual v − centroid is split into `m` subspaces of Dim/m
@@ -1138,6 +1168,56 @@ object Similarity {
       graft.operators.Dedup.embeddingDedup(embeddings, minCos)
         .select(col("id_a"), col("id_b")),
       minPts)
+
+  /** HARD-NEGATIVE MINING for contrastive training — per query vector,
+    * the top-k most-similar vectors carrying a DIFFERENT label. High
+    * similarity plus the wrong label is exactly what a contrastive or
+    * retrieval loss learns most from (the "hard" in hard negatives);
+    * random negatives are trivially separable and waste the batch.
+    * Same one-streaming-pass shape as [[bruteForceTopK]]: the corpus
+    * streams once past the broadcast query set with the label
+    * inequality fused into the join condition, so wrong-label pairs
+    * are never materialized. At corpus scale use
+    * [[hardNegativesIvf]], which mines the probed candidate pool
+    * instead of the full cross product. */
+  def hardNegatives(embeddings: DataFrame, maxQueryId: Long, k: Int): DataFrame = {
+    val e = spread(embeddings.select(col("vec_id"),
+      toDouble(col("embedding")).as("v"), col("label")))
+    val q = e.where(col("vec_id") < maxQueryId)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("label").as("qlabel"))
+    val scored = e.join(broadcast(q),
+        col("vec_id") =!= col("query_id") && col("label") =!= col("qlabel"))
+      .withColumn("cos", cosineSim(col("qv"), col("v")))
+    topKPerQuery(scored, k)
+  }
+
+  /** The 100× form of [[hardNegatives]]: candidates come from the
+    * QUANTIZED index's probed search ([[ivfSearchQ]]) oversampled to
+    * k·`alpha` — the oversample absorbs both quantization reordering
+    * AND candidates lost to the label filter — then only the
+    * surviving wrong-label candidates are re-scored exact and ranked
+    * to k. Probe cost on int8 codes, exact cost on a key-bounded
+    * candidate fetch; the full cross product never exists. With full
+    * probes and alpha covering the corpus this equals
+    * [[hardNegatives]] exactly (spec-pinned). */
+  def hardNegativesIvf(index: IvfQIndex, embeddings: DataFrame,
+      maxQueryId: Long, k: Int, alpha: Int = 4, nProbe: Int = 4): DataFrame = {
+    val el = embeddings.select(col("vec_id"),
+      toDouble(col("embedding")).as("v"), col("label"))
+    val q = el.where(col("vec_id") < maxQueryId)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("label").as("qlabel"))
+    val cand = ivfSearchQ(index,
+        q.select(col("query_id"), col("qv")), k * alpha, nProbe)
+      .select(col("query_id"), col("neighbor_id"))
+    val scored = el
+      .join(broadcast(cand), col("vec_id") === col("neighbor_id"))
+      .join(broadcast(q), "query_id")
+      .where(col("label") =!= col("qlabel"))
+      .withColumn("cos", cosineSim(col("qv"), col("v")))
+    topKPerQuery(scored.select(col("query_id"), col("vec_id"), col("cos")), k)
+  }
 
   /** Recall@k card of the IVF-probed ANN against the exact brute-force
     * top-k — the index-quality gate (the ANN twin of Dedup.dedupEval):
