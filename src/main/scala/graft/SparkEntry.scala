@@ -443,6 +443,46 @@ object SparkEntry {
       Similarity.ivfSearchQ(cat.loadAnnIndexQ("ann_upsert_qidx"),
         Similarity.queryVectors(emb, 5), k = 10, nProbe = 4)
     }),
+    // approximate-then-exact serving (the FAISS refine pattern): the
+    // int8 index picks k·alpha candidates, only those touch the
+    // full-precision vectors — exact cosine, re-ranked to k; the
+    // oracle replays candidate pick AND refine end-to-end
+    "s_ann_rerank" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.ivfSearchQReranked(Similarity.buildIvfIndexQ(emb), emb,
+        Similarity.queryVectors(emb, 5), k = 10, alpha = 3, nProbe = 4)
+    }),
+    // contrastive-training mining: per query, the top-k most similar
+    // vectors with a DIFFERENT label — the label inequality fused into
+    // the one streaming pass past the broadcast query set
+    "s_hard_negatives" -> ((s, d) =>
+      Similarity.hardNegatives(Tables.embeddings(s, d), 5, 10)),
+    // the 100× mine: candidates from the oversampled int8 probe
+    // (k·alpha absorbs quantization reorder AND label-filter loss),
+    // exact rerank on the survivors only — all equi-joins
+    "s_hard_negatives_ivf" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.hardNegativesIvf(Similarity.buildIvfIndexQ(emb), emb,
+        5, k = 10, alpha = 4, nProbe = 4)
+    }),
+    // zone-map data skipping: per-file min/max sidecar built in one
+    // grouped scan; the range probe opens ONLY intersecting files and
+    // re-applies the exact BETWEEN — bytes move, results never change
+    "fs_zonemap" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{col, count, expr, lit}
+      val cat = new graft.sources.Catalog(s, d,
+        Some(graft.sources.Catalog.warehouseLayoutRoot(s, d)))
+      val dest = s"${cat.derivedDir}/lineitem_zm"
+      cat.writeSorted(Tables.lineitem(s, d), dest, 16, "l_shipdate")
+      cat.buildZoneMap(dest, Seq("l_shipdate"))
+      cat.scanZoneMapped(dest, "l_shipdate",
+          lit("1996-01-01").cast("timestamp"),
+          lit("1996-06-30").cast("timestamp"))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("cnt"),
+          expr("CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100.0")
+            .as("sum_price"))
+    }),
     // uniform-without-replacement cap of 10 docs per source
     "p_cap_source" -> ((s, d) => Sampling.capPerGroup(Tables.documents(s, d), 10)),
     "s_ann_brute" -> ((s, d) => Similarity.bruteForceTopK(Tables.embeddings(s, d), 5, 10)),
@@ -1752,6 +1792,11 @@ object SparkEntry {
     // centroids (the chain's centroid stages filtered to the base)
     "s_ann_upsert" -> ivfUpsertSql,
     "s_ann_upsert_q" -> ivfUpsertQSql,
+    // candidate pick + exact refine replayed end-to-end — the served
+    // scores are the brute-force doubles wherever the pools agree
+    "s_ann_rerank" -> annRerankSql,
+    "s_hard_negatives" -> hardNegSql,
+    "s_hard_negatives_ivf" -> hardNegIvfSql,
     // recall@k of the probed search vs the exact top-k: both sides are
     // the SAME replays the gate already value-checks, composed — the
     // index-quality number measured each round instead of assumed
@@ -3981,6 +4026,14 @@ object SparkEntry {
       """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS cnt,
                 CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_price
          FROM orders WHERE o_orderstatus = 'F' GROUP BY o_orderpriority""",
+    // the zone-map probe must equal the plain full-scan filter —
+    // skipping moves bytes, never results
+    "fs_zonemap" ->
+      """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS cnt,
+                CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_price
+         FROM lineitem
+         WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01 00:00:00' AND TIMESTAMP '1996-06-30 00:00:00'
+         GROUP BY l_returnflag""",
     // growth is one division of two exact cents integers
     "q_yoy" ->
       """WITH rev AS (SELECT n_name, year(o_orderdate) AS o_year,
@@ -5591,8 +5644,12 @@ object SparkEntry {
     * mirrored term by term. list() aggregates rebuild coordinate lists
     * in pos order so every dot product sums in the SAME index order as
     * the Spark side — bit-identical doubles, not approximately-equal. */
-  private val ivfUpsertQSql: String =
-    s"""WITH ${ivfCoreSqlFrom("vec_id % 5 <> 0")},
+  /** The quantized-search chain (int8 encode against the quantizer
+    * trained on `baseWhere` rows, asymmetric-distance probe, ranked
+    * candidates in `rq`) — shared by the upsert oracle (base = 80%)
+    * and the rerank oracle (base = whole corpus). */
+  private def ivfQChainSqlFrom(baseWhere: String): String =
+    s"""${ivfCoreSqlFrom(baseWhere)},
          rx AS (SELECT a2.vec_id, a2.cell_id, t.i AS pos,
                        list_extract(a2.v, t.i) - list_extract(c.cv, t.i) AS x
                 FROM a2 JOIN cents c USING (cell_id)
@@ -5600,7 +5657,7 @@ object SparkEntry {
          sc AS (SELECT cell_id,
                        CASE WHEN max(abs(x)) > 0 THEN max(abs(x)) / 127.0
                             ELSE 1.0 END AS s
-                FROM rx WHERE vec_id % 5 <> 0 GROUP BY cell_id),
+                FROM rx WHERE $baseWhere GROUP BY cell_id),
          cd AS (SELECT rx.vec_id, rx.cell_id, rx.pos,
                        COALESCE(sc.s, 1.0) AS s,
                        greatest(-127.0, least(127.0,
@@ -5628,10 +5685,81 @@ object SparkEntry {
          rq AS (SELECT query_id, neighbor_id, cos,
                        row_number() OVER (PARTITION BY query_id
                                           ORDER BY cos DESC, neighbor_id) AS rnk
-                FROM scoredq)
+                FROM scoredq)"""
+
+  private val ivfUpsertQSql: String =
+    s"""WITH ${ivfQChainSqlFrom("vec_id % 5 <> 0")}
          SELECT query_id, neighbor_id,
                 floor(cos * 1000000 + 0.5) / 1000000 AS cos, rnk
          FROM rq WHERE rnk <= 10"""
+
+  /** Rerank oracle: quantized candidate pick (rnk ≤ k·alpha = 30 on
+    * the UNROUNDED asymmetric cos, the same window Spark ranks on)
+    * then the exact-cosine refine over only those pairs. */
+  private val annRerankSql: String =
+    s"""WITH ${ivfQChainSqlFrom("TRUE")},
+         cand AS (SELECT query_id, neighbor_id FROM rq WHERE rnk <= 30),
+         n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+         qx AS (SELECT DISTINCT query_id, qv FROM q),
+         qn2 AS (SELECT query_id, qv,
+                        sqrt(list_dot_product(qv, qv)) AS qn FROM qx),
+         ex AS (SELECT c.query_id, c.neighbor_id,
+                       list_dot_product(qn2.qv, n.v) / (qn2.qn * n.nrm) AS cos
+                FROM cand c JOIN n ON n.vec_id = c.neighbor_id
+                            JOIN qn2 ON qn2.query_id = c.query_id),
+         rr AS (SELECT query_id, neighbor_id, cos,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY cos DESC, neighbor_id) AS rnk
+                FROM ex)
+         SELECT query_id, neighbor_id,
+                floor(cos * 1000000 + 0.5) / 1000000 AS cos, rnk
+         FROM rr WHERE rnk <= 10"""
+
+  /** Scale-path hard-negative oracle: quantized candidates at
+    * rnk ≤ k·alpha = 40, label filter, exact refine — the
+    * [[annRerankSql]] tail with the label inequality on the pool. */
+  private val hardNegIvfSql: String =
+    s"""WITH ${ivfQChainSqlFrom("TRUE")},
+         cand AS (SELECT query_id, neighbor_id FROM rq WHERE rnk <= 40),
+         lb AS (SELECT vec_id, label FROM embeddings),
+         n AS (SELECT e.vec_id, e.v, lb.label,
+                      sqrt(list_dot_product(e.v, e.v)) AS nrm
+               FROM e JOIN lb USING (vec_id)),
+         qx AS (SELECT DISTINCT query_id, qv FROM q),
+         qn2 AS (SELECT qx.query_id, qx.qv,
+                        sqrt(list_dot_product(qx.qv, qx.qv)) AS qn,
+                        lb.label AS ql
+                 FROM qx JOIN lb ON lb.vec_id = qx.query_id),
+         ex AS (SELECT c.query_id, c.neighbor_id,
+                       list_dot_product(qn2.qv, n.v) / (qn2.qn * n.nrm) AS cos
+                FROM cand c JOIN n ON n.vec_id = c.neighbor_id
+                            JOIN qn2 ON qn2.query_id = c.query_id
+                WHERE n.label <> qn2.ql),
+         rr AS (SELECT query_id, neighbor_id, cos,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY cos DESC, neighbor_id) AS rnk
+                FROM ex)
+         SELECT query_id, neighbor_id,
+                floor(cos * 1000000 + 0.5) / 1000000 AS cos, rnk
+         FROM rr WHERE rnk <= 10"""
+
+  /** Hard-negative oracle: the brute chain with the label inequality
+    * in the pair predicate — wrong-label pairs never exist. */
+  private val hardNegSql: String =
+    """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v, label FROM embeddings),
+         n AS (SELECT vec_id, v, label, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+         q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn, label AS ql FROM n WHERE vec_id < 5),
+         scored AS (SELECT query_id, vec_id AS neighbor_id,
+                           list_dot_product(qv, v) / (qn * nrm) AS cos
+                    FROM n CROSS JOIN q
+                    WHERE vec_id <> query_id AND label <> ql),
+         r AS (SELECT query_id, neighbor_id, cos,
+                      row_number() OVER (PARTITION BY query_id
+                                         ORDER BY cos DESC, neighbor_id) AS rnk
+               FROM scored)
+         SELECT query_id, neighbor_id,
+                floor(cos * 1000000 + 0.5) / 1000000 AS cos, rnk
+         FROM r WHERE rnk <= 10"""
 
   /** MMR over the IVF candidates — the scale-path rerank's oracle. */
   private val mmrIvfSql: String =

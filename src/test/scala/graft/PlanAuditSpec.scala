@@ -89,6 +89,11 @@ class PlanAuditSpec extends SparkSpec {
       "q_rfm",
       // s_radius: s_ann_brute's keyless shape with a threshold filter
       "s_radius",
+      // s_hard_negatives: s_ann_brute's keyless bounded-query-broadcast
+      // scan with the label inequality fused in; the scale route is
+      // hardNegativesIvf (equi-joined candidate fetch off the probed
+      // int8 search)
+      "s_hard_negatives",
       // s_mmr: candidate generation rides s_ann_brute's audited
       // bounded-query-broadcast scan; the greedy rerank after it is
       // all equi-joins at per-query candidate grain
