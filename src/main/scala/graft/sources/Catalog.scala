@@ -2070,6 +2070,43 @@ class Catalog(spark: SparkSession, baseDir: String,
       .write.mode(SaveMode.Overwrite).parquet(s"$dest/_zonemap")
   }
 
+  /** O(Δ) APPEND under the zone map: write the delta's files into the
+    * table dir, stat ONLY the files the append created, and fold them
+    * into the sidecar. [[scanZoneMapped]]'s staleness refusal means a
+    * plain append would brick the probe path until a full
+    * [[buildZoneMap]] rescan of the whole table; this keeps the map
+    * fresh for one scan of the DELTA — the same O(Δ) contract as the
+    * MV and index upserts. Existing data files are never re-read:
+    * their stats rows ride through the sidecar rewrite verbatim (the
+    * sidecar is bounded by the table's FILE count, so the merge is a
+    * metadata-scale operation, not a data one). A crash mid-rewrite
+    * leaves no `_SUCCESS` → the probe refuses → [[buildZoneMap]]
+    * heals; the data append itself is already committed and full
+    * scans never consult the sidecar. */
+  def appendZoneMapped(delta: DataFrame, dest: String,
+      statsCols: Seq[String]): Unit = {
+    val zmDir = s"$dest/_zonemap"
+    require(hasSuccess(zmDir), s"no committed zone map under $dest")
+    def norm(u: String): String = new Path(u).toUri.getPath
+    val before = spark.read.parquet(dest).inputFiles.map(norm).toSet
+    delta.write.mode(SaveMode.Append).parquet(dest)
+    val newFiles = spark.read.parquet(dest).inputFiles
+      .filterNot(f => before(norm(f)))
+    if (newFiles.nonEmpty) {
+      val aggs = statsCols.flatMap(c =>
+        Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
+      val newStats = spark.read.parquet(newFiles.toIndexedSeq: _*)
+        .groupBy(input_file_name().as("file"))
+        .agg(aggs.head, aggs.tail: _*)
+      val old = spark.read.parquet(zmDir)
+      val merged = old.collect() ++ newStats.selectExpr(old.columns: _*).collect()
+      spark.createDataFrame(
+          java.util.Arrays.asList(merged: _*), old.schema)
+        .coalesce(1)
+        .write.mode(SaveMode.Overwrite).parquet(zmDir)
+    }
+  }
+
   /** Range probe through the zone map: open ONLY the data files whose
     * recorded [min,max] for `c` intersects [lo, hi], then apply the
     * exact BETWEEN — skipping moves bytes, never results (the
@@ -2083,27 +2120,44 @@ class Catalog(spark: SparkSession, baseDir: String,
     * here instead of silently skipping files the stats never saw.
     * The file-list collect is bounded by the table's FILE count (the
     * listing any scan pays), not its rows. */
-  def scanZoneMapped(dest: String, c: String, lo: Column, hi: Column): DataFrame = {
+  /** Multi-column rectangle probe: a file survives only if its
+    * recorded [min,max] intersects EVERY column's range — the read
+    * side of [[writeZOrderedN]], where Z-clustering keeps per-file
+    * ranges tight on ALL interleaved dimensions at once, so a 2-D
+    * rectangle skips files neither 1-D probe could (their
+    * intersection shrinks multiplicatively). Same soundness argument
+    * per column as [[scanZoneMapped]]; the exact conjunction is
+    * re-applied after routing. */
+  def scanZoneMappedN(dest: String,
+      ranges: Seq[(String, Column, Column)]): DataFrame = {
+    require(ranges.nonEmpty, "rectangle probe needs at least one range")
     val zmDir = s"$dest/_zonemap"
     require(hasSuccess(zmDir), s"no committed zone map under $dest")
-    val zm = spark.read.parquet(zmDir)
     // input_file_name() and DataFrame.inputFiles render the same file
     // with different scheme spellings (file:/// vs file:/) — compare
     // scheme-independent absolute paths.
     def norm(u: String): String = new Path(u).toUri.getPath
+    val zm = spark.read.parquet(zmDir)
     val current = spark.read.parquet(dest).inputFiles.map(norm).toSet
     val recorded = zm.select(col("file")).collect().map(_.getString(0))
     require(recorded.map(norm).toSet == current,
       s"zone map is stale for $dest (${recorded.length} recorded vs " +
         s"${current.size} current files) — rebuild with buildZoneMap")
-    val keep = zm
-      .where(col(s"max_$c") >= lo && col(s"min_$c") <= hi)
+    val intersects = ranges.map { case (c, lo, hi) =>
+      col(s"max_$c") >= lo && col(s"min_$c") <= hi
+    }.reduce(_ && _)
+    val keep = zm.where(intersects)
       .select(col("file")).collect().map(_.getString(0)).sorted
     val pruned =
       if (keep.isEmpty) spark.read.parquet(dest).limit(0)
       else spark.read.parquet(keep.toIndexedSeq: _*)
-    pruned.where(col(c).between(lo, hi))
+    pruned.where(ranges.map { case (c, lo, hi) =>
+      col(c).between(lo, hi)
+    }.reduce(_ && _))
   }
+
+  def scanZoneMapped(dest: String, c: String, lo: Column, hi: Column): DataFrame =
+    scanZoneMappedN(dest, Seq((c, lo, hi)))
 
   /** Bucketed managed table: co-locates rows by join key so repeated
     * joins/aggregations on that key skip the exchange entirely — the

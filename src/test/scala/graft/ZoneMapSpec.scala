@@ -64,6 +64,70 @@ class ZoneMapSpec extends SparkSpec {
     assert(none.columns.toSeq == spark.read.parquet(dest).columns.toSeq)
   }
 
+  test("2-D rectangle probe on a Z-ordered layout skips more than either 1-D probe") {
+    val cat = mkCat
+    val dest = java.nio.file.Files.createTempDirectory("graft-zm-2d").toString
+    // two independent uniform dimensions (the ZOrderNSpec rationale:
+    // lineitem's key columns correlate, useless for a skipping measure)
+    val df = spark.range(100000).select(
+      pmod(hash($"id"), lit(1000)).cast("long").as("x"),
+      pmod(hash($"id" * 7 + 3), lit(1000)).cast("long").as("y"),
+      $"id")
+    cat.writeZOrderedN(df, dest, 64, Seq("x", "y"))
+    cat.buildZoneMap(dest, Seq("x", "y"))
+
+    val rect = cat.scanZoneMappedN(dest,
+      Seq(("x", lit(100L), lit(200L)), ("y", lit(100L), lit(200L))))
+    val xOnly = cat.scanZoneMapped(dest, "x", lit(100L), lit(200L))
+    val yOnly = cat.scanZoneMapped(dest, "y", lit(100L), lit(200L))
+    assert(rect.inputFiles.length < xOnly.inputFiles.length,
+      s"rectangle (${rect.inputFiles.length} files) should beat the x slab (${xOnly.inputFiles.length})")
+    assert(rect.inputFiles.length < yOnly.inputFiles.length,
+      s"rectangle (${rect.inputFiles.length} files) should beat the y slab (${yOnly.inputFiles.length})")
+
+    val expect = spark.read.parquet(dest)
+      .where($"x".between(100L, 200L) && $"y".between(100L, 200L))
+      .agg(count(lit(1)), sum($"id")).head()
+    assert(rect.agg(count(lit(1)), sum($"id")).head() == expect)
+    assert(expect.getLong(0) > 0)
+  }
+
+  test("appendZoneMapped keeps the map fresh for one delta scan; a raw append refuses") {
+    val cat = mkCat
+    val dest = java.nio.file.Files.createTempDirectory("graft-zm-app").toString
+    (1 to 100).map(i => (i.toLong, "base")).toDF("k", "src")
+      .repartition(4).write.mode("overwrite").parquet(dest)
+    cat.buildZoneMap(dest, Seq("k"))
+
+    // a raw append bricks the probe path loudly, not silently
+    (201L to 210L).map((_, "raw")).toDF("k", "src")
+      .write.mode("append").parquet(dest)
+    assert(intercept[IllegalArgumentException] {
+      cat.scanZoneMapped(dest, "k", lit(1L), lit(10L))
+    }.getMessage.contains("stale"))
+    cat.buildZoneMap(dest, Seq("k")) // heal, then test the O(Δ) path
+
+    cat.appendZoneMapped(
+      (301L to 310L).map((_, "delta")).toDF("k", "src").coalesce(1),
+      dest, Seq("k"))
+    // probe the delta's range: only its file opens
+    val hit = cat.scanZoneMapped(dest, "k", lit(301L), lit(310L))
+    assert(hit.count() == 10)
+    assert(hit.inputFiles.length == 1, "delta probe must open only the delta file")
+    assert(hit.select($"src").distinct().as[String].collect().toSeq == Seq("delta"))
+    // probe the base range: delta files must NOT open
+    val base = cat.scanZoneMapped(dest, "k", lit(1L), lit(10L))
+    assert(base.count() == 10)
+    assert(base.select($"src").distinct().as[String].collect().toSeq == Seq("base"))
+    // the folded sidecar equals a from-scratch rebuild
+    val folded = spark.read.parquet(s"$dest/_zonemap")
+      .orderBy($"file").collect().toSeq
+    cat.buildZoneMap(dest, Seq("k"))
+    val rebuilt = spark.read.parquet(s"$dest/_zonemap")
+      .orderBy($"file").collect().toSeq
+    assert(folded == rebuilt)
+  }
+
   test("a stale zone map refuses to serve after a data rewrite") {
     val cat = mkCat
     val dest = java.nio.file.Files.createTempDirectory("graft-zm-stale").toString
