@@ -71,10 +71,12 @@ object Shell {
           "mwu [typeA typeB] | attribution_multi | harmonic | ndcg | " +
           "kanon [k] | paths [k] | contract | drift | bm25 <terms...> | " +
           "phrase <t1> <t2> [...] | pca [k] | " +
-          "calibration | maintain [segs] | " +
+          "calibration | maintain [segs] | hardneg [k] | " +
+          "zonemap <lo> <hi> (yyyy-mm-dd shipdate probe) | " +
           "exit | <sql>  (SQL reaches the operator TVFs too: " +
           "graft_asof(dir) graft_dedup_minhash(dir[,bands]) " +
           "graft_mmr(dir[,maxq]) graft_funnel(dir) graft_kanon(dir[,k]) " +
+          "graft_hard_negatives(dir[,k]) " +
           "graft_prep_attrition(dir[,bench[,minq]]) graft_contract(dir) " +
           "graft_doctor(sql) graft_drift(dir) graft_bm25(dir,query[,k]) " +
           "graft_bm25_phrase(dir,phrase[,k]))")
@@ -330,6 +332,27 @@ object Shell {
         val k = rest.headOption.map(_.toInt).getOrElse(5)
         operators.Similarity.mmrRerank(Tables.embeddings(spark, dir), kOut = k)
           .orderBy("query_id", "pick").show(5 * k, truncate = false)
+      case "hardneg" :: rest if rest.length <= 1 =>
+        // contrastive-training mining: highest-similarity WRONG-label
+        // neighbors — what the loss learns most from
+        val k = rest.headOption.map(_.toInt).getOrElse(10)
+        operators.Similarity.hardNegatives(Tables.embeddings(spark, dir), 5, k)
+          .orderBy("query_id", "rnk").show(5 * k, truncate = false)
+      case "zonemap" :: lo :: hi :: Nil =>
+        // file-skipping demo: shipdate-sorted lineitem + min/max
+        // sidecar, then the probe reports bytes routing (files
+        // opened vs total) alongside the answer
+        import org.apache.spark.sql.functions.{col, count, lit, sum}
+        val dest = s"${cat.derivedDir}/lineitem_zm_shell"
+        cat.writeSorted(Tables.lineitem(spark, dir), dest, 16, "l_shipdate")
+        cat.buildZoneMap(dest, Seq("l_shipdate"))
+        val probe = cat.scanZoneMapped(dest, "l_shipdate",
+          lit(lo).cast("timestamp"), lit(hi).cast("timestamp"))
+        val total = spark.read.parquet(dest).inputFiles.length
+        println(s"zone map opened ${probe.inputFiles.length} of $total files")
+        probe.agg(count(lit(1)).as("rows"),
+            sum(col("l_quantity")).as("sum_qty"))
+          .show(truncate = false)
       case "quality_model" :: Nil =>
         // the distilled gopher gate: weights + training accuracy
         operators.QualityModel.trainCard(Tables.documents(spark, dir))

@@ -465,6 +465,25 @@ object SparkEntry {
       Similarity.hardNegativesIvf(Similarity.buildIvfIndexQ(emb), emb,
         5, k = 10, alpha = 4, nProbe = 4)
     }),
+    // the N-dim rectangle probe over a Z-ordered layout: Z-clustering
+    // keeps per-file ranges tight on BOTH interleaved dimensions, so
+    // the 2-D intersection skips files neither 1-D slab could
+    "fs_zonemap_2d" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{col, count, expr, lit}
+      val cat = new graft.sources.Catalog(s, d,
+        Some(graft.sources.Catalog.warehouseLayoutRoot(s, d)))
+      val dest = s"${cat.derivedDir}/lineitem_zm2"
+      cat.writeZOrderedN(Tables.lineitem(s, d), dest, 16,
+        Seq("l_partkey", "l_suppkey"))
+      cat.buildZoneMap(dest, Seq("l_partkey", "l_suppkey"))
+      cat.scanZoneMappedN(dest, Seq(
+          ("l_partkey", lit(40L), lit(120L)),
+          ("l_suppkey", lit(2L), lit(8L))))
+        .groupBy(col("l_linestatus"))
+        .agg(count(lit(1)).as("cnt"),
+          expr("CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100.0")
+            .as("sum_price"))
+    }),
     // zone-map data skipping: per-file min/max sidecar built in one
     // grouped scan; the range probe opens ONLY intersecting files and
     // re-applies the exact BETWEEN — bytes move, results never change
@@ -1080,6 +1099,8 @@ object SparkEntry {
     "sql_dedup_minhash" ->
       ((s, d) => s.sql(s"SELECT * FROM graft_dedup_minhash('$d')")),
     "sql_mmr" -> ((s, d) => s.sql(s"SELECT * FROM graft_mmr('$d')")),
+    "sql_hard_negatives" -> ((s, d) =>
+      s.sql(s"SELECT * FROM graft_hard_negatives('$d')")),
     "sql_drift" -> ((s, d) => s.sql(s"SELECT * FROM graft_drift('$d')")),
     "sql_bm25" -> ((s, d) =>
       s.sql(s"SELECT * FROM graft_bm25('$d', 'data join scan')")),
@@ -4034,6 +4055,12 @@ object SparkEntry {
          FROM lineitem
          WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01 00:00:00' AND TIMESTAMP '1996-06-30 00:00:00'
          GROUP BY l_returnflag""",
+    "fs_zonemap_2d" ->
+      """SELECT l_linestatus, CAST(count(*) AS BIGINT) AS cnt,
+                CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_price
+         FROM lineitem
+         WHERE l_partkey BETWEEN 40 AND 120 AND l_suppkey BETWEEN 2 AND 8
+         GROUP BY l_linestatus""",
     // growth is one division of two exact cents integers
     "q_yoy" ->
       """WITH rev AS (SELECT n_name, year(o_orderdate) AS o_year,
@@ -4997,6 +5024,9 @@ object SparkEntry {
       operators.TextAnalysis.bm25PhraseOracleSql(Seq("data", "join")),
     "sql_dedup_minhash" -> ngramJaccardSql,
     "sql_mmr" -> mmrSql,
+    // the TVF resolves to the operator's own plan, so it shares the
+    // operator's oracle verbatim
+    "sql_hard_negatives" -> hardNegSql,
   )
 
   /** Shared by d_containment and d_containment_auto (the routed entry

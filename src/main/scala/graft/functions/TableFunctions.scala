@@ -99,6 +99,17 @@ object TableFunctions {
         graft.Tables.embeddings(spark, strArg("graft_mmr", exprs, 0)),
         maxQueryId = longArg("graft_mmr", exprs, 1, 5L))
     }
+    tvf(ext, "graft_hard_negatives",
+      "graft_hard_negatives(dir[, k]) - top-k most-similar WRONG-label " +
+        "neighbors per query over <dir>/embeddings (contrastive-" +
+        "training negative mining)") { (spark, exprs) =>
+      maxArgs("graft_hard_negatives", exprs, 2)
+      graft.operators.Similarity.hardNegatives(
+        graft.Tables.embeddings(spark,
+          strArg("graft_hard_negatives", exprs, 0)),
+        maxQueryId = 5,
+        k = longArg("graft_hard_negatives", exprs, 1, 10L).toInt)
+    }
     tvf(ext, "graft_funnel",
       "graft_funnel(dir) - view>click>purchase funnel over <dir>/events") {
       (spark, exprs) =>

@@ -92,8 +92,9 @@ class PlanAuditSpec extends SparkSpec {
       // s_hard_negatives: s_ann_brute's keyless bounded-query-broadcast
       // scan with the label inequality fused in; the scale route is
       // hardNegativesIvf (equi-joined candidate fetch off the probed
-      // int8 search)
-      "s_hard_negatives",
+      // int8 search); the sql_ spelling resolves to the SAME plan
+      // (the TVF contract), so it carries the same justification
+      "s_hard_negatives", "sql_hard_negatives",
       // s_mmr: candidate generation rides s_ann_brute's audited
       // bounded-query-broadcast scan; the greedy rerank after it is
       // all equi-joins at per-query candidate grain

@@ -135,6 +135,13 @@ class ShellProcedureSpec extends SparkSpec {
     assert(Shell.execute("pca 2", spark, cat, sfDir))
   }
 
+  test("round-13 verbs: hardneg / zonemap run from the shell") {
+    val cat = new Catalog(spark, sfDir,
+      Some(java.nio.file.Files.createTempDirectory("graft-shell-zm").toString))
+    assert(Shell.execute("hardneg 3", spark, cat, sfDir))
+    assert(Shell.execute("zonemap 1996-01-01 1996-06-30", spark, cat, sfDir))
+  }
+
   test("publish and explain verbs run from the shell") {
     val dir = java.nio.file.Files.createTempDirectory("graft-shell-pub").toString
     Tables.documents(spark, sfDir).write.parquet(s"$dir/documents.parquet")

@@ -33,6 +33,14 @@ class SqlFrontDoorSpec extends SparkSpec {
     assert(rows(sql) == rows(scala_))
   }
 
+  test("graft_hard_negatives(dir, k) forwards the k literal") {
+    val sql = spark.sql(s"SELECT * FROM graft_hard_negatives('$sfDir', 3)")
+    val scala_ = operators.Similarity.hardNegatives(
+      Tables.embeddings(spark, sfDir), 5, 3)
+    assert(sql.columns.toSeq == scala_.columns.toSeq)
+    assert(rows(sql) == rows(scala_))
+  }
+
   test("graft_funnel(dir) == Events.funnel and composes under SQL") {
     val sql = spark.sql(
       s"SELECT count(*) AS n FROM graft_funnel('$sfDir') WHERE t3 IS NOT NULL")
