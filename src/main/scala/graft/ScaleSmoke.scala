@@ -863,6 +863,38 @@ object ScaleSmoke {
         println(f"[scale] scd2_bkt_${tag}_rewrote  ${rewrittenBytes(s"sbkt_$tag", t1) / 1024.0}%10.1f KiB")
       }
     }
+    // Zone-map probe as the table (and its file count) grows 10×: the
+    // planning read is the bounded sidecar and the data read is only
+    // the files the range intersects — both follow the RANGE, not the
+    // table, so a fixed narrow probe stays flat while the full scan it
+    // replaces pays the 10×.
+    locally {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-scale-zm").toString
+      val cat = new graft.sources.Catalog(spark, root)
+      Seq(("1x", 2000000L, 64), ("10x", 20000000L, 640)).foreach {
+        case (tag, n, files) =>
+          if (selected(s"zonemap_probe_$tag") ||
+              selected(s"zonemap_fullscan_$tag")) {
+            val dest = s"$root/t_$tag"
+            val df = spark.range(n).select(col("id"),
+              pmod(hash(col("id")), lit(1000000)).cast("long").as("k"))
+            cat.writeSorted(df, dest, files, "k") // tight per-file ranges
+            cat.buildZoneMap(dest, Seq("k"))
+            time(s"zonemap_probe_$tag") {
+              cat.scanZoneMapped(dest, "k", lit(1000L), lit(2000L))
+                .write.format("noop").mode("overwrite").save()
+            }
+            val opened = cat.scanZoneMapped(dest, "k", lit(1000L), lit(2000L))
+              .inputFiles.length
+            println(s"[scale] zonemap_${tag}_opened $opened of $files files")
+            time(s"zonemap_fullscan_$tag") {
+              spark.read.parquet(dest).where(col("k").between(1000L, 2000L))
+                .write.format("noop").mode("overwrite").save()
+            }
+          }
+      }
+    }
     spark.stop()
   }
 }
