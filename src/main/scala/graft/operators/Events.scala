@@ -103,9 +103,12 @@ object Events {
       .withColumn("__g", lit(1))
       .localCheckpoint()
     val run = Cumulative.runningSum(vc, Seq("__g"), "t", "d", "conc")
-    val mx = run.agg(max(col("conc")).as("m"))
-    run.join(broadcast(mx), col("conc") === col("m"))
-      .agg(min(col("t")).as("peak_tsu"), first(col("m")).as("peak_concurrency"))
+    // argmax in ONE aggregation (max of a (conc, −t) struct = the peak
+    // and its earliest time), replacing the max-then-rejoin shape that
+    // ran the whole sweep subtree twice; identical values
+    run.agg(max(struct(col("conc"), (-col("t")).as("neg_t"))).as("mx"))
+      .select((-col("mx.neg_t")).as("peak_tsu"),
+        col("mx.conc").as("peak_concurrency"))
   }
 
   /** Gap sessionization via Spark's NATIVE `session_window` — the
@@ -599,6 +602,10 @@ object Events {
           expr("CAST(round(value * 100) AS BIGINT)").as("cents")).as("pick"))
       .groupBy(col("user_id"), col("hr"))
       .agg(max(col("pick")).getField("cents").as("cents"))
+      // referenced by the grid AND the fill join — materialized once
+      // ((user, hour) grain, far below event grain) so the per-hour
+      // pick aggregate doesn't scan events twice
+      .localCheckpoint()
     val grid = hourly.groupBy(col("user_id"))
       .agg(min(col("hr")).as("mn"), max(col("hr")).as("mx"))
       .select(col("user_id"), explode(sequence(col("mn"), col("mx"))).as("hr"))
@@ -822,16 +829,17 @@ object Events {
           raise_error(lit("cusumChangePoint: prefix moment overflowed Decimal(38,0)"))
             .cast("decimal(38,0)"))
           .otherwise(abs(col("cusum"))))
-    val maxs = scored.groupBy(col("event_type"))
-      .agg(max(col("score")).as("max_score"))
-    scored.join(broadcast(maxs), "event_type")
-      .where(col("score") === col("max_score"))
-      .groupBy(col("event_type"))
-      .agg(min(col("tsu")).as("change_tsu"),
-        first(col("max_score")).as("ms"),
+    // argmax in ONE aggregation: max of (score, −tsu) struct is
+    // lexicographic — the max score, and among its ties the EARLIEST
+    // tsu — replacing the max-then-rejoin shape (a second full pass
+    // over the prefix-scan subtree plus a broadcast join and re-agg)
+    // with a single grouped pass; identical values by construction
+    scored.groupBy(col("event_type"))
+      .agg(max(struct(col("score"), (-col("tsu")).as("neg_tsu"))).as("mx"),
         first(col("n_tot")).as("n_events"))
-      .select(col("event_type"), col("change_tsu"),
-        col("ms").cast("double").as("cusum_score"),
+      .select(col("event_type"),
+        (-col("mx.neg_tsu")).as("change_tsu"),
+        col("mx.score").cast("double").as("cusum_score"),
         col("n_events"))
   }
 

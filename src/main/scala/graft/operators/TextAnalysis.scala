@@ -529,8 +529,16 @@ object TextAnalysis {
     * land in the same bucket by construction, and every comparison is
     * on doubles both engines derive identically from exact integers. */
   def ccnetBuckets(docs: DataFrame, minCount: Long = 2): DataFrame = {
+    // the scored relation feeds the value-count table, the per-lang
+    // totals AND the final assignment — materialized once
+    // (localCheckpoint, the pcaSolve pattern), the LM-score subtree
+    // (two corpus tokenizes + the bigram join) runs ONCE instead of
+    // three times and the plan drops from 102 Exchanges to the three
+    // reads of the (doc_id, lang, lm_score) grain
     val scored = lmScore(docs, minCount)
       .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+      .select(col("doc_id"), col("lang"), col("lm_score"))
+      .localCheckpoint()
     val vc = scored.groupBy(col("lang"), col("lm_score")).agg(count(lit(1)).as("c"))
     // two-level bucket-monotone scan: LM scores are near-unique, so a
     // plain per-lang window would sort O(docs-per-lang) on one task

@@ -537,28 +537,35 @@ class Catalog(spark: SparkSession, baseDir: String,
         spark.read.parquet(openDir).unionByName(changes)
       else changes
     val w = Window.partitionBy(col(key)).orderBy(col(seqCol))
+    // three consumers (closed segment, tombstone audit, open swap) —
+    // materialized once so the stored-state union + lead() window runs
+    // one time per refresh, not three (state+batch bounded, the same
+    // rows the refresh rewrites anyway)
     val stamped = all.withColumn("__vt", lead(col(seqCol), 1).over(w))
+      .localCheckpoint()
     val closed = stamped.where(col(opCol) === "u" && col("__vt").isNotNull)
       .withColumnRenamed(seqCol, "valid_from")
       .withColumnRenamed("__vt", "valid_to")
       .drop(opCol)
     val open = stamped.where(col(opCol) === "u" && col("__vt").isNull)
       .drop("__vt")
-    closed.write.mode(SaveMode.Overwrite)
-      .parquet(s"$derivedDir/$name/closed_seg_b$batchId")
-    // the DELETE AUDIT part: every tombstone's (key, seq), because the
-    // version rows alone cannot encode a delete that deleted nothing
-    // (a d on an already-tombstoned key) — and [[scd2Backfill]] must
-    // replay even those when a late upsert lands a span under one.
-    // repartition(1): always ≥ 1 schema-bearing file, and a batch's
-    // deletes fit one file by nature. Written before the open swap,
-    // same retry-overwrite argument as the closed segment.
-    stamped.where(col(opCol) === "d")
-      .select(col(key), col(seqCol))
-      .repartition(1)
-      .write.mode(SaveMode.Overwrite)
-      .parquet(s"$derivedDir/$name/tombs_seg_b$batchId")
-    commitSwap(openDir, open, Some(batchId), s"refreshScd2Mv($name)")
+    try {
+      closed.write.mode(SaveMode.Overwrite)
+        .parquet(s"$derivedDir/$name/closed_seg_b$batchId")
+      // the DELETE AUDIT part: every tombstone's (key, seq), because the
+      // version rows alone cannot encode a delete that deleted nothing
+      // (a d on an already-tombstoned key) — and [[scd2Backfill]] must
+      // replay even those when a late upsert lands a span under one.
+      // repartition(1): always ≥ 1 schema-bearing file, and a batch's
+      // deletes fit one file by nature. Written before the open swap,
+      // same retry-overwrite argument as the closed segment.
+      stamped.where(col(opCol) === "d")
+        .select(col(key), col(seqCol))
+        .repartition(1)
+        .write.mode(SaveMode.Overwrite)
+        .parquet(s"$derivedDir/$name/tombs_seg_b$batchId")
+      commitSwap(openDir, open, Some(batchId), s"refreshScd2Mv($name)")
+    } finally stamped.unpersist(): Unit
   }
 
   /** [[refreshScd2Mv]] with HASH-BUCKETED open state — the last MV
@@ -616,7 +623,11 @@ class Catalog(spark: SparkSession, baseDir: String,
       else Some(spark.read.parquet(storedPaths: _*))
     val all = stored.map(_.unionByName(changes)).getOrElse(changes)
     val w = Window.partitionBy(col(key)).orderBy(col(seqCol))
+    // materialized once for its four consumers (closed, tombstones,
+    // staged open write, dataless-bucket fallback) — the flat rung's
+    // argument, touched-buckets + batch bounded
     val stamped = all.withColumn("__vt", lead(col(seqCol), 1).over(w))
+      .localCheckpoint()
     val closed = stamped.where(col(opCol) === "u" && col("__vt").isNotNull)
       .withColumnRenamed(seqCol, "valid_from")
       .withColumnRenamed("__vt", "valid_to")
@@ -660,6 +671,7 @@ class Catalog(spark: SparkSession, baseDir: String,
       throw new java.io.IOException(
         s"refreshScd2MvBucketed($name): intent rename failed")
     installBucketedStaged(openDir, fs)
+    stamped.unpersist(): Unit
   }
 
   /** Fold every committed closed segment of a [[refreshScd2Mv]] state
@@ -740,7 +752,11 @@ class Catalog(spark: SparkSession, baseDir: String,
     val keys = late.select(col(key)).distinct()
     val valueCols = hist.columns
       .filterNot(Seq(key, "valid_from", "valid_to", "is_current").contains)
-    val affected = hist.join(broadcast(keys), Seq(key))
+    // three consumers (upserts + both sides of the inferred-tombstone
+    // anti-join) — materialized once so the stored history (closed
+    // segments ∪ open) is listed and scanned one time, bounded by the
+    // late keys' own history
+    val affected = hist.join(broadcast(keys), Seq(key)).localCheckpoint()
     val upserts = affected.select(
       Seq(col(key), col("valid_from").as(seqCol), lit("u").as(opCol)) ++
         valueCols.map(col): _*)
@@ -1334,10 +1350,14 @@ class Catalog(spark: SparkSession, baseDir: String,
     commitIndexPart(name, "postings",
       post.repartitionByRange(col("term"))
         .sortWithinPartitions(col("term")))
+    // dl derives from the COMMITTED postings (dl = Σ tf per doc — the
+    // identical integer to counting the doc's tokens, and the identical
+    // row set: a doc appears iff it has ≥1 token): one corpus tokenize
+    // per build instead of two, the second pass replaced by a pruned
+    // (doc_id, tf) read of the just-written columnar postings
     commitIndexPart(name, "dl",
-      docs.select(col("doc_id"),
-          explode(TextAnalysis.tokens(col("text"))).as("term"))
-        .groupBy(col("doc_id")).agg(count(lit(1)).as("dl")))
+      spark.read.parquet(s"$derivedDir/$name/postings")
+        .groupBy(col("doc_id")).agg(sum(col("tf")).as("dl")))
     commitIndexPart(name, "stats",
       spark.read.parquet(s"$derivedDir/$name/dl")
         .agg(count(lit(1)).as("n_docs"),
@@ -1360,24 +1380,37 @@ class Catalog(spark: SparkSession, baseDir: String,
     val segDir = s"$derivedDir/$name/postings_seg_b$batchId"
     if (hasSuccess(segDir)) return // retry of a committed batch: no-op
     import graft.operators.TextAnalysis
-    val toks = newDocs.select(col("doc_id"),
-      explode(TextAnalysis.tokens(col("text"))).as("term"))
-    toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
-      .write.mode(SaveMode.Overwrite)
-      .parquet(s"$derivedDir/$name/dl_seg_b$batchId")
-    spark.read.parquet(s"$derivedDir/$name/dl_seg_b$batchId")
-      .agg(count(lit(1)).as("n_docs"),
-        coalesce(sum(col("dl")), lit(0L)).as("sum_dl"))
-      .write.mode(SaveMode.Overwrite)
-      .parquet(s"$derivedDir/$name/stats_seg_b$batchId")
     // segment postings match the base's grain: positional bases get
     // positional segments (the union must be schema-stable)
     val positional = spark.read.parquet(s"$derivedDir/$name/postings")
       .columns.contains("positions")
-    val post = if (positional) TextAnalysis.textPostingsPositional(newDocs)
-      else toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-    post.repartitionByRange(col("term")).sortWithinPartitions(col("term"))
-      .write.mode(SaveMode.Overwrite).parquet(segDir)
+    // ONE tokenize pass per LARGE batch: the postings aggregate is
+    // materialized (localCheckpoint — bounded by the batch) so dl
+    // (= Σ tf per doc, the identical integer and row set), stats, the
+    // range-partition sample and the segment write all reuse those
+    // rows instead of re-tokenizing the batch three times. SIZE-ROUTED
+    // (the spreadSmall rule): for a small batch the checkpoint job
+    // costs more than the repeated tokenize — measured d_index_maint
+    // 8.6 → 10.9 s with an unconditional checkpoint at sf0.1 — so
+    // below 64 MB the plan stays lazy and the shape matches the old
+    // one; above it (any real corpus drop) the batch tokenizes once.
+    val postPlan = if (positional) TextAnalysis.textPostingsPositional(newDocs)
+      else TextAnalysis.textPostings(newDocs)
+    val bigBatch = newDocs.queryExecution.optimizedPlan
+      .stats.sizeInBytes > (64L << 20)
+    val post = if (bigBatch) postPlan.localCheckpoint() else postPlan
+    try {
+      post.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+        .write.mode(SaveMode.Overwrite)
+        .parquet(s"$derivedDir/$name/dl_seg_b$batchId")
+      spark.read.parquet(s"$derivedDir/$name/dl_seg_b$batchId")
+        .agg(count(lit(1)).as("n_docs"),
+          coalesce(sum(col("dl")), lit(0L)).as("sum_dl"))
+        .write.mode(SaveMode.Overwrite)
+        .parquet(s"$derivedDir/$name/stats_seg_b$batchId")
+      post.repartitionByRange(col("term")).sortWithinPartitions(col("term"))
+        .write.mode(SaveMode.Overwrite).parquet(segDir)
+    } finally if (bigBatch) post.unpersist(): Unit
   }
 
   /** Base parts plus every COMMITTED upsert segment; the stats parts
@@ -1522,10 +1555,12 @@ class Catalog(spark: SparkSession, baseDir: String,
     val post = if (positional) TextAnalysis.textPostingsPositional(docs)
       else TextAnalysis.textPostings(docs)
     writeBucketed(post, textTable(name), "term", nBuckets)
+    // dl from the COMMITTED bucketed postings (dl = Σ tf per doc —
+    // identical integer and row set): one corpus tokenize per build,
+    // the second pass replaced by a pruned (doc_id, tf) table read
     commitIndexPart(name, "dl",
-      docs.select(col("doc_id"),
-          explode(TextAnalysis.tokens(col("text"))).as("term"))
-        .groupBy(col("doc_id")).agg(count(lit(1)).as("dl")))
+      spark.table(textTable(name))
+        .groupBy(col("doc_id")).agg(sum(col("tf")).as("dl")))
     commitIndexPart(name, "stats",
       spark.read.parquet(s"$derivedDir/$name/dl")
         .agg(count(lit(1)).as("n_docs"),
@@ -1549,20 +1584,26 @@ class Catalog(spark: SparkSession, baseDir: String,
       s"no committed bucketed text index to upsert: $name")
     val segTable = textTable(name, Some(batchId))
     if (spark.catalog.tableExists(segTable)) return // committed: no-op
-    val toks = newDocs.select(col("doc_id"),
-      explode(TextAnalysis.tokens(col("text"))).as("term"))
-    toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
-      .write.mode(SaveMode.Overwrite)
-      .parquet(s"$derivedDir/$name/dl_seg_b$batchId")
-    spark.read.parquet(s"$derivedDir/$name/dl_seg_b$batchId")
-      .agg(count(lit(1)).as("n_docs"),
-        coalesce(sum(col("dl")), lit(0L)).as("sum_dl"))
-      .write.mode(SaveMode.Overwrite)
-      .parquet(s"$derivedDir/$name/stats_seg_b$batchId")
     val positional = spark.table(base).columns.contains("positions")
-    val post = if (positional) TextAnalysis.textPostingsPositional(newDocs)
-      else toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-    writeBucketed(post, segTable, "term", bucketCountOf(base))
+    // ONE tokenize pass per LARGE batch, lazy plan for small ones —
+    // the size-routed [[upsertTextIndex]] shape (see the rationale
+    // there); dl/stats derive from the postings either way
+    val postPlan = if (positional) TextAnalysis.textPostingsPositional(newDocs)
+      else TextAnalysis.textPostings(newDocs)
+    val bigBatch = newDocs.queryExecution.optimizedPlan
+      .stats.sizeInBytes > (64L << 20)
+    val post = if (bigBatch) postPlan.localCheckpoint() else postPlan
+    try {
+      post.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+        .write.mode(SaveMode.Overwrite)
+        .parquet(s"$derivedDir/$name/dl_seg_b$batchId")
+      spark.read.parquet(s"$derivedDir/$name/dl_seg_b$batchId")
+        .agg(count(lit(1)).as("n_docs"),
+          coalesce(sum(col("dl")), lit(0L)).as("sum_dl"))
+        .write.mode(SaveMode.Overwrite)
+        .parquet(s"$derivedDir/$name/stats_seg_b$batchId")
+      writeBucketed(post, segTable, "term", bucketCountOf(base))
+    } finally if (bigBatch) post.unpersist(): Unit
   }
 
   /** Base table plus every COMMITTED segment table (id ≤ asOf), with

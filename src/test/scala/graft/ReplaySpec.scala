@@ -47,4 +47,35 @@ class ReplaySpec extends SparkSpec {
     assert(spark.read.parquet(newest.getAbsolutePath)
       .agg(max(col("user_id"))).as[Long].head() == a.sentinelUser)
   }
+
+  test("state partition count derives from source bytes, not core count") {
+    // a megabytes-scale local source gets the few partitions its bytes
+    // justify; the same formula scales linearly with bytes and caps at
+    // 32768 (beyond the cap, bytes-per-partition grows instead)
+    val dir = java.nio.file.Files.createTempDirectory("replay-parts-spec")
+    def fileOf(bytes: Int): Unit = {
+      val f = dir.resolve(s"part-${bytes}")
+      java.nio.file.Files.write(f, new Array[Byte](bytes)): Unit
+    }
+    assert(Replay.streamShufflePartitions(dir.toString) == 1) // empty dir
+    fileOf(1 << 20)
+    assert(Replay.streamShufflePartitions(dir.toString) == 1) // 1 MiB
+    fileOf((64 << 20) - (1 << 20)) // exactly 64 MiB total
+    assert(Replay.streamShufflePartitions(dir.toString) == 1)
+    fileOf(1) // 64 MiB + 1 byte
+    assert(Replay.streamShufflePartitions(dir.toString) == 2)
+    dir.toFile.listFiles().foreach(_.delete())
+    java.nio.file.Files.delete(dir)
+  }
+
+  test("the scoped stream partition conf never leaks into the session") {
+    val key = "spark.sql.shuffle.partitions"
+    val before = spark.conf.get(key)
+    val src = Replay.source(spark, sfDir)
+    Replay.run(spark, src) { stream =>
+      EventStream.dedupKeysStream(
+        stream.select(col("user_id"), col("event_type"), col("ts")))
+    }: Unit
+    assert(spark.conf.get(key) == before)
+  }
 }
