@@ -1399,9 +1399,17 @@ class Catalog(spark: SparkSession, baseDir: String,
     val bigBatch = newDocs.queryExecution.optimizedPlan
       .stats.sizeInBytes > (64L << 20)
     val post = if (bigBatch) postPlan.localCheckpoint() else postPlan
+    // dl: Σ tf over the materialized postings when big (no second
+    // tokenize); the direct one-level token count when small (the
+    // two-level re-agg over a LAZY postings plan measured slower than
+    // the plain count at microbatch sizes)
+    val dl =
+      if (bigBatch) post.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+      else newDocs
+        .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("term"))
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
     try {
-      post.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
-        .write.mode(SaveMode.Overwrite)
+      dl.write.mode(SaveMode.Overwrite)
         .parquet(s"$derivedDir/$name/dl_seg_b$batchId")
       spark.read.parquet(s"$derivedDir/$name/dl_seg_b$batchId")
         .agg(count(lit(1)).as("n_docs"),
@@ -1593,9 +1601,14 @@ class Catalog(spark: SparkSession, baseDir: String,
     val bigBatch = newDocs.queryExecution.optimizedPlan
       .stats.sizeInBytes > (64L << 20)
     val post = if (bigBatch) postPlan.localCheckpoint() else postPlan
+    // dl source routed as in [[upsertTextIndex]]
+    val dl =
+      if (bigBatch) post.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+      else newDocs
+        .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("term"))
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
     try {
-      post.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
-        .write.mode(SaveMode.Overwrite)
+      dl.write.mode(SaveMode.Overwrite)
         .parquet(s"$derivedDir/$name/dl_seg_b$batchId")
       spark.read.parquet(s"$derivedDir/$name/dl_seg_b$batchId")
         .agg(count(lit(1)).as("n_docs"),
