@@ -699,8 +699,7 @@ class Catalog(spark: SparkSession, baseDir: String,
     if (segs.size < 2) return // nothing to fold
     val tmp = s"$derivedDir/$name.tmp"
     fs.delete(new Path(tmp), true)
-    segs.map(n => spark.read.parquet(s"$derivedDir/$name/$n"))
-      .reduce(_ unionByName _)
+    spark.read.parquet(segs.map(n => s"$derivedDir/$name/$n"): _*)
       .write.parquet(s"$tmp/${segs.last}")
     // the delete-audit parts fold the same way (they are the closed
     // history's tombstone sidecar — dropping them would re-lose the
@@ -709,7 +708,7 @@ class Catalog(spark: SparkSession, baseDir: String,
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("tombs_seg_b"))
       .map(_.getPath.toString).filter(hasSuccess).sorted
     if (tombs.nonEmpty)
-      tombs.map(spark.read.parquet(_)).reduce(_ unionByName _)
+      spark.read.parquet(tombs: _*)
         .repartition(1)
         .write.parquet(s"$tmp/tombs_seg_b${segs.last.stripPrefix("closed_seg_b")}")
     // the open state copies with its batch marker intact: read+write
@@ -776,9 +775,9 @@ class Catalog(spark: SparkSession, baseDir: String,
       .select(col(key), col("valid_to").as(seqCol))
       .join(affected.select(col(key), col("valid_from").as(seqCol)),
         Seq(key, seqCol), "left_anti")
-    val audit = tombSegs.map(spark.read.parquet(_))
-      .reduceOption(_ unionByName _)
-      .map(_.join(broadcast(keys), Seq(key)))
+    val audit =
+      if (tombSegs.isEmpty) None
+      else Some(spark.read.parquet(tombSegs: _*).join(broadcast(keys), Seq(key)))
     val tombstones = audit.fold(inferred)(a =>
         inferred.unionByName(a.select(col(key), col(seqCol)))).distinct()
       .select(Seq(col(key), col(seqCol), lit("d").as(opCol)) ++
@@ -831,8 +830,7 @@ class Catalog(spark: SparkSession, baseDir: String,
       writable(openOut).write.parquet(s"$tmp/open")
     // the repaired delete audit: affected keys' deletes from the merged
     // log (late deletes included), untouched keys' audit rows verbatim
-    val untouchedAudit = audit.map(_ => tombSegs.map(spark.read.parquet(_))
-      .reduce(_ unionByName _)
+    val untouchedAudit = audit.map(_ => spark.read.parquet(tombSegs: _*)
       .join(broadcast(keys), Seq(key), "left_anti"))
     val newAudit = merged.where(col(opCol) === "d").select(col(key), col(seqCol))
     untouchedAudit.fold(newAudit)(_ unionByName newAudit)
@@ -871,8 +869,8 @@ class Catalog(spark: SparkSession, baseDir: String,
       .withColumnRenamed(seqCol, "valid_from")
       .withColumn("valid_to", lit(null).cast(openRaw.schema(seqCol).dataType))
       .drop(opCol)
-    val closedAll = segs.map(spark.read.parquet(_))
-      .reduceOption(_ unionByName _)
+    val closedAll =
+      if (segs.isEmpty) None else Some(spark.read.parquet(segs: _*))
     closedAll.map(_.unionByName(open)).getOrElse(open)
       .withColumn("is_current", col("valid_to").isNull)
   }
@@ -1153,9 +1151,9 @@ class Catalog(spark: SparkSession, baseDir: String,
       .map(_.getPath.toString)
       .filter(hasSuccess)
       .sorted
-    (s"$derivedDir/$name/assignments" +: segs)
-      .map(spark.read.parquet(_))
-      .reduce(_ unionByName _)
+    // one multi-path read (identical writer schema per segment; the
+    // loadTextIndex / refreshBucketedMv planning-cost rationale)
+    spark.read.parquet(s"$derivedDir/$name/assignments" +: segs: _*)
   }
 
   /** Persist an int8-residual IVF index ([[graft.operators.Similarity
@@ -1445,10 +1443,15 @@ class Catalog(spark: SparkSession, baseDir: String,
       .filter(id => asOf.forall(id <= _))
       .filter(id => hasSuccess(s"$derivedDir/$name/postings_seg_b$id"))
       .sorted
+    // ONE multi-path read per part, not a union of per-segment reads:
+    // every segment is written by the same writer with the same schema,
+    // and N separate spark.read.parquet calls made the load's PLANNING
+    // the dominant cost (the refreshBucketedMv lesson — measured there
+    // 7.4 s → well under a second; here loadTextIndex was 1.5 s of the
+    // post-replay serve)
     def unionParts(part: String) =
-      (Seq(s"$derivedDir/$name/$part") ++
-        ids.map(id => s"$derivedDir/$name/${part}_seg_b$id"))
-        .map(spark.read.parquet(_)).reduce(_ unionByName _)
+      spark.read.parquet((Seq(s"$derivedDir/$name/$part") ++
+        ids.map(id => s"$derivedDir/$name/${part}_seg_b$id")): _*)
     graft.operators.TextAnalysis.TextIndex(
       unionParts("postings"), unionParts("dl"),
       unionParts("stats").agg(sum(col("n_docs")).as("n_docs"),
@@ -1639,10 +1642,10 @@ class Catalog(spark: SparkSession, baseDir: String,
     val postings = (spark.table(base) +:
       ids.map(id => spark.table(textTable(name, Some(id)))))
       .reduce(_ unionByName _)
+    // one multi-path read per dir part (the loadTextIndex rationale)
     def unionDirs(part: String) =
-      (Seq(s"$derivedDir/$name/$part") ++
-        ids.map(id => s"$derivedDir/$name/${part}_seg_b$id"))
-        .map(spark.read.parquet(_)).reduce(_ unionByName _)
+      spark.read.parquet((Seq(s"$derivedDir/$name/$part") ++
+        ids.map(id => s"$derivedDir/$name/${part}_seg_b$id")): _*)
     graft.operators.TextAnalysis.TextIndex(postings, unionDirs("dl"),
       unionDirs("stats").agg(sum(col("n_docs")).as("n_docs"),
         sum(col("sum_dl")).as("sum_dl")))
