@@ -40,6 +40,37 @@ class TextIndexSpec extends SparkSpec {
     assert(st.getLong(0) == docs.count() && st.getLong(1) == toks.count())
   }
 
+  test("a large upsert batch takes the single-tokenize route and equals the rebuild") {
+    val docs = Tables.documents(spark, sfDir).where(col("doc_id") < 100)
+      .select(col("doc_id"), col("text"))
+    val cat = freshCat()
+    cat.buildTextIndex("tibig", docs)
+    // force the > 64 MB size route: few documents, one huge
+    // single-token INCOMPRESSIBLE text each, round-tripped through
+    // parquet so the routing sees FILE-SOURCE stats (a LocalRelation's
+    // stats are schema-estimated and ignore string content — the
+    // file-source path is also the real microbatch deployment shape);
+    // token count stays tiny, so only the route changes, not the load
+    val rnd = new scala.util.Random(7)
+    val pad = rnd.alphanumeric.take(1 << 20).mkString
+    val bigDir = java.nio.file.Files.createTempDirectory("tidx-big").toString
+    (0 until 80).map(i =>
+      (100000L + i, if (i < 3) s"data join scan doc$i" else s"$pad$i"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(bigDir)
+    val bigDocs = spark.read.parquet(bigDir)
+    assert(bigDocs.queryExecution.optimizedPlan.stats.sizeInBytes > (64L << 20),
+      "fixture must exceed the size-routing threshold")
+    cat.upsertTextIndex("tibig", bigDocs, 1L)
+    val mono = freshCat()
+    mono.buildTextIndex("timono", docs.unionByName(bigDocs))
+    assert(hits(TextAnalysis.bm25Indexed(cat.loadTextIndex("tibig"), query)) ==
+      hits(TextAnalysis.bm25Indexed(mono.loadTextIndex("timono"), query)))
+    // folded stats equal the monolithic build's
+    assert(cat.loadTextIndex("tibig").stats.collect().head ==
+      mono.loadTextIndex("timono").stats.collect().head)
+  }
+
   test("retry of a committed batch id is a no-op; torn segment never serves") {
     val docs = Tables.documents(spark, sfDir)
     val cat = freshCat()
