@@ -628,50 +628,54 @@ class Catalog(spark: SparkSession, baseDir: String,
     // argument, touched-buckets + batch bounded
     val stamped = all.withColumn("__vt", lead(col(seqCol), 1).over(w))
       .localCheckpoint()
-    val closed = stamped.where(col(opCol) === "u" && col("__vt").isNotNull)
-      .withColumnRenamed(seqCol, "valid_from")
-      .withColumnRenamed("__vt", "valid_to")
-      .drop(opCol)
-    val open = stamped.where(col(opCol) === "u" && col("__vt").isNull)
-      .drop("__vt")
-    closed.write.mode(SaveMode.Overwrite)
-      .parquet(s"$root/closed_seg_b$batchId")
-    stamped.where(col(opCol) === "d")
-      .select(col(key), col(seqCol))
-      .repartition(1)
-      .write.mode(SaveMode.Overwrite)
-      .parquet(s"$root/tombs_seg_b$batchId")
-    val staged = s"$openDir/.staged"
-    fs.delete(new Path(staged), true)
-    open.withColumn("gb", gbOf).write.partitionBy("gb")
-      .parquet(s"$staged/data")
-    def listGbs(d: Path) =
-      if (!fs.exists(d)) Set.empty[Int]
-      else fs.listStatus(d).toSeq
-        .filter(s => s.isDirectory && s.getPath.getName.startsWith("gb="))
-        .map(_.getPath.getName.stripPrefix("gb=").toInt).toSet
-    var stagedGbs = listGbs(new Path(s"$staged/data"))
-    // a batch that closes EVERY open key would drop the last live
-    // bucket and leave a dataless-but-committed state (unreadable by
-    // schema inference) — keep one schema-bearing empty bucket instead
-    if (touched.nonEmpty &&
-        ((listGbs(new Path(openDir)) -- touched) ++ stagedGbs).isEmpty) {
-      open.limit(0).repartition(1)
-        .write.parquet(s"$staged/data/gb=${touched.head}")
-      stagedGbs += touched.head
-    }
-    val drops = touched.filterNot(stagedGbs)
-    val intentBody = batchId.toString +
-      (if (drops.nonEmpty) s"\ndrop=${drops.mkString(",")}" else "")
-    val intentTmp = new Path(s"$staged/_intent.tmp")
-    val out = fs.create(intentTmp, true)
-    try out.write(intentBody.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
-    if (!fs.rename(intentTmp, new Path(s"$staged/_intent")))
-      throw new java.io.IOException(
-        s"refreshScd2MvBucketed($name): intent rename failed")
-    installBucketedStaged(openDir, fs)
-    stamped.unpersist(): Unit
+    // try/finally so an exception mid-install (e.g. the intent-rename
+    // IOException) can't leak the checkpointed blocks — the flat
+    // [[refreshScd2Mv]]'s rule
+    try {
+      val closed = stamped.where(col(opCol) === "u" && col("__vt").isNotNull)
+        .withColumnRenamed(seqCol, "valid_from")
+        .withColumnRenamed("__vt", "valid_to")
+        .drop(opCol)
+      val open = stamped.where(col(opCol) === "u" && col("__vt").isNull)
+        .drop("__vt")
+      closed.write.mode(SaveMode.Overwrite)
+        .parquet(s"$root/closed_seg_b$batchId")
+      stamped.where(col(opCol) === "d")
+        .select(col(key), col(seqCol))
+        .repartition(1)
+        .write.mode(SaveMode.Overwrite)
+        .parquet(s"$root/tombs_seg_b$batchId")
+      val staged = s"$openDir/.staged"
+      fs.delete(new Path(staged), true)
+      open.withColumn("gb", gbOf).write.partitionBy("gb")
+        .parquet(s"$staged/data")
+      def listGbs(d: Path) =
+        if (!fs.exists(d)) Set.empty[Int]
+        else fs.listStatus(d).toSeq
+          .filter(s => s.isDirectory && s.getPath.getName.startsWith("gb="))
+          .map(_.getPath.getName.stripPrefix("gb=").toInt).toSet
+      var stagedGbs = listGbs(new Path(s"$staged/data"))
+      // a batch that closes EVERY open key would drop the last live
+      // bucket and leave a dataless-but-committed state (unreadable by
+      // schema inference) — keep one schema-bearing empty bucket instead
+      if (touched.nonEmpty &&
+          ((listGbs(new Path(openDir)) -- touched) ++ stagedGbs).isEmpty) {
+        open.limit(0).repartition(1)
+          .write.parquet(s"$staged/data/gb=${touched.head}")
+        stagedGbs += touched.head
+      }
+      val drops = touched.filterNot(stagedGbs)
+      val intentBody = batchId.toString +
+        (if (drops.nonEmpty) s"\ndrop=${drops.mkString(",")}" else "")
+      val intentTmp = new Path(s"$staged/_intent.tmp")
+      val out = fs.create(intentTmp, true)
+      try out.write(intentBody.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      if (!fs.rename(intentTmp, new Path(s"$staged/_intent")))
+        throw new java.io.IOException(
+          s"refreshScd2MvBucketed($name): intent rename failed")
+      installBucketedStaged(openDir, fs)
+    } finally stamped.unpersist(): Unit
   }
 
   /** Fold every committed closed segment of a [[refreshScd2Mv]] state
@@ -1315,16 +1319,27 @@ class Catalog(spark: SparkSession, baseDir: String,
   // once, query many; O(Δ) batch-named upsert segments (exactly-once =
   // the segment name); compaction by atomic dir swap; `asOf` time
   // travel for free. The ranking-relevant difference from the ANN
-  // family: BM25's idf/avgdl depend on GLOBAL corpus stats, so the
-  // stats part folds per segment (counts are algebraic — the fold is
-  // lossless) and every search scores against the folded totals, which
-  // is why an upserted index EQUALS a monolithic rebuild exactly.
+  // family: BM25's idf/avgdl depend on GLOBAL corpus stats, which
+  // derive at load from the dl union (counts are algebraic — the fold
+  // is lossless) and every search scores against the folded totals,
+  // which is why an upserted index EQUALS a monolithic rebuild exactly.
+
+  /** Per-instance memo of each text index's positional grain (fixed at
+    * build time; compaction preserves it) so streaming upserts don't
+    * re-probe the postings footer every microbatch. Seeded by the
+    * builders, invalidated by [[dropDerived]]. */
+  private val textPositional =
+    scala.collection.concurrent.TrieMap[String, Boolean]()
 
   /** Build and commit the index: posting lists `(doc_id, term, tf)`
     * range-clustered by term (a query-term read prunes to matching
     * files/row groups via parquet min/max stats — at 100 TB use
     * [[buildTextIndexBucketed]], which buckets by term instead, same
-    * read rule), document lengths, and the 1-row corpus stats. Each
+    * read rule) and document lengths. The corpus stats `(n_docs,
+    * sum_dl)` are NOT stored: they derive at load as one aggregate
+    * over the dl union (`n_docs = count, sum_dl = Σ dl` — the
+    * identical integers the per-part fold produced), which saves one
+    * write + one read-back job per build AND per upsert batch. Each
     * part is tmp-swap committed; torn parts never serve.
     * `positional = true` stores per-(doc, term) position arrays too —
     * bag-of-words reads are unchanged, phrase queries
@@ -1345,6 +1360,7 @@ class Catalog(spark: SparkSession, baseDir: String,
         .foreach(s => fs.delete(s.getPath, true))
     val post = if (positional) TextAnalysis.textPostingsPositional(docs)
       else TextAnalysis.textPostings(docs)
+    textPositional.put(name, positional): Unit
     commitIndexPart(name, "postings",
       post.repartitionByRange(col("term"))
         .sortWithinPartitions(col("term")))
@@ -1356,15 +1372,11 @@ class Catalog(spark: SparkSession, baseDir: String,
     commitIndexPart(name, "dl",
       spark.read.parquet(s"$derivedDir/$name/postings")
         .groupBy(col("doc_id")).agg(sum(col("tf")).as("dl")))
-    commitIndexPart(name, "stats",
-      spark.read.parquet(s"$derivedDir/$name/dl")
-        .agg(count(lit(1)).as("n_docs"),
-          coalesce(sum(col("dl")), lit(0L)).as("sum_dl")))
   }
 
   /** O(Δ) index maintenance: ONLY the new documents are tokenized;
-    * their postings, lengths and stats land as batch-named segments
-    * (`*_seg_b<id>`). Write order is dl → stats → postings LAST: the
+    * their postings and lengths land as batch-named segments
+    * (`*_seg_b<id>`). Write order is dl → postings LAST: the
     * postings marker gates the whole batch, so parts a crash strands
     * are overwritten verbatim by the retry and a committed batch id
     * no-ops. Disjointness contract as [[upsertAnnIndex]]: segments
@@ -1373,29 +1385,38 @@ class Catalog(spark: SparkSession, baseDir: String,
   def upsertTextIndex(name: String, newDocs: DataFrame, batchId: Long): Unit = {
     recoverDirSwap(name, "postings")
     require(hasSuccess(s"$derivedDir/$name/postings") &&
-      hasSuccess(s"$derivedDir/$name/stats"),
+      hasSuccess(s"$derivedDir/$name/dl"),
       s"no committed text index to upsert: $name")
     val segDir = s"$derivedDir/$name/postings_seg_b$batchId"
     if (hasSuccess(segDir)) return // retry of a committed batch: no-op
     import graft.operators.TextAnalysis
     // segment postings match the base's grain: positional bases get
-    // positional segments (the union must be schema-stable)
-    val positional = spark.read.parquet(s"$derivedDir/$name/postings")
-      .columns.contains("positions")
+    // positional segments (the union must be schema-stable). The grain
+    // is FIXED at build time, so the footer probe is memoized per
+    // catalog instance — a streaming drive was otherwise paying a
+    // listing + footer read on every microbatch.
+    val positional = textPositional.getOrElseUpdate(name,
+      spark.read.parquet(s"$derivedDir/$name/postings")
+        .columns.contains("positions"))
     // ONE tokenize pass per LARGE batch: the postings aggregate is
     // materialized (localCheckpoint — bounded by the batch) so dl
-    // (= Σ tf per doc, the identical integer and row set), stats, the
+    // (= Σ tf per doc, the identical integer and row set), the
     // range-partition sample and the segment write all reuse those
     // rows instead of re-tokenizing the batch three times. SIZE-ROUTED
-    // (the spreadSmall rule): for a small batch the checkpoint job
-    // costs more than the repeated tokenize — measured d_index_maint
-    // 8.6 → 10.9 s with an unconditional checkpoint at sf0.1 — so
-    // below 64 MB the plan stays lazy and the shape matches the old
-    // one; above it (any real corpus drop) the batch tokenizes once.
+    // (the spreadSmall rule): for a small batch ANY pin costs more
+    // than the repeated tokenize — measured d_index_maint 8.6 → 10.9 s
+    // with an unconditional checkpoint at sf0.1, and 6.7 → 9.8 s with
+    // a lazy MEMORY_AND_DISK persist (cache fill + InMemoryRelation
+    // overhead per microbatch) — so below 64 MB the plan stays lazy
+    // and the shape matches the old one; above it (any real corpus
+    // drop) the batch tokenizes once. Guarded against the
+    // defaultSizeInBytes sentinel (a plan with no file-source stats
+    // would otherwise always route "big").
     val postPlan = if (positional) TextAnalysis.textPostingsPositional(newDocs)
       else TextAnalysis.textPostings(newDocs)
-    val bigBatch = newDocs.queryExecution.optimizedPlan
-      .stats.sizeInBytes > (64L << 20)
+    val batchBytes = newDocs.queryExecution.optimizedPlan.stats.sizeInBytes
+    val bigBatch = batchBytes > (64L << 20) &&
+      batchBytes < spark.sessionState.conf.defaultSizeInBytes
     val post = if (bigBatch) postPlan.localCheckpoint() else postPlan
     // dl: Σ tf over the materialized postings when big (no second
     // tokenize); the direct one-level token count when small (the
@@ -1407,31 +1428,36 @@ class Catalog(spark: SparkSession, baseDir: String,
         .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("term"))
         .groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
     try {
+      // no stats sidecar: (n_docs, sum_dl) derive from the dl union at
+      // load, so each batch pays exactly TWO write jobs (dl, postings)
+      // instead of three writes plus a dl read-back
       dl.write.mode(SaveMode.Overwrite)
         .parquet(s"$derivedDir/$name/dl_seg_b$batchId")
-      spark.read.parquet(s"$derivedDir/$name/dl_seg_b$batchId")
-        .agg(count(lit(1)).as("n_docs"),
-          coalesce(sum(col("dl")), lit(0L)).as("sum_dl"))
-        .write.mode(SaveMode.Overwrite)
-        .parquet(s"$derivedDir/$name/stats_seg_b$batchId")
-      post.repartitionByRange(col("term")).sortWithinPartitions(col("term"))
+      // term clustering size-routed like the tokenize: a big batch is
+      // range-partitioned (the sampling job is amortized), a small one
+      // writes a single term-sorted file — same clustered-read
+      // property, no per-microbatch range-sampling pass (which was a
+      // third tokenize of the batch)
+      (if (bigBatch) post.repartitionByRange(col("term")) else post.coalesce(1))
+        .sortWithinPartitions(col("term"))
         .write.mode(SaveMode.Overwrite).parquet(segDir)
     } finally if (bigBatch) post.unpersist(): Unit
   }
 
-  /** Base parts plus every COMMITTED upsert segment; the stats parts
-    * FOLD (algebraic sums) into the 1-row totals BM25 scores against.
+  /** Base parts plus every COMMITTED upsert segment; the 1-row corpus
+    * stats BM25 scores against derive LAZILY from the dl union
+    * (`n_docs = count, sum_dl = Σ dl` — the identical integers the
+    * stored per-part fold used to produce, over the identical rows).
     * `asOf` = the same free time travel as [[loadAnnIndex]]: only
     * segments with id ≤ asOf serve. A torn segment (postings without
-    * `_SUCCESS`) is invisible, and its earlier-written dl/stats
-    * siblings with it — the read keys every sibling off the postings
+    * `_SUCCESS`) is invisible, and its earlier-written dl sibling
+    * with it — the read keys every sibling off the postings
     * marker. */
   def loadTextIndex(name: String,
       asOf: Option[Long] = None): graft.operators.TextAnalysis.TextIndex = {
     recoverDirSwap(name, "postings")
     require(hasSuccess(s"$derivedDir/$name/postings") &&
-      hasSuccess(s"$derivedDir/$name/dl") &&
-      hasSuccess(s"$derivedDir/$name/stats"),
+      hasSuccess(s"$derivedDir/$name/dl"),
       s"no committed text index: $name")
     val root = new Path(s"$derivedDir/$name")
     val fs = root.getFileSystem(hconf)
@@ -1452,17 +1478,18 @@ class Catalog(spark: SparkSession, baseDir: String,
     def unionParts(part: String) =
       spark.read.parquet((Seq(s"$derivedDir/$name/$part") ++
         ids.map(id => s"$derivedDir/$name/${part}_seg_b$id")): _*)
+    val dl = unionParts("dl")
     graft.operators.TextAnalysis.TextIndex(
-      unionParts("postings"), unionParts("dl"),
-      unionParts("stats").agg(sum(col("n_docs")).as("n_docs"),
-        sum(col("sum_dl")).as("sum_dl")))
+      unionParts("postings"), dl,
+      dl.agg(count(lit(1)).as("n_docs"),
+        coalesce(sum(col("dl")), lit(0L)).as("sum_dl")))
   }
 
   /** Segment compaction for the text index — [[compactAnnIndex]]'s
-    * fold applied to the three-part layout: folded postings/dl, the
-    * folded 1-row stats, and EMPTY tombstone segments (all three
-    * parts) named for the highest applied batch so exactly-once
-    * survives the fold; one atomic dir swap installs it all.
+    * fold applied to the two-part layout: folded postings/dl and
+    * EMPTY tombstone segments (both parts) named for the highest
+    * applied batch so exactly-once survives the fold; one atomic dir
+    * swap installs it all.
     *
     * EXACTLY-ONCE NARROWING (shared with [[compactAnnIndex]]): only
     * the HIGHEST folded batch id keeps its tombstone, so only a
@@ -1491,7 +1518,6 @@ class Catalog(spark: SparkSession, baseDir: String,
     idx.postings.repartitionByRange(col("term"))
       .sortWithinPartitions(col("term")).write.parquet(s"$tmp/postings")
     idx.dl.write.parquet(s"$tmp/dl")
-    idx.stats.write.parquet(s"$tmp/stats")
     def tombstone(part: String, schemaOf: DataFrame): Unit =
       spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
@@ -1500,7 +1526,6 @@ class Catalog(spark: SparkSession, baseDir: String,
         .write.parquet(s"$tmp/${part}_seg_b${segs.last}")
     tombstone("postings", idx.postings)
     tombstone("dl", idx.dl)
-    tombstone("stats", idx.stats)
     installSwap(s"$derivedDir/$name", fs, s"compactTextIndex($name)")
   }
 
@@ -1513,14 +1538,14 @@ class Catalog(spark: SparkSession, baseDir: String,
   // |query terms|` of the buckets (never a full listing), and a
   // term-keyed probe JOIN needs NO Exchange on the postings side (the
   // multi-TB side never reshuffles; only the query-term relation
-  // moves). dl and the 1-row stats stay dir-committed parts under
-  // `derivedDir/<name>` exactly as in [[buildTextIndex]]; upserts land
-  // as batch-named bucketed segment TABLES whose metastore
-  // registration is the commit gate (saveAsTable registers only after
-  // the data lands, so a torn write is invisible and the retry
-  // overwrites it verbatim). A segment id SERVES only when its table
-  // exists AND its dl/stats dir siblings are committed — the read
-  // keys every sibling off one gate, as the dir-layout index does.
+  // moves). dl stays a dir-committed part under `derivedDir/<name>`
+  // exactly as in [[buildTextIndex]] (corpus stats derive from it at
+  // load); upserts land as batch-named bucketed segment TABLES whose
+  // metastore registration is the commit gate (saveAsTable registers
+  // only after the data lands, so a torn write is invisible and the
+  // retry overwrites it verbatim). A segment id SERVES only when its
+  // table exists AND its dl dir sibling is committed — the read keys
+  // every sibling off one gate, as the dir-layout index does.
 
   private def textTable(name: String, seg: Option[Long] = None): String = {
     require(name.matches("[A-Za-z0-9_]+"),
@@ -1548,7 +1573,7 @@ class Catalog(spark: SparkSession, baseDir: String,
       .getOrElse(throw new IllegalStateException(s"$table is not bucketed"))
 
   /** Build the bucketed index: postings → a term-bucketed,
-    * term-sorted metastore table; dl/stats → dir parts. Rebuild
+    * term-sorted metastore table; dl → a dir part. Rebuild
     * hygiene as [[buildTextIndex]]: stale segment tables and dirs are
     * dropped first. */
   def buildTextIndexBucketed(name: String, docs: DataFrame,
@@ -1565,6 +1590,7 @@ class Catalog(spark: SparkSession, baseDir: String,
         .foreach(s => fs.delete(s.getPath, true))
     val post = if (positional) TextAnalysis.textPostingsPositional(docs)
       else TextAnalysis.textPostings(docs)
+    textPositional.put(name, positional): Unit
     writeBucketed(post, textTable(name), "term", nBuckets)
     // dl from the COMMITTED bucketed postings (dl = Σ tf per doc —
     // identical integer and row set): one corpus tokenize per build,
@@ -1572,14 +1598,10 @@ class Catalog(spark: SparkSession, baseDir: String,
     commitIndexPart(name, "dl",
       spark.table(textTable(name))
         .groupBy(col("doc_id")).agg(sum(col("tf")).as("dl")))
-    commitIndexPart(name, "stats",
-      spark.read.parquet(s"$derivedDir/$name/dl")
-        .agg(count(lit(1)).as("n_docs"),
-          coalesce(sum(col("dl")), lit(0L)).as("sum_dl")))
   }
 
   /** O(Δ) maintenance of the bucketed index: only the new docs are
-    * tokenized; dl/stats segments land first (dirs), the bucketed
+    * tokenized; the dl segment lands first (dir), the bucketed
     * postings segment TABLE last — its registration gates the batch
     * (a committed batch id no-ops; the compaction narrowing of
     * [[compactTextIndex]] applies here identically). Segments carry
@@ -1591,18 +1613,21 @@ class Catalog(spark: SparkSession, baseDir: String,
     recoverBucketedTextIndex(name)
     val base = textTable(name)
     require(spark.catalog.tableExists(base) &&
-      hasSuccess(s"$derivedDir/$name/stats"),
+      hasSuccess(s"$derivedDir/$name/dl"),
       s"no committed bucketed text index to upsert: $name")
     val segTable = textTable(name, Some(batchId))
     if (spark.catalog.tableExists(segTable)) return // committed: no-op
-    val positional = spark.table(base).columns.contains("positions")
+    val positional = textPositional.getOrElseUpdate(name,
+      spark.table(base).columns.contains("positions"))
     // ONE tokenize pass per LARGE batch, lazy plan for small ones —
     // the size-routed [[upsertTextIndex]] shape (see the rationale
-    // there); dl/stats derive from the postings either way
+    // there, incl. the measured persist/checkpoint losses at
+    // microbatch sizes); dl derives from the postings either way
     val postPlan = if (positional) TextAnalysis.textPostingsPositional(newDocs)
       else TextAnalysis.textPostings(newDocs)
-    val bigBatch = newDocs.queryExecution.optimizedPlan
-      .stats.sizeInBytes > (64L << 20)
+    val batchBytes = newDocs.queryExecution.optimizedPlan.stats.sizeInBytes
+    val bigBatch = batchBytes > (64L << 20) &&
+      batchBytes < spark.sessionState.conf.defaultSizeInBytes
     val post = if (bigBatch) postPlan.localCheckpoint() else postPlan
     // dl source routed as in [[upsertTextIndex]]
     val dl =
@@ -1611,34 +1636,28 @@ class Catalog(spark: SparkSession, baseDir: String,
         .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("term"))
         .groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
     try {
+      // no stats sidecar — the [[upsertTextIndex]] rationale
       dl.write.mode(SaveMode.Overwrite)
         .parquet(s"$derivedDir/$name/dl_seg_b$batchId")
-      spark.read.parquet(s"$derivedDir/$name/dl_seg_b$batchId")
-        .agg(count(lit(1)).as("n_docs"),
-          coalesce(sum(col("dl")), lit(0L)).as("sum_dl"))
-        .write.mode(SaveMode.Overwrite)
-        .parquet(s"$derivedDir/$name/stats_seg_b$batchId")
       writeBucketed(post, segTable, "term", bucketCountOf(base))
     } finally if (bigBatch) post.unpersist(): Unit
   }
 
   /** Base table plus every COMMITTED segment table (id ≤ asOf), with
-    * the dl/stats dir segments keyed off the SAME ids; stats fold as
-    * in [[loadTextIndex]]. Every postings scan is a bucketed-table
-    * read — literal queries bucket-prune, probe joins reshuffle only
-    * the term relation. */
+    * the dl dir segments keyed off the SAME ids; the corpus stats
+    * derive lazily from the dl union as in [[loadTextIndex]]. Every
+    * postings scan is a bucketed-table read — literal queries
+    * bucket-prune, probe joins reshuffle only the term relation. */
   def loadTextIndexBucketed(name: String,
       asOf: Option[Long] = None): graft.operators.TextAnalysis.TextIndex = {
     recoverBucketedTextIndex(name)
     val base = textTable(name)
     require(spark.catalog.tableExists(base) &&
-      hasSuccess(s"$derivedDir/$name/dl") &&
-      hasSuccess(s"$derivedDir/$name/stats"),
+      hasSuccess(s"$derivedDir/$name/dl"),
       s"no committed bucketed text index: $name")
     val ids = textSegIds(name)
       .filter(id => asOf.forall(id <= _))
-      .filter(id => hasSuccess(s"$derivedDir/$name/dl_seg_b$id") &&
-        hasSuccess(s"$derivedDir/$name/stats_seg_b$id"))
+      .filter(id => hasSuccess(s"$derivedDir/$name/dl_seg_b$id"))
     val postings = (spark.table(base) +:
       ids.map(id => spark.table(textTable(name, Some(id)))))
       .reduce(_ unionByName _)
@@ -1646,15 +1665,16 @@ class Catalog(spark: SparkSession, baseDir: String,
     def unionDirs(part: String) =
       spark.read.parquet((Seq(s"$derivedDir/$name/$part") ++
         ids.map(id => s"$derivedDir/$name/${part}_seg_b$id")): _*)
-    graft.operators.TextAnalysis.TextIndex(postings, unionDirs("dl"),
-      unionDirs("stats").agg(sum(col("n_docs")).as("n_docs"),
-        sum(col("sum_dl")).as("sum_dl")))
+    val dl = unionDirs("dl")
+    graft.operators.TextAnalysis.TextIndex(postings, dl,
+      dl.agg(count(lit(1)).as("n_docs"),
+        coalesce(sum(col("dl")), lit(0L)).as("sum_dl")))
   }
 
   /** Fold the bucketed index's segments: one re-bucketed postings
-    * table, folded dl/stats, tombstones for the highest id (dirs AND
+    * table, folded dl, tombstones for the highest id (dir AND
     * an empty segment table) so a replayed last batch still no-ops.
-    * The dir swap (folded dl/stats + a `_compact_intent` sidecar) is
+    * The dir swap (folded dl + a `_compact_intent` sidecar) is
     * the COMMIT POINT; the metastore steps after it (drop segments,
     * install the folded table, recreate the tombstone) replay
     * idempotently from the intent on the next touch
@@ -1674,7 +1694,6 @@ class Catalog(spark: SparkSession, baseDir: String,
     val fs = new Path(tmp).getFileSystem(hconf)
     fs.delete(new Path(tmp), true)
     idx.dl.write.parquet(s"$tmp/dl")
-    idx.stats.write.parquet(s"$tmp/stats")
     def tombstone(part: String, schemaOf: DataFrame): Unit =
       spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
@@ -1682,7 +1701,6 @@ class Catalog(spark: SparkSession, baseDir: String,
         .repartition(1)
         .write.parquet(s"$tmp/${part}_seg_b${ids.max}")
     tombstone("dl", idx.dl)
-    tombstone("stats", idx.stats)
     val out = fs.create(new Path(s"$tmp/_compact_intent"), true)
     try out.write(s"${ids.max}\n${ids.mkString(",")}"
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -1907,6 +1925,7 @@ class Catalog(spark: SparkSession, baseDir: String,
   /** Drop derived state `name` (MV or partitioned layout). Returns
     * whether it existed. */
   def dropDerived(name: String): Boolean = {
+    textPositional.remove(name)
     val p = new Path(s"$derivedDir/$name")
     val fs = p.getFileSystem(hconf)
     fs.delete(new Path(s"$derivedDir/$name.tmp"), true)
