@@ -143,15 +143,28 @@ object Replay {
     * gives a 100 TB source thousands of partitions. Overridable with
     * SPARK_GRAFT_STREAM_SHUFFLE for deployments that know better; the
     * 32768 cap bounds the per-trigger fixed cost at any size (beyond
-    * it, grow bytes-per-partition, the guide's 100 MB–1 GB window). */
-  private[graft] def streamShufflePartitions(srcDir: String): Int =
-    sys.env.get("SPARK_GRAFT_STREAM_SHUFFLE").map(_.toInt).getOrElse {
+    * it, grow bytes-per-partition, the guide's 100 MB–1 GB window).
+    * Source bytes resolve through the Hadoop FileSystem API, so the
+    * formula holds for hdfs://, s3a://, and file: URIs alike (a plain
+    * java.io.File would read 0 bytes for any non-local path and pin 1
+    * partition into the checkpoint for the query's lifetime); a path
+    * the filesystem cannot see falls back to the session's current
+    * shuffle-partition setting instead of defaulting to 1. */
+  private[graft] def streamShufflePartitions(spark: SparkSession,
+      srcDir: String): Int =
+    sys.env.get("SPARK_GRAFT_STREAM_SHUFFLE").map { v =>
+      v.toIntOption.filter(_ > 0).getOrElse(throw new IllegalArgumentException(
+        s"SPARK_GRAFT_STREAM_SHUFFLE must be a positive integer, got: $v"))
+    }.getOrElse {
       val target = 64L * 1024 * 1024
-      def sizeOf(f: java.io.File): Long =
-        if (f.isDirectory) Option(f.listFiles()).map(_.map(sizeOf).sum).getOrElse(0L)
-        else f.length()
-      val bytes = sizeOf(new java.io.File(srcDir))
-      math.max(1L, math.min((bytes + target - 1) / target, 32768L)).toInt
+      val p = new org.apache.hadoop.fs.Path(srcDir)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(p))
+        spark.sessionState.conf.numShufflePartitions
+      else {
+        val bytes = fs.getContentSummary(p).getLength
+        math.max(1L, math.min((bytes + target - 1) / target, 32768L)).toInt
+      }
     }
 
   /** [[runFrom]] returning the SINK DIRECTORY instead of reading it
@@ -191,7 +204,7 @@ object Replay {
       val previous = spark.conf.getOption(confKey)
       val prevParts = spark.conf.getOption(partsKey)
       stateStoreProvider.foreach(spark.conf.set(confKey, _))
-      spark.conf.set(partsKey, streamShufflePartitions(srcDir).toString)
+      spark.conf.set(partsKey, streamShufflePartitions(spark, srcDir).toString)
       try build(stream)
         .writeStream.format("parquet")
         .option("checkpointLocation", runDir.resolve("ckpt").toString)

@@ -57,15 +57,20 @@ class ReplaySpec extends SparkSpec {
       val f = dir.resolve(s"part-${bytes}")
       java.nio.file.Files.write(f, new Array[Byte](bytes)): Unit
     }
-    assert(Replay.streamShufflePartitions(dir.toString) == 1) // empty dir
+    assert(Replay.streamShufflePartitions(spark, dir.toString) == 1) // empty dir
     fileOf(1 << 20)
-    assert(Replay.streamShufflePartitions(dir.toString) == 1) // 1 MiB
+    assert(Replay.streamShufflePartitions(spark, dir.toString) == 1) // 1 MiB
     fileOf((64 << 20) - (1 << 20)) // exactly 64 MiB total
-    assert(Replay.streamShufflePartitions(dir.toString) == 1)
+    assert(Replay.streamShufflePartitions(spark, dir.toString) == 1)
     fileOf(1) // 64 MiB + 1 byte
-    assert(Replay.streamShufflePartitions(dir.toString) == 2)
+    assert(Replay.streamShufflePartitions(spark, dir.toString) == 2)
     dir.toFile.listFiles().foreach(_.delete())
     java.nio.file.Files.delete(dir)
+    // a path the filesystem cannot see falls back to the session's
+    // shuffle-partition setting, never to a silent 1 (the Hadoop-FS
+    // resolution also covers hdfs://s3a:// sources, unlike java.io)
+    assert(Replay.streamShufflePartitions(spark, dir.resolve("nope").toString)
+      == spark.sessionState.conf.numShufflePartitions)
   }
 
   test("the scoped stream partition conf never leaks into the session") {
