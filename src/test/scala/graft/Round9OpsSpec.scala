@@ -125,10 +125,12 @@ class Round9OpsSpec extends SparkSpec {
       streaming.EventStream.topHourlyReplay(spark, sfDir, maxFilesPerTrigger = mfpt)
         .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getInt(3)))
         .sorted.toSeq
-    // one file per trigger (max microbatch count) and the default must
-    // both equal the batch rank — the handoff's ordering contract
+    // one file per trigger (max microbatch count), the old 2-file
+    // width, and the shipped default (4) must all equal the batch rank
+    // — the handoff's ordering contract at any trigger granularity
     assert(streamed(1) == batch)
     assert(streamed(2) == batch)
+    assert(streamed(4) == batch)
   }
 
   test("hourlyTopK state survives a checkpointed restart mid-stream") {
