@@ -2216,6 +2216,59 @@ object SparkEntry {
     // min(val) per hash first so a hash collision resolves identically
     // in both engines; type-7 interpolation with matching expression shape
     "q_qsketch" -> qsketchSql,
+    // q_sketch on the PORTABLE kernels (round 14): KMV k=512 distinct
+    // estimates + bottom-256 sample median, every hash and every
+    // interpolation step replayed verbatim — the estimator arithmetic
+    // is the q_kmv / q_qsketch mirror with the entry's column names
+    "q_sketch" ->
+      """WITH hp AS (SELECT DISTINCT l_returnflag,
+             CAST('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 15) AS BIGINT) AS h
+           FROM lineitem),
+         rp AS (SELECT l_returnflag, h,
+                row_number() OVER (PARTITION BY l_returnflag ORDER BY h) AS rn,
+                count(*) OVER (PARTITION BY l_returnflag) AS d FROM hp),
+         p AS (SELECT l_returnflag,
+               CASE WHEN max(d) < 512 THEN CAST(max(d) AS DOUBLE)
+                    ELSE 511.0 * CAST(1152921504606846976 AS DOUBLE)
+                         / CAST(max(CASE WHEN rn = 512 THEN h END) AS DOUBLE) END AS approx_parts
+           FROM rp GROUP BY l_returnflag),
+         hs AS (SELECT DISTINCT l_returnflag,
+             CAST('0x' || substr(md5(CAST(l_suppkey AS VARCHAR)), 1, 15) AS BIGINT) AS h
+           FROM lineitem),
+         rs AS (SELECT l_returnflag, h,
+                row_number() OVER (PARTITION BY l_returnflag ORDER BY h) AS rn,
+                count(*) OVER (PARTITION BY l_returnflag) AS d FROM hs),
+         s AS (SELECT l_returnflag,
+               CASE WHEN max(d) < 512 THEN CAST(max(d) AS DOUBLE)
+                    ELSE 511.0 * CAST(1152921504606846976 AS DOUBLE)
+                         / CAST(max(CASE WHEN rn = 512 THEN h END) AS DOUBLE) END AS approx_supps
+           FROM rs GROUP BY l_returnflag),
+         hx AS (SELECT l_returnflag,
+                  CAST('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR)), 1, 15) AS BIGINT) AS hsh,
+                  l_extendedprice AS val
+           FROM lineitem),
+         dd AS (SELECT l_returnflag, hsh, min(val) AS val FROM hx GROUP BY l_returnflag, hsh),
+         r AS (SELECT l_returnflag, val,
+                      row_number() OVER (PARTITION BY l_returnflag ORDER BY hsh) AS rn
+               FROM dd),
+         sq AS (SELECT l_returnflag, list(val ORDER BY val) AS vals,
+                       CAST(count(*) AS BIGINT) AS n_sample
+                FROM r WHERE rn <= 256 GROUP BY l_returnflag),
+         q AS (SELECT l_returnflag, vals, n_sample,
+                      0.5 * (CAST(n_sample AS DOUBLE) - 1.0) AS h50
+               FROM sq),
+         q2 AS (SELECT l_returnflag, vals, h50,
+                       CAST(floor(h50) AS BIGINT) AS lo50,
+                       least(CAST(floor(h50) AS BIGINT) + 1, n_sample - 1) AS hi50
+                FROM q),
+         m AS (SELECT l_returnflag,
+                      floor((list_extract(vals, lo50 + 1)
+                             + (h50 - lo50) * (list_extract(vals, hi50 + 1) - list_extract(vals, lo50 + 1)))
+                            * 1000000 + 0.5) / 1000000 AS approx_median_price
+               FROM q2)
+         SELECT p.l_returnflag, approx_parts, approx_supps, approx_median_price
+         FROM p JOIN s ON p.l_returnflag = s.l_returnflag
+                JOIN m ON p.l_returnflag = m.l_returnflag""",
     // the SAME from-scratch rebuild checks the incrementally refreshed
     // sketch state: bottom-k merge is lossless, so batch boundaries
     // are invisible in the estimates

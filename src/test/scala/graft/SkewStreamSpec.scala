@@ -44,37 +44,40 @@ class SketchSpec extends SparkSpec {
     val joined = approx.join(exact, "l_returnflag").collect()
     assert(joined.nonEmpty)
     joined.foreach { r =>
-      val a = r.getAs[Long]("approx_parts").toDouble
+      val a = r.getAs[Double]("approx_parts")
       val e = r.getAs[Long]("n_parts").toDouble
-      assert(math.abs(a - e) / e < 0.1, s"approx $a vs exact $e")
+      // KMV at k=512: σ ≈ 1/√(k−2) ≈ 4.4%; 4σ band (exact below k)
+      assert(math.abs(a - e) / e < 0.18, s"approx $a vs exact $e")
     }
   }
 
   /** q_sketch's BOUNDED-ERROR verification at the driver's bench scale
-    * (sf0.1) — the published-accuracy contract that stands in for the
-    * cross-engine oracle HLL/KLL state can never have. HLL++ runs at
-    * relativeSD 0.05, so 4σ = 20% relative error is the
-    * essentially-never band (and the check is deterministic for fixed
-    * data — it either holds or the implementation is wrong);
-    * percentile_approx at accuracy 1000 guarantees rank error ≤
-    * 1/1000, checked with 4× margin against the exact quantiles at
-    * ranks 0.5 ± 0.004. */
+    * (sf0.1) — the published-accuracy contract ON TOP of the
+    * cross-engine oracle (round 14 moved the entry onto the portable
+    * KMV + bottom-k kernels, so DuckDB now replays the exact values;
+    * this spec separately pins that the estimates stay NEAR THE TRUTH,
+    * which the oracle alone cannot say). KMV at k=512 has σ ≈
+    * 1/√(k−2) ≈ 4.4%, so 4σ ≈ 17.7% relative error is the
+    * essentially-never band (deterministic for fixed data — it either
+    * holds or the implementation is wrong); the bottom-256 sample
+    * median has rank-error σ = 1/(2√k) ≈ 3.1%, checked with 4× margin
+    * against the exact quantiles at ranks 0.5 ± 0.125. */
   test("q_sketch estimates respect published error bounds vs exact counterparts at sf0.1") {
     val dir = "/root/testdata/sf0.1"
     assume(new java.io.File(dir).isDirectory)
     val li = Tables.lineitem(spark, dir)
     val approx = Analytics.sketchSummary(li)
     val exactCd = Analytics.distinctCounts(li)
-    val rsd = 0.05
+    val rsd = 1.0 / math.sqrt(510.0)
     approx.join(exactCd, "l_returnflag").collect().foreach { r =>
       for ((a, e) <- Seq(("approx_parts", "n_parts"), ("approx_supps", "n_supps"))) {
-        val av = r.getAs[Long](a).toDouble
+        val av = r.getAs[Double](a)
         val ev = r.getAs[Long](e).toDouble
         assert(math.abs(av - ev) / ev <= 4 * rsd,
           s"$a=$av outside 4·rsd of $e=$ev for ${r.getAs[String]("l_returnflag")}")
       }
     }
-    val rankMargin = 4.0 / 1000.0
+    val rankMargin = 4.0 / (2.0 * math.sqrt(256.0))
     val exactQ = li.groupBy($"l_returnflag").agg(
       percentile($"l_extendedprice", lit(0.5 - rankMargin)).as("qlo"),
       percentile($"l_extendedprice", lit(0.5 + rankMargin)).as("qhi"))
