@@ -604,7 +604,9 @@ object Events {
       .agg(max(col("pick")).getField("cents").as("cents"))
       // referenced by the grid AND the fill join — materialized once
       // ((user, hour) grain, far below event grain) so the per-hour
-      // pick aggregate doesn't scan events twice
+      // pick aggregate doesn't scan events twice. Checkpoint
+      // tradeoffs as documented on sizedItems: eager, GC-freed,
+      // lineage-truncated
       .localCheckpoint()
     val grid = hourly.groupBy(col("user_id"))
       .agg(min(col("hr")).as("mn"), max(col("hr")).as("mx"))

@@ -534,7 +534,10 @@ object TextAnalysis {
     // (localCheckpoint, the pcaSolve pattern), the LM-score subtree
     // (two corpus tokenizes + the bigram join) runs ONCE instead of
     // three times and the plan drops from 102 Exchanges to the three
-    // reads of the (doc_id, lang, lm_score) grain
+    // reads of the (doc_id, lang, lm_score) grain. The documented
+    // checkpoint tradeoffs apply: the call is eager, the blocks live
+    // until the returned plan is GC'd, lineage is not recomputable
+    // under executor loss
     val scored = lmScore(docs, minCount)
       .join(docs.select(col("doc_id"), col("lang")), "doc_id")
       .select(col("doc_id"), col("lang"), col("lm_score"))
