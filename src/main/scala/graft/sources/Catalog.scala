@@ -443,7 +443,7 @@ class Catalog(spark: SparkSession, baseDir: String,
     * [[saveAnnIndex]] so every derived-state install recovers the same
     * way. */
   private def installSwap(dir: String, fs: org.apache.hadoop.fs.FileSystem,
-      what: String): Unit = {
+      what: String, keepBak: Boolean = false): Unit = {
     val live = new Path(dir)
     val tmp = new Path(s"$dir.tmp")
     val bak = new Path(s"$dir.bak")
@@ -452,7 +452,40 @@ class Catalog(spark: SparkSession, baseDir: String,
       throw new java.io.IOException(s"$what: backup rename failed")
     if (!fs.rename(tmp, live))
       throw new java.io.IOException(s"$what: swap rename failed")
-    fs.delete(bak, true)
+    // keepBak: the installed dir carries a `_backfill_pull` intent that
+    // pulls untouched segments back OUT of the backup (scd2Backfill's
+    // touch-only-the-delta install); the caller deletes the backup
+    // after the pull completes
+    if (!keepBak) fs.delete(bak, true)
+  }
+
+  /** The idempotent second half of [[scd2Backfill]]'s targeted
+    * install: segments the backfill did NOT touch are pulled back from
+    * the swap backup by rename (byte-identical, mtimes preserved — a
+    * multi-TB history is never rewritten for a few late keys). Driven
+    * by the `_backfill_pull` intent the tmp dir carried through the
+    * swap; replayed from [[recoverDirSwap]] before any backup cleanup,
+    * so a crash anywhere leaves a state one touch away from
+    * consistent. */
+  private def finishBackfillPull(name: String): Unit = {
+    val live = new Path(s"$derivedDir/$name")
+    val fs = live.getFileSystem(hconf)
+    val intent = new Path(live, "_backfill_pull")
+    if (!fs.exists(intent)) return
+    val bak = new Path(s"$derivedDir/$name.bak")
+    val in = fs.open(intent)
+    val names = try new String(in.readAllBytes(),
+      java.nio.charset.StandardCharsets.UTF_8).trim
+      .split("\n").map(_.trim).filter(_.nonEmpty)
+    finally in.close()
+    names.foreach { seg =>
+      val dst = new Path(live, seg)
+      val src = new Path(bak, seg)
+      if (!fs.exists(dst) && fs.exists(src) && !fs.rename(src, dst))
+        throw new java.io.IOException(
+          s"scd2Backfill($name): pull of untouched segment $seg failed")
+    }
+    fs.delete(intent, false): Unit
   }
 
   /** Durable CDC (change-data-capture) view maintenance — the
@@ -739,20 +772,62 @@ class Catalog(spark: SparkSession, baseDir: String,
     * copied verbatim so the ordered stream resumes exactly where it
     * left off and a replayed last batch still no-ops.
     *
-    * Cost: O(affected keys' history) compute, O(history) rewrite
-    * bytes — the price of repairing append-only storage, paid only
-    * when late data actually arrives; the streaming refresh path
-    * stays O(Δ). Caller contract: `late` carries exactly the change
-    * schema (key, seq, op, values), (key, seq) unique across
-    * late ∪ applied. */
+    * Cost: O(affected keys' history) compute, O(TOUCHED segments)
+    * rewrite bytes — a closed segment holding no affected key is
+    * preserved IN PLACE (pulled back out of the swap backup by rename:
+    * byte-identical files, mtimes untouched), so repairing a few late
+    * keys never rewrites a multi-TB history. The price of repairing
+    * append-only storage is paid only when late data actually arrives;
+    * the streaming refresh path stays O(Δ). Caller contract: `late`
+    * carries exactly the change schema (key, seq, op, values),
+    * (key, seq) unique across late ∪ applied. */
   def scd2Backfill(name: String, late: DataFrame, key: String,
       seqCol: String, opCol: String): Unit = {
     recoverDirSwap(name, "open")
     val openDir = s"$derivedDir/$name/open"
     recoverBucketedMv(openDir) // heal a torn bucketed-open install too
     require(hasSuccess(openDir), s"no committed scd2 state: $name")
-    val hist = scd2MvHistory(name, seqCol, opCol)
     val keys = late.select(col(key)).distinct()
+    // TOUCH ONLY THE DELTA (round 14): a backfill rewrites a closed
+    // segment only when an affected key's rows actually live in it.
+    // One pruned (key, file) scan of the closed history semi-joined to
+    // the late keys finds the touched segments; every other segment is
+    // PRESERVED IN PLACE — pulled back out of the swap backup by
+    // rename via the `_backfill_pull` intent, byte-identical, mtimes
+    // untouched — so the rewrite bytes are O(touched segments), not
+    // O(history). The repair itself only ever needed the touched rows:
+    // an affected key's complete history lives in touched segments ∪
+    // open by definition.
+    val rootPath = new Path(s"$derivedDir/$name")
+    val fsRoot = rootPath.getFileSystem(hconf)
+    val allSegs = fsRoot.listStatus(rootPath).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("closed_seg_b"))
+      .filter(s => hasSuccess(s.getPath.toString))
+      .flatMap(s => scala.util.Try(
+        s.getPath.getName.stripPrefix("closed_seg_b").toLong).toOption
+        .map(id => id -> s.getPath.getName))
+      .sortBy(_._1)
+    val touchedNames0: Set[String] =
+      if (allSegs.isEmpty) Set.empty
+      else spark.read
+        .parquet(allSegs.map(s => s"$derivedDir/$name/${s._2}"): _*)
+        .select(col(key), input_file_name().as("__f"))
+        .join(broadcast(keys), Seq(key))
+        .select(col("__f")).distinct().collect()
+        .map(r => new Path(r.getString(0)).getParent.getName).toSet
+    // fold-id safety: the replacement segment reuses the highest
+    // TOUCHED id; when no segment is touched but segments exist, adopt
+    // the highest-id one so the fold id never collides with a
+    // preserved segment's name
+    val touchedNames =
+      if (touchedNames0.isEmpty && allSegs.nonEmpty)
+        touchedNames0 + allSegs.last._2
+      else touchedNames0
+    val untouchedNames = allSegs.map(_._2).filterNot(touchedNames)
+    val touchedPaths = allSegs.collect {
+      case (_, n) if touchedNames(n) => s"$derivedDir/$name/$n"
+    }
+    val hist = scd2HistoryFromParts(openDir, touchedPaths, seqCol, opCol)
     val valueCols = hist.columns
       .filterNot(Seq(key, "valid_from", "valid_to", "is_current").contains)
     // three consumers (upserts + both sides of the inferred-tombstone
@@ -770,8 +845,6 @@ class Catalog(spark: SparkSession, baseDir: String,
     // trace in the version rows yet must still close a span when a
     // late upsert lands under them; inference keeps pre-audit states
     // repairable for the deletes that did close something
-    val rootPath = new Path(s"$derivedDir/$name")
-    val fsRoot = rootPath.getFileSystem(hconf)
     val tombSegs = fsRoot.listStatus(rootPath).toSeq
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("tombs_seg_b"))
       .map(_.getPath.toString).filter(hasSuccess).sorted
@@ -789,18 +862,18 @@ class Catalog(spark: SparkSession, baseDir: String,
     val merged = upserts.unionByName(tombstones)
       .unionByName(late.select(upserts.columns.map(col): _*))
     val fixed = Catalog.scd2History(merged, key, seqCol, opCol)
+    // unaffected keys' rows WITHIN the touched segments (and open) —
+    // they must ride into the replacement segment; unaffected keys in
+    // PRESERVED segments never enter the plan at all
     val untouched = hist.join(broadcast(keys), Seq(key), "left_anti")
     // materialize BEFORE the swap: newHist still references the live
     // dirs the install is about to rename away
     val newHist = untouched
       .unionByName(fixed.select(untouched.columns.map(col): _*))
       .localCheckpoint()
-    val root = new Path(s"$derivedDir/$name")
-    val fs = root.getFileSystem(hconf)
-    val segId = (fs.listStatus(root).toSeq
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("closed_seg_b"))
-      .flatMap(s => scala.util.Try(
-        s.getPath.getName.stripPrefix("closed_seg_b").toLong).toOption) :+ 0L).max
+    val fs = fsRoot
+    val segId = (allSegs.collect { case (id, n) if touchedNames(n) => id }
+      :+ 0L).max
     val tmp = s"$derivedDir/$name.tmp"
     fs.delete(new Path(tmp), true)
     // empty frames re-partition to 1 so a schema-bearing part file
@@ -844,7 +917,20 @@ class Catalog(spark: SparkSession, baseDir: String,
     if (fs.exists(mSrc))
       org.apache.hadoop.fs.FileUtil.copy(fs, mSrc, fs,
         new Path(s"$tmp/open/$BatchMarker"), false, hconf)
-    installSwap(s"$derivedDir/$name", fs, s"scd2Backfill($name)")
+    if (untouchedNames.nonEmpty) {
+      // the pull intent rides the swap inside the installed dir, so a
+      // crash anywhere replays it from recoverDirSwap before the
+      // backup (still holding the untouched segments) is dropped
+      val out = fs.create(new Path(s"$tmp/_backfill_pull"), true)
+      try out.write(untouchedNames.mkString("\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      installSwap(s"$derivedDir/$name", fs, s"scd2Backfill($name)",
+        keepBak = true)
+      finishBackfillPull(name)
+      fs.delete(new Path(s"$derivedDir/$name.bak"), true): Unit
+    } else
+      installSwap(s"$derivedDir/$name", fs, s"scd2Backfill($name)")
   }
 
   /** The full version history of a [[refreshScd2Mv]] state: every
@@ -866,6 +952,14 @@ class Catalog(spark: SparkSession, baseDir: String,
       .map(_.getPath.toString)
       .filter(hasSuccess)
       .sorted
+    scd2HistoryFromParts(openDir, segs, seqCol, opCol)
+  }
+
+  /** [[scd2MvHistory]]'s assembly over an EXPLICIT closed-segment list
+    * — the hook [[scd2Backfill]] uses to build its repair plan from
+    * the touched segments only. */
+  private def scd2HistoryFromParts(openDir: String, segs: Seq[String],
+      seqCol: String, opCol: String): DataFrame = {
     // `gb` is bucketed-layout bookkeeping, not data (drop is a no-op
     // on a flat state) — both layouts serve identically from here
     val openRaw = spark.read.parquet(openDir).drop("gb")
@@ -1121,9 +1215,12 @@ class Catalog(spark: SparkSession, baseDir: String,
     val fs = live.getFileSystem(hconf)
     val bak = new Path(s"$derivedDir/$name.bak")
     if (fs.exists(bak)) {
-      if (fs.exists(new Path(s"$derivedDir/$name/$probePart/_SUCCESS")))
-        fs.delete(bak, true) // install completed; bak is leftover
-      else if (fs.exists(new Path(s"$derivedDir/$name.bak/$probePart/_SUCCESS"))) {
+      if (fs.exists(new Path(s"$derivedDir/$name/$probePart/_SUCCESS"))) {
+        // install completed; finish a pending backfill pull BEFORE the
+        // backup is dropped — the untouched segments still live there
+        finishBackfillPull(name)
+        fs.delete(bak, true) // bak is leftover
+      } else if (fs.exists(new Path(s"$derivedDir/$name.bak/$probePart/_SUCCESS"))) {
         fs.delete(live, true) // install torn: the backup is the truth
         if (!fs.rename(bak, live))
           throw new java.io.IOException(s"dir swap recovery failed: $name")
@@ -1358,17 +1455,25 @@ class Catalog(spark: SparkSession, baseDir: String,
       fs.listStatus(root).toSeq
         .filter(s => s.isDirectory && s.getPath.getName.contains("_seg_b"))
         .foreach(s => fs.delete(s.getPath, true))
-    val post = if (positional) TextAnalysis.textPostingsPositional(docs)
-      else TextAnalysis.textPostings(docs)
+    // ONE corpus tokenize per build: the postings aggregate is pinned
+    // lazily (persist) across its two consumers — repartitionByRange's
+    // range-boundary SAMPLE job and the write itself each computed the
+    // full tokenize before. (A build has exactly one fill and two
+    // reads, unlike the per-microbatch upsert where the same persist
+    // measured slower; freed in the finally.)
+    val post = (if (positional) TextAnalysis.textPostingsPositional(docs)
+      else TextAnalysis.textPostings(docs))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     textPositional.put(name, positional): Unit
-    commitIndexPart(name, "postings",
+    try commitIndexPart(name, "postings",
       post.repartitionByRange(col("term"))
         .sortWithinPartitions(col("term")))
+    finally post.unpersist(): Unit
     // dl derives from the COMMITTED postings (dl = Σ tf per doc — the
     // identical integer to counting the doc's tokens, and the identical
-    // row set: a doc appears iff it has ≥1 token): one corpus tokenize
-    // per build instead of two, the second pass replaced by a pruned
-    // (doc_id, tf) read of the just-written columnar postings
+    // row set: a doc appears iff it has ≥1 token): the second corpus
+    // pass is a pruned (doc_id, tf) read of the just-written columnar
+    // postings
     commitIndexPart(name, "dl",
       spark.read.parquet(s"$derivedDir/$name/postings")
         .groupBy(col("doc_id")).agg(sum(col("tf")).as("dl")))

@@ -96,4 +96,32 @@ class Scd2BackfillSpec extends SparkSpec {
     assert(histSet(cat.scd2MvHistory("m", "seq", "op")) ==
       expect((1L, 5L, "u", "pre"), (1L, 10L, "u", "a"), (1L, 20L, "u", "b")))
   }
+
+  test("a backfill rewrites only segments holding affected keys; the rest keep their bytes and mtimes") {
+    val cat = freshCat()
+    // batch 0 closes key 1's first span AND key 2's; batch 1 closes a
+    // second key-2 span — so closed_seg_b1 holds ONLY key 2 rows
+    cat.refreshScd2Mv("m", chg((1L, 10L, "u", "a"), (1L, 20L, "u", "b"),
+      (2L, 5L, "u", "x"), (2L, 8L, "u", "y")), "k", "seq", "op", 0L)
+    cat.refreshScd2Mv("m", chg((2L, 12L, "u", "z")), "k", "seq", "op", 1L)
+    val seg1 = new java.io.File(s"${cat.derivedDir}/m/closed_seg_b1")
+    val before = seg1.listFiles().map(f => f.getName -> f.lastModified()).toMap
+    assert(before.nonEmpty)
+    // late key-1 change: seg b0 (holds key 1) is rewritten, seg b1 is
+    // NOT — its files survive the install byte-for-byte, mtimes intact
+    cat.scd2Backfill("m", chg((1L, 15L, "u", "mid")), "k", "seq", "op")
+    assert(histSet(cat.scd2MvHistory("m", "seq", "op")) ==
+      expect((1L, 10L, "u", "a"), (1L, 15L, "u", "mid"), (1L, 20L, "u", "b"),
+        (2L, 5L, "u", "x"), (2L, 8L, "u", "y"), (2L, 12L, "u", "z")))
+    val after = seg1.listFiles().map(f => f.getName -> f.lastModified()).toMap
+    assert(after == before, s"untouched segment rewritten: $before -> $after")
+    // no backup or pull intent left behind
+    assert(!new java.io.File(s"${cat.derivedDir}/m.bak").exists())
+    assert(!new java.io.File(s"${cat.derivedDir}/m/_backfill_pull").exists())
+    // and the preserved layout still compacts + replays cleanly
+    cat.compactScd2("m")
+    assert(histSet(cat.scd2MvHistory("m", "seq", "op")) ==
+      expect((1L, 10L, "u", "a"), (1L, 15L, "u", "mid"), (1L, 20L, "u", "b"),
+        (2L, 5L, "u", "x"), (2L, 8L, "u", "y"), (2L, 12L, "u", "z")))
+  }
 }
