@@ -44,7 +44,8 @@ object CorpusPipeline {
     * so counting them reuses the pins. */
   case class Result(corpus: DataFrame, audit: Seq[(String, Long)],
       pinned: Seq[DataFrame] = Nil,
-      stages: Seq[(String, DataFrame)] = Nil) {
+      stages: Seq[(String, DataFrame)] = Nil,
+      dropSets: Seq[(String, DataFrame)] = Nil) {
     def release(): Unit = pinned.foreach(_.unpersist(false))
   }
 
@@ -184,9 +185,17 @@ object CorpusPipeline {
     val pairs = Dedup.minhashLshSigned(
       unique.where(col("s").isNotNull).select(sigCols: _*),
       cfg.numHashes, cfg.bands, cfg.jaccard, cfg.maxBucket)
-    val deduped = note("after_near_dedup", pin(Dedup.applyDedupTransitive(unique, pairs)))
+    // [[Dedup.applyDedupTransitive]] inlined so the DROP SET is a named
+    // frame: attrition counts it directly (each stage is a subset of
+    // the previous, so survivor counts are running differences) instead
+    // of recounting the stacked anti-joined frames
+    val comp = Dedup.connectedComponents(pairs)
+    val nearDrops = comp.where(col("id") =!= col("component"))
+      .select(col("id").as("doc_id"))
+    val deduped = note("after_near_dedup",
+      pin(unique.join(nearDrops, Seq("doc_id"), "left_anti")))
 
-    val clean = benchmark match {
+    val (clean, flaggedSet) = benchmark match {
       case Some(bench) =>
         // shared-shingle flags from the scan's distinct shingle sets —
         // the same values Dedup.contamination derives by re-shingling
@@ -201,8 +210,9 @@ object CorpusPipeline {
           .agg(count(lit(1)).as("n_shared"))
           .where(col("n_shared") >= cfg.minSharedShingles)
           .select(col("doc_id"))
-        note("after_decontamination", deduped.join(flagged, Seq("doc_id"), "left_anti"))
-      case None => deduped
+        (note("after_decontamination",
+          deduped.join(flagged, Seq("doc_id"), "left_anti")), Some(flagged))
+      case None => (deduped, None)
     }
 
     // split assignment is a pure column — no join, stays map-only
@@ -210,31 +220,53 @@ object CorpusPipeline {
       .drop("h", "s")
     Result(split, steps.result(), pins.result(), Seq(
       "input" -> docs, "quality_lang" -> filtered, "exact_dedup" -> unique,
-      "near_dedup" -> deduped, "decontaminated" -> clean))
+      "near_dedup" -> deduped, "decontaminated" -> clean),
+      Seq("exact_losers" -> losers, "near_drops" -> nearDrops) ++
+        flaggedSet.map("contaminated" -> _))
   }
 
   /** Attrition report — "where did my data go": surviving document
-    * count after each stage. All five counts run as ONE job — a union
-    * of single-row count aggregates over [[prepare]]'s stage frames
-    * (the pinned intermediates compute once; parallel branches read
-    * the cache) — collected eagerly so the pins can be released before
-    * the 5-literal-row result escapes; a lazily-returned union would
-    * hold the pins forever, because no caller could ever reach
-    * `release()`. The per-stage DROP is the difference of consecutive
-    * rows; cumulative survivor counts are emitted because they are
-    * what both engines can state exactly. */
+    * count after each stage. One MELTED counting pass (round 14):
+    * instead of recounting each progressively-stacked stage frame —
+    * whose five union branches each re-planned the full pipeline and
+    * whose broadcast subtrees raced the cache fill (measured: eight
+    * concurrent ~0.8 s jobs all recomputing the unfilled scan) — the
+    * job counts the input, the filtered frame, and the three DROP SETS
+    * (exact losers, near-dup drops, contaminated ids), each a tiny
+    * O(drops) frame computed exactly once. Stage survivor counts are
+    * the running differences, identical by construction because every
+    * stage is a subset of its predecessor: losers ⊆ filtered's ids
+    * (one row per doc), near-drops ⊆ unique's ids (one row per paired
+    * id), flagged ⊆ deduped's ids. Collected eagerly so the pins can
+    * be released before the 5-literal-row result escapes. */
   def attrition(docs: DataFrame, benchmark: Option[DataFrame] = None,
       cfg: Config = Config()): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val r = prepare(docs, benchmark, cfg)
     try {
-      val counted = r.stages.map { case (name, df) =>
-          df.agg(count(lit(1)).as("n_docs"))
-            .select(lit(name).as("stage"), col("n_docs"))
-        }.reduce(_ unionAll _)
-        .collect().map(row => (row.getString(0), row.getLong(1)))
-      counted.toSeq.toDF("stage", "n_docs")
+      val drops = r.dropSets.toMap
+      val filtered = r.stages.toMap.apply("quality_lang")
+      val branches = Seq(
+        docs.agg(count(lit(1)).as("n")).select(lit("input").as("s"), col("n")),
+        filtered.agg(count(lit(1)).as("n"))
+          .select(lit("quality_lang").as("s"), col("n")),
+        drops("exact_losers").agg(count(lit(1)).as("n"))
+          .select(lit("exact_losers").as("s"), col("n")),
+        drops("near_drops").agg(count(lit(1)).as("n"))
+          .select(lit("near_drops").as("s"), col("n"))) ++
+        drops.get("contaminated").map(f => f.distinct()
+          .agg(count(lit(1)).as("n")).select(lit("contaminated").as("s"), col("n")))
+      val m = branches.reduce(_ unionAll _)
+        .collect().map(row => row.getString(0) -> row.getLong(1)).toMap
+      val nQl = m("quality_lang")
+      val nEx = nQl - m("exact_losers")
+      val nNd = nEx - m("near_drops")
+      Seq(
+        "input" -> m("input"), "quality_lang" -> nQl, "exact_dedup" -> nEx,
+        "near_dedup" -> nNd,
+        "decontaminated" -> (nNd - m.getOrElse("contaminated", 0L)))
+        .toDF("stage", "n_docs")
     } finally r.release()
   }
 
