@@ -65,16 +65,28 @@ object PlanDoctor {
 
   /** True when the physical plan contains a cartesian product. */
   def hasCartesian(df: DataFrame): Boolean =
-    df.queryExecution.sparkPlan.toString.contains("CartesianProduct")
+    hasCartesianPlan(df.queryExecution.sparkPlan.toString)
+
+  /** [[hasCartesian]] over an already-rendered physical-plan string
+    * (the whole-surface audit renders each plan once and runs every
+    * check against the string). */
+  private[graft] def hasCartesianPlan(sparkPlan: String): Boolean =
+    sparkPlan.contains("CartesianProduct")
 
   /** True when the physical plan contains a broadcast nested loop. */
   def hasBnlj(df: DataFrame): Boolean =
-    df.queryExecution.sparkPlan.toString.contains("BroadcastNestedLoopJoin")
+    hasBnljPlan(df.queryExecution.sparkPlan.toString)
+
+  private[graft] def hasBnljPlan(sparkPlan: String): Boolean =
+    sparkPlan.contains("BroadcastNestedLoopJoin")
 
   /** True when any window spec in the optimized plan has no partition
     * expressions (first spec argument is already a sort order). */
   def hasUnpartitionedWindow(df: DataFrame): Boolean =
-    windowSpecs(df.queryExecution.optimizedPlan.toString)
+    hasUnpartitionedWindowPlan(df.queryExecution.optimizedPlan.toString)
+
+  private[graft] def hasUnpartitionedWindowPlan(optimizedPlan: String): Boolean =
+    windowSpecs(optimizedPlan)
       .exists(_.split(",").head.trim.matches(".*\\b(ASC|DESC)\\b.*"))
 
   private[graft] def windowSpecs(optimizedPlan: String): Seq[String] =

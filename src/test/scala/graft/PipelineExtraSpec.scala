@@ -214,18 +214,20 @@ class DriverContractSpec extends SparkSpec {
     assert(orphans.isEmpty, s"oracle entries without a query: $orphans")
   }
 
-  test("the rows-only set is exactly the documented engine-private sketch") {
-    // adding a query without an oracle should be a DELIBERATE act:
-    // q_sketch's HLL/KLL state is engine-private by construction (its
-    // checkable counterparts are q_kmv / q_qsketch); everything else
-    // must carry a DuckDB mirror
+  test("every declared query carries a DuckDB oracle (no rows-only set)") {
+    // adding a query without an oracle should be a DELIBERATE act —
+    // and since round 14 there are none: q_sketch, the one documented
+    // engine-private exception, now computes from the portable
+    // KMV/bottom-k kernels and carries a full value mirror
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(rowsOnly == Set("q_sketch"), s"undocumented rows-only queries: $rowsOnly")
+    assert(rowsOnly.isEmpty, s"undocumented rows-only queries: $rowsOnly")
   }
 
   test("every query runs and yields a non-empty result at sf0.001") {
-    SparkEntry.queries.foreach { case (name, fn) =>
-      val n = fn(spark, sfDir).count()
+    // the frames come from TestSurface's shared construction (one
+    // build of the full surface serves this smoke and the plan audits)
+    TestSurface.frames.foreach { case (name, df) =>
+      val n = df.count()
       assert(n > 0, s"$name returned 0 rows at sf0.001")
     }
   }

@@ -11,9 +11,14 @@ class PlanAuditSpec extends SparkSpec {
   // detection primitives shared with the user-facing linter
   // (plans.PlanDoctor) — the library lint and this gate cannot drift
 
+  // every check below runs over TestSurface's ONE shared construction
+  // of the full query surface (building a replay entry's frame runs
+  // its replay — three independent passes here plus the non-empty
+  // smoke cost ~10 min of the driver's test budget before round 14)
+
   test("no query plans a CartesianProduct") {
-    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
-      if (plans.PlanDoctor.hasCartesian(fn(spark, sfDir))) Some(name) else None
+    val offenders = TestSurface.sparkPlans.collect {
+      case (name, plan) if plans.PlanDoctor.hasCartesianPlan(plan) => name
     }
     assert(offenders.isEmpty, s"cartesian products in: $offenders")
   }
@@ -175,9 +180,9 @@ class PlanAuditSpec extends SparkSpec {
       // t_quality_auc: runningSum's 1-row bounds broadcast over the
       // constant __g group at distinct-score grain (the q_mwu shape)
       "t_quality_auc")
-    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
-      if (plans.PlanDoctor.hasBnlj(fn(spark, sfDir)) && !allowed(name))
-        Some(name) else None
+    val offenders = TestSurface.sparkPlans.collect {
+      case (name, plan)
+        if plans.PlanDoctor.hasBnljPlan(plan) && !allowed(name) => name
     }
     assert(offenders.isEmpty, s"unexpected nested-loop joins in: $offenders")
   }
@@ -221,9 +226,10 @@ class PlanAuditSpec extends SparkSpec {
     // partition expressions precede the sort orders; a spec whose
     // FIRST argument is already a sort order has no partition at all
     // (the check itself lives in PlanDoctor.hasUnpartitionedWindow)
-    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
-      if (plans.PlanDoctor.hasUnpartitionedWindow(fn(spark, sfDir)) &&
-        !allowed(name)) Some(name) else None
+    val offenders = TestSurface.optimizedPlans.collect {
+      case (name, plan)
+        if plans.PlanDoctor.hasUnpartitionedWindowPlan(plan) &&
+          !allowed(name) => name
     }
     assert(offenders.isEmpty, s"unpartitioned windows in: $offenders")
   }
